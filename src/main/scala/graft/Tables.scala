@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.types.DecimalType
+
+/** Test-table access. Driver-generated parquet lives at `$sfDir/<name>.parquet`
+  * (see /root/repo/TESTDATA.md). Views are registered per (session, dir) so the
+  * delegated-SQL surface (`spark.sql`) works exactly like the reference's GLOBAL
+  * SQLite database (reference: compiler.go:20-21) — but distributed.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark rejects natively;
+      // read the raw int64 nanos and downcast to microsecond TimestampType.
+      // Oracle side must use CAST(ts AS TIMESTAMP) for the same truncation.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .select(raw.columns.map(col): _*)
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** Register all tables as temp views; cheap (schema-only) and idempotent. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+
+  /** Cast through DECIMAL(18,2) so sums are exact and associative — the same
+    * value in any summation order, on any partitioning, in Spark and in the
+    * DuckDB oracle. Raw double sums differ in the last bits between engines
+    * (non-associative FP), which would fail the driver's hash compare; at
+    * 100 TB the partial-aggregation order is nondeterministic anyway, so
+    * money-typed math *must* be decimal for reproducible results.
+    */
+  def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Exact decimal sum surfaced as double (stable column type for the oracle). */
+  def dsum(c: Column): Column = sum(dec2(c)).cast("double")
+}

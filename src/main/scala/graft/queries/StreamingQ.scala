@@ -1,0 +1,55 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming coverage. The reference has no unbounded streaming
+  * (SURVEY.md §2.10) — this is the beyond-parity extension: the same events
+  * table driven through `readStream` → event-time tumbling windows →
+  * memory sink, so the identical aggregation can later run against a real
+  * unbounded source (Kafka, file drop) unchanged.
+  */
+object StreamingQ {
+  import Tables.dec2
+
+  // events.parquet raw schema (ts is parquet TIMESTAMP(NANOS) → read as long)
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  val entries: Seq[QueryDef] = Seq(
+
+    // Tumbling 6h event-time windows over the events stream; complete-mode
+    // memory sink so bounded parquet input yields the full window set.
+    QueryDef(
+      "q22_stream_window",
+      """SELECT time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) AS win_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val viewName = s"q22_mem_${java.util.UUID.randomUUID().toString.take(8)}"
+      val stream = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val agg = stream
+        .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).cast("double").as("total"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+                col("n"), col("total"))
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(viewName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(viewName)
+    },
+  )
+}

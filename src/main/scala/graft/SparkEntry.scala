@@ -13,7 +13,9 @@ object SparkEntry {
   private def registry: Seq[QueryDef] =
     _root_.graft.queries.Relational.entries ++
       _root_.graft.queries.Timeseries.entries ++
-      _root_.graft.queries.StreamingQ.entries
+      _root_.graft.queries.StreamingQ.entries ++
+      _root_.graft.queries.Dedup.entries ++
+      _root_.graft.queries.Similarity.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,170 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.Text
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators over the `documents` table — the
+  * beyond-parity LLM-training-pipeline surface (no analogue in the
+  * reference engine).
+  *
+  * Four tiers, each the idiomatic Spark shape for its scale:
+  *
+  *  - exact:        groupBy(text) — at 100 TB you group by xxhash64(text)
+  *                  instead of the full text to keep shuffle rows narrow;
+  *  - n-gram Jaccard: *inverted index* self-join on shingles (explode →
+  *                  join on shingle → count common per pair). Never
+  *                  materializes the O(n²) pair space — only pairs that
+  *                  share ≥1 shingle, shuffled by shingle. This is the
+  *                  exact-but-scalable path;
+  *  - MinHash+LSH:  constant-size signature per doc (128 perms), banded
+  *                  (32×4) so candidate pairs come from equality joins on
+  *                  band hashes — the classic sub-quadratic near-dup path.
+  *                  Candidates are then *exactly* verified, so the output
+  *                  equals brute force whenever LSH recall is 1 (at the
+  *                  0.8 threshold the miss probability per true pair is
+  *                  (1-j⁴)³² ≤ 6e-8; the DuckDB oracle cross-checks);
+  *  - SimHash:      64-bit fingerprint per doc, hamming≤k pairs found via
+  *                  16-bit band blocking (pigeonhole: hamming≤3 ⇒ one of 4
+  *                  bands equal) — candidates verified with bit_count(xor).
+  *
+  * All expression trees are UDF-free and stay in whole-stage codegen.
+  */
+object Dedup {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Shared shingle projection: (doc_id, sh) exploded + per-doc distinct
+    * shingle counts.
+    */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), Text.shingles(col("text")).as("shs"))
+      .where(size(col("shs")) > 0)
+
+  /** DuckDB-side 3-gram shingle set (mirrors [[Text.shingles]]). */
+  private val oracleShingles =
+    """WITH w AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ws
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id,
+      |    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |                   for i in range(1, len(ws) - 1)]) AS sh
+      |  FROM w WHERE len(ws) >= 3
+      |)""".stripMargin
+
+  private def oracleJaccardPairs(threshold: Double) =
+    s"""$oracleShingles
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+       |FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= $threshold""".stripMargin
+
+  /** Exact-verify a candidate-pair DF (doc_a, doc_b) against the shingle
+    * sets, keeping pairs with Jaccard ≥ threshold. Candidate count is
+    * sub-quadratic, so the per-pair array_intersect is cheap.
+    */
+  private def verifyPairs(cand: DataFrame, sh: DataFrame,
+                          threshold: Double): DataFrame = {
+    val a = sh.toDF("doc_a", "sh_a")
+    val b = sh.toDF("doc_b", "sh_b")
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        round(col("common").cast("double")
+          / (size(col("sh_a")) + size(col("sh_b")) - col("common")), 6))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  val entries: Seq[QueryDef] = Seq(
+
+    // ---- Exact dedup: one keeper (min doc_id) per distinct text. ----
+    QueryDef(
+      "q30_dedup_exact",
+      """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY text""".stripMargin) { (s, dir) =>
+      // At 100 TB: groupBy(xxhash64(text)) — 8-byte shuffle key instead of
+      // the document body; full-text equality check within hash buckets if
+      // collision paranoia warrants.
+      docs(s, dir)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select(col("doc_id"), col("n_copies"))
+    },
+
+    // ---- Near-dup via exact n-gram Jaccard, inverted-index join. ----
+    QueryDef("q31_dedup_ngram_jaccard", oracleJaccardPairs(0.5)) { (s, dir) =>
+      val sh = shingled(s, dir)
+        .select(col("doc_id"), explode(col("shs")).as("sh"))
+      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val a = sh.toDF("doc_a", "sh")
+      val b = sh.toDF("doc_b", "sh")
+      // Pairs sharing ≥1 shingle; shuffle is by shingle, never O(n²).
+      // At 100 TB: drop ultra-high-DF shingles first (they only create
+      // candidate pairs that exact verification would reject anyway when
+      // the threshold is high).
+      val common = a.join(b, "sh")
+        .where(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("common"))
+      val na = counts.toDF("doc_a", "n_a")
+      val nb = counts.toDF("doc_b", "n_b")
+      common.join(na, "doc_a").join(nb, "doc_b")
+        .withColumn("jaccard",
+          round(col("common").cast("double")
+            / (col("n_a") + col("n_b") - col("common")), 6))
+        .where(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    },
+
+    // ---- Near-dup via MinHash + LSH banding, exact-verified. ----
+    QueryDef("q32_dedup_minhash_lsh", oracleJaccardPairs(0.8)) { (s, dir) =>
+      val sh = shingled(s, dir)
+      val sig = sh.select(col("doc_id"),
+        Text.minhashSig(col("shs"), numPerm = 128).as("sig"))
+      val bands = sig
+        .select(col("doc_id"),
+          explode(Text.lshBands(col("sig"), numBands = 32, rowsPerBand = 4))
+            .as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+      val cand = bands.toDF("doc_a", "band", "bh")
+        .join(bands.toDF("doc_b", "band", "bh"), Seq("band", "bh"))
+        .where(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+      verifyPairs(cand, sh.select(col("doc_id"), col("shs")), 0.8)
+    },
+
+    // ---- Near-dup via 64-bit SimHash + 16-bit band blocking. ----
+    // No oracle: SimHash depends on xxhash64 bit patterns, which DuckDB
+    // cannot reproduce; recall asserted in DedupSpec against q31's exact
+    // pairs.
+    QueryDef.noOracle("q33_dedup_simhash") { (s, dir) =>
+      val fp = docs(s, dir)
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .withColumn("bs", Text.simhashBitSums("toks"))
+        .select(col("doc_id"), Text.simhashPack("bs").as("simhash"))
+      // 4 bands of 16 bits: hamming ≤ 3 guarantees ≥1 identical band.
+      val bands = fp.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("simhash"), b * 16)
+              .bitwiseAND(lit(0xFFFFL)).as("bv"))): _*)).as("bk"))
+        .select(col("doc_id"), col("simhash"),
+          col("bk.band").as("band"), col("bk.bv").as("bv"))
+      bands.toDF("doc_a", "sh_a", "band", "bv")
+        .join(bands.toDF("doc_b", "sh_b", "band", "bv"), Seq("band", "bv"))
+        .where(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          Text.hamming(col("sh_a"), col("sh_b")).as("hamming"))
+        .distinct()
+        .where(col("hamming") <= 3)
+    },
+  )
+}

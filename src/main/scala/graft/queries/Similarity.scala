@@ -1,0 +1,129 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors) —
+  * beyond-parity LLM-pipeline surface.
+  *
+  *  - [[q34]] brute-force cosine top-k: the exactness baseline. Query set
+  *    broadcast against the corpus, dot products as codegen'd
+  *    `zip_with`/`aggregate` folds (left-to-right, so the DuckDB oracle's
+  *    `list_reduce` computes bit-identical doubles). At 100 TB the corpus
+  *    side stays partitioned; only the (small) query side broadcasts —
+  *    cost is a single corpus scan per query batch, embarrassingly
+  *    parallel, no shuffle at all until the per-query top-k (which AQE
+  *    sizes by the tiny query count).
+  *  - [[q35]] random-hyperplane LSH ANN: L hash tables × b sign bits per
+  *    table; candidates = bucket collisions in any table, exact-reranked.
+  *    The scale path: corpus bucketing is a one-off narrow projection; at
+  *    query time only colliding buckets are scanned. Recall vs. q34 is
+  *    asserted in SimilaritySpec (engine-specific hashing ⇒ no SQL oracle).
+  *
+  * All math in double precision end-to-end: float dot products would
+  * diverge between engines and across partitionings.
+  */
+object Similarity {
+
+  private val K = 5
+  private val NumQueries = 20
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  private def l2norm(v: Column): Column =
+    sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x))
+
+  /** Left-fold dot product — order-stable, matches DuckDB list_reduce. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Deterministic ±1 hyperplane component for (table, bit, dim) — a
+    * splitmix-style integer mix, reproducible everywhere with no RNG.
+    */
+  private def hyper(table: Int, bit: Int, dim: Int): Double = {
+    var z = table.toLong * 0x9E3779B97F4A7C15L + bit.toLong * 0xBF58476D1CE4E5B9L +
+      dim.toLong * 0x94D049BB133111EBL + 0x2545F4914F6CDD1DL
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    if ((z & 1L) == 0L) 1.0 else -1.0
+  }
+
+  /** Pack b sign-bits of hyperplane dot products into one int bucket id. */
+  private def lshBucket(v: Column, table: Int, bits: Int, dims: Int): Column =
+    (0 until bits).map { j =>
+      val plane = array((0 until dims).map(d => lit(hyper(table, j, d))): _*)
+      when(dot(v, plane) > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  val entries: Seq[QueryDef] = Seq(
+
+    // ---- Brute-force cosine top-k (exact baseline). ----
+    QueryDef(
+      "q34_knn_bruteforce",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v,
+         |  sqrt(list_reduce(list_prepend(0.0, [x*x for x in v]), (a,b) -> a+b)) AS nrm
+         |  FROM e),
+         |s AS (SELECT q.vec_id AS qid, c.vec_id AS neighbor_id,
+         |  round(list_reduce(list_prepend(0.0,
+         |      [q.v[i] * c.v[i] for i in range(1, len(q.v)+1)]), (a,b) -> a+b)
+         |    / (q.nrm * c.nrm), 6) AS cosine
+         |  FROM n q JOIN n c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < $NumQueries)
+         |SELECT qid, neighbor_id, cosine, rank FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY qid ORDER BY cosine DESC, neighbor_id) AS rank FROM s)
+         |WHERE rank <= $K""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir).withColumn("nrm", l2norm(col("v")))
+      val q = e.where(col("vec_id") < NumQueries).toDF("qid", "qv", "qnrm")
+      val c = e.toDF("cid", "cv", "cnrm")
+      val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
+      c.join(broadcast(q), col("qid") =!= col("cid"))
+        .withColumn("cosine",
+          round(dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")), 6))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= K)
+        .select(col("qid"), col("cid").as("neighbor_id"), col("cosine"),
+          col("rank"))
+    },
+
+    // ---- LSH-bucketed approximate top-k, exact-reranked. ----
+    QueryDef.noOracle("q35_ann_lsh") { (s, dir) =>
+      // 4-bit buckets: this corpus's true neighbors are only ~60° apart
+      // (cos ≈ 0.5), so p(bit agree) ≈ 0.67 — wider buckets would miss
+      // them (recall ∝ (1-(1-p^bits)^tables)). With stronger similarity
+      // structure (near-dup embeddings at cos ≥ 0.9) raise Bits to 8-16
+      // for much sharper pruning at the same recall.
+      val Tables_ = 8; val Bits = 4; val Dims = 64
+      val e = emb(s, dir).withColumn("nrm", l2norm(col("v")))
+      val buckets = e.select(col("vec_id"), col("v"), col("nrm"),
+        explode(array((0 until Tables_).map(t =>
+          struct(lit(t).as("t"),
+            lshBucket(col("v"), t, Bits, Dims).as("bucket"))): _*)).as("tb"))
+        .select(col("vec_id"), col("v"), col("nrm"),
+          col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+      val qb = buckets.where(col("vec_id") < NumQueries)
+        .toDF("qid", "qv", "qnrm", "t", "bucket")
+      // candidates: collide in ≥1 table; dedupe before the exact rerank
+      val cand = buckets.toDF("cid", "cv", "cnrm", "t", "bucket")
+        .join(qb, Seq("t", "bucket"))
+        .where(col("qid") =!= col("cid"))
+        .select("qid", "cid").distinct()
+      val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
+      cand
+        .join(e.toDF("cid", "cv", "cnrm"), "cid")
+        .join(broadcast(e.toDF("qid", "qv", "qnrm")), "qid")
+        .withColumn("cosine",
+          round(dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")), 6))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= K)
+        .select(col("qid"), col("cid").as("neighbor_id"), col("cosine"),
+          col("rank"))
+    },
+  )
+}

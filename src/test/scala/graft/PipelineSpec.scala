@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dedup + similarity operator semantics at sf0.001. */
+class PipelineSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def pairs(name: String): Set[(Long, Long)] =
+    SparkEntry.queries(name)(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  lazy val exactPairs: Map[(Long, Long), Double] =
+    SparkEntry.queries("q31_dedup_ngram_jaccard")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+  test("q30 exact dedup keeps every distinct text exactly once") {
+    val df = SparkEntry.queries("q30_dedup_exact")(spark, sfDir)
+    val docs = Tables.load(spark, sfDir, "documents")
+    assert(df.count() == docs.select("text").distinct().count())
+    assert(df.groupBy("doc_id").count().filter("count > 1").count() == 0)
+  }
+
+  test("q32 MinHash-LSH == exact jaccard pairs at threshold 0.8") {
+    val lsh = pairs("q32_dedup_minhash_lsh")
+    val exact = exactPairs.filter(_._2 >= 0.8).keySet
+    assert(lsh == exact,
+      s"missing=${exact -- lsh} spurious=${lsh -- exact}")
+  }
+
+  test("q33 SimHash finds the high-jaccard near-dup pairs") {
+    val sim = pairs("q33_dedup_simhash")
+    val nearDups = exactPairs.filter(_._2 >= 0.95).keySet
+    val recall =
+      if (nearDups.isEmpty) 1.0
+      else (nearDups & sim).size.toDouble / nearDups.size
+    info(s"simhash pairs=${sim.size} nearDups=${nearDups.size} recall=$recall")
+    assert(recall >= 0.8, s"simhash recall $recall too low")
+  }
+
+  test("q35 LSH-ANN recall@5 vs q34 brute force") {
+    def topk(name: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(name)(spark, sfDir)
+        .select("qid", "neighbor_id").collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact = topk("q34_knn_bruteforce")
+    val ann = topk("q35_ann_lsh")
+    val recalls = exact.map { case (q, nb) =>
+      (nb & ann.getOrElse(q, Set.empty)).size.toDouble / nb.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(s"ANN mean recall@5 = $mean")
+    assert(mean >= 0.5, s"ANN recall $mean too low")
+  }
+}

@@ -1,0 +1,97 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Opaque media row: bytes + typed metadata travelling through Spark as
+  * ordinary columns (`binary` + scalars). This is the 100 TB multimodal
+  * pattern: the engine never interprets media server-side; partitioning,
+  * shuffling, and predicate pushdown all operate on the narrow metadata
+  * columns, and the (huge) `bytes` column is only touched inside the
+  * decode `mapPartitions`.
+  */
+final case class MediaRow(
+    media_id: Long,
+    media_type: String,
+    bytes: Array[Byte])
+
+/** Decoded features: deterministic metadata a real codec would produce. */
+final case class DecodedMedia(
+    media_id: Long,
+    media_type: String,
+    n_bytes: Long,
+    width: Int,
+    height: Int,
+    checksum: Long)
+
+/** Multimodal column handling — decode / feature-extract / frame-sample
+  * over binary columns (beyond-parity LLM-pipeline surface).
+  *
+  * The decode step is a clearly-marked STUB (no image/audio codecs exist
+  * in this offline container): it derives deterministic fake dimensions
+  * from the byte stream. The Spark-side plumbing — binary schema, typed
+  * `Dataset` encoders, partition-batched iteration, narrow-column
+  * pushdown — is real and oracle-tested.
+  */
+object Multimodal {
+
+  /** STUB — replace with a real codec (e.g. javax.imageio / ffmpeg JNI)
+    * when available. Deterministic so the DuckDB oracle can reproduce it:
+    *   width  = 16 + n_bytes mod 240
+    *   height = 16 + (7 * n_bytes) mod 240
+    *   checksum = sum of byte values mod 997
+    * A real implementation keeps the exact same signature: bytes in,
+    * scalar features out, no driver involvement.
+    */
+  def decodeStub(bytes: Array[Byte]): (Int, Int, Long) = {
+    val n = bytes.length.toLong
+    var sum = 0L
+    var i = 0
+    while (i < bytes.length) { sum += bytes(i) & 0xFF; i += 1 }
+    ((16 + n % 240).toInt, (16 + (7 * n) % 240).toInt, sum % 997)
+  }
+
+  /** Decode a media dataset partition-by-partition. Executors stream rows
+    * (no per-partition materialization), so memory stays bounded by one
+    * row's media size regardless of partition row count.
+    */
+  def decode(media: Dataset[MediaRow]): Dataset[DecodedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition init goes here in a real codec (native lib handles,
+      // thread-local buffers) — amortized across the whole partition
+      rows.map { m =>
+        val (w, h, cks) = decodeStub(m.bytes)
+        DecodedMedia(m.media_id, m.media_type, m.bytes.length.toLong, w, h, cks)
+      }
+    }
+  }
+
+  /** Sample every `stride`-th fixed-size frame from a binary payload —
+    * the video-frame-sampling access pattern, as a pure column expression
+    * (no decode needed for byte-range math; a real pipeline hands the
+    * sampled ranges to the codec). SQL form: dynamic substring offsets
+    * need expression arguments the Scala `substring` helper doesn't take.
+    */
+  def sampleFrames(bytesColName: String, frameSize: Int,
+                   stride: Int): org.apache.spark.sql.Column = {
+    val step = frameSize * stride
+    expr(s"""
+      transform(
+        sequence(0, (length(`$bytesColName`) - 1) div $step),
+        i -> substring(`$bytesColName`, 1 + i * $step, $frameSize))""")
+  }
+
+  /** Synthetic media table derived from `documents` (UTF-8 text bytes as
+    * the opaque payload) — the container ships no real media, but the
+    * schema and flow match a parquet table with a true binary column.
+    */
+  def mediaFromDocs(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(
+      col("doc_id").as("media_id"),
+      concat(lit("image/fake-"), col("source")).as("media_type"),
+      encode(col("text"), "UTF-8").as("bytes"))
+      .as[MediaRow]
+  }
+}

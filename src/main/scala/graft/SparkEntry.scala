@@ -17,7 +17,8 @@ object SparkEntry {
       _root_.graft.queries.Dedup.entries ++
       _root_.graft.queries.Similarity.entries ++
       _root_.graft.queries.TextAnalysis.entries ++
-      _root_.graft.queries.MultimodalQ.entries
+      _root_.graft.queries.MultimodalQ.entries ++
+      _root_.graft.queries.AqlQ.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

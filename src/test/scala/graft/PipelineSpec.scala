@@ -39,6 +39,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"simhash recall $recall too low")
   }
 
+  test("q44 embedding near-dup == brute-force cosine pairs at 0.5") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Vectors
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", Vectors.l2norm(col("v")))
+    val brute = e.toDF("vec_a", "va", "na")
+      .join(e.toDF("vec_b", "vb", "nb"), col("vec_a") < col("vec_b"))
+      .withColumn("cosine",
+        round(Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .where(col("cosine") >= 0.5)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("q44_dedup_embedding")(spark, sfDir)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == brute, s"missing=${brute -- lsh} spurious=${lsh -- brute}")
+  }
+
   test("q35 LSH-ANN recall@5 vs q34 brute force") {
     def topk(name: String): Map[Long, Set[Long]] =
       SparkEntry.queries(name)(spark, sfDir)

@@ -30,11 +30,24 @@ object Text {
     */
   def shingles(text: Column, k: Int = 3): Column = {
     val ws = tokens(text)
-    when(size(ws) >= k,
-      array_distinct(transform(sequence(lit(0), size(ws) - k),
-        i => concat_ws(" ", (0 until k).map(j => element_at(ws, i + j + 1)): _*))))
+    when(size(ws) >= k, shinglesFromTokens(ws, k))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** Shingles from an already-tokenized array. Callers must guarantee
+    * `size(ws) >= k` (e.g. by filtering on the cheap token count):
+    * sequence(0, negative) would generate a *descending* range.
+    *
+    * Prefer this + a `size(tokens) >= k` filter over [[shingles]] on the
+    * hot path: a filter on the (expensive) shingle array itself gets its
+    * full expression substituted into the predicate by PushDownPredicates
+    * and pushed below any repartition — i.e. the whole shingle computation
+    * re-runs serially at the scan. A token-count predicate pushes down as
+    * one cheap split pass instead.
+    */
+  def shinglesFromTokens(ws: Column, k: Int = 3): Column =
+    array_distinct(transform(sequence(lit(0), size(ws) - k),
+      i => concat_ws(" ", (0 until k).map(j => element_at(ws, i + j + 1)): _*)))
 
   /** Polynomial rolling hash of a string, base 31 mod [[HashMod]], over
     * character codes. Deterministic and engine-portable: the DuckDB oracle
@@ -43,63 +56,74 @@ object Text {
     */
   def polyHash(s: Column): Column =
     aggregate(
-      transform(sequence(lit(1), length(s)), i => ascii(s.substr(i, lit(1)))),
+      // split("") walks the string once; substr(i, 1) per position would
+      // rescan from the start each time (O(len²) on the hot path). The
+      // trailing "" that split(limit=-1) emits is filtered out.
+      transform(filter(split(s, ""), c => c =!= ""), c => ascii(c)),
       lit(0L),
       (acc, c) => (acc * 31 + c) % HashMod)
 
-  /** MinHash signature: for each of `numPerm` hash permutations, the min
-    * xxhash64 over the shingle set (seed mixed in as an extra hashed column).
-    * Constant memory per doc; the 100 TB-scale replacement for pairwise
-    * Jaccard.
+  /** One xxhash64 per shingle — the single pass over string data. All
+    * `numPerm` MinHash permutations then re-mix these 8-byte values
+    * ([[minhashSigFromHashes]]) instead of re-hashing strings, so the
+    * string cost is paid exactly once per document.
+    *
+    * IMPORTANT expression-shape note (applies to this whole file): an
+    * expensive expression placed inside a `transform(sequence(0, n), ...)`
+    * lambda is re-evaluated once per generated element — and Catalyst's
+    * CollapseProject happily inlines a producer Project into such a lambda
+    * when the producer is referenced only once, turning an O(len) column
+    * into O(n·len) at runtime. The helpers below therefore unroll static
+    * ranges Scala-side, referencing their input column once per unrolled
+    * term: CollapseProject's multi-reference guard then keeps the producer
+    * in its own Project (evaluated once per row), and the unrolled terms
+    * are plain codegen-able expressions.
     */
-  def minhashSig(shingleArr: Column, numPerm: Int): Column =
-    transform(sequence(lit(0), lit(numPerm - 1)),
-      s => array_min(transform(shingleArr, x => xxhash64(x, s))))
+  def hashedShingles(shingleArr: Column): Column =
+    transform(shingleArr, x => xxhash64(x))
+
+  /** MinHash signature over pre-hashed shingles (see [[hashedShingles]]):
+    * for each of `numPerm` permutations, the min of xxhash64(h, perm).
+    * Constant memory per doc; the 100 TB-scale replacement for pairwise
+    * Jaccard. Statically unrolled — `hashes` should be a materialized
+    * column, referenced here `numPerm` times.
+    */
+  def minhashSigFromHashes(hashes: Column, numPerm: Int): Column =
+    array((0 until numPerm).map(s =>
+      array_min(transform(hashes, h => xxhash64(h, lit(s))))): _*)
 
   /** LSH band key array for a minhash signature: `numBands` structs of
     * (band index, xxhash64 of that band's signature slice). Two docs are
-    * candidates iff they collide on ≥1 band.
+    * candidates iff they collide on ≥1 band. Statically unrolled (no HOF
+    * over the band range) — slice + xxhash64 stay in whole-stage codegen.
     */
   def lshBands(sig: Column, numBands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(numBands - 1)),
-      b => struct(
-        b.as("band"),
-        xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))).as("bh")))
+    array((0 until numBands).map(b =>
+      struct(
+        lit(b).as("band"),
+        xxhash64(slice(sig, b * rowsPerBand + 1, rowsPerBand)).as("bh"))): _*)
 
   /** 64-bit SimHash over the token *multiset* (repeated tokens weigh more,
     * matching the classic Charikar construction). Bit i of the result is 1
     * iff the sum over tokens of ±1 (sign = bit i of xxhash64(token)) is
     * positive.
     *
-    * Two projection steps so the expensive pass runs once per row:
-    * [[simhashBitSums]] hashes each token once and folds its 64 sign bits
-    * into a 64-counter array; [[simhashPack]] packs the counter signs into
-    * one BIGINT. Written as SQL lambda strings because dynamic shift
-    * amounts need the SQL form (the Scala `shiftleft` helper only accepts
-    * literal ints); both take plain column *names* so the generated SQL is
-    * trivially valid attributes.
+    * Takes the pre-hashed token array ([[hashedTokens]], a materialized
+    * column referenced 64 times — multi-reference guard again): each bit
+    * is one flat fold over the 8-byte hashes, allocating nothing per
+    * element, instead of one fold building a 64-long counter array per
+    * token (which spent its time in interpreted zip_with allocations).
     */
-  def simhashBitSums(tokensColName: String): Column =
-    expr(s"""
-      aggregate(
-        transform(`$tokensColName`, tok -> xxhash64(tok)),
-        array_repeat(CAST(0 AS BIGINT), 64),
-        (cnt, h) -> zip_with(
-          cnt,
-          transform(sequence(0, 63),
-            j -> IF((shiftright(h, j) & 1) = 1, CAST(1 AS BIGINT),
-                    CAST(-1 AS BIGINT))),
-          (x, y) -> x + y))""")
+  def hashedTokens(toks: Column): Column =
+    transform(toks, t => xxhash64(t))
 
-  /** Pack the 64 SimHash counters (see [[simhashBitSums]]) into one BIGINT. */
-  def simhashPack(bitSumsColName: String): Column =
-    expr(s"""
-      aggregate(
-        sequence(0, 63),
-        CAST(0 AS BIGINT),
-        (acc, i) -> IF(element_at(`$bitSumsColName`, i + 1) > 0,
-                       acc | shiftleft(CAST(1 AS BIGINT), i),
-                       acc))""")
+  def simhashFromHashes(hs: Column): Column =
+    (0 until 64).map { i =>
+      val bitSum = aggregate(hs, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, i).bitwiseAND(1) === 1, lit(1L))
+          .otherwise(lit(-1L)))
+      when(bitSum > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

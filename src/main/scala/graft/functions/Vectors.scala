@@ -14,13 +14,19 @@ import org.apache.spark.sql.functions._
   */
 object Vectors {
 
-  /** L2 norm, left-fold — order-stable across engines. */
-  def l2norm(v: Column): Column =
-    sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x))
-
-  /** Left-fold dot product — order-stable, matches DuckDB list_reduce. */
+  /** Left-fold dot product — order-stable, matches DuckDB list_reduce.
+    * Native codegen'd expression (see [[VecDotExpression]]); evaluated
+    * once per candidate pair in verify stages, so it must not fall back
+    * to interpreted higher-order functions.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    org.apache.spark.sql.GraftCatalystBridge.column(
+      VecDotExpression(
+        org.apache.spark.sql.GraftCatalystBridge.expression(a),
+        org.apache.spark.sql.GraftCatalystBridge.expression(b)))
+
+  /** L2 norm = sqrt(v·v), same left-to-right accumulation order. */
+  def l2norm(v: Column): Column = sqrt(dot(v, v))
 
   /** Deterministic ±1 hyperplane component for (table, bit, dim) — a
     * splitmix-style integer mix, reproducible everywhere with no RNG.
@@ -35,19 +41,16 @@ object Vectors {
     if ((z & 1L) == 0L) 1.0 else -1.0
   }
 
-  /** Pack `bits` sign-bits of hyperplane dot products into one int bucket
-    * id for LSH table `table`.
-    */
-  def lshBucket(v: Column, table: Int, bits: Int, dims: Int): Column =
-    (0 until bits).map { j =>
-      val plane = array((0 until dims).map(d => lit(hyper(table, j, d))): _*)
-      when(dot(v, plane) > 0, lit(1 << j)).otherwise(lit(0))
-    }.reduce(_ + _)
-
-  /** `(t, bucket)` struct array across `tables` LSH tables, for
-    * `explode(...)` into one row per (vector, table).
+  /** Bucket ids across all LSH tables as `array<int>` (index = table id;
+    * pair with `posexplode` for one row per (vector, table)). Backed by
+    * [[LshBucketsExpression]] — a native codegen'd Catalyst expression,
+    * because `tables*bits` interpreted `aggregate(zip_with(...))` folds
+    * per row are ~100× slower and a statically unrolled add-chain blows
+    * up the plan (~20k expression nodes).
     */
   def lshBuckets(v: Column, tables: Int, bits: Int, dims: Int): Column =
-    array((0 until tables).map(t =>
-      struct(lit(t).as("t"), lshBucket(v, t, bits, dims).as("bucket"))): _*)
+    org.apache.spark.sql.GraftCatalystBridge.column(
+      LshBucketsExpression(
+        org.apache.spark.sql.GraftCatalystBridge.expression(v),
+        tables, bits, dims))
 }

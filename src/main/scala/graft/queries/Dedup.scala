@@ -33,16 +33,25 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Documents, spread across all cores. The local test corpus is one
+    * small parquet file = one input split = one task, which would serialize
+    * the (CPU-heavy) shingle/signature projections below; on a real
+    * many-file 100 TB corpus the scan's own splits provide this parallelism
+    * and the narrow text shuffle is noise next to the per-row hash work.
+    */
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
 
-  /** Shared shingle projection: (doc_id, sh) exploded + per-doc distinct
-    * shingle counts.
+  /** Shared shingle projection: (doc_id, shs) distinct shingle arrays.
+    * Filtered on the cheap token count, NOT on the shingle array — see
+    * [[Text.shinglesFromTokens]] for the pushdown rationale.
     */
   private def shingled(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .select(col("doc_id"), Text.shingles(col("text")).as("shs"))
-      .where(size(col("shs")) > 0)
+      .select(col("doc_id"), Text.tokens(col("text")).as("ws"))
+      .where(size(col("ws")) >= 3)
+      .select(col("doc_id"), Text.shinglesFromTokens(col("ws")).as("shs"))
 
   /** DuckDB-side 3-gram shingle set (mirrors [[Text.shingles]]). */
   private val oracleShingles =
@@ -126,8 +135,12 @@ object Dedup {
     // ---- Near-dup via MinHash + LSH banding, exact-verified. ----
     QueryDef("q32_dedup_minhash_lsh", oracleJaccardPairs(0.8)) { (s, dir) =>
       val sh = shingled(s, dir)
+      // hash each shingle string exactly once; the 128 permutations re-mix
+      // the 8-byte hashes (separate Projects — see Text.scala shape note)
       val sig = sh.select(col("doc_id"),
-        Text.minhashSig(col("shs"), numPerm = 128).as("sig"))
+          Text.hashedShingles(col("shs")).as("hs"))
+        .select(col("doc_id"),
+          Text.minhashSigFromHashes(col("hs"), numPerm = 128).as("sig"))
       val bands = sig
         .select(col("doc_id"),
           explode(Text.lshBands(col("sig"), numBands = 32, rowsPerBand = 4))
@@ -148,8 +161,8 @@ object Dedup {
     QueryDef.noOracle("q33_dedup_simhash") { (s, dir) =>
       val fp = docs(s, dir)
         .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
-        .withColumn("bs", Text.simhashBitSums("toks"))
-        .select(col("doc_id"), Text.simhashPack("bs").as("simhash"))
+        .select(col("doc_id"), Text.hashedTokens(col("toks")).as("hs"))
+        .select(col("doc_id"), Text.simhashFromHashes(col("hs")).as("simhash"))
       // 4 bands of 16 bits: hamming ≤ 3 guarantees ≥1 identical band.
       val bands = fp.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(b =>
@@ -194,11 +207,12 @@ object Dedup {
         |    / (a.nrm * b.nrm), 6) >= 0.5""".stripMargin) { (s, dir) =>
       val NumTables = 32; val Bits = 4; val Dims = 64; val Threshold = 0.5
       val e = Tables.load(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .withColumn("nrm", Vectors.l2norm(col("v")))
       val buckets = e.select(col("vec_id"),
-        explode(Vectors.lshBuckets(col("v"), NumTables, Bits, Dims)).as("tb"))
-        .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+        posexplode(Vectors.lshBuckets(col("v"), NumTables, Bits, Dims))
+          .as(Seq("t", "bucket")))
       val cand = buckets.toDF("vec_a", "t", "bucket")
         .join(buckets.toDF("vec_b", "t", "bucket"), Seq("t", "bucket"))
         .where(col("vec_a") < col("vec_b"))

@@ -32,8 +32,13 @@ object Similarity {
 
   import graft.functions.Vectors.{dot, l2norm, lshBuckets}
 
+  /** Embeddings, spread across all cores — the local corpus is one parquet
+    * file = one input split, which would serialize the (interpreted HOF)
+    * dot-product work; real corpora parallelize via scan splits.
+    */
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
   val entries: Seq[QueryDef] = Seq(
@@ -78,9 +83,8 @@ object Similarity {
       val Tables_ = 8; val Bits = 4; val Dims = 64
       val e = emb(s, dir).withColumn("nrm", l2norm(col("v")))
       val buckets = e.select(col("vec_id"), col("v"), col("nrm"),
-        explode(lshBuckets(col("v"), Tables_, Bits, Dims)).as("tb"))
-        .select(col("vec_id"), col("v"), col("nrm"),
-          col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+        posexplode(lshBuckets(col("v"), Tables_, Bits, Dims))
+          .as(Seq("t", "bucket")))
       val qb = buckets.where(col("vec_id") < NumQueries)
         .toDF("qid", "qv", "qnrm", "t", "bucket")
       // candidates: collide in ≥1 table; dedupe before the exact rerank

@@ -148,9 +148,15 @@ object TextAnalysis {
         |  FROM s)
         |SELECT doc_id, list_min(hs) AS fingerprint, len(hs) AS n_shingles
         |FROM h""".stripMargin) { (s, dir) =>
+      // repartition: the per-shingle polynomial hash is the heaviest
+      // per-row projection in this family; one local parquet file = one
+      // task would serialize it (real corpora parallelize via scan splits).
+      // The filter rides the cheap token count (see Text.shinglesFromTokens).
       docs(s, dir)
-        .select(col("doc_id"), Text.shingles(col("text")).as("shs"))
-        .where(size(col("shs")) > 0)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), Text.tokens(col("text")).as("ws"))
+        .where(size(col("ws")) >= 3)
+        .select(col("doc_id"), Text.shinglesFromTokens(col("ws")).as("shs"))
         .select(col("doc_id"),
           array_min(transform(col("shs"), sh => Text.polyHash(sh)))
             .as("fingerprint"),

@@ -83,14 +83,14 @@ object Text {
     transform(shingleArr, x => xxhash64(x))
 
   /** MinHash signature over pre-hashed shingles (see [[hashedShingles]]):
-    * for each of `numPerm` permutations, the min of xxhash64(h, perm).
+    * for each of `numPerm` permutations, the min of xxhash64(h, seed=perm).
     * Constant memory per doc; the 100 TB-scale replacement for pairwise
-    * Jaccard. Statically unrolled — `hashes` should be a materialized
-    * column, referenced here `numPerm` times.
+    * Jaccard. Native codegen'd expression ([[MinHashSigExpression]]).
     */
   def minhashSigFromHashes(hashes: Column, numPerm: Int): Column =
-    array((0 until numPerm).map(s =>
-      array_min(transform(hashes, h => xxhash64(h, lit(s))))): _*)
+    org.apache.spark.sql.GraftCatalystBridge.column(
+      MinHashSigExpression(
+        org.apache.spark.sql.GraftCatalystBridge.expression(hashes), numPerm))
 
   /** LSH band key array for a minhash signature: `numBands` structs of
     * (band index, xxhash64 of that band's signature slice). Two docs are
@@ -103,27 +103,20 @@ object Text {
         lit(b).as("band"),
         xxhash64(slice(sig, b * rowsPerBand + 1, rowsPerBand)).as("bh"))): _*)
 
-  /** 64-bit SimHash over the token *multiset* (repeated tokens weigh more,
-    * matching the classic Charikar construction). Bit i of the result is 1
-    * iff the sum over tokens of ±1 (sign = bit i of xxhash64(token)) is
-    * positive.
-    *
-    * Takes the pre-hashed token array ([[hashedTokens]], a materialized
-    * column referenced 64 times — multi-reference guard again): each bit
-    * is one flat fold over the 8-byte hashes, allocating nothing per
-    * element, instead of one fold building a 64-long counter array per
-    * token (which spent its time in interpreted zip_with allocations).
+  /** One xxhash64 per token — the single pass over string data; SimHash
+    * then works on the 8-byte hashes.
     */
   def hashedTokens(toks: Column): Column =
     transform(toks, t => xxhash64(t))
 
+  /** 64-bit SimHash over the token *multiset* (repeated tokens weigh
+    * more, matching the classic Charikar construction), from pre-hashed
+    * tokens. Native codegen'd expression ([[SimHashExpression]]).
+    */
   def simhashFromHashes(hs: Column): Column =
-    (0 until 64).map { i =>
-      val bitSum = aggregate(hs, lit(0L), (acc, h) =>
-        acc + when(shiftright(h, i).bitwiseAND(1) === 1, lit(1L))
-          .otherwise(lit(-1L)))
-      when(bitSum > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ bitwiseOR _)
+    org.apache.spark.sql.GraftCatalystBridge.column(
+      SimHashExpression(
+        org.apache.spark.sql.GraftCatalystBridge.expression(hs)))
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -24,6 +24,17 @@ final case class DecodedMedia(
     height: Int,
     checksum: Long)
 
+/** Resize output: original + resized payload metadata (the payload itself
+  * stays on the executor — only narrow features leave the map stage).
+  */
+final case class ResizedMedia(
+    media_id: Long,
+    n_bytes: Long,
+    n_bytes_resized: Long,
+    width_r: Int,
+    height_r: Int,
+    checksum_r: Long)
+
 /** Multimodal column handling — decode / feature-extract / frame-sample
   * over binary columns (beyond-parity LLM-pipeline surface).
   *
@@ -63,6 +74,35 @@ object Multimodal {
       rows.map { m =>
         val (w, h, cks) = decodeStub(m.bytes)
         DecodedMedia(m.media_id, m.media_type, m.bytes.length.toLong, w, h, cks)
+      }
+    }
+  }
+
+  /** STUB resize — a real implementation decodes, rescales, re-encodes
+    * (e.g. imageio/libvips JNI) with the same bytes-in/bytes-out shape.
+    * The stub keeps every `factor`-th byte (a stride resample — the 1-D
+    * analogue of nearest-neighbour downscaling) so the arithmetic is
+    * reproducible by the DuckDB oracle.
+    */
+  def resizeStub(bytes: Array[Byte], factor: Int): Array[Byte] = {
+    val out = new Array[Byte]((bytes.length + factor - 1) / factor)
+    var i = 0
+    while (i < out.length) { out(i) = bytes(i * factor); i += 1 }
+    out
+  }
+
+  /** Resize a media dataset partition-by-partition; emits original +
+    * resized feature metadata. Streams rows like [[decode]] — executor
+    * memory stays bounded by one row's media regardless of partition size.
+    */
+  def resize(media: Dataset[MediaRow], factor: Int): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val r = resizeStub(m.bytes, factor)
+        val (w, h, cks) = decodeStub(r)
+        ResizedMedia(m.media_id, m.bytes.length.toLong, r.length.toLong,
+          w, h, cks)
       }
     }
   }

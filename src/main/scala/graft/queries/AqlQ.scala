@@ -41,5 +41,33 @@ object AqlQ {
            |) INTO CONSOLE WITH (OUTPUT_FORMAT = 'JSON')""".stripMargin
       Aql.run(s, script).outputs("SUMS")
     },
+
+    QueryDef(
+      "q45_aql_lookup_e2e",
+      """SELECT o_orderkey, o_totalprice, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin) {
+      (s, dir) =>
+      // LOOKUP INNER JOIN through the language stack (reference
+      // transforms/lookup.go:109-263): broadcast hash join underneath;
+      // customer is unique on c_custkey, so the reference's last-row-wins
+      // build-side dedup is a no-op here and SQL join parity is exact.
+      val script =
+        s"""CONNECTION 'Orders' (
+           |  DRIVER = 'file', FILE = '$dir/orders.parquet',
+           |  FORMAT = 'parquet'
+           |)
+           |CONNECTION 'Customers' (
+           |  DRIVER = 'file', FILE = '$dir/customer.parquet',
+           |  FORMAT = 'parquet'
+           |)
+           |
+           |TRANSFORM 'Joined' FROM CONNECTION Orders, CONNECTION Customers (
+           |  LOOKUP Orders.o_orderkey, Orders.o_totalprice,
+           |    Customers.c_mktsegment
+           |  FROM Orders INNER JOIN Customers
+           |    ON Orders.o_custkey = Customers.c_custkey
+           |) INTO CONSOLE WITH (OUTPUT_FORMAT = 'JSON')""".stripMargin
+      Aql.run(s, script).outputs("JOINED")
+    },
   )
 }

@@ -28,6 +28,25 @@ object MultimodalQ {
         Multimodal.mediaFromDocs(Tables.load(s, dir, "documents"))).toDF()
     },
 
+    // Resize plumbing: stride-resample stub (every 2nd byte) + re-decoded
+    // feature metadata; ASCII documents ⇒ the oracle reproduces the byte
+    // arithmetic from the text (1-indexed odd positions).
+    QueryDef(
+      "q41_multimodal_resize",
+      """SELECT doc_id AS media_id,
+        |  CAST(length(text) AS BIGINT) AS n_bytes,
+        |  CAST((length(text) + 1) // 2 AS BIGINT) AS n_bytes_resized,
+        |  CAST(16 + ((length(text) + 1) // 2) % 240 AS INT) AS width_r,
+        |  CAST(16 + (7 * ((length(text) + 1) // 2)) % 240 AS INT) AS height_r,
+        |  CAST(list_sum(list_transform(range(1, length(text) + 1, 2),
+        |                               j -> CAST(ascii(text[j]) AS BIGINT)))
+        |       % 997 AS BIGINT) AS checksum_r
+        |FROM documents""".stripMargin) { (s, dir) =>
+      Multimodal.resize(
+        Multimodal.mediaFromDocs(Tables.load(s, dir, "documents")),
+        factor = 2).toDF()
+    },
+
     // Frame sampling plumbing: byte-range arithmetic only (the payload
     // stays opaque). frameSize=32, stride=2 ⇒ a 32-byte frame every 64
     // bytes; the last frame may be short. Oracle recomputes counts and

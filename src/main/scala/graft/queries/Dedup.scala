@@ -189,7 +189,7 @@ object Dedup {
     // by (table, bucket); raise Bits for sharper pruning when dups are
     // tighter than this corpus's cos≈0.5 (e.g. 12-16 bits at cos≥0.9).
     // For a pair at cosine c, P[missed by all tables] =
-    // (1-(1-acos(c)/pi)^4)^32 — ≈7e-4 at c=0.5, and recall over this
+    // (1-(1-acos(c)/pi)^4)^32 — ≈2e-3 at c=0.45, and recall over this
     // deterministic dataset is exactly 1 (asserted in PipelineSpec).
     QueryDef(
       "q44_dedup_embedding",
@@ -204,8 +204,8 @@ object Dedup {
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
         |WHERE round(list_reduce(list_prepend(0.0,
         |      [a.v[i] * b.v[i] for i in range(1, len(a.v)+1)]), (x,y) -> x+y)
-        |    / (a.nrm * b.nrm), 6) >= 0.5""".stripMargin) { (s, dir) =>
-      val NumTables = 32; val Bits = 4; val Dims = 64; val Threshold = 0.5
+        |    / (a.nrm * b.nrm), 6) >= 0.45""".stripMargin) { (s, dir) =>
+      val NumTables = 32; val Bits = 4; val Dims = 64; val Threshold = 0.45
       val e = Tables.load(s, dir, "embeddings")
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

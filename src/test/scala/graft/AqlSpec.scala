@@ -197,6 +197,32 @@ class AqlSpec extends AnyFunSuite {
     assert(back.console.head.contains("\"s\":3"))
   }
 
+  test("HTTP JSON source: JSON_PATH walk + AutoSQL query over the view") {
+    // reference engine/http_source.go:94-232, compiler_test.go:170-195;
+    // fetch is injected (zero egress) — the reference tests hit a live API
+    val payload =
+      """{"meta": {"page": 1},
+        | "data": {"rows": [{"id": 1, "name": "a"},
+        |                   {"id": 2, "name": "b"},
+        |                   {"id": 3, "name": null}]}}""".stripMargin
+    var fetched: String = null
+    val r = Aql.run(spark,
+      """CONNECTION 'Api' (
+        |  DRIVER = 'http', URL = 'http://example.test/rows',
+        |  JSON_PATH = 'data.rows'
+        |)
+        |
+        |QUERY 'Agg' FROM CONNECTION Api (
+        |  SELECT count(*) AS n, sum(id) AS total,
+        |         count(name) AS named FROM Api
+        |) INTO CONSOLE WITH (OUTPUT_FORMAT = 'JSON')""".stripMargin,
+      httpFetch = url => { fetched = url; payload })
+    assert(fetched == "http://example.test/rows")
+    assert(r.console.head.contains("\"n\":3"))
+    assert(r.console.head.contains("\"total\":6"))
+    assert(r.console.head.contains("\"named\":2"))
+  }
+
   test("EXEC appends to GLOBAL; AFTER orders actions") {
     val r = Aql.run(spark,
       """GLOBAL 'Init' (CREATE TABLE T (Id int))

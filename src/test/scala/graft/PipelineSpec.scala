@@ -39,7 +39,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"simhash recall $recall too low")
   }
 
-  test("q44 embedding near-dup == brute-force cosine pairs at 0.5") {
+  test("q44 embedding near-dup == brute-force cosine pairs at 0.45") {
     import org.apache.spark.sql.functions._
     import graft.functions.Vectors
     val e = Tables.load(spark, sfDir, "embeddings")
@@ -49,7 +49,7 @@ class PipelineSpec extends AnyFunSuite {
       .join(e.toDF("vec_b", "vb", "nb"), col("vec_a") < col("vec_b"))
       .withColumn("cosine",
         round(Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
-      .where(col("cosine") >= 0.5)
+      .where(col("cosine") >= 0.45)
       .select("vec_a", "vec_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = SparkEntry.queries("q44_dedup_embedding")(spark, sfDir)

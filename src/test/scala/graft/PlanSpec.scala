@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression tests: the *shape* of key plans is part of the
+  * 100 TB contract (pushdown to the parquet scan, broadcast for dimension
+  * joins, partial aggregation), not just the result values. These assert
+  * on the executed-plan string, so a refactor that silently drops a
+  * broadcast or un-pushes a filter fails here rather than at scale.
+  */
+class PlanSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("q17: filter and projection reach the parquet scan") {
+    val p = plan("q17_filter_pushdown")
+    assert(p.contains("PushedFilters:") &&
+      (p.contains("GreaterThanOrEqual(l_shipdate") ||
+        p.contains("LessThan(l_quantity")),
+      s"filters not pushed to scan:\n$p")
+    // column pruning: the scan must not read money/flag columns the
+    // query never touches
+    assert(!p.contains("l_returnflag"), s"scan reads unused columns:\n$p")
+  }
+
+  test("q05: dimension join is a broadcast hash join") {
+    val p = plan("q05_lookup_inner")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+  }
+
+  test("q07: star join broadcasts the small dims, none of the fact side") {
+    val p = plan("q07_star_join")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    // region filter r_name = ASIA must reach its scan, not sit above a join
+    assert(p.contains("EqualTo(r_name,ASIA)"), s"r_name not pushed:\n$p")
+  }
+
+  test("q01: aggregation is partial (map-side combine) then final") {
+    val p = plan("q01_agg_pricing_summary")
+    val hashAggs = "HashAggregate".r.findAllIn(p).size
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate:\n$p")
+  }
+
+  test("q01: whole-stage codegen covers the scan-filter-aggregate pipeline") {
+    val df = SparkEntry.queries("q01_agg_pricing_summary")(spark, sfDir)
+    df.collect() // let AQE finalize; codegen ids (`*(n)`) print post-exec
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WholeStageCodegen") || p.contains("*("),
+      s"no codegen span:\n$p")
+  }
+
+  test("q30: exact dedup keeps aggregation partial despite wide text key") {
+    val p = plan("q30_dedup_exact")
+    assert("HashAggregate".r.findAllIn(p).size >= 2 ||
+      p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"no two-phase aggregate:\n$p")
+  }
+}

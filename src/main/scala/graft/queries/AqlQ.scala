@@ -51,6 +51,10 @@ object AqlQ {
       // transforms/lookup.go:109-263): broadcast hash join underneath;
       // customer is unique on c_custkey, so the reference's last-row-wins
       // build-side dedup is a no-op here and SQL join parity is exact.
+      // Sink is a parquet file connection — a distributed write, where
+      // INTO CONSOLE would collect the full join to the driver.
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_q45").resolve("joined").toString
       val script =
         s"""CONNECTION 'Orders' (
            |  DRIVER = 'file', FILE = '$dir/orders.parquet',
@@ -60,13 +64,16 @@ object AqlQ {
            |  DRIVER = 'file', FILE = '$dir/customer.parquet',
            |  FORMAT = 'parquet'
            |)
+           |CONNECTION 'Out' (
+           |  DRIVER = 'file', FILE = '$out', FORMAT = 'parquet'
+           |)
            |
            |TRANSFORM 'Joined' FROM CONNECTION Orders, CONNECTION Customers (
            |  LOOKUP Orders.o_orderkey, Orders.o_totalprice,
            |    Customers.c_mktsegment
            |  FROM Orders INNER JOIN Customers
            |    ON Orders.o_custkey = Customers.c_custkey
-           |) INTO CONSOLE WITH (OUTPUT_FORMAT = 'JSON')""".stripMargin
+           |) INTO CONNECTION Out""".stripMargin
       Aql.run(s, script).outputs("JOINED")
     },
   )

@@ -109,21 +109,28 @@ object Dedup {
 
     // ---- Near-dup via exact n-gram Jaccard, inverted-index join. ----
     QueryDef("q31_dedup_ngram_jaccard", oracleJaccardPairs(0.5)) { (s, dir) =>
+      // postings carry xxhash64(shingle), not the string: an 8-byte
+      // shuffle/join key instead of ~20-char text (shs is distinct per
+      // doc, so per-doc hash sets stay sets; cross-doc hash collisions
+      // would merge two shingles globally — P ≈ (27k·5k)²/2⁶⁵, ignorable
+      // next to the oracle's 1e-6 rounding)
       val sh = shingled(s, dir)
-        .select(col("doc_id"), explode(col("shs")).as("sh"))
-      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val a = sh.toDF("doc_a", "sh")
-      val b = sh.toDF("doc_b", "sh")
-      // Pairs sharing ≥1 shingle; shuffle is by shingle, never O(n²).
+        .select(col("doc_id"), size(col("shs")).as("n"),
+          explode(Text.hashedShingles(col("shs"))).as("h"))
+      val counts = sh.select(col("doc_id"), col("n")).distinct()
+      val a = sh.select(col("doc_id").as("doc_a"), col("h"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("h"))
+      // Pairs sharing ≥1 shingle; shuffle is by shingle hash, never O(n²).
       // At 100 TB: drop ultra-high-DF shingles first (they only create
       // candidate pairs that exact verification would reject anyway when
       // the threshold is high).
-      val common = a.join(b, "sh")
+      val common = a.join(b, "h")
         .where(col("doc_a") < col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(count(lit(1)).as("common"))
-      val na = counts.toDF("doc_a", "n_a")
-      val nb = counts.toDF("doc_b", "n_b")
+      // per-doc sizes are |docs| rows — broadcast both probe sides
+      val na = broadcast(counts.toDF("doc_a", "n_a"))
+      val nb = broadcast(counts.toDF("doc_b", "n_b"))
       common.join(na, "doc_a").join(nb, "doc_b")
         .withColumn("jaccard",
           round(col("common").cast("double")

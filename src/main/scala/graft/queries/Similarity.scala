@@ -103,5 +103,51 @@ object Similarity {
         .select(col("qid"), col("cid").as("neighbor_id"), col("cosine"),
           col("rank"))
     },
+
+    // ---- IVF (inverted-file) ANN: coarse k-means quantizer + probes. ----
+    // The other classic scale path besides LSH: partition the corpus into
+    // k cells (seeded MLlib KMeans — deterministic for fixed data), search
+    // only the nprobe cells whose centroids are nearest the query, exact
+    // cosine rerank inside. At 100 TB the assignment is one narrow
+    // column; each query touches nprobe/k of the corpus. Recall vs. q34
+    // asserted in SimilaritySpec (training is engine-specific ⇒ no oracle).
+    QueryDef.noOracle("q46_ann_ivf") { (s, dir) =>
+      val K_ = 16; val NProbe = 4
+      val e = emb(s, dir).withColumn("nrm", l2norm(col("v")))
+      val fe = e.withColumn("features",
+        org.apache.spark.ml.functions.array_to_vector(col("v")))
+      val km = new org.apache.spark.ml.clustering.KMeans()
+        .setK(K_).setSeed(42L).setMaxIter(5)
+        .fit(fe)
+      val assigned = km.transform(fe)
+        .select(col("vec_id"), col("v"), col("nrm"),
+          col("prediction").as("cluster"))
+      val cents = s.createDataFrame(
+        km.clusterCenters.toIndexedSeq.zipWithIndex
+          .map { case (c, i) => (i, c.toArray) })
+        .toDF("cluster", "centroid")
+      // nprobe nearest cells per query, by cosine to the centroid
+      val cw = Window.partitionBy("qid").orderBy(col("cdist").desc, col("cluster"))
+      val probes = assigned.where(col("vec_id") < NumQueries)
+        .toDF("qid", "qv", "qnrm", "qcluster")
+        .crossJoin(broadcast(cents))
+        .withColumn("cdist",
+          dot(col("qv"), col("centroid"))
+            / (col("qnrm") * l2norm(col("centroid"))))
+        .withColumn("crank", row_number().over(cw))
+        .where(col("crank") <= NProbe)
+        .select(col("qid"), col("qv"), col("qnrm"), col("cluster"))
+      // scan only the probed cells; exact rerank
+      val w2 = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
+      assigned.toDF("cid", "cv", "cnrm", "cluster")
+        .join(broadcast(probes), Seq("cluster"))
+        .where(col("qid") =!= col("cid"))
+        .withColumn("cosine",
+          round(dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")), 6))
+        .withColumn("rank", row_number().over(w2))
+        .where(col("rank") <= K)
+        .select(col("qid"), col("cid").as("neighbor_id"), col("cosine"),
+          col("rank"))
+    },
   )
 }

@@ -51,5 +51,39 @@ object StreamingQ {
       try q.processAllAvailable() finally q.stop()
       s.table(viewName)
     },
+
+    // Event-time session windows (8h inactivity gap) per user. Runs in
+    // batch here — the identical groupBy(session_window(...)) works on a
+    // readStream source with a watermark; DuckDB oracles it as a classic
+    // gaps-and-islands. Session merge is strict (<) in Spark vs ≤ in the
+    // oracle — indistinguishable at microsecond timestamps.
+    QueryDef(
+      "q23_session_window",
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |         CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts, v,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch(ts) - epoch(lag(ts) OVER w) > 28800
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts, v,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  COUNT(*) AS n_events, CAST(SUM(v) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, sid""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "8 hours"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(dec2(col("value"))).cast("double").as("total_value"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("n_events"), col("total_value"))
+    },
   )
 }

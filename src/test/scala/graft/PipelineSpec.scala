@@ -58,19 +58,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh == brute, s"missing=${brute -- lsh} spurious=${lsh -- brute}")
   }
 
-  test("q35 LSH-ANN recall@5 vs q34 brute force") {
-    def topk(name: String): Map[Long, Set[Long]] =
-      SparkEntry.queries(name)(spark, sfDir)
-        .select("qid", "neighbor_id").collect()
-        .groupBy(_.getLong(0)).view
-        .mapValues(_.map(_.getLong(1)).toSet).toMap
-    val exact = topk("q34_knn_bruteforce")
-    val ann = topk("q35_ann_lsh")
+  private def topk(name: String): Map[Long, Set[Long]] =
+    SparkEntry.queries(name)(spark, sfDir)
+      .select("qid", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+
+  private def meanRecall(ann: Map[Long, Set[Long]],
+                         exact: Map[Long, Set[Long]]): Double = {
     val recalls = exact.map { case (q, nb) =>
       (nb & ann.getOrElse(q, Set.empty)).size.toDouble / nb.size
     }
-    val mean = recalls.sum / recalls.size
-    info(s"ANN mean recall@5 = $mean")
+    recalls.sum / recalls.size
+  }
+
+  test("q35 LSH-ANN recall@5 vs q34 brute force") {
+    val mean = meanRecall(topk("q35_ann_lsh"), topk("q34_knn_bruteforce"))
+    info(s"LSH-ANN mean recall@5 = $mean")
     assert(mean >= 0.5, s"ANN recall $mean too low")
+  }
+
+  test("q46 IVF-ANN recall@5 vs q34 brute force") {
+    val mean = meanRecall(topk("q46_ann_ivf"), topk("q34_knn_bruteforce"))
+    info(s"IVF-ANN mean recall@5 = $mean")
+    assert(mean >= 0.5, s"IVF recall $mean too low")
   }
 }

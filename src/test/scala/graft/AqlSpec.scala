@@ -197,6 +197,24 @@ class AqlSpec extends AnyFunSuite {
     assert(back.console.head.contains("\"s\":3"))
   }
 
+  test("INCLUDE + EXTERN resolve relative to the including file") {
+    // reference aql/parser.go:717-827 (max depth 8), fixtures
+    // aql/testing/2.txt + extern.test
+    val dir = java.nio.file.Files.createTempDirectory("graft_inc")
+    val sub = java.nio.file.Files.createDirectory(dir.resolve("sub"))
+    java.nio.file.Files.writeString(sub.resolve("agg.sql"),
+      "SELECT count(*) AS n FROM T")
+    java.nio.file.Files.writeString(sub.resolve("part.aql"),
+      """QUERY 'FromExtern' EXTERN 'agg.sql' FROM GLOBAL ()
+        |INTO CONSOLE WITH (OUTPUT_FORMAT = 'JSON')""".stripMargin)
+    val r = Aql.run(spark,
+      """GLOBAL 'Init' (CREATE TABLE T (Id int); INSERT INTO T VALUES (1), (2))
+        |
+        |INCLUDE 'sub/part.aql'""".stripMargin,
+      baseDir = dir)
+    assert(r.console.head.contains("\"n\":2"))
+  }
+
   test("HTTP JSON source: JSON_PATH walk + AutoSQL query over the view") {
     // reference engine/http_source.go:94-232, compiler_test.go:170-195;
     // fetch is injected (zero egress) — the reference tests hit a live API

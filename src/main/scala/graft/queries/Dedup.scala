@@ -233,5 +233,65 @@ object Dedup {
         .where(col("cosine") >= Threshold)
         .select(col("vec_a"), col("vec_b"), col("cosine"))
     },
+
+    // ---- Dup-cluster canonicalization: connected components over the
+    // near-dup pair graph (q31's exact Jaccard ≥ 0.5 pairs), so "keep one
+    // doc per duplicate cluster" is a join away. Iterative min-label
+    // propagation — each round is one join + aggregate over the (tiny
+    // relative to the corpus) edge set; rounds ≤ graph diameter, with a
+    // driver-side fixpoint check. This is the standard Spark shape for
+    // connected components at scale (GraphFrames does the same under the
+    // hood); the DuckDB oracle walks the closure with a recursive CTE.
+    QueryDef(
+      "q47_dedup_clusters",
+      s"""$oracleShingles,
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM p
+         |  UNION ALL SELECT doc_b, doc_a FROM p),
+         |reach AS (
+         |  WITH RECURSIVE r(id, label) AS (
+         |    SELECT src, src FROM edges
+         |    UNION
+         |    SELECT e.dst, r.label FROM r JOIN edges e ON e.src = r.id)
+         |  SELECT * FROM r)
+         |SELECT id AS doc_id, MIN(label) AS cluster_id
+         |FROM reach GROUP BY id""".stripMargin) { (s, dir) =>
+      val pairs = Dedup.entries.find(_.name == "q31_dedup_ngram_jaccard").get
+        .build(s, dir)
+        .select(col("doc_a"), col("doc_b"))
+      val edges = pairs
+        .union(pairs.select(col("doc_b"), col("doc_a")))
+        .toDF("src", "dst")
+        .persist()
+      var labels = edges.select(col("src").as("id"))
+        .distinct()
+        .withColumn("label", col("id"))
+        .persist()
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 50) {
+        // candidate label per vertex = min over in-neighbours' labels
+        val prop = edges.join(labels, edges("src") === labels("id"))
+          .select(col("dst").as("id"), col("label"))
+          .groupBy("id").agg(min(col("label")).as("nbr"))
+        val next = labels.join(prop, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nbr"), col("label")))
+              .as("label"))
+          .persist()
+        changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+          .where(col("label") =!= col("old")).count()
+        labels.unpersist()
+        labels = next
+        rounds += 1
+      }
+      edges.unpersist()
+      labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    },
   )
 }

@@ -58,6 +58,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh == brute, s"missing=${brute -- lsh} spurious=${lsh -- brute}")
   }
 
+  test("q47 clusters == union-find over q31 pairs") {
+    val pairs = exactPairs.keySet // q31 output is already jaccard >= 0.5
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = pairs.flatMap(p => Seq(p._1, p._2))
+      .map(d => d -> find(d)).toMap
+    val got = SparkEntry.queries("q47_dedup_clusters")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want,
+      s"diff=${(got.toSet diff want.toSet) ++ (want.toSet diff got.toSet)}")
+  }
+
   private def topk(name: String): Map[Long, Set[Long]] =
     SparkEntry.queries(name)(spark, sfDir)
       .select("qid", "neighbor_id").collect()

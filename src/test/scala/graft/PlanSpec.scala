@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, sum}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Physical-plan regression tests: the *shape* of key plans is part of the
@@ -50,6 +51,38 @@ class PlanSpec extends AnyFunSuite {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("WholeStageCodegen") || p.contains("*("),
       s"no codegen span:\n$p")
+  }
+
+  test("bucketed tables co-locate the join: no shuffle on either side") {
+    // The 100 TB repeated-join pattern: bucket both tables on the join
+    // key at write time, and every subsequent equi-join on that key runs
+    // shuffle-free. (Spark bucketing needs a saveAsTable warehouse, so
+    // this lives here as a technique test rather than a queries entry.)
+    val wh = java.nio.file.Files.createTempDirectory("graft_bucket")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Tables.load(spark, sfDir, "orders")
+        .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$wh/orders_b").mode("overwrite")
+        .saveAsTable("orders_b")
+      Tables.load(spark, sfDir, "customer")
+        .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$wh/customer_b").mode("overwrite")
+        .saveAsTable("customer_b")
+      val joined = spark.table("orders_b")
+        .join(spark.table("customer_b"),
+          col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() ==
+        SparkEntry.queries("q05_lookup_inner")(spark, sfDir)
+          .agg(sum("n_orders")).collect()(0).getLong(0))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
   }
 
   test("q30: exact dedup keeps aggregation partial despite wide text key") {

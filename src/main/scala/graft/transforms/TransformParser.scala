@@ -129,20 +129,22 @@ object TransformParser {
 
     /** Numeric view of a column matching reference semantics: numbers pass
       * through; strings holding RFC3339 times compare as epoch seconds
-      * (reference transforms/min.go:44-49, common.go:13-31).
+      * (reference transforms/min.go:44-49, common.go:13-31). Must use the
+      * try_* variants: Spark 4 runs ANSI mode by default, where a plain
+      * cast/to_timestamp *throws* on unparseable input instead of
+      * returning NULL — which would abort the job on the first time-string.
       */
     private def numArg(df: DataFrame, a: String): Column = {
       val c = resolve(df, a)
       if (c == null) lit(a.toDouble) // numeric literal argument
       else df.schema.find(_.name.equalsIgnoreCase(a)).map(_.dataType) match {
         case Some(StringType) =>
-          coalesce(col2double(c), unix_timestamp(to_timestamp(c)).cast("double"))
+          coalesce(c.try_cast("double"),
+            unix_timestamp(try_to_timestamp(c)).cast("double"))
         case Some(TimestampType) => unix_timestamp(c).cast("double")
         case _ => c.cast("double")
       }
     }
-
-    private def col2double(c: Column): Column = c.cast("double")
 
     private def resolve(df: DataFrame, name: String): Column =
       if (df.schema.exists(_.name.equalsIgnoreCase(name))) df(name) else null

@@ -197,6 +197,41 @@ class AqlSpec extends AnyFunSuite {
     assert(back.console.head.contains("\"s\":3"))
   }
 
+  test("AGGREGATE MIN/MAX over RFC3339 time-strings compare as epoch seconds") {
+    // reference transforms/min.go:44-49: string args are parsed as times
+    // and reduced as unix seconds (returned as float64)
+    val r = Aql.run(spark,
+      """DATA 'Pts' (
+        |  [["2024-01-02T00:00:00Z"], ["2024-01-01T00:00:00Z"], ["2024-01-03T00:00:00Z"]]
+        |) WITH (COLUMNS = 'At')
+        |
+        |TRANSFORM 'Range' FROM BLOCK Pts (
+        |  AGGREGATE MIN(At) AS First, MAX(At) AS Last
+        |) INTO CONSOLE WITH (OUTPUT_FORMAT = 'JSON')""".stripMargin)
+    // 2024-01-01T00:00:00Z = 1704067200, +2d = 1704240000
+    assert(r.console.head.contains("\"First\":1.7040672E9") ||
+      r.console.head.contains("\"First\":1704067200"),
+      r.console.head)
+    assert(r.console.head.contains("\"Last\":1.70424E9") ||
+      r.console.head.contains("\"Last\":1704240000"),
+      r.console.head)
+  }
+
+  test("DROP_NULLS filters null-bearing rows at the sink") {
+    // reference engine/sql_dest.go:136-139
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dn").toString
+    Aql.run(spark,
+      s"""CONNECTION 'Out' (DRIVER = 'file', FILE = '$tmp/out', FORMAT = 'parquet')
+         |
+         |DATA 'D' (
+         |  [[1, "a"], [2, null], [3, "c"]]
+         |) INTO CONNECTION Out
+         |WITH (COLUMNS = 'Id, Name', DROP_NULLS = 'true')""".stripMargin)
+    val back = spark.read.parquet(s"$tmp/out")
+    assert(back.count() == 2)
+    assert(back.filter("Name IS NULL").count() == 0)
+  }
+
   test("INCLUDE + EXTERN resolve relative to the including file") {
     // reference aql/parser.go:717-827 (max depth 8), fixtures
     // aql/testing/2.txt + extern.test

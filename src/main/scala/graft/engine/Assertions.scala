@@ -59,6 +59,18 @@ object Assertions {
     }
   }
 
+  /** `IT SATISFIES <sql-expr>` — per-row predicate; every row must
+    * evaluate TRUE (reference assertions.go GlobalAssertion.Expr +
+    * engine/condition.go:20-37 NewSQLCondition via qlbridge). A row where
+    * the expression is NULL is a failure, matching "not satisfied".
+    */
+  final case class Satisfies(expression: String) extends Assertion {
+    def check(df: DataFrame): Option[String] = {
+      val bad = df.count() - df.filter(expr(expression)).count()
+      if (bad > 0) fail(s"$bad rows do not satisfy: $expression") else None
+    }
+  }
+
   private val RowsRe =
     raw"(?i)^IT\s+OUTPUTS\s+(AT\s+LEAST|AT\s+MOST|EXACTLY)\s+(\d+)\s+ROWS?$$".r
   private val DistinctRe =
@@ -66,6 +78,7 @@ object Assertions {
   private val UniqueRe = raw"(?i)^COLUMN\s+(\w+)\s+HAS\s+UNIQUE\s+VALUES?$$".r
   private val NoNullRe =
     raw"(?i)^COLUMN\s+(\w+)\s+HAS\s+NO\s+NULL\s+VALUES?$$".r
+  private val SatisfiesRe = raw"(?is)^IT\s+SATISFIES\s+(.+)$$".r
 
   private def normOp(s: String) = s.toUpperCase.replaceAll("\\s+", " ")
 
@@ -73,6 +86,7 @@ object Assertions {
   def parse(body: String): Seq[Assertion] =
     body.split(";").map(_.trim).filter(_.nonEmpty).toSeq.map {
       case RowsRe(op, n) => RowCount(normOp(op), n.toLong)
+      case SatisfiesRe(e) => Satisfies(e.trim)
       case DistinctRe(c, op, n) => DistinctCount(c, normOp(op), n.toLong)
       case UniqueRe(c) => Unique(c)
       case NoNullRe(c) => NoNulls(c)

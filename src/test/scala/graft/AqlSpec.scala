@@ -161,6 +161,22 @@ class AqlSpec extends AnyFunSuite {
     assert(r.console.isEmpty, "test mode must neutralize destinations")
   }
 
+  test("TEST assertions: IT SATISFIES row predicate") {
+    // reference assertions.go GlobalAssertion.Expr → engine/condition.go
+    val script =
+      """DATA 'Vals' (
+        |  [[1], [2], [-3]]
+        |) INTO CONSOLE WITH (FORMAT = 'JSON_ARRAY', COLUMNS = 'V')
+        |
+        |TEST Vals WITH ASSERTIONS (
+        |  IT SATISFIES V > -5;
+        |  IT SATISFIES V > 0
+        |)""".stripMargin
+    val r = Aql.run(spark, script, testMode = true)
+    assert(r.testFailures.size == 1)
+    assert(r.testFailures.head.contains("V > 0"), r.testFailures.mkString)
+  }
+
   test("SET + templating + option truthiness") {
     val r = Aql.run(spark,
       """SET Threshold = 1;

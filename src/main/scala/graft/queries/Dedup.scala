@@ -264,33 +264,41 @@ object Dedup {
       val pairs = Dedup.entries.find(_.name == "q31_dedup_ngram_jaccard").get
         .build(s, dir)
         .select(col("doc_a"), col("doc_b"))
+      // Eagerly cut the whole q31 pipeline out of the loop's lineage: every
+      // round would otherwise re-optimize (and on cache eviction re-run) a
+      // plan that keeps growing by one join+agg layer per iteration.
       val edges = pairs
         .union(pairs.select(col("doc_b"), col("doc_a")))
         .toDF("src", "dst")
-        .persist()
-      var labels = edges.select(col("src").as("id"))
-        .distinct()
-        .withColumn("label", col("id"))
-        .persist()
-      var changed = 1L
+        .localCheckpoint(true)
+      // Seed with min(self, direct neighbours) — one propagation round for
+      // free; labels then only ever decrease, so sum(label) is strictly
+      // monotone and "no change" = "sum unchanged" (an agg on the already-
+      // materialized result, cheaper than the old join+count round-trip).
+      var labels = edges
+        .groupBy(col("src"))
+        .agg(min(col("dst")).as("m"))
+        .select(col("src").as("id"), least(col("m"), col("src")).as("label"))
+        .localCheckpoint(true)
+      def labelSum(df: org.apache.spark.sql.DataFrame): Long =
+        Option(df.agg(sum(col("label"))).head().get(0))
+          .fold(0L)(_.asInstanceOf[Long])
+      var prev = labelSum(labels)
       var rounds = 0
-      while (changed > 0 && rounds < 50) {
-        // candidate label per vertex = min over in-neighbours' labels
-        val prop = edges.join(labels, edges("src") === labels("id"))
+      var converged = false
+      while (!converged && rounds < 50) {
+        // min over own label and in-neighbours' labels, in one aggregation
+        val next = edges.join(labels, edges("src") === labels("id"))
           .select(col("dst").as("id"), col("label"))
-          .groupBy("id").agg(min(col("label")).as("nbr"))
-        val next = labels.join(prop, Seq("id"), "left")
-          .select(col("id"),
-            least(col("label"), coalesce(col("nbr"), col("label")))
-              .as("label"))
-          .persist()
-        changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-          .where(col("label") =!= col("old")).count()
-        labels.unpersist()
+          .union(labels)
+          .groupBy("id").agg(min(col("label")).as("label"))
+          .localCheckpoint(true)
+        val cur = labelSum(next)
+        converged = cur == prev
+        prev = cur
         labels = next
         rounds += 1
       }
-      edges.unpersist()
       labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
     },
   )

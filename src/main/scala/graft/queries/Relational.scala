@@ -251,7 +251,7 @@ object Relational {
       """SELECT l_orderkey, l_linenumber,
         |  CAST(l_orderkey AS VARCHAR) AS key_str,
         |  CAST(l_quantity AS BIGINT) AS qty_int,
-        |  epoch(l_shipdate) AS ship_epoch,
+        |  CAST(epoch(l_shipdate) AS BIGINT) AS ship_epoch,
         |  strftime(l_shipdate, '%Y-%m-%d') AS ship_day,
         |  upper(l_returnflag) AS flag_u
         |FROM lineitem WHERE l_orderkey < 1000""".stripMargin) { (s, dir) =>

@@ -116,9 +116,15 @@ object Similarity {
       val e = emb(s, dir).withColumn("nrm", l2norm(col("v")))
       val fe = e.withColumn("features",
         org.apache.spark.ml.functions.array_to_vector(col("v")))
+      // Random init + 3 Lloyd rounds: k-means|| init alone costs ~2k extra
+      // corpus passes, and a coarse quantizer only needs balanced-ish
+      // cells, not converged ones — nprobe=4 of 16 cells absorbs fuzzy
+      // boundaries (recall floor asserted in PipelineSpec). At 100 TB,
+      // train on a sample and broadcast the centroids; assignment stays a
+      // single narrow map pass either way.
       val km = new org.apache.spark.ml.clustering.KMeans()
-        .setK(K_).setSeed(42L).setMaxIter(5)
-        .fit(fe)
+        .setK(K_).setSeed(42L).setMaxIter(3).setInitMode("random")
+        .fit(fe.sample(withReplacement = false, 0.5, 42L))
       val assigned = km.transform(fe)
         .select(col("vec_id"), col("v"), col("nrm"),
           col("prediction").as("cluster"))

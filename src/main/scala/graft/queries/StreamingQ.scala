@@ -43,12 +43,23 @@ object StreamingQ {
         .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).cast("double").as("total"))
         .select(col("window.start").as("win_start"), col("event_type"),
                 col("n"), col("total"))
-      val q = agg.writeStream
-        .outputMode("complete")
-        .format("memory")
-        .queryName(viewName)
-        .start()
-      try q.processAllAvailable() finally q.stop()
+      // The stateful agg creates one state store (with its checkpoint dir
+      // I/O) per shuffle partition per microbatch; the window set is tiny,
+      // so 8 stores beat 32. AvailableNow processes the bounded input and
+      // terminates without processAllAvailable's poll loop. On a real
+      // cluster against an unbounded source, partition count instead
+      // follows key cardinality and this becomes a continuous trigger.
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = agg.writeStream
+          .outputMode("complete")
+          .format("memory")
+          .queryName(viewName)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try { q.awaitTermination(120000); () } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
       s.table(viewName)
     },
 

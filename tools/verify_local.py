@@ -58,6 +58,14 @@ def compare(name, sql, con):
     gc, wc = sorted(got.columns), sorted(want.columns)
     if gc != wc:
         return f"schema mismatch: spark={gc} oracle={wc}"
+    # The driver hashes values, so an int64-vs-float64 column skew fails
+    # there even though Python's == treats 1 and 1.0 as equal. Catch the
+    # numeric-kind mismatch locally (object dtype stays lenient).
+    for c in gc:
+        gk, wk = got[c].dtype.kind, want[c].dtype.kind
+        if gk != wk and {gk, wk} <= set("iuf"):
+            return (f"dtype mismatch col={c}: spark={got[c].dtype} "
+                    f"oracle={want[c].dtype} (hash would differ)")
     if len(got) != len(want):
         return f"rowcount mismatch: spark={len(got)} oracle={len(want)}"
     g = got[gc].sort_values(by=gc, kind="mergesort").reset_index(drop=True)

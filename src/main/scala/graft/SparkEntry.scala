@@ -12,6 +12,7 @@ object SparkEntry {
 
   private def registry: Seq[QueryDef] =
     _root_.graft.queries.Relational.entries ++
+      _root_.graft.queries.Advanced.entries ++
       _root_.graft.queries.Timeseries.entries ++
       _root_.graft.queries.StreamingQ.entries ++
       _root_.graft.queries.Dedup.entries ++

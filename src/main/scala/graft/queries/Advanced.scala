@@ -1,0 +1,186 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Advanced relational operators beyond the reference's native surface
+  * (reference docs-src/docs/transforms.md: "only equality join conditions are
+  * supported"; no windows/sorts/set-ops outside delegated SQL — SURVEY.md
+  * §2.5/§2.7). These are the operators a 100 TB training-data pipeline reaches
+  * for constantly, each expressed with the Spark plan shape that survives
+  * scale-up, and each hash-checked against a DuckDB oracle.
+  */
+object Advanced {
+  import Tables.{dec2, dsum}
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val entries: Seq[QueryDef] = Seq(
+
+    // ---- As-of join: for each purchase, the most recent click of the same
+    // user at or before the purchase time. The naive formulation is a range
+    // self-join (quadratic in events-per-user); the scale-correct plan is a
+    // single shuffle on user_id + one window sort — O(n log n) per user,
+    // no join blow-up, AQE-splittable partitions. Reference has no as-of
+    // operator (equality joins only, transforms/lookup.go).
+    QueryDef(
+      "q24_asof_join",
+      """SELECT e.event_id, e.user_id,
+        |  (SELECT max(CAST(c.ts AS TIMESTAMP)) FROM events c
+        |   WHERE c.user_id = e.user_id AND c.event_type = 'click'
+        |     AND CAST(c.ts AS TIMESTAMP) <= CAST(e.ts AS TIMESTAMP)) AS prior_click_ts
+        |FROM events e WHERE e.event_type = 'purchase'
+        |  AND EXISTS (SELECT 1 FROM events c WHERE c.user_id = e.user_id
+        |    AND c.event_type = 'click'
+        |    AND CAST(c.ts AS TIMESTAMP) <= CAST(e.ts AS TIMESTAMP))""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      // Same-timestamp click must be visible to a same-timestamp purchase
+      // (<= semantics) — order clicks before purchases within a tie.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), when(col("event_type") === "click", 0).otherwise(1))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("prior_click_ts",
+          last(when(col("event_type") === "click", col("ts")), ignoreNulls = true)
+            .over(w))
+        .filter(col("event_type") === "purchase" && col("prior_click_ts").isNotNull)
+        .select(col("event_id"), col("user_id"), col("prior_click_ts"))
+    },
+
+    // ---- Range (band) join: assign each part to a price band via interval
+    // containment. Bands are a tiny dimension → broadcast nested-loop join,
+    // the right physical plan at any scale (the probe side never shuffles).
+    QueryDef(
+      "q25_range_join",
+      """WITH bands(band, lo, hi) AS (VALUES
+        |  ('b1', 900.0, 940.0), ('b2', 940.0, 970.0), ('b3', 970.0, 1000.0))
+        |SELECT band, COUNT(*) AS n_parts,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+        |GROUP BY band""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val bands = Seq(("b1", 900.0, 940.0), ("b2", 940.0, 970.0),
+                      ("b3", 970.0, 1000.0)).toDF("band", "lo", "hi")
+      t(s, dir, "part")
+        .join(broadcast(bands),
+              col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_parts"), dsum(col("p_retailprice")).as("total_price"))
+    },
+
+    // ---- Sliding (hopping) event-time windows: 1h windows every 30min, so
+    // each event lands in exactly 2 windows. Spark's window() generates the
+    // window set per row map-side (no self-join), then one shuffle on
+    // (window, event_type) — the shape that holds at 100 TB. Oracle unrolls
+    // the two epoch-aligned starts per event.
+    QueryDef(
+      "q26_sliding_window",
+      """SELECT CAST(to_timestamp(ws) AS TIMESTAMP) AS win_start, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM (
+        |  SELECT unnest([floor(epoch(CAST(ts AS TIMESTAMP)) / 1800) * 1800,
+        |                 floor(epoch(CAST(ts AS TIMESTAMP)) / 1800) * 1800 - 1800]) AS ws,
+        |         event_type, value
+        |  FROM events)
+        |GROUP BY ws, event_type""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             sum(dec2(col("value"))).cast("double").as("total"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+                col("n"), col("total"))
+    },
+
+    // ---- Pivot: wide conditional aggregation (one shuffle; each output
+    // column is a map-side partial agg, no per-value scans).
+    QueryDef(
+      "q27_pivot",
+      """SELECT l_linestatus,
+        |  COUNT(CASE WHEN l_returnflag = 'A' THEN 1 END) AS A_n,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS A_qty,
+        |  COUNT(CASE WHEN l_returnflag = 'N' THEN 1 END) AS N_n,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS N_qty,
+        |  COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS R_n,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS R_qty
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(count(lit(1)).as("n"),
+             sum(dec2(col("l_quantity"))).cast("double").as("qty"))
+    },
+
+    // ---- Cube: all grouping-set combinations in one pass (Catalyst expands
+    // to a single Expand + hash agg — one shuffle regardless of set count).
+    QueryDef(
+      "q28_cube",
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total"))
+    },
+
+    // ---- Explicit grouping sets via the SQL surface (distinct from
+    // rollup/cube: arbitrary set list).
+    QueryDef(
+      "q29_grouping_sets",
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+    },
+
+    // ---- Salted join: the skew-mitigation pattern for hot keys at scale.
+    // Probe rows get a deterministic salt in [0,8); the build side is
+    // replicated once per salt value, and the join key becomes (key, salt) —
+    // a hot key's rows now spread over 8 reducers instead of one straggler.
+    // Results are identical to the plain join (oracle is the unsalted SQL).
+    // shuffle_hash hint forces the shuffle path so the pattern is actually
+    // exercised (a broadcast would hide it at this dimension size).
+    QueryDef(
+      "q48_salted_join",
+      """SELECT s_nationkey, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey""".stripMargin) { (s, dir) =>
+      val salts = 8
+      val l = t(s, dir, "lineitem")
+        .withColumn("salt", pmod(col("l_orderkey") + col("l_linenumber"), lit(salts)))
+      val sup = t(s, dir, "supplier")
+        .withColumn("salt", explode(array((0 until salts).map(lit): _*)))
+      l.hint("shuffle_hash")
+        .join(sup, l("l_suppkey") === sup("s_suppkey") && l("salt") === sup("salt"))
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("revenue"))
+    },
+
+    // ---- Corpus top-terms: tokenize → explode → count → top-k. The
+    // map-side-combine partial agg keeps the shuffle at |vocab| not |tokens|,
+    // and TakeOrderedAndProject caps the sort at k rows per partition.
+    QueryDef(
+      "q49_top_terms",
+      """SELECT term, COUNT(*) AS n FROM (
+        |  SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
+        |  FROM documents)
+        |WHERE term <> '' GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term"))
+        .limit(20)
+    },
+  )
+}

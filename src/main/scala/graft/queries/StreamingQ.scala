@@ -96,5 +96,53 @@ object StreamingQ {
           col("session_window.start").as("session_start"),
           col("n_events"), col("total_value"))
     },
+
+    // Watermarked stream-stream interval join: each purchase matched to the
+    // same user's clicks in the preceding hour. The canonical stateful
+    // two-stream op: both sides carry watermarks and the join condition
+    // bounds event time on both sides, so state is evicted as the watermark
+    // advances — constant memory on an unbounded source. Bounded parquet
+    // input + AvailableNow yields the complete deterministic pair set,
+    // which a plain range-join oracles.
+    QueryDef(
+      "q50_stream_stream_join",
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+        | AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)""".stripMargin) { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val viewName = s"q50_mem_${java.util.UUID.randomUUID().toString.take(8)}"
+      def src = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+                col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+                col("ts").as("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+      val joined = purchases.join(clicks,
+          col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"))
+        .select(col("purchase_id"), col("click_id"))
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = joined.writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName(viewName)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try { q.awaitTermination(120000); () } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      s.table(viewName)
+    },
   )
 }

@@ -85,6 +85,36 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q24: as-of join is window-based — one shuffle, no join blow-up") {
+    val p = plan("q24_asof_join")
+    assert(p.contains("Window"), s"expected window-based as-of:\n$p")
+    assert(!p.contains("Join"), s"as-of should not use a join:\n$p")
+  }
+
+  test("q25: band join broadcasts the tiny bands dimension") {
+    val p = plan("q25_range_join")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"bands not broadcast:\n$p")
+  }
+
+  test("q26: sliding windows expand map-side, no self-join") {
+    val p = plan("q26_sliding_window")
+    assert(!p.contains("Join"), s"hop windows must not join:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final agg over windows:\n$p")
+  }
+
+  test("q48: salted join takes the shuffled-hash path (skew pattern live)") {
+    val p = plan("q48_salted_join")
+    assert(p.contains("ShuffledHashJoin"), s"salt demo not shuffle-joined:\n$p")
+  }
+
+  test("q49: top-terms ends in a bounded top-k, not a global sort") {
+    val p = plan("q49_top_terms")
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k operator:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"term counts must partial-aggregate map-side:\n$p")
+  }
+
   test("q30: exact dedup keeps aggregation partial despite wide text key") {
     val p = plan("q30_dedup_exact")
     assert("HashAggregate".r.findAllIn(p).size >= 2 ||

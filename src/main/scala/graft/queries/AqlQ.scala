@@ -76,5 +76,45 @@ object AqlQ {
            |) INTO CONNECTION Out""".stripMargin
       Aql.run(s, script).outputs("JOINED")
     },
+
+    // FILTER → DEDUP → AGGREGATE chained through the language layer over
+    // the documents corpus: the minimal training-data pipeline (quality
+    // filter, exact dedup to one representative per (lang, source) group,
+    // per-language stats) as one AQL script. Each verb is one narrow
+    // Spark stage: pushed filter scan → single window shuffle → partial+
+    // final agg.
+    QueryDef(
+      "q51_aql_pipeline_e2e",
+      """SELECT lang,
+        |  CAST(COUNT(n_chars) AS DOUBLE) AS n_reps,
+        |  CAST(SUM(n_chars) AS DOUBLE) AS total_chars
+        |FROM (
+        |  SELECT * FROM (
+        |    SELECT lang, n_chars,
+        |      ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+        |    FROM documents WHERE n_chars >= 100) WHERE rn = 1)
+        |GROUP BY lang""".stripMargin) { (s, dir) =>
+      val script =
+        s"""CONNECTION 'Docs' (
+           |  DRIVER = 'file', FILE = '$dir/documents.parquet',
+           |  FORMAT = 'parquet'
+           |)
+           |
+           |TRANSFORM 'Quality' FROM CONNECTION Docs (
+           |  FILTER n_chars >= 100
+           |)
+           |
+           |TRANSFORM 'Reps' FROM BLOCK Quality (
+           |  DEDUP ON lang, source KEEP FIRST BY doc_id
+           |)
+           |
+           |TRANSFORM 'Stats' FROM BLOCK Reps (
+           |  AGGREGATE lang,
+           |    COUNT(n_chars) AS n_reps,
+           |    SUM(n_chars) AS total_chars
+           |  GROUP BY lang
+           |) INTO CONSOLE WITH (OUTPUT_FORMAT = 'JSON')""".stripMargin
+      Aql.run(s, script).outputs("STATS")
+    },
   )
 }

@@ -35,8 +35,11 @@ object TransformParser {
       case "AGGREGATE" => AggregateParser.parse(t)
       case "LOOKUP" => LookupParser.parse(t)
       case "APPLY" => ApplyParser.parse(t)
+      case "DEDUP" => DedupParser.parse(t)
+      case "FILTER" => FilterVerb(t.substring("FILTER".length).trim)
       case other => throw TransformError(
-        s"unknown transform verb '$other' (expected AGGREGATE|LOOKUP|APPLY)")
+        s"unknown transform verb '$other' " +
+          "(expected AGGREGATE|LOOKUP|APPLY|DEDUP|FILTER)")
     }
   }
 
@@ -288,6 +291,69 @@ object TransformParser {
         side(s, c).as(alias.getOrElse(c))
       }
       joined.select(out: _*)
+    }
+  }
+
+  // ----------------------------------------------------------------- DEDUP
+
+  /** DEDUP ON c1[, c2…] [KEEP FIRST|LAST BY ordercol] — beyond-parity verb
+    * (SURVEY §7.3): exact deduplication as a first-class language operator.
+    *
+    * Without KEEP: `dropDuplicates(cols)` — one hash-aggregate shuffle on
+    * the key, arbitrary survivor per group (the scale-cheap form; at 100 TB
+    * this is the default dedup pass over a document corpus).
+    * With KEEP FIRST|LAST BY o: deterministic survivor via a row_number
+    * window over the key — still one shuffle, state per key is O(1).
+    */
+  private object DedupParser {
+    def parse(t: String): Verb = {
+      val body = t.substring("DEDUP".length).trim
+      val onRe = raw"(?is)^ON\s+(.*)$$".r
+      val rest = body match {
+        case onRe(r) => r
+        case _ => throw TransformError("DEDUP requires ON col[, col…]")
+      }
+      val (colsPart, keepPart) = splitKeyword(rest, "KEEP")
+      val keep = keepPart.map { kp =>
+        val kRe = raw"(?is)^(FIRST|LAST)\s+BY\s+([A-Za-z_]\w*)\s*$$".r
+        kp.trim match {
+          case kRe(fl, c) => (fl.equalsIgnoreCase("LAST"), c)
+          case _ => throw TransformError(
+            s"cannot parse KEEP clause '$kp' (expected KEEP FIRST|LAST BY col)")
+        }
+      }
+      val cols = splitTop(colsPart).map(_.trim)
+      if (cols.isEmpty) throw TransformError("DEDUP requires ≥1 ON column")
+      DedupVerb(cols, keep)
+    }
+  }
+
+  final case class DedupVerb(cols: Seq[String], keep: Option[(Boolean, String)])
+      extends Verb {
+    def build(sources: Map[String, DataFrame], primary: DataFrame): DataFrame =
+      keep match {
+        case None => primary.dropDuplicates(cols)
+        case Some((keepLast, o)) =>
+          val ord = if (keepLast) primary(o).desc else primary(o).asc
+          val w = Window.partitionBy(cols.map(primary(_)): _*).orderBy(ord)
+          primary.withColumn("__rn", row_number().over(w))
+            .where(col("__rn") === 1)
+            .drop("__rn")
+      }
+  }
+
+  // ---------------------------------------------------------------- FILTER
+
+  /** FILTER <sql-expr> — beyond-parity verb: the reference has no native
+    * filter operator (SURVEY §2.4; filtering lives in delegated SQL or
+    * plugins), but its assertion conditions are SQL expressions
+    * (engine/condition.go:20-37), so FILTER rides the same surface:
+    * a Catalyst expression that pushes down to the scan when possible.
+    */
+  final case class FilterVerb(cond: String) extends Verb {
+    def build(sources: Map[String, DataFrame], primary: DataFrame): DataFrame = {
+      if (cond.isEmpty) throw TransformError("FILTER requires a predicate")
+      primary.filter(expr(cond))
     }
   }
 

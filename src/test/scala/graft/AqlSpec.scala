@@ -317,4 +317,47 @@ class AqlSpec extends AnyFunSuite {
         |                     MULTISOURCE_ORDER = 'SEQUENTIAL')""".stripMargin)
     assert(r.console.head.contains("\"Total\":33"))
   }
+
+  test("DEDUP verb: KEEP LAST BY gives the deterministic survivor") {
+    // beyond-parity verb (SURVEY §7.3): exact dedup as a language operator
+    val r = Aql.run(spark,
+      """DATA 'D' (
+        |  [[1, "old", 10], [1, "new", 20], [2, "only", 5]]
+        |) WITH (COLUMNS = 'Id, Tag, Seq')
+        |
+        |TRANSFORM 'Unique' FROM BLOCK D (
+        |  DEDUP ON Id KEEP LAST BY Seq
+        |) INTO CONSOLE""".stripMargin)
+    val rows = r.outputs("UNIQUE").collect()
+      .map(x => (x.getLong(0), x.getString(1))).sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, "new"), (2L, "only")))
+  }
+
+  test("DEDUP verb without KEEP: one row per key") {
+    val r = Aql.run(spark,
+      """DATA 'D' (
+        |  [[1, "a"], [1, "b"], [2, "c"], [2, "d"], [3, "e"]]
+        |) WITH (COLUMNS = 'Id, Tag')
+        |
+        |TRANSFORM 'Unique' FROM BLOCK D (
+        |  DEDUP ON Id
+        |) INTO CONSOLE""".stripMargin)
+    assert(r.outputs("UNIQUE").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+  }
+
+  test("FILTER verb: SQL predicate over the stream") {
+    // the reference filters only via delegated SQL or plugins (test_filter.py
+    // drops non-positives); FILTER is the native equivalent
+    val r = Aql.run(spark,
+      """DATA 'D' (
+        |  [[1], [-2], [3], [0]]
+        |) WITH (COLUMNS = 'Value')
+        |
+        |TRANSFORM 'Pos' FROM BLOCK D (
+        |  FILTER Value > 0
+        |) INTO CONSOLE""".stripMargin)
+    assert(r.outputs("POS").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 3L))
+  }
 }

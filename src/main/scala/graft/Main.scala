@@ -1,0 +1,78 @@
+package graft
+
+import graft.engine.Aql
+import org.apache.spark.sql.SparkSession
+
+import java.nio.file.{Files, Paths}
+
+/** CLI entry point mirroring the reference's primary lifecycle
+  * (reference cmd/main.go:17-28, cmd/run.go:14-55, cmd/test.go:13-51):
+  *
+  *   runMain graft.Main run  --script job.aql [--params '{"k":"v"}']
+  *   runMain graft.Main test --script job.aql [--params '{"k":"v"}']
+  *
+  * `--params` is a JSON object of option name → value, merged over SET
+  * globals with CLI precedence (reference aql/parser.go:322-355 StrToOpts,
+  * compiler.go:241-268). `test` neutralizes destinations/EXECs and runs
+  * TEST-block assertions (§3.2); any failure exits nonzero with a [FAIL]
+  * line per assertion, matching the reference's first-failure-stops
+  * contract (engine/transform.go:67-101).
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val code = try run(args.toSeq, spark)
+    finally spark.stop()
+    if (code != 0) sys.exit(code)
+  }
+
+  /** Testable core: parses args, executes, prints; returns the exit code. */
+  def run(args: Seq[String], spark: SparkSession,
+          out: String => Unit = Console.out.println): Int = {
+    val (mode, rest) = args match {
+      case Seq("run", r @ _*) => (false, r)
+      case Seq("test", r @ _*) => (true, r)
+      case _ =>
+        out("usage: graft.Main run|test --script <file.aql> [--params '{…}']")
+        return 2
+    }
+    val opts = rest.grouped(2).collect {
+      case Seq(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+    val scriptPath = opts.getOrElse("script", {
+      out("--script is required"); return 2
+    })
+    val params = opts.get("params").map(parseParams).getOrElse(Map.empty)
+    val path = Paths.get(scriptPath)
+    val text = new String(Files.readAllBytes(path), "UTF-8")
+    try {
+      val r = Aql.run(spark, text, cliParams = params,
+        baseDir = Option(path.getParent).getOrElse(Paths.get(".")),
+        testMode = mode)
+      r.console.foreach(out)
+      if (mode) {
+        r.testFailures.foreach(f => out(s"[FAIL] $f"))
+        if (r.testFailures.isEmpty) out("all assertions passed")
+      }
+      if (r.testFailures.nonEmpty) 1 else 0
+    } catch {
+      case e: Exception => out(s"[ERROR] ${e.getMessage}"); 1
+    }
+  }
+
+  /** `--params '{"name":"value"}'` → Map (Jackson ships with Spark). */
+  private def parseParams(json: String): Map[String, String] = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(json)
+    import scala.jdk.CollectionConverters._
+    m.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** CLI lifecycle tests — reference cmd/run.go + cmd/test.go semantics:
+  * run executes destinations, test neutralizes them and evaluates
+  * assertions with nonzero exit on failure.
+  */
+class CliSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def script(body: String): String = {
+    val f = Files.createTempFile("graft_cli", ".aql")
+    Files.write(f, body.getBytes("UTF-8"))
+    f.toString
+  }
+
+  test("run mode: executes script, prints console output, exit 0") {
+    val p = script(
+      """DATA 'Vals' ([[1],[2],[3]]) WITH (COLUMNS = 'V')
+        |TRANSFORM 'Sum' FROM BLOCK Vals (
+        |  AGGREGATE SUM(V) AS Total
+        |) INTO CONSOLE WITH (OUTPUT_FORMAT = 'JSON')""".stripMargin)
+    val lines = Seq.newBuilder[String]
+    val code = Main.run(Seq("run", "--script", p), spark, lines += _)
+    assert(code == 0)
+    assert(lines.result().exists(_.contains("\"Total\":6")))
+  }
+
+  test("run mode: --params templating reaches the script") {
+    val p = script(
+      """DATA 'Vals' ([[{{ .N }}]]) WITH (COLUMNS = 'V')
+        |TRANSFORM 'Out' FROM BLOCK Vals (
+        |  AGGREGATE SUM(V) AS Total
+        |) INTO CONSOLE WITH (OUTPUT_FORMAT = 'JSON')""".stripMargin)
+    val lines = Seq.newBuilder[String]
+    val code = Main.run(
+      Seq("run", "--script", p, "--params", """{"N":"41"}"""), spark, lines += _)
+    assert(code == 0)
+    assert(lines.result().exists(_.contains("\"Total\":41")))
+  }
+
+  test("test mode: failing assertion exits 1 with [FAIL]") {
+    val p = script(
+      """DATA 'Vals' ([[1],[2]]) WITH (COLUMNS = 'V')
+        |TRANSFORM 'Out' FROM BLOCK Vals (
+        |  AGGREGATE SUM(V) AS Total
+        |) INTO CONSOLE
+        |TEST Out WITH ASSERTIONS (
+        |  IT OUTPUTS EXACTLY 99 ROWS
+        |)""".stripMargin)
+    val lines = Seq.newBuilder[String]
+    val code = Main.run(Seq("test", "--script", p), spark, lines += _)
+    assert(code == 1)
+    assert(lines.result().exists(_.startsWith("[FAIL]")))
+  }
+
+  test("test mode: passing assertions exit 0; destinations neutralized") {
+    val p = script(
+      """DATA 'Vals' ([[1],[2]]) WITH (COLUMNS = 'V')
+        |TRANSFORM 'Out' FROM BLOCK Vals (
+        |  AGGREGATE SUM(V) AS Total
+        |) INTO CONSOLE
+        |TEST Out WITH ASSERTIONS (
+        |  IT OUTPUTS EXACTLY 1 ROW
+        |)""".stripMargin)
+    val lines = Seq.newBuilder[String]
+    val code = Main.run(Seq("test", "--script", p), spark, lines += _)
+    assert(code == 0, lines.result().mkString("; "))
+    // console destination was neutralized in test mode — no JSON output
+    assert(!lines.result().exists(_.contains("Total")))
+  }
+
+  test("bad usage exits 2") {
+    val lines = Seq.newBuilder[String]
+    assert(Main.run(Seq("frobnicate"), spark, lines += _) == 2)
+    assert(Main.run(Seq("run"), spark, lines += _) == 2)
+  }
+}

@@ -47,6 +47,10 @@ object Aql {
       testMode: Boolean = false,
       httpFetch: String => String = Connectors.defaultHttpFetch): RunResult = {
 
+    // graft kernels (vec_dot, minhash_sig, …) available to delegated SQL,
+    // matching a cluster configured with spark.sql.extensions
+    graft.GraftExtensions.register(spark)
+
     // 1. pre-parse for SET globals; precedence CLI > SET (blocks.md)
     val pre = Parser.parse(scriptText)
     val templateParams =
@@ -154,13 +158,29 @@ object Aql {
         Connectors.literal(spark, d.content, d.options)
 
       case q: Query if q.execOnly =>
-        // EXEC returns no rows (sql_source.go ExecOnly). Offline, the only
-        // writable store is GLOBAL; test mode neutralizes (→ SELECT 1,
-        // compiler.go:34-39).
+        // EXEC returns no rows (sql_source.go ExecOnly); test mode
+        // neutralizes (→ SELECT 1, compiler.go:34-39). Against a SQL
+        // connection the statement ships verbatim to the database on the
+        // driver — DDL/DML has no distributed component (reference
+        // sql_source.go:158-168 ExecOnly tx.Exec path).
         if (!testMode) q.source match {
           case FromGlobal => global.execute(q.content)
+          case FromConnection(cn) =>
+            val c = connection(cn)
+            driverOf(c) match {
+              case "mssql" | "postgres" | "sqlite3" =>
+                val url = Connectors.opt(c.options, "CONNECTIONSTRING")
+                  .getOrElse(throw AqlError(
+                    s"connection ${c.name}: CONNECTIONSTRING required"))
+                val jc = java.sql.DriverManager.getConnection(url)
+                try { val st = jc.createStatement()
+                  try st.executeUpdate(q.content) finally st.close()
+                } finally jc.close()
+              case other => throw AqlError(
+                s"EXEC ${q.name}: driver $other is not executable")
+            }
           case _ => throw AqlError(
-            s"EXEC ${q.name}: only GLOBAL is writable offline")
+            s"EXEC ${q.name}: requires GLOBAL or a SQL connection")
         }
         spark.emptyDataFrame
 
@@ -267,11 +287,29 @@ object Aql {
         global.append(table, df)
       case IntoConnection(cn) =>
         val c = connection(cn)
+        val dropNulls = optionOf(optsOf(b), Some(c), "DROP_NULLS")
+          .exists(v => Ast.truthy(OptStr(v)))
+        val out = if (dropNulls) df.na.drop() else df
         driverOf(c) match {
           case "file" | "csv" | "parquet" | "json" =>
-            val dropNulls = optionOf(optsOf(b), Some(c), "DROP_NULLS")
-              .exists(v => Ast.truthy(OptStr(v)))
-            Connectors.writeFile(if (dropNulls) df.na.drop() else df, c)
+            Connectors.writeFile(out, c)
+          case "mssql" | "postgres" | "sqlite3" =>
+            // Batched JDBC append (reference engine/sql_dest.go:70-192;
+            // default 500 rows/batch, ROWS_PER_BATCH override :110-115).
+            // The executor-side writer batches per partition — the
+            // distributed analogue of the reference's single inserter.
+            out.write.format("jdbc")
+              .option("url", Connectors.opt(c.options, "CONNECTIONSTRING")
+                .getOrElse(throw AqlError(
+                  s"connection ${c.name}: CONNECTIONSTRING required")))
+              .option("dbtable",
+                optionOf(optsOf(b), Some(c), "TABLE").getOrElse(
+                  throw AqlError(s"${b.name}: INTO CONNECTION ${c.name} " +
+                    "requires WITH (TABLE=…)")))
+              .option("batchsize",
+                optionOf(optsOf(b), Some(c), "ROWS_PER_BATCH")
+                  .getOrElse("500"))
+              .mode("append").save()
           case other => throw AqlError(
             s"${b.name}: INTO CONNECTION with driver $other not supported " +
               "offline")

@@ -163,6 +163,13 @@ object Connectors {
 
   /** HTTP JSON source (reference engine/http_source.go): driver-side GET,
     * JSON_PATH walks to the row array, rows are objects or flat arrays.
+    * Pagination per reference `:84-92,154-173`: when both
+    * PAGINATION_LIMIT_PARAMETER and PAGINATION_OFFSET_PARAMETER are set,
+    * fetch pages of PAGE_SIZE (default 50, connections.md:118) appending
+    * `limit`/`offset` query params, advancing offset by PAGE_SIZE until an
+    * *empty* page. Ingestion is driver-side by design (like the reference);
+    * at scale an HTTP API is a fetch-then-parallelize source, not a
+    * distributed scan.
     * `fetch` is injectable for offline tests.
     */
   def readHttp(spark: SparkSession, conn: Ast.Connection,
@@ -170,13 +177,42 @@ object Connectors {
     val url = opt(conn.options, "URL").getOrElse(
       throw new IllegalArgumentException(
         s"connection ${conn.name}: URL option required"))
-    val body = mapper.readTree(fetch(url))
-    val target = opt(conn.options, "JSON_PATH")
-      .map(_.split("\\.").foldLeft(body)((n, p) => n.path(p)))
-      .getOrElse(body)
-    require(target.isArray,
-      s"connection ${conn.name}: JSON_PATH must locate an array")
-    val elems = target.elements().asScala.toSeq
+    val limitName = opt(conn.options, "PAGINATION_LIMIT_PARAMETER")
+      .filter(_.nonEmpty)
+    val offsetName = opt(conn.options, "PAGINATION_OFFSET_PARAMETER")
+      .filter(_.nonEmpty)
+    val pageSize = opt(conn.options, "PAGE_SIZE").map(_.trim.toInt)
+      .getOrElse(50)
+    val paginate = limitName.isDefined && offsetName.isDefined && pageSize > 0
+
+    def pageUrl(offset: Int): String =
+      if (!paginate) url
+      else {
+        val sep = if (url.contains("?")) "&" else "?"
+        s"$url$sep${limitName.get}=$pageSize&${offsetName.get}=$offset"
+      }
+
+    def parsePage(json: String): Seq[com.fasterxml.jackson.databind.JsonNode] = {
+      val body = mapper.readTree(json)
+      val target = opt(conn.options, "JSON_PATH")
+        .map(_.split("\\.").foldLeft(body)((n, p) => n.path(p)))
+        .getOrElse(body)
+      require(target.isArray,
+        s"connection ${conn.name}: JSON_PATH must locate an array")
+      target.elements().asScala.toSeq
+    }
+
+    var elems = parsePage(fetch(pageUrl(0)))
+    if (paginate) {
+      var offset = pageSize
+      var page = elems
+      while (page.nonEmpty) {
+        page = parsePage(fetch(pageUrl(offset)))
+        elems ++= page
+        offset += pageSize
+      }
+    }
+
     val columns = opt(conn.options, "COLUMNS")
       .map(_.split(",").map(_.trim).toSeq)
     if (elems.forall(_.isObject)) {

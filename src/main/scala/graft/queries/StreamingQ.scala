@@ -144,5 +144,42 @@ object StreamingQ {
       } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
       s.table(viewName)
     },
+
+    // Streaming dedup: one output row per (user, event_type, day) key —
+    // the training-pipeline "first occurrence wins" filter as a streaming
+    // op. Output is the key set itself, so the result is deterministic
+    // and a DISTINCT oracles it. State is keyed per (user, type, day); on
+    // an unbounded source add the watermark column to the key (or
+    // dropDuplicatesWithinWatermark) so per-key state evicts once the
+    // day has passed — noted rather than done here because the bounded
+    // gate input arrives as one microbatch.
+    QueryDef(
+      "q52_stream_dedup",
+      """SELECT DISTINCT user_id, event_type,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day
+        |FROM events""".stripMargin) { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val viewName = s"q52_mem_${java.util.UUID.randomUUID().toString.take(8)}"
+      val stream = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .withWatermark("ts", "1 day")
+        .dropDuplicates("user_id", "event_type", "day")
+        .select(col("user_id"), col("event_type"), col("day"))
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = stream.writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName(viewName)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try { q.awaitTermination(120000); () } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      s.table(viewName)
+    },
   )
 }

@@ -12,4 +12,17 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftCatalystBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register a SQL function on a live session (sessionState is
+    * `private[sql]`). Config-based injection (`spark.sql.extensions` →
+    * [[graft.GraftExtensions]]) is the production path; this covers
+    * sessions created before the library was on the classpath and tests.
+    */
+  def registerFunction(
+      spark: SparkSession,
+      name: String,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
 }

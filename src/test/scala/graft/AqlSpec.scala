@@ -292,6 +292,35 @@ class AqlSpec extends AnyFunSuite {
     assert(r.console.head.contains("\"named\":2"))
   }
 
+  test("HTTP source pagination: limit/offset loop until empty page") {
+    // reference http_source.go:84-92,154-173 + connections.md:118-120:
+    // append limit/offset params, advance by PAGE_SIZE, stop on empty page
+    val all = (1 to 5).map(i => s"""{"id": $i}""")
+    val urls = scala.collection.mutable.ArrayBuffer.empty[String]
+    def fetch(url: String): String = {
+      urls += url
+      val off = "offset=(\\d+)".r.findFirstMatchIn(url).get.group(1).toInt
+      "[" + all.slice(off, off + 2).mkString(",") + "]"
+    }
+    val r = Aql.run(spark,
+      """CONNECTION 'Api' (
+        |  DRIVER = 'http', URL = 'http://example.test/rows?v=1',
+        |  PAGINATION_LIMIT_PARAMETER = 'limit',
+        |  PAGINATION_OFFSET_PARAMETER = 'offset',
+        |  PAGE_SIZE = '2'
+        |)
+        |
+        |QUERY 'Agg' FROM CONNECTION Api (
+        |  SELECT count(*) AS n, sum(id) AS total FROM Api
+        |) INTO CONSOLE WITH (OUTPUT_FORMAT = 'JSON')""".stripMargin,
+      httpFetch = fetch)
+    assert(urls.head == "http://example.test/rows?v=1&limit=2&offset=0")
+    // pages of 2: offsets 0,2,4 then the empty page at 6 stops the loop
+    assert(urls.size == 4, urls.mkString("; "))
+    assert(r.console.head.contains("\"n\":5"))
+    assert(r.console.head.contains("\"total\":15"))
+  }
+
   test("EXEC appends to GLOBAL; AFTER orders actions") {
     val r = Aql.run(spark,
       """GLOBAL 'Init' (CREATE TABLE T (Id int))

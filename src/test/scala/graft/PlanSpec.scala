@@ -115,6 +115,42 @@ class PlanSpec extends AnyFunSuite {
       s"term counts must partial-aggregate map-side:\n$p")
   }
 
+  test("date-partitioned writes prune partitions at read time") {
+    // The 100 TB layout rule: land fact data partitioned by date, and
+    // date-filtered scans read only the matching directories. Asserted on
+    // the scan's PartitionFilters (pruning happens at planning, not I/O).
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val ev = Tables.load(spark, sfDir, "events")
+      .withColumn("day", org.apache.spark.sql.functions.to_date(col("ts")))
+    ev.write.partitionBy("day").mode("overwrite").parquet(s"$dir/events_p")
+    val firstDay = ev.agg(org.apache.spark.sql.functions.min(col("day")))
+      .head().getDate(0).toString
+    val read = spark.read.parquet(s"$dir/events_p")
+      .filter(col("day") === firstDay)
+    val p = read.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("day"),
+      s"no partition pruning:\n$p")
+    // pruned scan reads strictly fewer files than the table holds
+    assert(read.count() > 0 && read.count() < ev.count())
+  }
+
+  test("stratified sampling: sampleBy holds per-stratum fractions") {
+    // Training-data curation primitive: per-class downsampling in one
+    // map-side pass (no shuffle), deterministic under a fixed seed.
+    val docs = Tables.load(spark, sfDir, "documents")
+    val fractions = Map("en" -> 0.5, "fr" -> 0.1)
+    val sampled = docs.stat.sampleBy("lang", fractions, seed = 42L)
+    val p = sampled.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"sampleBy must not shuffle:\n$p")
+    val n = docs.filter(col("lang") === "en").count().toDouble
+    val k = sampled.filter(col("lang") === "en").count().toDouble
+    assert(math.abs(k / n - 0.5) < 0.2, s"en fraction off: $k/$n")
+    assert(sampled.filter(!col("lang").isin("en", "fr")).count() == 0)
+    // deterministic: same seed, same sample
+    assert(sampled.count() ==
+      docs.stat.sampleBy("lang", fractions, seed = 42L).count())
+  }
+
   test("q30: exact dedup keeps aggregation partial despite wide text key") {
     val p = plan("q30_dedup_exact")
     assert("HashAggregate".r.findAllIn(p).size >= 2 ||

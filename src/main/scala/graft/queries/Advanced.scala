@@ -165,6 +165,28 @@ object Advanced {
         .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("revenue"))
     },
 
+    // ---- Semi-structured extraction: parse the JSON props column with a
+    // declared schema (from_json → typed struct, codegen'd) and aggregate
+    // the extracted field. The scan stays columnar and the parse is one
+    // map-side projection — at 100 TB the schema declaration is what
+    // keeps this a single pass (schema inference would need its own scan).
+    QueryDef(
+      "q53_json_extract",
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .withColumn("k",
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+            .getField("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+             min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+    },
+
     // ---- Corpus top-terms: tokenize → explode → count → top-k. The
     // map-side-combine partial agg keeps the shuffle at |vocab| not |tokens|,
     // and TakeOrderedAndProject caps the sort at k rows per partition.

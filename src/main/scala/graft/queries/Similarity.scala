@@ -155,5 +155,27 @@ object Similarity {
         .select(col("qid"), col("cid").as("neighbor_id"), col("cosine"),
           col("rank"))
     },
+
+    // ---- Vector normalization: the unit-vector projection every
+    // embedding pipeline runs before indexing. Pure map-side (no shuffle);
+    // per-row left-fold math is bit-identical to the DuckDB list_reduce
+    // oracle, rounded at 1e-6 like q34/q44.
+    QueryDef(
+      "q54_vector_normalize",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |  sqrt(list_reduce(list_prepend(0.0, [x*x for x in v]), (a,b) -> a+b)) AS nrm
+        |  FROM e)
+        |SELECT vec_id, round(nrm, 6) AS norm,
+        |  round(v[1] / nrm, 6) AS x0_unit,
+        |  round(v[64] / nrm, 6) AS x63_unit
+        |FROM n WHERE nrm > 0""".stripMargin) { (s, dir) =>
+      emb(s, dir)
+        .withColumn("nrm", l2norm(col("v")))
+        .where(col("nrm") > 0)
+        .select(col("vec_id"), round(col("nrm"), 6).as("norm"),
+          round(element_at(col("v"), 1) / col("nrm"), 6).as("x0_unit"),
+          round(element_at(col("v"), 64) / col("nrm"), 6).as("x63_unit"))
+    },
   )
 }

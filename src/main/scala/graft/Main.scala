@@ -37,11 +37,10 @@ object Main {
   /** Testable core: parses args, executes, prints; returns the exit code. */
   def run(args: Seq[String], spark: SparkSession,
           out: String => Unit = Console.out.println): Int = {
-    val (mode, rest) = args match {
-      case Seq("run", r @ _*) => (false, r)
-      case Seq("test", r @ _*) => (true, r)
+    val (cmd, rest) = args match {
+      case Seq(c @ ("run" | "test" | "validate"), r @ _*) => (c, r)
       case _ =>
-        out("usage: graft.Main run|test --script <file.aql> [--params '{…}']")
+        out("usage: graft.Main run|test|validate --script <file.aql> [--params '{…}']")
         return 2
     }
     val opts = rest.grouped(2).collect {
@@ -53,12 +52,19 @@ object Main {
     val params = opts.get("params").map(parseParams).getOrElse(Map.empty)
     val path = Paths.get(scriptPath)
     val text = new String(Files.readAllBytes(path), "UTF-8")
+    val baseDir = Option(path.getParent).getOrElse(Paths.get("."))
+    if (cmd == "validate") {
+      // compile-only (reference cmd/validate.go): no data access
+      val errs = Aql.validate(text, params, baseDir)
+      errs.foreach(e => out(s"[INVALID] $e"))
+      if (errs.isEmpty) out("script is valid")
+      return if (errs.isEmpty) 0 else 1
+    }
     try {
       val r = Aql.run(spark, text, cliParams = params,
-        baseDir = Option(path.getParent).getOrElse(Paths.get(".")),
-        testMode = mode)
+        baseDir = baseDir, testMode = cmd == "test")
       r.console.foreach(out)
-      if (mode) {
+      if (cmd == "test") {
         r.testFailures.foreach(f => out(s"[FAIL] $f"))
         if (r.testFailures.isEmpty) out("all assertions passed")
       }

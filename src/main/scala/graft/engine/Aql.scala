@@ -39,6 +39,82 @@ object Aql {
   final case class AqlError(msg: String, cause: Throwable = null)
       extends RuntimeException(msg, cause)
 
+  /** Compile-only validation (reference cmd/validate.go → ValidateFile):
+    * syntax, include/template resolution, reference integrity (blocks,
+    * connections, TEST targets), transform-verb parses, assertion parses,
+    * and FROM BLOCK cycle detection — no data access, no Spark actions.
+    * Returns the list of problems (empty = valid).
+    */
+  def validate(
+      scriptText: String,
+      cliParams: Map[String, String] = Map.empty,
+      baseDir: Path = Paths.get(".")): Seq[String] =
+    try {
+      val pre = Parser.parse(scriptText)
+      val templateParams =
+        pre.globalOptions.map { case (k, v) => k -> v.asString } ++ cliParams
+      val script = Template.resolve(scriptText, baseDir, templateParams)
+      val errs = mutable.ArrayBuffer.empty[String]
+      val nodeNames = script.blocks.collect {
+        case b @ (_: Query | _: Data | _: Transform) => b.name.toUpperCase
+      }.toSet
+      val connNames = script.connections.keySet
+
+      def checkSrc(owner: String, s: SourceRef): Unit = s match {
+        case FromBlock(n) if !nodeNames(n.toUpperCase) =>
+          errs += s"$owner: unknown block $n"
+        case FromConnection(c) if !connNames(c.toUpperCase) =>
+          errs += s"$owner: unknown connection $c"
+        case _ => ()
+      }
+
+      val deps = mutable.Map.empty[String, Seq[String]]
+      script.blocks.foreach {
+        case q: Query =>
+          checkSrc(q.name, q.source)
+          deps(q.name.toUpperCase) = (q.source match {
+            case FromBlock(n) => Seq(n.toUpperCase)
+            case _ => Seq.empty
+          }) ++ q.after.map(_.toUpperCase)
+        case t: Transform =>
+          t.sources.foreach(checkSrc(t.name, _))
+          if (!t.plugin)
+            try { TransformParser.parse(t.content); () }
+            catch { case e: Exception => errs += s"${t.name}: ${e.getMessage}" }
+          deps(t.name.toUpperCase) = t.sources.collect {
+            case FromBlock(n) => n.toUpperCase
+          } ++ t.after.map(_.toUpperCase)
+        case d: Data =>
+          deps(d.name.toUpperCase) = d.after.map(_.toUpperCase)
+        case tst: Test =>
+          if (!nodeNames(tst.target.toUpperCase))
+            errs += s"TEST: unknown target ${tst.target}"
+          try { Assertions.parse(tst.assertions); () }
+          catch { case e: Exception => errs += s"TEST ${tst.target}: ${e.getMessage}" }
+        case _ => ()
+      }
+
+      // cycle detection over FROM BLOCK + AFTER edges (reference:
+      // Tarjan SCC in coordinator.Compile, coordinator.go:217-260)
+      val visiting = mutable.Set.empty[String]
+      val done = mutable.Set.empty[String]
+      def dfs(n: String, path: List[String]): Unit =
+        if (!done(n)) {
+          if (!visiting.add(n)) {
+            errs += s"cycle: ${(n :: path.takeWhile(_ != n) ::: List(n)).reverse.mkString(" -> ")}"
+          } else {
+            deps.getOrElse(n, Seq.empty).filter(deps.contains)
+              .foreach(dfs(_, n :: path))
+            visiting.remove(n)
+            done.add(n)
+          }
+        }
+      deps.keys.foreach(dfs(_, Nil))
+      errs.toSeq.distinct
+    } catch {
+      case e: Exception => Seq(Option(e.getMessage).getOrElse(e.toString))
+    }
+
   def run(
       spark: SparkSession,
       scriptText: String,

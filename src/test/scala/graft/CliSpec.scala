@@ -78,4 +78,36 @@ class CliSpec extends AnyFunSuite {
     assert(Main.run(Seq("frobnicate"), spark, lines += _) == 2)
     assert(Main.run(Seq("run"), spark, lines += _) == 2)
   }
+
+  test("validate mode: clean script exits 0, broken references exit 1") {
+    val good = script(
+      """DATA 'D' ([[1]]) WITH (COLUMNS = 'V')
+        |TRANSFORM 'T' FROM BLOCK D (
+        |  FILTER V > 0
+        |) INTO CONSOLE""".stripMargin)
+    val lines = Seq.newBuilder[String]
+    assert(Main.run(Seq("validate", "--script", good), spark, lines += _) == 0)
+    assert(lines.result().exists(_.contains("valid")))
+
+    val bad = script(
+      """TRANSFORM 'T' FROM BLOCK Missing (
+        |  FROBNICATE x
+        |) INTO CONSOLE
+        |TEST Nope WITH ASSERTIONS (IT OUTPUTS EXACTLY 1 ROW)""".stripMargin)
+    val errs = Seq.newBuilder[String]
+    assert(Main.run(Seq("validate", "--script", bad), spark, errs += _) == 1)
+    val es = errs.result().mkString("\n")
+    assert(es.contains("unknown block Missing"), es)
+    assert(es.contains("unknown transform verb"), es)
+    assert(es.contains("unknown target Nope"), es)
+  }
+
+  test("validate mode: FROM BLOCK cycles are reported") {
+    val p = script(
+      """TRANSFORM 'A' FROM BLOCK B (FILTER x > 0)
+        |TRANSFORM 'B' FROM BLOCK A (FILTER x > 0) INTO CONSOLE""".stripMargin)
+    val lines = Seq.newBuilder[String]
+    assert(Main.run(Seq("validate", "--script", p), spark, lines += _) == 1)
+    assert(lines.result().exists(_.contains("cycle")), lines.result())
+  }
 }

@@ -187,6 +187,35 @@ object Advanced {
              min(col("k")).as("min_k"), max(col("k")).as("max_k"))
     },
 
+    // ---- Bucketed co-located join: both sides written bucketed+sorted on
+    // the join key, so the sort-merge join runs with ZERO exchanges — the
+    // technique that makes repeated fact-fact joins affordable at 100 TB
+    // (pay the shuffle once at write time, never again). merge hint pins
+    // the SMJ so the bucket layout is actually exercised; PlanSpec asserts
+    // the no-Exchange plan, this gate asserts result parity with DuckDB.
+    QueryDef(
+      "q55_bucketed_join",
+      """SELECT c_nationkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey""".stripMargin) { (s, dir) =>
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val wh = java.nio.file.Files.createTempDirectory("graft_q55").toString
+      def bucketize(name: String, key: String): String = {
+        val table = s"${name}_b_$tag"
+        t(s, dir, name).write
+          .bucketBy(8, key).sortBy(key)
+          .option("path", s"$wh/$table")
+          .mode("overwrite").saveAsTable(table)
+        table
+      }
+      val ob = s.table(bucketize("orders", "o_custkey"))
+      val cb = s.table(bucketize("customer", "c_custkey"))
+      ob.join(cb.hint("merge"), ob("o_custkey") === cb("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+    },
+
     // ---- Corpus top-terms: tokenize → explode → count → top-k. The
     // map-side-combine partial agg keeps the shuffle at |vocab| not |tokens|,
     // and TakeOrderedAndProject caps the sort at k rows per partition.

@@ -151,6 +151,13 @@ class PlanSpec extends AnyFunSuite {
       docs.stat.sampleBy("lang", fractions, seed = 42L).count())
   }
 
+  test("q55: bucketed join shuffles only for the aggregation, not the join") {
+    val p = plan("q55_bucketed_join")
+    assert(p.contains("SortMergeJoin"), s"expected SMJ over buckets:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 Exchange (agg only), got $exchanges:\n$p")
+  }
+
   test("q30: exact dedup keeps aggregation partial despite wide text key") {
     val p = plan("q30_dedup_exact")
     assert("HashAggregate".r.findAllIn(p).size >= 2 ||

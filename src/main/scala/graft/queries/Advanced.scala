@@ -216,6 +216,50 @@ object Advanced {
         .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
     },
 
+    // ---- TF-IDF: top-5 scoring terms per document. Three scale-shaped
+    // stages: tf = agg on (doc, term) — shuffle ∝ distinct pairs; df = agg
+    // on term — shuffle ∝ |vocab|, broadcast back (vocab ≪ corpus); then a
+    // per-doc window for top-k. Integer tf/df feed ln(N/df), so the score
+    // is bit-identical across engines (rounded 1e-6 like all float gates).
+    QueryDef(
+      "q56_tfidf",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        |  WHERE term <> '' GROUP BY doc_id, term),
+        |df AS (
+        |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tfidf, rank FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val nDocs = docs.count()
+      val toks = docs
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+        .filter(col("term") =!= "")
+      val tf = toks.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term"))
+      tf.join(broadcast(df), "term")
+        .withColumn("tfidf",
+          round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 5)
+        .select(col("doc_id"), col("term"), col("tfidf"), col("rank"))
+    },
+
     // ---- Corpus top-terms: tokenize → explode → count → top-k. The
     // map-side-combine partial agg keeps the shuffle at |vocab| not |tokens|,
     // and TakeOrderedAndProject caps the sort at k rows per partition.

@@ -187,6 +187,62 @@ object Advanced {
              min(col("k")).as("min_k"), max(col("k")).as("max_k"))
     },
 
+    // ---- Pattern scrubbing: the text-normalization pass every corpus
+    // pipeline runs (strip numbers / ids / PII-shaped spans before dedup
+    // and tokenization). Pure map-side regexp_replace (codegen'd), zero
+    // shuffle except the verification aggregate.
+    QueryDef(
+      "q57_text_scrub",
+      """SELECT scrubbed, COUNT(*) AS n,
+        |  CAST(SUM(length(props)) AS BIGINT) AS total_raw_len
+        |FROM (
+        |  SELECT props, regexp_replace(props, '[0-9]+', '#', 'g') AS scrubbed
+        |  FROM events)
+        |GROUP BY scrubbed""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .withColumn("scrubbed", regexp_replace(col("props"), "[0-9]+", "#"))
+        .groupBy(col("scrubbed"))
+        .agg(count(lit(1)).as("n"),
+             sum(length(col("props"))).cast("bigint").as("total_raw_len"))
+    },
+
+    // ---- Histogram / binning: fixed-width buckets as one map-side
+    // projection + one shuffle on the (tiny) bucket set — the scalable
+    // shape for distribution profiling (no sort, no per-row window).
+    QueryDef(
+      "q58_histogram",
+      """SELECT event_type, CAST(floor(value / 10) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY event_type, bucket""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .withColumn("bucket", floor(col("value") / 10).cast("bigint"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n"),
+             sum(dec2(col("value"))).cast("double").as("total"))
+    },
+
+    // ---- Argmax via struct max: top customer per nation WITHOUT a
+    // window — max(struct(orderCol, payload)) is an ordinary aggregate, so
+    // it partial-aggregates map-side and never sorts a partition. For k=1
+    // this beats the row_number window (which must shuffle + sort every
+    // group); the oracle is the window formulation, proving equivalence.
+    QueryDef(
+      "q59_argmax",
+      """SELECT c_nationkey, c_custkey AS top_custkey, c_acctbal AS top_acctbal
+        |FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal, row_number() OVER (
+        |    PARTITION BY c_nationkey
+        |    ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
+        |  FROM customer) WHERE rn = 1""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(max(struct(col("c_acctbal"), col("c_custkey"))).as("m"))
+        .select(col("c_nationkey"),
+          col("m.c_custkey").as("top_custkey"),
+          col("m.c_acctbal").as("top_acctbal"))
+    },
+
     // ---- Bucketed co-located join: both sides written bucketed+sorted on
     // the join key, so the sort-merge join runs with ZERO exchanges — the
     // technique that makes repeated fact-fact joins affordable at 100 TB

@@ -187,9 +187,7 @@ object Aql {
     def readConnection(c: Connection): DataFrame = driverOf(c) match {
       case "file" | "csv" | "parquet" | "json" => Connectors.readFile(spark, c)
       case "http" => Connectors.readHttp(spark, c, httpFetch)
-      case "excel" => throw AqlError(
-        s"connection ${c.name}: Excel is unavailable offline — use a " +
-          "file connection (csv/parquet/json) instead (SURVEY §7.2 M3)")
+      case "excel" => Connectors.readExcel(spark, c)
       case "mssql" | "postgres" | "sqlite3" =>
         // JDBC path: ships the query/table to the database verbatim,
         // like the reference (sql_source.go:170); needs a live DB.
@@ -369,6 +367,8 @@ object Aql {
         driverOf(c) match {
           case "file" | "csv" | "parquet" | "json" =>
             Connectors.writeFile(out, c)
+          case "excel" =>
+            Connectors.writeExcel(out, c, optionOf(optsOf(b), Some(c), _))
           case "mssql" | "postgres" | "sqlite3" =>
             // Batched JDBC append (reference engine/sql_dest.go:70-192;
             // default 500 rows/batch, ROWS_PER_BATCH override :110-115).

@@ -78,15 +78,16 @@ object Connectors {
   }
 
   /** Per-column type inference over literal rows (long / double / boolean /
-    * string; widen long→double; anything mixed → string).
+    * timestamp / string; widen long→double; anything mixed → string).
     */
-  private def fromRows(spark: SparkSession, rows: Seq[Seq[Any]],
-                       cols: Seq[String]): DataFrame = {
+  private[engine] def fromRows(spark: SparkSession, rows: Seq[Seq[Any]],
+                               cols: Seq[String]): DataFrame = {
     def typeOf(v: Any): DataType = v match {
       case null => NullType
       case _: Long => LongType
       case _: Double => DoubleType
       case _: Boolean => BooleanType
+      case _: java.sql.Timestamp => TimestampType
       case _ => StringType
     }
     def merge(a: DataType, b: DataType): DataType = (a, b) match {
@@ -138,12 +139,27 @@ object Connectors {
     }
   }
 
+  /** Shape a DataFrame for a file-connection write. Default is natural
+    * partitioning — every task writes its own part file, the only shape
+    * that survives 100 TB. Single-file output (the reference's inherent
+    * behavior for its row-at-a-time sinks) is opt-in via SINGLE_FILE, and
+    * COALESCE=n gives explicit control. Exposed for PlanSpec to assert
+    * the default plan carries no Coalesce(1).
+    */
+  def prepareFileWrite(df: DataFrame, conn: Ast.Connection): DataFrame =
+    opt(conn.options, "COALESCE").map(n => df.coalesce(n.trim.toInt))
+      .getOrElse {
+        if (opt(conn.options, "SINGLE_FILE")
+              .exists(v => Ast.truthy(Ast.OptStr(v)))) df.coalesce(1)
+        else df
+      }
+
   def writeFile(df: DataFrame, conn: Ast.Connection): Unit = {
     val path = opt(conn.options, "FILE")
       .orElse(opt(conn.options, "CONNECTIONSTRING"))
       .getOrElse(throw new IllegalArgumentException(
         s"connection ${conn.name}: FILE option required"))
-    val writer = df.coalesce(1).write.mode("overwrite")
+    val writer = prepareFileWrite(df, conn).write.mode("overwrite")
     format(conn, path) match {
       case "parquet" => writer.parquet(path)
       case "json" => writer.json(path)
@@ -151,6 +167,62 @@ object Connectors {
       case other => throw new IllegalArgumentException(
         s"connection ${conn.name}: unsupported file format $other")
     }
+  }
+
+  // ---------------------------------------------------------------- excel
+
+  /** Excel source (reference engine/excel_source.go via [[Excel]]): read
+    * the RANGE from SHEET, probe cell types, infer the Spark schema. The
+    * file is a single driver-side artifact (like the HTTP source): parse
+    * on the driver, then parallelize via createDataFrame.
+    */
+  def readExcel(spark: SparkSession, conn: Ast.Connection): DataFrame = {
+    val path = opt(conn.options, "FILE")
+      .orElse(opt(conn.options, "CONNECTIONSTRING"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"connection ${conn.name}: FILE option required"))
+    val sheet = opt(conn.options, "SHEET").getOrElse(
+      throw new IllegalArgumentException(
+        s"connection ${conn.name}: SHEET option required"))
+    val range = Excel.parseRange(opt(conn.options, "RANGE").getOrElse(
+      throw new IllegalArgumentException(
+        s"connection ${conn.name}: RANGE option required")))
+    val columns = opt(conn.options, "COLUMNS")
+      .map(_.split(",").map(_.trim).toSeq)
+    val dateFmt = opt(conn.options, "DATEFORMAT")
+    val (cols, rows) = Excel.readTable(
+      java.nio.file.Paths.get(path), sheet, range, columns, dateFmt)
+    fromRows(spark, rows, cols)
+  }
+
+  /** Excel destination (reference engine/excel_dest.go via [[Excel]]).
+    * `option` resolves WITH-block + connection options (block wins), the
+    * same precedence the reference's OptionScanner applies. COLUMNS picks
+    * input columns by name, case-insensitively (engine/util.go:10-31).
+    * Collects to the driver: an XLSX is a single bounded artifact (its
+    * RANGE is the contract) — the distributed sink is the file connector.
+    */
+  def writeExcel(df: DataFrame, conn: Ast.Connection,
+                 option: String => Option[String]): Unit = {
+    val path = option("FILE")
+      .orElse(option("CONNECTIONSTRING"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"connection ${conn.name}: FILE option required"))
+    val sheet = option("SHEET").getOrElse(
+      throw new IllegalArgumentException(
+        s"connection ${conn.name}: SHEET option required"))
+    val range = Excel.parseRange(option("RANGE").getOrElse(
+      throw new IllegalArgumentException(
+        s"connection ${conn.name}: RANGE option required")))
+    val projected = option("COLUMNS")
+      .map(cs => df.select(cs.split(",").map(c => df.col(c.trim)).toSeq: _*))
+      .getOrElse(df)
+    val overwrite = option("OVERWRITE").exists(v => Ast.truthy(Ast.OptStr(v)))
+    val transpose = option("TRANSPOSE").exists(v => Ast.truthy(Ast.OptStr(v)))
+    val template = option("TEMPLATE").map(java.nio.file.Paths.get(_))
+    val rows: Seq[Seq[Any]] = projected.collect().toSeq.map(_.toSeq)
+    Excel.writeTable(java.nio.file.Paths.get(path), sheet, range, rows,
+      overwrite, template, transpose)
   }
 
   private def format(conn: Ast.Connection, path: String): String =

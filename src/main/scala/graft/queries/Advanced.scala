@@ -277,6 +277,10 @@ object Advanced {
     // on term — shuffle ∝ |vocab|, broadcast back (vocab ≪ corpus); then a
     // per-doc window for top-k. Integer tf/df feed ln(N/df), so the score
     // is bit-identical across engines (rounded 1e-6 like all float gates).
+    // n_docs is computed in-plan (1-row count aggregate, broadcast
+    // cross-join — the oracle's CROSS JOIN n shape) rather than a
+    // driver-side count() action, so the whole query is one job and the
+    // count scan is a zero-column parquet metadata read.
     QueryDef(
       "q56_tfidf",
       """WITH toks AS (
@@ -298,7 +302,7 @@ object Advanced {
         |  FROM scored)
         |WHERE rank <= 5""".stripMargin) { (s, dir) =>
       val docs = t(s, dir, "documents")
-      val nDocs = docs.count()
+      val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
       val toks = docs
         .select(col("doc_id"),
           explode(split(lower(col("text")), "[^a-z]+")).as("term"))
@@ -309,8 +313,9 @@ object Advanced {
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tfidf").desc, col("term"))
       tf.join(broadcast(df), "term")
+        .crossJoin(broadcast(nDocs))
         .withColumn("tfidf",
-          round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
+          round(col("tf") * log(col("n_docs") / col("df")), 6))
         .withColumn("rank", row_number().over(w))
         .where(col("rank") <= 5)
         .select(col("doc_id"), col("term"), col("tfidf"), col("rank"))

@@ -116,5 +116,42 @@ object AqlQ {
            |) INTO CONSOLE WITH (OUTPUT_FORMAT = 'JSON')""".stripMargin
       Aql.run(s, script).outputs("STATS")
     },
+
+    // Excel connector e2e (reference engine/excel_source.go / excel_dest.go
+    // — the reference's headline non-SQL source/sink): stage the nation
+    // table out through an XLSX destination, read it back through an Excel
+    // source in the same script (AFTER gives the happens-before), and
+    // hash-match the direct-parquet oracle. Keys come back as longs via
+    // the reference's int-first cell probe, hence the BIGINT casts in the
+    // oracle.
+    QueryDef(
+      "q60_aql_excel_e2e",
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation""".stripMargin) { (s, dir) =>
+      val xlsx = java.nio.file.Files
+        .createTempDirectory("graft_q60").resolve("nation.xlsx").toString
+      val script =
+        s"""CONNECTION 'NationPq' (
+           |  DRIVER = 'file', FILE = '$dir/nation.parquet',
+           |  FORMAT = 'parquet'
+           |)
+           |CONNECTION 'Workbook' (
+           |  DRIVER = 'excel', FILE = '$xlsx', SHEET = 'Nations',
+           |  RANGE = 'A1:C*',
+           |  COLUMNS = 'n_nationkey, n_name, n_regionkey'
+           |)
+           |
+           |TRANSFORM 'Stage' FROM CONNECTION NationPq (
+           |  APPLY n_nationkey, n_name, n_regionkey
+           |) INTO CONNECTION Workbook
+           |
+           |TRANSFORM 'FromXlsx' FROM CONNECTION Workbook (
+           |  APPLY n_nationkey, n_name, n_regionkey
+           |) INTO CONSOLE
+           |  WITH (OUTPUT_FORMAT = 'JSON')
+           |  AFTER Stage""".stripMargin
+      Aql.run(s, script).outputs("FROMXLSX")
+    },
   )
 }

@@ -163,7 +163,7 @@ object Dedup {
 
     // ---- Near-dup via 64-bit SimHash + 16-bit band blocking. ----
     // No oracle: SimHash depends on xxhash64 bit patterns, which DuckDB
-    // cannot reproduce; recall asserted in DedupSpec against q31's exact
+    // cannot reproduce; recall asserted in PipelineSpec against q31's exact
     // pairs.
     QueryDef.noOracle("q33_dedup_simhash") { (s, dir) =>
       val fp = docs(s, dir)

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   *    table; candidates = bucket collisions in any table, exact-reranked.
   *    The scale path: corpus bucketing is a one-off narrow projection; at
   *    query time only colliding buckets are scanned. Recall vs. q34 is
-  *    asserted in SimilaritySpec (engine-specific hashing ⇒ no SQL oracle).
+  *    asserted in PipelineSpec (engine-specific hashing ⇒ no SQL oracle).
   *
   * All math in double precision end-to-end: float dot products would
   * diverge between engines and across partitionings.
@@ -110,7 +110,7 @@ object Similarity {
     // only the nprobe cells whose centroids are nearest the query, exact
     // cosine rerank inside. At 100 TB the assignment is one narrow
     // column; each query touches nprobe/k of the corpus. Recall vs. q34
-    // asserted in SimilaritySpec (training is engine-specific ⇒ no oracle).
+    // asserted in PipelineSpec (training is engine-specific ⇒ no oracle).
     QueryDef.noOracle("q46_ann_ivf") { (s, dir) =>
       val K_ = 16; val NProbe = 4
       val e = emb(s, dir).withColumn("nrm", l2norm(col("v")))

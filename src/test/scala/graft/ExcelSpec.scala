@@ -1,0 +1,174 @@
+package graft
+
+import graft.engine.{Aql, Excel}
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Path}
+
+/** Excel connector semantics, mirroring the reference's own tests
+  * (reference engine/excel_source_test.go, excel_dest_test.go) plus an
+  * AQL e2e round-trip.
+  */
+class ExcelSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def tmp(name: String): Path =
+    Files.createTempDirectory("graft_excel").resolve(name)
+
+  test("parseRange: fixed, row-wildcard, column-wildcard, errors") {
+    assert(Excel.parseRange("A1:C4") ==
+      Excel.CellRange(1, 1, Excel.RangePoint(false, 3), Excel.RangePoint(false, 4)))
+    assert(Excel.parseRange("B2:B*") ==
+      Excel.CellRange(2, 2, Excel.RangePoint(false, 2), Excel.RangePoint(true, 0)))
+    assert(Excel.parseRange("A1:*2") ==
+      Excel.CellRange(1, 1, Excel.RangePoint(true, 0), Excel.RangePoint(false, 2)))
+    assert(Excel.parseRange("AA10:AB12").x1 == 27)
+    intercept[IllegalArgumentException](Excel.parseRange("A1:**"))
+    intercept[IllegalArgumentException](Excel.parseRange("A1B2"))
+    intercept[IllegalArgumentException](Excel.parseRange("A1:B"))
+  }
+
+  test("column letters round-trip") {
+    Seq(1 -> "A", 26 -> "Z", 27 -> "AA", 52 -> "AZ", 53 -> "BA", 703 -> "AAA")
+      .foreach { case (n, s) =>
+        assert(Excel.colLetters(n) == s)
+        assert(Excel.lettersToCol(s) == n)
+      }
+  }
+
+  test("typed round-trip: long / double / bool / string / timestamp") {
+    val f = tmp("typed.xlsx")
+    val ts = java.sql.Timestamp.from(java.time.Instant.parse("2024-03-01T12:30:00Z"))
+    val rows: Seq[Seq[Any]] = Seq(
+      Seq(1L, 1.5, true, "hello world", ts),
+      Seq(-2L, 2.0, false, "ünïcode & <xml>", ts))
+    Excel.writeTable(f, "Data", Excel.parseRange("A1:E*"), rows,
+      overwrite = false, template = None, transpose = false)
+    val (cols, got) = Excel.readTable(f, "Data", Excel.parseRange("A1:E*"),
+      Some(Seq("a", "b", "c", "d", "e")), None)
+    assert(cols == Seq("a", "b", "c", "d", "e"))
+    assert(got.size == 2)
+    assert(got(0) == Seq(1L, 1.5, true, "hello world", ts))
+    // 2.0 renders as "2" and probes back as the integer 2 — the
+    // reference's int-first probe does exactly this (excel_source.go:234)
+    assert(got(1) == Seq(-2L, 2L, false, "ünïcode & <xml>", ts))
+  }
+
+  test("header-in-range read (COLUMNS absent => first row is names)") {
+    val f = tmp("hdr.xlsx")
+    val rows: Seq[Seq[Any]] = Seq(
+      Seq("Month", "Sales"), Seq("Jan", 100L), Seq("Feb", 200L))
+    Excel.writeTable(f, "2017", Excel.parseRange("A1:B*"), rows,
+      overwrite = false, template = None, transpose = false)
+    val (cols, got) = Excel.readTable(f, "2017", Excel.parseRange("A1:B*"),
+      None, None)
+    assert(cols == Seq("Month", "Sales"))
+    assert(got == Seq(Seq("Jan", 100L), Seq("Feb", 200L)))
+    // column-wildcard + header row is rejected (excel_source.go:128)
+    intercept[IllegalArgumentException] {
+      Excel.readTable(f, "2017", Excel.parseRange("A1:*3"), None, None)
+    }
+  }
+
+  test("row-wildcard read stops at first fully-empty row") {
+    val f = tmp("gap.xlsx")
+    Excel.writeTable(f, "S", Excel.parseRange("A1:A*"),
+      Seq(Seq(1L), Seq(2L)), overwrite = false, template = None,
+      transpose = false)
+    // rows 1-2 filled, row 3 empty, then more data at row 4
+    val wb2 = Excel.load(f)
+    wb2.cellsOf("S")((1, 4)) = Excel.NumCell("99")
+    Excel.save(wb2, f)
+    val (_, got) = Excel.readTable(f, "S", Excel.parseRange("A1:A*"),
+      Some(Seq("v")), None)
+    assert(got == Seq(Seq(1L), Seq(2L))) // stopped before the gap
+    val (_, fixed) = Excel.readTable(f, "S", Excel.parseRange("A1:A4"),
+      Some(Seq("v")), None)
+    assert(fixed == Seq(Seq(1L), Seq(2L), Seq(""), Seq(99L))) // fixed range keeps empties
+  }
+
+  test("transpose writes columns down the sheet") {
+    val f = tmp("tr.xlsx")
+    Excel.writeTable(f, "T", Excel.parseRange("A1:B2"),
+      Seq(Seq(1L, 2L), Seq(3L, 4L)), overwrite = false, template = None,
+      transpose = true)
+    val (_, got) = Excel.readTable(f, "T", Excel.parseRange("A1:B2"),
+      Some(Seq("c1", "c2")), None)
+    // row i of input became column i: cell (A2)=2 (row1 col2 transposed)
+    assert(got == Seq(Seq(1L, 3L), Seq(2L, 4L)))
+  }
+
+  test("overwrite gate and fixed-range overflow") {
+    val f = tmp("ow.xlsx")
+    Excel.writeTable(f, "S", Excel.parseRange("A1:A*"), Seq(Seq(1L)),
+      overwrite = false, template = None, transpose = false)
+    intercept[IllegalArgumentException] {
+      Excel.writeTable(f, "S", Excel.parseRange("A1:A*"), Seq(Seq(2L)),
+        overwrite = false, template = None, transpose = false)
+    }
+    intercept[IllegalArgumentException] { // 2 rows into a 1-row range
+      Excel.writeTable(tmp("of.xlsx"), "S", Excel.parseRange("A1:A1"),
+        Seq(Seq(1L), Seq(2L)), overwrite = false, template = None,
+        transpose = false)
+    }
+    intercept[IllegalArgumentException] { // 2 cols into a 1-col range
+      Excel.writeTable(tmp("of2.xlsx"), "S", Excel.parseRange("A1:A9"),
+        Seq(Seq(1L, 2L)), overwrite = false, template = None,
+        transpose = false)
+    }
+  }
+
+  test("template: populated copy keeps the template's other cells") {
+    val tpl = tmp("template.xlsx")
+    Excel.writeTable(tpl, "Report", Excel.parseRange("A1:B1"),
+      Seq(Seq("Title", "KeepMe")), overwrite = false, template = None,
+      transpose = false)
+    val out = tmp("filled.xlsx")
+    Excel.writeTable(out, "Report", Excel.parseRange("A2:B*"),
+      Seq(Seq(10L, 20L), Seq(30L, 40L)), overwrite = false,
+      template = Some(tpl), transpose = false)
+    val (_, got) = Excel.readTable(out, "Report", Excel.parseRange("A1:B3"),
+      Some(Seq("a", "b")), None)
+    assert(got == Seq(Seq("Title", "KeepMe"), Seq(10L, 20L), Seq(30L, 40L)))
+    // template itself untouched
+    val (_, t) = Excel.readTable(tpl, "Report", Excel.parseRange("A1:B1"),
+      Some(Seq("a", "b")), None)
+    assert(t == Seq(Seq("Title", "KeepMe")))
+  }
+
+  test("two blocks writing different sheets of one workbook accumulate") {
+    val f = tmp("multi.xlsx")
+    Excel.writeTable(f, "One", Excel.parseRange("A1:A*"), Seq(Seq(1L)),
+      overwrite = false, template = None, transpose = false)
+    Excel.writeTable(f, "Two", Excel.parseRange("A1:A*"), Seq(Seq(2L)),
+      overwrite = true, template = None, transpose = false)
+    assert(Excel.readTable(f, "One", Excel.parseRange("A1:A*"),
+      Some(Seq("v")), None)._2 == Seq(Seq(1L)))
+    assert(Excel.readTable(f, "Two", Excel.parseRange("A1:A*"),
+      Some(Seq("v")), None)._2 == Seq(Seq(2L)))
+  }
+
+  test("AQL e2e: query -> Excel dest -> Excel source round-trip") {
+    // mirrors the reference docs' dest example (connections.md "As
+    // destination") + source example, chained with AFTER
+    val f = tmp("e2e.xlsx")
+    val r = Aql.run(spark,
+      s"""CONNECTION 'Workbook' (
+         |  DRIVER = 'excel', FILE = '$f', SHEET = 'TestSheet',
+         |  RANGE = 'A1:B*', COLUMNS = 'Id, Name'
+         |)
+         |
+         |DATA 'People' (
+         |  [[1, "Bob"], [2, "Alice"]]
+         |) WITH (COLUMNS = 'Id, Name')
+         |
+         |TRANSFORM 'Out' FROM BLOCK People (
+         |  APPLY Id, Name
+         |) INTO CONNECTION Workbook
+         |
+         |TRANSFORM 'Back' FROM CONNECTION Workbook (
+         |  AGGREGATE COUNT(Id) AS n, SUM(Id) AS total
+         |) INTO CONSOLE WITH (OUTPUT_FORMAT = 'JSON') AFTER Out""".stripMargin)
+    assert(r.console.exists(s => s.contains("\"n\":2") && s.contains("\"total\":3")))
+  }
+}

@@ -53,6 +53,28 @@ class PlanSpec extends AnyFunSuite {
       s"no codegen span:\n$p")
   }
 
+  test("file-sink write plan has no Coalesce(1) by default") {
+    import graft.aql.Ast
+    import graft.engine.Connectors
+    val df = Tables.load(spark, sfDir, "lineitem")
+    def conn(opts: (String, String)*): Ast.Connection =
+      Ast.Connection("OUT", opts.map { case (k, v) =>
+        k.toUpperCase -> (Ast.OptStr(v): Ast.OptVal) }.toMap)
+    // default: natural partitioning — every task writes its own part file
+    val natural = Connectors.prepareFileWrite(df, conn("FILE" -> "/tmp/x"))
+      .queryExecution.analyzed.toString
+    assert(!natural.contains("Repartition"),
+      s"default file write funnels through a coalesce:\n$natural")
+    // single-file output is opt-in
+    val single = Connectors.prepareFileWrite(df,
+      conn("FILE" -> "/tmp/x", "SINGLE_FILE" -> "true"))
+    assert(single.rdd.getNumPartitions == 1)
+    // coalesce only ever reduces; start from 4 partitions to see it act
+    val n = Connectors.prepareFileWrite(df.repartition(4),
+      conn("FILE" -> "/tmp/x", "COALESCE" -> "2"))
+    assert(n.rdd.getNumPartitions == 2)
+  }
+
   test("bucketed tables co-locate the join: no shuffle on either side") {
     // The 100 TB repeated-join pattern: bucket both tables on the join
     // key at write time, and every subsequent equi-join on that key runs

@@ -10,23 +10,29 @@ import scala.jdk.CollectionConverters._
   * aql/parser.go:589-687), and resolves INCLUDE/EXTERN files up to depth 8
   * (parser.go:717-827). We support the documented usage — `{{ Param }}` /
   * `{{ .Param }}` substitution (docs-src/docs/blocks.md "Templating") —
-  * not the full Go template language (conditionals/loops are undocumented
-  * and unused in the reference's own scripts and tests).
+  * plus a default-value pipe `{{ .Param | default 'x' }}` for optional
+  * parameters. The full Go template language (conditionals/loops) is
+  * undocumented and unused in the reference's own scripts and tests; the
+  * divergence is recorded in README "Divergences".
   */
 object Template {
 
   val MaxIncludeDepth = 8
 
-  private val Param = raw"\{\{\s*\.?(\w+)\s*\}\}".r
+  private val Param =
+    raw"""\{\{\s*\.?(\w+)(?:\s*\|\s*default\s+(?:"([^"]*)"|'([^']*)'|(\S+)))?\s*\}\}""".r
 
   def eval(content: String, params: Map[String, String]): String =
     Param.replaceAllIn(content, m => {
       val key = m.group(1)
+      val fallback = Option(m.group(2))
+        .orElse(Option(m.group(3))).orElse(Option(m.group(4)))
       params.collectFirst {
         case (k, v) if k.equalsIgnoreCase(key) =>
           scala.util.matching.Regex.quoteReplacement(v)
-      }.getOrElse(throw new IllegalArgumentException(
-        s"undefined template parameter: $key"))
+      }.orElse(fallback.map(scala.util.matching.Regex.quoteReplacement))
+        .getOrElse(throw new IllegalArgumentException(
+          s"undefined template parameter: $key"))
     })
 
   /** Parse a script, resolving INCLUDE blocks (recursively, relative to

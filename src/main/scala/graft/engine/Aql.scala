@@ -188,7 +188,7 @@ object Aql {
       case "file" | "csv" | "parquet" | "json" => Connectors.readFile(spark, c)
       case "http" => Connectors.readHttp(spark, c, httpFetch)
       case "excel" => Connectors.readExcel(spark, c)
-      case "mssql" | "postgres" | "sqlite3" =>
+      case "mssql" | "postgres" | "sqlite3" | "derby" =>
         // JDBC path: ships the query/table to the database verbatim,
         // like the reference (sql_source.go:170); needs a live DB.
         spark.read.format("jdbc")
@@ -242,7 +242,7 @@ object Aql {
           case FromConnection(cn) =>
             val c = connection(cn)
             driverOf(c) match {
-              case "mssql" | "postgres" | "sqlite3" =>
+              case "mssql" | "postgres" | "sqlite3" | "derby" =>
                 val url = Connectors.opt(c.options, "CONNECTIONSTRING")
                   .getOrElse(throw AqlError(
                     s"connection ${c.name}: CONNECTIONSTRING required"))
@@ -267,7 +267,7 @@ object Aql {
           case FromConnection(cn) =>
             val c = connection(cn)
             driverOf(c) match {
-              case "mssql" | "postgres" | "sqlite3" =>
+              case "mssql" | "postgres" | "sqlite3" | "derby" =>
                 // ship query verbatim to the database (reference behavior)
                 spark.read.format("jdbc")
                   .option("url", Connectors.opt(c.options, "CONNECTIONSTRING")
@@ -284,10 +284,28 @@ object Aql {
         }
 
       case t: Transform if t.plugin =>
-        throw AqlError(
-          s"TRANSFORM PLUGIN ${t.name}: external-process plugins are an " +
-            "extensibility mechanism, not a query capability (SURVEY " +
-            "§2.9); not supported in this engine")
+        // external-process transform over the reference's JSON-RPC stdio
+        // protocol (plugins/api.go, transform_rpc.go) — see [[Plugins]]
+        val exe = optionOf(t.options, None, "EXECUTABLE").getOrElse(
+          throw AqlError(
+            s"TRANSFORM PLUGIN ${t.name}: EXECUTABLE option required"))
+        val args = optionOf(t.options, None, "ARGS")
+          .map(Plugins.parseArgs).getOrElse(Seq.empty)
+        val srcs: Seq[(String, DataFrame)] = t.sources.map {
+          case FromBlock(srcName) => srcName -> build(srcName)
+          case FromConnection(cn) =>
+            val c = connection(cn); c.name -> readConnection(c)
+          case FromGlobal => throw AqlError(
+            s"TRANSFORM PLUGIN ${t.name}: FROM GLOBAL requires a TABLE — " +
+              "use FROM BLOCK over a QUERY instead")
+        }
+        val destNames = t.dests.map {
+          case IntoConnection(cn) => cn
+          case IntoConsole => "CONSOLE"
+          case IntoGlobal => "GLOBAL"
+          case IntoParameter(_) => "PARAMETER"
+        }
+        Plugins.runTransform(spark, exe, args, t.options, srcs, destNames)
 
       case t: Transform =>
         val srcs: Seq[(String, DataFrame)] = t.sources.map {
@@ -369,7 +387,7 @@ object Aql {
             Connectors.writeFile(out, c)
           case "excel" =>
             Connectors.writeExcel(out, c, optionOf(optsOf(b), Some(c), _))
-          case "mssql" | "postgres" | "sqlite3" =>
+          case "mssql" | "postgres" | "sqlite3" | "derby" =>
             // Batched JDBC append (reference engine/sql_dest.go:70-192;
             // default 500 rows/batch, ROWS_PER_BATCH override :110-115).
             // The executor-side writer batches per partition — the

@@ -40,14 +40,29 @@ final class GlobalStore(spark: SparkSession) {
       case None => register(name, df)
     }
 
-  /** Execute a GLOBAL block body: `;`-separated CREATE TABLE / INSERT. */
+  /** Execute a GLOBAL block body: `;`-separated statements. The reference
+    * hands the body to SQLite verbatim ("any valid SQL",
+    * compiler.go:348-366 globalInit); here the DML surface — CREATE TABLE,
+    * INSERT VALUES, INSERT…SELECT, CREATE TABLE AS SELECT, UPDATE, DELETE,
+    * DROP — is interpreted as DataFrame rewrites over the stored tables,
+    * with expressions in Spark SQL dialect (divergence documented in
+    * SURVEY §7.3).
+    */
   def execute(body: String): Unit =
     GlobalStore.splitStatements(body).foreach(executeOne)
 
   private val CreateRe =
     raw"(?is)^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.*)\)\s*$$".r
+  private val CtasRe =
+    raw"(?is)^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+AS\s+(SELECT\b.*)$$".r
   private val InsertRe =
     raw"(?is)^INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\))?\s*VALUES\s*(.*)$$".r
+  private val InsertSelectRe =
+    raw"(?is)^INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\))?\s*(SELECT\b.*)$$".r
+  private val UpdateRe =
+    raw"(?is)^UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.+?))?\s*$$".r
+  private val DeleteRe =
+    raw"(?is)^DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.+?))?\s*$$".r
   private val DropRe = raw"(?is)^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$$".r
 
   private def executeOne(stmt: String): Unit = stmt.trim match {
@@ -80,12 +95,72 @@ final class GlobalStore(spark: SparkSession) {
         })
       }
       append(name, spark.createDataFrame(rows.asJava, schema))
+    case CtasRe(name, select) =>
+      // CREATE TABLE AS SELECT: the select resolves against the already-
+      // registered views, so the new table's plan snapshots their state
+      register(name, spark.sql(select))
+    case InsertSelectRe(name, colList, select) =>
+      val target = get(name).getOrElse(throw new IllegalArgumentException(
+        s"INSERT into unknown GLOBAL table $name"))
+      val src = spark.sql(select)
+      val insertCols = Option(colList).map(_.split(",").map(_.trim).toSeq)
+        .getOrElse(target.schema.map(_.name).toSeq)
+      if (src.columns.length != insertCols.length)
+        throw new IllegalArgumentException(
+          s"INSERT arity mismatch for $name: ${src.columns.length} select " +
+            s"columns vs ${insertCols.length} target columns")
+      val renamed = src.toDF(insertCols: _*)
+      val aligned = target.schema.map { f =>
+        if (insertCols.exists(_.equalsIgnoreCase(f.name)))
+          org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)
+        else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+      }
+      append(name, renamed.select(aligned.toSeq: _*))
+    case UpdateRe(name, setList, whereOpt) =>
+      import org.apache.spark.sql.functions.{col, expr, when, lit}
+      val df = get(name).getOrElse(throw new IllegalArgumentException(
+        s"UPDATE of unknown GLOBAL table $name"))
+      val cond = Option(whereOpt).map(expr).getOrElse(lit(true))
+      val assigns = GlobalStore.splitTop(setList).map { a =>
+        val i = a.indexOf('=')
+        if (i < 0) throw new IllegalArgumentException(
+          s"UPDATE $name: bad assignment '$a'")
+        (a.take(i).trim, a.drop(i + 1).trim)
+      }
+      assigns.foreach { case (c, _) =>
+        if (!df.columns.exists(_.equalsIgnoreCase(c)))
+          throw new IllegalArgumentException(s"UPDATE $name: no column $c")
+      }
+      // one select evaluating every RHS against the OLD row (SQL update
+      // semantics — later assignments must not see earlier ones); WHEN
+      // treats a NULL condition as false, keeping the old value, and the
+      // cast pins each column to its declared type
+      val updated = df.select(df.schema.map { f =>
+        assigns.find(_._1.equalsIgnoreCase(f.name)) match {
+          case Some((_, e)) =>
+            when(cond, expr(e).cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }.toSeq: _*)
+      register(name, updated)
+    case DeleteRe(name, whereOpt) =>
+      import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+      val df = get(name).getOrElse(throw new IllegalArgumentException(
+        s"DELETE from unknown GLOBAL table $name"))
+      val remaining = Option(whereOpt) match {
+        // keep rows where the condition is FALSE or NULL (SQL deletes
+        // only TRUE rows)
+        case Some(w) => df.filter(not(coalesce(expr(w), lit(false))))
+        case None => df.limit(0)
+      }
+      register(name, remaining)
     case DropRe(name) =>
       tables.remove(name.toUpperCase)
       spark.catalog.dropTempView(name)
     case other =>
       throw new IllegalArgumentException(
-        s"unsupported GLOBAL statement (CREATE TABLE / INSERT / DROP): " +
+        s"unsupported GLOBAL statement (CREATE TABLE / INSERT [VALUES|" +
+          s"SELECT] / CREATE TABLE AS SELECT / UPDATE / DELETE / DROP): " +
           other.take(80))
   }
 }

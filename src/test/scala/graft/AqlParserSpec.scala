@@ -67,6 +67,19 @@ class AqlParserSpec extends AnyFunSuite {
     assert(c.options("FILE") == Ast.OptStr("./x.csv"))
   }
 
+  test("template: {{ Param }} substitution and default-value pipes") {
+    import graft.aql.Template
+    val params = Map("NAME" -> "lineitem")
+    assert(Template.eval("read {{ Name }} now", params) == "read lineitem now")
+    assert(Template.eval("read {{ .NAME }} now", params) == "read lineitem now")
+    // default pipe fires only when the parameter is undefined
+    assert(Template.eval("{{ Missing | default 'fb' }}", params) == "fb")
+    assert(Template.eval("{{ Missing | default \"fb2\" }}", params) == "fb2")
+    assert(Template.eval("{{ Missing | default 42 }}", params) == "42")
+    assert(Template.eval("{{ Name | default 'fb' }}", params) == "lineitem")
+    intercept[IllegalArgumentException](Template.eval("{{ Missing }}", params))
+  }
+
   test("parser: errors carry position") {
     val e = intercept[Parser.ParseError](Parser.parse("FROB 'x' ()"))
     assert(e.msg.contains("unknown block type"))

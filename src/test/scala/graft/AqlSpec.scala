@@ -335,6 +335,153 @@ class AqlSpec extends AnyFunSuite {
     assert(r.console.head.contains("\"n\":3"))
   }
 
+  test("GLOBAL arbitrary DML: UPDATE / DELETE / CTAS / INSERT-SELECT") {
+    // the reference runs any SQLite statement against GLOBAL
+    // (compiler.go:348-366); EXEC-driven scratch-table bookkeeping must
+    // change what later QUERYs see
+    val r = Aql.run(spark,
+      """GLOBAL 'Init' (
+        |  CREATE TABLE Jobs (Id int, Status text, Score real);
+        |  INSERT INTO Jobs VALUES
+        |    (1, 'new', 0.5), (2, 'new', 0.9), (3, 'done', 0.1);
+        |  UPDATE Jobs SET Status = 'queued', Score = Score * 2
+        |    WHERE Status = 'new' AND Score > 0.6;
+        |  DELETE FROM Jobs WHERE Status = 'done';
+        |  CREATE TABLE Queued AS
+        |    SELECT Id, Score FROM Jobs WHERE Status = 'queued';
+        |  INSERT INTO Queued SELECT Id + 10, Score FROM Queued
+        |)
+        |
+        |QUERY 'Check' FROM GLOBAL (
+        |  SELECT count(*) AS n_jobs,
+        |    (SELECT count(*) FROM Queued) AS n_queued,
+        |    (SELECT max(Score) FROM Queued) AS top
+        |  FROM Jobs
+        |) INTO CONSOLE WITH (OUTPUT_FORMAT = 'JSON')""".stripMargin)
+    // Jobs: 3 - 1 deleted = 2; Queued: job 2 (score 1.8) + its +10 copy
+    assert(r.console.head.contains("\"n_jobs\":2"))
+    assert(r.console.head.contains("\"n_queued\":2"))
+    assert(r.console.head.contains("\"top\":1.8"))
+  }
+
+  test("EXEC UPDATE/DELETE between reads changes subsequent QUERY results") {
+    val r = Aql.run(spark,
+      """GLOBAL 'Init' (
+        |  CREATE TABLE T (Id int, V int);
+        |  INSERT INTO T VALUES (1, 10), (2, 20), (3, 30)
+        |)
+        |
+        |QUERY 'Before' FROM GLOBAL (
+        |  SELECT sum(V) AS total FROM T
+        |) INTO CONSOLE WITH (OUTPUT_FORMAT = 'JSON')
+        |
+        |EXEC 'Bump' FROM GLOBAL (
+        |  UPDATE T SET V = V + 1 WHERE Id < 3;
+        |  DELETE FROM T WHERE Id = 1
+        |) AFTER Before
+        |
+        |QUERY 'After' FROM GLOBAL (
+        |  SELECT sum(V) AS total FROM T
+        |) INTO CONSOLE WITH (OUTPUT_FORMAT = 'JSON') AFTER Bump""".stripMargin)
+    assert(r.console.exists(_.contains("\"total\":60"))) // before
+    assert(r.console.exists(_.contains("\"total\":51"))) // 21 + 30
+  }
+
+  test("TRANSFORM PLUGIN: JSON-RPC stdio subprocess filter -> Excel dest") {
+    // mirrors reference compiler_test.go:557-608 (TestCompilerWithTransform
+    // with test_filter.py): two query blocks stream through an external
+    // python process that keeps positive values, into an XLSX destination.
+    // The fixture speaks the reference's wire protocol (net/rpc jsonrpc
+    // framing) but is an original stdlib-only implementation.
+    val dir = java.nio.file.Files.createTempDirectory("graft_plugin")
+    val script = dir.resolve("filter_negatives.py")
+    java.nio.file.Files.writeString(script,
+      """#!/usr/bin/env python3
+        |import sys, json
+        |
+        |def handle(method, arg):
+        |    if method == "receive":
+        |        if not arg:
+        |            return {}  # EOS
+        |        rows = [{"destination": "", "data": [r["data"][0]]}
+        |                for r in arg if r["data"][0] > 0]
+        |        return {"rows": rows} if rows else {}
+        |    if method == "get_output_columns":
+        |        return {"": ["Value"]}
+        |    return ""
+        |
+        |for line in sys.stdin:
+        |    req = json.loads(line)
+        |    arg = req["params"][0] if req.get("params") else None
+        |    out = {"id": req["id"], "result": handle(req["method"], arg),
+        |           "error": None}
+        |    sys.stdout.write(json.dumps(out) + "\n")
+        |    sys.stdout.flush()
+        |""".stripMargin)
+    val xlsx = dir.resolve("output_transform.xlsx")
+    val r = Aql.run(spark,
+      s"""CONNECTION 'Workbook' (
+         |  DRIVER = 'excel', FILE = '$xlsx', SHEET = 'TestSheet',
+         |  RANGE = 'A1:A*', COLUMNS = 'Value'
+         |)
+         |
+         |QUERY 'SliceOfData' FROM GLOBAL (
+         |  SELECT 1 AS Value UNION ALL SELECT -1 UNION ALL SELECT 2
+         |)
+         |
+         |QUERY 'SliceOfData2' FROM GLOBAL (
+         |  SELECT 10 AS Value UNION ALL SELECT 11 UNION ALL SELECT -2
+         |)
+         |
+         |TRANSFORM PLUGIN 'FilterNegatives'
+         |FROM BLOCK SliceOfData, BLOCK SliceOfData2 ()
+         |INTO CONNECTION Workbook
+         |WITH (
+         |  Multisource_Order = 'Sequential',
+         |  Executable = 'python3', Args = '["$script"]', Overwrite = 'True'
+         |)""".stripMargin)
+    assert(r.outputs("FILTERNEGATIVES").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(1L, 2L, 10L, 11L)))
+    val (_, cells) = graft.engine.Excel.readTable(xlsx, "TestSheet",
+      graft.engine.Excel.parseRange("A1:A*"), Some(Seq("Value")), None)
+    assert(cells.map(_.head.asInstanceOf[Long]).sorted ==
+      Seq(1L, 2L, 10L, 11L))
+  }
+
+  test("JDBC round-trip against embedded Derby: sink, EXEC DML, source") {
+    // first live exercise of the SQL connection paths (reference
+    // sql_dest.go batched insert / sql_source.go verbatim query / EXEC):
+    // Derby ships with Spark, so the JDBC writer, DriverManager EXEC, and
+    // JDBC reader all run for real. Upper-case identifiers avoid Derby's
+    // quoted-identifier case folding.
+    System.setProperty("derby.stream.error.file", "/tmp/derby_test.log")
+    val db = java.nio.file.Files.createTempDirectory("graft_derby")
+      .resolve("db").toString
+    val r = Aql.run(spark,
+      s"""CONNECTION 'DB' (
+         |  DRIVER = 'derby',
+         |  CONNECTIONSTRING = 'jdbc:derby:$db;create=true'
+         |)
+         |
+         |DATA 'People' (
+         |  [[1, "Bob"], [2, "Alice"], [3, "Eve"]]
+         |) WITH (COLUMNS = 'ID, NAME')
+         |
+         |TRANSFORM 'Load' FROM BLOCK People (
+         |  APPLY ID, NAME
+         |) INTO CONNECTION DB WITH (TABLE = 'PEOPLE')
+         |
+         |EXEC 'Cleanup' FROM CONNECTION DB (
+         |  DELETE FROM PEOPLE WHERE ID = 3
+         |) AFTER Load
+         |
+         |QUERY 'ReadBack' FROM CONNECTION DB (
+         |  SELECT COUNT(*) AS N, SUM(ID) AS TOTAL FROM PEOPLE
+         |) INTO CONSOLE WITH (OUTPUT_FORMAT = 'JSON') AFTER Cleanup""".stripMargin)
+    assert(r.console.head.contains("\"N\":2"))
+    assert(r.console.head.contains("\"TOTAL\":3"))
+  }
+
   test("multi-source transform unions inputs") {
     val r = Aql.run(spark,
       """DATA 'A' ([[1], [2]]) WITH (COLUMNS = 'V')

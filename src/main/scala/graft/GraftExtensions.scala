@@ -66,6 +66,30 @@ object GraftExtensions {
         intLit("lsh_buckets")(args(1)),
         intLit("lsh_buckets")(args(2)),
         intLit("lsh_buckets")(args(3)))),
+    // Spark's own bloom-filter aggregate, which the runtime-filter
+    // optimizer injects internally but does not expose in the registry.
+    // Registering it makes the build side of an explicit bloom-pruned
+    // semi-join (q63 pattern) writable as plain SQL; pairs with the
+    // built-in (registered) `might_contain`.
+    (FunctionIdentifier("bloom_filter_agg"),
+      info("bloom_filter_agg",
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate],
+        "bloom_filter_agg(xxhash64(col), estItems, numBits) - bloom filter of the values"),
+      (args: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          args(0), args(1), args(2))),
+    (FunctionIdentifier("text_normalize"),
+      info("text_normalize", classOf[graft.functions.NormalizeExpression],
+        "text_normalize(s) - Unicode NFC normalization + casefold"),
+      (args: Seq[Expression]) =>
+        graft.functions.NormalizeExpression(args.head)),
+    (FunctionIdentifier("might_contain"),
+      info("might_contain",
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain],
+        "might_contain(bloom, xxhash64(col)) - probe a bloom_filter_agg filter"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          args(0), args(1))),
   )
 
   /** Register on an already-built session (idempotent). */

@@ -321,6 +321,68 @@ object Advanced {
         .select(col("doc_id"), col("term"), col("tfidf"), col("rank"))
     },
 
+    // ---- Bloom-filtered semi-join: the 100 TB pattern for "keep fact rows
+    // whose key appears in a filtered dimension" without shuffling the fact
+    // side's non-matches. Build a bloom filter over the qualifying keys
+    // (bloom_filter_agg — one tiny aggregate), broadcast it, prune the big
+    // side map-side with might_contain, THEN verify with the exact semi
+    // join. The bloom pass is pure candidate pruning (false positives
+    // allowed), so the result equals the plain semi join and the oracle
+    // holds — candidates-then-verify, like the dedup family. Spark's AQE
+    // injects the same shape automatically for some joins; this gate keeps
+    // the explicit technique pinned.
+    QueryDef(
+      "q63_bloom_semi_join",
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_custkey IN (
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 300000)""".stripMargin) { (s, dir) =>
+      graft.GraftExtensions.register(s) // bloom_filter_agg / might_contain
+      val hot = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey"))
+      hot.createOrReplaceTempView("q63_hot")
+      t(s, dir, "customer").createOrReplaceTempView("q63_cust")
+      // might_contain requires the filter as a scalar subquery (or
+      // constant): the 1-row aggregate is computed once and broadcast as
+      // a value — the same plan shape Spark's runtime-filter injection
+      // produces
+      val pruned = s.sql(
+        """SELECT c_custkey, c_name, c_mktsegment FROM q63_cust
+          |WHERE might_contain(
+          |  (SELECT bloom_filter_agg(xxhash64(o_custkey), 100000L, 1048576L)
+          |   FROM q63_hot),
+          |  xxhash64(c_custkey))""".stripMargin)
+      pruned
+        .join(hot.distinct(), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    },
+
+    // ---- Unpivot (melt): wide metric columns → long (metric, value) rows,
+    // then per-group stats. Map-side row expansion (a Generate/Expand node,
+    // no shuffle until the aggregate); decimal sums keep the means exact
+    // under any partitioning.
+    QueryDef(
+      "q64_unpivot",
+      """SELECT l_returnflag, metric,
+        |  round(CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) / COUNT(v), 6) AS avg_v
+        |FROM (
+        |  SELECT l_returnflag, 'quantity' AS metric, l_quantity AS v FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'discount', l_discount FROM lineitem)
+        |GROUP BY l_returnflag, metric""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .unpivot(
+          Array(col("l_returnflag")),
+          Array(col("l_quantity").as("quantity"),
+            col("l_extendedprice").as("extendedprice"),
+            col("l_discount").as("discount")),
+          "metric", "v")
+        .groupBy(col("l_returnflag"), col("metric"))
+        .agg(round(dsum(col("v")) / count(col("v")), 6).as("avg_v"))
+    },
+
     // ---- Corpus top-terms: tokenize → explode → count → top-k. The
     // map-side-combine partial agg keeps the shuffle at |vocab| not |tokens|,
     // and TakeOrderedAndProject caps the sort at k rows per partition.

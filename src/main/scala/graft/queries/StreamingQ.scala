@@ -13,6 +13,12 @@ import org.apache.spark.sql.types._
 object StreamingQ {
   import Tables.dec2
 
+  // ZOH window shared with q20 (Timeseries): [2024-01-10, 2024-01-25) UTC.
+  // Must precede `entries`: the oracle SQL strings interpolate these at
+  // object init, and Scala vals initialize in declaration order.
+  private val ZohStartUs = 1704844800000000L
+  private val ZohEndUs = 1706140800000000L
+
   // events.parquet raw schema (ts is parquet TIMESTAMP(NANOS) → read as long)
   private val rawSchema = StructType(Seq(
     StructField("event_id", LongType),
@@ -181,5 +187,105 @@ object StreamingQ {
       } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
       s.table(viewName)
     },
+
+    // Streaming ZOH: the reference's signature aggregate (§2.6) as
+    // arbitrary per-key streaming state — flatMapGroupsWithState keeps each
+    // user's (time, value) points, emits the current window mean per
+    // microbatch (update mode), and the read-back keeps each user's
+    // highest-point-count emission = the final state. Exact-decimal
+    // integration makes the result identical to batch ZOH, so q20's oracle
+    // applies verbatim — the strongest correctness statement a stateful
+    // streaming op can get. On an unbounded source the same code runs with
+    // a watermark + state timeout evicting idle users; state is O(points
+    // per user), the same contract as the reference's in-memory reducer
+    // (zoh.go:175-236).
+    QueryDef(
+      "q61_stream_zoh",
+      s"""WITH pts AS (
+         |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+         |         CAST(value AS DECIMAL(18,2)) AS v
+         |  FROM events WHERE event_type = 'purchase'
+         |), seg AS (
+         |  SELECT user_id, t_us, v,
+         |    greatest(t_us, $ZohStartUs) AS seg_start,
+         |    least(coalesce(lead(t_us) OVER (PARTITION BY user_id ORDER BY t_us, v),
+         |                   $ZohEndUs), $ZohEndUs) AS seg_end
+         |  FROM pts)
+         |SELECT user_id,
+         |  CASE WHEN min(t_us) <= $ZohStartUs THEN
+         |    round(CAST(SUM(CASE WHEN seg_end > seg_start
+         |                  THEN v * CAST(seg_end - seg_start AS DECIMAL(16,0)) END) AS DOUBLE)
+         |      / ${(ZohEndUs - ZohStartUs).toDouble}, 6)
+         |  END AS zoh_mean
+         |FROM seg GROUP BY user_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val viewName = s"q61_mem_${java.util.UUID.randomUUID().toString.take(8)}"
+      val stream = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          expr("ts div 1000").as("t_us"), // nanos → micros
+          col("value"))
+        .as[(Long, Long, Double)]
+      val update = (user: Long, rows: Iterator[(Long, Long, Double)],
+                    state: GroupState[Seq[(Long, Double)]]) => {
+        val pts = (state.getOption.getOrElse(Seq.empty) ++
+          rows.map(r => (r._2, r._3))).sortBy(identity)
+        state.update(pts)
+        Iterator.single((user, pts.size.toLong,
+          Option(StreamingQ.zohExact(pts, ZohStartUs, ZohEndUs))
+            .map(_.doubleValue)))
+      }
+      val perBatch = stream.groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+        .toDF("user_id", "n_points", "zoh_mean")
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = perBatch.writeStream
+          .outputMode("update")
+          .format("memory")
+          .queryName(viewName)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try { q.awaitTermination(120000); () } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      // final state = the emission with the most points per user (point
+      // counts strictly increase across a user's emissions)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("n_points").desc)
+      s.table(viewName)
+        .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+        .select(col("user_id"), col("zoh_mean"))
+    },
   )
+
+  /** Exact-decimal ZOH fold over sorted points (the reference reducer's
+    * semantics, zoh.go:175-236): BigDecimal.valueOf(v) recovers the 2-dp
+    * decimal exactly, so the streaming result is bit-identical to the
+    * batch/oracle decimal pipeline. Returns null when the series starts
+    * after the window (zoh.go:176-181).
+    */
+  def zohExact(pts: Seq[(Long, Double)], startUs: Long, endUs: Long): java.lang.Double = {
+    if (pts.isEmpty || endUs <= startUs || pts.head._1 > startUs) return null
+    var integral = java.math.BigDecimal.ZERO
+    var i = 0
+    while (i < pts.length) {
+      val segStart = math.max(pts(i)._1, startUs)
+      val segEnd =
+        if (i + 1 < pts.length) math.min(pts(i + 1)._1, endUs) else endUs
+      if (segEnd > segStart)
+        integral = integral.add(java.math.BigDecimal.valueOf(pts(i)._2)
+          .multiply(java.math.BigDecimal.valueOf(segEnd - segStart)))
+      i += 1
+    }
+    val mean = integral.doubleValue() / (endUs - startUs).toDouble
+    // mirror round(x, 6) as Spark/DuckDB round doubles (half-up on the
+    // shortest decimal representation)
+    java.lang.Double.valueOf(java.math.BigDecimal.valueOf(mean)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+  }
 }

@@ -162,5 +162,20 @@ object TextAnalysis {
             .as("fingerprint"),
           size(col("shs")).as("n_shingles"))
     },
+
+    // ---- Unicode normalization + casefold: NFC-compose then lowercase,
+    // so composed/decomposed variants of the same logical text hash
+    // identically before shingling/MinHash. Native codegen expression
+    // (graft.functions.NormalizeExpression) with an isNormalized fast
+    // path; pure map-side. DuckDB's nfc_normalize oracles it; the
+    // non-ASCII composed/decomposed equivalence is pinned in
+    // ExtensionsSpec.
+    QueryDef(
+      "q65_unicode_normalize",
+      """SELECT doc_id, lower(nfc_normalize(text)) AS norm_text
+        |FROM documents""".stripMargin) { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      docs(s, dir).selectExpr("doc_id", "text_normalize(text) AS norm_text")
+    },
   )
 }

@@ -52,6 +52,20 @@ object Timeseries {
           percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95_price"))
     },
 
+    // HyperLogLog++ distinct-count sketch — the constant-memory path for
+    // "how many unique users/documents" at 100 TB, where exact distinct
+    // is a full shuffle of the key space. No oracle (sketch estimates are
+    // engine-specific); SketchSpec pins the estimate within the rsd bound
+    // of the exact counts. rsd 0.02 ⇒ ~1.5 KB of state per group,
+    // independent of cardinality.
+    QueryDef.noOracle("q62_approx_distinct") { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.02).as("nd_parts"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("nd_orders"))
+    },
+
     QueryDef(
       "q04_cdf",
       """SELECT l_returnflag,

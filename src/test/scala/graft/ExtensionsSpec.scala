@@ -54,4 +54,27 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(a.length == 8 && a == b)
     assert(a.forall(x => x >= 0 && x < 16))
   }
+
+  test("text_normalize: composed == decomposed, casefolded; ASCII fast path") {
+    // \u00E9 composed vs e+\u0301 decomposed must normalize identically;
+    // uppercase folds; plain ASCII passes through unchanged
+    val rows = spark.sql(
+      "SELECT text_normalize('Caf\u00e9') AS a, " +
+        "text_normalize('Cafe\u0301') AS b, " +
+        "text_normalize('Hello World') AS c").head()
+    assert(rows.getString(0) == rows.getString(1))
+    assert(rows.getString(0) == "caf\u00e9")
+    assert(rows.getString(2) == "hello world")
+  }
+
+  test("bloom_filter_agg + might_contain: no false negatives from SQL") {
+    spark.range(0, 1000).createOrReplaceTempView("bloom_keys")
+    val missed = spark.sql(
+      """SELECT count(*) AS missed FROM bloom_keys
+        |WHERE NOT might_contain(
+        |  (SELECT bloom_filter_agg(xxhash64(id), 1000L, 65536L)
+        |   FROM bloom_keys),
+        |  xxhash64(id))""".stripMargin).head().getLong(0)
+    assert(missed == 0L)
+  }
 }

@@ -53,6 +53,21 @@ class PlanSpec extends AnyFunSuite {
       s"no codegen span:\n$p")
   }
 
+  test("q63: bloom prune sits below the exact semi join") {
+    val df = SparkEntry.queries("q63_bloom_semi_join")(spark, sfDir)
+    df.collect() // AQE finalizes subquery + join strategy
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"), s"no bloom probe in plan:\n$p")
+    assert(p.contains("LeftSemi"), s"no exact semi-join verify:\n$p")
+  }
+
+  test("q64: unpivot is a map-side Expand, one aggregation shuffle") {
+    val p = plan("q64_unpivot")
+    assert(p.contains("Expand"), s"unpivot did not compile to Expand:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"unpivot+agg should shuffle once:\n$p")
+  }
+
   test("file-sink write plan has no Coalesce(1) by default") {
     import graft.aql.Ast
     import graft.engine.Connectors

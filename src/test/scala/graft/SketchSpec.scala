@@ -29,4 +29,24 @@ class SketchSpec extends AnyFunSuite {
       assert(relErr(p95, e95) <= 0.01, s"$flag p95 off: $p95 vs $e95")
     }
   }
+
+  test("q62 HLL distinct estimates within 3x rsd of exact counts") {
+    import org.apache.spark.sql.functions._
+    val exact = Tables.load(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("nd_parts"),
+        countDistinct(col("l_orderkey")).as("nd_orders"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val approx = SparkEntry.queries("q62_approx_distinct")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (flag, (parts, orders)) =>
+      val (eParts, eOrders) = exact(flag)
+      info(s"$flag parts approx=$parts exact=$eParts orders approx=$orders exact=$eOrders")
+      assert(math.abs(parts - eParts).toDouble / eParts <= 0.06,
+        s"$flag nd_parts off: $parts vs $eParts")
+      assert(math.abs(orders - eOrders).toDouble / eOrders <= 0.06,
+        s"$flag nd_orders off: $orders vs $eOrders")
+    }
+  }
 }

@@ -76,4 +76,17 @@ class StreamingStateSpec extends AnyFunSuite {
       assert(math.abs(v - want(u)._2) < 1e-6, s"user $u total")
     }
   }
+
+  test("q61 streaming ZOH equals batch ZOH (q20) exactly") {
+    def asMap(name: String): Map[Long, Option[Double]] =
+      SparkEntry.queries(name)(spark, sfDir)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val streaming = asMap("q61_stream_zoh")
+    val batch = asMap("q20_zoh")
+    assert(streaming.keySet == batch.keySet)
+    streaming.foreach { case (u, v) =>
+      assert(v == batch(u), s"user $u: stream=$v batch=${batch(u)}")
+    }
+  }
 }

@@ -121,7 +121,7 @@ object Aql {
       cliParams: Map[String, String] = Map.empty,
       baseDir: Path = Paths.get("."),
       testMode: Boolean = false,
-      httpFetch: String => String = Connectors.defaultHttpFetch): RunResult = {
+      httpFetch: (String, Map[String, String]) => String = Connectors.defaultHttpFetch): RunResult = {
 
     // graft kernels (vec_dot, minhash_sig, …) available to delegated SQL,
     // matching a cluster configured with spark.sql.extensions

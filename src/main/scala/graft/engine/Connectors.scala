@@ -159,7 +159,13 @@ object Connectors {
       .orElse(opt(conn.options, "CONNECTIONSTRING"))
       .getOrElse(throw new IllegalArgumentException(
         s"connection ${conn.name}: FILE option required"))
-    val writer = prepareFileWrite(df, conn).write.mode("overwrite")
+    val base = prepareFileWrite(df, conn).write.mode("overwrite")
+    // PARTITION_BY = 'col1, col2': hive-style directory layout, the file
+    // organization that makes later scans partition-prunable (PlanSpec
+    // "date-partitioned writes prune partitions at read time")
+    val writer = opt(conn.options, "PARTITION_BY")
+      .map(cs => base.partitionBy(cs.split(",").map(_.trim).toSeq: _*))
+      .getOrElse(base)
     format(conn, path) match {
       case "parquet" => writer.parquet(path)
       case "json" => writer.json(path)
@@ -242,13 +248,21 @@ object Connectors {
     * *empty* page. Ingestion is driver-side by design (like the reference);
     * at scale an HTTP API is a fetch-then-parallelize source, not a
     * distributed scan.
-    * `fetch` is injectable for offline tests.
+    * HEADERS is a JSON object of request headers (reference
+    * compiler.go:1275-1289 → http_source.go:19). `fetch` is injectable
+    * for offline tests.
     */
   def readHttp(spark: SparkSession, conn: Ast.Connection,
-               fetch: String => String): DataFrame = {
+               fetch: (String, Map[String, String]) => String): DataFrame = {
     val url = opt(conn.options, "URL").getOrElse(
       throw new IllegalArgumentException(
         s"connection ${conn.name}: URL option required"))
+    val headers: Map[String, String] = opt(conn.options, "HEADERS").map { h =>
+      val node = mapper.readTree(h)
+      require(node.isObject,
+        s"connection ${conn.name}: HEADERS must be a JSON object")
+      node.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }.getOrElse(Map.empty)
     val limitName = opt(conn.options, "PAGINATION_LIMIT_PARAMETER")
       .filter(_.nonEmpty)
     val offsetName = opt(conn.options, "PAGINATION_OFFSET_PARAMETER")
@@ -274,12 +288,12 @@ object Connectors {
       target.elements().asScala.toSeq
     }
 
-    var elems = parsePage(fetch(pageUrl(0)))
+    var elems = parsePage(fetch(pageUrl(0), headers))
     if (paginate) {
       var offset = pageSize
       var page = elems
       while (page.nonEmpty) {
-        page = parsePage(fetch(pageUrl(offset)))
+        page = parsePage(fetch(pageUrl(offset), headers))
         elems ++= page
         offset += pageSize
       }
@@ -299,11 +313,11 @@ object Connectors {
     }
   }
 
-  def defaultHttpFetch(url: String): String = {
+  def defaultHttpFetch(url: String, headers: Map[String, String]): String = {
     val client = java.net.http.HttpClient.newHttpClient()
-    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
-      .GET().build()
-    client.send(req,
+    val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET()
+    headers.foreach { case (k, v) => b.header(k, v) }
+    client.send(b.build(),
       java.net.http.HttpResponse.BodyHandlers.ofString()).body()
   }
 

@@ -266,6 +266,33 @@ class AqlSpec extends AnyFunSuite {
     assert(r.console.head.contains("\"n\":2"))
   }
 
+  test("file sink PARTITION_BY writes hive-style partition directories") {
+    val out = java.nio.file.Files.createTempDirectory("graft_part")
+      .resolve("docs_by_lang").toString
+    val r = Aql.run(spark,
+      s"""CONNECTION 'Docs' (
+         |  DRIVER = 'file', FILE = '/root/testdata/sf0.001/documents.parquet',
+         |  FORMAT = 'parquet'
+         |)
+         |CONNECTION 'Out' (
+         |  DRIVER = 'file', FILE = '$out', FORMAT = 'parquet',
+         |  PARTITION_BY = 'lang'
+         |)
+         |
+         |TRANSFORM 'Stage' FROM CONNECTION Docs (
+         |  APPLY doc_id, lang, n_chars
+         |) INTO CONNECTION Out
+         |
+         |QUERY 'Back' FROM CONNECTION Out (
+         |  SELECT count(*) AS n, count(DISTINCT lang) AS langs FROM Out
+         |) INTO CONSOLE WITH (OUTPUT_FORMAT = 'JSON') AFTER Stage""".stripMargin)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("lang="))
+    assert(dirs.nonEmpty, "no hive-style lang= partition dirs written")
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    assert(r.console.head.contains(s"\"n\":${docs.count()}"))
+  }
+
   test("HTTP JSON source: JSON_PATH walk + AutoSQL query over the view") {
     // reference engine/http_source.go:94-232, compiler_test.go:170-195;
     // fetch is injected (zero egress) — the reference tests hit a live API
@@ -275,18 +302,23 @@ class AqlSpec extends AnyFunSuite {
         |                   {"id": 2, "name": "b"},
         |                   {"id": 3, "name": null}]}}""".stripMargin
     var fetched: String = null
+    var gotHeaders: Map[String, String] = null
     val r = Aql.run(spark,
       """CONNECTION 'Api' (
         |  DRIVER = 'http', URL = 'http://example.test/rows',
-        |  JSON_PATH = 'data.rows'
+        |  JSON_PATH = 'data.rows',
+        |  HEADERS = '{"Authorization": "Bearer tok", "Accept": "application/json"}'
         |)
         |
         |QUERY 'Agg' FROM CONNECTION Api (
         |  SELECT count(*) AS n, sum(id) AS total,
         |         count(name) AS named FROM Api
         |) INTO CONSOLE WITH (OUTPUT_FORMAT = 'JSON')""".stripMargin,
-      httpFetch = url => { fetched = url; payload })
+      httpFetch = (url, hs) => { fetched = url; gotHeaders = hs; payload })
     assert(fetched == "http://example.test/rows")
+    // HEADERS option reaches the transport (compiler.go:1275-1289)
+    assert(gotHeaders == Map(
+      "Authorization" -> "Bearer tok", "Accept" -> "application/json"))
     assert(r.console.head.contains("\"n\":3"))
     assert(r.console.head.contains("\"total\":6"))
     assert(r.console.head.contains("\"named\":2"))
@@ -297,7 +329,7 @@ class AqlSpec extends AnyFunSuite {
     // append limit/offset params, advance by PAGE_SIZE, stop on empty page
     val all = (1 to 5).map(i => s"""{"id": $i}""")
     val urls = scala.collection.mutable.ArrayBuffer.empty[String]
-    def fetch(url: String): String = {
+    def fetch(url: String, headers: Map[String, String]): String = {
       urls += url
       val off = "offset=(\\d+)".r.findFirstMatchIn(url).get.group(1).toInt
       "[" + all.slice(off, off + 2).mkString(",") + "]"
@@ -313,7 +345,7 @@ class AqlSpec extends AnyFunSuite {
         |QUERY 'Agg' FROM CONNECTION Api (
         |  SELECT count(*) AS n, sum(id) AS total FROM Api
         |) INTO CONSOLE WITH (OUTPUT_FORMAT = 'JSON')""".stripMargin,
-      httpFetch = fetch)
+      httpFetch = fetch _)
     assert(urls.head == "http://example.test/rows?v=1&limit=2&offset=0")
     // pages of 2: offsets 0,2,4 then the empty page at 6 stops the loop
     assert(urls.size == 4, urls.mkString("; "))

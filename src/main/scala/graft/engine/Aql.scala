@@ -39,6 +39,35 @@ object Aql {
   final case class AqlError(msg: String, cause: Throwable = null)
       extends RuntimeException(msg, cause)
 
+  /** Render a value as a SQL literal for GLOBAL statement binding. */
+  private def sqlLiteral(v: Any): String = v match {
+    case null => "NULL"
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case b: Boolean => if (b) "TRUE" else "FALSE"
+    case t: java.sql.Timestamp => "'" + t.toInstant.toString + "'"
+    case n => n.toString
+  }
+
+  /** Substitute `?` placeholders (outside string literals) positionally —
+    * the GLOBAL-side analogue of the JDBC PreparedStatement binding.
+    */
+  private def bindPositional(owner: String, sql: String, args: Seq[Any]): String = {
+    val sb = new StringBuilder
+    var inStr = false
+    var ai = 0
+    for (c <- sql) c match {
+      case '\'' => inStr = !inStr; sb += c
+      case '?' if !inStr =>
+        if (ai >= args.length)
+          throw AqlError(s"$owner: more ? placeholders than USING PARAMETER values")
+        sb ++= sqlLiteral(args(ai)); ai += 1
+      case _ => sb += c
+    }
+    if (ai < args.length)
+      throw AqlError(s"$owner: ${args.length} parameters but only $ai placeholders")
+    sb.toString
+  }
+
   /** Compile-only validation (reference cmd/validate.go → ValidateFile):
     * syntax, include/template resolution, reference integrity (blocks,
     * connections, TEST targets), transform-verb parses, assertion parses,
@@ -236,25 +265,42 @@ object Aql {
         // neutralizes (→ SELECT 1, compiler.go:34-39). Against a SQL
         // connection the statement ships verbatim to the database on the
         // driver — DDL/DML has no distributed component (reference
-        // sql_source.go:158-168 ExecOnly tx.Exec path).
-        if (!testMode) q.source match {
-          case FromGlobal => global.execute(q.content)
-          case FromConnection(cn) =>
-            val c = connection(cn)
-            driverOf(c) match {
-              case "mssql" | "postgres" | "sqlite3" | "derby" =>
-                val url = Connectors.opt(c.options, "CONNECTIONSTRING")
-                  .getOrElse(throw AqlError(
-                    s"connection ${c.name}: CONNECTIONSTRING required"))
-                val jc = java.sql.DriverManager.getConnection(url)
-                try { val st = jc.createStatement()
-                  try st.executeUpdate(q.content) finally st.close()
-                } finally jc.close()
-              case other => throw AqlError(
-                s"EXEC ${q.name}: driver $other is not executable")
-            }
-          case _ => throw AqlError(
-            s"EXEC ${q.name}: requires GLOBAL or a SQL connection")
+        // sql_source.go:158-168 ExecOnly tx.Exec path). USING PARAMETER
+        // binds `?` placeholders positionally, as on queries
+        // (sql_source.go:68-81 — the params path is shared with ExecOnly).
+        if (!testMode) {
+          val args = q.usingParams.map { p =>
+            val k = p.stripPrefix("@").toUpperCase
+            if (!paramTable.contains(k))
+              throw AqlError(s"parameter @$k not declared")
+            paramTable(k)
+          }
+          q.source match {
+            case FromGlobal =>
+              global.execute(
+                if (args.isEmpty) q.content
+                else bindPositional(q.name, q.content, args))
+            case FromConnection(cn) =>
+              val c = connection(cn)
+              driverOf(c) match {
+                case "mssql" | "postgres" | "sqlite3" | "derby" =>
+                  val url = Connectors.opt(c.options, "CONNECTIONSTRING")
+                    .getOrElse(throw AqlError(
+                      s"connection ${c.name}: CONNECTIONSTRING required"))
+                  val jc = java.sql.DriverManager.getConnection(url)
+                  try { val st = jc.prepareStatement(q.content)
+                    try {
+                      args.zipWithIndex.foreach { case (v, i) =>
+                        st.setObject(i + 1, v) }
+                      st.executeUpdate()
+                    } finally st.close()
+                  } finally jc.close()
+                case other => throw AqlError(
+                  s"EXEC ${q.name}: driver $other is not executable")
+              }
+            case _ => throw AqlError(
+              s"EXEC ${q.name}: requires GLOBAL or a SQL connection")
+          }
         }
         spark.emptyDataFrame
 

@@ -396,6 +396,30 @@ class AqlSpec extends AnyFunSuite {
     assert(r.console.head.contains("\"top\":1.8"))
   }
 
+  test("EXEC USING PARAMETER binds ? placeholders against GLOBAL") {
+    val r = Aql.run(spark,
+      """DECLARE @Cutoff;
+        |
+        |GLOBAL 'Init' (
+        |  CREATE TABLE T (Id int, V int);
+        |  INSERT INTO T VALUES (1, 10), (2, 20), (3, 30)
+        |)
+        |
+        |QUERY 'Pick' FROM GLOBAL (
+        |  SELECT 2 AS c
+        |) INTO PARAMETER (@Cutoff)
+        |
+        |EXEC 'Trim' FROM GLOBAL (
+        |  DELETE FROM T WHERE Id > ?
+        |) USING PARAMETER @Cutoff AFTER Pick
+        |
+        |QUERY 'Check' FROM GLOBAL (
+        |  SELECT count(*) AS n, sum(V) AS total FROM T
+        |) INTO CONSOLE WITH (OUTPUT_FORMAT = 'JSON') AFTER Trim""".stripMargin)
+    assert(r.console.head.contains("\"n\":2"))
+    assert(r.console.head.contains("\"total\":30"))
+  }
+
   test("EXEC UPDATE/DELETE between reads changes subsequent QUERY results") {
     val r = Aql.run(spark,
       """GLOBAL 'Init' (
@@ -503,9 +527,15 @@ class AqlSpec extends AnyFunSuite {
          |  APPLY ID, NAME
          |) INTO CONNECTION DB WITH (TABLE = 'PEOPLE')
          |
+         |DECLARE @DropId;
+         |
+         |QUERY 'PickDrop' FROM BLOCK People (
+         |  SELECT max(ID) FROM People
+         |) INTO PARAMETER (@DropId)
+         |
          |EXEC 'Cleanup' FROM CONNECTION DB (
-         |  DELETE FROM PEOPLE WHERE ID = 3
-         |) AFTER Load
+         |  DELETE FROM PEOPLE WHERE ID = ?
+         |) USING PARAMETER @DropId AFTER Load, PickDrop
          |
          |QUERY 'ReadBack' FROM CONNECTION DB (
          |  SELECT COUNT(*) AS N, SUM(ID) AS TOTAL FROM PEOPLE

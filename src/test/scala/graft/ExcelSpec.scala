@@ -148,6 +148,39 @@ class ExcelSpec extends AnyFunSuite {
       Some(Seq("v")), None)._2 == Seq(Seq(2L)))
   }
 
+  test("reads foreign XLSX: sharedStrings, t=\"s\" cells, r-less rows") {
+    // files from real Excel/excelize use a sharedStrings table and may
+    // omit r attributes; our writer never emits that shape, so build one
+    // by hand to pin the reader's coverage of it
+    val f = tmp("foreign.xlsx")
+    def entry(name: String, body: String): (String, Array[Byte]) =
+      name -> body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val parts = Seq(
+      entry("[Content_Types].xml",
+        """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/><Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/><Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/><Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/></Types>"""),
+      entry("_rels/.rels",
+        """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>"""),
+      entry("xl/workbook.xml",
+        """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="Sales" sheetId="1" r:id="rId1"/></sheets></workbook>"""),
+      entry("xl/_rels/workbook.xml.rels",
+        """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>"""),
+      entry("xl/sharedStrings.xml",
+        """<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="3" uniqueCount="3"><si><t>Month</t></si><si><r><t>Sa</t></r><r><t>les</t></r></si><si><t>Jan</t></si></sst>"""),
+      // rows and cells with NO r attributes (positions are implicit)
+      entry("xl/worksheets/sheet1.xml",
+        """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData><row><c t="s"><v>0</v></c><c t="s"><v>1</v></c></row><row><c t="s"><v>2</v></c><c><v>100</v></c></row></sheetData></worksheet>"""))
+    val zos = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(f))
+    parts.foreach { case (n, b) =>
+      zos.putNextEntry(new java.util.zip.ZipEntry(n)); zos.write(b); zos.closeEntry()
+    }
+    zos.close()
+    val (cols, rows) = Excel.readTable(f, "Sales", Excel.parseRange("A1:B*"),
+      None, None)
+    assert(cols == Seq("Month", "Sales")) // "Sales" from a rich-text <si>
+    assert(rows == Seq(Seq("Jan", 100L)))
+  }
+
   test("AQL e2e: query -> Excel dest -> Excel source round-trip") {
     // mirrors the reference docs' dest example (connections.md "As
     // destination") + source example, chained with AFTER

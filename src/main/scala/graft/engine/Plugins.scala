@@ -38,7 +38,12 @@ object Plugins {
   /** One plugin subprocess with the line-delimited JSON-RPC client. */
   final class Rpc(executable: String, args: Seq[String]) {
     private val proc =
-      try new ProcessBuilder((executable +: args).asJava).start()
+      try new ProcessBuilder((executable +: args).asJava)
+        // pass plugin stderr through (reference pie.StartProviderCodec
+        // wires os.Stderr); also prevents the child blocking on a full
+        // stderr pipe that nobody drains
+        .redirectError(ProcessBuilder.Redirect.INHERIT)
+        .start()
       catch { case e: Exception =>
         throw PluginError(s"cannot start plugin '$executable': ${e.getMessage}") }
     private val out = new BufferedWriter(

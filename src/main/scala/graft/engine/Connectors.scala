@@ -12,13 +12,17 @@ import scala.jdk.CollectionConverters._
   *
   *  - DATA literal formats JSON_ARRAY / JSON_OBJECTS / CSV — reference
   *    engine/literal_source.go:25-106;
-  *  - file connections (csv/parquet/json) — the offline stand-in for the
-  *    reference's Excel connector (SURVEY §7.2 M3); JDBC drivers parse but
-  *    cannot be exercised without a database;
-  *  - HTTP JSON source with pluggable transport — reference
+  *  - file connections (csv/parquet/json): distributed read/write with
+  *    natural partitioning, PARTITION_BY layout, opt-in SINGLE_FILE;
+  *  - Excel source/sink — pure-JDK XLSX via [[Excel]] (reference
+  *    engine/excel_source.go / excel_dest.go);
+  *  - HTTP JSON source with pluggable transport + HEADERS — reference
   *    engine/http_source.go:94-232 (driver-side fetch → createDataFrame);
   *  - console destination (table or JSON) — reference
   *    engine/console_dest.go:25-105.
+  *
+  * JDBC connections live in [[Aql]] (reader/writer/EXEC); embedded Derby
+  * exercises them live in AqlSpec.
   */
 object Connectors {
 

@@ -396,6 +396,33 @@ class AqlSpec extends AnyFunSuite {
     assert(r.console.head.contains("\"top\":1.8"))
   }
 
+  test("GLOBAL DML edge semantics: bare DELETE, null-safe WHERE, bad column") {
+    val r = Aql.run(spark,
+      """GLOBAL 'Init' (
+        |  CREATE TABLE A (Id int, V int);
+        |  INSERT INTO A VALUES (1, 10), (2, NULL), (3, 30);
+        |  CREATE TABLE B AS SELECT * FROM A;
+        |  DELETE FROM A WHERE V > 15;
+        |  DELETE FROM B
+        |)
+        |
+        |QUERY 'Check' FROM GLOBAL (
+        |  SELECT (SELECT count(*) FROM A) AS a_rows,
+        |         (SELECT count(*) FROM B) AS b_rows
+        |) INTO CONSOLE WITH (OUTPUT_FORMAT = 'JSON')""".stripMargin)
+    // row (2, NULL): V > 15 is NULL -> kept (SQL deletes only TRUE rows);
+    // bare DELETE empties the table but keeps its schema
+    assert(r.console.head.contains("\"a_rows\":2"))
+    assert(r.console.head.contains("\"b_rows\":0"))
+    val e = intercept[Exception](Aql.run(spark,
+      """GLOBAL 'Bad' (
+        |  CREATE TABLE T (Id int);
+        |  UPDATE T SET Nope = 1
+        |)
+        |QUERY 'Q' FROM GLOBAL (SELECT 1 AS x) INTO CONSOLE""".stripMargin))
+    assert(e.getMessage.contains("no column"))
+  }
+
   test("EXEC USING PARAMETER binds ? placeholders against GLOBAL") {
     val r = Aql.run(spark,
       """DECLARE @Cutoff;

@@ -150,7 +150,8 @@ object Aql {
       cliParams: Map[String, String] = Map.empty,
       baseDir: Path = Paths.get("."),
       testMode: Boolean = false,
-      httpFetch: (String, Map[String, String]) => String = Connectors.defaultHttpFetch): RunResult = {
+      httpFetch: (String, Map[String, String]) => String = Connectors.defaultHttpFetch,
+      notifyPost: Notify.Post = Notify.defaultPost): RunResult = {
 
     // graft kernels (vec_dot, minhash_sig, …) available to delegated SQL,
     // matching a cluster configured with spark.sql.extensions
@@ -433,6 +434,12 @@ object Aql {
             Connectors.writeFile(out, c)
           case "excel" =>
             Connectors.writeExcel(out, c, optionOf(optsOf(b), Some(c), _))
+          case "mandrill" =>
+            // Templated email destination (reference
+            // engine/mandrill_destination.go); transport injectable
+            Notify.sendTemplateEmails(out,
+              optionOf(optsOf(b), Some(c), _), notifyPost, c.name)
+            ()
           case "mssql" | "postgres" | "sqlite3" | "derby" =>
             // Batched JDBC append (reference engine/sql_dest.go:70-192;
             // default 500 rows/batch, ROWS_PER_BATCH override :110-115).
@@ -477,7 +484,21 @@ object Aql {
       case t: Test => t.target.toUpperCase
     } else Seq.empty)
 
-    roots.distinct.foreach(runAction)
+    // Slack log forwarding, configured via SET / CLI params (reference
+    // SlackWrapper, engine/slack.go:104-141; docs cli.md "Logging to
+    // Slack"): block completions at INFO, failures at ERROR.
+    val slack = Notify.slackLogger(k => optionOf(Map.empty, None, k), notifyPost)
+    try {
+      roots.distinct.foreach { n =>
+        runAction(n)
+        slack.foreach(_("info", n, "block executed"))
+      }
+    } catch {
+      case e: Throwable =>
+        slack.foreach(_("error", "run",
+          Option(e.getMessage).getOrElse(e.toString)))
+        throw e
+    }
 
     // TEST assertions (test mode only; reference §3.2)
     val failures =

@@ -571,6 +571,83 @@ class AqlSpec extends AnyFunSuite {
     assert(r.console.head.contains("\"TOTAL\":3"))
   }
 
+  test("Mandrill destination: SPLIT sends one templated email per row") {
+    // reference engine/mandrill_destination.go:52-97 + recipient grammar
+    // :12,38-50; POST transport injected (zero egress)
+    val posts = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    Aql.run(spark,
+      """CONNECTION 'Email' (
+        |  DRIVER = 'mandrill', API_KEY = 'k123',
+        |  TEMPLATE = 'daily-report',
+        |  RECIPIENTS = 'Bob Smith <bob@example.com>, Ann <ann@example.org>'
+        |)
+        |
+        |DATA 'Rows' (
+        |  [[1, "a"], [2, "b"]]
+        |) WITH (COLUMNS = 'Id, Tag')
+        |
+        |TRANSFORM 'Send' FROM BLOCK Rows (
+        |  APPLY Id, Tag
+        |) INTO CONNECTION Email
+        |  WITH (SPLIT = 'True', SUBJECT = 'hi', SENDER = 'Sys <sys@example.com>')""".stripMargin,
+      notifyPost = (url, body) => { posts += ((url, body)); () })
+    assert(posts.size == 2, "SPLIT must send one email per row")
+    assert(posts.forall(_._1 == graft.engine.Notify.MandrillEndpoint))
+    val body = posts.map(_._2).find(_.contains("\"content\":\"a\"")).get
+    assert(body.contains("\"template_name\":\"daily-report\""))
+    assert(body.contains("\"key\":\"k123\""))
+    assert(body.contains("\"email\":\"bob@example.com\""))
+    assert(body.contains("\"name\":\"Bob Smith\""))
+    assert(body.contains("\"email\":\"ann@example.org\""))
+    assert(body.contains("\"from_email\":\"sys@example.com\""))
+    assert(body.contains("\"subject\":\"hi\""))
+  }
+
+  test("Mandrill destination: batch mode sends one email with all rows") {
+    val posts = scala.collection.mutable.ArrayBuffer.empty[String]
+    Aql.run(spark,
+      """CONNECTION 'Email' (
+        |  DRIVER = 'mandrill', API_KEY = 'k', TEMPLATE = 't',
+        |  RECIPIENTS = 'Bob <bob@example.com>'
+        |)
+        |
+        |DATA 'Rows' ([[1], [2], [3]]) WITH (COLUMNS = 'Id')
+        |  INTO CONNECTION Email""".stripMargin,
+      notifyPost = (_, body) => { posts += body; () })
+    assert(posts.size == 1, "batch mode = single email")
+    assert(posts.head.contains("\"name\":\"rows\""))
+    assert(Seq(1, 2, 3).forall(i => posts.head.contains(s"\"Id\":$i")))
+    // bad recipient syntax errors with the reference's message
+    val e = intercept[Exception](graft.engine.Notify.parseRecipients("nope"))
+    assert(e.getMessage.contains("Expecting NAME <EMAIL>"))
+  }
+
+  test("Slack forwarding: SET options route block events to the webhook") {
+    // reference engine/slack.go:43-64 + docs cli.md "Logging to Slack"
+    val posts = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    Aql.run(spark,
+      """SET SLACK_WEBHOOK_URL = 'https://hooks.test/abc';
+        |SET SLACK_LOG_LEVEL = 'INFO';
+        |SET SLACK_CHANNEL = '#jobs';
+        |SET SLACK_NAME = 'nightly';
+        |
+        |DATA 'D' ([[1]])
+        |  INTO CONSOLE WITH (COLUMNS = 'V', OUTPUT_FORMAT = 'JSON')""".stripMargin,
+      notifyPost = (url, body) => { posts += ((url, body)); () })
+    assert(posts.nonEmpty)
+    assert(posts.head._1 == "https://hooks.test/abc")
+    assert(posts.head._2.contains("\"text\":\"<nightly>: D - INFO - block executed\""))
+    assert(posts.head._2.contains("\"channel\":\"#jobs\""))
+    // min level ERROR suppresses INFO events
+    val quiet = scala.collection.mutable.ArrayBuffer.empty[String]
+    Aql.run(spark,
+      """SET SLACK_WEBHOOK_URL = 'https://hooks.test/abc';
+        |SET SLACK_LOG_LEVEL = 'ERROR';
+        |DATA 'D' ([[1]]) WITH (COLUMNS = 'V') INTO CONSOLE""".stripMargin,
+      notifyPost = (_, b) => { quiet += b; () })
+    assert(quiet.isEmpty)
+  }
+
   test("multi-source transform unions inputs") {
     val r = Aql.run(spark,
       """DATA 'A' ([[1], [2]]) WITH (COLUMNS = 'V')

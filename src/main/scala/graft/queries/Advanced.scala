@@ -383,6 +383,35 @@ object Advanced {
         .agg(round(dsum(col("v")) / count(col("v")), 6).as("avg_v"))
     },
 
+    // ---- Deterministic train/val/test split: hash-bucket each document
+    // into 100 buckets via md5 (engine-portable — Spark's conv(hex) and
+    // DuckDB's '0x' cast agree bit-for-bit on the same 15-hex-char
+    // prefix), then 80/10/10 by bucket range. The reproducibility
+    // contract every training pipeline needs: assignment depends only on
+    // the key, never on partitioning, sampling order, or engine. Pure
+    // map-side, no shuffle; 15 hex chars = 60 bits, safely inside BIGINT
+    // in both engines.
+    QueryDef(
+      "q66_split_assign",
+      """SELECT doc_id,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |    % 100 AS bucket,
+        |  CASE
+        |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      % 100 < 80 THEN 'train'
+        |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      % 100 < 90 THEN 'val'
+        |    ELSE 'test'
+        |  END AS split
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+        16, 10).cast("bigint") % 100
+      t(s, dir, "documents")
+        .select(col("doc_id"), bucket.as("bucket"),
+          when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise("test").as("split"))
+    },
+
     // ---- Corpus top-terms: tokenize → explode → count → top-k. The
     // map-side-combine partial agg keeps the shuffle at |vocab| not |tokens|,
     // and TakeOrderedAndProject caps the sort at k rows per partition.

@@ -72,4 +72,20 @@ class AdvancedSpec extends AnyFunSuite {
     val p = toMapOf(plain.collect())
     assert(s == p)
   }
+
+  test("q66 split: stable across runs, ~80/10/10, key-only dependence") {
+    import org.apache.spark.sql.functions._
+    val a = SparkEntry.queries("q66_split_assign")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val b = SparkEntry.queries("q66_split_assign")(spark, sfDir)
+      .repartition(7) // different partitioning must not move any document
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(a == b)
+    val n = a.size.toDouble
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    info(s"fractions: $frac")
+    assert(math.abs(frac("train") - 0.8) < 0.08, s"train ${frac("train")}")
+    assert(math.abs(frac.getOrElse("val", 0.0) - 0.1) < 0.06)
+    assert(math.abs(frac.getOrElse("test", 0.0) - 0.1) < 0.06)
+  }
 }

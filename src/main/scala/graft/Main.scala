@@ -38,14 +38,17 @@ object Main {
   def run(args: Seq[String], spark: SparkSession,
           out: String => Unit = Console.out.println): Int = {
     val (cmd, rest) = args match {
-      case Seq(c @ ("run" | "test" | "validate"), r @ _*) => (c, r)
+      case Seq(c @ ("run" | "test" | "validate" | "serve"), r @ _*) => (c, r)
       case _ =>
-        out("usage: graft.Main run|test|validate --script <file.aql> [--params '{…}']")
+        out("usage: graft.Main run|test|validate --script <file.aql> [--params '{…}']\n" +
+          "       graft.Main serve [--port 4040] [--db analyst.db.json] " +
+          "[--repos repositories] [--interval 5]")
         return 2
     }
     val opts = rest.grouped(2).collect {
       case Seq(k, v) if k.startsWith("--") => k.drop(2) -> v
     }.toMap
+    if (cmd == "serve") return serve(opts, spark, out)
     val scriptPath = opts.getOrElse("script", {
       out("--script is required"); return 2
     })
@@ -72,6 +75,57 @@ object Main {
     } catch {
       case e: Exception => out(s"[ERROR] ${e.getMessage}"); 1
     }
+  }
+
+  /** `graft.Main serve` — the reference's HTTP service + cron scheduler
+    * (reference http/main.go:142-193: REST task/invocation/repository API,
+    * ws run/compile channel → POST /run, /validate; scheduler polled every
+    * `--interval` seconds, default 5 = reference `schedulerInterval`,
+    * http/main.go:31). Runs until the process is killed.
+    */
+  private def serve(opts: Map[String, String], spark: SparkSession,
+      out: String => Unit): Int = {
+    import graft.server._
+    import java.nio.file.Paths
+    val port = opts.getOrElse("port", "4040").toInt
+    val db = Paths.get(opts.getOrElse("db", "analyst.db.json"))
+    val reposDir = Paths.get(opts.getOrElse("repos", "repositories"))
+    val intervalSec = opts.getOrElse("interval", "5").toLong
+    val store = new TaskStore(Some(db))
+    val runAql: (String, Map[String, String]) => ExecResult =
+      (scriptPath, params) => {
+        try {
+          val p = Paths.get(scriptPath)
+          val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          val base = Option(p.getParent).getOrElse(Paths.get("."))
+          val r = Aql.run(spark, text, cliParams = params, baseDir = base)
+          ExecResult(success = true, log = r.console.mkString("\n"), error = "")
+        } catch {
+          case e: Exception => ExecResult(success = false, log = "",
+            error = Option(e.getMessage).getOrElse(e.toString))
+        }
+      }
+    val runInline: (String, Map[String, String]) => ExecResult =
+      (script, params) => {
+        try {
+          val r = Aql.run(spark, script, cliParams = params)
+          ExecResult(success = true, log = r.console.mkString("\n"), error = "")
+        } catch {
+          case e: Exception => ExecResult(success = false, log = "",
+            error = Option(e.getMessage).getOrElse(e.toString))
+        }
+      }
+    val scheduler = new Scheduler(store, runAql)
+    val app = new HttpServerApp(store, scheduler, runInline,
+      s => Aql.validate(s, Map.empty, Paths.get(".")), reposDir)
+    val bound = app.start(port)
+    out(s"graft server listening on :$bound (db=$db, repos=$reposDir)")
+    while (true) {
+      Thread.sleep(intervalSec * 1000)
+      try { scheduler.next(java.time.Instant.now()); () }
+      catch { case e: Exception => out(s"[scheduler] ${e.getMessage}") }
+    }
+    0
   }
 
   /** `--params '{"name":"value"}'` → Map (Jackson ships with Spark). */

@@ -18,6 +18,7 @@ object SparkEntry {
       _root_.graft.queries.Dedup.entries ++
       _root_.graft.queries.Similarity.entries ++
       _root_.graft.queries.TextAnalysis.entries ++
+      _root_.graft.queries.Curation.entries ++
       _root_.graft.queries.MultimodalQ.entries ++
       _root_.graft.queries.AqlQ.entries
 

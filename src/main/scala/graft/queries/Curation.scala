@@ -1,0 +1,299 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.Text
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators over `documents` — the slicing/filtering/
+  * sampling layer of a training-data pipeline, complementing the dedup
+  * (q30-q33/q44/q47) and text-analysis (q36-q39) families. Beyond-parity
+  * surface: the reference has no text-corpus operators.
+  *
+  * Scale notes per query are inline; the common thread is that every
+  * per-document computation is a map-side projection or an explode
+  * (row fan-out, no shuffle), and every aggregation shuffles on
+  * (doc_id, gram)-shaped keys whose cardinality is bounded by corpus
+  * token count — never by document pairs.
+  */
+object Curation {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Local-mode parallelism for the gram-explosion queries: one parquet
+    * file = one input split = one task, so fan the scan out before the
+    * CPU-heavy n-gram work (same rationale as Dedup.docs). Not used by
+    * q67/q69/q71, whose map-side-only plan shape is itself the contract
+    * (PlanSpec) and whose per-row work is cheap.
+    */
+  private def docsPar(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).repartition(s.sparkContext.defaultParallelism)
+
+  /** Whitespace tokens, DuckDB-mirrorable (same list both engines). */
+  private val DuckWs =
+    "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  val entries: Seq[QueryDef] = Seq(
+
+    // ---- Fixed-size token chunking with overlap (64-token windows,
+    // stride 48): the standard pre-tokenization shaping step before
+    // training/embedding. explode(sequence) is a map-side row fan-out —
+    // fan-out factor ≈ 1/stride of the token count, no shuffle anywhere;
+    // slice/array_join stay inside codegen. At 100 TB this parallelizes
+    // purely by input partition; downstream writers see chunk rows whose
+    // size is bounded by the window, so no skew regardless of document
+    // length distribution.
+    QueryDef(
+      "q67_doc_chunking",
+      s"""WITH t AS (
+         |  SELECT doc_id, $DuckWs AS ws FROM documents),
+         |c AS (
+         |  SELECT doc_id, ws,
+         |    unnest(range(0, (len(ws) - 1) // 48 + 1)) AS chunk_idx
+         |  FROM t WHERE len(ws) > 0)
+         |SELECT doc_id, chunk_idx,
+         |  len(list_slice(ws, chunk_idx * 48 + 1, chunk_idx * 48 + 64))
+         |    AS n_chunk_tokens,
+         |  array_to_string(
+         |    list_slice(ws, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' ')
+         |    AS chunk_text
+         |FROM c""".stripMargin) { (s, dir) =>
+      val ws = Text.tokens(col("text"))
+      val chunk = slice(col("ws"),
+        (col("chunk_idx") * 48 + 1).cast("int"), lit(64))
+      docs(s, dir)
+        .select(col("doc_id"), ws.as("ws"))
+        .where(size(col("ws")) > 0)
+        .select(col("doc_id"), col("ws"),
+          explode(sequence(lit(0L),
+            ((size(col("ws")) - 1) / 48).cast("long"))).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(chunk).as("n_chunk_tokens"),
+          array_join(chunk, " ").as("chunk_text"))
+    },
+
+    // ---- Repetition-ratio quality signals (the Gopher-rule family):
+    // share of the document covered by its most frequent bigram, and by
+    // all repeated bigrams. Two hash aggregations — (doc_id, gram) then
+    // doc_id — both with map-side partial agg; shuffle volume is bounded
+    // by distinct grams per doc, not tokens². The bigram build is a
+    // per-row array transform evaluated once per token (not a hot
+    // 10⁴-per-row kernel, so interpreted HOF cost is immaterial here —
+    // contrast functions/MinHashSigExpression for the native-kernel case).
+    QueryDef(
+      "q68_repetition_quality",
+      s"""WITH t AS (
+         |  SELECT doc_id, $DuckWs AS ws FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |    unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))])
+         |      AS gram
+         |  FROM t WHERE len(ws) >= 2),
+         |c AS (
+         |  SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram)
+         |SELECT doc_id,
+         |  round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top_bigram_frac,
+         |  round(CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE)
+         |    / sum(cnt), 6) AS dup_bigram_frac
+         |FROM c GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      val ws = Text.tokens(col("text"))
+      docsPar(s, dir)
+        .select(col("doc_id"), ws.as("ws"))
+        .where(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, size(ws) - 2),
+            |  i -> concat(element_at(ws, i + 1), ' ', element_at(ws, i + 2)))
+            |""".stripMargin)).as("gram"))
+        .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(
+          round(max(col("cnt")).cast("double") / sum(col("cnt")), 6)
+            .as("top_bigram_frac"),
+          round(sum(when(col("cnt") > 1, col("cnt")).otherwise(0L))
+            .cast("double") / sum(col("cnt")), 6).as("dup_bigram_frac"))
+    },
+
+    // ---- Deterministic stratified sampling: per-language keep rates
+    // (en 50%, others 20%) decided by the engine-portable md5 hash bucket
+    // of the key alone (the q66 split trick) — membership is a pure
+    // function of doc_id, reproducible across engines, partitionings,
+    // runs, and scale. Map-side only; no sampling state, no shuffle, and
+    // the rate table extends per stratum without replanning.
+    QueryDef(
+      "q69_stratified_sample",
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 1000 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, lang, bucket FROM t
+        |WHERE bucket < CASE WHEN lang = 'en' THEN 500 ELSE 200 END
+        |""".stripMargin) { (s, dir) =>
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+        16, 10).cast("bigint") % 1000
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+        .where(col("bucket") <
+          when(col("lang") === "en", 500).otherwise(200))
+    },
+
+    // ---- Benchmark-contamination scan: count distinct shared 5-grams
+    // between every corpus document and a probe ("benchmark") set — here
+    // the deterministic 2% slice doc_id % 50 = 0. Inverted-index shape:
+    // explode distinct grams per side and equi-join on the gram, so cost
+    // is ∝ colliding grams, never |corpus|×|probes|. The probe side is
+    // tiny by construction → broadcast, corpus grams never shuffle for
+    // the join; the (doc, probe) count agg shuffles only matched pairs.
+    // At 100 TB the gram join key would be xxhash64(gram) (8 bytes, like
+    // q31's posting lists); the string key here keeps the oracle exact.
+    QueryDef(
+      "q70_contamination",
+      s"""WITH t AS (
+         |  SELECT doc_id, $DuckWs AS ws FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct(
+         |      [array_to_string(list_slice(ws, i, i + 4), ' ')
+         |       for i in range(1, len(ws) - 3)])) AS gram
+         |  FROM t WHERE len(ws) >= 5),
+         |p AS (SELECT doc_id AS probe_id, gram FROM g WHERE doc_id % 50 = 0),
+         |c AS (SELECT doc_id, gram FROM g WHERE doc_id % 50 <> 0)
+         |SELECT c.doc_id, p.probe_id, count(*) AS n_shared
+         |FROM c JOIN p USING (gram)
+         |GROUP BY c.doc_id, p.probe_id""".stripMargin) { (s, dir) =>
+      val ws = Text.tokens(col("text"))
+      val grams = docsPar(s, dir)
+        .select(col("doc_id"), ws.as("ws"))
+        .where(size(col("ws")) >= 5)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          """transform(sequence(0, size(ws) - 5),
+            |  i -> array_join(slice(ws, i + 1, 5), ' '))""".stripMargin)))
+          .as("gram"))
+      val probes = grams.where(col("doc_id") % 50 === 0)
+        .withColumnRenamed("doc_id", "probe_id")
+      val corpus = grams.where(col("doc_id") % 50 =!= 0)
+      corpus.join(broadcast(probes), "gram")
+        .groupBy(col("doc_id"), col("probe_id"))
+        .agg(count(lit(1)).as("n_shared"))
+    },
+
+    // ---- Sequence packing: assign documents to fixed 512-token training
+    // sequences by running token count, packed per source shard in doc_id
+    // order. The window is PARTITION BY source — packing state never
+    // crosses a shard, so parallelism = shard count and no global sort
+    // exists anywhere (the per-shard sort is the one shuffle). That
+    // mirrors production packing, which is per-worker/per-file anyway;
+    // a global pack order would serialize the corpus for no training
+    // benefit. Deterministic: doc_id is a total order within shard.
+    QueryDef(
+      "q71_sequence_packing",
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    len($DuckWs) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM t)
+         |SELECT doc_id, source, n_tokens,
+         |  CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_id,
+         |  CAST((cum - n_tokens) % 512 AS BIGINT) AS seq_offset
+         |FROM c""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(Text.tokens(col("text"))).cast("bigint").as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          floor((col("cum") - col("n_tokens")) / 512).cast("bigint")
+            .as("seq_id"),
+          ((col("cum") - col("n_tokens")) % 512).cast("bigint")
+            .as("seq_offset"))
+    },
+
+    // ---- Decontamination: the removal step downstream of q70 — keep
+    // only corpus documents sharing NO 5-gram with the probe set, as a
+    // left-anti join against the contaminated-id set. The anti join's
+    // build side is (distinct contaminated ids) ≤ |probe hits| — tiny,
+    // broadcast; the corpus side streams map-side. Output is the
+    // surviving-count per language (the pipeline health metric).
+    QueryDef(
+      "q72_decontaminate",
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, $DuckWs AS ws FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct(
+         |      [array_to_string(list_slice(ws, i, i + 4), ' ')
+         |       for i in range(1, len(ws) - 3)])) AS gram
+         |  FROM t WHERE len(ws) >= 5),
+         |bad AS (
+         |  SELECT DISTINCT c.doc_id
+         |  FROM (SELECT doc_id, gram FROM g WHERE doc_id % 50 <> 0) c
+         |  JOIN (SELECT gram FROM g WHERE doc_id % 50 = 0) p USING (gram))
+         |SELECT lang, count(*) AS n_clean
+         |FROM documents
+         |WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+         |GROUP BY lang""".stripMargin) { (s, dir) =>
+      val ws = Text.tokens(col("text"))
+      val grams = docsPar(s, dir)
+        .select(col("doc_id"), ws.as("ws"))
+        .where(size(col("ws")) >= 5)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          """transform(sequence(0, size(ws) - 5),
+            |  i -> array_join(slice(ws, i + 1, 5), ' '))""".stripMargin)))
+          .as("gram"))
+      val contaminated = grams.where(col("doc_id") % 50 =!= 0)
+        .join(broadcast(
+          grams.where(col("doc_id") % 50 === 0).select(col("gram"))), "gram")
+        .select(col("doc_id")).distinct()
+      docs(s, dir).where(col("doc_id") % 50 =!= 0)
+        .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_clean"))
+    },
+
+    // ---- Embedding int8 quantization: symmetric per-vector scaling to
+    // [-127, 127] — the 4× storage/bandwidth shrink ANN indexes ship
+    // with. Pure map-side per-vector arithmetic. Cross-engine exactness:
+    // elements widen float→double identically in both engines, and the
+    // quantizer is floor(x + 0.5) (not round(), whose half-case rule
+    // differs between engines); outputs are integer sums/extrema plus a
+    // 6-dp scale, so the oracle hash-matches bit-for-bit.
+    QueryDef(
+      "q73_embed_quantize",
+      """WITH t AS (
+        |  SELECT vec_id,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) AS maxabs,
+        |    embedding
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, maxabs,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / maxabs + 0.5)
+        |        AS BIGINT)) AS qv
+        |  FROM t WHERE maxabs > 0)
+        |SELECT vec_id, round(maxabs / 127.0, 6) AS scale,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(list_min(qv) AS BIGINT) AS q_min,
+        |  CAST(list_max(qv) AS BIGINT) AS q_max
+        |FROM q""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          array_max(expr("transform(embedding, x -> abs(CAST(x AS DOUBLE)))"))
+            .as("maxabs"))
+        .where(col("maxabs") > 0)
+        .withColumn("qv", expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / maxabs + 0.5) AS BIGINT))"))
+        .select(col("vec_id"),
+          round(col("maxabs") / 127.0, 6).as("scale"),
+          expr("aggregate(qv, 0L, (a, x) -> a + x)").cast("bigint").as("q_sum"),
+          array_min(col("qv")).cast("bigint").as("q_min"),
+          array_max(col("qv")).cast("bigint").as("q_max"))
+    }
+  )
+}

@@ -185,6 +185,9 @@ final class HttpServerApp(
         val n = mapper.createObjectNode()
         n.put("success", result.success)
         if (!result.success) n.put("error", result.error)
+        // console output rides the response — the REST stand-in for the
+        // ws channel's streamed OUTPUT/LOG frames (reference http/hooks.go)
+        n.put("log", result.log)
         sendJson(ex, 200, n)
 
       case ("POST", "/validate") =>

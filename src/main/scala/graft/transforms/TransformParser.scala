@@ -37,9 +37,10 @@ object TransformParser {
       case "APPLY" => ApplyParser.parse(t)
       case "DEDUP" => DedupParser.parse(t)
       case "FILTER" => FilterVerb(t.substring("FILTER".length).trim)
+      case "SAMPLE" => SampleParser.parse(t)
       case other => throw TransformError(
         s"unknown transform verb '$other' " +
-          "(expected AGGREGATE|LOOKUP|APPLY|DEDUP|FILTER)")
+          "(expected AGGREGATE|LOOKUP|APPLY|DEDUP|FILTER|SAMPLE)")
     }
   }
 
@@ -354,6 +355,40 @@ object TransformParser {
     def build(sources: Map[String, DataFrame], primary: DataFrame): DataFrame = {
       if (cond.isEmpty) throw TransformError("FILTER requires a predicate")
       primary.filter(expr(cond))
+    }
+  }
+
+  // ---------------------------------------------------------------- SAMPLE
+
+  /** SAMPLE <pct> PERCENT BY <keycol> — beyond-parity verb: deterministic
+    * hash sampling as a language operator (the q69 curation primitive).
+    * Membership is a pure function of the key — the md5 bucket of the key
+    * value modulo 10 000 compared against the rate in basis points — so a
+    * sample is reproducible across runs, engines, partitionings, and data
+    * order, and downstream of any shuffle. Map-side only: no sampling
+    * state, no RNG, no shuffle; at 100 TB this is a scan predicate.
+    */
+  private object SampleParser {
+    def parse(t: String): Verb = {
+      val re = raw"(?is)^SAMPLE\s+([0-9]+(?:\.[0-9]+)?)\s+PERCENT\s+BY\s+([A-Za-z_]\w*)\s*$$".r
+      t.trim match {
+        case re(p, c) =>
+          val pct = p.toDouble
+          if (pct > 100)
+            throw TransformError(s"SAMPLE rate $pct% out of range 0-100")
+          SampleVerb(pct, c)
+        case _ => throw TransformError(
+          "cannot parse SAMPLE (expected SAMPLE <pct> PERCENT BY <col>)")
+      }
+    }
+  }
+
+  final case class SampleVerb(pct: Double, key: String) extends Verb {
+    def build(sources: Map[String, DataFrame], primary: DataFrame): DataFrame = {
+      val bps = math.round(pct * 100).toInt // basis points of 10 000
+      val bucket = conv(substring(md5(primary(key).cast("string")), 1, 15),
+        16, 10).cast("bigint") % 10000
+      primary.where(bucket < bps)
     }
   }
 

@@ -80,6 +80,35 @@ class AqlParserSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Template.eval("{{ Missing }}", params))
   }
 
+  test("template: {{ if }}/{{ else }}/{{ end }} conditional subset") {
+    import graft.aql.Template
+    val params = Map("ENV" -> "prod", "DEBUG" -> "", "NAME" -> "lineitem")
+    // truthiness: non-empty param = true; missing/empty = false (Go map
+    // semantics — conditions never error on undefined keys)
+    assert(Template.eval("{{ if .Env }}on{{ end }}", params) == "on")
+    assert(Template.eval("{{ if .Debug }}on{{ end }}", params) == "")
+    assert(Template.eval("{{ if .Nope }}on{{ else }}off{{ end }}", params)
+      == "off")
+    // eq / ne with params and quoted literals
+    assert(Template.eval(
+      "{{ if eq .Env \"prod\" }}strict{{ else }}lax{{ end }}", params)
+      == "strict")
+    assert(Template.eval(
+      "{{ if ne .Env 'prod' }}lax{{ else }}strict{{ end }}", params)
+      == "strict")
+    // nesting + substitution inside the selected branch
+    assert(Template.eval(
+      "{{ if .Env }}{{ if eq .Name 'lineitem' }}t={{ Name }}{{ end }}{{ end }}",
+      params) == "t=lineitem")
+    // unsupported/malformed constructs fail loudly
+    intercept[IllegalArgumentException](
+      Template.eval("{{ range .Xs }}x{{ end }}", params))
+    intercept[IllegalArgumentException](
+      Template.eval("{{ if .Env }}no end", params))
+    intercept[IllegalArgumentException](
+      Template.eval("stray {{ end }}", params))
+  }
+
   test("parser: errors carry position") {
     val e = intercept[Parser.ParseError](Parser.parse("FROB 'x' ()"))
     assert(e.msg.contains("unknown block type"))

@@ -688,6 +688,32 @@ class AqlSpec extends AnyFunSuite {
       Seq(1L, 2L, 3L))
   }
 
+  test("SAMPLE verb: deterministic hash sample, stable across runs") {
+    // beyond-parity verb: the q69 curation primitive as a language operator.
+    // Membership is a pure function of the key, so two runs agree exactly.
+    def run(): Seq[Long] = Aql.run(spark,
+      s"""DATA 'D' (
+         |  [${(1 to 100).map(i => s"[$i]").mkString(", ")}]
+         |) WITH (COLUMNS = 'Id')
+         |
+         |TRANSFORM 'Half' FROM BLOCK D (
+         |  SAMPLE 50 PERCENT BY Id
+         |) INTO CONSOLE""".stripMargin)
+      .outputs("HALF").collect().map(_.getLong(0)).sorted.toSeq
+    val first = run()
+    // close to the rate but exact-deterministic (md5 buckets of 1..100)
+    assert(first.size > 30 && first.size < 70, s"got ${first.size}/100")
+    assert(run() == first)
+    // the verb composes with FILTER-style pushdown: a subset of the input
+    assert(first.forall(i => i >= 1 && i <= 100))
+    // malformed rate fails at compile
+    val e = intercept[Exception](Aql.run(spark,
+      """DATA 'D' ([[1]]) WITH (COLUMNS = 'Id')
+        |TRANSFORM 'S' FROM BLOCK D (SAMPLE 200 PERCENT BY Id) INTO CONSOLE
+        |""".stripMargin))
+    assert(e.getMessage.contains("out of range"))
+  }
+
   test("FILTER verb: SQL predicate over the stream") {
     // the reference filters only via delegated SQL or plugins (test_filter.py
     // drops non-positives); FILTER is the native equivalent

@@ -201,4 +201,28 @@ class PlanSpec extends AnyFunSuite {
       p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
       s"no two-phase aggregate:\n$p")
   }
+
+  test("q67/q69: chunking and stratified sampling are shuffle-free") {
+    // chunking = explode fan-out; sampling = hash predicate — both must
+    // stay pure map-side (partition-count parallelism at any scale)
+    val p67 = plan("q67_doc_chunking")
+    assert(!p67.contains("Exchange"), s"chunking must not shuffle:\n$p67")
+    assert(p67.contains("Generate"), s"expected explode fan-out:\n$p67")
+    val p69 = plan("q69_stratified_sample")
+    assert(!p69.contains("Exchange"), s"sampling must not shuffle:\n$p69")
+  }
+
+  test("q70: contamination join broadcasts the probe grams") {
+    val p = plan("q70_contamination")
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe side must broadcast (corpus grams never shuffle for the join):\n$p")
+  }
+
+  test("q68: repetition signals are two partial-agg shuffles, no join") {
+    val p = plan("q68_repetition_quality")
+    assert(!p.contains("Join"), s"no self-join allowed:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4 ||
+      p.contains("ObjectHashAggregate"),
+      s"expected two two-phase aggregations:\n$p")
+  }
 }

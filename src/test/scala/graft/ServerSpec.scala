@@ -342,6 +342,9 @@ class ServerSpec extends AnyFunSuite {
         .createObjectNode().put("script", script).toString
       val (c, resp) = http(port, "POST", "/run", body)
       assert(c == 200 && resp.contains("\"success\":true"))
+      // console output rides `log` (JSON-escaped inside the response string)
+      assert(resp.contains("\\\"Total\\\":12"),
+        s"expected script output in response: $resp")
 
       val (c2, resp2) = http(port, "POST", "/validate", body)
       assert(c2 == 200 && resp2.contains("\"success\":true"))

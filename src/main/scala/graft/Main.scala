@@ -41,8 +41,8 @@ object Main {
       case Seq(c @ ("run" | "test" | "validate" | "serve"), r @ _*) => (c, r)
       case _ =>
         out("usage: graft.Main run|test|validate --script <file.aql> [--params '{…}']\n" +
-          "       graft.Main serve [--port 4040] [--db analyst.db.json] " +
-          "[--repos repositories] [--interval 5]")
+          "       graft.Main serve [--port 4040] [--ws-port 4041] " +
+          "[--db analyst.db.json] [--repos repositories] [--interval 5]")
         return 2
     }
     val opts = rest.grouped(2).collect {
@@ -119,7 +119,20 @@ object Main {
     val app = new HttpServerApp(store, scheduler, runInline,
       s => Aql.validate(s, Map.empty, Paths.get(".")), reposDir)
     val bound = app.start(port)
-    out(s"graft server listening on :$bound (db=$db, repos=$reposDir)")
+    // the reference's /ws channel, on its own port (JDK server can't
+    // hijack a connection for the upgrade — README Divergences)
+    val ws = new WsServer(WsChannel.handler(
+      (script, onEntry) =>
+        try {
+          val r = Aql.run(spark, script, consoleHook = onEntry)
+          ExecResult(success = true, log = r.console.mkString("\n"), error = "")
+        } catch {
+          case e: Exception => ExecResult(success = false, log = "",
+            error = Option(e.getMessage).getOrElse(e.toString))
+        },
+      s => Aql.validate(s, Map.empty, Paths.get("."))))
+    val wsBound = ws.start(opts.get("ws-port").map(_.toInt).getOrElse(port + 1))
+    out(s"graft server listening on :$bound (ws :$wsBound, db=$db, repos=$reposDir)")
     while (true) {
       Thread.sleep(intervalSec * 1000)
       try { scheduler.next(java.time.Instant.now()); () }

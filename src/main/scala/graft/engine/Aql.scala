@@ -30,6 +30,9 @@ import scala.collection.mutable
   */
 object Aql {
 
+  /** `AS 'alias'` (SQLite) → rewritten to backticks for Spark; see runSql. */
+  private val SqliteAlias = raw"(?i)\bAS\s+'([A-Za-z_][\w ]*)'".r
+
   final case class RunResult(
       outputs: Map[String, DataFrame],
       console: Seq[String],
@@ -151,7 +154,8 @@ object Aql {
       baseDir: Path = Paths.get("."),
       testMode: Boolean = false,
       httpFetch: (String, Map[String, String]) => String = Connectors.defaultHttpFetch,
-      notifyPost: Notify.Post = Notify.defaultPost): RunResult = {
+      notifyPost: Notify.Post = Notify.defaultPost,
+      consoleHook: String => Unit = _ => ()): RunResult = {
 
     // graft kernels (vec_dot, minhash_sig, …) available to delegated SQL,
     // matching a cluster configured with spark.sql.extensions
@@ -164,7 +168,16 @@ object Aql {
 
     // 2. template + include/extern resolution, then the real parse
     val script = Template.resolve(scriptText, baseDir, templateParams)
-    val connections = script.connections
+    // relative FILE paths are script-relative (the reference resolves
+    // against its CWD, which its CLI runs from the script's directory)
+    val connections = script.connections.map { case (k, c) =>
+      k -> (Connectors.opt(c.options, "FILE") match {
+        case Some(f) if !Paths.get(f).isAbsolute =>
+          c.copy(options = c.options +
+            ("FILE" -> OptStr(baseDir.resolve(f).normalize().toString)))
+        case _ => c
+      })
+    }
 
     // 3. parameter table (DECLARE; reference engine/parameters.go:16-54)
     val paramTable = mutable.LinkedHashMap.empty[String, Any]
@@ -195,6 +208,11 @@ object Aql {
     val actionDone = mutable.Set.empty[String]
     val consoleOut = mutable.ArrayBuffer.empty[String]
     val building = mutable.Set.empty[String] // cycle detection
+    // TRANSACTIONAL sinks stage here; published atomically after all
+    // actions succeed: (connection, stagingTable, targetTable, columns)
+    val runId = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val pendingPublish =
+      mutable.ArrayBuffer.empty[(Connection, String, String, Seq[String])]
 
     def optionOf(opts: Options, conn: Option[Connection], key: String)
         : Option[String] = {
@@ -237,7 +255,15 @@ object Aql {
       * USING PARAMETER (reference sql_source.go:68-81; Spark ≥3.4
       * parameterized sql).
       */
-    def runSql(sql: String, usingParams: Seq[String]): DataFrame =
+    def runSql(sql0: String, usingParams: Seq[String]): DataFrame = {
+      // SQLite-dialect shim: the reference's delegated SQL executes on its
+      // SQLite scratch DB, which accepts single-quoted column aliases
+      // (`SELECT 1 AS 'Value'`, reference example.aql:8). Spark rejects
+      // that form, so rewrite just the alias quoting to backticks —
+      // `AS 'x'` is never valid Spark SQL, so the rewrite cannot collide
+      // with working queries.
+      val sql = Aql.SqliteAlias.replaceAllIn(sql0,
+        m => "AS `" + m.group(1) + "`")
       if (usingParams.isEmpty) spark.sql(sql)
       else {
         val args = usingParams.map { p =>
@@ -248,6 +274,7 @@ object Aql {
         }
         spark.sql(sql, args.toArray)
       }
+    }
 
     def build(name: String): DataFrame = {
       val key = name.toUpperCase
@@ -352,7 +379,8 @@ object Aql {
           case IntoGlobal => "GLOBAL"
           case IntoParameter(_) => "PARAMETER"
         }
-        Plugins.runTransform(spark, exe, args, t.options, srcs, destNames)
+        Plugins.runTransform(spark, exe, args, t.options, srcs, destNames,
+          cwd = Some(baseDir))
 
       case t: Transform =>
         val srcs: Seq[(String, DataFrame)] = t.sources.map {
@@ -419,7 +447,11 @@ object Aql {
 
     def writeDest(b: Block, df: DataFrame, dest: DestRef): Unit = dest match {
       case IntoConsole =>
-        consoleOut += Connectors.renderConsole(df, optsOf(b))
+        val rendered = Connectors.renderConsole(df, optsOf(b))
+        consoleOut += rendered
+        // streaming observer for server-side output hooks (reference
+        // http/hooks.go redirects ConsoleDestination writes to the ws)
+        consoleHook(rendered)
       case IntoGlobal =>
         val table = optionOf(optsOf(b), None, "TABLE").getOrElse(
           throw AqlError(s"${b.name}: INTO GLOBAL requires WITH (TABLE=…)"))
@@ -445,18 +477,35 @@ object Aql {
             // default 500 rows/batch, ROWS_PER_BATCH override :110-115).
             // The executor-side writer batches per partition — the
             // distributed analogue of the reference's single inserter.
+            //
+            // TRANSACTIONAL='TRUE' gives the reference's transaction-
+            // manager guarantee (engine/transaction_manager.go:21-224:
+            // every SQL destination commits or rolls back together) in
+            // the shape a distributed writer permits: partitions write
+            // a staging table in parallel (non-transactional, invisible
+            // to readers), then after ALL script actions succeed one
+            // driver-side transaction per connection publishes
+            // stage→target, and the commit loop spans connections like
+            // the reference's TxManager.CommitAll. Targets must exist.
+            val url = Connectors.opt(c.options, "CONNECTIONSTRING")
+              .getOrElse(throw AqlError(
+                s"connection ${c.name}: CONNECTIONSTRING required"))
+            val table = optionOf(optsOf(b), Some(c), "TABLE").getOrElse(
+              throw AqlError(s"${b.name}: INTO CONNECTION ${c.name} " +
+                "requires WITH (TABLE=…)"))
+            val transactional = optionOf(optsOf(b), Some(c), "TRANSACTIONAL")
+              .exists(v => Ast.truthy(OptStr(v)))
+            val sinkTable = if (transactional) s"${table}__stage_$runId" else table
             out.write.format("jdbc")
-              .option("url", Connectors.opt(c.options, "CONNECTIONSTRING")
-                .getOrElse(throw AqlError(
-                  s"connection ${c.name}: CONNECTIONSTRING required")))
-              .option("dbtable",
-                optionOf(optsOf(b), Some(c), "TABLE").getOrElse(
-                  throw AqlError(s"${b.name}: INTO CONNECTION ${c.name} " +
-                    "requires WITH (TABLE=…)")))
+              .option("url", url)
+              .option("dbtable", sinkTable)
               .option("batchsize",
                 optionOf(optsOf(b), Some(c), "ROWS_PER_BATCH")
                   .getOrElse("500"))
-              .mode("append").save()
+              .mode(if (transactional) "overwrite" else "append").save()
+            if (transactional)
+              pendingPublish += ((c, sinkTable, table,
+                out.schema.fieldNames.toSeq))
           case other => throw AqlError(
             s"${b.name}: INTO CONNECTION with driver $other not supported " +
               "offline")
@@ -493,10 +542,13 @@ object Aql {
         runAction(n)
         slack.foreach(_("info", n, "block executed"))
       }
+      publishStaged(pendingPublish.toSeq)
     } catch {
       case e: Throwable =>
         slack.foreach(_("error", "run",
           Option(e.getMessage).getOrElse(e.toString)))
+        // a failed run leaves no staged leftovers behind
+        dropStaged(pendingPublish.toSeq)
         throw e
     }
 
@@ -509,4 +561,62 @@ object Aql {
 
     RunResult(built.toMap, consoleOut.toSeq, paramTable.toMap, failures)
   }
+
+  /** Atomic publish of TRANSACTIONAL staging tables: one driver-side
+    * transaction per connection runs every stage→target INSERT, then the
+    * commit loop spans all connections (the reference TxManager's
+    * CommitAll shape, engine/transaction_manager.go:150-186 — same
+    * guarantee per connection, same best-effort across connections).
+    * Any failure rolls every open transaction back, so either all
+    * targets see their rows or none do. Staging tables are dropped
+    * either way.
+    */
+  private def publishStaged(
+      pending: Seq[(Connection, String, String, Seq[String])]): Unit = {
+    if (pending.isEmpty) return
+    val opened = mutable.ArrayBuffer.empty[java.sql.Connection]
+    try {
+      val byConn = pending.groupBy(_._1.name).values.toSeq
+      val conns = byConn.map { items =>
+        val url = Connectors.opt(items.head._1.options, "CONNECTIONSTRING").get
+        val jc = java.sql.DriverManager.getConnection(url)
+        jc.setAutoCommit(false)
+        opened += jc
+        (jc, items)
+      }
+      conns.foreach { case (jc, items) =>
+        items.foreach { case (_, stage, target, cols) =>
+          val colList = cols.mkString(", ")
+          val st = jc.createStatement()
+          try st.executeUpdate(
+            s"INSERT INTO $target ($colList) SELECT $colList FROM $stage")
+          finally st.close()
+        }
+      }
+      opened.foreach(_.commit())
+    } catch {
+      case e: Throwable =>
+        opened.foreach(c => try c.rollback() catch { case _: Exception => () })
+        throw AqlError("transactional publish failed; all staged " +
+          s"destinations rolled back: ${e.getMessage}")
+    } finally {
+      opened.foreach(c => try c.close() catch { case _: Exception => () })
+      dropStaged(pending)
+    }
+  }
+
+  /** Best-effort staging-table cleanup (post-publish or post-failure). */
+  private def dropStaged(
+      pending: Seq[(Connection, String, String, Seq[String])]): Unit =
+    pending.groupBy(_._1.name).values.foreach { items =>
+      try {
+        val url = Connectors.opt(items.head._1.options, "CONNECTIONSTRING").get
+        val jc = java.sql.DriverManager.getConnection(url)
+        try items.foreach { case (_, stage, _, _) =>
+          val st = jc.createStatement()
+          try { st.executeUpdate(s"DROP TABLE $stage"); () }
+          catch { case _: Exception => () } finally st.close()
+        } finally jc.close()
+      } catch { case _: Exception => () }
+    }
 }

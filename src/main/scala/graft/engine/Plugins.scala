@@ -35,15 +35,22 @@ object Plugins {
 
   final case class PluginError(msg: String) extends RuntimeException(msg)
 
-  /** One plugin subprocess with the line-delimited JSON-RPC client. */
-  final class Rpc(executable: String, args: Seq[String]) {
+  /** One plugin subprocess with the line-delimited JSON-RPC client.
+    * `cwd` anchors relative Args paths (e.g. `./test_filter.py`,
+    * reference example.aql:28) at the script's directory.
+    */
+  final class Rpc(executable: String, args: Seq[String],
+      cwd: Option[java.nio.file.Path] = None) {
     private val proc =
-      try new ProcessBuilder((executable +: args).asJava)
-        // pass plugin stderr through (reference pie.StartProviderCodec
-        // wires os.Stderr); also prevents the child blocking on a full
-        // stderr pipe that nobody drains
-        .redirectError(ProcessBuilder.Redirect.INHERIT)
-        .start()
+      try {
+        val pb = new ProcessBuilder((executable +: args).asJava)
+          // pass plugin stderr through (reference pie.StartProviderCodec
+          // wires os.Stderr); also prevents the child blocking on a full
+          // stderr pipe that nobody drains
+          .redirectError(ProcessBuilder.Redirect.INHERIT)
+        cwd.foreach(d => pb.directory(d.toFile))
+        pb.start()
+      }
       catch { case e: Exception =>
         throw PluginError(s"cannot start plugin '$executable': ${e.getMessage}") }
     private val out = new BufferedWriter(
@@ -114,8 +121,9 @@ object Plugins {
       options: Ast.Options,
       sources: Seq[(String, DataFrame)],
       destNames: Seq[String],
-      batchSize: Int = 100): DataFrame = {
-    val rpc = new Rpc(executable, args)
+      batchSize: Int = 100,
+      cwd: Option[java.nio.file.Path] = None): DataFrame = {
+    val rpc = new Rpc(executable, args, cwd)
     try {
       // handshake (plugins/transform.go:144-166)
       options.foreach { case (k, v) =>

@@ -571,6 +571,78 @@ class AqlSpec extends AnyFunSuite {
     assert(r.console.head.contains("\"TOTAL\":3"))
   }
 
+  test("TRANSACTIONAL sinks: all destinations commit together or not at all") {
+    // reference TransactionManager guarantee (engine/transaction_manager.go:
+    // 21-224) via staged publish: parallel JDBC write to staging, one
+    // driver transaction per connection for stage→target, commit at the end
+    System.setProperty("derby.stream.error.file", "/tmp/derby_test.log")
+    val db = java.nio.file.Files.createTempDirectory("graft_derby_tx")
+      .resolve("db").toString
+    def conn =
+      s"""CONNECTION 'DB' (
+         |  DRIVER = 'derby',
+         |  CONNECTIONSTRING = 'jdbc:derby:$db;create=true'
+         |)""".stripMargin
+
+    // targets must pre-exist for transactional publish; B's CHECK
+    // constraint is the failure injection for the rollback case
+    Aql.run(spark,
+      s"""$conn
+         |DATA 'Noop' ([[1]]) WITH (COLUMNS = 'X')
+         |EXEC 'MakeA' FROM CONNECTION DB (
+         |  CREATE TABLE TA (ID INT, SCORE INT)
+         |)
+         |EXEC 'MakeB' FROM CONNECTION DB (
+         |  CREATE TABLE TB (ID INT CHECK (ID < 100))
+         |) AFTER MakeA""".stripMargin)
+
+    // happy path: both sinks land atomically
+    val ok = Aql.run(spark,
+      s"""$conn
+         |DATA 'A' ([[1, 7], [2, 8]]) WITH (COLUMNS = 'ID, SCORE')
+         |DATA 'B' ([[10], [20]]) WITH (COLUMNS = 'ID')
+         |TRANSFORM 'LoadA' FROM BLOCK A (APPLY ID, SCORE)
+         |  INTO CONNECTION DB WITH (TABLE = 'TA', TRANSACTIONAL = 'TRUE')
+         |TRANSFORM 'LoadB' FROM BLOCK B (APPLY ID)
+         |  INTO CONNECTION DB WITH (TABLE = 'TB', TRANSACTIONAL = 'TRUE')
+         |QUERY 'Check' FROM CONNECTION DB (
+         |  SELECT (SELECT COUNT(*) FROM TA) AS NA, (SELECT COUNT(*) FROM TB) AS NB
+         |  FROM SYSIBM.SYSDUMMY1
+         |) INTO CONSOLE WITH (OUTPUT_FORMAT = 'JSON') AFTER LoadA, LoadB""".stripMargin)
+    // the AFTER-gated read runs before publish: both sinks still invisible —
+    // that IS the isolation the staging gives (readers never see partials)
+    assert(ok.console.head.contains("\"NA\":0") &&
+      ok.console.head.contains("\"NB\":0"))
+    val after = Aql.run(spark,
+      s"""$conn
+         |QUERY 'Check' FROM CONNECTION DB (
+         |  SELECT (SELECT COUNT(*) FROM TA) AS NA, (SELECT COUNT(*) FROM TB) AS NB
+         |  FROM SYSIBM.SYSDUMMY1
+         |) INTO CONSOLE WITH (OUTPUT_FORMAT = 'JSON')""".stripMargin)
+    assert(after.console.head.contains("\"NA\":2") &&
+      after.console.head.contains("\"NB\":2"))
+
+    // failure path: B violates its CHECK at publish → A rolls back too
+    val e = intercept[Exception](Aql.run(spark,
+      s"""$conn
+         |DATA 'A' ([[3, 9]]) WITH (COLUMNS = 'ID, SCORE')
+         |DATA 'B' ([[999]]) WITH (COLUMNS = 'ID')
+         |TRANSFORM 'LoadA' FROM BLOCK A (APPLY ID, SCORE)
+         |  INTO CONNECTION DB WITH (TABLE = 'TA', TRANSACTIONAL = 'TRUE')
+         |TRANSFORM 'LoadB' FROM BLOCK B (APPLY ID)
+         |  INTO CONNECTION DB WITH (TABLE = 'TB', TRANSACTIONAL = 'TRUE')""".stripMargin))
+    assert(e.getMessage.contains("rolled back"), e.getMessage)
+    val unchanged = Aql.run(spark,
+      s"""$conn
+         |QUERY 'Check' FROM CONNECTION DB (
+         |  SELECT (SELECT COUNT(*) FROM TA) AS NA, (SELECT COUNT(*) FROM TB) AS NB
+         |  FROM SYSIBM.SYSDUMMY1
+         |) INTO CONSOLE WITH (OUTPUT_FORMAT = 'JSON')""".stripMargin)
+    assert(unchanged.console.head.contains("\"NA\":2") &&
+      unchanged.console.head.contains("\"NB\":2"),
+      s"rollback leaked rows: ${unchanged.console.head}")
+  }
+
   test("Mandrill destination: SPLIT sends one templated email per row") {
     // reference engine/mandrill_destination.go:52-97 + recipient grammar
     // :12,38-50; POST transport injected (zero egress)

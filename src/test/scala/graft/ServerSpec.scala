@@ -359,6 +359,75 @@ class ServerSpec extends AnyFunSuite {
     }
   }
 
+  test("websocket: RUN streams RESULT frames, then the response frame") {
+    val ws = new WsServer(WsChannel.handler(
+      (script, onEntry) =>
+        try {
+          val r = Aql.run(spark, script, consoleHook = onEntry)
+          ExecResult(success = true, log = r.console.mkString("\n"), error = "")
+        } catch {
+          case e: Exception =>
+            ExecResult(success = false, log = "", error = e.getMessage)
+        },
+      s => Aql.validate(s, Map.empty, Paths.get("."))))
+    val port = ws.start(0)
+    try {
+      val received = new java.util.concurrent.LinkedBlockingQueue[String]()
+      val listener = new java.net.http.WebSocket.Listener {
+        private val sb = new StringBuilder
+        override def onText(w: java.net.http.WebSocket, data: CharSequence,
+            last: Boolean): java.util.concurrent.CompletionStage[_] = {
+          sb.append(data)
+          if (last) { received.add(sb.toString); sb.clear() }
+          w.request(1)
+          null
+        }
+      }
+      val sock = client.newWebSocketBuilder()
+        .buildAsync(URI.create(s"ws://127.0.0.1:$port/ws"), listener).join()
+
+      def frames(until: String => Boolean): Seq[String] = {
+        val out = Seq.newBuilder[String]
+        var done = false
+        while (!done) {
+          val f = received.poll(60, java.util.concurrent.TimeUnit.SECONDS)
+          assert(f != null, "timed out waiting for ws frame")
+          out += f
+          if (until(f)) done = true
+        }
+        out.result()
+      }
+
+      val script =
+        """DATA 'V' ([[2],[3],[4]]) WITH (COLUMNS = 'N')
+          |TRANSFORM 'S' FROM BLOCK V (
+          |  AGGREGATE SUM(N) AS Total
+          |) INTO CONSOLE WITH (OUTPUT_FORMAT = 'JSON')""".stripMargin
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val runMsg = m.createObjectNode()
+      runMsg.put("type", "RUN")
+      runMsg.putObject("data").put("script", script)
+      sock.sendText(runMsg.toString, true).join()
+
+      val got = frames(_.contains("\"type\":\"RUN\""))
+      // streamed console output arrives as a RESULT frame before the
+      // final RUN response (reference hooks.go redirection)
+      assert(got.exists(f => f.contains("\"type\":\"RESULT\"") &&
+        f.contains("Total") && f.contains("9")), got.mkString("\n"))
+      assert(got.last.contains("\"success\":true"), got.last)
+
+      val badCompile = m.createObjectNode()
+      badCompile.put("type", "COMPILE")
+      badCompile.putObject("data")
+        .put("script", "TRANSFORM 'X' FROM BLOCK Nope (FILTER 1=1) INTO CONSOLE")
+      sock.sendText(badCompile.toString, true).join()
+      val got2 = frames(_.contains("\"type\":\"COMPILE\""))
+      assert(got2.last.contains("\"success\":false"), got2.last)
+
+      sock.sendClose(java.net.http.WebSocket.NORMAL_CLOSURE, "bye").join()
+    } finally ws.stop()
+  }
+
   test("http: repository clone / files / pull / delete via local git") {
     withServer { (port, _) =>
       // build an origin repo with one committed .aql file (file:// remote —

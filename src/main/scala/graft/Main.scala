@@ -117,7 +117,8 @@ object Main {
       }
     val scheduler = new Scheduler(store, runAql)
     val app = new HttpServerApp(store, scheduler, runInline,
-      s => Aql.validate(s, Map.empty, Paths.get(".")), reposDir)
+      s => Aql.validate(s, Map.empty, Paths.get(".")), reposDir,
+      staticDir = opts.get("static").map(Paths.get(_)))
     val bound = app.start(port)
     // the reference's /ws channel, on its own port (JDK server can't
     // hijack a connection for the upgrade — README Divergences)
@@ -131,13 +132,22 @@ object Main {
             error = Option(e.getMessage).getOrElse(e.toString))
         },
       s => Aql.validate(s, Map.empty, Paths.get("."))))
-    val wsBound = ws.start(opts.get("ws-port").map(_.toInt).getOrElse(port + 1))
+    val wsBound = ws.start(opts.get("ws-port").map(_.toInt).getOrElse(
+      if (port == 0) 0 else port + 1))
     out(s"graft server listening on :$bound (ws :$wsBound, db=$db, repos=$reposDir)")
-    while (true) {
+    // --iterations N (tests/scripts): poll N times then shut down cleanly;
+    // absent = serve forever like the reference daemon
+    val iterations = opts.get("iterations").map(_.toLong)
+    var polls = 0L
+    while (iterations.forall(polls < _)) {
       Thread.sleep(intervalSec * 1000)
       try { scheduler.next(java.time.Instant.now()); () }
       catch { case e: Exception => out(s"[scheduler] ${e.getMessage}") }
+      polls += 1
     }
+    scheduler.shutdown()
+    ws.stop()
+    app.stop()
     0
   }
 

@@ -495,7 +495,12 @@ object Aql {
                 "requires WITH (TABLE=…)"))
             val transactional = optionOf(optsOf(b), Some(c), "TRANSACTIONAL")
               .exists(v => Ast.truthy(OptStr(v)))
-            val sinkTable = if (transactional) s"${table}__stage_$runId" else table
+            // per-sink suffix: two TRANSACTIONAL sinks may target the
+            // same table (both staged, both published in the same tx)
+            val sinkTable =
+              if (transactional)
+                s"${table}__stage_${runId}_${pendingPublish.size}"
+              else table
             out.write.format("jdbc")
               .option("url", url)
               .option("dbtable", sinkTable)

@@ -45,7 +45,8 @@ final class HttpServerApp(
     runScript: (String, Map[String, String]) => ExecResult,
     validateScript: String => Seq[String],
     reposDir: Path = Paths.get("repositories"),
-    zone: java.time.ZoneId = java.time.ZoneId.systemDefault()) {
+    zone: java.time.ZoneId = java.time.ZoneId.systemDefault(),
+    staticDir: Option[Path] = None) {
 
   private val mapper = new ObjectMapper()
   private var server: JdkHttpServer = _
@@ -197,6 +198,32 @@ final class HttpServerApp(
         n.put("success", errs.isEmpty)
         if (errs.nonEmpty) n.put("error", errs.mkString("; "))
         sendJson(ex, 200, n)
+
+      case ("GET", p) if staticDir.isDefined =>
+        // UI file serving (reference serveStatic, http/main.go:195-201 —
+        // there a packed ./static box on :8080; here any --static dir on
+        // the API port). Path-traversal-safe: resolved paths must stay
+        // inside the root.
+        val root = staticDir.get.toAbsolutePath.normalize
+        val rel = if (p == "/") "index.html" else p.stripPrefix("/")
+        val f = root.resolve(rel).normalize
+        if (!f.startsWith(root) || !Files.isRegularFile(f))
+          sendError(ex, 404, s"no route GET $p")
+        else {
+          val bytes = Files.readAllBytes(f)
+          val ctype = rel.substring(rel.lastIndexOf('.') + 1) match {
+            case "html" => "text/html"
+            case "js"   => "application/javascript"
+            case "css"  => "text/css"
+            case "json" => "application/json"
+            case "png"  => "image/png"
+            case "svg"  => "image/svg+xml"
+            case _      => "application/octet-stream"
+          }
+          ex.getResponseHeaders.set("Content-Type", ctype)
+          ex.sendResponseHeaders(200, bytes.length)
+          ex.getResponseBody.write(bytes)
+        }
 
       case _ => sendError(ex, 404, s"no route $method $path")
     }

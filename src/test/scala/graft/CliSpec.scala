@@ -73,6 +73,73 @@ class CliSpec extends AnyFunSuite {
     assert(!lines.result().exists(_.contains("Total")))
   }
 
+  test("serve mode: boots the API + scheduler, polls, runs a due task, exits") {
+    // end-to-end smoke of the daemon path (reference http/main.go):
+    // ephemeral ports, a JSON db file, one scheduled AQL task created
+    // over HTTP, two 1s poll laps, clean shutdown
+    val dir = Files.createTempDirectory("graft_serve")
+    val repo = dir.resolve("jobs")
+    Files.createDirectories(repo)
+    Files.write(repo.resolve("tick.aql"),
+      """DATA 'D' ([[41],[1]]) WITH (COLUMNS = 'V')
+        |TRANSFORM 'T' FROM BLOCK D (
+        |  AGGREGATE SUM(V) AS Total
+        |) INTO CONSOLE WITH (OUTPUT_FORMAT = 'JSON')""".stripMargin.getBytes("UTF-8"))
+    val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val serveThread = new Thread(() =>
+      Main.run(Seq("serve", "--port", "0", "--ws-port", "0",
+        "--db", dir.resolve("db.json").toString,
+        "--repos", dir.resolve("repos").toString,
+        "--interval", "1", "--iterations", "10"), spark, lines.add(_)))
+    serveThread.setDaemon(true)
+    serveThread.start()
+    val deadline = System.nanoTime() + 30e9.toLong
+    def banner: Option[String] = {
+      val it = lines.iterator(); var found: Option[String] = None
+      while (it.hasNext && found.isEmpty) {
+        val l = it.next(); if (l.contains("listening on")) found = Some(l)
+      }
+      found
+    }
+    while (banner.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    val port = ":(\\d+) ".r.findFirstMatchIn(banner.get).get.group(1).toInt
+
+    val client = java.net.http.HttpClient.newHttpClient()
+    def post(path: String, body: String) = client.send(
+      java.net.http.HttpRequest
+        .newBuilder(java.net.URI.create(s"http://127.0.0.1:$port$path"))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    def put(path: String) = client.send(
+      java.net.http.HttpRequest
+        .newBuilder(java.net.URI.create(s"http://127.0.0.1:$port$path"))
+        .method("PUT", java.net.http.HttpRequest.BodyPublishers.noBody()).build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    def get(path: String) = client.send(
+      java.net.http.HttpRequest
+        .newBuilder(java.net.URI.create(s"http://127.0.0.1:$port$path"))
+        .GET().build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+
+    assert(post("/tasks",
+      s"""{"name":"tick","schedule":"@every 1s","is_aql":true,
+         |"repository":"$repo","command":"tick.aql","coalesce":true}"""
+        .stripMargin).statusCode() == 200)
+    assert(put("/tasks/1/enable").statusCode() == 204)
+    // within the poll laps the scheduler must have run the task
+    var ok = false
+    while (!ok && System.nanoTime() < deadline) {
+      val inv = get("/tasks/1/invocations").body()
+      ok = inv.contains("\"success\":true") && inv.contains("Total")
+      if (!ok) Thread.sleep(100)
+    }
+    assert(ok, s"task never ran: ${get("/tasks/1/invocations").body()}")
+    serveThread.join(30000)
+    assert(!serveThread.isAlive, "serve --iterations did not exit")
+    // db persisted: a fresh store sees the task
+    assert(Files.exists(dir.resolve("db.json")))
+  }
+
   test("bad usage exits 2") {
     val lines = Seq.newBuilder[String]
     assert(Main.run(Seq("frobnicate"), spark, lines += _) == 2)

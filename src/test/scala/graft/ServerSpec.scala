@@ -242,6 +242,32 @@ class ServerSpec extends AnyFunSuite {
     assert(inv.success && inv.log.contains("\"Total\":6"))
   }
 
+  test("scheduler: cancel interrupts a long-running command invocation") {
+    // reference scheduler_test.go "interrupt a long-running invocation":
+    // Shutdown/Cancel kills the subprocess; the record shows the failure
+    val store = new TaskStore()
+    val t = store.createTask(Task(0, "slow", "@daily",
+      command = "sleep", arguments = "30"))
+    store.updateTask(t.copy(enabled = true,
+      nextRun = Some(Instant.now().minusSeconds(1))))
+    val sch = new Scheduler(store, runAql = (_, _) => fail("not aql"),
+      execute = r => { val th = new Thread(r); th.setDaemon(true); th.start() },
+      zone = utc)
+    sch.next(Instant.now())
+    // wait until the invocation record exists (created just before exec)
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (store.listInvocations(1).isEmpty && System.nanoTime() < deadline)
+      Thread.sleep(20)
+    assert(store.listInvocations(1).nonEmpty, "invocation never started")
+    Thread.sleep(200) // let the subprocess spawn
+    sch.cancel(t.id)
+    while (store.lastInvocation(t.id).exists(_.finish.isEmpty) &&
+      System.nanoTime() < deadline) Thread.sleep(20)
+    val inv = store.lastInvocation(t.id).get
+    assert(inv.finish.isDefined, "cancel did not stop the invocation")
+    assert(!inv.success, "killed invocation must not be marked successful")
+  }
+
   test("scheduler: params string forms parse like the CLI") {
     assert(Scheduler.parseParams("""{"a":"1","b":"x"}""") ==
       Map("a" -> "1", "b" -> "x"))
@@ -426,6 +452,29 @@ class ServerSpec extends AnyFunSuite {
 
       sock.sendClose(java.net.http.WebSocket.NORMAL_CLOSURE, "bye").join()
     } finally ws.stop()
+  }
+
+  test("http: static dir serving with traversal protection") {
+    // reference serveStatic (http/main.go:195-201) — UI file serving
+    val www = Files.createTempDirectory("graft_static")
+    Files.writeString(www.resolve("index.html"), "<h1>graft</h1>")
+    Files.writeString(www.resolve("app.js"), "console.log(1)")
+    val store = new TaskStore()
+    val sch = new Scheduler(store, runAql = (_, _) =>
+      ExecResult(success = true, log = "", error = ""), zone = utc)
+    val app = new HttpServerApp(store, sch,
+      (_, _) => ExecResult(success = true, log = "", error = ""),
+      _ => Seq.empty, Files.createTempDirectory("graft_repos2"), utc,
+      staticDir = Some(www))
+    val port = app.start(0)
+    try {
+      assert(http(port, "GET", "/")._2 == "<h1>graft</h1>")
+      assert(http(port, "GET", "/app.js")._2 == "console.log(1)")
+      assert(http(port, "GET", "/../etc/passwd")._1 == 404)
+      assert(http(port, "GET", "/nope.css")._1 == 404)
+      // API routes still win over static fallback
+      assert(http(port, "GET", "/tasks")._2 == "[]")
+    } finally app.stop()
   }
 
   test("http: repository clone / files / pull / delete via local git") {

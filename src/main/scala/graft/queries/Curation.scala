@@ -294,6 +294,117 @@ object Curation {
           expr("aggregate(qv, 0L, (a, x) -> a + x)").cast("bigint").as("q_sum"),
           array_min(col("qv")).cast("bigint").as("q_min"),
           array_max(col("qv")).cast("bigint").as("q_max"))
+    },
+
+    // ---- Corpus unigram log-probability scoring: the KenLM-style
+    // fluency signal, self-trained — P(t) = c(t)/N over the corpus, doc
+    // score = Σ ln P(token). Shapes: token counts = one hash agg (vocab-
+    // sized output), N = in-plan 1-row agg cross-joined (the q56
+    // pattern, no extra action), per-doc score = broadcast vocab join on
+    // the exploded tokens + one doc-keyed agg. Cross-engine exactness:
+    // each ln is quantized to DECIMAL(28,12) BEFORE summing — decimal
+    // sums are associative, so the result is identical under any
+    // partitioning and matches DuckDB bit-for-bit (a raw double sum
+    // would be partition-order-dependent).
+    QueryDef(
+      "q74_unigram_logprob",
+      s"""WITH t AS (
+         |  SELECT doc_id, $DuckWs AS ws FROM documents),
+         |tok AS (
+         |  SELECT doc_id, unnest(ws) AS term FROM t WHERE len(ws) > 0),
+         |vocab AS (
+         |  SELECT term, count(*) AS c FROM tok GROUP BY term),
+         |n AS (SELECT count(*) AS n_total FROM tok)
+         |SELECT tok.doc_id,
+         |  count(*) AS n_tokens,
+         |  round(CAST(SUM(CAST(ln(CAST(vocab.c AS DOUBLE) / n.n_total)
+         |    AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS avg_logprob
+         |FROM tok, n
+         |JOIN vocab ON tok.term = vocab.term
+         |GROUP BY tok.doc_id""".stripMargin) { (s, dir) =>
+      val tok = docsPar(s, dir)
+        .select(col("doc_id"), Text.tokens(col("text")).as("ws"))
+        .where(size(col("ws")) > 0)
+        .select(col("doc_id"), explode(col("ws")).as("term"))
+      val vocab = tok.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      // N = Σ vocab counts, attached via an unpartitioned window over the
+      // vocab aggregate — vocab-sized data through one task, which is fine
+      // because the whole frame is about to broadcast anyway. Computing N
+      // from `tok` directly would cost a third full corpus scan+tokenize
+      // (Spark recomputes unshared subtrees); this shape keeps the query
+      // at the minimal two corpus scans (vocab build + scoring).
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+      val vocabN = vocab.withColumn("n_total", sum(col("c")).over(w))
+      tok.join(broadcast(vocabN), "term")
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          round(
+            sum(log(col("c").cast("double") / col("n_total"))
+              .cast("decimal(28,12)")).cast("double") / count(lit(1)),
+            6).as("avg_logprob"))
+    },
+
+    // ---- Composite quality-filter verdict: the C4/Gopher-style keep/
+    // drop materialization — length bounds, type-token ratio, and
+    // duplicate-bigram bounds combined into one decision with the first
+    // failing rule as the reason (what a curation pipeline logs before
+    // dropping). One explode + two hash aggs (the q68 shape) then a
+    // map-side verdict projection; thresholds are literals in the plan.
+    QueryDef(
+      "q75_quality_filter",
+      s"""WITH t AS (
+         |  SELECT doc_id, $DuckWs AS ws FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |    unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))])
+         |      AS gram
+         |  FROM t WHERE len(ws) >= 2),
+         |c AS (
+         |  SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram),
+         |rep AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE)
+         |      / sum(cnt) AS dup_frac
+         |  FROM c GROUP BY doc_id),
+         |m AS (
+         |  SELECT t.doc_id, len(ws) AS n_tokens,
+         |    CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS ttr,
+         |    rep.dup_frac
+         |  FROM t JOIN rep ON t.doc_id = rep.doc_id)
+         |SELECT doc_id, n_tokens,
+         |  CASE
+         |    WHEN n_tokens < 10 THEN 'too_short'
+         |    WHEN n_tokens > 5000 THEN 'too_long'
+         |    WHEN ttr < 0.2 THEN 'low_diversity'
+         |    WHEN dup_frac > 0.5 THEN 'repetitive'
+         |    ELSE 'keep'
+         |  END AS verdict
+         |FROM m""".stripMargin) { (s, dir) =>
+      val base = docsPar(s, dir)
+        .select(col("doc_id"), Text.tokens(col("text")).as("ws"))
+      val rep = base
+        .where(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, size(ws) - 2),
+            |  i -> concat(element_at(ws, i + 1), ' ', element_at(ws, i + 2)))
+            |""".stripMargin)).as("gram"))
+        .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg((sum(when(col("cnt") > 1, col("cnt")).otherwise(0L))
+          .cast("double") / sum(col("cnt"))).as("dup_frac"))
+      base
+        .select(col("doc_id"), size(col("ws")).as("n_tokens"),
+          (size(array_distinct(col("ws"))).cast("double") / size(col("ws")))
+            .as("ttr"))
+        .join(rep, "doc_id")
+        .select(col("doc_id"), col("n_tokens"),
+          when(col("n_tokens") < 10, "too_short")
+            .when(col("n_tokens") > 5000, "too_long")
+            .when(col("ttr") < 0.2, "low_diversity")
+            .when(col("dup_frac") > 0.5, "repetitive")
+            .otherwise("keep").as("verdict"))
     }
   )
 }

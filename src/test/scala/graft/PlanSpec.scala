@@ -218,6 +218,21 @@ class PlanSpec extends AnyFunSuite {
       s"probe side must broadcast (corpus grams never shuffle for the join):\n$p")
   }
 
+  test("q74: unigram scoring joins are broadcast — tokens never shuffle by term") {
+    // vocab (term→count) and N (1 row) both broadcast onto the exploded
+    // token stream; the only hash-partitioned exchanges are aggregations.
+    // A SortMergeJoin here would shuffle the full corpus token stream.
+    val p = plan("q74_unigram_logprob")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the vocab scoring join broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"token stream must not shuffle for the scoring join:\n$p")
+    // N derives from the vocab agg, not a third corpus pass: the corpus
+    // is scanned exactly twice (vocab build + scoring)
+    val scans = "documents\\.parquet".r.findAllIn(p).size
+    assert(scans == 2, s"expected 2 corpus scans, got $scans:\n$p")
+  }
+
   test("q68: repetition signals are two partial-agg shuffles, no join") {
     val p = plan("q68_repetition_quality")
     assert(!p.contains("Join"), s"no self-join allowed:\n$p")

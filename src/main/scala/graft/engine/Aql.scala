@@ -33,6 +33,50 @@ object Aql {
   /** `AS 'alias'` (SQLite) → rewritten to backticks for Spark; see runSql. */
   private val SqliteAlias = raw"(?i)\bAS\s+'([A-Za-z_][\w ]*)'".r
 
+  /** Apply the SqliteAlias rewrite only outside string literals: an
+    * `AS 'x'` sequence inside a double-quoted Spark string literal
+    * (e.g. `WHERE x = "foo AS 'bar'"`) is data, not an alias, and must
+    * survive untouched. Quote state tracks both quote kinds; SQL's
+    * doubled-quote escape toggles twice, leaving the state correct.
+    */
+  private[graft] def rewriteSqliteAliases(sql: String): String = {
+    val m = SqliteAlias.pattern.matcher(sql)
+    val sb = new java.lang.StringBuilder
+    var last = 0
+    var inSingle = false
+    var inDouble = false
+    def scan(from: Int, to: Int): Unit = {
+      var i = from
+      while (i < to) {
+        val c = sql.charAt(i)
+        if (c == '\'' && !inDouble) inSingle = !inSingle
+        else if (c == '"' && !inSingle) inDouble = !inDouble
+        i += 1
+      }
+    }
+    while (m.find()) {
+      scan(last, m.start())
+      sb.append(sql, last, m.start())
+      if (!inSingle && !inDouble)
+        sb.append("AS `").append(m.group(1)).append('`')
+      else sb.append(sql, m.start(), m.end())
+      scan(m.start(), m.end()) // the match's own quotes are balanced
+      last = m.end()
+    }
+    sb.append(sql, last, sql.length)
+    sb.toString
+  }
+
+  /** One TRANSACTIONAL sink's staging record. Registered *before* the
+    * distributed stage write starts so a save() that dies partway still
+    * gets its partial staging table dropped on the failure path;
+    * `written` flips only after save() returns, and publishStaged
+    * publishes written entries only.
+    */
+  private final case class Staged(
+      conn: Connection, stage: String, target: String, cols: Seq[String],
+      var written: Boolean = false)
+
   final case class RunResult(
       outputs: Map[String, DataFrame],
       console: Seq[String],
@@ -209,10 +253,9 @@ object Aql {
     val consoleOut = mutable.ArrayBuffer.empty[String]
     val building = mutable.Set.empty[String] // cycle detection
     // TRANSACTIONAL sinks stage here; published atomically after all
-    // actions succeed: (connection, stagingTable, targetTable, columns)
+    // actions succeed
     val runId = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
-    val pendingPublish =
-      mutable.ArrayBuffer.empty[(Connection, String, String, Seq[String])]
+    val pendingPublish = mutable.ArrayBuffer.empty[Staged]
 
     def optionOf(opts: Options, conn: Option[Connection], key: String)
         : Option[String] = {
@@ -260,10 +303,8 @@ object Aql {
       // SQLite scratch DB, which accepts single-quoted column aliases
       // (`SELECT 1 AS 'Value'`, reference example.aql:8). Spark rejects
       // that form, so rewrite just the alias quoting to backticks —
-      // `AS 'x'` is never valid Spark SQL, so the rewrite cannot collide
-      // with working queries.
-      val sql = Aql.SqliteAlias.replaceAllIn(sql0,
-        m => "AS `" + m.group(1) + "`")
+      // skipping matches inside string literals, where `AS 'x'` is data.
+      val sql = Aql.rewriteSqliteAliases(sql0)
       if (usingParams.isEmpty) spark.sql(sql)
       else {
         val args = usingParams.map { p =>
@@ -501,6 +542,12 @@ object Aql {
               if (transactional)
                 s"${table}__stage_${runId}_${pendingPublish.size}"
               else table
+            val staged =
+              if (transactional) {
+                val s = Staged(c, sinkTable, table, out.schema.fieldNames.toSeq)
+                pendingPublish += s
+                Some(s)
+              } else None
             out.write.format("jdbc")
               .option("url", url)
               .option("dbtable", sinkTable)
@@ -508,9 +555,7 @@ object Aql {
                 optionOf(optsOf(b), Some(c), "ROWS_PER_BATCH")
                   .getOrElse("500"))
               .mode(if (transactional) "overwrite" else "append").save()
-            if (transactional)
-              pendingPublish += ((c, sinkTable, table,
-                out.schema.fieldNames.toSeq))
+            staged.foreach(_.written = true)
           case other => throw AqlError(
             s"${b.name}: INTO CONNECTION with driver $other not supported " +
               "offline")
@@ -576,25 +621,60 @@ object Aql {
     * targets see their rows or none do. Staging tables are dropped
     * either way.
     */
-  private def publishStaged(
-      pending: Seq[(Connection, String, String, Seq[String])]): Unit = {
-    if (pending.isEmpty) return
+  private def publishStaged(pending: Seq[Staged]): Unit = {
+    val ready = pending.filter(_.written)
+    if (ready.isEmpty) return
     val opened = mutable.ArrayBuffer.empty[java.sql.Connection]
     try {
-      val byConn = pending.groupBy(_._1.name).values.toSeq
+      val byConn = ready.groupBy(_.conn.name).values.toSeq
       val conns = byConn.map { items =>
-        val url = Connectors.opt(items.head._1.options, "CONNECTIONSTRING").get
+        val url = Connectors.opt(items.head.conn.options, "CONNECTIONSTRING").get
         val jc = java.sql.DriverManager.getConnection(url)
         jc.setAutoCommit(false)
         opened += jc
         (jc, items)
       }
       conns.foreach { case (jc, items) =>
-        items.foreach { case (_, stage, target, cols) =>
-          val colList = cols.mkString(", ")
+        // Identifier quoting per the connection's own quote string:
+        // column names with spaces (the AS 'x y' alias shim produces
+        // them) or reserved words (ORDER, USER, …) must be quoted or the
+        // INSERT fails and rolls back every sink. Quoting is
+        // case-sensitive, so target columns are resolved against the
+        // database's stored names case-insensitively first (the
+        // reference's column model is case-insensitive everywhere,
+        // transforms/aggregate.go:256-263) and the stored spelling is
+        // quoted; stage-side columns are always the DataFrame's exact
+        // case because Spark's JDBC writer creates them quoted.
+        val meta = jc.getMetaData
+        val qs = Option(meta.getIdentifierQuoteString)
+          .map(_.trim).getOrElse("\"")
+        def quoted(id: String): String =
+          if (qs.isEmpty) id else qs + id.replace(qs, qs + qs) + qs
+        def plainOr(id: String): String = // tables: keep DB case folding
+          if (qs.isEmpty || id.matches("[A-Za-z_][A-Za-z0-9_]*")) id
+          else quoted(id)
+        def tbl(id: String): String = id.split('.').map(plainOr).mkString(".")
+        def storedColumns(table: String): Map[String, String] = {
+          val bare = table.split('.').last
+          Seq(bare, bare.toUpperCase, bare.toLowerCase).distinct.view
+            .map { t =>
+              val rs = meta.getColumns(null, null, t, null)
+              val b = Map.newBuilder[String, String]
+              try while (rs.next()) {
+                val n = rs.getString("COLUMN_NAME")
+                b += (n.toLowerCase -> n)
+              } finally rs.close()
+              b.result()
+            }.find(_.nonEmpty).getOrElse(Map.empty)
+        }
+        items.foreach { s =>
+          val stored = storedColumns(s.target)
+          val targetCols =
+            s.cols.map(c => quoted(stored.getOrElse(c.toLowerCase, c)))
           val st = jc.createStatement()
           try st.executeUpdate(
-            s"INSERT INTO $target ($colList) SELECT $colList FROM $stage")
+            s"INSERT INTO ${tbl(s.target)} (${targetCols.mkString(", ")}) " +
+              s"SELECT ${s.cols.map(quoted).mkString(", ")} FROM ${tbl(s.stage)}")
           finally st.close()
         }
       }
@@ -610,16 +690,18 @@ object Aql {
     }
   }
 
-  /** Best-effort staging-table cleanup (post-publish or post-failure). */
-  private def dropStaged(
-      pending: Seq[(Connection, String, String, Seq[String])]): Unit =
-    pending.groupBy(_._1.name).values.foreach { items =>
+  /** Best-effort staging-table cleanup (post-publish or post-failure);
+    * drops every registered stage, including ones whose distributed
+    * write died partway (registered-before-save above).
+    */
+  private def dropStaged(pending: Seq[Staged]): Unit =
+    pending.groupBy(_.conn.name).values.foreach { items =>
       try {
-        val url = Connectors.opt(items.head._1.options, "CONNECTIONSTRING").get
+        val url = Connectors.opt(items.head.conn.options, "CONNECTIONSTRING").get
         val jc = java.sql.DriverManager.getConnection(url)
-        try items.foreach { case (_, stage, _, _) =>
+        try items.foreach { s =>
           val st = jc.createStatement()
-          try { st.executeUpdate(s"DROP TABLE $stage"); () }
+          try { st.executeUpdate(s"DROP TABLE ${s.stage}"); () }
           catch { case _: Exception => () } finally st.close()
         } finally jc.close()
       } catch { case _: Exception => () }

@@ -277,8 +277,22 @@ object Git {
     if (i < 0) trimmed else trimmed.substring(i + 1)
   }
 
-  def clone(url: String, dest: Path): Unit =
-    run(Seq("git", "clone", "--single-branch", url, dest.toString), None)
+  /** Remote URLs accepted by POST /repositories. The allowlist (plus the
+    * `--` separator below) keeps a client-supplied value from being
+    * parsed as a git option (`--upload-pack=…`) or reaching git's
+    * `ext::`/transport-helper machinery — the reference used go-git,
+    * which had neither surface.
+    */
+  private val AllowedRemote =
+    raw"(?i)^(https?|ssh|file)://\S+$$|^[\w.-]+@[\w.-]+:\S+$$".r
+
+  def clone(url: String, dest: Path): Unit = {
+    if (!AllowedRemote.matches(url.trim))
+      throw new RuntimeException(
+        s"remote_url must be an http(s)/ssh/file URL: $url")
+    run(Seq("git", "clone", "--single-branch", "--", url.trim,
+      dest.toString), None)
+  }
 
   def pull(repo: Path): Unit =
     run(Seq("git", "pull", "--ff-only", "origin"), Some(repo))

@@ -57,21 +57,31 @@ final class WsServer(handler: (WsConn, String) => Unit) {
       val conn = new WsConn(out)
       val pending = new StringBuilder // continuation reassembly
       var open = true
+      def tooBig(): Unit = { // 1009 close: declared size is untrusted input
+        val reason = "message too big".getBytes(UTF_8)
+        conn.sendRaw(0x8, Array[Byte](
+          ((1009 >> 8) & 0xFF).toByte, (1009 & 0xFF).toByte) ++ reason)
+        open = false
+      }
       while (open) {
-        WsFrame.read(in) match {
+        try WsFrame.read(in) match {
           case null => open = false
           case f if f.opcode == 0x8 => // close: echo and drop
             conn.sendRaw(0x8, f.payload); open = false
           case f if f.opcode == 0x9 => conn.sendRaw(0xA, f.payload) // ping
           case f if f.opcode == 0xA => () // pong
           case f =>
-            pending ++= new String(f.payload, UTF_8)
-            if (f.fin) {
-              val msg = pending.result(); pending.clear()
-              try handler(conn, msg)
-              catch { case NonFatal(_) => () }
+            if (pending.length + f.payload.length > WsFrame.MaxMessageBytes)
+              tooBig()
+            else {
+              pending ++= new String(f.payload, UTF_8)
+              if (f.fin) {
+                val msg = pending.result(); pending.clear()
+                try handler(conn, msg)
+                catch { case NonFatal(_) => () }
+              }
             }
-        }
+        } catch { case WsFrame.FrameTooBig => tooBig() }
       }
     } catch { case NonFatal(_) => () }
     finally sock.close()
@@ -183,6 +193,15 @@ object WsChannel {
 private final case class WsFrame(fin: Boolean, opcode: Int, payload: Array[Byte])
 
 private object WsFrame {
+  /** Upper bound on one frame and one reassembled message: the channel
+    * carries scripts and control JSON, never row traffic, so a few MB is
+    * generous. The declared 64-bit length is attacker-controlled on an
+    * unauthenticated socket — without the cap, `len.toInt` overflows at
+    * 2^31 and any large value triggers an up-front multi-GB allocation.
+    */
+  val MaxMessageBytes: Int = 4 * 1024 * 1024
+  case object FrameTooBig extends RuntimeException("frame too big")
+
   /** Blocking read of one client frame (masked per RFC); null on EOF. */
   def read(in: InputStream): WsFrame = {
     val b0 = in.read()
@@ -195,6 +214,7 @@ private object WsFrame {
     var len: Long = b1 & 0x7F
     if (len == 126) len = (readN(in, 2): BigInt).toLong
     else if (len == 127) len = (readN(in, 8): BigInt).toLong
+    if (len < 0 || len > MaxMessageBytes) throw FrameTooBig
     val mask = if (masked) readBytes(in, 4) else null
     val payload = readBytes(in, len.toInt)
     if (payload == null) return null

@@ -643,6 +643,102 @@ class AqlSpec extends AnyFunSuite {
       s"rollback leaked rows: ${unchanged.console.head}")
   }
 
+  test("AS 'alias' rewrite skips string literals; space aliases work") {
+    // the shim rewrites only genuine SQLite-style aliases — an `AS 'x'`
+    // sequence inside a double-quoted Spark string literal is data
+    assert(Aql.rewriteSqliteAliases("SELECT 1 AS 'Value'") ==
+      "SELECT 1 AS `Value`")
+    assert(Aql.rewriteSqliteAliases("SELECT 1 AS 'x y', 2 AS 'z'") ==
+      "SELECT 1 AS `x y`, 2 AS `z`")
+    val literal = """SELECT x FROM t WHERE x = "foo AS 'bar' baz""""
+    assert(Aql.rewriteSqliteAliases(literal) == literal)
+    val single = "SELECT 'keep AS ''x'' here' AS 'V'"
+    assert(Aql.rewriteSqliteAliases(single) ==
+      "SELECT 'keep AS ''x'' here' AS `V`")
+    // end to end: the literal survives the delegated-SQL path intact
+    val r = Aql.run(spark,
+      """DATA 'T' ([["foo AS 'bar'"], ["other"]]) WITH (COLUMNS = 'S')
+        |QUERY 'Q' FROM BLOCK T (
+        |  SELECT count(*) AS N FROM T WHERE S = "foo AS 'bar'"
+        |) INTO CONSOLE WITH (OUTPUT_FORMAT = 'JSON')""".stripMargin)
+    assert(r.console.head.contains("\"N\":1"), r.console.head)
+  }
+
+  test("TRANSACTIONAL publish quotes space/reserved column identifiers") {
+    // ADVICE r4: stage→target INSERT built with unquoted identifiers
+    // failed for column names with spaces (exactly what AS 'x y'
+    // produces) — the publish must quote per the connection's own
+    // identifier-quote string
+    System.setProperty("derby.stream.error.file", "/tmp/derby_test.log")
+    val db = java.nio.file.Files.createTempDirectory("graft_derby_q")
+      .resolve("db").toString
+    def conn =
+      s"""CONNECTION 'DB' (
+         |  DRIVER = 'derby',
+         |  CONNECTIONSTRING = 'jdbc:derby:$db;create=true'
+         |)""".stripMargin
+    Aql.run(spark,
+      s"""$conn
+         |EXEC 'Make' FROM CONNECTION DB (
+         |  CREATE TABLE TQ ("row id" INT, "ORDER" INT)
+         |)""".stripMargin)
+    val r = Aql.run(spark,
+      s"""$conn
+         |DATA 'Src' ([[1, 10], [2, 20]]) WITH (COLUMNS = 'ID, N')
+         |QUERY 'Load' FROM BLOCK Src (
+         |  SELECT ID AS 'row id', N AS 'ORDER' FROM Src
+         |) INTO CONNECTION DB WITH (TABLE = 'TQ', TRANSACTIONAL = 'TRUE')
+         |""".stripMargin)
+    val after = Aql.run(spark,
+      s"""$conn
+         |QUERY 'Check' FROM CONNECTION DB (
+         |  SELECT SUM("row id") AS RID, SUM("ORDER") AS ORD FROM TQ
+         |) INTO CONSOLE WITH (OUTPUT_FORMAT = 'JSON')""".stripMargin)
+    assert(after.console.head.contains("\"RID\":3") &&
+      after.console.head.contains("\"ORD\":30"), after.console.head)
+  }
+
+  test("TRANSACTIONAL: a save() that dies partway leaves no staged table") {
+    // ADVICE r4: staging was registered in pendingPublish only after
+    // .save() succeeded, so a partial stage write was never dropped
+    System.setProperty("derby.stream.error.file", "/tmp/derby_test.log")
+    val db = java.nio.file.Files.createTempDirectory("graft_derby_pw")
+      .resolve("db").toString
+    def conn =
+      s"""CONNECTION 'DB' (
+         |  DRIVER = 'derby',
+         |  CONNECTIONSTRING = 'jdbc:derby:$db;create=true'
+         |)""".stripMargin
+    Aql.run(spark,
+      s"""$conn
+         |EXEC 'Make' FROM CONNECTION DB (CREATE TABLE TP (N INT))""".stripMargin)
+    // raise_error fires inside the distributed write of the SECOND sink,
+    // after the first sink's stage has already been written
+    val e = intercept[Exception](Aql.run(spark,
+      s"""$conn
+         |DATA 'A' ([[1], [2]]) WITH (COLUMNS = 'N')
+         |QUERY 'LoadOk' FROM BLOCK A (SELECT N FROM A)
+         |  INTO CONNECTION DB WITH (TABLE = 'TP', TRANSACTIONAL = 'TRUE')
+         |QUERY 'LoadBoom' FROM BLOCK A (
+         |  SELECT CASE WHEN N > 1 THEN CAST(raise_error('boom') AS INT)
+         |              ELSE N END AS N FROM A
+         |) INTO CONNECTION DB WITH (TABLE = 'TP', TRANSACTIONAL = 'TRUE')
+         |  AFTER LoadOk""".stripMargin))
+    assert(e.getMessage != null)
+    val after = Aql.run(spark,
+      s"""$conn
+         |QUERY 'Check' FROM CONNECTION DB (
+         |  SELECT
+         |    (SELECT COUNT(*) FROM TP) AS NROWS,
+         |    (SELECT COUNT(*) FROM SYS.SYSTABLES WHERE TABLENAME LIKE '%STAGE%')
+         |      AS NSTAGE
+         |  FROM SYSIBM.SYSDUMMY1
+         |) INTO CONSOLE WITH (OUTPUT_FORMAT = 'JSON')""".stripMargin)
+    assert(after.console.head.contains("\"NROWS\":0") &&
+      after.console.head.contains("\"NSTAGE\":0"),
+      s"partial-write leftovers: ${after.console.head}")
+  }
+
   test("Mandrill destination: SPLIT sends one templated email per row") {
     // reference engine/mandrill_destination.go:52-97 + recipient grammar
     // :12,38-50; POST transport injected (zero egress)

@@ -454,6 +454,60 @@ class ServerSpec extends AnyFunSuite {
     } finally ws.stop()
   }
 
+  test("websocket: oversized declared frame length closes with 1009") {
+    // ADVICE r4: the 64-bit client-declared payload length was trusted —
+    // len.toInt overflow / multi-GB up-front allocation on an
+    // unauthenticated socket. The server must refuse with a 1009 close
+    // instead of allocating.
+    val ws = new WsServer((_, _) => ())
+    val port = ws.start(0)
+    val sock = new java.net.Socket("127.0.0.1", port)
+    try {
+      sock.setSoTimeout(10000)
+      val out = sock.getOutputStream
+      out.write(("GET /ws HTTP/1.1\r\nHost: x\r\nUpgrade: websocket\r\n" +
+        "Connection: Upgrade\r\nSec-WebSocket-Key: dGhlIHNhbXBsZSBub25jZQ==\r\n" +
+        "Sec-WebSocket-Version: 13\r\n\r\n").getBytes("UTF-8"))
+      out.flush()
+      val in = sock.getInputStream
+      // consume the 101 response headers
+      var prev = 0; var done = false
+      while (!done) {
+        val c = in.read(); assert(c >= 0, "EOF during handshake")
+        if (c == '\n' && prev == '\n') done = true
+        else if (c != '\r') prev = c
+      }
+      // masked text frame declaring an 8 GiB payload (64-bit length)
+      val declared = 8L * 1024 * 1024 * 1024
+      val hdr = java.nio.ByteBuffer.allocate(14)
+      hdr.put(0x81.toByte).put((0x80 | 127).toByte).putLong(declared)
+        .put(Array[Byte](0, 0, 0, 0))
+      out.write(hdr.array()); out.flush()
+      // server answers with a close frame carrying status 1009
+      assert(in.read() == 0x88, "expected close frame")
+      val plen = in.read() & 0x7F
+      assert(plen >= 2)
+      val code = (in.read() << 8) | in.read()
+      assert(code == 1009, s"close code $code")
+    } finally { sock.close(); ws.stop() }
+  }
+
+  test("git clone rejects option-injection and non-allowlisted remotes") {
+    // ADVICE r4: a remote_url starting with '-' was passed as a git argv
+    // element (argument injection); ext:: URLs reach git remote helpers
+    val dest = Files.createTempDirectory("graft_clone_guard").resolve("r")
+    for (bad <- Seq(
+        "--upload-pack=touch${IFS}/tmp/pwned",
+        "ext::sh -c whoami",
+        "-o/tmp/x",
+        "not a url"))
+      assertThrows[RuntimeException](Git.clone(bad, dest))
+    // allowlisted schemes pass the guard (clone itself fails: no remote)
+    val e = intercept[RuntimeException](
+      Git.clone("file:///nonexistent/graft/repo", dest))
+    assert(!e.getMessage.contains("remote_url must be"), e.getMessage)
+  }
+
   test("http: static dir serving with traversal protection") {
     // reference serveStatic (http/main.go:195-201) — UI file serving
     val www = Files.createTempDirectory("graft_static")

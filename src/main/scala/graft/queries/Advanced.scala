@@ -429,5 +429,118 @@ object Advanced {
         .orderBy(col("n").desc, col("term"))
         .limit(20)
     },
+
+    // ---- Per-key sequence analysis via lag/first_value: inter-event
+    // gaps per user (avg/max) plus the user's first event type — the
+    // funnel/latency shape. One shuffle on user_id, then the lag and the
+    // aggregation ride the same partitioning (Catalyst collapses the
+    // window sort and the hash agg onto one exchange). Gap math in integer
+    // milliseconds end-to-end: sums stay < 2^53 so the double average is
+    // exact and partition-order-independent.
+    QueryDef(
+      "q79_event_gaps",
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS tms,
+        |    event_id, event_type
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, event_id,
+        |    tms - lag(tms) OVER (PARTITION BY user_id ORDER BY tms, event_id)
+        |      AS gap_ms,
+        |    first_value(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY tms, event_id) AS first_type
+        |  FROM e)
+        |SELECT user_id, count(*) AS n_events, count(gap_ms) AS n_gaps,
+        |  round(avg(gap_ms), 6) AS avg_gap_ms, max(gap_ms) AS max_gap_ms,
+        |  min(first_type) AS first_type
+        |FROM g GROUP BY user_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tms"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), unix_millis(col("ts")).as("tms"),
+          col("event_id"), col("event_type"))
+        .withColumn("gap_ms", col("tms") - lag(col("tms"), 1).over(w))
+        .withColumn("first_type", first(col("event_type")).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          count(col("gap_ms")).as("n_gaps"),
+          round(avg(col("gap_ms")), 6).as("avg_gap_ms"),
+          max(col("gap_ms")).as("max_gap_ms"),
+          min(col("first_type")).as("first_type"))
+    },
+
+    // ---- Robust outlier detection: median/MAD (median absolute
+    // deviation) per group — the outlier rule that, unlike mean/stddev,
+    // isn't dragged by the outliers it's hunting. Two exact-percentile
+    // aggregations over the group key plus one broadcast join back; the
+    // per-group medians frame is |groups|-sized, so both joins broadcast
+    // and the fact side never shuffles except for the two group aggs.
+    // At 100 TB swap percentile() for approx_percentile(..., 0.5, 10k) —
+    // MAD thresholding tolerates sketch error by construction — which
+    // makes both aggs partial+final and spill-free.
+    QueryDef(
+      "q80_mad_outliers",
+      """WITH m AS (
+        |  SELECT o_orderpriority, median(o_totalprice) AS med
+        |  FROM orders GROUP BY 1),
+        |d AS (
+        |  SELECT o.o_orderpriority, abs(o.o_totalprice - m.med) AS adev, m.med
+        |  FROM orders o JOIN m USING (o_orderpriority)),
+        |s AS (SELECT o_orderpriority, median(adev) AS mad FROM d GROUP BY 1)
+        |SELECT d.o_orderpriority, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN d.adev > 1.8 * s.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers,
+        |  round(min(d.med), 6) AS med, round(s.mad, 6) AS mad
+        |FROM d JOIN s USING (o_orderpriority)
+        |GROUP BY d.o_orderpriority, s.mad""".stripMargin) { (s, dir) =>
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_totalprice"))
+      val med = orders.groupBy(col("o_orderpriority"))
+        .agg(percentile(col("o_totalprice"), lit(0.5)).as("med"))
+      val dev = orders.join(broadcast(med), "o_orderpriority")
+        .withColumn("adev", abs(col("o_totalprice") - col("med")))
+      val mad = dev.groupBy(col("o_orderpriority"))
+        .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+      dev.join(broadcast(mad), "o_orderpriority")
+        .groupBy(col("o_orderpriority"), col("mad"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("adev") > col("mad") * 1.8, 1L).otherwise(0L))
+            .as("n_outliers"),
+          round(min(col("med")), 6).as("med"))
+        .select(col("o_orderpriority"), col("n_total"), col("n_outliers"),
+          col("med"), round(col("mad"), 6).as("mad"))
+    },
+
+    // ---- Range-partitioned data layout: rewrite lineitem ordered by
+    // l_shipdate (repartitionByRange + sortWithinPartitions), then answer
+    // a date-range question from the re-laid-out copy. This is the
+    // sort-for-pruning step a 100 TB pipeline runs once so that every
+    // later time-windowed scan reads only the row groups whose min/max
+    // straddle the window — the filter below prunes at the parquet footer
+    // level because the layout made l_shipdate ranges disjoint across
+    // files. The oracle answers from the original table: correctness of
+    // the rewrite is exactly "the copy answers like the original".
+    QueryDef(
+      "q81_range_layout",
+      """SELECT date_trunc('month', l_shipdate) AS month,
+        |  count(*) AS n, round(sum(l_quantity), 6) AS sum_qty
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1995-07-01'
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val base = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_layout",
+        java.lang.Integer.toHexString(dir.hashCode)).toString
+      t(s, dir, "lineitem")
+        .repartitionByRange(16, col("l_shipdate"))
+        .sortWithinPartitions(col("l_shipdate"))
+        .write.mode("overwrite").parquet(base)
+      s.read.parquet(base)
+        .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1995-07-01").cast("timestamp"))
+        .groupBy(date_trunc("month", col("l_shipdate")).as("month"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 6).as("sum_qty"))
+    },
   )
 }

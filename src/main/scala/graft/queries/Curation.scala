@@ -405,6 +405,132 @@ object Curation {
             .when(col("ttr") < 0.2, "low_diversity")
             .when(col("dup_frac") > 0.5, "repetitive")
             .otherwise("keep").as("verdict"))
+    },
+
+    // ---- Repeated-span detection: exact substring-level dedup (the
+    // "dedup training data at the span level, not the document level"
+    // step — near-dup documents share long verbatim runs even when the
+    // whole doc differs). Fixed 16-token windows at stride 8 cover every
+    // token with ≤2 windows, so any verbatim run ≥ 23 tokens is caught
+    // regardless of alignment. explode is a map-side fan-out of
+    // ~tokens/stride rows; the only shuffle is the span hash-agg, with
+    // map-side partial agg bounding it by distinct spans per partition.
+    // At 100 TB the group key becomes xxhash64(span) (8 bytes, q31's
+    // posting trick) and the HAVING keeps output ∝ duplicated spans only.
+    QueryDef(
+      "q76_repeated_spans",
+      s"""WITH t AS (
+         |  SELECT doc_id, $DuckWs AS ws FROM documents),
+         |sp AS (
+         |  SELECT doc_id,
+         |    unnest([array_to_string(list_slice(ws, i, i + 15), ' ')
+         |            for i in range(1, len(ws) - 14, 8)]) AS span
+         |  FROM t WHERE len(ws) >= 16)
+         |SELECT span, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
+         |FROM sp GROUP BY span
+         |HAVING COUNT(DISTINCT doc_id) >= 2""".stripMargin) { (s, dir) =>
+      docsPar(s, dir)
+        .select(col("doc_id"), Text.tokens(col("text")).as("ws"))
+        .where(size(col("ws")) >= 16)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, (size(ws) - 16) div 8),
+            |  i -> array_join(slice(ws, CAST(i * 8 + 1 AS INT), 16), ' '))
+            |""".stripMargin)).as("span"))
+        .groupBy(col("span"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"))
+        .where(col("n_docs") >= 2)
+    },
+
+    // ---- Per-source quota cap (domain caps): keep at most 10 documents
+    // per source, deterministically (lowest doc_id wins) — the "no single
+    // domain dominates the corpus" rule. Implemented as SALTED two-phase
+    // top-N: phase 1 ranks within (source, salt16) so a hot domain's rows
+    // spread over 16 reducers and each emits ≤10 survivors; phase 2 ranks
+    // the ≤160 survivors per source. Identical output to a single window
+    // (the oracle), but no reducer ever sees more than ~1/16 of a hot
+    // domain — the q48 salting idea applied to top-N instead of a join.
+    QueryDef(
+      "q77_source_cap",
+      """SELECT doc_id, source, rn FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 10""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val salted = Window
+        .partitionBy(col("source"), pmod(xxhash64(col("doc_id")), lit(16)))
+        .orderBy(col("doc_id"))
+      val perSource = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      docs(s, dir)
+        .select(col("doc_id"), col("source"))
+        .withColumn("lrn", row_number().over(salted))
+        .where(col("lrn") <= 10) // each salt lane over-keeps the cap
+        .withColumn("rn", row_number().over(perSource))
+        .where(col("rn") <= 10)
+        .select(col("doc_id"), col("source"), col("rn"))
+    },
+
+    // ---- Bigram language-model scoring: add-one-smoothed conditional
+    // log-probability P(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V), averaged
+    // per document — the step up from q74's unigram fluency signal.
+    // Self-trained in the same plan: bigram counts are one hash agg
+    // (vocab²-bounded output); context counts c(w1 ·) and the vocabulary
+    // size V ride windows over that already-aggregated frame (sum over
+    // w1; max dense_rank = count distinct, which window functions can't
+    // express directly) — so the corpus is tokenized exactly twice (count
+    // build + scoring), never three times. The enriched model frame then
+    // broadcasts; exploded bigrams never shuffle by gram. Exactness: each
+    // ln is quantized to DECIMAL(28,12) before summing (q74's trick), so
+    // the sum is partition-order-independent and hash-matches DuckDB.
+    QueryDef(
+      "q78_bigram_logprob",
+      s"""WITH t AS (
+         |  SELECT doc_id, $DuckWs AS ws FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |    unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))])
+         |      AS gram
+         |  FROM t WHERE len(ws) >= 2),
+         |c12 AS (SELECT gram, count(*) AS c FROM g GROUP BY gram),
+         |c1 AS (
+         |  SELECT split_part(gram, ' ', 1) AS w1, sum(c) AS c1
+         |  FROM c12 GROUP BY 1),
+         |v AS (SELECT count(DISTINCT split_part(gram, ' ', 2)) AS v FROM c12)
+         |SELECT g.doc_id, count(*) AS n_bigrams,
+         |  round(CAST(sum(CAST(ln((c12.c + 1.0) / (c1.c1 + v.v))
+         |    AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS avg_logprob
+         |FROM g, v
+         |JOIN c12 ON g.gram = c12.gram
+         |JOIN c1 ON split_part(g.gram, ' ', 1) = c1.w1
+         |GROUP BY g.doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val grams = docsPar(s, dir)
+        .select(col("doc_id"), Text.tokens(col("text")).as("ws"))
+        .where(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, size(ws) - 2),
+            |  i -> concat(element_at(ws, i + 1), ' ', element_at(ws, i + 2)))
+            |""".stripMargin)).as("gram"))
+      val c12 = grams.groupBy(col("gram")).agg(count(lit(1)).as("c"))
+        .withColumn("w1", split_part(col("gram"), lit(" "), lit(1)))
+        .withColumn("w2", split_part(col("gram"), lit(" "), lit(2)))
+      // model frame is vocab²-sized; single-task windows are fine because
+      // the whole frame broadcasts right after (same call as q74's n_total)
+      val all = Window.partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+      val model = c12
+        .withColumn("c1", sum(col("c")).over(Window.partitionBy(col("w1"))))
+        .withColumn("r", dense_rank().over(Window.partitionBy().orderBy(col("w2"))))
+        .withColumn("v", max(col("r")).over(all))
+        .select(col("gram"), col("c"), col("c1"), col("v"))
+      grams.join(broadcast(model), "gram")
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_bigrams"),
+          round(
+            sum(log((col("c") + 1.0) / (col("c1") + col("v")))
+              .cast("decimal(28,12)")).cast("double") / count(lit(1)),
+            6).as("avg_logprob"))
     }
   )
 }

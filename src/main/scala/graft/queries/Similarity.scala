@@ -170,6 +170,73 @@ object Similarity {
     // embedding pipeline runs before indexing. Pure map-side (no shuffle);
     // per-row left-fold math is bit-identical to the DuckDB list_reduce
     // oracle, rounded at 1e-6 like q34/q44.
+    // ---- Product-quantization ANN: compress each 64-dim vector to 8
+    // codebook ids (8 subspaces × 8 dims, 16 centroids each = 4 bits per
+    // subspace → 4 bytes/vector vs 256 bytes of floats), then answer
+    // top-k by asymmetric distance computation (ADC): the query stays
+    // exact, candidates are scored from a per-query lookup table of
+    // (subspace, code) → partial dot, summed across subspaces. A shared
+    // codebook across subspaces (one seeded k-means over all subvectors
+    // instead of 8 per-subspace fits) keeps training one MLlib job —
+    // standard PQ variant, fine for a coarse first pass since ADC scores
+    // only shortlist candidates; the exact rerank fixes ranks.
+    //
+    // 100 TB shape: codes are a 9-column narrow table (32× smaller than
+    // the embeddings), the LUT is |queries|×8×16 rows (broadcast), the
+    // ADC join is map-side broadcast + one (qid, cid) partial agg, and
+    // only |queries|×shortlist rows reach the exact rerank — the corpus
+    // floats are touched once at encode time and then only for
+    // shortlisted candidates. Engine-specific training ⇒ no SQL oracle;
+    // recall vs q34 asserted in PipelineSpec.
+    QueryDef.noOracle("q82_ann_pq") { (s, dir) =>
+      val M = 8; val SubDim = 8; val Codes = 16; val Shortlist = 40
+      val e = emb(s, dir).withColumn("nrm", l2norm(col("v")))
+      val subs = e.select(col("vec_id"),
+          posexplode(expr(
+            s"transform(sequence(0, ${M - 1}), m -> slice(v, m * $SubDim + 1, $SubDim))"))
+            .as(Seq("m", "sub")))
+      val fe = subs.withColumn("features",
+        org.apache.spark.ml.functions.array_to_vector(col("sub")))
+      val km = quantizers.getOrElseUpdate(dir + "#pq",
+        new org.apache.spark.ml.clustering.KMeans()
+          .setK(Codes).setSeed(7L).setMaxIter(3).setInitMode("random")
+          .fit(fe.sample(withReplacement = false, 0.5, 7L)))
+      // corpus → 8 codes per vector (the compressed index)
+      val codes = km.transform(fe)
+        .select(col("vec_id").as("cid"), col("m"),
+          col("prediction").as("code"))
+      val cents = s.createDataFrame(
+        km.clusterCenters.toIndexedSeq.zipWithIndex
+          .map { case (c, i) => (i, c.toArray) })
+        .toDF("code", "centroid")
+      // per-query ADC lookup table: dot(query subvector, centroid)
+      val lut = subs.where(col("vec_id") < NumQueries)
+        .toDF("qid", "m", "qsub")
+        .crossJoin(broadcast(cents))
+        .select(col("qid"), col("m"), col("code"),
+          dot(col("qsub"), col("centroid")).as("pdot"))
+      // ADC scores: codes ⋈ broadcast LUT on (m, code), summed per pair
+      val adc = codes.join(broadcast(lut), Seq("m", "code"))
+        .where(col("qid") =!= col("cid"))
+        .groupBy(col("qid"), col("cid"))
+        .agg(sum(col("pdot")).as("adc"))
+      val ws = Window.partitionBy("qid").orderBy(col("adc").desc, col("cid"))
+      val shortlist = adc.withColumn("srank", row_number().over(ws))
+        .where(col("srank") <= Shortlist)
+        .select(col("qid"), col("cid"))
+      // exact rerank of the shortlist only
+      val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
+      shortlist
+        .join(e.toDF("cid", "cv", "cnrm"), "cid")
+        .join(broadcast(e.toDF("qid", "qv", "qnrm")), "qid")
+        .withColumn("cosine",
+          round(dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")), 6))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= K)
+        .select(col("qid"), col("cid").as("neighbor_id"), col("cosine"),
+          col("rank"))
+    },
+
     QueryDef(
       "q54_vector_normalize",
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

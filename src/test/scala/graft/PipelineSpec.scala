@@ -102,4 +102,25 @@ class PipelineSpec extends AnyFunSuite {
     info(s"IVF-ANN mean recall@5 = $mean")
     assert(mean >= 0.5, s"IVF recall $mean too low")
   }
+
+  test("q82 PQ-ANN recall@5 vs q34 brute force") {
+    val mean = meanRecall(topk("q82_ann_pq"), topk("q34_knn_bruteforce"))
+    info(s"PQ-ANN mean recall@5 = $mean")
+    assert(mean >= 0.5, s"PQ recall $mean too low")
+  }
+
+  test("q76 repeated spans: every reported span occurs in >= 2 docs verbatim") {
+    import org.apache.spark.sql.functions._
+    // independent check: substring containment over the raw corpus
+    val spans = SparkEntry.queries("q76_repeated_spans")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(spans.nonEmpty, "span gate is empty — no duplicated spans found")
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect().map(r => r.getString(1))
+    spans.take(20).foreach { case (span, nDocs) =>
+      val containing = docs.count(_.contains(span))
+      assert(containing >= nDocs,
+        s"span '$span' reported in $nDocs docs but found in $containing")
+    }
+  }
 }

@@ -240,4 +240,44 @@ class PlanSpec extends AnyFunSuite {
       p.contains("ObjectHashAggregate"),
       s"expected two two-phase aggregations:\n$p")
   }
+
+  test("q77: source cap is salted two-phase top-N — hot domains spread") {
+    // phase 1 partitions by (source, salt), phase 2 by source: two Window
+    // sorts, and the first exchange must carry the salt so no reducer
+    // owns a whole hot domain.
+    val p = plan("q77_source_cap")
+    val windows = "Window".r.findAllIn(p).size
+    assert(windows >= 2, s"expected two-phase windows:\n$p")
+    assert(p.contains("xxhash64") || p.contains("pmod"),
+      s"first phase not salted:\n$p")
+    assert(!p.contains("Join"), s"top-N must not join:\n$p")
+  }
+
+  test("q78: bigram model broadcasts — gram stream never shuffles by gram") {
+    val p = plan("q78_bigram_logprob")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the model scoring join broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"gram stream must not shuffle for the scoring join:\n$p")
+    // c1 and V ride windows over the aggregated model frame, not extra
+    // corpus passes: exactly two corpus scans (count build + scoring)
+    val scans = "documents\\.parquet".r.findAllIn(p).size
+    assert(scans == 2, s"expected 2 corpus scans, got $scans:\n$p")
+  }
+
+  test("q81: range layout — filtered re-read prunes on the sort column") {
+    val df = SparkEntry.queries("q81_range_layout")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the date filter reaches the re-laid-out parquet's scan, where the
+    // range layout makes footer min/max pruning effective
+    assert(p.contains("PushedFilters:") && p.contains("l_shipdate"),
+      s"shipdate filter not pushed to the layout scan:\n$p")
+  }
+
+  test("q76: span dedup is map-side fan-out plus one aggregation, no join") {
+    val p = plan("q76_repeated_spans")
+    assert(!p.contains("Join"), s"no join allowed:\n$p")
+    assert(p.contains("Generate"), s"expected explode fan-out:\n$p")
+  }
 }

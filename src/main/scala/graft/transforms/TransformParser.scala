@@ -38,9 +38,10 @@ object TransformParser {
       case "DEDUP" => DedupParser.parse(t)
       case "FILTER" => FilterVerb(t.substring("FILTER".length).trim)
       case "SAMPLE" => SampleParser.parse(t)
+      case "QUOTA" => QuotaParser.parse(t)
       case other => throw TransformError(
         s"unknown transform verb '$other' " +
-          "(expected AGGREGATE|LOOKUP|APPLY|DEDUP|FILTER|SAMPLE)")
+          "(expected AGGREGATE|LOOKUP|APPLY|DEDUP|FILTER|SAMPLE|QUOTA)")
     }
   }
 
@@ -389,6 +390,49 @@ object TransformParser {
       val bucket = conv(substring(md5(primary(key).cast("string")), 1, 15),
         16, 10).cast("bigint") % 10000
       primary.where(bucket < bps)
+    }
+  }
+
+  // ----------------------------------------------------------------- QUOTA
+
+  /** QUOTA <n> BY <keycol> ORDER BY <ordercol> — beyond-parity verb: keep
+    * at most n rows per key, deterministically (lowest ordercol first) —
+    * the per-domain/per-source cap every corpus-curation pipeline applies
+    * (q77's operator at the language level).
+    *
+    * Salted two-phase top-N: phase 1 ranks within (key, salt16) so a hot
+    * key's rows spread over 16 reducers, each lane keeping ≤ n; phase 2
+    * ranks the ≤ 16·n survivors per key. Output is identical to a single
+    * window, but no reducer ever sorts more than ~1/16 of a hot key —
+    * row_number's rank-limit additionally prunes map-side
+    * (WindowGroupLimit), so each phase ships only its local top-n.
+    */
+  private object QuotaParser {
+    def parse(t: String): Verb = {
+      val re = raw"(?is)^QUOTA\s+([0-9]+)\s+BY\s+([A-Za-z_]\w*)\s+ORDER\s+BY\s+([A-Za-z_]\w*)\s*$$".r
+      t.trim match {
+        case re(n, key, ord) =>
+          val cap = n.toInt
+          if (cap < 1) throw TransformError(s"QUOTA cap $cap must be >= 1")
+          QuotaVerb(cap, key, ord)
+        case _ => throw TransformError(
+          "cannot parse QUOTA (expected QUOTA <n> BY <col> ORDER BY <col>)")
+      }
+    }
+  }
+
+  final case class QuotaVerb(n: Int, key: String, ord: String) extends Verb {
+    def build(sources: Map[String, DataFrame], primary: DataFrame): DataFrame = {
+      val salted = Window
+        .partitionBy(primary(key), pmod(xxhash64(primary(ord)), lit(16)))
+        .orderBy(primary(ord))
+      val perKey = Window.partitionBy(primary(key)).orderBy(primary(ord))
+      primary
+        .withColumn("__lrn", row_number().over(salted))
+        .where(col("__lrn") <= n)
+        .withColumn("__rn", row_number().over(perKey))
+        .where(col("__rn") <= n)
+        .drop("__lrn", "__rn")
     }
   }
 

@@ -896,4 +896,29 @@ class AqlSpec extends AnyFunSuite {
     assert(r.outputs("POS").collect().map(_.getLong(0)).sorted.toSeq ==
       Seq(1L, 3L))
   }
+
+  test("QUOTA verb: at most n rows per key, lowest order-column first") {
+    // beyond-parity verb: q77's per-domain cap at the language level —
+    // salted two-phase top-N under the hood, single-window semantics.
+    val rows = (1 to 30).map(i => s"[${'"'}g${i % 3}${'"'}, $i]")
+    val r = Aql.run(spark,
+      s"""DATA 'D' (
+         |  [${rows.mkString(", ")}]
+         |) WITH (COLUMNS = 'Grp,Id', FORMAT = 'JSON_ARRAY')
+         |
+         |TRANSFORM 'Capped' FROM BLOCK D (
+         |  QUOTA 2 BY Grp ORDER BY Id
+         |) INTO CONSOLE""".stripMargin)
+    val got = r.outputs("CAPPED").collect()
+      .map(x => (x.getString(0), x.getLong(1))).toSet
+    // lowest two ids per group survive: g1->{1,4} g2->{2,5} g0->{3,6}
+    assert(got == Set(("g1", 1L), ("g2", 2L), ("g0", 3L),
+      ("g1", 4L), ("g2", 5L), ("g0", 6L)), s"got $got")
+    // malformed cap fails at compile
+    val e = intercept[Exception](Aql.run(spark,
+      """DATA 'D' ([[1]]) WITH (COLUMNS = 'Id')
+        |TRANSFORM 'Q' FROM BLOCK D (QUOTA 0 BY Id ORDER BY Id) INTO CONSOLE
+        |""".stripMargin))
+    assert(e.getMessage.contains("QUOTA"))
+  }
 }

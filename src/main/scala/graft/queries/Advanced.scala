@@ -542,5 +542,128 @@ object Advanced {
         .agg(count(lit(1)).as("n"),
           round(sum(col("l_quantity")), 6).as("sum_qty"))
     },
+
+    // ---- Weighted PageRank over the token co-occurrence graph: the
+    // iterative-propagation operator family beyond q47's connected
+    // components — per-edge weights, damping, and an exactly-mirrored
+    // oracle (the DuckDB side unrolls the same 3 iterations as CTEs, so
+    // every rank hash-matches; per-edge contributions are quantized to
+    // DECIMAL(28,12) before the per-node sum, making each iteration
+    // partition-order-independent). Shapes: the edge list is built once
+    // and localCheckpoint'd (q47's lineage-flattening), each iteration is
+    // one join + one partial+final agg shuffled by node, and node count N
+    // rides a window over the (vocab-sized) node frame rather than a
+    // driver-side count action. At 100 TB: ranks and edges shuffle on the
+    // same node key every round, so co-partitioning persists across
+    // iterations; rounds are fixed (3), not data-dependent.
+    QueryDef(
+      "q83_token_pagerank", {
+        def it(k: Int) =
+          s"""pr$k AS (
+             |  SELECT n.node, 0.15 / nn.n + 0.85 * CAST(COALESCE(s.m, 0) AS DOUBLE) AS rank
+             |  FROM nodes n CROSS JOIN nn
+             |  LEFT JOIN (
+             |    SELECT e.dst AS node,
+             |      SUM(CAST(p.rank * e.w / e.outw AS DECIMAL(28,12))) AS m
+             |    FROM pr${k - 1} p JOIN edges e ON e.src = p.node
+             |    GROUP BY e.dst) s USING (node))""".stripMargin
+        s"""WITH t AS (
+           |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+           |  FROM documents),
+           |g AS (
+           |  SELECT unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS gram
+           |  FROM t WHERE len(ws) >= 2),
+           |edges0 AS (
+           |  SELECT split_part(gram, ' ', 1) AS src, split_part(gram, ' ', 2) AS dst,
+           |    count(*) AS w
+           |  FROM g GROUP BY 1, 2),
+           |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM edges0 GROUP BY 1),
+           |edges AS (SELECT e.src, e.dst, e.w, o.outw FROM edges0 e JOIN outw o USING (src)),
+           |nodes AS (
+           |  SELECT DISTINCT node FROM (
+           |    SELECT src AS node FROM edges0 UNION ALL SELECT dst FROM edges0)),
+           |nn AS (SELECT count(*) AS n FROM nodes),
+           |pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes, nn),
+           |${it(1)},
+           |${it(2)},
+           |${it(3)}
+           |SELECT node, round(rank, 6) AS rank FROM pr3""".stripMargin
+      }) { (s, dir) =>
+      import graft.functions.Text
+      val all = Window.partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+      val grams = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(Text.tokens(col("text")).as("ws"))
+        .where(size(col("ws")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(0, size(ws) - 2),
+            |  i -> concat(element_at(ws, i + 1), ' ', element_at(ws, i + 2)))
+            |""".stripMargin)).as("gram"))
+      // edge list with out-weights: built once, lineage cut so the
+      // iterations below never re-tokenize the corpus
+      val edges = grams
+        .groupBy(split_part(col("gram"), lit(" "), lit(1)).as("src"),
+          split_part(col("gram"), lit(" "), lit(2)).as("dst"))
+        .agg(count(lit(1)).as("w"))
+        .withColumn("outw", sum(col("w")).over(Window.partitionBy(col("src"))))
+        .localCheckpoint(true)
+      val nodes = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst")))
+        .distinct()
+        .withColumn("n", count(lit(1)).over(all))
+        .localCheckpoint(true)
+      var pr = nodes.select(col("node"), (lit(1.0) / col("n")).as("rank"))
+      for (_ <- 1 to 3) {
+        // rank columns renamed to be disjoint from edges' so the join works
+        // by unqualified name — dataset-qualified refs (edges("src")) would
+        // turn ambiguous once pr's lineage contains edges (iteration 2+)
+        val contrib = pr.withColumnRenamed("node", "p_node")
+          .join(edges, col("p_node") === col("src"))
+          .select(col("dst").as("node"),
+            (col("rank") * col("w") / col("outw"))
+              .cast("decimal(28,12)").as("m"))
+          .groupBy(col("node")).agg(sum(col("m")).as("m"))
+        pr = nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (lit(0.15) / col("n") +
+              lit(0.85) * coalesce(col("m"), lit(0).cast("decimal(28,12)"))
+                .cast("double")).as("rank"))
+      }
+      pr.select(col("node"), round(col("rank"), 6).as("rank"))
+    },
+
+    // ---- Trailing-window rolling features: per-user moving average/max
+    // over the last 5 events — the feature-engineering shape (trailing
+    // aggregates feeding a model). One shuffle on user_id; the ROWS frame
+    // is bounded, so window state is O(frame), never O(partition).
+    // Exactness: values quantized to DECIMAL(18,6) before the sliding sum
+    // (decimal add/remove is exact, so Spark's sliding-frame updates equal
+    // DuckDB's per-row evaluation); max/count are order-independent.
+    QueryDef(
+      "q84_rolling_features",
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS tms,
+        |    CAST(value AS DECIMAL(18,6)) AS v, value
+        |  FROM events)
+        |SELECT user_id, event_id,
+        |  round(CAST(sum(v) OVER w AS DOUBLE) / (count(*) OVER w), 6) AS avg5,
+        |  max(value) OVER w AS max5,
+        |  count(*) OVER w AS n5
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id
+        |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tms"), col("event_id"))
+        .rowsBetween(-4, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("tms"),
+          col("value").cast("decimal(18,6)").as("v"), col("value"))
+        .select(col("user_id"), col("event_id"),
+          round(sum(col("v")).over(w).cast("double")
+            / count(lit(1)).over(w), 6).as("avg5"),
+          max(col("value")).over(w).as("max5"),
+          count(lit(1)).over(w).as("n5"))
+    },
   )
 }

@@ -552,8 +552,8 @@ object Advanced {
     // partition-order-independent). Shapes: the edge list is built once
     // and localCheckpoint'd (q47's lineage-flattening), each iteration is
     // one join + one partial+final agg shuffled by node, and node count N
-    // rides a window over the (vocab-sized) node frame rather than a
-    // driver-side count action. At 100 TB: ranks and edges shuffle on the
+    // rides a broadcast 1-row count cross-join (q56's in-plan shape) rather
+    // than a driver-side count action. At 100 TB: ranks and edges shuffle on the
     // same node key every round, so co-partitioning persists across
     // iterations; rounds are fixed (3), not data-dependent.
     QueryDef(
@@ -590,7 +590,6 @@ object Advanced {
            |SELECT node, round(rank, 6) AS rank FROM pr3""".stripMargin
       }) { (s, dir) =>
       import graft.functions.Text
-      val all = Window.partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
       val grams = t(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
         .select(Text.tokens(col("text")).as("ws"))
@@ -607,10 +606,14 @@ object Advanced {
         .agg(count(lit(1)).as("w"))
         .withColumn("outw", sum(col("w")).over(Window.partitionBy(col("src"))))
         .localCheckpoint(true)
-      val nodes = edges.select(col("src").as("node"))
+      // node frame with total count N attached via a broadcast 1-row count
+      // aggregate (q56's in-plan shape) — an unpartitioned window here would
+      // drag the whole vocab to a single task
+      val ids = edges.select(col("src").as("node"))
         .union(edges.select(col("dst")))
         .distinct()
-        .withColumn("n", count(lit(1)).over(all))
+        .localCheckpoint(true)
+      val nodes = ids.crossJoin(ids.agg(count(lit(1)).as("n")))
         .localCheckpoint(true)
       var pr = nodes.select(col("node"), (lit(1.0) / col("n")).as("rank"))
       for (_ <- 1 to 3) {

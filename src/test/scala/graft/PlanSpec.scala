@@ -280,4 +280,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"no join allowed:\n$p")
     assert(p.contains("Generate"), s"expected explode fan-out:\n$p")
   }
+
+  test("q83: pagerank iterations never re-tokenize the corpus") {
+    val p = plan("q83_token_pagerank")
+    // edges/nodes are localCheckpoint'd before the loop, so the final
+    // 3-iteration plan reads materialized RDDs — zero parquet scans and
+    // zero Generate (explode) nodes may remain
+    assert(!p.contains("documents"), s"corpus re-scanned inside iterations:\n$p")
+    assert(!p.contains("Generate"), s"tokenization re-run inside iterations:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"rank propagation must be hash joins on the node key:\n$p")
+  }
+
+  test("q84: rolling features are one shuffle on user_id") {
+    val p = plan("q84_rolling_features")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly 1 exchange, got $exchanges:\n$p")
+    assert(p.contains("Window"), s"expected a Window node:\n$p")
+    assert(!p.contains("Join"), s"trailing frames must not join:\n$p")
+  }
 }

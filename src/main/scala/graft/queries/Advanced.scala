@@ -668,5 +668,115 @@ object Advanced {
           max(col("value")).over(w).as("max5"),
           count(lit(1)).over(w).as("n5"))
     },
+
+    // ---- MERGE / upsert compaction: apply a CDC-style change set (updates,
+    // deletes-as-tombstones, inserts) onto a base table in ONE shuffle.
+    // Changes are derived deterministically from orders itself (key % 5 = 0
+    // → price-doubling update, % 7 = 3 → delete, % 13 = 1 → insert under a
+    // shifted key) so the oracle can build the identical change set. The
+    // plan is the scale-correct CDC-compaction shape: union base (ver 0) +
+    // changes (ver 1/2), then per-key latest-wins via max(struct(ver, …)) —
+    // a partial-aggregatable reduce, NOT a row_number window and NOT an
+    // anti-join sandwich, so map-side combine collapses most keys before
+    // the single key shuffle. Deletes win over same-key updates (ver 2 > 1).
+    // Prices ride DECIMAL(18,2) so the doubled values are exact on both
+    // engines.
+    QueryDef(
+      "q86_merge_upsert",
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_custkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price, 0 AS ver, 'B' AS op
+        |  FROM orders),
+        |u AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DECIMAL(18,2)),
+        |    1, 'U'
+        |  FROM orders WHERE o_orderkey % 5 = 0),
+        |d AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(18,2)), 2, 'D'
+        |  FROM orders WHERE o_orderkey % 7 = 3),
+        |i AS (
+        |  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(18,2)), 1, 'I'
+        |  FROM orders WHERE o_orderkey % 13 = 1),
+        |allr AS (
+        |  SELECT * FROM base UNION ALL SELECT * FROM u
+        |  UNION ALL SELECT * FROM d UNION ALL SELECT * FROM i),
+        |latest AS (
+        |  SELECT * FROM allr
+        |  QUALIFY row_number() OVER (PARTITION BY k ORDER BY ver DESC) = 1)
+        |SELECT k AS o_orderkey, o_custkey, o_orderstatus,
+        |  CAST(price AS DOUBLE) AS price
+        |FROM latest WHERE op <> 'D'""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      def rows(pred: org.apache.spark.sql.Column, keyShift: Long,
+               price: org.apache.spark.sql.Column, ver: Int, op: String) =
+        o.where(pred).select(
+          (col("o_orderkey") + keyShift).as("k"), col("o_custkey"),
+          col("o_orderstatus"), price.cast("decimal(18,2)").as("price"),
+          lit(ver).as("ver"), lit(op).as("op"))
+      val base = rows(lit(true), 0L, dec2(col("o_totalprice")), 0, "B")
+      val upd = rows(col("o_orderkey") % 5 === 0, 0L,
+        dec2(col("o_totalprice")) * 2, 1, "U")
+      val del = rows(col("o_orderkey") % 7 === 3, 0L,
+        dec2(col("o_totalprice")), 2, "D")
+      val ins = rows(col("o_orderkey") % 13 === 1, 100000000L,
+        dec2(col("o_totalprice")), 1, "I")
+      base.unionByName(upd).unionByName(del).unionByName(ins)
+        .groupBy(col("k"))
+        .agg(max(struct(col("ver"), col("op"), col("o_custkey"),
+          col("o_orderstatus"), col("price"))).as("m"))
+        .where(col("m.op") =!= "D")
+        .select(col("k").as("o_orderkey"),
+          col("m.o_custkey").as("o_custkey"),
+          col("m.o_orderstatus").as("o_orderstatus"),
+          col("m.price").cast("double").as("price"))
+    },
+
+    // ---- Heavy-hitter key profiler: the skew diagnostic you run BEFORE
+    // choosing a join strategy at 100 TB — top-20 join keys by frequency
+    // with their share of all rows. One corpus scan: the total rides a
+    // 1-row sum over the (|keys|-sized) count frame, broadcast back via
+    // cross join; top-k is TakeOrderedAndProject (k rows per partition →
+    // k global, no global sort). Exact here; at 100 TB the same question
+    // is usually answered from a 1% sample or a count-min sketch — the
+    // exact plan stays cheap because shuffle volume is |distinct keys|.
+    QueryDef(
+      "q87_heavy_hitters",
+      """WITH c AS (SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY 1),
+        |n AS (SELECT sum(cnt) AS total FROM c)
+        |SELECT l_suppkey, cnt, round(CAST(cnt AS DOUBLE) / total, 6) AS share
+        |FROM c CROSS JOIN n
+        |ORDER BY cnt DESC, l_suppkey LIMIT 20""".stripMargin) { (s, dir) =>
+      val counts = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("cnt"))
+      counts.crossJoin(counts.agg(sum(col("cnt")).as("total")))
+        .select(col("l_suppkey"), col("cnt"),
+          round(col("cnt").cast("double") / col("total"), 6).as("share"))
+        .orderBy(col("cnt").desc, col("l_suppkey"))
+        .limit(20)
+    },
+
+    // ---- Quantile-bucket assignment: decile of document length within
+    // each language — the curation primitive behind "keep the top-N% by
+    // quality per stratum". ntile is deterministic given a total order, so
+    // doc_id breaks length ties identically on both engines. One shuffle
+    // on lang. At 100 TB a single giant stratum makes the per-stratum sort
+    // the bottleneck; the documented swap is two-pass: approx_percentile
+    // cut points per stratum (fixed-size sketch), broadcast, then map-side
+    // bucket assignment — no sort at all, at the cost of sketch-boundary
+    // error.
+    QueryDef(
+      "q88_decile_binning",
+      """SELECT doc_id, lang,
+        |  ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS decile
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), ntile(10).over(w).as("decile"))
+    },
   )
 }

@@ -301,5 +301,55 @@ object Dedup {
       }
       labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
     },
+
+    // ---- Incremental dedup: a new batch against an existing corpus. ----
+    // The production shape for continuous ingestion: the corpus side's
+    // MinHash signatures/bands are computed ONCE at index time and stored
+    // (here both sides derive from the same table, split deterministically
+    // by doc_id parity — even = new batch, odd = indexed corpus); each
+    // arriving batch computes signatures only for its own documents and
+    // probes the stored band index. Candidates are exact-verified, so at
+    // the 0.8 threshold the output equals brute-force batch×corpus
+    // Jaccard (q32's miss-probability argument), which is what the DuckDB
+    // oracle computes. At 100 TB: the band index is bucketed by (band, bh)
+    // at write time, so the probe join shuffles ONLY the batch side —
+    // per-batch cost ∝ batch size, never corpus size.
+    QueryDef(
+      "q85_dedup_incremental",
+      s"""$oracleShingles,
+         |bt AS (SELECT * FROM s WHERE doc_id % 2 = 0),
+         |cp AS (SELECT * FROM s WHERE doc_id % 2 = 1),
+         |m AS (
+         |  SELECT bt.doc_id, cp.doc_id AS dup
+         |  FROM bt JOIN cp ON round(CAST(len(list_intersect(bt.sh, cp.sh)) AS DOUBLE)
+         |    / (len(bt.sh) + len(cp.sh) - len(list_intersect(bt.sh, cp.sh))), 6) >= 0.8)
+         |SELECT bt.doc_id, count(m.dup) AS n_dups, count(m.dup) > 0 AS is_dup
+         |FROM bt LEFT JOIN m USING (doc_id)
+         |GROUP BY bt.doc_id""".stripMargin) { (s, dir) =>
+      val sh = shingled(s, dir)
+      val sig = sh.select(col("doc_id"), Text.hashedShingles(col("shs")).as("hs"))
+        .select(col("doc_id"),
+          Text.minhashSigFromHashes(col("hs"), numPerm = 128).as("sig"))
+      val bands = sig
+        .select(col("doc_id"),
+          explode(Text.lshBands(col("sig"), numBands = 32, rowsPerBand = 4))
+            .as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+      val batchBands = bands.where(col("doc_id") % 2 === 0)
+        .toDF("doc_a", "band", "bh")
+      val corpusBands = bands.where(col("doc_id") % 2 === 1)
+        .toDF("doc_b", "band", "bh")
+      val cand = batchBands.join(corpusBands, Seq("band", "bh"))
+        .select("doc_a", "doc_b")
+        .distinct()
+      val matches = verifyPairs(cand, sh.select(col("doc_id"), col("shs")), 0.8)
+        .groupBy(col("doc_a").as("doc_id"))
+        .agg(count(lit(1)).as("n_dups"))
+      sh.where(col("doc_id") % 2 === 0).select(col("doc_id"))
+        .join(matches, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+          (coalesce(col("n_dups"), lit(0L)) > 0).as("is_dup"))
+    },
   )
 }

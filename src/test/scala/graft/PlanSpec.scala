@@ -292,6 +292,20 @@ class PlanSpec extends AnyFunSuite {
       s"rank propagation must be hash joins on the node key:\n$p")
   }
 
+  test("q86: merge compaction is a partial-aggregatable reduce, no window") {
+    val p = plan("q86_merge_upsert")
+    val hashAggs = "HashAggregate|SortAggregate".r.findAllIn(p).size
+    assert(hashAggs >= 2, s"expected partial+final latest-wins agg:\n$p")
+    assert(!p.contains("Window"), s"merge must not sort per key via window:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"merge must be union+reduce, not an anti-join sandwich:\n$p")
+  }
+
+  test("q87: heavy hitters end in TakeOrderedAndProject") {
+    val p = plan("q87_heavy_hitters")
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k operator:\n$p")
+  }
+
   test("q84: rolling features are one shuffle on user_id") {
     val p = plan("q84_rolling_features")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size

@@ -778,5 +778,79 @@ object Advanced {
       t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), ntile(10).over(w).as("decile"))
     },
+
+    // ---- Funnel analysis: how far does each user get through the ordered
+    // view → click → purchase sequence (each stage's event must be at or
+    // after the previous stage's first qualifying event)? Output is users
+    // per furthest-stage-reached. Three conditional-min aggregations, each
+    // shuffled on user_id — co-partitioned, so after the first exchange
+    // the later joins/aggs reuse the partitioning; per-user state is one
+    // timestamp per stage, never the user's event list. The stage joins
+    // join |users|-sized frames, not the event stream.
+    QueryDef(
+      "q90_funnel",
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'view'
+        |  GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY 1)
+        |SELECT CASE WHEN t3 IS NOT NULL THEN 3
+        |            WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS stage,
+        |  count(*) AS users
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val s1 = e.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val s2 = e.where(col("event_type") === "click")
+        .join(s1, "user_id").where(col("ts") >= col("t1"))
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      val s3 = e.where(col("event_type") === "purchase")
+        .join(s2, "user_id").where(col("ts") >= col("t2"))
+        .groupBy("user_id").agg(min(col("ts")).as("t3"))
+      s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+        .select(when(col("t3").isNotNull, 3)
+          .when(col("t2").isNotNull, 2).otherwise(1).as("stage"))
+        .groupBy("stage").agg(count(lit(1)).as("users"))
+    },
+
+    // ---- Cohort retention: users grouped by the week of their first
+    // event, counted per weeks-since-cohort of later activity — the
+    // engagement matrix every analytics stack computes. Two aggs and one
+    // join, all shuffled on user_id (the first-event frame is |users|-
+    // sized and joins back onto the event stream map-side after its own
+    // shuffle); the final (cohort, week) agg is partial+final with
+    // count(DISTINCT user_id) expanded by Catalyst into a two-level exact
+    // distinct agg. Week arithmetic is date-boundary-based on both
+    // engines (Monday-start ISO weeks).
+    QueryDef(
+      "q91_cohort_retention",
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |f AS (SELECT user_id, min(ts) AS t0 FROM e GROUP BY 1)
+        |SELECT CAST(date_trunc('week', f.t0) AS DATE) AS cohort_week,
+        |  CAST(floor(date_diff('day', CAST(f.t0 AS DATE), CAST(e.ts AS DATE))
+        |    / 7) AS BIGINT) AS week_offset,
+        |  count(DISTINCT e.user_id) AS users
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "events").select(col("user_id"), col("ts"))
+      val first = e.groupBy("user_id").agg(min(col("ts")).as("t0"))
+      e.join(first, "user_id")
+        .select(
+          date_trunc("week", col("t0")).cast("date").as("cohort_week"),
+          floor(datediff(col("ts"), col("t0")) / 7).as("week_offset"),
+          col("user_id"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(countDistinct(col("user_id")).as("users"))
+    },
   )
 }

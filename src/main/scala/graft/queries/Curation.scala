@@ -531,6 +531,40 @@ object Curation {
             sum(log((col("c") + 1.0) / (col("c1") + col("v")))
               .cast("decimal(28,12)")).cast("double") / count(lit(1)),
             6).as("avg_logprob"))
-    }
+    },
+
+    // ---- Weighted sampling without replacement (Efraimidis–Spirakis
+    // A-ES): keep the 50 documents with the largest ln(u)/w where u is a
+    // per-doc uniform draw and w = n_chars — equivalent to drawing 50
+    // docs weighted by length, without replacement. The draw is the
+    // engine-portable md5 trick (q66/q69): 13 hex chars = 52 bits < 2⁵³,
+    // so u is bit-exact in both engines' doubles and the sample is a pure
+    // function of doc_id — reproducible across runs, partitionings, and
+    // engines. This is THE distributed weighted-sampling shape: keys are
+    // independent per row (map-side), and top-k-by-key merges across
+    // partitions (TakeOrderedAndProject) — per-partition reservoirs of
+    // size k, merged, no global sort, no sampling state.
+    QueryDef(
+      "q89_weighted_sample",
+      """WITH t AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+        |       AS BIGINT) + 0.5) / 4503599627370496.0 AS u
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, lang, n_chars, round(ln(u) / n_chars, 9) AS skey
+        |FROM t ORDER BY ln(u) / n_chars DESC, doc_id LIMIT 50""".stripMargin) {
+      (s, dir) =>
+      val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 13),
+        16, 10).cast("bigint") + lit(0.5)) / lit(4503599627370496.0)
+      Tables.load(s, dir, "documents")
+        .where(col("n_chars") > 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          (log(u) / col("n_chars")).as("k0"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          round(col("k0"), 9).as("skey"), col("k0"))
+        .orderBy(col("k0").desc, col("doc_id"))
+        .limit(50)
+        .drop("k0")
+    },
   )
 }

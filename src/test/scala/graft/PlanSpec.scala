@@ -306,6 +306,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"no top-k operator:\n$p")
   }
 
+  test("q89: weighted sample is map-side keys + TakeOrderedAndProject") {
+    val p = plan("q89_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k operator:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"sampling keys must not shuffle:\n$p")
+  }
+
   test("q84: rolling features are one shuffle on user_id") {
     val p = plan("q84_rolling_features")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size

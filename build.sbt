@@ -9,6 +9,17 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// A dangling operator on a continuation line (e.g. a two-line arithmetic
+// Column expression without parentheses) silently becomes a discarded
+// statement under semicolon inference; this warning catches that class of
+// bug at compile time. Benign side-effect idioms (parser advance(),
+// warm-up collect()/count(), awaitTermination) are silenced by type so a
+// discarded Column/DataFrame still warns.
+scalacOptions ++= Seq(
+  "-Wnonunit-statement",
+  "-Wconf:msg=unused value of type org\\.apache\\.spark:w," +
+    "msg=unused value:s",
+)
 Test / fork := true
 run / fork := true
 // Pass forked-run output through unprefixed: the bench/verify harness parses

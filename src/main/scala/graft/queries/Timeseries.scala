@@ -102,5 +102,136 @@ object Timeseries {
       Zoh.zohMean(ev, Seq("user_id"),
         unix_micros(col("ts")), dec2(col("value")), ZohStartUs, ZohEndUs)
     },
+
+    // ---- Linear-interpolation resampling: each user's irregular purchase
+    // series re-sampled onto a regular 1-day grid, values linearly
+    // interpolated between the surrounding observations (interior grid
+    // points only — ZOH's forward-fill sibling for gap-filling sensor
+    // data). Shape: grid rows are generated map-side (explode(sequence))
+    // off the |users| frame and UNIONED with the observations, then ONE
+    // window shuffle on user_id finds both neighbours via
+    // last/first(ignoreNulls) over preceding/following frames — no
+    // self-join, no per-grid-point probe. Interpolation arithmetic runs
+    // the identical IEEE expression on both engines over exact inputs
+    // (decimal-quantized values, integer micros), so results hash-match.
+    // At 100 TB: state per user is one running observation either side,
+    // grid fan-out is bounded by the window/step ratio, and the single
+    // exchange carries points + grid rows shuffled on user_id.
+    QueryDef(
+      "q92_interpolate", {
+        val step = 86400000000L
+        s"""WITH pts AS (
+           |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+           |    CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS v, 1 AS is_obs
+           |  FROM events WHERE event_type = 'purchase'),
+           |grid AS (
+           |  SELECT user_id, unnest(generate_series($ZohStartUs,
+           |    ${ZohEndUs - 1}, $step)) AS t,
+           |    CAST(NULL AS DOUBLE) AS v, 0 AS is_obs
+           |  FROM (SELECT DISTINCT user_id FROM pts)),
+           |u AS (SELECT * FROM pts UNION ALL SELECT * FROM grid),
+           |w AS (
+           |  SELECT *,
+           |    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+           |      ORDER BY t, is_obs DESC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+           |    last_value(CASE WHEN is_obs = 1 THEN t END IGNORE NULLS)
+           |      OVER (PARTITION BY user_id ORDER BY t, is_obs DESC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+           |    first_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+           |      ORDER BY t, is_obs DESC
+           |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+           |    first_value(CASE WHEN is_obs = 1 THEN t END IGNORE NULLS)
+           |      OVER (PARTITION BY user_id ORDER BY t, is_obs DESC
+           |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+           |  FROM u)
+           |SELECT user_id, t AS grid_us,
+           |  round(CASE WHEN nt = pt THEN pv
+           |    ELSE pv + (nv - pv) * CAST(t - pt AS DOUBLE)
+           |      / CAST(nt - pt AS DOUBLE) END, 6) AS v_interp
+           |FROM w WHERE is_obs = 0 AND pt IS NOT NULL AND nt IS NOT NULL""".stripMargin
+      }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val step = 86400000000L
+      val pts = Tables.load(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("t"),
+          dec2(col("value")).cast("double").as("v"), lit(1).as("is_obs"))
+      val grid = pts.select("user_id").distinct()
+        .select(col("user_id"),
+          explode(sequence(lit(ZohStartUs), lit(ZohEndUs - 1), lit(step)))
+            .as("t"),
+          lit(null).cast("double").as("v"), lit(0).as("is_obs"))
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("is_obs").desc)
+      val wPrev = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val obsT = when(col("is_obs") === 1, col("t"))
+      pts.unionByName(grid)
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+        .withColumn("pt", last(obsT, ignoreNulls = true).over(wPrev))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+        .withColumn("nt", first(obsT, ignoreNulls = true).over(wNext))
+        .where(col("is_obs") === 0 && col("pt").isNotNull && col("nt").isNotNull)
+        .select(col("user_id"), col("t").as("grid_us"),
+          round(when(col("nt") === col("pt"), col("pv"))
+            .otherwise(col("pv") + (col("nv") - col("pv"))
+              * (col("t") - col("pt")).cast("double")
+              / (col("nt") - col("pt")).cast("double")), 6).as("v_interp"))
+    },
+
+    // ---- Per-key trend detection: least-squares slope of value over time
+    // for each user, from exact moment sums. x is centered per user
+    // (seconds since the user's first event — keeps Σx² inside BIGINT at
+    // gate scale; the 100 TB swap is DECIMAL(38,0) sums, same plan) and y
+    // rides DECIMAL(18,6), so all four sums are exact and order-
+    // independent; the closed-form slope is then computed in doubles from
+    // identical exact inputs on both engines. One shuffle on user_id: the
+    // centering window and the moment aggregation share the partitioning.
+    // No regr_slope built-in on either side — their double accumulation
+    // is partition-order-dependent and would not hash-match.
+    QueryDef(
+      "q93_trend_slope",
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec,
+        |    CAST(value AS DECIMAL(18,6)) AS y
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, sec - min(sec) OVER (PARTITION BY user_id) AS x, y
+        |  FROM e),
+        |m AS (
+        |  SELECT user_id, count(*) AS n,
+        |    sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * x) AS sxx, sum(CAST(x AS DECIMAL(18,0)) * y) AS sxy
+        |  FROM c GROUP BY 1)
+        |SELECT user_id, n,
+        |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0 THEN NULL
+        |    ELSE round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) END AS slope
+        |FROM m""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id"))
+      val m = Tables.load(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 1000000").as("sec"),
+          col("value").cast("decimal(18,6)").as("y"))
+        .withColumn("x", col("sec") - min(col("sec")).over(byUser))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x").cast("decimal(18,0)") * col("y")).as("sxy"))
+      val n = col("n").cast("double")
+      val den = (n * col("sxx").cast("double")
+        - col("sx").cast("double") * col("sx").cast("double"))
+      m.select(col("user_id"), col("n"),
+        when(den === 0, lit(null).cast("double"))
+          .otherwise(round((n * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double")) / den, 6))
+          .as("slope"))
+    },
   )
 }

@@ -852,5 +852,97 @@ object Advanced {
         .groupBy("cohort_week", "week_offset")
         .agg(countDistinct(col("user_id")).as("users"))
     },
+
+    // ---- Join-cardinality estimation: the planner diagnostic you run
+    // BEFORE a fact-fact join at 100 TB — |A ⋈ B| on the key equals
+    // Σ_k cnt_A(k)·cnt_B(k), computed exactly from the two per-key count
+    // frames. Both count aggs are partial+final (shuffle ∝ distinct keys,
+    // not rows); the final join is between |keys|-sized frames, orders of
+    // magnitude smaller than the fact tables. This exact form is what a
+    // CBO approximates with histograms; it also surfaces the skew
+    // contribution (max single-key product) that decides salting.
+    QueryDef(
+      "q94_join_cardinality",
+      """WITH a AS (SELECT l_orderkey AS k, count(*) AS ca
+        |  FROM lineitem GROUP BY 1),
+        |b AS (SELECT o_orderkey AS k, count(*) AS cb FROM orders GROUP BY 1)
+        |SELECT CAST(sum(ca * cb) AS BIGINT) AS est_rows,
+        |  count(*) AS n_keys,
+        |  CAST(max(ca * cb) AS BIGINT) AS max_key_rows
+        |FROM a JOIN b USING (k)""".stripMargin) { (s, dir) =>
+      val a = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("ca"))
+      val b = t(s, dir, "orders")
+        .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("cb"))
+      a.join(b, "k")
+        .agg(sum(col("ca") * col("cb")).as("est_rows"),
+          count(lit(1)).as("n_keys"),
+          max(col("ca") * col("cb")).as("max_key_rows"))
+    },
+
+    // ---- Single-pass table profiler: null count, exact distinct count,
+    // and numeric min/max for every column of `orders` in ONE scan — the
+    // ANALYZE/data-quality primitive. The multi-column exact distincts
+    // expand (Catalyst Expand) into one fan-out pass with partial aggs;
+    // at 100 TB you swap approx_count_distinct into the same plan and the
+    // Expand disappears. Non-numeric min/max are reported as NULL
+    // (cross-engine string/timestamp formatting is not hash-stable);
+    // timestamps profile as epoch seconds.
+    QueryDef(
+      "q95_table_profile", {
+        def row(c: String, minmax: String) =
+          s"""SELECT '$c' AS col, count(*) - count($c) AS n_nulls,
+             |  count(DISTINCT $c) AS n_distinct, $minmax
+             |FROM orders""".stripMargin
+        Seq(
+          row("o_orderkey",
+            "round(CAST(min(o_orderkey) AS DOUBLE), 6) AS min_v, " +
+              "round(CAST(max(o_orderkey) AS DOUBLE), 6) AS max_v"),
+          row("o_custkey",
+            "round(CAST(min(o_custkey) AS DOUBLE), 6), " +
+              "round(CAST(max(o_custkey) AS DOUBLE), 6)"),
+          row("o_orderstatus",
+            "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)"),
+          row("o_totalprice",
+            "round(CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6), " +
+              "round(CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6)"),
+          row("o_orderdate",
+            "round(epoch(min(o_orderdate)), 6), round(epoch(max(o_orderdate)), 6)"),
+          row("o_orderpriority",
+            "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)"),
+        ).mkString("\nUNION ALL\n")
+      }) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val dNull = lit(null).cast("double")
+      case class P(name: String, minV: org.apache.spark.sql.Column,
+                   maxV: org.apache.spark.sql.Column)
+      val profiled = Seq(
+        P("o_orderkey", round(min(col("o_orderkey")).cast("double"), 6),
+          round(max(col("o_orderkey")).cast("double"), 6)),
+        P("o_custkey", round(min(col("o_custkey")).cast("double"), 6),
+          round(max(col("o_custkey")).cast("double"), 6)),
+        P("o_orderstatus", dNull, dNull),
+        P("o_totalprice", round(min(dec2(col("o_totalprice"))).cast("double"), 6),
+          round(max(dec2(col("o_totalprice"))).cast("double"), 6)),
+        P("o_orderdate", // NTZ → TZ cast is a no-op under the UTC session tz
+          round(unix_micros(min(col("o_orderdate")).cast("timestamp"))
+            .cast("double") / 1e6, 6),
+          round(unix_micros(max(col("o_orderdate")).cast("timestamp"))
+            .cast("double") / 1e6, 6)),
+        P("o_orderpriority", dNull, dNull),
+      )
+      val aggs = profiled.flatMap { p =>
+        Seq((count(lit(1)) - count(col(p.name))).as(s"nn_${p.name}"),
+          countDistinct(col(p.name)).as(s"nd_${p.name}"),
+          p.minV.as(s"mn_${p.name}"), p.maxV.as(s"mx_${p.name}"))
+      }
+      val one = o.agg(aggs.head, aggs.tail: _*)
+      // unpivot the single stats row into (col, n_nulls, n_distinct, min, max)
+      val stacked = profiled.map(p =>
+        s"'${p.name}', nn_${p.name}, nd_${p.name}, mn_${p.name}, mx_${p.name}")
+        .mkString(", ")
+      one.select(expr(
+        s"stack(${profiled.size}, $stacked) AS (col, n_nulls, n_distinct, min_v, max_v)"))
+    },
   )
 }

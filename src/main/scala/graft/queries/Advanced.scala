@@ -944,5 +944,143 @@ object Advanced {
       one.select(expr(
         s"stack(${profiled.size}, $stacked) AS (col, n_nulls, n_distinct, min_v, max_v)"))
     },
+
+    // ---- SCD Type-2 history build: turn a raw per-key change log into a
+    // compressed versioned dimension (valid_from / valid_to intervals,
+    // consecutive duplicates collapsed) — the warehouse primitive behind
+    // every `*_history` table. Two window passes share ONE user_id
+    // exchange+sort (the change filter preserves partitioning AND
+    // ordering, so lag-compress and lead/valid_to pipeline in the same
+    // stage — no second shuffle). valid_to IS NULL marks the current
+    // version. At 100 TB this plan lands unchanged: window state is one
+    // previous row per key, and the output is |versions|, already
+    // key-partitioned for the downstream as-of lookup (q24's shape).
+    QueryDef(
+      "q96_scd2_history",
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ms(CAST(ts AS TIMESTAMP)) AS tms,
+        |    event_id
+        |  FROM events),
+        |c AS (
+        |  SELECT *, lag(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY tms, event_id) AS prev_type
+        |  FROM e),
+        |ch AS (
+        |  SELECT user_id, event_type, tms, event_id FROM c
+        |  WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_type, tms AS valid_from_ms,
+        |  lead(tms) OVER (PARTITION BY user_id ORDER BY tms, event_id)
+        |    AS valid_to_ms,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY tms, event_id)
+        |    AS version
+        |FROM ch""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tms"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_millis(col("ts")).as("tms"), col("event_id"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .where(col("prev_type").isNull ||
+          col("prev_type") =!= col("event_type"))
+        .select(col("user_id"), col("event_type"),
+          col("tms").as("valid_from_ms"),
+          lead(col("tms"), 1).over(w).as("valid_to_ms"),
+          row_number().over(w).as("version"))
+    },
+
+    // ---- Snapshot diff → CDC changeset: compare two table snapshots and
+    // emit the insert/update/delete records that turn old into new — the
+    // inverse of q86's MERGE (the pair round-trips: q97(old, new) fed to
+    // q86 reproduces new). One full-outer sort-merge join on the key;
+    // unchanged rows (the overwhelming majority at 100 TB) are dropped
+    // before anything downstream sees them. At scale both snapshots live
+    // bucketed on the key (q55's layout) so the diff runs with zero
+    // exchanges; the "new" side here is derived in-plan to keep the gate
+    // self-contained.
+    QueryDef(
+      "q97_snapshot_diff",
+      """WITH old AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders),
+        |new AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(CASE WHEN o_orderkey % 5 = 0
+        |      THEN CAST(o_totalprice AS DECIMAL(18,2)) * 2
+        |      ELSE CAST(o_totalprice AS DECIMAL(18,2)) END
+        |      AS DECIMAL(18,2)) AS price
+        |  FROM orders WHERE o_orderkey % 7 <> 3
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000,
+        |    CAST(o_totalprice AS DECIMAL(18,2))
+        |  FROM orders WHERE o_orderkey % 13 = 1)
+        |SELECT
+        |  CASE WHEN old.k IS NULL THEN 'I'
+        |       WHEN new.k IS NULL THEN 'D' ELSE 'U' END AS op,
+        |  coalesce(old.k, new.k) AS o_orderkey,
+        |  CAST(old.price AS DOUBLE) AS old_price,
+        |  CAST(new.price AS DOUBLE) AS new_price
+        |FROM old FULL OUTER JOIN new ON old.k = new.k
+        |WHERE old.k IS NULL OR new.k IS NULL
+        |   OR old.price <> new.price""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val old = o.select(col("o_orderkey").as("k"),
+        dec2(col("o_totalprice")).as("price"))
+      val neu = o.where(col("o_orderkey") % 7 =!= 3)
+        .select(col("o_orderkey").as("k"),
+          when(col("o_orderkey") % 5 === 0, dec2(col("o_totalprice")) * 2)
+            .otherwise(dec2(col("o_totalprice")))
+            .cast("decimal(18,2)").as("price"))
+        .unionByName(o.where(col("o_orderkey") % 13 === 1)
+          .select((col("o_orderkey") + 100000000L).as("k"),
+            dec2(col("o_totalprice")).as("price")))
+      old.as("old").join(neu.as("new"), col("old.k") === col("new.k"),
+          "full_outer")
+        .where(col("old.k").isNull || col("new.k").isNull ||
+          col("old.price") =!= col("new.price"))
+        .select(
+          when(col("old.k").isNull, "I")
+            .when(col("new.k").isNull, "D").otherwise("U").as("op"),
+          coalesce(col("old.k"), col("new.k")).as("o_orderkey"),
+          col("old.price").cast("double").as("old_price"),
+          col("new.price").cast("double").as("new_price"))
+    },
+
+    // ---- Small-file compaction planner: bin-pack a table's file/partition
+    // inventory into target-sized output groups — the metadata pass every
+    // lakehouse compactor (OPTIMIZE/rewrite_data_files) runs before moving
+    // a byte of data. Stage 1 aggregates the inventory (here: rows per
+    // ship-date, standing in for bytes per file); stage 2 assigns bins by
+    // running-total division over the date-ordered inventory. The global
+    // cumulative-sum window is single-partition BY DESIGN: it runs over
+    // |files| metadata rows (thousands), never over data rows — the same
+    // reason Iceberg plans compaction on the manifest, not the table.
+    QueryDef(
+      "q99_compaction_plan",
+      """WITH files AS (
+        |  SELECT l_shipdate AS f, count(*) AS rows_
+        |  FROM lineitem GROUP BY 1),
+        |planned AS (
+        |  SELECT f, rows_,
+        |    coalesce(sum(rows_) OVER (ORDER BY f
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 5000
+        |      AS bin
+        |  FROM files)
+        |SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n_files,
+        |  CAST(sum(rows_) AS BIGINT) AS total_rows,
+        |  min(f) AS from_date, max(f) AS to_date
+        |FROM planned GROUP BY bin""".stripMargin) { (s, dir) =>
+      val files = t(s, dir, "lineitem")
+        .groupBy(col("l_shipdate").as("f")).agg(count(lit(1)).as("rows_"))
+      val cum = Window.orderBy(col("f"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      files
+        .withColumn("bin",
+          floor(coalesce(sum(col("rows_")).over(cum), lit(0L)) / 5000)
+            .cast("bigint"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_files"), sum(col("rows_")).as("total_rows"),
+          min(col("f")).as("from_date"), max(col("f")).as("to_date"))
+    },
   )
 }

@@ -4,6 +4,7 @@ import graft.{QueryDef, Tables}
 import graft.functions.Text
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Corpus-curation operators over `documents` — the slicing/filtering/
   * sampling layer of a training-data pipeline, complementing the dedup
@@ -565,6 +566,55 @@ object Curation {
         .orderBy(col("k0").desc, col("doc_id"))
         .limit(50)
         .drop("k0")
+    },
+
+    // ---- Temperature-scaled source mixing: resample a multi-source
+    // corpus so source s keeps rate ∝ bytes_s^T / max (T = 0.5 flattens
+    // the source-size distribution — the standard multilingual/multi-
+    // source rebalancing before LLM training). Stage 1 aggregates bytes
+    // per source (|sources| rows); the rate frame broadcasts back onto
+    // the corpus and the keep decision is the md5-bucket trick (q69) —
+    // map-side, deterministic, engine-portable. sqrt and the ×10⁶ floor
+    // are correctly-rounded IEEE ops ⇒ identical thresholds on both
+    // engines. Two corpus scans total (stats + filter), the q78 pattern;
+    // at 100 TB the rate frame is computed once per snapshot and reused
+    // across epochs.
+    QueryDef(
+      "q100_temperature_mix",
+      """WITH stats AS (
+        |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS bytes_s
+        |  FROM documents GROUP BY source),
+        |rates AS (
+        |  SELECT source, bytes_s,
+        |    CAST(floor(1000000.0 * sqrt(CAST(bytes_s AS DOUBLE)) /
+        |      max(sqrt(CAST(bytes_s AS DOUBLE))) OVER ()) AS BIGINT)
+        |      AS keep_ppm
+        |  FROM stats),
+        |kept AS (
+        |  SELECT d.source,
+        |    CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 1000000 < r.keep_ppm AS keep
+        |  FROM documents d JOIN rates r USING (source))
+        |SELECT r.source, r.bytes_s, r.keep_ppm,
+        |  (SELECT count(*) FROM kept k
+        |   WHERE k.source = r.source AND k.keep) AS n_kept
+        |FROM rates r""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val stats = d.groupBy(col("source"))
+        .agg(sum(col("n_chars")).cast("bigint").as("bytes_s"))
+      val rates = stats.withColumn("keep_ppm",
+        floor(lit(1000000.0) * sqrt(col("bytes_s").cast("double")) /
+          max(sqrt(col("bytes_s").cast("double")))
+            .over(Window.partitionBy())).cast("bigint"))
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+        16, 10).cast("bigint") % 1000000
+      val kept = d.join(broadcast(rates.select("source", "keep_ppm")),
+          Seq("source"))
+        .where(bucket < col("keep_ppm"))
+        .groupBy(col("source")).agg(count(lit(1)).as("nk"))
+      rates.join(kept, Seq("source"), "left")
+        .select(col("source"), col("bytes_s"), col("keep_ppm"),
+          coalesce(col("nk"), lit(0L)).as("n_kept"))
     },
   )
 }

@@ -351,5 +351,60 @@ object Dedup {
           coalesce(col("n_dups"), lit(0L)).as("n_dups"),
           (coalesce(col("n_dups"), lit(0L)) > 0).as("is_dup"))
     },
+
+    // ---- Typo/fuzzy dedup via deletion-neighborhood blocking (SymSpell's
+    // index, adapted to a join): match noisy strings to a canonical
+    // dictionary at edit distance ≤ 1 WITHOUT the |dirty|×|dict|
+    // cross-levenshtein. Completeness: two strings within ED 1 always
+    // share a member of {s} ∪ deletes1(s) (deletion ⇒ q ∈ D1(c);
+    // substitution ⇒ same-position deletes collide; equality trivial), so
+    // an equi-join on the variant covers every true pair and levenshtein
+    // runs ONLY on candidates. The join key is xxhash64(variant) — 8-byte
+    // shuffle rows regardless of string length; hash collisions can only
+    // add candidates, never drop them, and the exact verify removes them.
+    // Candidate volume is Σ(len+1) per side (~|rows|×len), linear — at
+    // 100 TB the dictionary's delete index is precomputed and bucketed,
+    // exactly like q85's MinHash band index. The dirty probe set here is
+    // derived in-plan: every third customer name with one character
+    // (position = key mod length) deleted. The oracle is the brute-force
+    // cross join — so the gate also PROVES blocking completeness.
+    QueryDef(
+      "q98_dedup_typo",
+      """WITH dirty AS (
+        |  SELECT c_custkey AS qkey,
+        |    substr(c_name, 1, CAST(c_custkey % length(c_name) AS INT)) ||
+        |    substr(c_name, CAST(c_custkey % length(c_name) AS INT) + 2)
+        |      AS q
+        |  FROM customer WHERE c_custkey % 3 = 0)
+        |SELECT d.qkey, d.q AS dirty, c.c_name AS canonical,
+        |  levenshtein(d.q, c.c_name) AS dist
+        |FROM dirty d JOIN customer c
+        |  ON levenshtein(d.q, c.c_name) <= 1""".stripMargin) { (s, dir) =>
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"))
+      // delete-1 variants plus the identity (i = length ⇒ nothing deleted)
+      def variants(src: DataFrame, strCol: String): DataFrame = src
+        .withColumn("i",
+          explode(sequence(lit(0), length(col(strCol)).cast("int"))))
+        .withColumn("vh", xxhash64(concat(
+          expr(s"substr($strCol, 1, i)"),
+          expr(s"substr($strCol, i + 2)"))))
+        .drop("i")
+      val dirty = cust.where(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").as("qkey"),
+          concat(
+            expr("substr(c_name, 1, CAST(c_custkey % length(c_name) AS INT))"),
+            expr("substr(c_name, CAST(c_custkey % length(c_name) AS INT) + 2)"))
+            .as("q"))
+      val probe = variants(dirty, "q")
+      val index = variants(cust, "c_name")
+      probe.join(index, Seq("vh"))
+        .select(col("qkey"), col("q"), col("c_custkey"), col("c_name"))
+        .distinct()
+        .where(levenshtein(col("q"), col("c_name")) <= 1)
+        .select(col("qkey"), col("q").as("dirty"),
+          col("c_name").as("canonical"),
+          levenshtein(col("q"), col("c_name")).as("dist"))
+    },
   )
 }

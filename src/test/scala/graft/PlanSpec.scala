@@ -320,4 +320,36 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), s"expected a Window node:\n$p")
     assert(!p.contains("Join"), s"trailing frames must not join:\n$p")
   }
+
+  test("q96: SCD2 build shares one user_id exchange across both windows") {
+    val p = plan("q96_scd2_history")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly 1 exchange, got $exchanges:\n$p")
+    assert(!p.contains("Join"), s"SCD2 build must not self-join:\n$p")
+    // compress-filter preserves sort order: lag pass and lead/version pass
+    // must not re-sort between them
+    val sorts = "Sort ".r.findAllIn(p).size
+    assert(sorts <= 2, s"windows re-sorting between passes ($sorts sorts):\n$p")
+  }
+
+  test("q97: snapshot diff is one join, no cartesian/nested-loop") {
+    val p = plan("q97_snapshot_diff")
+    assert(p.contains("FullOuter") || p.contains("full_outer"),
+      s"expected a full-outer join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"diff must be a key-partitioned join:\n$p")
+  }
+
+  test("q98: typo dedup joins on 8-byte variant hashes, never cross") {
+    val p = plan("q98_dedup_typo")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"deletion-neighborhood join must be an equi-join:\n$p")
+    assert(p.contains("xxhash64"), s"join key must be the 8-byte hash:\n$p")
+  }
+
+  test("q100: mixing rates broadcast back onto the corpus") {
+    val p = plan("q100_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"),
+      s"rate frame must broadcast, not shuffle the corpus:\n$p")
+  }
 }

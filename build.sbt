@@ -42,4 +42,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 100 bench queries × whole-stage codegen ≈ thousands of generated
+  // classes; the JDK default 240 MB code cache fills late in the run,
+  // stalling C2 so new/cold code runs interpreted (observed as 10-40×
+  // spikes on whichever query first touches a heavyweight lazy init).
+  "-XX:ReservedCodeCacheSize=512m",
 )

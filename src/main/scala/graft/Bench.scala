@@ -26,6 +26,21 @@ object Bench {
       spark.range(1000000).selectExpr("sum(id * 2)").collect()
       SparkEntry.queries("q01_agg_pricing_summary")(spark, sfDir).count()
     } catch { case _: Throwable => () }
+    try {
+      // One-time ICU collation table build: the first collation-aware
+      // string op (lower/upper with spark.sql.icu.caseMappings.enabled)
+      // class-loads CollationAwareUTF8String, whose static init title-cases
+      // the entire Unicode codepoint space. Paid here, with a fresh JIT,
+      // it costs ~1 s; paid lazily deep into a 100-query run it can run
+      // interpreted (compile queue saturated by generated codegen classes)
+      // for 20-100 s and get charged to whichever query touched it first
+      // (observed: q49 24-114 s). Non-literal input so constant folding
+      // can't skip the executor-side path.
+      spark.range(4)
+        .selectExpr("count(distinct lower(concat('Warm', id)))",
+          "count(distinct upper(concat('Up', id)))")
+        .collect()
+    } catch { case _: Throwable => () }
     try { // Structured Streaming machinery (microbatch exec, state store)
       import org.apache.spark.sql.functions._
       val tmp = java.nio.file.Files.createTempDirectory("graft_warm").toString

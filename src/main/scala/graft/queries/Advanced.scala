@@ -1082,5 +1082,127 @@ object Advanced {
         .agg(count(lit(1)).as("n_files"), sum(col("rows_")).as("total_rows"),
           min(col("f")).as("from_date"), max(col("f")).as("to_date"))
     },
+
+    // ---- Per-group Pearson correlation, exact-moments form (q93's sibling
+    // for the correlation matrix a feature store computes per key): six
+    // DECIMAL moment sums — order-independent, partial-aggregatable, one
+    // shuffle on the group key — then the closed form in doubles over
+    // identical exact inputs on both engines. Built-in corr() is rejected
+    // for the same reason as regr_slope (q93): its double accumulation is
+    // partition-order-dependent, so results differ run to run at scale.
+    QueryDef(
+      "q101_group_corr",
+      """WITH m AS (
+        |  SELECT l_suppkey, count(*) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2)) *
+        |        CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |        CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2)) *
+        |        CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_suppkey, n,
+        |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <= 0
+        |       OR CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) <= 0 THEN NULL
+        |    ELSE round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |       * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) END AS r
+        |FROM m""".stripMargin) { (s, dir) =>
+      val q = dec2(col("l_quantity"))
+      val p = dec2(col("l_extendedprice"))
+      val m = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(q).as("sx"), sum(p).as("sy"),
+          sum(q * q).as("sxx"), sum(p * p).as("syy"),
+          sum(q * p).as("sxy"))
+      val n = col("n").cast("double")
+      def d(c: String) = col(c).cast("double")
+      val vx = n * d("sxx") - d("sx") * d("sx")
+      val vy = n * d("syy") - d("sy") * d("sy")
+      m.select(col("l_suppkey"), col("n"),
+        when(vx <= 0 || vy <= 0, lit(null).cast("double"))
+          .otherwise(round(
+            (n * d("sxy") - d("sx") * d("sy")) / (sqrt(vx) * sqrt(vy)), 6))
+          .as("r"))
+    },
+
+    // ---- Categorical association: chi-square + Cramér's V over the
+    // lang × source contingency table — the "are these two metadata
+    // columns independent?" diagnostic run before stratifying or mixing
+    // on them. One corpus scan builds the observed-cell frame; the
+    // complete grid (including zero cells — proper chi-square) and the
+    // row/col/total marginals are window sums over that |langs|×|sources|
+    // frame, never the corpus. Per-cell terms are doubles (identical
+    // correctly-rounded ops on both engines) quantized to DECIMAL(28,12)
+    // before the final sum, so the reduction is order-independent — the
+    // q78/q83 trick for making double math partition-proof.
+    QueryDef(
+      "q102_chi_square",
+      """WITH cells AS (
+        |  SELECT lang, source, count(*) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT l.lang, s.source, coalesce(c.o, 0) AS o
+        |  FROM (SELECT DISTINCT lang FROM documents) l
+        |  CROSS JOIN (SELECT DISTINCT source FROM documents) s
+        |  LEFT JOIN cells c ON c.lang = l.lang AND c.source = s.source),
+        |marg AS (
+        |  SELECT lang, source, o,
+        |    sum(o) OVER (PARTITION BY lang) AS r_i,
+        |    sum(o) OVER (PARTITION BY source) AS c_j,
+        |    sum(o) OVER () AS total
+        |  FROM grid),
+        |terms AS (
+        |  SELECT lang, source, o, r_i, c_j, total,
+        |    CAST((CAST(o AS DOUBLE)
+        |        - CAST(r_i AS DOUBLE) * CAST(c_j AS DOUBLE)
+        |          / CAST(total AS DOUBLE))
+        |      * (CAST(o AS DOUBLE)
+        |        - CAST(r_i AS DOUBLE) * CAST(c_j AS DOUBLE)
+        |          / CAST(total AS DOUBLE))
+        |      / (CAST(r_i AS DOUBLE) * CAST(c_j AS DOUBLE)
+        |          / CAST(total AS DOUBLE)) AS DECIMAL(28,12)) AS term
+        |  FROM marg)
+        |SELECT round(CAST(sum(term) AS DOUBLE), 6) AS chi2,
+        |  (count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1) AS dof,
+        |  round(sqrt(CAST(sum(term) AS DOUBLE) / (CAST(max(total) AS DOUBLE)
+        |    * CAST(least(count(DISTINCT lang), count(DISTINCT source)) - 1
+        |        AS DOUBLE))), 6) AS cramers_v
+        |FROM terms""".stripMargin) { (s, dir) =>
+      val d0 = t(s, dir, "documents")
+      val cells = d0.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("o"))
+      val grid = d0.select(col("lang")).distinct()
+        .crossJoin(d0.select(col("source")).distinct())
+        .join(cells, Seq("lang", "source"), "left")
+        .select(col("lang"), col("source"),
+          coalesce(col("o"), lit(0L)).as("o"))
+      val marg = grid
+        .withColumn("r_i", sum(col("o")).over(Window.partitionBy("lang")))
+        .withColumn("c_j", sum(col("o")).over(Window.partitionBy("source")))
+        .withColumn("total", sum(col("o")).over(Window.partitionBy()))
+      val e = col("r_i").cast("double") * col("c_j").cast("double") /
+        col("total").cast("double")
+      val term = ((col("o").cast("double") - e) * (col("o").cast("double") - e)
+        / e).cast("decimal(28,12)")
+      marg.select(col("lang"), col("source"), term.as("term"),
+          col("total"))
+        .agg(round(sum(col("term")).cast("double"), 6).as("chi2"),
+          ((countDistinct(col("lang")) - 1) *
+            (countDistinct(col("source")) - 1)).as("dof"),
+          round(sqrt(sum(col("term")).cast("double") /
+            (max(col("total")).cast("double") *
+              (least(countDistinct(col("lang")),
+                countDistinct(col("source"))) - 1).cast("double"))), 6)
+            .as("cramers_v"))
+    },
   )
 }

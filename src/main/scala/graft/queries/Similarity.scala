@@ -254,5 +254,41 @@ object Similarity {
           round(element_at(col("v"), 1) / col("nrm"), 6).as("x0_unit"),
           round(element_at(col("v"), 64) / col("nrm"), 6).as("x63_unit"))
     },
+
+    // ---- Per-class centroids — the k-means/IVF UPDATE step (q46 trains
+    // its quantizer with exactly this reduction) and the class-prototype
+    // computation behind nearest-centroid diagnostics. The scale shape is
+    // posexplode to (label, dim, value) rows and ONE aggregation shuffle
+    // on (label, dim): partial sums reduce each partition to
+    // |labels|×dims cells before the exchange, so shuffle volume is
+    // independent of corpus size. Component sums ride DECIMAL(18,9)
+    // (floats quantized identically on both engines) so the partial
+    // aggregation is exact and order-independent; the mean goes back to
+    // double only at the end. No collect_list, no per-group array
+    // buffering — the output frame (|labels|×64 rows) is the centroid
+    // matrix, re-assembled only if a consumer needs arrays.
+    QueryDef(
+      "q103_group_centroid",
+      """WITH x AS (
+        |  SELECT label, i - 1 AS dim,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e9 + 0.5) AS BIGINT)
+        |      AS vq
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i))
+        |SELECT label, dim, count(*) AS n,
+        |  round(CAST(sum(vq) AS DOUBLE) / (count(*) * 1e9), 9) AS centroid
+        |FROM x GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      // engine-exact nano quantization (q73's floor(x+0.5) trick): a plain
+      // float→DECIMAL cast rounds half-ulp cases differently across
+      // engines; floor over identical correctly-rounded doubles cannot
+      Tables.load(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")))
+        .select(col("label"), col("pos").cast("bigint").as("dim"),
+          floor(col("col").cast("double") * lit(1e9) + lit(0.5))
+            .cast("bigint").as("vq"))
+        .groupBy(col("label"), col("dim"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("vq")).cast("double") / (count(lit(1)) * lit(1e9)), 9)
+            .as("centroid"))
+    },
   )
 }

@@ -42,7 +42,8 @@ object Main {
       case _ =>
         out("usage: graft.Main run|test|validate --script <file.aql> [--params '{…}']\n" +
           "       graft.Main serve [--port 4040] [--ws-port 4041] " +
-          "[--db analyst.db.json] [--repos repositories] [--interval 5]")
+          "[--db analyst.db.json] [--repos repositories] [--interval 5] " +
+          "[--allow-file-repos true]")
         return 2
     }
     val opts = rest.grouped(2).collect {
@@ -91,6 +92,9 @@ object Main {
     val db = Paths.get(opts.getOrElse("db", "analyst.db.json"))
     val reposDir = Paths.get(opts.getOrElse("repos", "repositories"))
     val intervalSec = opts.getOrElse("interval", "5").toLong
+    // local/dev only: lets POST /repositories clone file:// remotes
+    opts.get("allow-file-repos")
+      .foreach(v => sys.props("graft.server.allowFileRepos") = v)
     val store = new TaskStore(Some(db))
     val runAql: (String, Map[String, String]) => ExecResult =
       (scriptPath, params) => {

@@ -49,8 +49,22 @@ object Aql {
       var i = from
       while (i < to) {
         val c = sql.charAt(i)
-        if (c == '\'' && !inDouble) inSingle = !inSingle
+        // Backslash escapes are live inside Spark string literals (default
+        // escapedStringLiterals=false): \' / \" must not toggle state.
+        if ((inSingle || inDouble) && c == '\\' && i + 1 < to) i += 1
+        else if (c == '\'' && !inDouble) inSingle = !inSingle
         else if (c == '"' && !inSingle) inDouble = !inDouble
+        else if (!inSingle && !inDouble && c == '-' && i + 1 < to &&
+          sql.charAt(i + 1) == '-') {
+          // -- line comment: an apostrophe in it must not desync the scan
+          while (i < to && sql.charAt(i) != '\n') i += 1
+        } else if (!inSingle && !inDouble && c == '/' && i + 1 < to &&
+          sql.charAt(i + 1) == '*') {
+          i += 2
+          while (i + 1 < to &&
+            !(sql.charAt(i) == '*' && sql.charAt(i + 1) == '/')) i += 1
+          i += 1 // lands on '/' (or past to) — loop increment steps over
+        }
         i += 1
       }
     }
@@ -656,13 +670,24 @@ object Aql {
         def tbl(id: String): String = id.split('.').map(plainOr).mkString(".")
         def storedColumns(table: String): Map[String, String] = {
           val bare = table.split('.').last
+          // getColumns treats the table argument as a LIKE pattern: _ and %
+          // are wildcards, so EVENT_LOG would also match EVENTSLOG and the
+          // case map could resolve to another table's spelling. Escape them
+          // with the driver's escape string and keep only exact-name rows.
+          val esc = Option(meta.getSearchStringEscape).getOrElse("\\")
+          def likeEscape(t: String): String =
+            if (esc.isEmpty) t
+            else t.replace(esc, esc + esc)
+              .replace("_", esc + "_").replace("%", esc + "%")
           Seq(bare, bare.toUpperCase, bare.toLowerCase).distinct.view
             .map { t =>
-              val rs = meta.getColumns(null, null, t, null)
+              val rs = meta.getColumns(null, null, likeEscape(t), null)
               val b = Map.newBuilder[String, String]
               try while (rs.next()) {
-                val n = rs.getString("COLUMN_NAME")
-                b += (n.toLowerCase -> n)
+                if (t == rs.getString("TABLE_NAME")) {
+                  val n = rs.getString("COLUMN_NAME")
+                  b += (n.toLowerCase -> n)
+                }
               } finally rs.close()
               b.result()
             }.find(_.nonEmpty).getOrElse(Map.empty)

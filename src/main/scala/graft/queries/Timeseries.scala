@@ -133,16 +133,16 @@ object Timeseries {
            |w AS (
            |  SELECT *,
            |    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
-           |      ORDER BY t, is_obs DESC
+           |      ORDER BY t, is_obs DESC, v
            |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
            |    last_value(CASE WHEN is_obs = 1 THEN t END IGNORE NULLS)
-           |      OVER (PARTITION BY user_id ORDER BY t, is_obs DESC
+           |      OVER (PARTITION BY user_id ORDER BY t, is_obs DESC, v
            |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
            |    first_value(v IGNORE NULLS) OVER (PARTITION BY user_id
-           |      ORDER BY t, is_obs DESC
+           |      ORDER BY t, is_obs DESC, v
            |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
            |    first_value(CASE WHEN is_obs = 1 THEN t END IGNORE NULLS)
-           |      OVER (PARTITION BY user_id ORDER BY t, is_obs DESC
+           |      OVER (PARTITION BY user_id ORDER BY t, is_obs DESC, v
            |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
            |  FROM u)
            |SELECT user_id, t AS grid_us,
@@ -162,8 +162,13 @@ object Timeseries {
           explode(sequence(lit(ZohStartUs), lit(ZohEndUs - 1), lit(step)))
             .as("t"),
           lit(null).cast("double").as("v"), lit(0).as("is_obs"))
+      // v as the final tiebreak makes the order total for duplicate
+      // observation timestamps (nanos→micros truncation can collide), so
+      // pv/nv are engine-deterministic; grid rows never tie (unique t per
+      // user, and obs-vs-grid ties resolve on is_obs) so v's NULLs never
+      // decide an ordering on either engine.
       val ord = Window.partitionBy(col("user_id"))
-        .orderBy(col("t"), col("is_obs").desc)
+        .orderBy(col("t"), col("is_obs").desc, col("v"))
       val wPrev = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wNext = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
       val obsT = when(col("is_obs") === 1, col("t"))

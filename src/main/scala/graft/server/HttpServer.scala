@@ -281,17 +281,27 @@ object Git {
     * `--` separator below) keeps a client-supplied value from being
     * parsed as a git option (`--upload-pack=…`) or reaching git's
     * `ext::`/transport-helper machinery — the reference used go-git,
-    * which had neither surface.
+    * which had neither surface. `file://` additionally lets any client of
+    * the unauthenticated endpoint read arbitrary local git repos through
+    * the serving API, so it is opt-in (-Dgraft.server.allowFileRepos=true
+    * or the serve flag --allow-file-repos) for local/dev use only.
     */
   private val AllowedRemote =
-    raw"(?i)^(https?|ssh|file)://\S+$$|^[\w.-]+@[\w.-]+:\S+$$".r
+    raw"(?i)^(https?|ssh)://\S+$$|^[\w.-]+@[\w.-]+:\S+$$".r
+  private val FileRemote = raw"(?i)^file://\S+$$".r
+
+  private def fileReposAllowed: Boolean =
+    sys.props.get("graft.server.allowFileRepos").exists(_.toBoolean)
 
   def clone(url: String, dest: Path): Unit = {
-    if (!AllowedRemote.matches(url.trim))
+    val u = url.trim
+    val ok = AllowedRemote.matches(u) ||
+      (FileRemote.matches(u) && fileReposAllowed)
+    if (!ok)
       throw new RuntimeException(
-        s"remote_url must be an http(s)/ssh/file URL: $url")
-    run(Seq("git", "clone", "--single-branch", "--", url.trim,
-      dest.toString), None)
+        "remote_url must be an http(s)/ssh URL (file:// requires " +
+          s"--allow-file-repos): $url")
+    run(Seq("git", "clone", "--single-branch", "--", u, dest.toString), None)
   }
 
   def pull(repo: Path): Unit =

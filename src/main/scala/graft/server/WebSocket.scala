@@ -55,7 +55,10 @@ final class WsServer(handler: (WsConn, String) => Unit) {
       val key = handshake(in, out)
       if (key == null) { sock.close(); return }
       val conn = new WsConn(out)
-      val pending = new StringBuilder // continuation reassembly
+      // continuation reassembly in BYTES: a multi-byte UTF-8 sequence may
+      // straddle a fragment boundary, so decoding per frame would corrupt
+      // it into U+FFFD — decode once over the assembled message
+      val pending = new java.io.ByteArrayOutputStream
       var open = true
       def tooBig(): Unit = { // 1009 close: declared size is untrusted input
         val reason = "message too big".getBytes(UTF_8)
@@ -71,12 +74,13 @@ final class WsServer(handler: (WsConn, String) => Unit) {
           case f if f.opcode == 0x9 => conn.sendRaw(0xA, f.payload) // ping
           case f if f.opcode == 0xA => () // pong
           case f =>
-            if (pending.length + f.payload.length > WsFrame.MaxMessageBytes)
+            if (pending.size + f.payload.length > WsFrame.MaxMessageBytes)
               tooBig()
             else {
-              pending ++= new String(f.payload, UTF_8)
+              pending.write(f.payload)
               if (f.fin) {
-                val msg = pending.result(); pending.clear()
+                val msg = new String(pending.toByteArray, UTF_8)
+                pending.reset()
                 try handler(conn, msg)
                 catch { case NonFatal(_) => () }
               }

@@ -396,13 +396,18 @@ object TransformParser {
   // ----------------------------------------------------------------- QUOTA
 
   /** QUOTA <n> BY <keycol> ORDER BY <ordercol> — beyond-parity verb: keep
-    * at most n rows per key, deterministically (lowest ordercol first) —
-    * the per-domain/per-source cap every corpus-curation pipeline applies
-    * (q77's operator at the language level).
+    * at most n rows per key, deterministically (lowest ordercol first,
+    * ties broken by a whole-row hash so duplicate order values cannot
+    * make the kept set partition-order-dependent) — the per-domain/
+    * per-source cap every corpus-curation pipeline applies (q77's
+    * operator at the language level).
     *
     * Salted two-phase top-N: phase 1 ranks within (key, salt16) so a hot
     * key's rows spread over 16 reducers, each lane keeping ≤ n; phase 2
-    * ranks the ≤ 16·n survivors per key. Output is identical to a single
+    * ranks the ≤ 16·n survivors per key. The lane salt is the whole-row
+    * hash (not a hash of ordercol): rows tied on ordercol — the common
+    * hot-key case — still spread across all 16 lanes. Output is identical
+    * to a single
     * window, but no reducer ever sorts more than ~1/16 of a hot key —
     * row_number's rank-limit additionally prunes map-side
     * (WindowGroupLimit), so each phase ships only its local top-n.
@@ -423,10 +428,16 @@ object TransformParser {
 
   final case class QuotaVerb(n: Int, key: String, ord: String) extends Verb {
     def build(sources: Map[String, DataFrame], primary: DataFrame): DataFrame = {
+      // Whole-row hash: lane spreading + total-order tiebreak in one.
+      // Global top-n under (ord, rowH) implies lane-top-n under the same
+      // order, so the two-phase output equals the single window's exactly;
+      // rows still tied after rowH are identical and interchangeable.
+      val rowH = xxhash64(primary.columns.map(primary(_)).toSeq: _*)
       val salted = Window
-        .partitionBy(primary(key), pmod(xxhash64(primary(ord)), lit(16)))
-        .orderBy(primary(ord))
-      val perKey = Window.partitionBy(primary(key)).orderBy(primary(ord))
+        .partitionBy(primary(key), pmod(rowH, lit(16)))
+        .orderBy(primary(ord), rowH)
+      val perKey = Window.partitionBy(primary(key))
+        .orderBy(primary(ord), rowH)
       primary
         .withColumn("__lrn", row_number().over(salted))
         .where(col("__lrn") <= n)

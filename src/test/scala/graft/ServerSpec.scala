@@ -502,10 +502,23 @@ class ServerSpec extends AnyFunSuite {
         "-o/tmp/x",
         "not a url"))
       assertThrows[RuntimeException](Git.clone(bad, dest))
-    // allowlisted schemes pass the guard (clone itself fails: no remote)
-    val e = intercept[RuntimeException](
-      Git.clone("file:///nonexistent/graft/repo", dest))
-    assert(!e.getMessage.contains("remote_url must be"), e.getMessage)
+    // file:// is local-file disclosure on an unauthenticated endpoint —
+    // rejected unless explicitly opted in (serve --allow-file-repos)
+    val saved = sys.props.remove("graft.server.allowFileRepos")
+    try {
+      val denied = intercept[RuntimeException](
+        Git.clone("file:///nonexistent/graft/repo", dest))
+      assert(denied.getMessage.contains("remote_url must be"),
+        denied.getMessage)
+      sys.props("graft.server.allowFileRepos") = "true"
+      // guard passes with the opt-in (clone itself fails: no remote)
+      val e = intercept[RuntimeException](
+        Git.clone("file:///nonexistent/graft/repo", dest))
+      assert(!e.getMessage.contains("remote_url must be"), e.getMessage)
+    } finally {
+      sys.props.remove("graft.server.allowFileRepos")
+      saved.foreach(sys.props("graft.server.allowFileRepos") = _)
+    }
   }
 
   test("http: static dir serving with traversal protection") {
@@ -532,6 +545,7 @@ class ServerSpec extends AnyFunSuite {
   }
 
   test("http: repository clone / files / pull / delete via local git") {
+    sys.props("graft.server.allowFileRepos") = "true" // dev opt-in under test
     withServer { (port, _) =>
       // build an origin repo with one committed .aql file (file:// remote —
       // same flow as the reference's go-git clone, no network)

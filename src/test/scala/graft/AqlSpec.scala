@@ -655,6 +655,19 @@ class AqlSpec extends AnyFunSuite {
     val single = "SELECT 'keep AS ''x'' here' AS 'V'"
     assert(Aql.rewriteSqliteAliases(single) ==
       "SELECT 'keep AS ''x'' here' AS `V`")
+    // backslash-escaped quote inside a literal (Spark default dialect)
+    // must not flip quote state: the real alias after it still rewrites
+    val escaped = """SELECT 'it\'s' AS v, 1 AS 'V'"""
+    assert(Aql.rewriteSqliteAliases(escaped) ==
+      """SELECT 'it\'s' AS v, 1 AS `V`""")
+    // an apostrophe inside a -- comment must not desync the scan
+    val commented = "SELECT 1 AS 'A' -- don't trip\n, 2 AS 'B'"
+    assert(Aql.rewriteSqliteAliases(commented) ==
+      "SELECT 1 AS `A` -- don't trip\n, 2 AS `B`")
+    // ... nor inside a /* */ block comment
+    val block = "SELECT /* don't */ 1 AS 'C'"
+    assert(Aql.rewriteSqliteAliases(block) ==
+      "SELECT /* don't */ 1 AS `C`")
     // end to end: the literal survives the delegated-SQL path intact
     val r = Aql.run(spark,
       """DATA 'T' ([["foo AS 'bar'"], ["other"]]) WITH (COLUMNS = 'S')
@@ -920,5 +933,28 @@ class AqlSpec extends AnyFunSuite {
         |TRANSFORM 'Q' FROM BLOCK D (QUOTA 0 BY Id ORDER BY Id) INTO CONSOLE
         |""".stripMargin))
     assert(e.getMessage.contains("QUOTA"))
+  }
+
+  test("QUOTA verb: duplicate order values keep a deterministic set") {
+    // every row of the hot key shares ONE order value — the kept pair is
+    // decided by the whole-row-hash tiebreak, so different shuffle
+    // partitionings must keep the identical pair (and the salt still
+    // spreads tied rows across lanes instead of collapsing to one)
+    val rows = (1 to 20).map(i => s"""["g", 7, $i]""")
+    def once(): Set[Long] = Aql.run(spark,
+      s"""DATA 'D' (
+         |  [${rows.mkString(", ")}]
+         |) WITH (COLUMNS = 'Grp,Ord,Id', FORMAT = 'JSON_ARRAY')
+         |
+         |TRANSFORM 'Capped' FROM BLOCK D (
+         |  QUOTA 2 BY Grp ORDER BY Ord
+         |) INTO CONSOLE""".stripMargin)
+      .outputs("CAPPED").collect().map(_.getLong(2)).toSet
+    val a = once()
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    val b = try once()
+    finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    assert(a.size == 2 && a == b, s"nondeterministic under ties: $a vs $b")
   }
 }

@@ -492,6 +492,45 @@ class ServerSpec extends AnyFunSuite {
     } finally { sock.close(); ws.stop() }
   }
 
+  test("ws: fragmented multi-byte UTF-8 reassembles without corruption") {
+    // a continuation boundary may fall INSIDE a UTF-8 sequence; decoding
+    // per frame would turn the split char into U+FFFD — the message must
+    // be decoded once over the assembled bytes
+    @volatile var got: String = null
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val ws = new WsServer((_, msg) => { got = msg; latch.countDown() })
+    val port = ws.start(0)
+    val sock = new java.net.Socket("127.0.0.1", port)
+    try {
+      sock.setSoTimeout(10000)
+      val out = sock.getOutputStream
+      out.write(("GET /ws HTTP/1.1\r\nHost: x\r\nUpgrade: websocket\r\n" +
+        "Connection: Upgrade\r\nSec-WebSocket-Key: dGhlIHNhbXBsZSBub25jZQ==\r\n" +
+        "Sec-WebSocket-Version: 13\r\n\r\n").getBytes("UTF-8"))
+      out.flush()
+      val in = sock.getInputStream
+      var prev = 0; var done = false
+      while (!done) {
+        val c = in.read(); assert(c >= 0, "EOF during handshake")
+        if (c == '\n' && prev == '\n') done = true
+        else if (c != '\r') prev = c
+      }
+      val bytes = "héllo".getBytes("UTF-8") // 68 C3 A9 6C 6C 6F
+      def frame(opcode: Int, fin: Boolean, payload: Array[Byte]): Unit = {
+        out.write((if (fin) 0x80 | opcode else opcode).toByte.toInt)
+        out.write((0x80 | payload.length).toByte.toInt) // masked, short len
+        out.write(Array[Byte](0, 0, 0, 0)) // zero mask = identity
+        out.write(payload)
+      }
+      frame(0x1, fin = false, bytes.take(2)) // ...ends mid-é (C3|A9)
+      frame(0x0, fin = true, bytes.drop(2))
+      out.flush()
+      assert(latch.await(10, java.util.concurrent.TimeUnit.SECONDS),
+        "no reassembled message")
+      assert(got == "héllo", s"fragment decode corrupted the text: $got")
+    } finally { sock.close(); ws.stop() }
+  }
+
   test("git clone rejects option-injection and non-allowlisted remotes") {
     // ADVICE r4: a remote_url starting with '-' was passed as a git argv
     // element (argument injection); ext:: URLs reach git remote helpers

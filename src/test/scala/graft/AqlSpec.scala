@@ -643,6 +643,43 @@ class AqlSpec extends AnyFunSuite {
       s"rollback leaked rows: ${unchanged.console.head}")
   }
 
+  test("TRANSACTIONAL publish resolves columns against the exact table") {
+    // getColumns treats `_` as a LIKE wildcard: a decoy table whose name
+    // matches the target's pattern (EVENT_LOG ~ "EVENTaLOG", and 'a' sorts
+    // after '_' so the decoy's rows come LAST in the result set) and
+    // carries a conflicting column spelling must not pollute case
+    // resolution — unfixed, the decoy's quoted lowercase "id" would win
+    // the map and the publish INSERT would reference a nonexistent column
+    System.setProperty("derby.stream.error.file", "/tmp/derby_test.log")
+    val db = java.nio.file.Files.createTempDirectory("graft_derby_wild")
+      .resolve("db").toString
+    def conn =
+      s"""CONNECTION 'DB' (
+         |  DRIVER = 'derby',
+         |  CONNECTIONSTRING = 'jdbc:derby:$db;create=true'
+         |)""".stripMargin
+    Aql.run(spark,
+      s"""$conn
+         |DATA 'Noop' ([[1]]) WITH (COLUMNS = 'X')
+         |EXEC 'MakeDecoy' FROM CONNECTION DB (
+         |  CREATE TABLE "EVENTaLOG" ("id" INT, "Extra" INT)
+         |)
+         |EXEC 'MakeTarget' FROM CONNECTION DB (
+         |  CREATE TABLE EVENT_LOG (ID INT, KIND VARCHAR(10))
+         |) AFTER MakeDecoy""".stripMargin)
+    Aql.run(spark,
+      s"""$conn
+         |DATA 'E' ([[1, "a"], [2, "b"]]) WITH (COLUMNS = 'ID, KIND')
+         |TRANSFORM 'Load' FROM BLOCK E (APPLY ID, KIND)
+         |  INTO CONNECTION DB WITH (TABLE = 'EVENT_LOG', TRANSACTIONAL = 'TRUE')""".stripMargin)
+    val check = Aql.run(spark,
+      s"""$conn
+         |QUERY 'Check' FROM CONNECTION DB (
+         |  SELECT COUNT(*) AS N FROM EVENT_LOG
+         |) INTO CONSOLE WITH (OUTPUT_FORMAT = 'JSON')""".stripMargin)
+    assert(check.console.head.contains("\"N\":2"), check.console.head)
+  }
+
   test("AS 'alias' rewrite skips string literals; space aliases work") {
     // the shim rewrites only genuine SQLite-style aliases — an `AS 'x'`
     // sequence inside a double-quoted Spark string literal is data

@@ -1204,5 +1204,39 @@ object Advanced {
                 countDistinct(col("source"))) - 1).cast("double"))), 6)
             .as("cramers_v"))
     },
+
+    // ---- Rolling 7-day distinct users per day (WAU) — THE engagement/
+    // coverage metric shape, and the canonical "distinct over a sliding
+    // window" problem: no window function computes it, and re-scanning 7
+    // days per day is 7× waste. The scale plan: dedupe to the (user, day)
+    // frame FIRST (one shuffle, partial-aggregatable), then each user-day
+    // contributes map-side to the 7 window-days it falls in (q26's
+    // expand-don't-join trick), then one two-level distinct agg per
+    // window-day. Every stage's volume is ∝ |user-days|×7, never
+    // |events|×7. At 100 TB the exact distinct swaps for per-day HLL
+    // sketches merged across each 7-day window — same plan minus the
+    // Expand, error ~2% (q62's sketch).
+    QueryDef(
+      "q104_rolling_distinct",
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        |  FROM events),
+        |contrib AS (
+        |  SELECT user_id,
+        |    CAST(unnest(generate_series(day, day + 6, INTERVAL 1 DAY))
+        |      AS DATE) AS wday
+        |  FROM ud)
+        |SELECT wday, count(DISTINCT user_id) AS wau
+        |FROM contrib GROUP BY wday""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts").cast("date").as("day"))
+        .distinct()
+        .select(col("user_id"),
+          explode(sequence(col("day"), date_add(col("day"), 6),
+            expr("interval 1 day"))).as("wday"))
+        .groupBy(col("wday"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+    },
   )
 }

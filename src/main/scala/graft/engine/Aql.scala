@@ -100,6 +100,74 @@ object Aql {
   final case class AqlError(msg: String, cause: Throwable = null)
       extends RuntimeException(msg, cause)
 
+  /** JDBC read with optional parallel ingest.
+    *
+    * The reference reads every SQL source through a single connection
+    * (engine/sql_source.go:92-234); we default to the same single-query
+    * read for verbatim parity, but that path cannot scale — a 10 TB table
+    * through one socket is a driver-side bottleneck by construction.
+    * Connection WITH-options turn on Spark's range-partitioned JDBC scan,
+    * where each executor task opens its own connection:
+    *
+    *   - `NUM_PARTITIONS n` — split the read into n concurrent
+    *     range-bounded queries;
+    *   - `PARTITION_COLUMN c` — numeric/date/timestamp column to split on
+    *     (required when NUM_PARTITIONS > 1);
+    *   - `LOWER_BOUND` / `UPPER_BOUND` — split bounds; when omitted they
+    *     are probed with one `SELECT MIN(c), MAX(c)` roundtrip (bounds
+    *     only shape the stride — rows outside them are still read);
+    *   - `FETCH_SIZE n` — per-roundtrip row count hint on every
+    *     connection (single-connection reads honor it too).
+    *
+    * A verbatim query is wrapped as a derived table so Spark can append
+    * the per-partition range predicates to it.
+    */
+  private def readJdbc(spark: SparkSession, connName: String, url: String,
+      target: Either[String, String], options: Options): DataFrame = {
+    def o(k: String) = Connectors.opt(options, k)
+    val numParts = o("NUM_PARTITIONS").map(_.toDouble.toInt)
+    var r = spark.read.format("jdbc").option("url", url)
+    o("FETCH_SIZE").foreach(f =>
+      r = r.option("fetchsize", f.toDouble.toInt.toString))
+    numParts.filter(_ > 1) match {
+      case None =>
+        target match {
+          case Left(table) => r.option("dbtable", table).load()
+          case Right(query) => r.option("query", query).load()
+        }
+      case Some(n) =>
+        val partCol = o("PARTITION_COLUMN").getOrElse(throw AqlError(
+          s"connection $connName: NUM_PARTITIONS > 1 requires PARTITION_COLUMN"))
+        val dbtable = target match {
+          case Left(table) => table
+          case Right(query) => s"($query) AS graft_sub"
+        }
+        val (lo, hi) = (o("LOWER_BOUND"), o("UPPER_BOUND")) match {
+          case (Some(l), Some(h)) => (l, h)
+          case _ =>
+            val jc = java.sql.DriverManager.getConnection(url)
+            try {
+              val st = jc.createStatement()
+              try {
+                val rs = st.executeQuery(
+                  s"SELECT MIN($partCol), MAX($partCol) FROM $dbtable")
+                if (!rs.next() || rs.getObject(1) == null)
+                  throw AqlError(s"connection $connName: cannot derive " +
+                    s"bounds for empty PARTITION_COLUMN $partCol " +
+                    "(set LOWER_BOUND/UPPER_BOUND explicitly)")
+                (String.valueOf(rs.getObject(1)), String.valueOf(rs.getObject(2)))
+              } finally st.close()
+            } finally jc.close()
+        }
+        r.option("dbtable", dbtable)
+          .option("partitionColumn", partCol)
+          .option("lowerBound", lo)
+          .option("upperBound", hi)
+          .option("numPartitions", n.toString)
+          .load()
+    }
+  }
+
   /** Render a value as a SQL literal for GLOBAL statement binding. */
   private def sqlLiteral(v: Any): String = v match {
     case null => "NULL"
@@ -296,13 +364,13 @@ object Aql {
       case "mssql" | "postgres" | "sqlite3" | "derby" =>
         // JDBC path: ships the query/table to the database verbatim,
         // like the reference (sql_source.go:170); needs a live DB.
-        spark.read.format("jdbc")
-          .option("url", Connectors.opt(c.options, "CONNECTIONSTRING")
-            .getOrElse(throw AqlError(
-              s"connection ${c.name}: CONNECTIONSTRING required")))
-          .option("dbtable", Connectors.opt(c.options, "TABLE").getOrElse(
-            throw AqlError(s"connection ${c.name}: TABLE required")))
-          .load()
+        // NUM_PARTITIONS/PARTITION_COLUMN/FETCH_SIZE → parallel ingest.
+        readJdbc(spark, c.name,
+          Connectors.opt(c.options, "CONNECTIONSTRING").getOrElse(
+            throw AqlError(s"connection ${c.name}: CONNECTIONSTRING required")),
+          Left(Connectors.opt(c.options, "TABLE").getOrElse(
+            throw AqlError(s"connection ${c.name}: TABLE required"))),
+          c.options)
       case other => throw AqlError(
         s"connection ${c.name}: unknown driver $other")
     }
@@ -397,13 +465,13 @@ object Aql {
             val c = connection(cn)
             driverOf(c) match {
               case "mssql" | "postgres" | "sqlite3" | "derby" =>
-                // ship query verbatim to the database (reference behavior)
-                spark.read.format("jdbc")
-                  .option("url", Connectors.opt(c.options, "CONNECTIONSTRING")
+                // ship query verbatim to the database (reference behavior);
+                // NUM_PARTITIONS et al. on the connection → parallel ingest
+                readJdbc(spark, c.name,
+                  Connectors.opt(c.options, "CONNECTIONSTRING")
                     .getOrElse(throw AqlError(
-                      s"connection ${c.name}: CONNECTIONSTRING required")))
-                  .option("query", q.content)
-                  .load()
+                      s"connection ${c.name}: CONNECTIONSTRING required")),
+                  Right(q.content), c.options)
               case _ =>
                 // AutoSQL equivalent (auto_sql_transform.go → SURVEY §2.8):
                 // stage the connection as a temp view, run Spark SQL on it

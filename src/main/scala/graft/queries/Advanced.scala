@@ -528,9 +528,20 @@ object Advanced {
         |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
         |  AND l_shipdate < TIMESTAMP '1995-07-01'
         |GROUP BY 1""".stripMargin) { (s, dir) =>
-      val base = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_layout",
-        java.lang.Integer.toHexString(dir.hashCode)).toString
+      // Per-invocation unique dir: a shared path keyed on hashCode(dir)
+      // could collide across dataset dirs, and two concurrent runs on the
+      // same dir would race the eager overwrite against the lazy read
+      // (which happens at collect time). Cleaned up on JVM exit so tmpdir
+      // stays bounded across bench passes.
+      val layoutDir = java.nio.file.Files.createTempDirectory("graft_layout_")
+      val base = layoutDir.toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(layoutDir).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: Throwable => () }))
       t(s, dir, "lineitem")
         .repartitionByRange(16, col("l_shipdate"))
         .sortWithinPartitions(col("l_shipdate"))

@@ -153,5 +153,84 @@ object AqlQ {
            |  AFTER Stage""".stripMargin
       Aql.run(s, script).outputs("FROMXLSX")
     },
+
+    // CDC merge-upsert through the language layer: the MERGE verb
+    // (transforms/TransformParser.scala MergeVerb) applied to q86's exact
+    // scenario — base = orders, changes = update/tombstone/insert rows
+    // derived deterministically in the script's QUERY blocks — so the
+    // oracle is q86's SQL verbatim. Underneath: one union + one
+    // partial-aggregatable max(struct) reduce, a single key shuffle.
+    QueryDef(
+      "q105_aql_merge_verb",
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_custkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price, 0 AS ver, 'B' AS op
+        |  FROM orders),
+        |u AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DECIMAL(18,2)),
+        |    1, 'U'
+        |  FROM orders WHERE o_orderkey % 5 = 0),
+        |d AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(18,2)), 2, 'D'
+        |  FROM orders WHERE o_orderkey % 7 = 3),
+        |i AS (
+        |  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(18,2)), 1, 'I'
+        |  FROM orders WHERE o_orderkey % 13 = 1),
+        |allr AS (
+        |  SELECT * FROM base UNION ALL SELECT * FROM u
+        |  UNION ALL SELECT * FROM d UNION ALL SELECT * FROM i),
+        |latest AS (
+        |  SELECT * FROM allr
+        |  QUALIFY row_number() OVER (PARTITION BY k ORDER BY ver DESC) = 1)
+        |SELECT k AS o_orderkey, o_custkey, o_orderstatus,
+        |  CAST(price AS DOUBLE) AS price
+        |FROM latest WHERE op <> 'D'""".stripMargin) { (s, dir) =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_q105").resolve("merged").toString
+      val script =
+        s"""CONNECTION 'Orders' (
+           |  DRIVER = 'file', FILE = '$dir/orders.parquet',
+           |  FORMAT = 'parquet'
+           |)
+           |CONNECTION 'Out' (
+           |  DRIVER = 'file', FILE = '$out', FORMAT = 'parquet'
+           |)
+           |
+           |QUERY 'Base' FROM CONNECTION Orders (
+           |  SELECT o_orderkey AS k, o_custkey, o_orderstatus,
+           |    CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+           |    0 AS ver, 'B' AS op
+           |  FROM Orders
+           |)
+           |
+           |QUERY 'Changes' FROM CONNECTION Orders (
+           |  SELECT o_orderkey AS k, o_custkey, o_orderstatus,
+           |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DECIMAL(18,2)) AS price,
+           |    1 AS ver, 'U' AS op
+           |  FROM Orders WHERE o_orderkey % 5 = 0
+           |  UNION ALL
+           |  SELECT o_orderkey, o_custkey, o_orderstatus,
+           |    CAST(o_totalprice AS DECIMAL(18,2)), 2, 'D'
+           |  FROM Orders WHERE o_orderkey % 7 = 3
+           |  UNION ALL
+           |  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+           |    CAST(o_totalprice AS DECIMAL(18,2)), 1, 'I'
+           |  FROM Orders WHERE o_orderkey % 13 = 1
+           |)
+           |
+           |TRANSFORM 'Merged' FROM BLOCK Base, BLOCK Changes (
+           |  MERGE Base WITH Changes ON k VERSION BY ver DELETE WHEN op = 'D'
+           |)
+           |
+           |QUERY 'Final' FROM BLOCK Merged (
+           |  SELECT k AS o_orderkey, o_custkey, o_orderstatus,
+           |    CAST(price AS DOUBLE) AS price
+           |  FROM Merged
+           |) INTO CONNECTION Out""".stripMargin
+      Aql.run(s, script).outputs("FINAL")
+    },
   )
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -28,6 +29,59 @@ object StreamingQ {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Start `df` as an AvailableNow memory-sink stream, block until the
+    * bounded input is drained, and return the sink table.
+    *
+    * The fixed per-query floor of a microbatch run is dominated by
+    * small-file I/O in the checkpoint tree (offset log, commit log, one
+    * state-store directory per shuffle partition per batch) plus state-
+    * store instance setup — so (a) the checkpoint goes on tmpfs when the
+    * box has one (/dev/shm; the gate's checkpoint is ephemeral by
+    * definition — durable checkpoints on a real cluster go on shared
+    * storage and this option simply isn't set), and (b) the stateful
+    * shuffle runs at 8 partitions: the window/key sets here are tiny, so 8
+    * state stores beat 32; on a real cluster partition count follows key
+    * cardinality instead. AvailableNow processes the bounded input and
+    * terminates without processAllAvailable's poll loop.
+    */
+  private def runAvailableNow(s: SparkSession, df: DataFrame, mode: String,
+      viewName: String, noDataBatch: Boolean = false): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val shm = Paths.get("/dev/shm")
+    val base = if (Files.isDirectory(shm) && Files.isWritable(shm)) shm
+      else Paths.get(System.getProperty("java.io.tmpdir"))
+    val ckpt = Files.createTempDirectory(base, "graft_ckpt_")
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val savedNoData = s.conf.get(noDataKey)
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    // The trailing no-data microbatch exists to advance the watermark and
+    // flush operators whose OUTPUT waits on it (append-mode joins/aggs).
+    // Complete/update-mode sinks and immediate-emit dedup produce their
+    // full result in the data batch, so that extra plan+commit round is
+    // pure floor — skip it unless the caller's semantics need it.
+    s.conf.set(noDataKey, noDataBatch.toString)
+    try {
+      val q = df.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(viewName)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try { q.awaitTermination(120000); () } finally q.stop()
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      s.conf.set(noDataKey, savedNoData)
+      try {
+        import scala.jdk.CollectionConverters._
+        Files.walk(ckpt).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount).foreach(p => Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+    }
+    s.table(viewName)
+  }
+
   val entries: Seq[QueryDef] = Seq(
 
     // Tumbling 6h event-time windows over the events stream; complete-mode
@@ -49,24 +103,7 @@ object StreamingQ {
         .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).cast("double").as("total"))
         .select(col("window.start").as("win_start"), col("event_type"),
                 col("n"), col("total"))
-      // The stateful agg creates one state store (with its checkpoint dir
-      // I/O) per shuffle partition per microbatch; the window set is tiny,
-      // so 8 stores beat 32. AvailableNow processes the bounded input and
-      // terminates without processAllAvailable's poll loop. On a real
-      // cluster against an unbounded source, partition count instead
-      // follows key cardinality and this becomes a continuous trigger.
-      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val q = agg.writeStream
-          .outputMode("complete")
-          .format("memory")
-          .queryName(viewName)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        try { q.awaitTermination(120000); () } finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
-      s.table(viewName)
+      runAvailableNow(s, agg, "complete", viewName)
     },
 
     // Event-time session windows (8h inactivity gap) per user. Runs in
@@ -120,7 +157,10 @@ object StreamingQ {
         | AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)""".stripMargin) { (s, dir) =>
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val viewName = s"q50_mem_${java.util.UUID.randomUUID().toString.take(8)}"
-      def src = s.readStream.schema(rawSchema)
+      // ONE source self-joined (not two readStream instances): both sides
+      // share a single file-source log and listing per microbatch — the
+      // second source would double the per-batch source bookkeeping.
+      val src = s.readStream.schema(rawSchema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir)
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -137,18 +177,9 @@ object StreamingQ {
           col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
           col("c_ts") <= col("p_ts"))
         .select(col("purchase_id"), col("click_id"))
-      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val q = joined.writeStream
-          .outputMode("append")
-          .format("memory")
-          .queryName(viewName)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        try { q.awaitTermination(120000); () } finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
-      s.table(viewName)
+      // append-mode join: emission waits on the watermark, so the final
+      // no-data batch IS the output path — keep it
+      runAvailableNow(s, joined, "append", viewName, noDataBatch = true)
     },
 
     // Streaming dedup: one output row per (user, event_type, day) key —
@@ -174,18 +205,7 @@ object StreamingQ {
         .withWatermark("ts", "1 day")
         .dropDuplicates("user_id", "event_type", "day")
         .select(col("user_id"), col("event_type"), col("day"))
-      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val q = stream.writeStream
-          .outputMode("append")
-          .format("memory")
-          .queryName(viewName)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        try { q.awaitTermination(120000); () } finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
-      s.table(viewName)
+      runAvailableNow(s, stream, "append", viewName)
     },
 
     // Streaming ZOH: the reference's signature aggregate (§2.6) as
@@ -242,22 +262,12 @@ object StreamingQ {
       val perBatch = stream.groupByKey(_._1)
         .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
         .toDF("user_id", "n_points", "zoh_mean")
-      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val q = perBatch.writeStream
-          .outputMode("update")
-          .format("memory")
-          .queryName(viewName)
-          .trigger(Trigger.AvailableNow())
-          .start()
-        try { q.awaitTermination(120000); () } finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      val emissions = runAvailableNow(s, perBatch, "update", viewName)
       // final state = the emission with the most points per user (point
       // counts strictly increase across a user's emissions)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("n_points").desc)
-      s.table(viewName)
+      emissions
         .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
         .select(col("user_id"), col("zoh_mean"))
     },

@@ -195,6 +195,12 @@ object Timeseries {
     // centering window and the moment aggregation share the partitioning.
     // No regr_slope built-in on either side — their double accumulation
     // is partition-order-dependent and would not hash-match.
+    // Slope is reported PER DAY (×86400): per-second slopes at gate scale
+    // are O(1e-6) — the same order as the round(…,6) quantum — so engine-
+    // level round-on-double differences (Spark exact-BigDecimal HALF_UP vs
+    // DuckDB scaled nearbyint) flip boundary digits. Per-day values are
+    // O(0.1) with ~5 significant digits above the quantum; double ULP
+    // error (~1e-17) can no longer reach the 6th decimal.
     QueryDef(
       "q93_trend_slope",
       """WITH e AS (
@@ -215,7 +221,8 @@ object Timeseries {
         |    ELSE round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
         |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
         |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) END AS slope
+        |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * 86400, 6) END AS slope_per_day
         |FROM m""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val byUser = Window.partitionBy(col("user_id"))
@@ -235,8 +242,9 @@ object Timeseries {
       m.select(col("user_id"), col("n"),
         when(den === 0, lit(null).cast("double"))
           .otherwise(round((n * col("sxy").cast("double")
-            - col("sx").cast("double") * col("sy").cast("double")) / den, 6))
-          .as("slope"))
+            - col("sx").cast("double") * col("sy").cast("double")) / den
+            * 86400d, 6))
+          .as("slope_per_day"))
     },
   )
 }

@@ -290,8 +290,12 @@ object Git {
     raw"(?i)^(https?|ssh)://\S+$$|^[\w.-]+@[\w.-]+:\S+$$".r
   private val FileRemote = raw"(?i)^file://\S+$$".r
 
+  // equalsIgnoreCase, not .toBoolean: a malformed value ("yes", a typo)
+  // must read as false and hit the guard's clear error below, not throw an
+  // opaque IllegalArgumentException from Boolean parsing.
   private def fileReposAllowed: Boolean =
-    sys.props.get("graft.server.allowFileRepos").exists(_.toBoolean)
+    sys.props.get("graft.server.allowFileRepos")
+      .exists(_.trim.equalsIgnoreCase("true"))
 
   def clone(url: String, dest: Path): Unit = {
     val u = url.trim

@@ -39,9 +39,10 @@ object TransformParser {
       case "FILTER" => FilterVerb(t.substring("FILTER".length).trim)
       case "SAMPLE" => SampleParser.parse(t)
       case "QUOTA" => QuotaParser.parse(t)
+      case "MERGE" => MergeParser.parse(t)
       case other => throw TransformError(
         s"unknown transform verb '$other' " +
-          "(expected AGGREGATE|LOOKUP|APPLY|DEDUP|FILTER|SAMPLE|QUOTA)")
+          "(expected AGGREGATE|LOOKUP|APPLY|DEDUP|FILTER|SAMPLE|QUOTA|MERGE)")
     }
   }
 
@@ -444,6 +445,82 @@ object TransformParser {
         .withColumn("__rn", row_number().over(perKey))
         .where(col("__rn") <= n)
         .drop("__lrn", "__rn")
+    }
+  }
+
+  // ----------------------------------------------------------------- MERGE
+
+  /** MERGE <Base> WITH <Changes> ON k1[, k2…] VERSION BY <ver>
+    *        [DELETE WHEN <sql-expr>]
+    *
+    * Beyond-parity verb (SURVEY §7.3): CDC merge-upsert as a language
+    * operator — apply a change set onto a base table, per-key
+    * latest-version-wins, with optional tombstone elimination. Both
+    * sources must share the base's schema (the change set carries the
+    * same columns plus its own version values).
+    *
+    * Scale shape (q86's plan, `queries/Advanced.scala`): union base +
+    * changes, then ONE `groupBy(key).agg(max(struct(ver, pri, rest…)))`
+    * reduce — partial-aggregatable, so map-side combine collapses most
+    * keys before the single key shuffle; NOT a row_number window (no
+    * per-key sort state) and NOT an anti-join sandwich (no second
+    * shuffle). Ties on version resolve to the CHANGES side (a change
+    * re-stating the current version must win), then deterministically by
+    * the remaining column values. DELETE WHEN filters the per-key winner:
+    * a tombstone that wins its key removes the key from the output.
+    */
+  private object MergeParser {
+    private val Re =
+      raw"(?is)^MERGE\s+(\w+)\s+WITH\s+(\w+)\s+ON\s+(.*?)\s+VERSION\s+BY\s+([A-Za-z_]\w*)(?:\s+DELETE\s+WHEN\s+(.+?))?\s*$$".r
+
+    def parse(t: String): Verb = t.trim match {
+      case Re(base, changes, keys, ver, del) =>
+        val keyCols = splitTop(keys).map(_.trim)
+        if (keyCols.isEmpty) throw TransformError("MERGE requires ≥1 ON column")
+        MergeVerb(base, changes, keyCols, ver, Option(del).map(_.trim))
+      case _ => throw TransformError(
+        "cannot parse MERGE (expected MERGE <Base> WITH <Changes> " +
+          "ON col[, col…] VERSION BY <col> [DELETE WHEN <expr>])")
+    }
+  }
+
+  final case class MergeVerb(base: String, changes: String, keys: Seq[String],
+      ver: String, deleteWhen: Option[String]) extends Verb {
+
+    def build(sources: Map[String, DataFrame], primary: DataFrame): DataFrame = {
+      def src(n: String): DataFrame = sources.getOrElse(n.toUpperCase,
+        throw TransformError(s"unknown MERGE source $n"))
+      val b = src(base)
+      val c = src(changes)
+      val cols = b.columns
+      val missing = cols.filterNot(n =>
+        c.columns.exists(_.equalsIgnoreCase(n)))
+      if (missing.nonEmpty) throw TransformError(
+        s"MERGE: $changes is missing base columns ${missing.mkString(", ")}")
+      def named(n: String): String = cols.find(_.equalsIgnoreCase(n)).getOrElse(
+        throw TransformError(s"MERGE: unknown column $n in $base"))
+      val keyNames = keys.map(named)
+      val verName = named(ver)
+      val others = cols.filterNot(n =>
+        keyNames.contains(n) || n.equalsIgnoreCase(verName))
+      // __pri 0/1 breaks version ties toward the change set
+      val tagged = b.withColumn("__pri", lit(0))
+        .unionByName(c.select(cols.map(c(_)).toSeq: _*)
+          .withColumn("__pri", lit(1)))
+      val winner = tagged
+        .groupBy(keyNames.map(tagged(_)).toSeq: _*)
+        .agg(max(struct(
+          (Seq(tagged(verName).as("__v"), col("__pri").as("__p")) ++
+            others.map(n => tagged(n).as(n))).toSeq: _*)).as("__m"))
+      val out = winner.select(cols.map { n =>
+        if (keyNames.contains(n)) col(n)
+        else if (n.equalsIgnoreCase(verName)) col("__m.__v").as(verName)
+        else col(s"__m.$n")
+      }.toSeq: _*)
+      deleteWhen match {
+        case None => out
+        case Some(cond) => out.where(!coalesce(expr(cond), lit(false)))
+      }
     }
   }
 

@@ -571,6 +571,53 @@ class AqlSpec extends AnyFunSuite {
     assert(r.console.head.contains("\"TOTAL\":3"))
   }
 
+  test("JDBC parallel ingest: NUM_PARTITIONS splits the Derby read") {
+    // the scale path beyond the reference's single-connection reader
+    // (sql_source.go:92-234): NUM_PARTITIONS + PARTITION_COLUMN turn the
+    // scan into range-bounded concurrent queries (bounds auto-probed via
+    // MIN/MAX); results must be identical to the single-connection read
+    System.setProperty("derby.stream.error.file", "/tmp/derby_test.log")
+    val db = java.nio.file.Files.createTempDirectory("graft_derby_par")
+      .resolve("db").toString
+    val jc = java.sql.DriverManager.getConnection(s"jdbc:derby:$db;create=true")
+    try {
+      val st = jc.createStatement()
+      st.execute("CREATE TABLE NUMS (ID INT, V INT)")
+      st.close()
+      val ps = jc.prepareStatement("INSERT INTO NUMS VALUES (?, ?)")
+      for (i <- 1 to 100) { ps.setInt(1, i); ps.setInt(2, i * 3); ps.addBatch() }
+      ps.executeBatch(); ps.close()
+    } finally jc.close()
+
+    def script(withOpts: String) =
+      s"""CONNECTION 'DB' (
+         |  DRIVER = 'derby',
+         |  CONNECTIONSTRING = 'jdbc:derby:$db'$withOpts
+         |)
+         |QUERY 'ReadPar' FROM CONNECTION DB (
+         |  SELECT ID, V FROM NUMS
+         |) INTO CONSOLE""".stripMargin
+
+    val par = Aql.run(spark, script(
+      ",\n  NUM_PARTITIONS = 4,\n  PARTITION_COLUMN = 'ID',\n  FETCH_SIZE = 25"))
+    val parDf = par.outputs("READPAR")
+    assert(parDf.rdd.getNumPartitions > 1,
+      s"expected a partitioned scan, got ${parDf.rdd.getNumPartitions}")
+    val single = Aql.run(spark, script("")).outputs("READPAR")
+    assert(single.rdd.getNumPartitions == 1)
+    val got = parDf.collect().map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+    val want = single.collect().map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+    assert(got == want && got.size == 100)
+
+    // explicit bounds skip the MIN/MAX probe and must agree too
+    val bounded = Aql.run(spark, script(
+      ",\n  NUM_PARTITIONS = 3,\n  PARTITION_COLUMN = 'ID'," +
+        "\n  LOWER_BOUND = 1,\n  UPPER_BOUND = 100")).outputs("READPAR")
+    assert(bounded.rdd.getNumPartitions == 3)
+    assert(bounded.collect().map(r => (r.getInt(0), r.getInt(1)))
+      .sorted.toSeq == want)
+  }
+
   test("TRANSACTIONAL sinks: all destinations commit together or not at all") {
     // reference TransactionManager guarantee (engine/transaction_manager.go:
     // 21-224) via staged publish: parallel JDBC write to staging, one
@@ -904,6 +951,46 @@ class AqlSpec extends AnyFunSuite {
         |) INTO CONSOLE""".stripMargin)
     assert(r.outputs("UNIQUE").collect().map(_.getLong(0)).sorted.toSeq ==
       Seq(1L, 2L, 3L))
+  }
+
+  test("MERGE verb: latest-version-wins upsert with tombstones") {
+    // beyond-parity verb (SURVEY §7.3): q86's CDC compaction as a language
+    // operator. Key 1 updated (ver 2 > 1), key 2 tombstoned, key 3
+    // untouched, key 4 inserted; key 5 ties on version — the CHANGES side
+    // must win (a change re-stating the current version applies).
+    val r = Aql.run(spark,
+      """DATA 'Base' (
+        |  [[1, "a", 1, ""], [2, "b", 1, ""], [3, "c", 1, ""], [5, "e", 3, ""]]
+        |) WITH (COLUMNS = 'Id, Val, Ver, Op')
+        |
+        |DATA 'Changes' (
+        |  [[1, "a2", 2, ""], [2, "b", 2, "D"], [4, "d", 1, ""],
+        |   [5, "e2", 3, ""]]
+        |) WITH (COLUMNS = 'Id, Val, Ver, Op')
+        |
+        |TRANSFORM 'Merged' FROM BLOCK Base, BLOCK Changes (
+        |  MERGE Base WITH Changes ON Id VERSION BY Ver DELETE WHEN Op = 'D'
+        |) INTO CONSOLE""".stripMargin)
+    val rows = r.outputs("MERGED").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2))).sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      (1L, "a2", 2L), (3L, "c", 1L), (4L, "d", 1L), (5L, "e2", 3L)))
+
+    // schema mismatch fails with a clear error
+    val e = intercept[Exception](Aql.run(spark,
+      """DATA 'Base' ([[1, "a", 1]]) WITH (COLUMNS = 'Id, Val, Ver')
+        |DATA 'Chg' ([[1, 1]]) WITH (COLUMNS = 'Id, Ver')
+        |TRANSFORM 'M' FROM BLOCK Base, BLOCK Chg (
+        |  MERGE Base WITH Chg ON Id VERSION BY Ver
+        |) INTO CONSOLE""".stripMargin))
+    assert(e.getMessage.contains("missing base columns"), e.getMessage)
+
+    // malformed clause fails at compile/validate time
+    val p = intercept[Exception](Aql.run(spark,
+      """DATA 'D' ([[1]]) WITH (COLUMNS = 'Id')
+        |TRANSFORM 'M' FROM BLOCK D (MERGE D ON Id) INTO CONSOLE
+        |""".stripMargin))
+    assert(p.getMessage.contains("cannot parse MERGE"), p.getMessage)
   }
 
   test("SAMPLE verb: deterministic hash sample, stable across runs") {

@@ -39,6 +39,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"simhash recall $recall too low")
   }
 
+  test("q33 SimHash precision: every reported pair is a true near-dup") {
+    // the recall test alone can't catch banding bugs that inflate the
+    // candidate set (more pairs only ever raises recall) — so also assert
+    // precision: each reported pair must have high TRUE token-set Jaccard,
+    // computed independently from the same tokenizer SimHash feeds on.
+    import org.apache.spark.sql.functions._
+    val toks = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        array_distinct(graft.functions.Text.tokens(col("text"))).as("ts"))
+    val j = SparkEntry.queries("q33_dedup_simhash")(spark, sfDir)
+      .select("doc_a", "doc_b")
+      .join(toks.toDF("doc_a", "ts_a"), "doc_a")
+      .join(toks.toDF("doc_b", "ts_b"), "doc_b")
+      .withColumn("jac",
+        size(array_intersect(col("ts_a"), col("ts_b"))).cast("double")
+          / size(array_union(col("ts_a"), col("ts_b"))))
+      .select("doc_a", "doc_b", "jac").collect()
+    assert(j.nonEmpty, "simhash reported no pairs — precision gate is vacuous")
+    val minJac = j.map(_.getDouble(2)).min
+    info(s"simhash pairs=${j.size} min true token-jaccard=$minJac")
+    j.foreach(r => assert(r.getDouble(2) >= 0.5,
+      s"pair (${r.getLong(0)},${r.getLong(1)}) true jaccard ${r.getDouble(2)}" +
+        " below 0.5 — banding is admitting non-near-dups"))
+  }
+
   test("q44 embedding near-dup == brute-force cosine pairs at 0.45") {
     import org.apache.spark.sql.functions._
     import graft.functions.Vectors
@@ -91,22 +116,25 @@ class PipelineSpec extends AnyFunSuite {
     recalls.sum / recalls.size
   }
 
+  // 100-query panel (Similarity.NumQueries); at this width the 0.8 floor
+  // measures parameter quality, not panel luck — a single query moves the
+  // mean by only 1 point.
   test("q35 LSH-ANN recall@5 vs q34 brute force") {
     val mean = meanRecall(topk("q35_ann_lsh"), topk("q34_knn_bruteforce"))
     info(s"LSH-ANN mean recall@5 = $mean")
-    assert(mean >= 0.5, s"ANN recall $mean too low")
+    assert(mean >= 0.8, s"ANN recall $mean too low")
   }
 
   test("q46 IVF-ANN recall@5 vs q34 brute force") {
     val mean = meanRecall(topk("q46_ann_ivf"), topk("q34_knn_bruteforce"))
     info(s"IVF-ANN mean recall@5 = $mean")
-    assert(mean >= 0.5, s"IVF recall $mean too low")
+    assert(mean >= 0.8, s"IVF recall $mean too low")
   }
 
   test("q82 PQ-ANN recall@5 vs q34 brute force") {
     val mean = meanRecall(topk("q82_ann_pq"), topk("q34_knn_bruteforce"))
     info(s"PQ-ANN mean recall@5 = $mean")
-    assert(mean >= 0.5, s"PQ recall $mean too low")
+    assert(mean >= 0.8, s"PQ recall $mean too low")
   }
 
   test("q76 repeated spans: every reported span occurs in >= 2 docs verbatim") {

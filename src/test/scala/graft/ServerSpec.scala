@@ -584,8 +584,9 @@ class ServerSpec extends AnyFunSuite {
   }
 
   test("http: repository clone / files / pull / delete via local git") {
+    val prevAllow = sys.props.get("graft.server.allowFileRepos")
     sys.props("graft.server.allowFileRepos") = "true" // dev opt-in under test
-    withServer { (port, _) =>
+    try withServer { (port, _) =>
       // build an origin repo with one committed .aql file (file:// remote —
       // same flow as the reference's go-git clone, no network)
       val origin = Files.createTempDirectory("graft-origin")
@@ -620,6 +621,9 @@ class ServerSpec extends AnyFunSuite {
 
       assert(http(port, "DELETE", "/repositories/1")._1 == 204)
       assert(http(port, "GET", "/repositories")._2 == "[]")
+    } finally prevAllow match {
+      case Some(v) => sys.props("graft.server.allowFileRepos") = v
+      case None => sys.props -= "graft.server.allowFileRepos"
     }
   }
 }

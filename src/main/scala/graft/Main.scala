@@ -10,6 +10,7 @@ import java.nio.file.{Files, Paths}
   *
   *   runMain graft.Main run  --script job.aql [--params '{"k":"v"}']
   *   runMain graft.Main test --script job.aql [--params '{"k":"v"}']
+  *   runMain graft.Main explain --script job.aql   (formatted Spark plans)
   *
   * `--params` is a JSON object of option name → value, merged over SET
   * globals with CLI precedence (reference aql/parser.go:322-355 StrToOpts,
@@ -38,9 +39,10 @@ object Main {
   def run(args: Seq[String], spark: SparkSession,
           out: String => Unit = Console.out.println): Int = {
     val (cmd, rest) = args match {
-      case Seq(c @ ("run" | "test" | "validate" | "serve"), r @ _*) => (c, r)
+      case Seq(c @ ("run" | "test" | "validate" | "explain" | "serve"), r @ _*) =>
+        (c, r)
       case _ =>
-        out("usage: graft.Main run|test|validate --script <file.aql> [--params '{…}']\n" +
+        out("usage: graft.Main run|test|validate|explain --script <file.aql> [--params '{…}']\n" +
           "       graft.Main serve [--port 4040] [--ws-port 4041] " +
           "[--db analyst.db.json] [--repos repositories] [--interval 5] " +
           "[--allow-file-repos true]")
@@ -63,6 +65,25 @@ object Main {
       errs.foreach(e => out(s"[INVALID] $e"))
       if (errs.isEmpty) out("script is valid")
       return if (errs.isEmpty) 0 else 1
+    }
+    if (cmd == "explain") {
+      // Beyond-parity operator UX (the reference streams rows and cannot
+      // show a plan): compile in test mode — destinations mocked, EXECs
+      // neutralized, so no sink is written — and print each block's
+      // optimized physical plan. This is how a user audits pushdown /
+      // broadcast / shuffle shape before pointing the script at 100 TB.
+      return try {
+        val r = Aql.run(spark, text, cliParams = params,
+          baseDir = baseDir, testMode = true)
+        r.outputs.toSeq.sortBy(_._1).foreach { case (name, df) =>
+          out(s"== BLOCK $name ==")
+          out(df.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+        }
+        0
+      } catch {
+        case e: Exception => out(s"[ERROR] ${e.getMessage}"); 1
+      }
     }
     try {
       val r = Aql.run(spark, text, cliParams = params,

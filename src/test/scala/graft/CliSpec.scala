@@ -140,6 +140,27 @@ class CliSpec extends AnyFunSuite {
     assert(Files.exists(dir.resolve("db.json")))
   }
 
+  test("explain mode: prints a formatted plan per block, writes nothing") {
+    val outDir = Files.createTempDirectory("graft_cli_explain").resolve("out")
+    val p = script(
+      s"""DATA 'Vals' ([[1],[2],[3]]) WITH (COLUMNS = 'V')
+         |CONNECTION 'Sink' (
+         |  DRIVER = 'file', FILE = '$outDir', FORMAT = 'parquet'
+         |)
+         |TRANSFORM 'Agg' FROM BLOCK Vals (
+         |  AGGREGATE SUM(V) AS Total
+         |) INTO CONNECTION Sink""".stripMargin)
+    val lines = Seq.newBuilder[String]
+    val code = Main.run(Seq("explain", "--script", p), spark, lines += _)
+    val text = lines.result().mkString("\n")
+    assert(code == 0)
+    assert(text.contains("== BLOCK AGG =="), text.take(500))
+    assert(text.contains("Physical Plan"), text.take(500))
+    assert(text.contains("HashAggregate"), text.take(2000))
+    // explain must not execute the sink (test-mode neutralization)
+    assert(!Files.exists(outDir), "explain wrote the destination")
+  }
+
   test("bad usage exits 2") {
     val lines = Seq.newBuilder[String]
     assert(Main.run(Seq("frobnicate"), spark, lines += _) == 2)

@@ -301,6 +301,25 @@ class PlanSpec extends AnyFunSuite {
       s"merge must be union+reduce, not an anti-join sandwich:\n$p")
   }
 
+  test("MERGE verb compiles to q86's reduce shape: partial agg, no window") {
+    // the language-level verb must keep the plan contract of the query it
+    // re-expresses (q105 == q86): union + max(struct) reduce — map-side
+    // combinable, one key shuffle, no per-key sort, no join
+    import spark.implicits._
+    val base = Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "v", "ver")
+    val chg = Seq((1L, "a2", 2L), (3L, "c", 1L)).toDF("id", "v", "ver")
+    val df = graft.transforms.TransformParser
+      .parse("MERGE Base WITH Chg ON id VERSION BY ver")
+      .build(Map("BASE" -> base, "CHG" -> chg), base)
+    val p = df.queryExecution.executedPlan.toString
+    val aggs = "HashAggregate|ObjectHashAggregate|SortAggregate".r
+      .findAllIn(p).size
+    assert(aggs >= 2, s"expected partial+final latest-wins agg:\n$p")
+    assert(!p.contains("Window"), s"MERGE must not sort per key via window:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"MERGE must be union+reduce, not an anti-join sandwich:\n$p")
+  }
+
   test("q87: heavy hitters end in TakeOrderedAndProject") {
     val p = plan("q87_heavy_hitters")
     assert(p.contains("TakeOrderedAndProject"), s"no top-k operator:\n$p")

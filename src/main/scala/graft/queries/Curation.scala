@@ -616,5 +616,54 @@ object Curation {
         .select(col("source"), col("bytes_s"), col("keep_ppm"),
           coalesce(col("nk"), lit(0L)).as("n_kept"))
     },
+
+    // ---- Corpus-driven boilerplate-token pruning: rewrite every document
+    // with tokens whose document frequency exceeds 50% of the corpus
+    // removed — the data-driven stopword pass (C4-style boilerplate
+    // stripping at token granularity; the threshold comes from the corpus
+    // itself, not a fixed list). Plan: one (tok) shuffle builds the df
+    // frame (|vocab| rows), the stoplist collapses to a deterministic
+    // sorted array on a 1-row frame, and the rewrite is a map-side HOF
+    // filter under a broadcast cross-join — token order preserved in
+    // place, no explode/regroup round trip, corpus scanned exactly twice.
+    // At 100 TB the stoplist stays tiny (df > N/2 bounds it hard) and the
+    // cleaning pass is embarrassingly parallel.
+    QueryDef(
+      "q107_stopword_prune",
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |n AS (SELECT count(*) AS nd FROM w),
+        |t AS (SELECT DISTINCT doc_id, tok
+        |      FROM (SELECT doc_id, unnest(ws) AS tok FROM w)),
+        |d AS (SELECT tok, count(*) AS df FROM t GROUP BY 1),
+        |stop AS (SELECT list(tok ORDER BY tok) AS sl
+        |         FROM d, n WHERE df * 2 > nd)
+        |SELECT w.doc_id,
+        |  -- COALESCE: DuckDB's array_to_string yields NULL for an empty
+        |  -- list where Spark's array_join yields '' (fully-pruned docs)
+        |  COALESCE(array_to_string(
+        |      list_filter(ws, x -> NOT list_contains(sl, x)), ' '), '')
+        |    AS clean_text,
+        |  CAST(len(ws) - len(list_filter(ws, x -> NOT list_contains(sl, x)))
+        |    AS BIGINT) AS n_removed
+        |FROM w CROSS JOIN stop""".stripMargin) { (s, dir) =>
+      val w = docs(s, dir).select(col("doc_id"),
+        graft.functions.Text.tokens(col("text")).as("ws"))
+      val toks = w.select(col("doc_id"), explode(col("ws")).as("tok")).distinct()
+      val df_ = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      // 1-row frames: corpus size and the sorted stoplist (q56's in-plan
+      // count shape — no driver-side action)
+      val nFrame = w.agg(count(lit(1)).as("nd"))
+      val stop = df_.crossJoin(broadcast(nFrame))
+        .where(col("df") * 2 > col("nd"))
+        .agg(sort_array(collect_list(col("tok"))).as("sl"))
+      val cleaned = w.crossJoin(broadcast(stop))
+        .withColumn("clean",
+          filter(col("ws"), x => !array_contains(col("sl"), x)))
+      cleaned.select(col("doc_id"),
+        array_join(col("clean"), " ").as("clean_text"),
+        (size(col("ws")) - size(col("clean"))).cast("bigint").as("n_removed"))
+    },
   )
 }

@@ -352,6 +352,51 @@ object Dedup {
           (coalesce(col("n_dups"), lit(0L)) > 0).as("is_dup"))
     },
 
+    // ---- Containment dedup: directional near-dup (doc ⊂ doc). ----
+    // Jaccard misses the "quoted wholesale inside a bigger page" case: a
+    // short doc fully embedded in a long one has low Jaccard (union is
+    // dominated by the container) but containment |A∩B|/|A| ≈ 1. Corpus
+    // curation removes the contained copy, keeps the container. Same
+    // inverted-index shape as q31 — the pair space is only pairs sharing
+    // ≥1 shingle, shuffled by 8-byte shingle hash — then the symmetric
+    // common-count frame fans out into BOTH directional scores (one extra
+    // map-side projection, no second join). ≥5 shingles floor keeps
+    // trivially-small docs from matching everything. At 100 TB: identical
+    // scale path as q31 (drop ultra-high-DF shingles first); the
+    // directional fan-out adds zero shuffles.
+    QueryDef(
+      "q106_dedup_containment",
+      s"""$oracleShingles
+         |SELECT a.doc_id AS contained, b.doc_id AS container,
+         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / len(a.sh), 6) AS containment
+         |FROM s a JOIN s b ON a.doc_id <> b.doc_id
+         |WHERE len(a.sh) >= 5 AND len(b.sh) >= 5
+         |  AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / len(a.sh), 6) >= 0.9""".stripMargin) { (s, dir) =>
+      val sh = shingled(s, dir)
+        .where(size(col("shs")) >= 5)
+        .select(col("doc_id"), size(col("shs")).as("n"),
+          explode(Text.hashedShingles(col("shs"))).as("h"))
+      val counts = sh.select(col("doc_id"), col("n")).distinct()
+      val a = sh.select(col("doc_id").as("doc_a"), col("h"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("h"))
+      val common = a.join(b, "h")
+        .where(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("common"))
+      val na = broadcast(counts.toDF("doc_a", "n_a"))
+      val nb = broadcast(counts.toDF("doc_b", "n_b"))
+      val scored = common.join(na, "doc_a").join(nb, "doc_b")
+      val ab = scored.select(col("doc_a").as("contained"),
+        col("doc_b").as("container"),
+        round(col("common").cast("double") / col("n_a"), 6).as("containment"))
+      val ba = scored.select(col("doc_b").as("contained"),
+        col("doc_a").as("container"),
+        round(col("common").cast("double") / col("n_b"), 6).as("containment"))
+      ab.unionByName(ba).where(col("containment") >= 0.9)
+    },
+
     // ---- Typo/fuzzy dedup via deletion-neighborhood blocking (SymSpell's
     // index, adapted to a join): match noisy strings to a canonical
     // dictionary at edit distance ≤ 1 WITHOUT the |dirty|×|dict|

@@ -295,22 +295,34 @@ object Similarity {
         |  SELECT label, i - 1 AS dim,
         |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e9 + 0.5) AS BIGINT)
         |      AS vq
-        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i))
-        |SELECT label, dim, count(*) AS n,
-        |  round(CAST(sum(vq) AS DOUBLE) / (count(*) * 1e9), 9) AS centroid
-        |FROM x GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+        |g AS (
+        |  SELECT label, dim, count(*) AS n, sum(vq) AS s FROM x GROUP BY 1, 2)
+        |SELECT label, dim, n,
+        |  CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END)
+        |       * ((2 * abs(s) + n) // (2 * n)) AS DOUBLE) / 1e9 AS centroid
+        |FROM g""".stripMargin) { (s, dir) =>
       // engine-exact nano quantization (q73's floor(x+0.5) trick): a plain
       // float→DECIMAL cast rounds half-ulp cases differently across
-      // engines; floor over identical correctly-rounded doubles cannot
+      // engines; floor over identical correctly-rounded doubles cannot.
+      // The mean is rounded to 9 dp in INTEGER arithmetic — half away from
+      // zero, (2|s|+n) div 2n with the sign reapplied — because
+      // round(s/(n·1e9), 9) on a double hits representation-boundary
+      // cases where Spark's exact-BigDecimal HALF_UP and DuckDB's scaled
+      // nearbyint disagree by 1 ulp of the 9th decimal (observed at
+      // sf0.001: -0.016307126 vs -0.016307125). Exact integers divided by
+      // 1e9 as the last step give bit-identical doubles on both engines.
       Tables.load(s, dir, "embeddings")
         .select(col("label"), posexplode(col("embedding")))
         .select(col("label"), col("pos").cast("bigint").as("dim"),
           floor(col("col").cast("double") * lit(1e9) + lit(0.5))
             .cast("bigint").as("vq"))
         .groupBy(col("label"), col("dim"))
-        .agg(count(lit(1)).as("n"),
-          round(sum(col("vq")).cast("double") / (count(lit(1)) * lit(1e9)), 9)
-            .as("centroid"))
+        .agg(count(lit(1)).as("n"), sum(col("vq")).as("s"))
+        .select(col("label"), col("dim"), col("n"),
+          (when(col("s") < 0, lit(-1L)).otherwise(lit(1L))
+            * expr("(2 * abs(s) + n) DIV (2 * n)")).cast("double")
+            ./(lit(1e9)).as("centroid"))
     },
   )
 }

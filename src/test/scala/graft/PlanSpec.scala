@@ -320,6 +320,16 @@ class PlanSpec extends AnyFunSuite {
       s"MERGE must be union+reduce, not an anti-join sandwich:\n$p")
   }
 
+  test("q107: stoplist broadcasts; the doc rewrite itself is map-side") {
+    val p = plan("q107_stopword_prune")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"stoplist frame must broadcast onto the corpus:\n$p")
+    // the only key shuffles build the vocabulary frames (distinct tokens,
+    // df agg) — the corpus-side rewrite must never shuffle
+    val keyShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(keyShuffles <= 2, s"corpus rewrite is shuffling:\n$p")
+  }
+
   test("q87: heavy hitters end in TakeOrderedAndProject") {
     val p = plan("q87_heavy_hitters")
     assert(p.contains("TakeOrderedAndProject"), s"no top-k operator:\n$p")

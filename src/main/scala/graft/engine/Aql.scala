@@ -125,10 +125,14 @@ object Aql {
   private def readJdbc(spark: SparkSession, connName: String, url: String,
       target: Either[String, String], options: Options): DataFrame = {
     def o(k: String) = Connectors.opt(options, k)
-    val numParts = o("NUM_PARTITIONS").map(_.toDouble.toInt)
+    def intOpt(k: String): Option[Int] = o(k).map { v =>
+      try v.toDouble.toInt
+      catch { case _: NumberFormatException => throw AqlError(
+        s"connection $connName: $k must be a number, got '$v'") }
+    }
+    val numParts = intOpt("NUM_PARTITIONS")
     var r = spark.read.format("jdbc").option("url", url)
-    o("FETCH_SIZE").foreach(f =>
-      r = r.option("fetchsize", f.toDouble.toInt.toString))
+    intOpt("FETCH_SIZE").foreach(f => r = r.option("fetchsize", f.toString))
     numParts.filter(_ > 1) match {
       case None =>
         target match {

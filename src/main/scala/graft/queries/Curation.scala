@@ -650,8 +650,11 @@ object Curation {
         |FROM w CROSS JOIN stop""".stripMargin) { (s, dir) =>
       val w = docs(s, dir).select(col("doc_id"),
         graft.functions.Text.tokens(col("text")).as("ws"))
-      val toks = w.select(col("doc_id"), explode(col("ws")).as("tok")).distinct()
-      val df_ = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      // per-doc token dedup happens MAP-SIDE (array_distinct before the
+      // explode), so df needs only the one partial-aggregatable (tok)
+      // shuffle — a (doc_id, tok) distinct would shuffle the corpus twice
+      val df_ = w.select(explode(array_distinct(col("ws"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
       // 1-row frames: corpus size and the sorted stoplist (q56's in-plan
       // count shape — no driver-side action)
       val nFrame = w.agg(count(lit(1)).as("nd"))

@@ -452,6 +452,74 @@ object Advanced {
         .limit(20)
     },
 
+    // ---- BM25 document scoring — the lexical-retrieval complement to
+    // the ANN family (q34/q35/q46/q82): Lucene-form BM25 (k1=1.2, b=0.75,
+    // idf = ln((N-df+0.5)/(df+0.5)+1) so common terms never go negative)
+    // of every document against a query derived IN-PLAN (top-3 terms by
+    // document frequency, deterministic tiebreak — self-contained, no
+    // fixture vocabulary). Shapes: tf agg ∝ (doc,term) pairs; doc-length
+    // frame is a partial-aggregatable doc_id rollup of tf (corpus
+    // tokenized once); df ∝ vocab; the 3-term query frame broadcasts, so
+    // the scoring join prunes tf to ≤3 rows/doc before touching the
+    // length frame; N/avgdl ride a 1-row cross-join. Exactness: tf/df/dl
+    // are integers, avgdl and each term score are identical IEEE
+    // expression trees on both engines, each score quantized to
+    // DECIMAL(28,12) before the per-doc sum (q78's trick) so the ranking
+    // key is exact and partition-order-independent; top-20 is
+    // TakeOrderedAndProject.
+    QueryDef(
+      "q112_bm25",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE term <> '' GROUP BY 1, 2),
+        |d AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |c AS (SELECT count(*) AS n_docs,
+        |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM d),
+        |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |q AS (SELECT term, df FROM dfr ORDER BY df DESC, term LIMIT 3),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    CAST(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+        |      (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+        |      AS DECIMAL(28,12)) AS s
+        |  FROM tf JOIN q USING (term) JOIN d USING (doc_id) CROSS JOIN c)
+        |SELECT doc_id, count(*) AS n_terms,
+        |  round(CAST(sum(s) AS DOUBLE), 6) AS bm25
+        |FROM sc GROUP BY doc_id
+        |ORDER BY sum(s) DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+        .filter(col("term") =!= "")
+      val tf = toks.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val d = tf.groupBy(col("doc_id"))
+        .agg(sum(col("tf")).cast("bigint").as("dl"))
+      val consts = d.agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val q = dfr.orderBy(col("df").desc, col("term")).limit(3)
+      val score =
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * 2.2 /
+            (col("tf") +
+              lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      tf.join(broadcast(q), "term")
+        .join(d, "doc_id")
+        .crossJoin(broadcast(consts))
+        .select(col("doc_id"), score.cast("decimal(28,12)").as("s"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_terms"), sum(col("s")).as("ssum"))
+        .orderBy(col("ssum").desc, col("doc_id"))
+        .limit(20)
+        .select(col("doc_id"), col("n_terms"),
+          round(col("ssum").cast("double"), 6).as("bm25"))
+    },
+
     // ---- Per-key sequence analysis via lag/first_value: inter-event
     // gaps per user (avg/max) plus the user's first event type — the
     // funnel/latency shape. One shuffle on user_id, then the lag and the
@@ -489,6 +557,57 @@ object Advanced {
           round(avg(col("gap_ms")), 6).as("avg_gap_ms"),
           max(col("gap_ms")).as("max_gap_ms"),
           min(col("first_type")).as("first_type"))
+    },
+
+    // ---- Batch sessionization: gap-based session assignment — q23's
+    // streaming session window recomputed over data at rest (the backfill
+    // / reprocessing path every production sessionizer needs next to its
+    // streaming one). A session breaks when >30 min separates consecutive
+    // events of a user: lag marks boundaries, a running sum over the same
+    // (user_id; tms, event_id) order numbers the sessions, and the
+    // per-session rollup groups on the same key — so the lag window, the
+    // cumulative sum, and the final aggregation all collapse onto ONE
+    // user_id exchange and one sort (PlanSpec pins it). Gap math in
+    // integer milliseconds (engine-exact); output ∝ sessions, never
+    // events. Per-user state at 100 TB is one prior row — no skew risk
+    // beyond a single user's history, which range-partitions evenly.
+    QueryDef(
+      "q110_sessionize",
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS tms
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, tms,
+        |    CASE WHEN lag(tms) OVER
+        |        (PARTITION BY user_id ORDER BY tms, event_id) IS NULL
+        |      OR tms - lag(tms) OVER
+        |        (PARTITION BY user_id ORDER BY tms, event_id) > 1800000
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, tms,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY tms, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS sess_no
+        |  FROM f)
+        |SELECT user_id, sess_no, count(*) AS n_events,
+        |  min(tms) AS start_ms, max(tms) AS end_ms,
+        |  max(tms) - min(tms) AS dur_ms
+        |FROM g GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tms"), col("event_id"))
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val prev = lag(col("tms"), 1).over(w)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("tms"))
+        .withColumn("new_sess",
+          when(prev.isNull || col("tms") - prev > 1800000L, 1).otherwise(0))
+        .withColumn("sess_no", sum(col("new_sess")).over(cum))
+        .groupBy(col("user_id"), col("sess_no"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("tms")).as("start_ms"),
+          max(col("tms")).as("end_ms"),
+          (max(col("tms")) - min(col("tms"))).as("dur_ms"))
     },
 
     // ---- Robust outlier detection: median/MAD (median absolute
@@ -831,6 +950,103 @@ object Advanced {
           round(col("cnt").cast("double") / col("total"), 6).as("share"))
         .orderBy(col("cnt").desc, col("l_suppkey"))
         .limit(20)
+    },
+
+    // ---- Count-min sketch frequency estimation: the sketch q87's notes
+    // promise for when even |distinct keys| is too hot. d=4 hash rows ×
+    // w=64 counters; the hash family is the engine-portable md5 trick
+    // (q69), so DuckDB rebuilds every counter bit-for-bit and the gate is
+    // hash-exact — including the over-estimates that w=64 forces on ~1k
+    // custkeys (the sketch's one-sided error is part of the contract
+    // being verified, est_cnt >= true_cnt always). Shapes: one
+    // partial-aggregatable key shuffle builds the count frame; the
+    // 256-cell counter frame aggregates that |keys|-sized frame (never
+    // the corpus) and broadcasts back for the min-over-rows estimate;
+    // the report is TakeOrderedAndProject. At 100 TB the truth frame
+    // disappears — that's the point of the sketch: counters fold straight
+    // off the stream map-side into d×w cells (map-side combine reduces
+    // every partition to ≤256 rows before the exchange), and point
+    // lookups touch 256 rows instead of a corpus-sized count frame.
+    QueryDef(
+      "q109_count_min_sketch",
+      """WITH truth AS (
+        |  SELECT o_custkey, count(*) AS true_cnt FROM orders GROUP BY 1),
+        |h AS (
+        |  SELECT o_custkey, true_cnt, r,
+        |    CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' ||
+        |      CAST(o_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS b
+        |  FROM truth CROSS JOIN (VALUES (0), (1), (2), (3)) AS rows(r)),
+        |cells AS (SELECT r, b, sum(true_cnt) AS cnt FROM h GROUP BY 1, 2),
+        |est AS (
+        |  SELECT h.o_custkey, h.true_cnt,
+        |    CAST(min(c.cnt) AS BIGINT) AS est_cnt
+        |  FROM h JOIN cells c USING (r, b) GROUP BY 1, 2)
+        |SELECT o_custkey, true_cnt, est_cnt FROM est
+        |ORDER BY true_cnt DESC, o_custkey LIMIT 20""".stripMargin) { (s, dir) =>
+      val truth = t(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("true_cnt"))
+      val h = truth
+        .select(col("o_custkey"), col("true_cnt"),
+          explode(array((0 until 4).map(lit(_)): _*)).as("r"))
+        .withColumn("b",
+          conv(substring(md5(concat(col("r").cast("string"), lit(":"),
+            col("o_custkey").cast("string"))), 1, 8), 16, 10)
+            .cast("bigint") % 64)
+      val cells = h.groupBy(col("r"), col("b"))
+        .agg(sum(col("true_cnt")).as("cnt"))
+      h.join(broadcast(cells), Seq("r", "b"))
+        .groupBy(col("o_custkey"), col("true_cnt"))
+        .agg(min(col("cnt")).cast("bigint").as("est_cnt"))
+        .orderBy(col("true_cnt").desc, col("o_custkey"))
+        .limit(20)
+    },
+
+    // ---- KMV (k-minimum-values) distinct-count sketch — the
+    // theta-sketch family estimator, q62's approx_count_distinct rebuilt
+    // from primitives the oracle can replay: hash every key with the
+    // 52-bit md5 trick (q66/q69), keep the k=32 smallest DISTINCT hash
+    // values, and estimate n ≈ (k-1)/u_k where u_k is the k-th smallest
+    // hash normalized to (0,1). Every step is integer-exact and the final
+    // divide is one IEEE op on identical inputs, floored — so unlike
+    // q62's engine-internal HLL this sketch gate is hash-exact
+    // cross-engine, error and all. Shapes: one partial-aggregatable
+    // distinct-hash shuffle (∝ |keys|); the k smallest ride
+    // TakeOrderedAndProject (k rows per partition → k global); the
+    // estimate is a 1-row cross-join of three 1-row frames. At 100 TB
+    // per-partition "32 smallest distinct" states merge associatively
+    // (that IS the theta sketch), so the |keys| frame never materializes
+    // in the production variant; if n ≤ k the sketch is exact by
+    // construction, which the small-SF branch exercises.
+    QueryDef(
+      "q111_kmv_distinct",
+      """WITH h AS (
+        |  SELECT DISTINCT CAST(('0x' ||
+        |    substr(md5(CAST(o_custkey AS VARCHAR)), 1, 13)) AS BIGINT) AS hv
+        |  FROM orders),
+        |k AS (SELECT hv FROM h ORDER BY hv LIMIT 32),
+        |s AS (SELECT max(hv) AS hk FROM k),
+        |n AS (SELECT count(*) AS n_h FROM h),
+        |x AS (SELECT count(DISTINCT o_custkey) AS exact_nd FROM orders)
+        |SELECT exact_nd,
+        |  CASE WHEN n_h <= 32 THEN n_h
+        |    ELSE CAST(floor(CAST(31 AS DOUBLE) * 4503599627370496 / hk)
+        |      AS BIGINT)
+        |  END AS kmv_est
+        |FROM x CROSS JOIN n CROSS JOIN s""".stripMargin) { (s, dir) =>
+      val orders = t(s, dir, "orders").select(col("o_custkey"))
+      val h = orders
+        .select(conv(substring(md5(col("o_custkey").cast("string")), 1, 13),
+          16, 10).cast("bigint").as("hv"))
+        .distinct()
+      val sF = h.orderBy(col("hv")).limit(32).agg(max(col("hv")).as("hk"))
+      val nF = h.agg(count(lit(1)).as("n_h"))
+      val xF = orders.agg(countDistinct(col("o_custkey")).as("exact_nd"))
+      xF.crossJoin(nF).crossJoin(sF)
+        .select(col("exact_nd"),
+          when(col("n_h") <= 32, col("n_h"))
+            .otherwise(floor(lit(31.0) * lit(4503599627370496.0) / col("hk"))
+              .cast("bigint"))
+            .as("kmv_est"))
     },
 
     // ---- Quantile-bucket assignment: decile of document length within

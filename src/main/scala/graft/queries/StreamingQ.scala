@@ -182,6 +182,38 @@ object StreamingQ {
       runAvailableNow(s, joined, "append", viewName, noDataBatch = true)
     },
 
+    // Stream-static dimension enrichment: the events stream joined to the
+    // static customer table — the single most common production streaming
+    // shape (enrich-then-aggregate), and the stateless sibling of q50's
+    // stream-stream join: no watermark, no join state store, because the
+    // static side is fully available every microbatch. Spark re-plans the
+    // static side per batch, so a dimension refreshed under the same path
+    // is picked up between batches — the Structured Streaming contract
+    // for slowly-changing dims. The dim broadcasts (customer ≪ stream);
+    // at 100 TB an over-broadcast-size dim swaps to pre-bucketing both
+    // sides on the key, the join itself stays stateless either way.
+    // Complete-mode agg emits its full result in the data batch.
+    QueryDef(
+      "q113_stream_static_join",
+      """SELECT c_mktsegment, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val viewName = s"q113_mem_${java.util.UUID.randomUUID().toString.take(8)}"
+      val stream = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+      val dim = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val agg = stream
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("value"))).cast("double").as("total"))
+      runAvailableNow(s, agg, "complete", viewName)
+    },
+
     // Streaming dedup: one output row per (user, event_type, day) key —
     // the training-pipeline "first occurrence wins" filter as a streaming
     // op. Output is the key set itself, so the result is deterministic

@@ -348,6 +348,45 @@ class PlanSpec extends AnyFunSuite {
     assert(keyShuffles <= 1, s"corpus rewrite is shuffling:\n$p")
   }
 
+  test("q109: CMS counter frame broadcasts; report is TakeOrderedAndProject") {
+    val p = plan("q109_count_min_sketch")
+    // the 256-cell counter frame must broadcast back onto the key frame —
+    // a shuffle join here would re-shuffle |keys| rows to meet 256
+    assert(p.contains("BroadcastHashJoin"),
+      s"counter frame not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 report must not globally sort:\n$p")
+  }
+
+  test("q110: sessionization rides ONE user_id exchange, no join") {
+    val p = plan("q110_sessionize")
+    // lag, the running session counter, and the per-session rollup all
+    // share the (user_id; tms, event_id) partitioning + sort
+    val keyShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(keyShuffles == 1, s"expected exactly 1 key exchange:\n$p")
+    assert(!p.contains("Join"), s"sessionization must not join:\n$p")
+  }
+
+  test("q111: KMV k-smallest rides TakeOrderedAndProject, distinct is partial") {
+    val p = plan("q111_kmv_distinct")
+    // k smallest hashes: k rows per partition → k global, no global sort
+    assert(p.contains("TakeOrderedAndProject"),
+      s"k-minimum selection must not globally sort:\n$p")
+    // the three 1-row frames combine via broadcast, never a shuffle join
+    assert(p.contains("BroadcastNestedLoopJoin") && !p.contains("SortMergeJoin"),
+      s"1-row frames must broadcast:\n$p")
+  }
+
+  test("q112: BM25 query frame broadcasts; top-20 is TakeOrderedAndProject") {
+    val p = plan("q112_bm25")
+    // the 3-term query frame must broadcast onto tf — shuffling tf to meet
+    // 3 rows would move the corpus-sized pair frame
+    assert(p.contains("BroadcastHashJoin"),
+      s"query-term frame not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 report must not globally sort:\n$p")
+  }
+
   test("q87: heavy hitters end in TakeOrderedAndProject") {
     val p = plan("q87_heavy_hitters")
     assert(p.contains("TakeOrderedAndProject"), s"no top-k operator:\n$p")

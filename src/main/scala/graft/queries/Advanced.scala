@@ -927,6 +927,92 @@ object Advanced {
           col("m.price").cast("double").as("price"))
     },
 
+    // ---- Incremental aggregate maintenance (materialized-view delta
+    // update): keep a per-custkey (n_orders, total_price) aggregate
+    // current under q86's CDC change set WITHOUT re-aggregating the
+    // corpus — the retract/apply algebra every incremental engine
+    // (Materialize, Delta MV, Flink) runs on: resolve each changed key's
+    // final op (q86's max(struct) reduce over the CHANGES only, ∝
+    // |changes|), emit −1/−price for every replaced or deleted base row
+    // and +1/+price for every surviving new row, then fold the signed
+    // deltas into the old aggregate with one partial-aggregatable union
+    // agg. The oracle recomputes the aggregate from scratch over the
+    // merged live set, so the gate proves the delta algebra — including
+    // the U-then-D overlap keys (k ≡ 10 mod 35) where the retraction must
+    // fire exactly once and the application not at all. Exact DECIMAL
+    // sums make retraction lossless (float retraction drifts). At 100 TB
+    // old_agg is the stored view (built here only to keep the gate
+    // self-contained); incremental cost ∝ |changes| + |touched keys|:
+    // the changed-key frame broadcasts into a semi join that prunes the
+    // base-side retract scan, and both aggs partial-aggregate, so
+    // nothing corpus-sized shuffles on refresh.
+    QueryDef(
+      "q114_incremental_agg",
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_custkey,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price, 0 AS ver, 'B' AS op
+        |  FROM orders),
+        |u AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DECIMAL(18,2)),
+        |    1, 'U'
+        |  FROM orders WHERE o_orderkey % 5 = 0),
+        |d AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(o_totalprice AS DECIMAL(18,2)), 2, 'D'
+        |  FROM orders WHERE o_orderkey % 7 = 3),
+        |i AS (
+        |  SELECT o_orderkey + 100000000, o_custkey,
+        |    CAST(o_totalprice AS DECIMAL(18,2)), 1, 'I'
+        |  FROM orders WHERE o_orderkey % 13 = 1),
+        |allr AS (
+        |  SELECT * FROM base UNION ALL SELECT * FROM u
+        |  UNION ALL SELECT * FROM d UNION ALL SELECT * FROM i),
+        |latest AS (
+        |  SELECT * FROM allr
+        |  QUALIFY row_number() OVER (PARTITION BY k ORDER BY ver DESC) = 1)
+        |SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(sum(price) AS DOUBLE) AS total_price
+        |FROM latest WHERE op <> 'D' GROUP BY 1""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val base = o.select(col("o_orderkey").as("k"), col("o_custkey"),
+        dec2(col("o_totalprice")).as("price"))
+      def change(pred: org.apache.spark.sql.Column, keyShift: Long,
+          price: org.apache.spark.sql.Column, ver: Int, op: String) =
+        o.where(pred).select(
+          (col("o_orderkey") + keyShift).as("k"), col("o_custkey"),
+          price.cast("decimal(18,2)").as("price"),
+          lit(ver).as("ver"), lit(op).as("op"))
+      val changes = change(col("o_orderkey") % 5 === 0, 0L,
+          dec2(col("o_totalprice")) * 2, 1, "U")
+        .unionByName(change(col("o_orderkey") % 7 === 3, 0L,
+          dec2(col("o_totalprice")), 2, "D"))
+        .unionByName(change(col("o_orderkey") % 13 === 1, 100000000L,
+          dec2(col("o_totalprice")), 1, "I"))
+      // per-key final op over the CHANGES only — ∝ |changes|, never base
+      val finalOp = changes.groupBy(col("k"))
+        .agg(max(struct(col("ver"), col("op"), col("o_custkey"),
+          col("price"))).as("m"))
+      // retract every base row whose key the change set touched (insert
+      // keys simply don't match); broadcast semi join prunes the scan
+      val retract = base
+        .join(broadcast(finalOp.select(col("k"))), Seq("k"), "left_semi")
+        .select(col("o_custkey"), lit(-1L).as("dn"),
+          (-col("price")).as("ds"))
+      val applied = finalOp.where(col("m.op") =!= "D")
+        .select(col("m.o_custkey").as("o_custkey"), lit(1L).as("dn"),
+          col("m.price").as("ds"))
+      val oldAgg = base.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("dn"), sum(col("price")).as("ds"))
+      oldAgg.unionByName(retract).unionByName(applied)
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("dn")).as("n_orders"),
+          sum(col("ds")).as("ts"))
+        .where(col("n_orders") > 0)
+        .select(col("o_custkey"), col("n_orders"),
+          col("ts").cast("double").as("total_price"))
+    },
+
     // ---- Heavy-hitter key profiler: the skew diagnostic you run BEFORE
     // choosing a join strategy at 100 TB — top-20 join keys by frequency
     // with their share of all rows. One corpus scan: the total rides a

@@ -117,7 +117,13 @@ object Dedup {
       val sh = shingled(s, dir)
         .select(col("doc_id"), size(col("shs")).as("n"),
           explode(Text.hashedShingles(col("shs"))).as("h"))
+      // localCheckpoint: the per-doc size frame is |docs|-sized and feeds
+      // BOTH broadcast probe sides — materializing it once replaces two
+      // full tokenize+shingle corpus scans with one, and (critically for
+      // q106) stops predicate pushdown from alias-substituting n back
+      // into size(<shingle pipeline>) inside a per-row scan filter.
       val counts = sh.select(col("doc_id"), col("n")).distinct()
+        .localCheckpoint()
       val a = sh.select(col("doc_id").as("doc_a"), col("h"))
       val b = sh.select(col("doc_id").as("doc_b"), col("h"))
       // Pairs sharing ≥1 shingle; shuffle is by shingle hash, never O(n²).
@@ -374,11 +380,23 @@ object Dedup {
          |WHERE len(a.sh) >= 5 AND len(b.sh) >= 5
          |  AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
          |    / len(a.sh), 6) >= 0.9""".stripMargin) { (s, dir) =>
+      // NO size-filter on the corpus path: a where(size(shs) >= 5) above
+      // the shingle projection gets alias-substituted by predicate
+      // pushdown and re-evaluates the whole tokenize+shingle pipeline
+      // inside the pushed filter (measured 5.8 s vs 1.3 s for q31's
+      // identical join at sf0.1). The ≥5-shingle floor is applied below
+      // on the |pairs|-sized scored frame via the already-joined
+      // n_a/n_b — same semantics as the oracle's len(sh) >= 5 per side.
       val sh = shingled(s, dir)
-        .where(size(col("shs")) >= 5)
         .select(col("doc_id"), size(col("shs")).as("n"),
           explode(Text.hashedShingles(col("shs"))).as("h"))
+      // localCheckpoint (same rationale as q31): one corpus scan feeds
+      // both broadcast sides, and — the 4× cost here — the n_a/n_b ≥ 5
+      // floor below can no longer be alias-substituted through the
+      // broadcast join into a per-row size(<shingle pipeline>) filter on
+      // the raw text scan (predicate pushdown stops at the RDD barrier).
       val counts = sh.select(col("doc_id"), col("n")).distinct()
+        .localCheckpoint()
       val a = sh.select(col("doc_id").as("doc_a"), col("h"))
       val b = sh.select(col("doc_id").as("doc_b"), col("h"))
       val common = a.join(b, "h")
@@ -387,14 +405,30 @@ object Dedup {
         .agg(count(lit(1)).as("common"))
       val na = broadcast(counts.toDF("doc_a", "n_a"))
       val nb = broadcast(counts.toDF("doc_b", "n_b"))
-      val scored = common.join(na, "doc_a").join(nb, "doc_b")
-      val ab = scored.select(col("doc_a").as("contained"),
-        col("doc_b").as("container"),
-        round(col("common").cast("double") / col("n_a"), 6).as("containment"))
-      val ba = scored.select(col("doc_b").as("contained"),
-        col("doc_a").as("container"),
-        round(col("common").cast("double") / col("n_b"), 6).as("containment"))
-      ab.unionByName(ba).where(col("containment") >= 0.9)
+      // Both directional scores come off each symmetric pair row as plain
+      // columns, the threshold prunes |pairs| → |near-dups| while still
+      // fully codegen'd, and only the surviving handful explode into
+      // (contained, container) rows. Two earlier shapes measured 4-5×
+      // slower at sf0.1: a union of two selects physically duplicates the
+      // whole inverted-index subtree (exchanges are reused, operator
+      // subtrees are not), and exploding BEFORE the filter paid the
+      // non-codegen generator over the full 1.1M-row pair frame.
+      common.join(na, "doc_a").join(nb, "doc_b")
+        .where(col("n_a") >= 5 && col("n_b") >= 5)
+        .withColumn("c_ab",
+          round(col("common").cast("double") / col("n_a"), 6))
+        .withColumn("c_ba",
+          round(col("common").cast("double") / col("n_b"), 6))
+        .where(col("c_ab") >= 0.9 || col("c_ba") >= 0.9)
+        .select(explode(array(
+          struct(col("doc_a").as("contained"), col("doc_b").as("container"),
+            col("c_ab").as("containment")),
+          struct(col("doc_b").as("contained"), col("doc_a").as("container"),
+            col("c_ba").as("containment")))).as("e"))
+        .select(col("e.contained").as("contained"),
+          col("e.container").as("container"),
+          col("e.containment").as("containment"))
+        .where(col("containment") >= 0.9)
     },
 
     // ---- Typo/fuzzy dedup via deletion-neighborhood blocking (SymSpell's

@@ -387,6 +387,17 @@ class PlanSpec extends AnyFunSuite {
       s"top-20 report must not globally sort:\n$p")
   }
 
+  test("q114: incremental agg maintenance — broadcast semi retract, no window") {
+    val p = plan("q114_incremental_agg")
+    // the changed-key frame must broadcast into the retract semi join;
+    // a shuffle join would move the base table to meet |changes| keys
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"retract pruning must be a broadcast semi join:\n$p")
+    // the incremental path must not re-rank anything: the final-op reduce
+    // is max(struct), the delta fold a hash agg — no Window anywhere
+    assert(!p.contains("Window"), s"delta algebra must not window:\n$p")
+  }
+
   test("q87: heavy hitters end in TakeOrderedAndProject") {
     val p = plan("q87_heavy_hitters")
     assert(p.contains("TakeOrderedAndProject"), s"no top-k operator:\n$p")

@@ -1135,6 +1135,81 @@ object Advanced {
             .as("kmv_est"))
     },
 
+    // ---- Theta-sketch set intersection: estimate the distinct-key
+    // overlap of two sets from their KMV sketches alone — the
+    // audience-overlap / join-key-overlap question at 100 TB, where the
+    // raw sets are petabytes but each sketch is k hashes. Extends q111's
+    // KMV machinery to set algebra: θ = least of the two sketches'
+    // k-th-smallest thresholds (2^52, i.e. "everything", for a non-full
+    // sketch — which makes the estimate collapse to EXACT when both sets
+    // fit in k, the branch the small SF exercises), the intersection
+    // sample is {h ∈ skA ∩ skB : h < θ}, and est = |S| / θ_norm. Every
+    // step is the engine-portable md5/integer arithmetic, so DuckDB
+    // replays the sketch bit-for-bit — estimation error included — and
+    // the exact intersection rides alongside for reference. The sketches
+    // are localCheckpointed: in production they're the STORED artifact
+    // (32 longs per set) and overlap queries never touch the raw data —
+    // here the barrier equally stops pushdown from dragging the θ/join
+    // predicates back into the per-set scans. All post-sketch frames are
+    // ≤k rows; the two distinct-hash aggs are the only key shuffles.
+    QueryDef(
+      "q115_theta_intersection",
+      """WITH a AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'),
+        |b AS (
+        |  SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 150000),
+        |ah AS (
+        |  SELECT DISTINCT CAST(('0x' ||
+        |    substr(md5(CAST(o_custkey AS VARCHAR)), 1, 13)) AS BIGINT) AS hv
+        |  FROM a),
+        |bh AS (
+        |  SELECT DISTINCT CAST(('0x' ||
+        |    substr(md5(CAST(o_custkey AS VARCHAR)), 1, 13)) AS BIGINT) AS hv
+        |  FROM b),
+        |ska AS (SELECT hv FROM ah ORDER BY hv LIMIT 32),
+        |skb AS (SELECT hv FROM bh ORDER BY hv LIMIT 32),
+        |ta AS (SELECT CASE WHEN count(*) < 32 THEN 4503599627370496
+        |  ELSE max(hv) END AS tha FROM ska),
+        |tb AS (SELECT CASE WHEN count(*) < 32 THEN 4503599627370496
+        |  ELSE max(hv) END AS thb FROM skb),
+        |th AS (SELECT least(tha, thb) AS theta FROM ta CROSS JOIN tb),
+        |inter AS (
+        |  SELECT count(*) AS cnt
+        |  FROM ska JOIN skb USING (hv) CROSS JOIN th WHERE hv < theta),
+        |x AS (SELECT count(*) AS exact_common FROM
+        |  (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b))
+        |SELECT exact_common,
+        |  CAST(floor(CAST(cnt AS DOUBLE) * 4503599627370496 / theta)
+        |    AS BIGINT) AS theta_est
+        |FROM x CROSS JOIN inter CROSS JOIN th""".stripMargin) { (s, dir) =>
+      val orders = t(s, dir, "orders")
+      def hv(df: DataFrame) = df
+        .select(conv(substring(md5(col("o_custkey").cast("string")), 1, 13),
+          16, 10).cast("bigint").as("hv"))
+        .distinct()
+      val aKeys = orders.where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey")).distinct()
+      val bKeys = orders.where(col("o_totalprice") > 150000)
+        .select(col("o_custkey")).distinct()
+      val ska = hv(aKeys).orderBy(col("hv")).limit(32).localCheckpoint()
+      val skb = hv(bKeys).orderBy(col("hv")).limit(32).localCheckpoint()
+      def theta(sk: DataFrame, name: String) = sk.agg(
+        when(count(lit(1)) < 32, lit(4503599627370496L))
+          .otherwise(max(col("hv"))).as(name))
+      val th = theta(ska, "tha").crossJoin(theta(skb, "thb"))
+        .select(least(col("tha"), col("thb")).as("theta"))
+      val inter = ska.join(skb, "hv").crossJoin(th)
+        .where(col("hv") < col("theta"))
+        .agg(count(lit(1)).as("cnt"))
+      val exact = aKeys.intersect(bKeys)
+        .agg(count(lit(1)).as("exact_common"))
+      exact.crossJoin(inter).crossJoin(th)
+        .select(col("exact_common"),
+          floor(col("cnt").cast("double") * lit(4503599627370496L)
+            / col("theta")).cast("bigint").as("theta_est"))
+    },
+
     // ---- Quantile-bucket assignment: decile of document length within
     // each language — the curation primitive behind "keep the top-N% by
     // quality per stratum". ntile is deterministic given a total order, so

@@ -377,6 +377,18 @@ class PlanSpec extends AnyFunSuite {
       s"1-row frames must broadcast:\n$p")
   }
 
+  test("q115: theta intersection reads stored sketches, combines by broadcast") {
+    val p = plan("q115_theta_intersection")
+    // the k-hash sketches are materialized artifacts (localCheckpoint):
+    // the overlap query must read them as RDD scans, not recompute the
+    // per-set distinct pipelines inside the final plan
+    assert(p.contains("ExistingRDD"),
+      s"sketches must be materialized artifacts:\n$p")
+    // every post-sketch frame is <= k rows; 1-row frames join by broadcast
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"1-row theta/count frames must broadcast:\n$p")
+  }
+
   test("q112: BM25 query frame broadcasts; top-20 is TakeOrderedAndProject") {
     val p = plan("q112_bm25")
     // the 3-term query frame must broadcast onto tf — shuffling tf to meet

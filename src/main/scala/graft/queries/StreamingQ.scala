@@ -54,7 +54,7 @@ object StreamingQ {
     val savedParts = s.conf.get("spark.sql.shuffle.partitions")
     val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val savedNoData = s.conf.get(noDataKey)
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
     // The trailing no-data microbatch exists to advance the watermark and
     // flush operators whose OUTPUT waits on it (append-mode joins/aggs).
     // Complete/update-mode sinks and immediate-emit dedup produce their
@@ -69,7 +69,13 @@ object StreamingQ {
         .option("checkpointLocation", ckpt.toString)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      try { q.awaitTermination(120000); () } finally q.stop()
+      try { q.awaitTermination(120000); () } finally {
+        if (sys.env.contains("GRAFT_STREAM_DEBUG"))
+          q.recentProgress.foreach(p => System.err.println(
+            s"[stream-debug] $viewName batch=${p.batchId} rows=${p.numInputRows} " +
+            s"durationMs=${p.durationMs}"))
+        q.stop()
+      }
     } finally {
       s.conf.set("spark.sql.shuffle.partitions", savedParts)
       s.conf.set(noDataKey, savedNoData)
@@ -177,9 +183,11 @@ object StreamingQ {
           col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
           col("c_ts") <= col("p_ts"))
         .select(col("purchase_id"), col("click_id"))
-      // append-mode join: emission waits on the watermark, so the final
-      // no-data batch IS the output path — keep it
-      runAvailableNow(s, joined, "append", viewName, noDataBatch = true)
+      // append-mode INNER join emits matches in the batch they arrive —
+      // the watermark/event-time bounds only drive state EVICTION (outer
+      // joins and append aggs are the shapes whose emission waits on the
+      // watermark) — so the trailing no-data batch would be pure floor
+      runAvailableNow(s, joined, "append", viewName)
     },
 
     // Stream-static dimension enrichment: the events stream joined to the

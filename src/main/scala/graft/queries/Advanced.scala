@@ -1210,6 +1210,134 @@ object Advanced {
             / col("theta")).cast("bigint").as("theta_est"))
     },
 
+    // ---- Hybrid retrieval via reciprocal-rank fusion: the serving-side
+    // complement to the BM25 (q112) and ANN (q34/q35/q46/q82) families —
+    // production retrieval is almost always BOTH, fused. "More-like-this"
+    // shape: document 0 is the query; its top-3 tf terms drive a BM25
+    // ranking and its embedding drives a cosine ranking over the corpus,
+    // each cut to a top-100 list (TakeOrderedAndProject), then
+    // RRF(d) = Σ_lists 1/(60+rank_d) fuses them. Ranks are INTEGERS from
+    // exact sort keys (DECIMAL bm25, round-6 cosine, doc_id tiebreaks), so
+    // the fused score is the same two IEEE divisions + one add on both
+    // engines — bit-identical — and the floor-scaled micro-score sidesteps
+    // round-on-double divergence (q93's lesson: identical input bits make
+    // floor deterministic; differing round() algorithms do not). Fusion is
+    // a union + partial-aggregatable groupBy over the two ≤100-row lists —
+    // no outer join, metadata-sized; at scale the lists are per-query
+    // top-k frames and the whole fusion stays broadcast-sized while the
+    // corpus is touched only by the upstream scans.
+    QueryDef(
+      "q116_hybrid_rrf",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE term <> '' GROUP BY 1, 2),
+        |d AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |c AS (SELECT count(*) AS n_docs,
+        |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM d),
+        |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |q AS (SELECT term FROM tf WHERE doc_id = 0
+        |  ORDER BY tf DESC, term LIMIT 3),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    CAST(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+        |      (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+        |      AS DECIMAL(28,12)) AS s
+        |  FROM tf JOIN q USING (term) JOIN dfr USING (term)
+        |    JOIN d USING (doc_id) CROSS JOIN c
+        |  WHERE tf.doc_id <> 0),
+        |bm AS (SELECT doc_id, sum(s) AS bm25 FROM sc GROUP BY 1),
+        |lex AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+        |  FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id LIMIT 100)),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |  sqrt(list_reduce(list_prepend(0.0, [x*x for x in v]), (a,b) -> a+b))
+        |    AS nrm
+        |  FROM e),
+        |qv AS (SELECT v, nrm FROM n WHERE vec_id = 0),
+        |cs AS (SELECT n.vec_id AS doc_id,
+        |  round(list_reduce(list_prepend(0.0,
+        |      [qv.v[i] * n.v[i] for i in range(1, len(qv.v)+1)]), (a,b) -> a+b)
+        |    / (qv.nrm * n.nrm), 6) AS cosine
+        |  FROM n CROSS JOIN qv WHERE n.vec_id <> 0),
+        |vec AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY cosine DESC, doc_id) AS r_vec
+        |  FROM (SELECT * FROM cs ORDER BY cosine DESC, doc_id LIMIT 100)),
+        |u AS (
+        |  SELECT doc_id, r_lex, CAST(NULL AS INTEGER) AS r_vec,
+        |    CAST(1 AS DOUBLE) / (60 + r_lex) AS contrib FROM lex
+        |  UNION ALL
+        |  SELECT doc_id, CAST(NULL AS INTEGER), r_vec,
+        |    CAST(1 AS DOUBLE) / (60 + r_vec) FROM vec),
+        |f AS (SELECT doc_id, max(r_lex) AS r_lex, max(r_vec) AS r_vec,
+        |  sum(contrib) AS rrf FROM u GROUP BY doc_id)
+        |SELECT doc_id, r_lex, r_vec,
+        |  CAST(floor(rrf * CAST(1000000 AS DOUBLE)) AS BIGINT) AS rrf_micro
+        |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      import graft.functions.Vectors.{dot, l2norm}
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+        .filter(col("term") =!= "")
+      val tf = toks.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val d = tf.groupBy(col("doc_id"))
+        .agg(sum(col("tf")).cast("bigint").as("dl"))
+      val consts = d.agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val q = tf.where(col("doc_id") === 0)
+        .orderBy(col("tf").desc, col("term")).limit(3).select(col("term"))
+      // df joined onto the 3-term query frame FIRST (3-row result), so the
+      // |vocab|-sized df frame never broadcasts — only the query does
+      val qdf = broadcast(dfr.join(broadcast(q), "term"))
+      val score =
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * 2.2 /
+            (col("tf") +
+              lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      val bm = tf.where(col("doc_id") =!= 0)
+        .join(qdf, "term")
+        .join(d, "doc_id")
+        .crossJoin(broadcast(consts))
+        .select(col("doc_id"), score.cast("decimal(28,12)").as("s"))
+        .groupBy(col("doc_id")).agg(sum(col("s")).as("bm25"))
+      val lex = bm.orderBy(col("bm25").desc, col("doc_id")).limit(100)
+        .withColumn("r_lex",
+          row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+        .select(col("doc_id"), col("r_lex"))
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", l2norm(col("v")))
+      val qv = e.where(col("vec_id") === 0)
+        .select(col("v").as("qvec"), col("nrm").as("qnrm"))
+      val cs = e.where(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc_id"),
+          round(dot(col("qvec"), col("v")) / (col("qnrm") * col("nrm")), 6)
+            .as("cosine"))
+      val vec = cs.orderBy(col("cosine").desc, col("doc_id")).limit(100)
+        .withColumn("r_vec",
+          row_number().over(Window.orderBy(col("cosine").desc, col("doc_id"))))
+        .select(col("doc_id"), col("r_vec"))
+      val u = lex
+        .select(col("doc_id"), col("r_lex"),
+          lit(null).cast("int").as("r_vec"),
+          (lit(1.0) / (col("r_lex") + 60)).as("contrib"))
+        .unionByName(vec.select(col("doc_id"),
+          lit(null).cast("int").as("r_lex"), col("r_vec"),
+          (lit(1.0) / (col("r_vec") + 60)).as("contrib")))
+      u.groupBy(col("doc_id"))
+        .agg(max(col("r_lex")).as("r_lex"), max(col("r_vec")).as("r_vec"),
+          sum(col("contrib")).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+        .select(col("doc_id"), col("r_lex"), col("r_vec"),
+          floor(col("rrf") * 1000000).cast("bigint").as("rrf_micro"))
+    },
+
     // ---- Quantile-bucket assignment: decile of document length within
     // each language — the curation primitive behind "keep the top-N% by
     // quality per stratum". ntile is deterministic given a total order, so

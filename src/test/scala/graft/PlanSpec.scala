@@ -389,6 +389,23 @@ class PlanSpec extends AnyFunSuite {
       s"1-row theta/count frames must broadcast:\n$p")
   }
 
+  test("q116: RRF lists are TakeOrdered; query frames broadcast; no outer join") {
+    val p = plan("q116_hybrid_rrf")
+    // each ranked list and the final fused top-20 must be top-k operators,
+    // never a global sort of the corpus
+    assert(p.contains("TakeOrderedAndProject"),
+      s"ranked lists must be TakeOrderedAndProject:\n$p")
+    // the 3-term lexical query frame joins tf by broadcast; the 1-row
+    // query vector reaches the corpus as a broadcast nested loop
+    assert(p.contains("BroadcastHashJoin"),
+      s"query term frame must broadcast:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"query vector must broadcast:\n$p")
+    // fusion is union+agg over the two lists — an outer join of the list
+    // frames would shuffle; there must be none
+    assert(!p.contains("FullOuter"), s"fusion must not outer-join:\n$p")
+  }
+
   test("q112: BM25 query frame broadcasts; top-20 is TakeOrderedAndProject") {
     val p = plan("q112_bm25")
     // the 3-term query frame must broadcast onto tf — shuffling tf to meet

@@ -1338,6 +1338,73 @@ object Advanced {
           floor(col("rrf") * 1000000).cast("bigint").as("rrf_micro"))
     },
 
+    // ---- Corpus-drift detection: smoothed KL divergence between two
+    // sources' term distributions — the mixture-monitoring pass a training
+    // pipeline runs when a new crawl lands ("did src1's language shift
+    // against src0's?"). Add-one smoothing over the joint vocab keeps
+    // every term's contribution finite; counts are exact integers, the
+    // per-term contribution p_a·ln(p_a/p_b) is the same IEEE expression
+    // tree on both engines over those integers, and it's DECIMAL(28,12)-
+    // quantized before the corpus-wide sum so the total is partition-
+    // order-proof (q78's trick). Output: top-20 terms over-represented in
+    // src0 (exact sort key) with the exact total KL alongside. Shapes:
+    // tokenization is map-side, the term-count agg is the only corpus
+    // shuffle (partial agg bounds it by distinct terms per partition),
+    // the totals are 1-row broadcast frames, top-20 is
+    // TakeOrderedAndProject. At 100 TB every post-tokenize frame is
+    // vocab-bounded, and the same plan monitors any pair of slices.
+    QueryDef(
+      "q117_source_kl",
+      """WITH toks AS (
+        |  SELECT source,
+        |    unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
+        |  FROM documents WHERE source IN ('src0', 'src1')),
+        |tc AS (
+        |  SELECT term,
+        |    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c_a,
+        |    CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c_b
+        |  FROM toks WHERE term <> '' GROUP BY term),
+        |tot AS (SELECT CAST(sum(c_a) AS DOUBLE) AS n_a,
+        |  CAST(sum(c_b) AS DOUBLE) AS n_b,
+        |  CAST(count(*) AS DOUBLE) AS v FROM tc),
+        |kl AS (
+        |  SELECT term, c_a, c_b,
+        |    CAST(((c_a + 1) / (n_a + v)) *
+        |      ln(((c_a + 1) / (n_a + v)) / ((c_b + 1) / (n_b + v)))
+        |      AS DECIMAL(28,12)) AS contrib_q
+        |  FROM tc CROSS JOIN tot),
+        |t2 AS (SELECT CAST(sum(contrib_q) AS DOUBLE) AS total_kl FROM kl)
+        |SELECT term, c_a, c_b, CAST(contrib_q AS DOUBLE) AS contrib, total_kl
+        |FROM kl CROSS JOIN t2
+        |ORDER BY contrib DESC, term LIMIT 20""".stripMargin) { (s, dir) =>
+      val toks = t(s, dir, "documents")
+        .where(col("source").isin("src0", "src1"))
+        .select(col("source"),
+          explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+        .filter(col("term") =!= "")
+      val tc = toks.groupBy(col("term")).agg(
+        sum(when(col("source") === "src0", 1).otherwise(0)).cast("bigint")
+          .as("c_a"),
+        sum(when(col("source") === "src1", 1).otherwise(0)).cast("bigint")
+          .as("c_b"))
+      val tot = tc.agg(sum(col("c_a")).cast("double").as("n_a"),
+        sum(col("c_b")).cast("double").as("n_b"),
+        count(lit(1)).cast("double").as("v"))
+      val pa = (col("c_a") + 1) / (col("n_a") + col("v"))
+      val pb = (col("c_b") + 1) / (col("n_b") + col("v"))
+      val kl = tc.crossJoin(broadcast(tot))
+        .select(col("term"), col("c_a"), col("c_b"),
+          (pa * log(pa / pb)).cast("decimal(28,12)").as("contrib_q"))
+      val t2 = kl.agg(sum(col("contrib_q")).cast("double").as("total_kl"))
+      kl.crossJoin(broadcast(t2))
+        .withColumn("contrib", col("contrib_q").cast("double"))
+        .orderBy(col("contrib").desc, col("term")).limit(20)
+        .select(col("term"), col("c_a"), col("c_b"), col("contrib"),
+          col("total_kl"))
+    },
+
     // ---- Quantile-bucket assignment: decile of document length within
     // each language — the curation primitive behind "keep the top-N% by
     // quality per stratum". ntile is deterministic given a total order, so

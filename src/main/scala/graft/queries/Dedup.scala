@@ -308,6 +308,57 @@ object Dedup {
       labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
     },
 
+    // ---- Canonical-document selection: the step that APPLIES dedup.
+    // q47 says which docs form a duplicate cluster; this picks the one
+    // survivor per cluster (longest text wins, lowest doc_id breaks ties
+    // — both exact integer keys) and marks the rest for dropping. The
+    // winner is an argmax-by-struct aggregation + a same-key join (q59's
+    // no-window trick): both sides of the keep-join hash-shuffle on
+    // cluster_id, so the agg's exchange is reused and no per-cluster sort
+    // happens — at 100 TB cluster membership is ∝ duplicated docs (often
+    // a third of the corpus) and a row_number window would sort every
+    // cluster; the struct-max agg is partial-aggregatable instead. The
+    // cluster frame joins document metadata by doc_id un-hinted: AQE
+    // broadcasts it while it fits, shuffles when a pathological corpus
+    // makes it huge — both correct.
+    QueryDef(
+      "q118_cluster_canonical",
+      s"""$oracleShingles,
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM p
+         |  UNION ALL SELECT doc_b, doc_a FROM p),
+         |reach AS (
+         |  WITH RECURSIVE r(id, label) AS (
+         |    SELECT src, src FROM edges
+         |    UNION
+         |    SELECT e.dst, r.label FROM r JOIN edges e ON e.src = r.id)
+         |  SELECT * FROM r),
+         |cl AS (SELECT id AS doc_id, MIN(label) AS cluster_id
+         |  FROM reach GROUP BY id),
+         |m AS (SELECT cl.doc_id, cl.cluster_id, d.n_chars
+         |  FROM cl JOIN documents d USING (doc_id))
+         |SELECT doc_id, cluster_id, n_chars,
+         |  row_number() OVER (PARTITION BY cluster_id
+         |    ORDER BY n_chars DESC, doc_id) = 1 AS keep
+         |FROM m""".stripMargin) { (s, dir) =>
+      val clusters = Dedup.entries.find(_.name == "q47_dedup_clusters").get
+        .build(s, dir)
+      val meta = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      val members = clusters.join(meta, "doc_id")
+      val winners = members.groupBy(col("cluster_id"))
+        .agg(max(struct(col("n_chars"), -col("doc_id"))).as("w"))
+        .select(col("cluster_id"), (-col("w.col2")).as("win_doc"))
+      members.join(winners, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("n_chars"),
+          (col("doc_id") === col("win_doc")).as("keep"))
+    },
+
     // ---- Incremental dedup: a new batch against an existing corpus. ----
     // The production shape for continuous ingestion: the corpus side's
     // MinHash signatures/bands are computed ONCE at index time and stored

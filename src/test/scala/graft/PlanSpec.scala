@@ -406,6 +406,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("FullOuter"), s"fusion must not outer-join:\n$p")
   }
 
+  test("q117: KL totals broadcast; term agg is partial; top-20 is TakeOrdered") {
+    val p = plan("q117_source_kl")
+    // the 1-row totals frames must reach the vocab frame by broadcast
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"totals frames must broadcast:\n$p")
+    // the term-count agg must map-side combine before its shuffle
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"term agg must be partial+final:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be TakeOrderedAndProject:\n$p")
+  }
+
+  test("q118: canonical pick is argmax-agg + join, not a per-cluster window") {
+    val p = plan("q118_cluster_canonical")
+    // winner selection must be the partial-aggregatable struct-max, never
+    // a row_number window sorting every cluster
+    assert(!p.contains("Window"), s"no window allowed in keep path:\n$p")
+    // struct-max lowers to Sort/ObjectHashAggregate (non-primitive buffer),
+    // still partial+final — same contract as q86's latest-wins reduce
+    assert("HashAggregate|SortAggregate|ObjectHashAggregate".r
+      .findAllIn(p).size >= 2, s"winner agg must be partial+final:\n$p")
+  }
+
   test("q112: BM25 query frame broadcasts; top-20 is TakeOrderedAndProject") {
     val p = plan("q112_bm25")
     // the 3-term query frame must broadcast onto tf — shuffling tf to meet

@@ -1135,6 +1135,89 @@ object Advanced {
             .as("kmv_est"))
     },
 
+    // ---- Theta-sketch MERGE: the associativity proof behind q111's
+    // 100 TB claim, run as a query. Per-group (event_type) KMV sketches
+    // of distinct event ids — DISJOINT sets, so the group sketches share
+    // no hashes and the merge is non-trivial — are merged (k smallest
+    // distinct of the union of the group sketches), and the merged
+    // estimate must EQUAL the
+    // directly-computed global sketch's: every hash among the global k
+    // smallest is among its own group's k smallest, so merge-of-sketches
+    // = sketch-of-union exactly (not approximately). That identity is
+    // what lets per-partition sketch states fold map-side at 100 TB, and
+    // here it's cross-engine-checked: the gate emits per-group exact
+    // counts + sketch estimates alongside est_merged and est_direct, and
+    // the oracle replays the md5 arithmetic bit-for-bit — so a driver
+    // hash match proves both the sketch math and the merge identity.
+    // Every estimate uses the stored-sketch-only convention (row count +
+    // k-th hash; no raw-set knowledge), i.e. the production read path.
+    // Group sketches are one window over the distinct (type, user) frame
+    // — a single event_type shuffle; all post-sketch frames are ≤ 3k
+    // rows, 1-row estimate frames combine by broadcast.
+    QueryDef(
+      "q119_theta_merge",
+      """WITH h AS (
+        |  SELECT DISTINCT event_type, CAST(('0x' ||
+        |    substr(md5(CAST(event_id AS VARCHAR)), 1, 13)) AS BIGINT) AS hv
+        |  FROM events),
+        |grp AS (
+        |  SELECT event_type, hv FROM (
+        |    SELECT event_type, hv,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+        |    FROM h) WHERE rn <= 32),
+        |pg AS (SELECT event_type, count(*) AS n_k, max(hv) AS hk
+        |  FROM grp GROUP BY 1),
+        |xg AS (SELECT event_type, count(*) AS exact_g FROM h GROUP BY 1),
+        |eg AS (SELECT event_type, exact_g,
+        |  CASE WHEN n_k < 32 THEN n_k
+        |    ELSE CAST(floor(CAST(31 AS DOUBLE) * 4503599627370496 / hk)
+        |      AS BIGINT) END AS kmv_g
+        |  FROM xg JOIN pg USING (event_type)),
+        |mgs AS (SELECT hv FROM (SELECT DISTINCT hv FROM grp)
+        |  ORDER BY hv LIMIT 32),
+        |mg AS (SELECT count(*) AS n_k, max(hv) AS hk FROM mgs),
+        |em AS (SELECT CASE WHEN n_k < 32 THEN n_k
+        |  ELSE CAST(floor(CAST(31 AS DOUBLE) * 4503599627370496 / hk)
+        |    AS BIGINT) END AS est_merged FROM mg),
+        |dgs AS (SELECT hv FROM (SELECT DISTINCT hv FROM h)
+        |  ORDER BY hv LIMIT 32),
+        |dg AS (SELECT count(*) AS n_k, max(hv) AS hk FROM dgs),
+        |ed AS (SELECT CASE WHEN n_k < 32 THEN n_k
+        |  ELSE CAST(floor(CAST(31 AS DOUBLE) * 4503599627370496 / hk)
+        |    AS BIGINT) END AS est_direct FROM dg)
+        |SELECT event_type, exact_g, kmv_g, est_merged, est_direct
+        |FROM eg CROSS JOIN em CROSS JOIN ed""".stripMargin) { (s, dir) =>
+      def estOf(sketch: DataFrame, name: String): DataFrame = sketch
+        .agg(count(lit(1)).as("n_k"), max(col("hv")).as("hk"))
+        .select(when(col("n_k") < 32, col("n_k"))
+          .otherwise(floor(lit(31.0) * lit(4503599627370496.0) / col("hk"))
+            .cast("bigint")).as(name))
+      val h = t(s, dir, "events")
+        .select(col("event_type"),
+          conv(substring(md5(col("event_id").cast("string")), 1, 13), 16, 10)
+            .cast("bigint").as("hv"))
+        .distinct()
+      val wG = Window.partitionBy(col("event_type")).orderBy(col("hv"))
+      // the stored artifact: k smallest per group, materialized
+      val grp = h.withColumn("rn", row_number().over(wG))
+        .where(col("rn") <= 32).select(col("event_type"), col("hv"))
+        .localCheckpoint()
+      val pg = grp.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_k"), max(col("hv")).as("hk"))
+      val xg = h.groupBy(col("event_type")).agg(count(lit(1)).as("exact_g"))
+      val eg = xg.join(pg, "event_type")
+        .select(col("event_type"), col("exact_g"),
+          when(col("n_k") < 32, col("n_k"))
+            .otherwise(floor(lit(31.0) * lit(4503599627370496.0) / col("hk"))
+              .cast("bigint")).as("kmv_g"))
+      val merged = grp.select(col("hv")).distinct()
+        .orderBy(col("hv")).limit(32)
+      val direct = h.select(col("hv")).distinct()
+        .orderBy(col("hv")).limit(32)
+      eg.crossJoin(broadcast(estOf(merged, "est_merged")))
+        .crossJoin(broadcast(estOf(direct, "est_direct")))
+    },
+
     // ---- Theta-sketch set intersection: estimate the distinct-key
     // overlap of two sets from their KMV sketches alone — the
     // audience-overlap / join-key-overlap question at 100 TB, where the

@@ -377,6 +377,17 @@ class PlanSpec extends AnyFunSuite {
       s"1-row frames must broadcast:\n$p")
   }
 
+  test("q119: theta merge reads stored group sketches; estimates broadcast") {
+    val p = plan("q119_theta_merge")
+    // the per-group sketches are the materialized artifact — the merge and
+    // the estimates must read them as RDD scans, not recompute the
+    // distinct-hash pipeline
+    assert(p.contains("ExistingRDD"),
+      s"group sketches must be materialized artifacts:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"1-row estimate frames must broadcast:\n$p")
+  }
+
   test("q115: theta intersection reads stored sketches, combines by broadcast") {
     val p = plan("q115_theta_intersection")
     // the k-hash sketches are materialized artifacts (localCheckpoint):

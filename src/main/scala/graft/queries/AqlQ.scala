@@ -232,5 +232,72 @@ object AqlQ {
            |) INTO CONNECTION Out""".stripMargin
       Aql.run(s, script).outputs("FINAL")
     },
+
+    // Near-duplicate removal through the language layer: the NEARDEDUP
+    // verb (transforms/TransformParser.scala NearDedupVerb — inverted-
+    // index Jaccard pairs → connected components → longest-text survivor
+    // per cluster, all in transforms/NearDup.scala) applied to the
+    // documents corpus. The oracle recomputes the whole pipeline in
+    // DuckDB: shingle sets, exact pair join, recursive-CTE reachability,
+    // window-ranked canonical pick — so the gate pins candidate
+    // generation, clustering, AND survivor choice cross-engine.
+    QueryDef(
+      "q120_aql_neardedup_verb",
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ws
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |                   for i in range(1, len(ws) - 1)]) AS sh
+        |  FROM w WHERE len(ws) >= 3),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM p
+        |  UNION ALL SELECT doc_b, doc_a FROM p),
+        |reach AS (
+        |  WITH RECURSIVE r(id, label) AS (
+        |    SELECT src, src FROM edges
+        |    UNION
+        |    SELECT e.dst, r.label FROM r JOIN edges e ON e.src = r.id)
+        |  SELECT * FROM r),
+        |cl AS (SELECT id AS doc_id, MIN(label) AS cluster_id
+        |  FROM reach GROUP BY id),
+        |m AS (SELECT cl.doc_id, cl.cluster_id, length(d.text) AS len
+        |  FROM cl JOIN documents d USING (doc_id)),
+        |win AS (
+        |  SELECT doc_id FROM m
+        |  QUALIFY row_number() OVER (PARTITION BY cluster_id
+        |    ORDER BY len DESC, doc_id) = 1),
+        |losers AS (
+        |  SELECT doc_id FROM m
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM win))
+        |SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin) {
+      (s, dir) =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_q120").resolve("survivors").toString
+      val script =
+        s"""CONNECTION 'Docs' (
+           |  DRIVER = 'file', FILE = '$dir/documents.parquet',
+           |  FORMAT = 'parquet'
+           |)
+           |CONNECTION 'Out' (
+           |  DRIVER = 'file', FILE = '$out', FORMAT = 'parquet'
+           |)
+           |
+           |TRANSFORM 'Survivors' FROM CONNECTION Docs (
+           |  NEARDEDUP ON text KEY doc_id THRESHOLD 0.5
+           |)
+           |
+           |QUERY 'Final' FROM BLOCK Survivors (
+           |  SELECT doc_id, lang, source, n_chars FROM Survivors
+           |) INTO CONNECTION Out""".stripMargin
+      Aql.run(s, script).outputs("FINAL")
+    },
   )
 }

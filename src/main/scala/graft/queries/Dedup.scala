@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.functions.{Text, Vectors}
+import graft.transforms.NearDup
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -108,41 +109,12 @@ object Dedup {
     },
 
     // ---- Near-dup via exact n-gram Jaccard, inverted-index join. ----
+    // Machinery lives in transforms/NearDup.scala (shared with the
+    // NEARDEDUP language verb): postings on 8-byte hashed shingles,
+    // broadcast per-doc size frames, pair space bounded by shared
+    // shingles — never O(n²). See NearDup.pairs for the full plan notes.
     QueryDef("q31_dedup_ngram_jaccard", oracleJaccardPairs(0.5)) { (s, dir) =>
-      // postings carry xxhash64(shingle), not the string: an 8-byte
-      // shuffle/join key instead of ~20-char text (shs is distinct per
-      // doc, so per-doc hash sets stay sets; cross-doc hash collisions
-      // would merge two shingles globally — P ≈ (27k·5k)²/2⁶⁵, ignorable
-      // next to the oracle's 1e-6 rounding)
-      val sh = shingled(s, dir)
-        .select(col("doc_id"), size(col("shs")).as("n"),
-          explode(Text.hashedShingles(col("shs"))).as("h"))
-      // localCheckpoint: the per-doc size frame is |docs|-sized and feeds
-      // BOTH broadcast probe sides — materializing it once replaces two
-      // full tokenize+shingle corpus scans with one, and (critically for
-      // q106) stops predicate pushdown from alias-substituting n back
-      // into size(<shingle pipeline>) inside a per-row scan filter.
-      val counts = sh.select(col("doc_id"), col("n")).distinct()
-        .localCheckpoint()
-      val a = sh.select(col("doc_id").as("doc_a"), col("h"))
-      val b = sh.select(col("doc_id").as("doc_b"), col("h"))
-      // Pairs sharing ≥1 shingle; shuffle is by shingle hash, never O(n²).
-      // At 100 TB: drop ultra-high-DF shingles first (they only create
-      // candidate pairs that exact verification would reject anyway when
-      // the threshold is high).
-      val common = a.join(b, "h")
-        .where(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(count(lit(1)).as("common"))
-      // per-doc sizes are |docs| rows — broadcast both probe sides
-      val na = broadcast(counts.toDF("doc_a", "n_a"))
-      val nb = broadcast(counts.toDF("doc_b", "n_b"))
-      common.join(na, "doc_a").join(nb, "doc_b")
-        .withColumn("jaccard",
-          round(col("common").cast("double")
-            / (col("n_a") + col("n_b") - col("common")), 6))
-        .where(col("jaccard") >= 0.5)
-        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      NearDup.pairs(shingled(s, dir).toDF("id", "shs"), 0.5)
     },
 
     // ---- Near-dup via MinHash + LSH banding, exact-verified. ----
@@ -267,45 +239,14 @@ object Dedup {
          |  SELECT * FROM r)
          |SELECT id AS doc_id, MIN(label) AS cluster_id
          |FROM reach GROUP BY id""".stripMargin) { (s, dir) =>
+      // Iterative min-label propagation extracted to NearDup.clusters
+      // (shared with the NEARDEDUP verb): localCheckpoint per round keeps
+      // the plan constant-depth; convergence is a 1-row monotone-sum agg.
       val pairs = Dedup.entries.find(_.name == "q31_dedup_ngram_jaccard").get
         .build(s, dir)
         .select(col("doc_a"), col("doc_b"))
-      // Eagerly cut the whole q31 pipeline out of the loop's lineage: every
-      // round would otherwise re-optimize (and on cache eviction re-run) a
-      // plan that keeps growing by one join+agg layer per iteration.
-      val edges = pairs
-        .union(pairs.select(col("doc_b"), col("doc_a")))
-        .toDF("src", "dst")
-        .localCheckpoint(true)
-      // Seed with min(self, direct neighbours) — one propagation round for
-      // free; labels then only ever decrease, so sum(label) is strictly
-      // monotone and "no change" = "sum unchanged" (an agg on the already-
-      // materialized result, cheaper than the old join+count round-trip).
-      var labels = edges
-        .groupBy(col("src"))
-        .agg(min(col("dst")).as("m"))
-        .select(col("src").as("id"), least(col("m"), col("src")).as("label"))
-        .localCheckpoint(true)
-      def labelSum(df: org.apache.spark.sql.DataFrame): Long =
-        Option(df.agg(sum(col("label"))).head().get(0))
-          .fold(0L)(_.asInstanceOf[Long])
-      var prev = labelSum(labels)
-      var rounds = 0
-      var converged = false
-      while (!converged && rounds < 50) {
-        // min over own label and in-neighbours' labels, in one aggregation
-        val next = edges.join(labels, edges("src") === labels("id"))
-          .select(col("dst").as("id"), col("label"))
-          .union(labels)
-          .groupBy("id").agg(min(col("label")).as("label"))
-          .localCheckpoint(true)
-        val cur = labelSum(next)
-        converged = cur == prev
-        prev = cur
-        labels = next
-        rounds += 1
-      }
-      labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      NearDup.clusters(pairs)
+        .select(col("id").as("doc_id"), col("cluster_id"))
     },
 
     // ---- Canonical-document selection: the step that APPLIES dedup.

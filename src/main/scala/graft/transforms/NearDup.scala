@@ -1,0 +1,119 @@
+package graft.transforms
+
+import graft.functions.Text
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate machinery shared by the dedup gates
+  * (`queries/Dedup.scala` q31/q47) and the NEARDEDUP language verb:
+  * exact n-gram Jaccard pair generation via an inverted-index join, and
+  * min-label connected components over the resulting pair graph.
+  *
+  * Reference analogue: none — the reference engine
+  * (michaelbironneau/analyst) has no text operators; this is the
+  * beyond-parity LLM-pipeline surface exposed both as verification
+  * gates and as a first-class TRANSFORM verb.
+  */
+object NearDup {
+
+  /** (id, shs): distinct 3-gram shingle arrays for rows with ≥ 3 tokens.
+    * Filtered on the cheap token count, NOT on the shingle array — see
+    * [[Text.shinglesFromTokens]] for the pushdown rationale. Rows with
+    * < 3 tokens have no shingles, can never pair, and therefore always
+    * survive dedup.
+    */
+  def shingled(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("ws"))
+      .where(size(col("ws")) >= 3)
+      .select(col("id"), Text.shinglesFromTokens(col("ws")).as("shs"))
+
+  /** Pairs (doc_a, doc_b, jaccard) with round(jaccard, 6) ≥ threshold,
+    * via an inverted-index join on hashed shingles.
+    *
+    * `sh` must have columns (id, shs) as produced by [[shingled]].
+    *
+    * Scale shape (the q31 plan): postings carry xxhash64(shingle), not
+    * the string — an 8-byte shuffle/join key instead of ~20-char text
+    * (shs is distinct per doc, so per-doc hash sets stay sets; cross-doc
+    * hash collisions would merge two shingles globally — P ≈ n²/2⁶⁵,
+    * ignorable next to the 1e-6 rounding). The pair space is only pairs
+    * sharing ≥ 1 shingle, shuffled by shingle hash — never O(n²). At
+    * 100 TB: drop ultra-high-DF shingles first (they only create
+    * candidate pairs that exact verification would reject anyway when
+    * the threshold is high).
+    */
+  def pairs(sh: DataFrame, threshold: Double): DataFrame = {
+    val posts = sh
+      .select(col("id"), size(col("shs")).as("n"),
+        explode(Text.hashedShingles(col("shs"))).as("h"))
+    // localCheckpoint: the per-doc size frame is |docs|-sized and feeds
+    // BOTH broadcast probe sides — materializing it once replaces two
+    // full tokenize+shingle corpus scans with one, and (critically for
+    // q106) stops predicate pushdown from alias-substituting n back
+    // into size(<shingle pipeline>) inside a per-row scan filter.
+    val counts = posts.select(col("id"), col("n")).distinct()
+      .localCheckpoint()
+    val a = posts.select(col("id").as("doc_a"), col("h"))
+    val b = posts.select(col("id").as("doc_b"), col("h"))
+    val common = a.join(b, "h")
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("common"))
+    // per-doc sizes are |docs| rows — broadcast both probe sides
+    val na = broadcast(counts.toDF("doc_a", "n_a"))
+    val nb = broadcast(counts.toDF("doc_b", "n_b"))
+    common.join(na, "doc_a").join(nb, "doc_b")
+      .withColumn("jaccard",
+        round(col("common").cast("double")
+          / (col("n_a") + col("n_b") - col("common")), 6))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Min-label connected components over an undirected pair graph:
+    * (doc_a, doc_b) edges → (id, cluster_id = min reachable id), one row
+    * per id that appears in ≥ 1 pair. Ids must be integral (the
+    * convergence check sums labels — see below).
+    *
+    * Scale shape (the q47 plan): iterative label propagation with a
+    * localCheckpoint per round, so every round re-optimizes a constant-
+    * depth plan instead of one that grows by a join+agg layer per
+    * iteration. Labels seed at min(self, direct neighbours) — one
+    * propagation round for free — and only ever decrease, so sum(label)
+    * is strictly monotone and "no change" = "sum unchanged" (a 1-row agg
+    * on the already-materialized result, not a collect). Round count is
+    * the graph diameter, ≤ log n for near-dup clusters in practice.
+    */
+  def clusters(pairDf: DataFrame): DataFrame = {
+    val p = pairDf.toDF("doc_a", "doc_b")
+    val edges = p
+      .union(p.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .localCheckpoint(true)
+    var labels = edges
+      .groupBy(col("src"))
+      .agg(min(col("dst")).as("m"))
+      .select(col("src").as("id"), least(col("m"), col("src")).as("label"))
+      .localCheckpoint(true)
+    def labelSum(df: DataFrame): Long =
+      Option(df.agg(sum(col("label"))).head().get(0))
+        .fold(0L)(_.asInstanceOf[Long])
+    var prev = labelSum(labels)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < 50) {
+      // min over own label and in-neighbours' labels, in one aggregation
+      val next = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+        .union(labels)
+        .groupBy("id").agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      val cur = labelSum(next)
+      converged = cur == prev
+      prev = cur
+      labels = next
+      rounds += 1
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+}

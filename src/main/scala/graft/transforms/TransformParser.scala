@@ -40,9 +40,11 @@ object TransformParser {
       case "SAMPLE" => SampleParser.parse(t)
       case "QUOTA" => QuotaParser.parse(t)
       case "MERGE" => MergeParser.parse(t)
+      case "NEARDEDUP" => NearDedupParser.parse(t)
       case other => throw TransformError(
         s"unknown transform verb '$other' " +
-          "(expected AGGREGATE|LOOKUP|APPLY|DEDUP|FILTER|SAMPLE|QUOTA|MERGE)")
+          "(expected AGGREGATE|LOOKUP|APPLY|DEDUP|FILTER|SAMPLE|QUOTA|" +
+          "MERGE|NEARDEDUP)")
     }
   }
 
@@ -521,6 +523,79 @@ object TransformParser {
         case None => out
         case Some(cond) => out.where(!coalesce(expr(cond), lit(false)))
       }
+    }
+  }
+
+  // ------------------------------------------------------------- NEARDEDUP
+
+  /** NEARDEDUP ON <textcol> KEY <keycol> [THRESHOLD <0-1>]
+    *
+    * Beyond-parity verb (SURVEY §7.3): near-duplicate removal as a
+    * language operator — the q31→q47→q118 pipeline (exact 3-gram Jaccard
+    * pairs via inverted-index join → min-label connected components →
+    * one canonical survivor per cluster) applied to the primary source.
+    * The longest text in each near-dup cluster survives (lowest key
+    * breaks ties); rows that near-match nothing pass through untouched,
+    * including rows too short to shingle (< 3 tokens). Default threshold
+    * 0.5 matches the q31 gate.
+    *
+    * Scale shape: see [[NearDup]] — the pair space is bounded by shared
+    * shingles (never O(n²)), postings join on 8-byte hashes, components
+    * converge in diameter rounds with a constant-depth checkpointed
+    * plan, and the final keep is a left-anti join against the (small)
+    * loser set, which AQE broadcasts while it fits.
+    */
+  private object NearDedupParser {
+    private val Re =
+      raw"(?is)^NEARDEDUP\s+ON\s+([A-Za-z_]\w*)\s+KEY\s+([A-Za-z_]\w*)(?:\s+THRESHOLD\s+([0-9]*\.?[0-9]+))?\s*$$".r
+
+    def parse(t: String): Verb = t.trim match {
+      case Re(text, key, th) =>
+        val threshold = Option(th).map(_.toDouble).getOrElse(0.5)
+        if (threshold <= 0 || threshold > 1) throw TransformError(
+          s"NEARDEDUP threshold $threshold out of range (0, 1]")
+        NearDedupVerb(text, key, threshold)
+      case _ => throw TransformError(
+        "cannot parse NEARDEDUP (expected NEARDEDUP ON <textcol> " +
+          "KEY <keycol> [THRESHOLD <0-1>])")
+    }
+  }
+
+  final case class NearDedupVerb(textCol: String, key: String,
+      threshold: Double) extends Verb {
+
+    def build(sources: Map[String, DataFrame], primary: DataFrame): DataFrame = {
+      def named(n: String): StructField =
+        primary.schema.find(_.name.equalsIgnoreCase(n)).getOrElse(
+          throw TransformError(s"NEARDEDUP: unknown column $n"))
+      val keyName = named(key).name
+      val textName = named(textCol).name
+      named(key).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => ()
+        case other => throw TransformError(
+          s"NEARDEDUP KEY $keyName must be integral, got ${other.simpleString}" +
+            " (cluster convergence sums labels)")
+      }
+      val sh = NearDup.shingled(primary, keyName, textName)
+      val cl = NearDup.clusters(
+        NearDup.pairs(sh, threshold).select(col("doc_a"), col("doc_b")))
+      val len = primary.select(col(keyName).as("id"),
+        length(col(textName)).as("__len"))
+      val members = cl.join(len, "id")
+      // Canonical pick without a per-cluster sort window: max length per
+      // cluster, then min key among the max-length members — two aggs on
+      // the same cluster_id shuffle (exchange reuse), both partial-
+      // aggregatable. min/max (not max(struct)) so the shape also works
+      // when keys are later widened beyond longs.
+      val best = members.groupBy(col("cluster_id"))
+        .agg(max(col("__len")).as("__maxlen"))
+      val winners = members.join(best, "cluster_id")
+        .where(col("__len") === col("__maxlen"))
+        .groupBy(col("cluster_id")).agg(min(col("id")).as("__win"))
+      val losers = members.join(winners, "cluster_id")
+        .where(col("id") =!= col("__win"))
+        .select(col("id").as(keyName))
+      primary.join(losers, Seq(keyName), "left_anti")
     }
   }
 

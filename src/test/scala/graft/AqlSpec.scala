@@ -993,6 +993,50 @@ class AqlSpec extends AnyFunSuite {
     assert(p.getMessage.contains("cannot parse MERGE"), p.getMessage)
   }
 
+  test("NEARDEDUP verb: longest survivor per near-dup cluster") {
+    // beyond-parity verb (SURVEY §7.3): the q31→q47→q118 pipeline as a
+    // language operator. Docs 1/2/3 are 3-gram near-dups (Jaccard ≥ 0.5
+    // pairwise chain); doc 3 is longest so it survives for the cluster.
+    // Doc 4 shares no shingles and doc 5 is too short to shingle — both
+    // pass through.
+    val r = Aql.run(spark,
+      """DATA 'D' (
+        |  [[1, "the quick brown fox jumps over the lazy dog"],
+        |   [2, "the quick brown fox jumps over the lazy cat"],
+        |   [3, "a very quick brown fox jumps over the lazy dog today"],
+        |   [4, "completely different words here with nothing shared at all"],
+        |   [5, "too short"]]
+        |) WITH (COLUMNS = 'Id, Txt')
+        |
+        |TRANSFORM 'Survivors' FROM BLOCK D (
+        |  NEARDEDUP ON Txt KEY Id THRESHOLD 0.4
+        |) INTO CONSOLE""".stripMargin)
+    assert(r.outputs("SURVIVORS").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(3L, 4L, 5L))
+
+    // non-integral key fails with a clear error
+    val e = intercept[Exception](Aql.run(spark,
+      """DATA 'D' ([["k1", "some text here"]]) WITH (COLUMNS = 'Id, Txt')
+        |TRANSFORM 'N' FROM BLOCK D (NEARDEDUP ON Txt KEY Id) INTO CONSOLE
+        |""".stripMargin))
+    assert(e.getMessage.contains("must be integral"), e.getMessage)
+
+    // malformed clause fails at compile/validate time
+    val p = intercept[Exception](Aql.run(spark,
+      """DATA 'D' ([[1, "x"]]) WITH (COLUMNS = 'Id, Txt')
+        |TRANSFORM 'N' FROM BLOCK D (NEARDEDUP Txt) INTO CONSOLE
+        |""".stripMargin))
+    assert(p.getMessage.contains("cannot parse NEARDEDUP"), p.getMessage)
+
+    // out-of-range threshold rejected
+    val t = intercept[Exception](Aql.run(spark,
+      """DATA 'D' ([[1, "x"]]) WITH (COLUMNS = 'Id, Txt')
+        |TRANSFORM 'N' FROM BLOCK D (
+        |  NEARDEDUP ON Txt KEY Id THRESHOLD 1.5
+        |) INTO CONSOLE""".stripMargin))
+    assert(t.getMessage.contains("out of range"), t.getMessage)
+  }
+
   test("SAMPLE verb: deterministic hash sample, stable across runs") {
     // beyond-parity verb: the q69 curation primitive as a language operator.
     // Membership is a pure function of the key, so two runs agree exactly.

@@ -320,6 +320,29 @@ class PlanSpec extends AnyFunSuite {
       s"MERGE must be union+reduce, not an anti-join sandwich:\n$p")
   }
 
+  test("NEARDEDUP verb: anti-join keep, no cartesian, no per-cluster window") {
+    // the language-level verb must keep the plan contracts of the queries
+    // it composes (q31/q47/q118): pair generation joins on shingle hash
+    // (never a cartesian product), the canonical pick is an aggregation
+    // (no per-cluster sort window), and the keep step is a left-anti join
+    // against the loser set.
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "completely different words here with nothing shared at all"))
+      .toDF("id", "txt")
+    val df = graft.transforms.TransformParser
+      .parse("NEARDEDUP ON txt KEY id THRESHOLD 0.5")
+      .build(Map.empty, docs)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti"), s"keep step must be a left-anti join:\n$p")
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+      s"pair space must come from the shingle index, never all-pairs:\n$p")
+    assert(!p.contains("Window"),
+      s"canonical pick must be an agg, not a per-cluster sort window:\n$p")
+  }
+
   test("q108: z-order re-read pushes both box predicates to the scan") {
     // the point of the 2-D layout: BOTH dimensions' range predicates reach
     // the parquet scan, where the Morton clustering makes each column's

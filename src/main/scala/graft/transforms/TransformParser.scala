@@ -576,7 +576,14 @@ object TransformParser {
           s"NEARDEDUP KEY $keyName must be integral, got ${other.simpleString}" +
             " (cluster convergence sums labels)")
       }
-      val sh = NearDup.shingled(primary, keyName, textName)
+      // Spread the CPU-heavy shingle/hash projection across all cores: a
+      // small source may be one input split = one task (same rationale as
+      // queries/Dedup.docs); on a many-file 100 TB corpus the scan's own
+      // splits provide this and the narrow text shuffle is noise next to
+      // the per-row hash work.
+      val spread = primary.repartition(
+        primary.sparkSession.sparkContext.defaultParallelism)
+      val sh = NearDup.shingled(spread, keyName, textName)
       val cl = NearDup.clusters(
         NearDup.pairs(sh, threshold).select(col("doc_a"), col("doc_b")))
       val len = primary.select(col(keyName).as("id"),

@@ -311,6 +311,66 @@ object StreamingQ {
         .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
         .select(col("user_id"), col("zoh_mean"))
     },
+
+    // Stream-stream LEFT OUTER interval join — the watermark-SEMANTICS
+    // gate. Inner matches emit in the batch they arrive (q50); the outer
+    // null rows are the part whose emission is governed by the watermark:
+    // an unmatched purchase emits (purchase_id, NULL) only once the
+    // global watermark — min over both sides of (max event time − delay),
+    // advanced by the trailing no-data batch — passes the last instant a
+    // matching click could still arrive (= the purchase time, since the
+    // click window is [p_ts − 1h, p_ts]). Purchases newer than the final
+    // watermark stay in state, unreported — exactly what an unbounded
+    // run would do — and the oracle replays that rule: unmatched rows are
+    // kept only when p_ts < the final watermark, computed in SQL from the
+    // same per-side max-minus-delay min. This pins Spark's outer-emission
+    // boundary (strict: a purchase AT the watermark is not yet closed)
+    // cross-engine, not just the pair set.
+    QueryDef(
+      "q121_stream_outer_join",
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS c_ts
+        |  FROM events WHERE event_type = 'click'),
+        |wm AS (
+        |  SELECT least((SELECT max(p_ts) FROM p) - INTERVAL 1 HOUR,
+        |               (SELECT max(c_ts) FROM c) - INTERVAL 2 HOUR) AS w),
+        |j AS (
+        |  SELECT p.purchase_id, c.click_id, p.p_ts
+        |  FROM p LEFT JOIN c ON p.user_id = c.user_id
+        |    AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+        |    AND c.c_ts <= p.p_ts)
+        |SELECT purchase_id, click_id FROM j
+        |WHERE click_id IS NOT NULL OR p_ts < (SELECT w FROM wm)""".stripMargin) {
+      (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val viewName = s"q121_mem_${java.util.UUID.randomUUID().toString.take(8)}"
+      // one source self-joined, as in q50 (single file-source log/listing)
+      val src = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+                col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+                col("ts").as("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+      val joined = purchases.join(clicks,
+          col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"),
+          "left_outer")
+        .select(col("purchase_id"), col("click_id"))
+      // noDataBatch = true: outer-null emission WAITS on the watermark, so
+      // the trailing no-data batch (which advances it to the final value)
+      // is load-bearing here — the exact flush q50 gets to skip.
+      runAvailableNow(s, joined, "append", viewName, noDataBatch = true)
+    },
   )
 
   /** Exact-decimal ZOH fold over sorted points (the reference reducer's

@@ -1,0 +1,98 @@
+package graft
+
+import graft.transforms.NearDup
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for [[NearDup.clusters]] (the q47 / NEARDEDUP
+  * connected-components core): for arbitrary undirected pair graphs, the
+  * distributed min-label propagation must produce exactly the components
+  * a driver-side union-find produces, with each cluster labelled by its
+  * minimum member id. Same plain-scalacheck sampling as CronPropertySpec
+  * (fixed seeds — the scalatest bridge isn't in the offline cache).
+  *
+  * Graph shapes that historically break label propagation are forced in
+  * alongside the random cases: long paths (diameter >> 1, exercises the
+  * iteration-to-convergence loop), cycles (labels must not oscillate),
+  * stars with a high-id hub (label must flow hub-ward then back out),
+  * and disjoint unions of all three (no cross-component bleed).
+  */
+class NearDupPropertySpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def refComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // min-label: union-by-min above makes every root the component min
+    edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(id => id -> find(id)).toMap
+  }
+
+  private def sparkComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    val df = edges.toDF("doc_a", "doc_b")
+    NearDup.clusters(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  private def check(edges: Seq[(Long, Long)], label: String): Unit = {
+    val got = sparkComponents(edges)
+    val want = refComponents(edges)
+    assert(got == want,
+      s"$label: mismatch\n  only-spark=${got.toSet -- want.toSet}" +
+        s"\n  only-ref=${want.toSet -- got.toSet}")
+  }
+
+  private val edgesGen: Gen[Seq[(Long, Long)]] = for {
+    n <- Gen.choose(2, 30)
+    m <- Gen.choose(1, 45)
+    edges <- Gen.listOfN(m, for {
+      a <- Gen.choose(0L, n.toLong)
+      b <- Gen.choose(0L, n.toLong) if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+  } yield edges.distinct
+
+  test("clusters == union-find on random graphs") {
+    val cases = (0 until 10).flatMap(i =>
+      edgesGen.apply(Gen.Parameters.default, Seed(4242L + i)))
+    assert(cases.size >= 8, "generator drought")
+    cases.zipWithIndex.foreach { case (edges, i) =>
+      check(edges, s"random[$i] (${edges.size} edges)")
+    }
+  }
+
+  test("clusters handles adversarial shapes: path, cycle, star, union") {
+    // path 10→9→...→0: diameter 10, forces multiple propagation rounds
+    val path = (0L until 10L).map(i => (i, i + 1))
+    check(path, "path-11")
+    // reversed-id path: labels must flow against edge orientation too
+    val revPath = (0L until 10L).map(i => (10L - i - 1, 10L - i))
+    check(revPath, "rev-path-11")
+    // cycle: no oscillation, single component labelled 0
+    val cycle = (0L until 8L).map(i => (i, (i + 1) % 8L)).map {
+      case (a, b) => (math.min(a, b), math.max(a, b))
+    }
+    check(cycle, "cycle-8")
+    // star with high-id hub: min label sits on a leaf
+    val star = (0L until 6L).map(i => (i, 99L))
+    check(star, "star-hub-99")
+    // disjoint union of all of the above, offset so ids never collide
+    val union = path ++
+      cycle.map { case (a, b) => (a + 100, b + 100) } ++
+      star.map { case (a, b) => (a + 200, b + 200) }
+    check(union, "disjoint-union")
+    // self-contained two-node component next to a big one
+    check(Seq((0L, 1L), (500L, 501L)) ++ path.map {
+      case (a, b) => (a + 50, b + 50)
+    }, "two-node-plus-path")
+  }
+}

@@ -668,5 +668,117 @@ object Curation {
         array_join(col("clean"), " ").as("clean_text"),
         (size(col("ws")) - size(col("clean"))).cast("bigint").as("n_removed"))
     },
+
+    // ---- Duplicated-span coverage filter: the document-level APPLICATION
+    // of q76's exact-substring detection (Lee et al. 2022, "Deduplicating
+    // Training Data Makes Language Models Better"; RefinedWeb drops docs
+    // whose duplicate-span coverage is high). Per doc: what fraction of
+    // its 16-token stride-8 spans appear verbatim in ≥ 2 distinct docs?
+    // keep = coverage < 50 % (docs too short to span always keep).
+    // Scale shape: span explode is a map-side fan-out; the dup-span set
+    // is ONE partial-aggregatable (span) shuffle; coverage is a shuffle
+    // join back on span (the dup set is corpus-sized at 100 TB — never
+    // broadcast it) + one (doc_id) count agg. All outputs are integer
+    // counts + a boolean, so the gate is hash-exact. At 100 TB the join
+    // key becomes xxhash64(span) — 8 bytes instead of ~100 (q31's trick);
+    // the string key here keeps the oracle engine-portable.
+    QueryDef(
+      "q122_dup_coverage",
+      s"""WITH t AS (
+         |  SELECT doc_id, $DuckWs AS ws FROM documents),
+         |sp AS (
+         |  SELECT doc_id,
+         |    unnest([array_to_string(list_slice(ws, i, i + 15), ' ')
+         |            for i in range(1, len(ws) - 14, 8)]) AS span
+         |  FROM t WHERE len(ws) >= 16),
+         |d AS (
+         |  SELECT span FROM sp GROUP BY span
+         |  HAVING COUNT(DISTINCT doc_id) >= 2),
+         |cov AS (
+         |  SELECT sp.doc_id, COUNT(*) AS n_spans, COUNT(d.span) AS n_dup
+         |  FROM sp LEFT JOIN d ON sp.span = d.span
+         |  GROUP BY sp.doc_id)
+         |SELECT t.doc_id,
+         |  COALESCE(n_spans, 0) AS n_spans,
+         |  COALESCE(n_dup, 0) AS n_dup_spans,
+         |  (COALESCE(n_spans, 0) = 0 OR COALESCE(n_dup, 0) * 2
+         |    < COALESCE(n_spans, 0)) AS keep
+         |FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id""".stripMargin) {
+      (s, dir) =>
+      val t = docsPar(s, dir)
+        .select(col("doc_id"), Text.tokens(col("text")).as("ws"))
+      val spans = t.where(size(col("ws")) >= 16)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, (size(ws) - 16) div 8),
+            |  i -> array_join(slice(ws, CAST(i * 8 + 1 AS INT), 16), ' '))
+            |""".stripMargin)).as("span"))
+      val dup = spans.groupBy(col("span"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .where(col("nd") >= 2)
+        .select(col("span"), lit(1L).as("is_dup"))
+      val cov = spans.join(dup, Seq("span"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(coalesce(col("is_dup"), lit(0L))).as("n_dup"))
+      t.select(col("doc_id")).join(cov, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup_spans"),
+          (coalesce(col("n_spans"), lit(0L)) === 0 ||
+            coalesce(col("n_dup"), lit(0L)) * 2
+              < coalesce(col("n_spans"), lit(0L))).as("keep"))
+    },
+
+    // ---- Per-source boilerplate pruning: q107's rule applied PER SOURCE
+    // (the C4/web-pipeline form — navigation chrome repeats within a
+    // domain, not across the corpus): a token in > 50 % of a source's
+    // docs is that source's boilerplate and is stripped from its docs
+    // only. Scale shape: per-doc token dedup map-side (array_distinct
+    // before explode), ONE (source, tok) partial-aggregatable shuffle for
+    // the df frame, per-source doc counts ride a broadcast; the stoplist
+    // frame is |sources| rows (∝ domains × their chrome vocab, metadata-
+    // sized at 100 TB) and broadcasts onto the corpus, so the rewrite
+    // itself never shuffles a document.
+    QueryDef(
+      "q123_boilerplate_prune",
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |n AS (SELECT source, count(*) AS nd FROM w GROUP BY 1),
+        |t AS (SELECT DISTINCT doc_id, source, tok
+        |      FROM (SELECT doc_id, source, unnest(ws) AS tok FROM w)),
+        |d AS (SELECT source, tok, count(*) AS df FROM t GROUP BY 1, 2),
+        |stop AS (SELECT d.source, list(tok ORDER BY tok) AS sl
+        |         FROM d JOIN n ON d.source = n.source
+        |         WHERE df * 2 > nd GROUP BY 1)
+        |SELECT w.doc_id,
+        |  COALESCE(array_to_string(
+        |      list_filter(ws, x -> NOT list_contains(COALESCE(sl, []), x)),
+        |      ' '), '') AS clean_text,
+        |  CAST(len(ws)
+        |    - len(list_filter(ws, x -> NOT list_contains(COALESCE(sl, []), x)))
+        |    AS BIGINT) AS n_removed
+        |FROM w LEFT JOIN stop ON w.source = stop.source""".stripMargin) {
+      (s, dir) =>
+      val w = docs(s, dir).select(col("doc_id"), col("source"),
+        Text.tokens(col("text")).as("ws"))
+      val df_ = w.select(col("source"),
+          explode(array_distinct(col("ws"))).as("tok"))
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("df"))
+      val nFrame = w.groupBy(col("source")).agg(count(lit(1)).as("nd"))
+      val stop = df_.join(broadcast(nFrame), "source")
+        .where(col("df") * 2 > col("nd"))
+        .groupBy(col("source"))
+        .agg(sort_array(collect_list(col("tok"))).as("sl"))
+      val empty = array().cast("array<string>")
+      val cleaned = w.join(broadcast(stop), Seq("source"), "left")
+        .withColumn("clean",
+          filter(col("ws"),
+            x => !array_contains(coalesce(col("sl"), empty), x)))
+      cleaned.select(col("doc_id"),
+        array_join(col("clean"), " ").as("clean_text"),
+        (size(col("ws")) - size(col("clean"))).cast("bigint").as("n_removed"))
+    },
   )
 }

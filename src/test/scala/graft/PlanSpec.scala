@@ -535,4 +535,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       s"rate frame must broadcast, not shuffle the corpus:\n$p")
   }
+
+  test("q122: coverage is equi-joined + partial-aggregated, never paired") {
+    val p = plan("q122_dup_coverage")
+    // the dup-span set is corpus-sized at 100 TB: the coverage join must
+    // be a key equi-join (un-hinted — AQE broadcasts small, shuffles big),
+    // and per-doc counting must combine map-side
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"span-coverage must never enumerate pairs:\n$p")
+    assert(p.contains("partial_count"),
+      s"coverage agg must have a map-side partial:\n$p")
+    assert(!p.contains("Window"), s"no per-doc window sort:\n$p")
+  }
+
+  test("q123: per-source stoplist broadcasts; rewrite side never shuffles") {
+    val p = plan("q123_boilerplate_prune")
+    assert(p.contains("BroadcastHashJoin"),
+      s"stoplist frame must broadcast onto the corpus:\n$p")
+    // key shuffles build the df/doc-count/stoplist frames only — all
+    // vocab- or source-bounded; the corpus-side rewrite is map-side
+    val keyShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(keyShuffles <= 3, s"corpus rewrite is shuffling:\n$p")
+    assert(!p.contains("Window"), s"no window in the rewrite:\n$p")
+  }
 }

@@ -1,0 +1,197 @@
+package graft
+
+import graft.transforms.NearDup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-replication harness for the dedup pipeline: runs
+  * shingle → Jaccard pairs → connected components → canonical pick on a
+  * corpus replicated ×k IN-PLAN (every doc becomes a k-clique of exact
+  * copies, ids remapped to stay unique), so the output of every stage has
+  * a CLOSED FORM computable from the k=1 run:
+  *
+  *   distinct texts:   unchanged at every k
+  *   exact-dup groups: every group size is exactly k × its k=1 size
+  *   pair count:       S·k(k−1)/2 intra-clique + E·k² cross pairs,
+  *                     where S = shingleable docs, E = k=1 pair count
+  *   docs in pairs:    k·S (every shingleable copy pairs with its clones)
+  *   cluster count:    C + (S − P): each k=1 component collapses its
+  *                     copies into itself; each previously-UNPAIRED
+  *                     shingleable doc becomes one new clique-cluster
+  *                     (C = k=1 clusters, P = k=1 docs-in-pairs)
+  *   cluster sizes:    every size divisible by k
+  *   canonical keeps:  exactly one per cluster
+  *
+  * A wrong shuffle/band/propagation shape that happens to pass at 5 000
+  * rows gets caught here as a broken invariant at 20–80 k rows; a shape
+  * that degrades super-linearly shows up in the per-stage exponent
+  * (ln(t_k / t_1) / ln k — 1.0 is linear scaling, the target; local[32]
+  * adds a fixed per-stage floor, so small k read BELOW 1). Results are
+  * recorded in SCALING.md.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=… SPARK_GRAFT_REPS=1,4,16 runMain graft.Scale
+  * Prints one JSON line per k with timings + invariant checks.
+  */
+object Scale {
+
+  private final val Threshold = 0.5
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1,4,16")
+      .split(",").map(_.trim.toInt).toSeq
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // warm the JVM the same way Bench does, so k=1 isn't charged session
+    // startup and the exponent compares like with like
+    try spark.range(1000000).selectExpr("sum(id * 2)").collect()
+    catch { case _: Throwable => () }
+
+    val maxRep = reps.max.toLong.max(1L)
+    val base = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .localCheckpoint()
+
+    // ---- k=1 ground truth for the closed forms ----
+    val sh1 = NearDup.shingled(base, "doc_id", "text").localCheckpoint()
+    val s1 = sh1.count()
+    val pairs1 = NearDup.pairs(sh1, Threshold)
+      .select("doc_a", "doc_b").localCheckpoint()
+    val e1 = pairs1.count()
+    val p1 = pairs1.select(explode(array(col("doc_a"), col("doc_b"))))
+      .distinct().count()
+    val c1 = NearDup.clusters(pairs1)
+      .select(col("cluster_id")).distinct().count()
+    val texts1 = base.select(col("text")).distinct().count()
+    // exact-first ground truth: near-dup pairs over the k=1 exact-dedup
+    // survivors (min doc_id per text). At every k the survivor set maps
+    // 1:1 onto this one (copy 0 of each k=1 survivor), so the exact-first
+    // pair SET is this set with ids scaled by maxRep — checked exactly.
+    val surv1 = base.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val pairsD1 = NearDup.pairs(
+        NearDup.shingled(surv1, "doc_id", "text"), Threshold)
+      .select("doc_a", "doc_b").localCheckpoint()
+    val e1d = pairsD1.count()
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val lines = reps.map { k =>
+      // replicate ×k: copy r of doc d gets id d·maxRep + r, so the min id
+      // of a clique is copy 0 of the k=1 min — id order is preserved
+      // repartition after the fan-out: at 100 TB the corpus arrives in
+      // many input splits; without this every clique's copies sit in one
+      // partition and the shingle stage skews
+      val docs = base.crossJoin(
+          spark.range(k.toLong).toDF("rep"))
+        .select((col("doc_id") * maxRep + col("rep")).as("doc_id"),
+          col("text"), col("n_chars"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
+      val n = docs.count()
+
+      val (dedupGroups, tExact) = timed {
+        docs.groupBy(col("text"))
+          .agg(count(lit(1)).as("n_copies"))
+          .localCheckpoint()
+      }
+      val badGroups = dedupGroups.where(col("n_copies") % k =!= 0).count()
+      val distinctTexts = dedupGroups.count()
+
+      val (sh, tShingle) = timed {
+        NearDup.shingled(docs, "doc_id", "text").localCheckpoint()
+      }
+      val (pairs, tPairs) = timed {
+        NearDup.pairs(sh, Threshold)
+          .select("doc_a", "doc_b").localCheckpoint()
+      }
+      val nPairs = pairs.count()
+      val docsInPairs = pairs
+        .select(explode(array(col("doc_a"), col("doc_b"))))
+        .distinct().count()
+
+      val (labels, tCc) = timed {
+        NearDup.clusters(pairs).toDF("doc_id", "cluster_id").localCheckpoint()
+      }
+      val clusterSizes = labels.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("sz")).localCheckpoint()
+      val nClusters = clusterSizes.count()
+      val badClusters = clusterSizes.where(col("sz") % k =!= 0).count()
+
+      // ---- exact-first variant: dedup exact copies, THEN near-dup.
+      // The near-dup stages must now cost the same at every k (their
+      // input is the constant survivor set); the pair set must equal the
+      // k=1 survivor pairs with ids scaled by maxRep — exactly.
+      val (pairsEf, tEfPairs) = timed {
+        val surv = docs.groupBy(col("text"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"), col("text"))
+        NearDup.pairs(
+            NearDup.shingled(surv, "doc_id", "text"), Threshold)
+          .select("doc_a", "doc_b").localCheckpoint()
+      }
+      val efDiff = pairsEf
+        .except(pairsD1.select((col("doc_a") * maxRep).as("doc_a"),
+          (col("doc_b") * maxRep).as("doc_b")))
+        .count() + pairsD1
+        .select((col("doc_a") * maxRep).as("doc_a"),
+          (col("doc_b") * maxRep).as("doc_b"))
+        .except(pairsEf).count()
+
+      val (keeps, tCanon) = timed {
+        val meta = docs.select(col("doc_id"), col("n_chars"))
+        val members = labels.join(meta, "doc_id")
+        val winners = members.groupBy(col("cluster_id"))
+          .agg(max(struct(col("n_chars"), -col("doc_id"))).as("w"))
+          .select(col("cluster_id"), (-col("w.col2")).as("win_doc"))
+        members.join(winners, "cluster_id")
+          .where(col("doc_id") === col("win_doc"))
+          .localCheckpoint()
+      }
+      val nKeeps = keeps.count()
+
+      val expPairs = s1 * k.toLong * (k - 1) / 2 + e1 * k.toLong * k
+      val expClusters = c1 + (if (k == 1) 0L else s1 - p1)
+      val checks = Map(
+        "distinct_texts" -> (distinctTexts == texts1),
+        "dup_groups_divisible" -> (badGroups == 0L),
+        "pair_count" -> (nPairs == expPairs),
+        "docs_in_pairs" -> (docsInPairs ==
+          (if (k == 1) p1 else s1 * k.toLong)),
+        "cluster_count" -> (nClusters == expClusters),
+        "cluster_sizes_divisible" -> (badClusters == 0L),
+        "one_keep_per_cluster" -> (nKeeps == nClusters),
+        "exact_first_pair_set" -> (efDiff == 0L &&
+          pairsEf.count() == e1d))
+      val ok = checks.values.forall(identity)
+      val line =
+        s"""{"metric":"scale","k":$k,"docs":$n,"pairs":$nPairs,""" +
+        s""""clusters":$nClusters,"keeps":$nKeeps,""" +
+        s""""sec":{"exact":$tExact,"shingle":$tShingle,"pairs":$tPairs,""" +
+        s""""cc":$tCc,"canonical":$tCanon,"exact_first_pairs":$tEfPairs},""" +
+        s""""invariants_ok":$ok,""" +
+        s""""failed":[${checks.filterNot(_._2).keys.map("\"" + _ + "\"")
+          .mkString(",")}]}"""
+      println(line)
+      require(ok, s"scale invariants failed at k=$k: " +
+        checks.filterNot(_._2).keys.mkString(", "))
+      (k, tShingle + tPairs + tCc + tCanon)
+    }
+
+    val t1 = lines.find(_._1 == 1).map(_._2)
+    for ((k, t) <- lines; t0 <- t1 if k > 1)
+      println(f"""{"metric":"scale_exponent","k":$k,""" +
+        f""""exponent":${math.log(t / t0) / math.log(k.toDouble)}%.3f}""")
+    spark.stop()
+  }
+}

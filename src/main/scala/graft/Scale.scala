@@ -35,6 +35,7 @@ import org.apache.spark.sql.functions._
 object Scale {
 
   private final val Threshold = 0.5
+  private final val LshThreshold = 0.8
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -79,6 +80,12 @@ object Scale {
         NearDup.shingled(surv1, "doc_id", "text"), Threshold)
       .select("doc_a", "doc_b").localCheckpoint()
     val e1d = pairsD1.count()
+    // MinHash-LSH ground truth: exact pairs at the LSH threshold. Copies
+    // share identical signatures, so banding decisions at k replay the
+    // k=1 decisions and LSH@k must be EXACTLY S·k(k−1)/2 intra-clique
+    // + e08·k² cross pairs — a closed-form correctness check of the
+    // banded approximate path at every scale step.
+    val e08 = NearDup.pairs(sh1, LshThreshold).count()
 
     def timed[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime()
@@ -119,6 +126,13 @@ object Scale {
       val docsInPairs = pairs
         .select(explode(array(col("doc_a"), col("doc_b"))))
         .distinct().count()
+
+      val (lshPairs, tLsh) = timed {
+        NearDup.minhashPairs(sh, LshThreshold)
+          .select("doc_a", "doc_b").localCheckpoint()
+      }
+      val nLsh = lshPairs.count()
+      val expLsh = s1 * k.toLong * (k - 1) / 2 + e08 * k.toLong * k
 
       val (labels, tCc) = timed {
         NearDup.clusters(pairs).toDF("doc_id", "cluster_id").localCheckpoint()
@@ -172,12 +186,14 @@ object Scale {
         "cluster_sizes_divisible" -> (badClusters == 0L),
         "one_keep_per_cluster" -> (nKeeps == nClusters),
         "exact_first_pair_set" -> (efDiff == 0L &&
-          pairsEf.count() == e1d))
+          pairsEf.count() == e1d),
+        "lsh_equals_exact" -> (nLsh == expLsh))
       val ok = checks.values.forall(identity)
       val line =
         s"""{"metric":"scale","k":$k,"docs":$n,"pairs":$nPairs,""" +
-        s""""clusters":$nClusters,"keeps":$nKeeps,""" +
+        s""""lsh_pairs":$nLsh,"clusters":$nClusters,"keeps":$nKeeps,""" +
         s""""sec":{"exact":$tExact,"shingle":$tShingle,"pairs":$tPairs,""" +
+        s""""lsh":$tLsh,""" +
         s""""cc":$tCc,"canonical":$tCanon,"exact_first_pairs":$tEfPairs},""" +
         s""""invariants_ok":$ok,""" +
         s""""failed":[${checks.filterNot(_._2).keys.map("\"" + _ + "\"")

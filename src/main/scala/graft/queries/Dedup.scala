@@ -80,17 +80,8 @@ object Dedup {
     * sub-quadratic, so the per-pair array_intersect is cheap.
     */
   private def verifyPairs(cand: DataFrame, sh: DataFrame,
-                          threshold: Double): DataFrame = {
-    val a = sh.toDF("doc_a", "sh_a")
-    val b = sh.toDF("doc_b", "sh_b")
-    cand.join(a, "doc_a").join(b, "doc_b")
-      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard",
-        round(col("common").cast("double")
-          / (size(col("sh_a")) + size(col("sh_b")) - col("common")), 6))
-      .where(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
-  }
+                          threshold: Double): DataFrame =
+    NearDup.verifyPairs(cand, sh, threshold)
 
   val entries: Seq[QueryDef] = Seq(
 
@@ -118,25 +109,12 @@ object Dedup {
     },
 
     // ---- Near-dup via MinHash + LSH banding, exact-verified. ----
+    // Machinery in NearDup.minhashPairs (shared with the graft.Scale
+    // replication harness, which proves LSH == exact pair-for-pair at
+    // 16× corpus size): native-codegen 128-perm signatures, 32×4 bands,
+    // collision-bounded candidates, exact verification.
     QueryDef("q32_dedup_minhash_lsh", oracleJaccardPairs(0.8)) { (s, dir) =>
-      val sh = shingled(s, dir)
-      // hash each shingle string exactly once; the 128 permutations re-mix
-      // the 8-byte hashes (separate Projects — see Text.scala shape note)
-      val sig = sh.select(col("doc_id"),
-          Text.hashedShingles(col("shs")).as("hs"))
-        .select(col("doc_id"),
-          Text.minhashSigFromHashes(col("hs"), numPerm = 128).as("sig"))
-      val bands = sig
-        .select(col("doc_id"),
-          explode(Text.lshBands(col("sig"), numBands = 32, rowsPerBand = 4))
-            .as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-      val cand = bands.toDF("doc_a", "band", "bh")
-        .join(bands.toDF("doc_b", "band", "bh"), Seq("band", "bh"))
-        .where(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-      verifyPairs(cand, sh.select(col("doc_id"), col("shs")), 0.8)
+      NearDup.minhashPairs(shingled(s, dir).toDF("id", "shs"), 0.8)
     },
 
     // ---- Near-dup via 64-bit SimHash + 16-bit band blocking. ----

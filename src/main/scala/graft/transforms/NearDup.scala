@@ -70,6 +70,55 @@ object NearDup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** MinHash + LSH banded near-dup pairs, exact-verified (the q32
+    * algorithm, shared with the Scale harness): 128-permutation
+    * signatures over hashed shingles, banded into `numBands` ×
+    * `rowsPerBand` LSH keys; docs colliding in ≥ 1 band become
+    * candidates, and only candidates pay the exact array_intersect
+    * verification. `sh` must have (id, shs) as from [[shingled]].
+    * Output (doc_a, doc_b, jaccard) with true jaccard ≥ threshold.
+    *
+    * Scale shape: the pair space is band-key collisions — never O(n²);
+    * signatures are one map-side native-codegen projection per doc
+    * (functions/Text.scala MinHashSigExpression); verification joins
+    * shingle arrays only onto the candidate frame.
+    */
+  def minhashPairs(sh: DataFrame, threshold: Double,
+      numPerm: Int = 128, numBands: Int = 32,
+      rowsPerBand: Int = 4): DataFrame = {
+    val sig = sh.select(col("id"), Text.hashedShingles(col("shs")).as("hs"))
+      .select(col("id"),
+        Text.minhashSigFromHashes(col("hs"), numPerm).as("sig"))
+    val bands = sig
+      .select(col("id"),
+        explode(Text.lshBands(col("sig"), numBands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val cand = bands.toDF("doc_a", "band", "bh")
+      .join(bands.toDF("doc_b", "band", "bh"), Seq("band", "bh"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    verifyPairs(cand, sh, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs: joins the shingle
+    * arrays onto (doc_a, doc_b) candidates and keeps true-jaccard ≥
+    * threshold. The candidate frame is collision-bounded (sub-quadratic)
+    * so the per-pair array_intersect is cheap. `sh` columns: (id, shs).
+    */
+  def verifyPairs(cand: DataFrame, sh: DataFrame,
+      threshold: Double): DataFrame = {
+    val a = sh.toDF("doc_a", "sh_a")
+    val b = sh.toDF("doc_b", "sh_b")
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        round(col("common").cast("double")
+          / (size(col("sh_a")) + size(col("sh_b")) - col("common")), 6))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** Min-label connected components over an undirected pair graph:
     * (doc_a, doc_b) edges → (id, cluster_id = min reachable id), one row
     * per id that appears in ≥ 1 pair. Ids must be integral (the

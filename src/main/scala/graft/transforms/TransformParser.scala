@@ -543,7 +543,9 @@ object TransformParser {
     * shingles (never O(n²)), postings join on 8-byte hashes, components
     * converge in diameter rounds with a constant-depth checkpointed
     * plan, and the final keep is a left-anti join against the (small)
-    * loser set, which AQE broadcasts while it fits.
+    * loser set, which AQE broadcasts while it fits. Identical texts are
+    * collapsed BEFORE pair generation (exact-first, see build) — the
+    * ordering SCALING.md measures as decisive under duplication.
     */
   private object NearDedupParser {
     private val Re =
@@ -583,12 +585,55 @@ object TransformParser {
       // the per-row hash work.
       val spread = primary.repartition(
         primary.sparkSession.sparkContext.defaultParallelism)
-      val sh = NearDup.shingled(spread, keyName, textName)
+      // EXACT-FIRST: collapse identical texts before pair generation and
+      // run the quadratic-prone stages on one representative per text —
+      // semantics-preserving (copies connect to the graph only through
+      // their text: J(copy_a, copy_b) = J(text_a, text_b), so components
+      // AND min-label cluster ids are unchanged), and measured decisive
+      // at scale (SCALING.md: near-dup cost flat in duplicate mass vs
+      // Θ(k²) naive; web corpora are ~30-50 % exact dups). Texts collapse
+      // on xxhash64 — 8-byte group key; cross-text collision risk
+      // n²/2⁶⁵ shares q31's documented postings budget. The one full-text
+      // shuffle here is smaller than the postings shuffle it replaces
+      // (per-token 16-byte postings outweigh the text bytes themselves).
+      val keyed = spread.select(col(keyName).as("id"),
+        col(textName).as("txt"), xxhash64(col(textName)).as("th"))
+      // lazy checkpoint: materialized once at the first downstream action
+      // (clusters() acts immediately after), NOT at verb-build time —
+      // the engine builds blocks more than once (validate + run). The
+      // explicit repartition matters: AQE coalesces the small aggregate
+      // output to ~1 partition, which would serialize the CPU-heavy
+      // shingle/hash stage downstream (same rationale as `spread`).
+      val reps = keyed.groupBy(col("th")).agg(
+          min(col("id")).as("rep_id"),
+          first(col("txt")).as("txt"),
+          count(lit(1)).as("n_copies"))
+        .repartition(primary.sparkSession.sparkContext.defaultParallelism)
+        .localCheckpoint(false)
+      val sh = NearDup.shingled(reps, "rep_id", "txt")
       val cl = NearDup.clusters(
         NearDup.pairs(sh, threshold).select(col("doc_a"), col("doc_b")))
-      val len = primary.select(col(keyName).as("id"),
-        length(col(textName)).as("__len"))
-      val members = cl.join(len, "id")
+      // identical-copy cliques: a shingle-able text with ≥ 2 copies is a
+      // near-dup cluster by itself (J = 1) even when its rep pairs with
+      // nothing; its min-label id is the rep id, matching what min-label
+      // propagation over the expanded graph would assign. Short texts
+      // (< 3 tokens) never shingle, never pair, and always pass through
+      // — copies included — exactly as before. One left join + a
+      // map-side shingle-ability test (no semi/anti round trips).
+      val clustered = reps
+        .join(cl.withColumnRenamed("id", "rep_id"), Seq("rep_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"),
+          when(col("n_copies") >= 2 &&
+            size(graft.functions.Text.tokens(col("txt"))) >= 3,
+            col("rep_id"))))
+        .where(col("cluster_id").isNotNull)
+        .select(col("th"), col("cluster_id"))
+      // fan the rep verdicts back out to every copy: the clustered-rep
+      // frame is ∝ near-dup/duplicated texts (AQE broadcasts while it
+      // fits), so the corpus side joins without shuffling
+      val members = keyed
+        .join(clustered, "th")
+        .select(col("id"), col("cluster_id"), length(col("txt")).as("__len"))
       // Canonical pick without a per-cluster sort window: max length per
       // cluster, then min key among the max-length members — two aggs on
       // the same cluster_id shuffle (exchange reuse), both partial-

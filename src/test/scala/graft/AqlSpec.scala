@@ -1037,6 +1037,36 @@ class AqlSpec extends AnyFunSuite {
     assert(t.getMessage.contains("out of range"), t.getMessage)
   }
 
+  test("NEARDEDUP verb: exact copies collapse through the exact-first path") {
+    // The verb dedups identical texts BEFORE pair generation (SCALING.md)
+    // — this pins the fan-back semantics: (a) exact copies of a
+    // shingle-able text are a cluster even with no cross-text pair, min
+    // key survives; (b) copies merge with their text's near-dup cluster
+    // and the global longest-text/min-key rule decides across ALL
+    // copies; (c) copies of a short (< 3 tokens) text never cluster and
+    // all pass through.
+    val r = Aql.run(spark,
+      """DATA 'D' (
+        |  [[1, "the quick brown fox jumps over the lazy dog"],
+        |   [7, "the quick brown fox jumps over the lazy dog"],
+        |   [2, "a very quick brown fox jumps over the lazy dog today"],
+        |   [9, "a very quick brown fox jumps over the lazy dog today"],
+        |   [4, "isolated identical sentence repeated twice for this test"],
+        |   [8, "isolated identical sentence repeated twice for this test"],
+        |   [5, "too short"],
+        |   [6, "too short"]]
+        |) WITH (COLUMNS = 'Id, Txt')
+        |
+        |TRANSFORM 'Survivors' FROM BLOCK D (
+        |  NEARDEDUP ON Txt KEY Id THRESHOLD 0.4
+        |) INTO CONSOLE""".stripMargin)
+    // 1/7/2/9 form one cluster (1≈2 near-dup, copies ride along): longest
+    // text wins, min key among its copies → 2. 4/8 are an isolated exact
+    // clique → 4. 5/6 are short copies → both pass through.
+    assert(r.outputs("SURVIVORS").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(2L, 4L, 5L, 6L))
+  }
+
   test("SAMPLE verb: deterministic hash sample, stable across runs") {
     // beyond-parity verb: the q69 curation primitive as a language operator.
     // Membership is a pure function of the key, so two runs agree exactly.

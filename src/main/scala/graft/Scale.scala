@@ -73,9 +73,14 @@ object Scale {
     // survivors (min doc_id per text). At every k the survivor set maps
     // 1:1 onto this one (copy 0 of each k=1 survivor), so the exact-first
     // pair SET is this set with ids scaled by maxRep — checked exactly.
+    // repartition after the survivor aggregate: AQE coalesces the small
+    // output to ~1 partition, which would serialize the CPU-heavy shingle
+    // stage it feeds (the trap TransformParser's reps frame documents)
     val surv1 = base.groupBy(col("text"))
       .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"), col("text")).localCheckpoint()
+      .select(col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint()
     val pairsD1 = NearDup.pairs(
         NearDup.shingled(surv1, "doc_id", "text"), Threshold)
       .select("doc_a", "doc_b").localCheckpoint()
@@ -150,6 +155,7 @@ object Scale {
         val surv = docs.groupBy(col("text"))
           .agg(min(col("doc_id")).as("doc_id"))
           .select(col("doc_id"), col("text"))
+          .repartition(spark.sparkContext.defaultParallelism)
         NearDup.pairs(
             NearDup.shingled(surv, "doc_id", "text"), Threshold)
           .select("doc_a", "doc_b").localCheckpoint()

@@ -75,14 +75,6 @@ object Dedup {
        |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= $threshold""".stripMargin
 
-  /** Exact-verify a candidate-pair DF (doc_a, doc_b) against the shingle
-    * sets, keeping pairs with Jaccard ≥ threshold. Candidate count is
-    * sub-quadratic, so the per-pair array_intersect is cheap.
-    */
-  private def verifyPairs(cand: DataFrame, sh: DataFrame,
-                          threshold: Double): DataFrame =
-    NearDup.verifyPairs(cand, sh, threshold)
-
   val entries: Seq[QueryDef] = Seq(
 
     // ---- Exact dedup: one keeper (min doc_id) per distinct text. ----
@@ -318,7 +310,8 @@ object Dedup {
       val cand = batchBands.join(corpusBands, Seq("band", "bh"))
         .select("doc_a", "doc_b")
         .distinct()
-      val matches = verifyPairs(cand, sh.select(col("doc_id"), col("shs")), 0.8)
+      val matches = NearDup.verifyPairs(
+        cand, sh.select(col("doc_id"), col("shs")), 0.8)
         .groupBy(col("doc_a").as("doc_id"))
         .agg(count(lit(1)).as("n_dups"))
       sh.where(col("doc_id") % 2 === 0).select(col("doc_id"))

@@ -16,15 +16,28 @@ import org.apache.spark.sql.functions._
   */
 object NearDup {
 
-  /** (id, shs): distinct 3-gram shingle arrays for rows with ≥ 3 tokens.
-    * Filtered on the cheap token count, NOT on the shingle array — see
-    * [[Text.shinglesFromTokens]] for the pushdown rationale. Rows with
-    * < 3 tokens have no shingles, can never pair, and therefore always
-    * survive dedup.
+  /** Minimum token count for a text to produce 3-gram shingles. Shared
+    * between [[shingled]]'s filter and [[shingleable]] (the NEARDEDUP
+    * verb's isolated-clique gate) so the two can never diverge.
+    */
+  final val MinShingleTokens = 3
+
+  /** True iff the text would survive [[shingled]]'s filter — i.e. it can
+    * participate in the pair graph at all.
+    */
+  def shingleable(textCol: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    size(Text.tokens(textCol)) >= MinShingleTokens
+
+  /** (id, shs): distinct 3-gram shingle arrays for rows with ≥
+    * [[MinShingleTokens]] tokens. Filtered on the cheap token count, NOT
+    * on the shingle array — see [[Text.shinglesFromTokens]] for the
+    * pushdown rationale. Rows with fewer tokens have no shingles, can
+    * never pair, and therefore always survive dedup.
     */
   def shingled(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("ws"))
-      .where(size(col("ws")) >= 3)
+      .where(size(col("ws")) >= MinShingleTokens)
       .select(col("id"), Text.shinglesFromTokens(col("ws")).as("shs"))
 
   /** Pairs (doc_a, doc_b, jaccard) with round(jaccard, 6) ≥ threshold,

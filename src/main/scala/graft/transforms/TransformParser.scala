@@ -598,12 +598,14 @@ object TransformParser {
       // (per-token 16-byte postings outweigh the text bytes themselves).
       val keyed = spread.select(col(keyName).as("id"),
         col(textName).as("txt"), xxhash64(col(textName)).as("th"))
-      // lazy checkpoint: materialized once at the first downstream action
-      // (clusters() acts immediately after), NOT at verb-build time —
-      // the engine builds blocks more than once (validate + run). The
-      // explicit repartition matters: AQE coalesces the small aggregate
-      // output to ~1 partition, which would serialize the CPU-heavy
-      // shingle/hash stage downstream (same rationale as `spread`).
+      // checkpoint to truncate lineage for the three consumers below
+      // (pair graph, clique gate, fan-back). Note build() is eager
+      // regardless of the lazy flag: NearDup.pairs checkpoints its count
+      // frame and clusters() drives per-round actions, so the whole
+      // pipeline runs when the engine builds the block. The explicit
+      // repartition matters: AQE coalesces the small aggregate output to
+      // ~1 partition, which would serialize the CPU-heavy shingle/hash
+      // stage downstream (same rationale as `spread`).
       val reps = keyed.groupBy(col("th")).agg(
           min(col("id")).as("rep_id"),
           first(col("txt")).as("txt"),
@@ -623,8 +625,7 @@ object TransformParser {
       val clustered = reps
         .join(cl.withColumnRenamed("id", "rep_id"), Seq("rep_id"), "left")
         .withColumn("cluster_id", coalesce(col("cluster_id"),
-          when(col("n_copies") >= 2 &&
-            size(graft.functions.Text.tokens(col("txt"))) >= 3,
+          when(col("n_copies") >= 2 && NearDup.shingleable(col("txt")),
             col("rep_id"))))
         .where(col("cluster_id").isNotNull)
         .select(col("th"), col("cluster_id"))

@@ -21,6 +21,15 @@ import org.apache.spark.sql.functions._
   *                     (C = k=1 clusters, P = k=1 docs-in-pairs)
   *   cluster sizes:    every size divisible by k
   *   canonical keeps:  exactly one per cluster
+  *   kNN top-k:        each k=1 neighbor expands to its k copies in id
+  *                     order (same-original families excluded), so the
+  *                     replicated top-5 list is the k=1 ranked list
+  *                     expanded and truncated — exact, including ties
+  *
+  * The kNN stage replicates `embeddings` the same way and checks the
+  * brute-force cosine top-5 (q34's shape) against that expansion — a
+  * scale gate on ranking determinism: (cosine DESC, id) tie-break order
+  * must survive a 16× corpus and any partitioning.
   *
   * A wrong shuffle/band/propagation shape that happens to pass at 5 000
   * rows gets caught here as a broken invariant at 20–80 k rows; a shape
@@ -91,6 +100,46 @@ object Scale {
     // + e08·k² cross pairs — a closed-form correctness check of the
     // banded approximate path at every scale step.
     val e08 = NearDup.pairs(sh1, LshThreshold).count()
+
+    // ---- kNN ground truth: brute-force cosine top-5 (q34's exact shape)
+    // for 50 query vectors over the base embeddings. At k, every neighbor
+    // expands to its k copies in id order (same-original families
+    // excluded), so the replicated top-5 is THIS list expanded+truncated.
+    import graft.functions.Vectors.{dot, l2norm}
+    val par = spark.sparkContext.defaultParallelism
+    val NumQ = 50L
+    val TopK = 5
+    val emb0 = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .repartition(par)
+      .localCheckpoint()
+    def knn(embKeyed: DataFrame, queryPred: org.apache.spark.sql.Column,
+        familyExcl: Boolean, maxR: Long): Array[(Long, Long, Double)] = {
+      import org.apache.spark.sql.expressions.Window
+      val en = embKeyed.withColumn("nrm", l2norm(col("v")))
+      val q = en.where(queryPred).toDF("qid", "qv", "qnrm")
+      val c = en.toDF("cid", "cv", "cnrm")
+      val excl =
+        if (familyExcl) (col("qid") / maxR).cast("long") =!=
+          (col("cid") / maxR).cast("long")
+        else col("qid") =!= col("cid")
+      val w = Window.partitionBy("qid")
+        .orderBy(col("cosine").desc, col("cid"))
+      c.join(broadcast(q), excl)
+        .withColumn("cosine",
+          round(dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")), 6))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= TopK)
+        .select(col("qid"), col("cid"), col("cosine"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }
+    // same-original exclusion at k=1 is plain self-exclusion, so this IS
+    // q34's ranking restricted to 50 queries
+    val knn1 = knn(emb0, col("vec_id") < NumQ, familyExcl = false, 1L)
+      .groupBy(_._1).map { case (q, rows) =>
+        q -> rows.sortBy(r => (-r._3, r._2)).map(r => (r._2, r._3)).toSeq
+      }
 
     def timed[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime()
@@ -168,6 +217,27 @@ object Scale {
           (col("doc_b") * maxRep).as("doc_b"))
         .except(pairsEf).count()
 
+      // ---- kNN under replication: queries are copy 0 of the k=1 query
+      // panel; every base neighbor expands to its k copies in id order.
+      val (knnK, tKnn) = timed {
+        val embK = emb0.crossJoin(spark.range(k.toLong).toDF("rep"))
+          .select((col("vec_id") * maxRep + col("rep")).as("vec_id"),
+            col("v"))
+          .repartition(par)
+        knn(embK,
+          col("vec_id") % maxRep === 0 && col("vec_id") < NumQ * maxRep,
+          familyExcl = true, maxRep)
+      }
+      val knnGot = knnK.groupBy(_._1).map { case (q, rows) =>
+        q -> rows.sortBy(r => (-r._3, r._2)).map(r => (r._2, r._3)).toSeq
+      }
+      val knnWant = knn1.map { case (q, lst) =>
+        (q * maxRep) -> lst.flatMap { case (nid, cos) =>
+          (0L until k.toLong).map(r => (nid * maxRep + r, cos))
+        }.take(TopK)
+      }
+      val knnOk = knnGot == knnWant
+
       val (keeps, tCanon) = timed {
         val meta = docs.select(col("doc_id"), col("n_chars"))
         val members = labels.join(meta, "doc_id")
@@ -193,14 +263,16 @@ object Scale {
         "one_keep_per_cluster" -> (nKeeps == nClusters),
         "exact_first_pair_set" -> (efDiff == 0L &&
           pairsEf.count() == e1d),
-        "lsh_equals_exact" -> (nLsh == expLsh))
+        "lsh_equals_exact" -> (nLsh == expLsh),
+        "knn_top5_expansion" -> knnOk)
       val ok = checks.values.forall(identity)
       val line =
         s"""{"metric":"scale","k":$k,"docs":$n,"pairs":$nPairs,""" +
         s""""lsh_pairs":$nLsh,"clusters":$nClusters,"keeps":$nKeeps,""" +
         s""""sec":{"exact":$tExact,"shingle":$tShingle,"pairs":$tPairs,""" +
         s""""lsh":$tLsh,""" +
-        s""""cc":$tCc,"canonical":$tCanon,"exact_first_pairs":$tEfPairs},""" +
+        s""""cc":$tCc,"canonical":$tCanon,"exact_first_pairs":$tEfPairs,""" +
+        s""""knn":$tKnn},""" +
         s""""invariants_ok":$ok,""" +
         s""""failed":[${checks.filterNot(_._2).keys.map("\"" + _ + "\"")
           .mkString(",")}]}"""

@@ -70,15 +70,25 @@ object Bench {
     // of an identical plan, so the recorded artifact tracks the code, not
     // the box's load average at driver time.
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt.max(1)
+    // Per pass: (name, seconds, succeeded). A pass where the query threw
+    // must NOT contribute its (fast) failure time to the min — that would
+    // record a failing query as a good benchmark number.
     val timed = (1 to passes).map { _ =>
       selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        (name, (System.nanoTime() - t0) / 1e9, ok)
       }
     }
+    val byPass = timed.map(_.map(t => t._1 -> (t._2, t._3)).toMap)
     val results = selected.map(_._1).map { name =>
-      name -> timed.map(_.toMap.apply(name)).min
+      val obs = byPass.map(_.apply(name))
+      val good = obs.filter(_._2).map(_._1)
+      // all passes failed → record -1 so the artifact shows the failure
+      // instead of a plausible-looking duration
+      name -> (if (good.nonEmpty) good.min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -126,9 +126,11 @@ object Aql {
       target: Either[String, String], options: Options): DataFrame = {
     def o(k: String) = Connectors.opt(options, k)
     def intOpt(k: String): Option[Int] = o(k).map { v =>
-      try v.toDouble.toInt
+      // strict integer parse: 4.9 partitions silently truncating to 4
+      // would hide a config typo
+      try v.trim.toInt
       catch { case _: NumberFormatException => throw AqlError(
-        s"connection $connName: $k must be a number, got '$v'") }
+        s"connection $connName: $k must be an integer, got '$v'") }
     }
     val numParts = intOpt("NUM_PARTITIONS")
     var r = spark.read.format("jdbc").option("url", url)
@@ -146,9 +148,12 @@ object Aql {
           case Left(table) => table
           case Right(query) => s"($query) AS graft_sub"
         }
+        // honor a single explicit bound: only the MISSING side is probed
+        // (LOWER_BOUND=0 without UPPER_BOUND previously fell through to
+        // the probe and silently ignored the configured value)
         val (lo, hi) = (o("LOWER_BOUND"), o("UPPER_BOUND")) match {
           case (Some(l), Some(h)) => (l, h)
-          case _ =>
+          case (optL, optH) =>
             val jc = java.sql.DriverManager.getConnection(url)
             try {
               val st = jc.createStatement()
@@ -159,7 +164,8 @@ object Aql {
                   throw AqlError(s"connection $connName: cannot derive " +
                     s"bounds for empty PARTITION_COLUMN $partCol " +
                     "(set LOWER_BOUND/UPPER_BOUND explicitly)")
-                (String.valueOf(rs.getObject(1)), String.valueOf(rs.getObject(2)))
+                (optL.getOrElse(String.valueOf(rs.getObject(1))),
+                  optH.getOrElse(String.valueOf(rs.getObject(2))))
               } finally st.close()
             } finally jc.close()
         }

@@ -34,7 +34,7 @@ object Advanced {
         catch { case _: Throwable => () }
       }
     }))
-  private def registerTmpDir(d: java.nio.file.Path): Unit = {
+  private[queries] def registerTmpDir(d: java.nio.file.Path): Unit = {
     cleanupHook
     tmpDirs.add(d)
     ()
@@ -278,7 +278,9 @@ object Advanced {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_nationkey""".stripMargin) { (s, dir) =>
       val tag = java.util.UUID.randomUUID().toString.take(8)
-      val wh = java.nio.file.Files.createTempDirectory("graft_q55").toString
+      val whPath = java.nio.file.Files.createTempDirectory("graft_q55")
+      registerTmpDir(whPath)
+      val wh = whPath.toString
       def bucketize(name: String, key: String): String = {
         val table = s"${name}_b_$tag"
         t(s, dir, name).write

@@ -53,8 +53,9 @@ object AqlQ {
       // build-side dedup is a no-op here and SQL join parity is exact.
       // Sink is a parquet file connection — a distributed write, where
       // INTO CONSOLE would collect the full join to the driver.
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_q45").resolve("joined").toString
+      val outDir = java.nio.file.Files.createTempDirectory("graft_q45")
+      Advanced.registerTmpDir(outDir)
+      val out = outDir.resolve("joined").toString
       val script =
         s"""CONNECTION 'Orders' (
            |  DRIVER = 'file', FILE = '$dir/orders.parquet',
@@ -129,8 +130,9 @@ object AqlQ {
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |  CAST(n_regionkey AS BIGINT) AS n_regionkey
         |FROM nation""".stripMargin) { (s, dir) =>
-      val xlsx = java.nio.file.Files
-        .createTempDirectory("graft_q60").resolve("nation.xlsx").toString
+      val xlsxDir = java.nio.file.Files.createTempDirectory("graft_q60")
+      Advanced.registerTmpDir(xlsxDir)
+      val xlsx = xlsxDir.resolve("nation.xlsx").toString
       val script =
         s"""CONNECTION 'NationPq' (
            |  DRIVER = 'file', FILE = '$dir/nation.parquet',
@@ -188,8 +190,9 @@ object AqlQ {
         |SELECT k AS o_orderkey, o_custkey, o_orderstatus,
         |  CAST(price AS DOUBLE) AS price
         |FROM latest WHERE op <> 'D'""".stripMargin) { (s, dir) =>
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_q105").resolve("merged").toString
+      val outDir = java.nio.file.Files.createTempDirectory("graft_q105")
+      Advanced.registerTmpDir(outDir)
+      val out = outDir.resolve("merged").toString
       val script =
         s"""CONNECTION 'Orders' (
            |  DRIVER = 'file', FILE = '$dir/orders.parquet',
@@ -279,8 +282,9 @@ object AqlQ {
         |SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin) {
       (s, dir) =>
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_q120").resolve("survivors").toString
+      val outDir = java.nio.file.Files.createTempDirectory("graft_q120")
+      Advanced.registerTmpDir(outDir)
+      val out = outDir.resolve("survivors").toString
       val script =
         s"""CONNECTION 'Docs' (
            |  DRIVER = 'file', FILE = '$dir/documents.parquet',

@@ -640,12 +640,17 @@ object Curation {
         |stop AS (SELECT list(tok ORDER BY tok) AS sl
         |         FROM d, n WHERE df * 2 > nd)
         |SELECT w.doc_id,
-        |  -- COALESCE: DuckDB's array_to_string yields NULL for an empty
-        |  -- list where Spark's array_join yields '' (fully-pruned docs)
+        |  -- COALESCE on array_to_string: DuckDB yields NULL for an empty
+        |  -- list where Spark's array_join yields '' (fully-pruned docs).
+        |  -- COALESCE on sl: list() over ZERO stop rows is NULL (Spark's
+        |  -- collect_list is []) — without it an empty stoplist strips
+        |  -- every token instead of none
         |  COALESCE(array_to_string(
-        |      list_filter(ws, x -> NOT list_contains(sl, x)), ' '), '')
+        |      list_filter(ws, x -> NOT list_contains(COALESCE(sl, []), x)),
+        |      ' '), '')
         |    AS clean_text,
-        |  CAST(len(ws) - len(list_filter(ws, x -> NOT list_contains(sl, x)))
+        |  CAST(len(ws)
+        |    - len(list_filter(ws, x -> NOT list_contains(COALESCE(sl, []), x)))
         |    AS BIGINT) AS n_removed
         |FROM w CROSS JOIN stop""".stripMargin) { (s, dir) =>
       val w = docs(s, dir).select(col("doc_id"),

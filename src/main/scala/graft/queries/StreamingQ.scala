@@ -335,8 +335,14 @@ object StreamingQ {
         |  SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS c_ts
         |  FROM events WHERE event_type = 'click'),
         |wm AS (
-        |  SELECT least((SELECT max(p_ts) FROM p) - INTERVAL 1 HOUR,
-        |               (SELECT max(c_ts) FROM c) - INTERVAL 2 HOUR) AS w),
+        |  -- Spark's EventTimeWatermark tracks max event time truncated to
+        |  -- whole MILLISECONDS before subtracting the delay; mirror that
+        |  -- or a purchase inside the sub-ms gap flips its null-emission
+        |  SELECT least(
+        |    date_trunc('milliseconds', (SELECT max(p_ts) FROM p))
+        |      - INTERVAL 1 HOUR,
+        |    date_trunc('milliseconds', (SELECT max(c_ts) FROM c))
+        |      - INTERVAL 2 HOUR) AS w),
         |j AS (
         |  SELECT p.purchase_id, c.click_id, p.p_ts
         |  FROM p LEFT JOIN c ON p.user_id = c.user_id

@@ -163,7 +163,13 @@ object NearDup {
     var prev = labelSum(labels)
     var rounds = 0
     var converged = false
-    while (!converged && rounds < 50) {
+    // round cap is a runaway backstop, not a silent truncation: diameter
+    // > maxRounds would return fragmented clusters (duplicates surviving
+    // dedup with no signal), so non-convergence FAILS below. Raise via
+    // -Dgraft.neardedup.maxRounds for pathological chain-shaped graphs.
+    val maxRounds =
+      sys.props.get("graft.neardedup.maxRounds").map(_.toInt).getOrElse(50)
+    while (!converged && rounds < maxRounds) {
       // min over own label and in-neighbours' labels, in one aggregation
       val next = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("label"))
@@ -176,6 +182,11 @@ object NearDup {
       labels = next
       rounds += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxRounds rounds " +
+          "(pair-graph diameter exceeds the cap); raise " +
+          "-Dgraft.neardedup.maxRounds")
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 }

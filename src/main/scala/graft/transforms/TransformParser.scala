@@ -580,11 +580,15 @@ object TransformParser {
       }
       // Spread the CPU-heavy shingle/hash projection across all cores: a
       // small source may be one input split = one task (same rationale as
-      // queries/Dedup.docs); on a many-file 100 TB corpus the scan's own
-      // splits provide this and the narrow text shuffle is noise next to
-      // the per-row hash work.
-      val spread = primary.repartition(
-        primary.sparkSession.sparkContext.defaultParallelism)
+      // queries/Dedup.docs). Guarded: a many-split 100 TB corpus already
+      // has the parallelism, and an unconditional repartition would
+      // shuffle every text AND shrink thousands of scan splits down to
+      // the driver's core count.
+      val spreadPar = primary.sparkSession.sparkContext.defaultParallelism
+      val spread =
+        if (primary.rdd.getNumPartitions < spreadPar)
+          primary.repartition(spreadPar)
+        else primary
       // EXACT-FIRST: collapse identical texts before pair generation and
       // run the quadratic-prone stages on one representative per text —
       // semantics-preserving (copies connect to the graph only through

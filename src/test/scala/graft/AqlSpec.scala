@@ -616,6 +616,19 @@ class AqlSpec extends AnyFunSuite {
     assert(bounded.rdd.getNumPartitions == 3)
     assert(bounded.collect().map(r => (r.getInt(0), r.getInt(1)))
       .sorted.toSeq == want)
+
+    // a SINGLE explicit bound is honored; only the missing side is probed
+    val half = Aql.run(spark, script(
+      ",\n  NUM_PARTITIONS = 3,\n  PARTITION_COLUMN = 'ID'," +
+        "\n  LOWER_BOUND = 1")).outputs("READPAR")
+    assert(half.rdd.getNumPartitions == 3)
+    assert(half.collect().map(r => (r.getInt(0), r.getInt(1)))
+      .sorted.toSeq == want)
+
+    // non-integer NUM_PARTITIONS is a config error, not a truncation
+    val bad = intercept[Exception](Aql.run(spark, script(
+      ",\n  NUM_PARTITIONS = 4.9,\n  PARTITION_COLUMN = 'ID'")))
+    assert(bad.getMessage.contains("must be an integer"), bad.getMessage)
   }
 
   test("TRANSACTIONAL sinks: all destinations commit together or not at all") {

@@ -95,4 +95,27 @@ class NearDupPropertySpec extends AnyFunSuite {
       case (a, b) => (a + 50, b + 50)
     }, "two-node-plus-path")
   }
+
+  test("clusters fails loud when the round cap is below the diameter") {
+    // silent non-convergence would let duplicates survive dedup; the cap
+    // must throw, and raising it must converge the same graph
+    val key = "graft.neardedup.maxRounds"
+    val saved = sys.props.get(key)
+    // seed labels already cover distance 1, so a long path needs many
+    // propagation rounds — cap at 2 and it cannot finish
+    val longPath = (0L until 30L).map(i => (i, i + 1))
+    try {
+      sys.props(key) = "2"
+      val e = intercept[IllegalStateException](sparkComponents(longPath))
+      assert(e.getMessage.contains("did not converge"), e.getMessage)
+      sys.props(key) = "50"
+      check(longPath, "path-31-after-raising-cap")
+    } finally {
+      saved match {
+        case Some(v) => sys.props(key) = v
+        case None => sys.props -= key
+      }
+      ()
+    }
+  }
 }

@@ -188,6 +188,18 @@ object Scale {
       val nLsh = lshPairs.count()
       val expLsh = s1 * k.toLong * (k - 1) / 2 + e08 * k.toLong * k
 
+      // DF-capped pairs: candidates only from shingles shared by ≤ 4·k
+      // docs (= base df ≤ 4 — replication scales every df by k), exact
+      // verification after. MUST be a subset of the exact answer (no
+      // false positives by construction); recall is corpus-dependent and
+      // REPORTED, not assumed.
+      val (cappedPairs, tCapped) = timed {
+        NearDup.pairsCapped(sh, Threshold, 4L * k)
+          .select("doc_a", "doc_b").localCheckpoint()
+      }
+      val nCapped = cappedPairs.count()
+      val cappedSpurious = cappedPairs.except(pairs).count()
+
       val (labels, tCc) = timed {
         NearDup.clusters(pairs).toDF("doc_id", "cluster_id").localCheckpoint()
       }
@@ -264,15 +276,19 @@ object Scale {
         "exact_first_pair_set" -> (efDiff == 0L &&
           pairsEf.count() == e1d),
         "lsh_equals_exact" -> (nLsh == expLsh),
-        "knn_top5_expansion" -> knnOk)
+        "knn_top5_expansion" -> knnOk,
+        "capped_subset_of_exact" -> (cappedSpurious == 0L))
       val ok = checks.values.forall(identity)
       val line =
         s"""{"metric":"scale","k":$k,"docs":$n,"pairs":$nPairs,""" +
-        s""""lsh_pairs":$nLsh,"clusters":$nClusters,"keeps":$nKeeps,""" +
+        s""""lsh_pairs":$nLsh,"capped_pairs":$nCapped,""" +
+        f""""capped_recall":${
+          if (nPairs == 0) 1.0 else nCapped.toDouble / nPairs}%.4f,""" +
+        s""""clusters":$nClusters,"keeps":$nKeeps,""" +
         s""""sec":{"exact":$tExact,"shingle":$tShingle,"pairs":$tPairs,""" +
         s""""lsh":$tLsh,""" +
         s""""cc":$tCc,"canonical":$tCanon,"exact_first_pairs":$tEfPairs,""" +
-        s""""knn":$tKnn},""" +
+        s""""knn":$tKnn,"capped_pairs":$tCapped},""" +
         s""""invariants_ok":$ok,""" +
         s""""failed":[${checks.filterNot(_._2).keys.map("\"" + _ + "\"")
           .mkString(",")}]}"""

@@ -51,9 +51,10 @@ object NearDup {
     * hash collisions would merge two shingles globally — P ≈ n²/2⁶⁵,
     * ignorable next to the 1e-6 rounding). The pair space is only pairs
     * sharing ≥ 1 shingle, shuffled by shingle hash — never O(n²). At
-    * 100 TB: drop ultra-high-DF shingles first (they only create
-    * candidate pairs that exact verification would reject anyway when
-    * the threshold is high).
+    * 100 TB prefer [[minhashPairs]] (full recall, candidate work ∝
+    * true-collision mass) or, where some recall loss is acceptable,
+    * [[pairsCapped]] — whose recall cost is corpus-dependent and
+    * MEASURED in graft.Scale/SCALING.md, not assumed.
     */
   def pairs(sh: DataFrame, threshold: Double): DataFrame = {
     val posts = sh
@@ -81,6 +82,38 @@ object NearDup {
           / (col("n_a") + col("n_b") - col("common")), 6))
       .where(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** DF-capped near-dup pairs: the high-duplication variant of [[pairs]].
+    * Postings whose shingle document-frequency exceeds `maxDf` are
+    * dropped BEFORE the inverted-index self-join — but only for
+    * CANDIDATE generation; survivors are exactly verified against the
+    * full shingle arrays, so capping can only lose pairs whose every
+    * shared shingle is hot (no false positives, jaccard values exact).
+    *
+    * Scale shape: a shingle shared by f docs contributes f² join work;
+    * the cap bounds that product at maxDf² per shingle, turning the one
+    * quadratic-prone stage into a linear one. The DF frame is vocab-
+    * sized and partial-aggregatable. Recall cost is corpus-dependent
+    * and measured in graft.Scale (SCALING.md): near-free when shingle
+    * DF is heavy-tailed (natural text), substantial when the vocabulary
+    * is small and near-dups share only hot shingles — measure before
+    * trusting a cap; [[minhashPairs]] keeps full recall without one.
+    */
+  def pairsCapped(sh: DataFrame, threshold: Double, maxDf: Long): DataFrame = {
+    val posts = sh
+      .select(col("id"), explode(Text.hashedShingles(col("shs"))).as("h"))
+    val cold = posts.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf)
+      .select(col("h"))
+    val kept = posts.join(cold, "h")
+    val cand = kept.toDF("h", "doc_a")
+      .join(kept.toDF("h", "doc_b"), "h")
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    verifyPairs(cand, sh, threshold)
   }
 
   /** MinHash + LSH banded near-dup pairs, exact-verified (the q32

@@ -96,6 +96,23 @@ class NearDupPropertySpec extends AnyFunSuite {
     }, "two-node-plus-path")
   }
 
+  test("pairsCapped: inactive cap equals pairs; active cap is a subset") {
+    val sh = NearDup.shingled(
+      Tables.load(spark, sfDir, "documents"), "doc_id", "text")
+      .localCheckpoint()
+    def set(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = set(NearDup.pairs(sh, 0.5))
+    // a cap no shingle reaches ⇒ identical answer, jaccard values included
+    val uncapped = set(NearDup.pairsCapped(sh, 0.5, Long.MaxValue))
+    assert(uncapped == exact,
+      s"missing=${exact -- uncapped} spurious=${uncapped -- exact}")
+    // a tight cap may lose pairs but can never invent them
+    val tight = set(NearDup.pairsCapped(sh, 0.5, 2L))
+    assert((tight -- exact).isEmpty, s"spurious=${tight -- exact}")
+  }
+
   test("clusters fails loud when the round cap is below the diameter") {
     // silent non-convergence would let duplicates survive dedup; the cap
     // must throw, and raising it must converge the same graph

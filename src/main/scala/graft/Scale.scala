@@ -282,8 +282,12 @@ object Scale {
       val line =
         s"""{"metric":"scale","k":$k,"docs":$n,"pairs":$nPairs,""" +
         s""""lsh_pairs":$nLsh,"capped_pairs":$nCapped,""" +
-        f""""capped_recall":${
-          if (nPairs == 0) 1.0 else nCapped.toDouble / nPairs}%.4f,""" +
+        // Double.toString, not f"%.4f": the f-interpolator is
+        // default-locale-dependent (a comma decimal separator would
+        // break the JSON line)
+        s""""capped_recall":${
+          if (nPairs == 0) 1.0
+          else math.round(nCapped.toDouble / nPairs * 10000) / 10000.0},""" +
         s""""clusters":$nClusters,"keeps":$nKeeps,""" +
         s""""sec":{"exact":$tExact,"shingle":$tShingle,"pairs":$tPairs,""" +
         s""""lsh":$tLsh,""" +

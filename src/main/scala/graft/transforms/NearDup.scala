@@ -101,8 +101,13 @@ object NearDup {
     * trusting a cap; [[minhashPairs]] keeps full recall without one.
     */
   def pairsCapped(sh: DataFrame, threshold: Double, maxDf: Long): DataFrame = {
+    // materialize the postings once: they feed the df aggregate and both
+    // probe sides of the self-join — without this the tokenize+shingle+
+    // hash scan re-runs per consumer (same rationale as pairs' counts
+    // checkpoint; at 100 TB the postings ARE the stored index artifact)
     val posts = sh
       .select(col("id"), explode(Text.hashedShingles(col("shs"))).as("h"))
+      .localCheckpoint()
     val cold = posts.groupBy(col("h"))
       .agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf)

@@ -100,17 +100,23 @@ class NearDupPropertySpec extends AnyFunSuite {
     val sh = NearDup.shingled(
       Tables.load(spark, sfDir, "documents"), "doc_id", "text")
       .localCheckpoint()
-    def set(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
-      df.select("doc_a", "doc_b").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def set(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.select("doc_a", "doc_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val exact = set(NearDup.pairs(sh, 0.5))
+    assert(exact.nonEmpty, "vacuous corpus: no pairs at 0.5")
     // a cap no shingle reaches ⇒ identical answer, jaccard values included
+    // (posting-count jaccard and array_intersect jaccard must agree)
     val uncapped = set(NearDup.pairsCapped(sh, 0.5, Long.MaxValue))
     assert(uncapped == exact,
       s"missing=${exact -- uncapped} spurious=${uncapped -- exact}")
-    // a tight cap may lose pairs but can never invent them
+    // a tight cap may lose pairs but can never invent them — and it must
+    // actually BITE here, or the subset property is tested vacuously
     val tight = set(NearDup.pairsCapped(sh, 0.5, 2L))
     assert((tight -- exact).isEmpty, s"spurious=${tight -- exact}")
+    assert(tight != exact,
+      "df <= 2 cap dropped nothing at sf0.001 — tighten the cap so the " +
+        "subset property is exercised on a genuinely removed pair")
   }
 
   test("clusters fails loud when the round cap is below the diameter") {

@@ -98,8 +98,25 @@ object Scale {
     // share identical signatures, so banding decisions at k replay the
     // k=1 decisions and LSH@k must be EXACTLY S·k(k−1)/2 intra-clique
     // + e08·k² cross pairs — a closed-form correctness check of the
-    // banded approximate path at every scale step.
-    val e08 = NearDup.pairs(sh1, LshThreshold).count()
+    // banded approximate path at every scale step. The 0.8-threshold
+    // docs-in-pairs/cluster counts feed the LSH-only mode's CC closed
+    // form (cluster count = c08 + (S − p08), same algebra as the 0.5
+    // path).
+    val pairs08 = NearDup.pairs(sh1, LshThreshold)
+      .select("doc_a", "doc_b").localCheckpoint()
+    val e08 = pairs08.count()
+    val p08 = pairs08.select(explode(array(col("doc_a"), col("doc_b"))))
+      .distinct().count()
+    val c08 = NearDup.clusters(pairs08)
+      .select(col("cluster_id")).distinct().count()
+    // Above this k the Θ(k²)-work exact stages (inverted-index pairs,
+    // capped pairs, exact-first) are skipped and CC/canonical run on the
+    // LSH pair set with the 0.8-threshold closed forms — the banded
+    // production pipeline end-to-end at corpus sizes the naive stage
+    // cannot reach in reasonable wall-clock. Opt-in:
+    //   SPARK_GRAFT_LSH_ONLY_ABOVE=16 SPARK_GRAFT_REPS=1,16,64 …
+    val lshOnlyAbove = sys.env.get("SPARK_GRAFT_LSH_ONLY_ABOVE")
+      .map(_.toInt).getOrElse(Int.MaxValue)
 
     // ---- kNN ground truth: brute-force cosine top-5 (q34's exact shape)
     // for 50 query vectors over the base embeddings. At k, every neighbor
@@ -169,17 +186,26 @@ object Scale {
       val badGroups = dedupGroups.where(col("n_copies") % k =!= 0).count()
       val distinctTexts = dedupGroups.count()
 
+      // full mode runs every stage; LSH-only mode (k above the opt-in
+      // bound) skips the Θ(k²)-work exact stages and drives CC/canonical
+      // from the banded pair set with the 0.8-threshold closed forms
+      val full = k <= lshOnlyAbove
+
       val (sh, tShingle) = timed {
         NearDup.shingled(docs, "doc_id", "text").localCheckpoint()
       }
-      val (pairs, tPairs) = timed {
-        NearDup.pairs(sh, Threshold)
-          .select("doc_a", "doc_b").localCheckpoint()
-      }
-      val nPairs = pairs.count()
-      val docsInPairs = pairs
-        .select(explode(array(col("doc_a"), col("doc_b"))))
-        .distinct().count()
+      val (pairsOpt, tPairs) =
+        if (full) {
+          val (p, t) = timed {
+            NearDup.pairs(sh, Threshold)
+              .select("doc_a", "doc_b").localCheckpoint()
+          }
+          (Some(p), t)
+        } else (None, -1.0)
+      val nPairs = pairsOpt.fold(-1L)(_.count())
+      val docsInPairs = pairsOpt.fold(-1L)(
+        _.select(explode(array(col("doc_a"), col("doc_b"))))
+          .distinct().count())
 
       val (lshPairs, tLsh) = timed {
         NearDup.minhashPairs(sh, LshThreshold)
@@ -193,15 +219,19 @@ object Scale {
       // verification after. MUST be a subset of the exact answer (no
       // false positives by construction); recall is corpus-dependent and
       // REPORTED, not assumed.
-      val (cappedPairs, tCapped) = timed {
-        NearDup.pairsCapped(sh, Threshold, 4L * k)
-          .select("doc_a", "doc_b").localCheckpoint()
+      val (nCapped, cappedSpurious, tCapped) = pairsOpt match {
+        case Some(p) =>
+          val (capped, t) = timed {
+            NearDup.pairsCapped(sh, Threshold, 4L * k)
+              .select("doc_a", "doc_b").localCheckpoint()
+          }
+          (capped.count(), capped.except(p).count(), t)
+        case None => (-1L, 0L, -1.0)
       }
-      val nCapped = cappedPairs.count()
-      val cappedSpurious = cappedPairs.except(pairs).count()
 
       val (labels, tCc) = timed {
-        NearDup.clusters(pairs).toDF("doc_id", "cluster_id").localCheckpoint()
+        NearDup.clusters(pairsOpt.getOrElse(lshPairs))
+          .toDF("doc_id", "cluster_id").localCheckpoint()
       }
       val clusterSizes = labels.groupBy(col("cluster_id"))
         .agg(count(lit(1)).as("sz")).localCheckpoint()
@@ -212,22 +242,24 @@ object Scale {
       // The near-dup stages must now cost the same at every k (their
       // input is the constant survivor set); the pair set must equal the
       // k=1 survivor pairs with ids scaled by maxRep — exactly.
-      val (pairsEf, tEfPairs) = timed {
-        val surv = docs.groupBy(col("text"))
-          .agg(min(col("doc_id")).as("doc_id"))
-          .select(col("doc_id"), col("text"))
-          .repartition(spark.sparkContext.defaultParallelism)
-        NearDup.pairs(
-            NearDup.shingled(surv, "doc_id", "text"), Threshold)
-          .select("doc_a", "doc_b").localCheckpoint()
-      }
-      val efDiff = pairsEf
-        .except(pairsD1.select((col("doc_a") * maxRep).as("doc_a"),
-          (col("doc_b") * maxRep).as("doc_b")))
-        .count() + pairsD1
-        .select((col("doc_a") * maxRep).as("doc_a"),
-          (col("doc_b") * maxRep).as("doc_b"))
-        .except(pairsEf).count()
+      val (efDiff, efCount, tEfPairs) =
+        if (!full) (0L, e1d, -1.0)
+        else {
+          val (pairsEf, t) = timed {
+            val surv = docs.groupBy(col("text"))
+              .agg(min(col("doc_id")).as("doc_id"))
+              .select(col("doc_id"), col("text"))
+              .repartition(spark.sparkContext.defaultParallelism)
+            NearDup.pairs(
+                NearDup.shingled(surv, "doc_id", "text"), Threshold)
+              .select("doc_a", "doc_b").localCheckpoint()
+          }
+          val mapped = pairsD1.select(
+            (col("doc_a") * maxRep).as("doc_a"),
+            (col("doc_b") * maxRep).as("doc_b"))
+          (pairsEf.except(mapped).count() + mapped.except(pairsEf).count(),
+            pairsEf.count(), t)
+        }
 
       // ---- kNN under replication: queries are copy 0 of the k=1 query
       // panel; every base neighbor expands to its k copies in id order.
@@ -263,30 +295,35 @@ object Scale {
       val nKeeps = keeps.count()
 
       val expPairs = s1 * k.toLong * (k - 1) / 2 + e1 * k.toLong * k
-      val expClusters = c1 + (if (k == 1) 0L else s1 - p1)
+      // CC runs on the 0.5 exact pairs in full mode, the 0.8 banded
+      // pairs in LSH-only mode — same component algebra, different
+      // k=1 ground truth
+      val expClusters =
+        if (full) c1 + (if (k == 1) 0L else s1 - p1)
+        else c08 + (if (k == 1) 0L else s1 - p08)
       val checks = Map(
         "distinct_texts" -> (distinctTexts == texts1),
         "dup_groups_divisible" -> (badGroups == 0L),
-        "pair_count" -> (nPairs == expPairs),
-        "docs_in_pairs" -> (docsInPairs ==
+        "pair_count" -> (!full || nPairs == expPairs),
+        "docs_in_pairs" -> (!full || docsInPairs ==
           (if (k == 1) p1 else s1 * k.toLong)),
         "cluster_count" -> (nClusters == expClusters),
         "cluster_sizes_divisible" -> (badClusters == 0L),
         "one_keep_per_cluster" -> (nKeeps == nClusters),
-        "exact_first_pair_set" -> (efDiff == 0L &&
-          pairsEf.count() == e1d),
+        "exact_first_pair_set" -> (efDiff == 0L && efCount == e1d),
         "lsh_equals_exact" -> (nLsh == expLsh),
         "knn_top5_expansion" -> knnOk,
         "capped_subset_of_exact" -> (cappedSpurious == 0L))
       val ok = checks.values.forall(identity)
       val line =
-        s"""{"metric":"scale","k":$k,"docs":$n,"pairs":$nPairs,""" +
+        s"""{"metric":"scale","k":$k,"mode":"${
+          if (full) "full" else "lsh_only"}","docs":$n,"pairs":$nPairs,""" +
         s""""lsh_pairs":$nLsh,"capped_pairs":$nCapped,""" +
         // Double.toString, not f"%.4f": the f-interpolator is
         // default-locale-dependent (a comma decimal separator would
         // break the JSON line)
         s""""capped_recall":${
-          if (nPairs == 0) 1.0
+          if (nPairs <= 0) -1.0
           else math.round(nCapped.toDouble / nPairs * 10000) / 10000.0},""" +
         s""""clusters":$nClusters,"keeps":$nKeeps,""" +
         s""""sec":{"exact":$tExact,"shingle":$tShingle,"pairs":$tPairs,""" +
@@ -299,13 +336,17 @@ object Scale {
       println(line)
       require(ok, s"scale invariants failed at k=$k: " +
         checks.filterNot(_._2).keys.mkString(", "))
-      (k, tShingle + tPairs + tCc + tCanon)
+      // pipeline total: the pair stage that actually drove CC
+      (k, tShingle + (if (full) tPairs else tLsh) + tCc + tCanon)
     }
 
     val t1 = lines.find(_._1 == 1).map(_._2)
-    for ((k, t) <- lines; t0 <- t1 if k > 1)
-      println(f"""{"metric":"scale_exponent","k":$k,""" +
-        f""""exponent":${math.log(t / t0) / math.log(k.toDouble)}%.3f}""")
+    for ((k, t) <- lines; t0 <- t1 if k > 1) {
+      // locale-independent formatting (see capped_recall note)
+      val exp = math.round(math.log(t / t0) / math.log(k.toDouble) * 1000) /
+        1000.0
+      println(s"""{"metric":"scale_exponent","k":$k,"exponent":$exp}""")
+    }
     spark.stop()
   }
 }

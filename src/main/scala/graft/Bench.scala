@@ -92,9 +92,15 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // A failed query records -1 per-query; summing that into the headline
+    // would make a FAILING run look FASTER than a clean one to a harness
+    // scraping only the total. Any failure → total = -1 (unmistakably
+    // broken) + the failed names, never a plausible-looking number.
+    val failed = results.filter(_._2 < 0).map(_._1)
+    val total = if (failed.nonEmpty) -1.0 else results.map(_._2).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"agg":"min"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","passes":$passes,"agg":"min"}"""
     println(json)
     // Belt-and-braces for harnesses that scrape logged (prefixed) stdout:
     // leave the same line in a well-known file too.

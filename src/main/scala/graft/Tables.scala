@@ -17,13 +17,21 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark rejects natively;
-      // read the raw int64 nanos and downcast to microsecond TimestampType.
-      // Oracle side must use CAST(ts AS TIMESTAMP) for the same truncation.
+      // events.ts has varied by generator version: TIMESTAMP(NANOS) (which
+      // Spark only reads as a raw int64 via nanosAsLong) or TIMESTAMP(MICROS)
+      // isAdjustedToUTC=false (read natively as TIMESTAMP_NTZ). Normalize
+      // both to microsecond TimestampType — sessions run UTC, so the NTZ →
+      // instant reinterpretation preserves the wall-clock values the DuckDB
+      // oracle sees. Oracle side uses CAST(ts AS TIMESTAMP) either way.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$sfDir/$name.parquet")
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        .select(raw.columns.map(col): _*)
+      val ts = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          expr("timestamp_micros(ts div 1000)") // raw nanos
+        case org.apache.spark.sql.types.TimestampType => col("ts")
+        case _ => col("ts").cast("timestamp") // TIMESTAMP_NTZ (micros)
+      }
+      raw.withColumn("ts", ts).select(raw.columns.map(col): _*)
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 

@@ -133,6 +133,10 @@ object Aql {
         s"connection $connName: $k must be an integer, got '$v'") }
     }
     val numParts = intOpt("NUM_PARTITIONS")
+    // n = 1 legitimately means single-connection; n < 1 is a config error
+    // (same strict-parse rationale as rejecting '4.9' above)
+    numParts.filter(_ < 1).foreach(n => throw AqlError(
+      s"connection $connName: NUM_PARTITIONS must be >= 1, got $n"))
     var r = spark.read.format("jdbc").option("url", url)
     intOpt("FETCH_SIZE").foreach(f => r = r.option("fetchsize", f.toString))
     numParts.filter(_ > 1) match {

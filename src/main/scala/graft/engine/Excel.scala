@@ -240,6 +240,42 @@ object Excel {
     "True" -> true, "0" -> false, "f" -> false, "F" -> false,
     "FALSE" -> false, "false" -> false, "False" -> false)
 
+  /** Go reference-layout → java.time pattern translation. The reference's
+    * DATEFORMAT option takes a Go `time.Parse` layout — a literal rendering
+    * of the magic instant `Mon Jan 2 15:04:05 MST 2006`
+    * (excel_source.go:256-268) — so a script ported from the reference
+    * carries strings like `2006-01-02 15:04:05`. A layout containing the
+    * Go year token `2006` is translated token-for-token (longest match
+    * first; literal letters are quoted); anything else is treated as a
+    * java.time pattern directly, so both dialects work. Offsets parse as
+    * wall-clock fields; the probe pins custom-format timestamps to UTC
+    * (same divergence note as before — Go applies the parsed offset).
+    */
+  def goLayoutToJavaPattern(layout: String): String = {
+    val tokens = Seq(
+      "2006" -> "yyyy", "January" -> "MMMM", "Jan" -> "MMM",
+      "Monday" -> "EEEE", "Mon" -> "EEE",
+      ".000000000" -> ".SSSSSSSSS", ".000000" -> ".SSSSSS", ".000" -> ".SSS",
+      "-07:00" -> "XXX", "-0700" -> "Z", "Z07:00" -> "XXX",
+      "MST" -> "zzz",
+      "15" -> "HH", "01" -> "MM", "02" -> "dd", "03" -> "hh",
+      "04" -> "mm", "05" -> "ss", "06" -> "yy",
+      "PM" -> "a", "pm" -> "a",
+      "1" -> "M", "2" -> "d", "3" -> "h", "4" -> "m", "5" -> "s")
+    val sb = new StringBuilder
+    var i = 0
+    while (i < layout.length) {
+      tokens.find { case (go, _) => layout.startsWith(go, i) } match {
+        case Some((go, java)) => sb ++= java; i += go.length
+        case None =>
+          val c = layout.charAt(i)
+          if (c.isLetter) { sb += '\''; sb += c; sb += '\'' } else sb += c
+          i += 1
+      }
+    }
+    sb.toString
+  }
+
   /** The reference's cell probe (excel_source.go:226-272): int → float →
     * bool → datetime → string; empty cell stays "" (and flags the row).
     */
@@ -252,7 +288,18 @@ object Excel {
       try {
         val inst = dateFormat match {
           case Some(fmt) =>
-            val f = java.time.format.DateTimeFormatter.ofPattern(fmt)
+            val pattern =
+              if (fmt.contains("2006")) goLayoutToJavaPattern(fmt) else fmt
+            // missing time fields default to midnight so date-only
+            // formats (Go `02/01/2006`, java `yyyy-MM-dd`) probe as
+            // timestamps instead of falling through to string
+            import java.time.temporal.ChronoField._
+            val f = new java.time.format.DateTimeFormatterBuilder()
+              .appendPattern(pattern)
+              .parseDefaulting(HOUR_OF_DAY, 0)
+              .parseDefaulting(MINUTE_OF_HOUR, 0)
+              .parseDefaulting(SECOND_OF_MINUTE, 0)
+              .toFormatter()
             java.time.LocalDateTime.parse(display, f)
               .atZone(java.time.ZoneOffset.UTC).toInstant
           case None => java.time.OffsetDateTime.parse(display).toInstant

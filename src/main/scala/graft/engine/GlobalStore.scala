@@ -23,6 +23,7 @@ import scala.jdk.CollectionConverters._
 final class GlobalStore(spark: SparkSession) {
 
   private val tables = mutable.LinkedHashMap.empty[String, DataFrame]
+  private val appendDepth = mutable.Map.empty[String, Int].withDefaultValue(0)
 
   def tableNames: Seq[String] = tables.keys.toSeq
 
@@ -33,10 +34,24 @@ final class GlobalStore(spark: SparkSession) {
     df.createOrReplaceTempView(name)
   }
 
+  /** Appends every 8 unions are truncated with a lazy localCheckpoint:
+    * a script looping appends would otherwise build a linearly deepening
+    * union lineage whose analysis cost grows per statement. Lazy, so
+    * nothing materializes until the table is actually read; the cap
+    * keeps plan depth O(1) per read regardless of append count.
+    */
   def append(name: String, df: DataFrame): Unit =
     tables.get(name.toUpperCase) match {
-      case Some(existing) => register(name, existing.unionByName(df,
-        allowMissingColumns = true))
+      case Some(existing) =>
+        val unioned = existing.unionByName(df, allowMissingColumns = true)
+        val depth = appendDepth(name.toUpperCase) + 1
+        if (depth % 8 == 0) {
+          appendDepth(name.toUpperCase) = 0
+          register(name, unioned.localCheckpoint(false))
+        } else {
+          appendDepth(name.toUpperCase) = depth
+          register(name, unioned)
+        }
       case None => register(name, df)
     }
 

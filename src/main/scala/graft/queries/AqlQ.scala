@@ -303,5 +303,118 @@ object AqlQ {
            |) INTO CONNECTION Out""".stripMargin
       Aql.run(s, script).outputs("FINAL")
     },
+
+    // q120 with METHOD LSH: the banded-MinHash candidate path
+    // (transforms/NearDup.minhashPairs — the generator SCALING.md
+    // measures 13–18× faster than the exact postings join under
+    // duplication) driven through the language layer. The oracle is
+    // q120's recursive-CTE pipeline VERBATIM — i.e. the gate asserts
+    // the LSH survivor set hash-matches the exact path's: banding at
+    // threshold 0.5 auto-selects 64 bands × 2 rows (NearDup.autoBands),
+    // per-pair miss ≤ 1e-8 at the boundary, and every candidate is
+    // exact-verified, so the pair graph — and thus clusters, canonical
+    // picks, and survivors — is identical.
+    QueryDef(
+      "q124_aql_neardedup_lsh",
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ws
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |                   for i in range(1, len(ws) - 1)]) AS sh
+        |  FROM w WHERE len(ws) >= 3),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM p
+        |  UNION ALL SELECT doc_b, doc_a FROM p),
+        |reach AS (
+        |  WITH RECURSIVE r(id, label) AS (
+        |    SELECT src, src FROM edges
+        |    UNION
+        |    SELECT e.dst, r.label FROM r JOIN edges e ON e.src = r.id)
+        |  SELECT * FROM r),
+        |cl AS (SELECT id AS doc_id, MIN(label) AS cluster_id
+        |  FROM reach GROUP BY id),
+        |m AS (SELECT cl.doc_id, cl.cluster_id, length(d.text) AS len
+        |  FROM cl JOIN documents d USING (doc_id)),
+        |win AS (
+        |  SELECT doc_id FROM m
+        |  QUALIFY row_number() OVER (PARTITION BY cluster_id
+        |    ORDER BY len DESC, doc_id) = 1),
+        |losers AS (
+        |  SELECT doc_id FROM m
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM win))
+        |SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin) {
+      (s, dir) =>
+      val outDir = java.nio.file.Files.createTempDirectory("graft_q124")
+      Advanced.registerTmpDir(outDir)
+      val out = outDir.resolve("survivors").toString
+      val script =
+        s"""CONNECTION 'Docs' (
+           |  DRIVER = 'file', FILE = '$dir/documents.parquet',
+           |  FORMAT = 'parquet'
+           |)
+           |CONNECTION 'Out' (
+           |  DRIVER = 'file', FILE = '$out', FORMAT = 'parquet'
+           |)
+           |
+           |TRANSFORM 'Survivors' FROM CONNECTION Docs (
+           |  NEARDEDUP ON text KEY doc_id THRESHOLD 0.5 METHOD LSH
+           |)
+           |
+           |QUERY 'Final' FROM BLOCK Survivors (
+           |  SELECT doc_id, lang, source, n_chars FROM Survivors
+           |) INTO CONNECTION Out""".stripMargin
+      Aql.run(s, script).outputs("FINAL")
+    },
+
+    // Similarity search through the language layer: the KNN verb
+    // (transforms/TransformParser.scala KnnVerb → transforms/VecKnn) in
+    // its METHOD EXACT baseline, on q34's exact scenario — so the oracle
+    // is q34's brute-force cosine SQL verbatim, pinning the verb's
+    // prep (cast/norm), query-predicate routing, self-exclusion, cosine
+    // math (left-fold dot, 1e-6 round), and (cosine DESC, id) ranking
+    // cross-engine. The ANN methods (LSH/IVF) share every stage but
+    // candidate generation and carry recall floors in PipelineSpec.
+    QueryDef(
+      "q125_aql_knn_verb",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |  sqrt(list_reduce(list_prepend(0.0, [x*x for x in v]), (a,b) -> a+b)) AS nrm
+        |  FROM e),
+        |s AS (SELECT q.vec_id AS qid, c.vec_id AS neighbor_id,
+        |  round(list_reduce(list_prepend(0.0,
+        |      [q.v[i] * c.v[i] for i in range(1, len(q.v)+1)]), (a,b) -> a+b)
+        |    / (q.nrm * c.nrm), 6) AS cosine
+        |  FROM n q JOIN n c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 100)
+        |SELECT qid, neighbor_id, cosine, rank FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY qid ORDER BY cosine DESC, neighbor_id) AS rank FROM s)
+        |WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      val outDir = java.nio.file.Files.createTempDirectory("graft_q125")
+      Advanced.registerTmpDir(outDir)
+      val out = outDir.resolve("knn").toString
+      val script =
+        s"""CONNECTION 'Emb' (
+           |  DRIVER = 'file', FILE = '$dir/embeddings.parquet',
+           |  FORMAT = 'parquet'
+           |)
+           |CONNECTION 'Out' (
+           |  DRIVER = 'file', FILE = '$out', FORMAT = 'parquet'
+           |)
+           |
+           |TRANSFORM 'Knn' FROM CONNECTION Emb (
+           |  KNN ON embedding KEY vec_id TOP 5 METHOD EXACT
+           |    QUERIES vec_id < 100
+           |) INTO CONNECTION Out""".stripMargin
+      Aql.run(s, script).outputs("KNN")
+    },
   )
 }

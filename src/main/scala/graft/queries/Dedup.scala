@@ -135,6 +135,85 @@ object Dedup {
         .where(col("hamming") <= 3)
     },
 
+    // ---- SimHash with an engine-portable hash: the q33 pipeline made
+    // oracle-checkable. q33's fingerprint rides xxhash64 bit patterns
+    // DuckDB cannot reproduce, so it carries a recall spec instead of a
+    // hash match; THIS gate rebuilds the identical construction — per-
+    // token hash → ±1 bit votes → sign fingerprint → banded blocking →
+    // hamming verify — from md5-derived 60-bit token hashes (the
+    // q69/q109/q111 portability trick: conv(substr(md5(x),1,15)) is
+    // bit-identical in both engines), so DuckDB replays signature AND
+    // banding bit-for-bit and the driver hash-compares the pair set.
+    // Bands are 4 × 15 bits (pigeonhole: hamming ≤ 3 ⇒ ≥ 1 band equal).
+    // The native-codegen xxhash64 expression stays the bench path; this
+    // is the correctness pin for the construction.
+    QueryDef(
+      "q126_simhash_portable",
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ws
+        |  FROM documents),
+        |tok AS (SELECT doc_id, t FROM w, unnest(ws) AS u(t)),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h
+        |  FROM tok),
+        |b AS (
+        |  SELECT doc_id, j,
+        |    SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS wgt
+        |  FROM h, unnest(range(0, 60)) AS r(j)
+        |  GROUP BY doc_id, j),
+        |sh AS (
+        |  SELECT doc_id,
+        |    SUM(CASE WHEN wgt > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+        |      AS simhash
+        |  FROM b GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, simhash, band,
+        |    (simhash >> (band * 15)) & 32767 AS bv
+        |  FROM sh, unnest([0, 1, 2, 3]) AS bb(band)),
+        |p AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+        |    CAST(bit_count(xor(a.simhash, c.simhash)) AS INTEGER) AS hamming
+        |  FROM bands a JOIN bands c
+        |    ON a.band = c.band AND a.bv = c.bv AND a.doc_id < c.doc_id)
+        |SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 3""".stripMargin) {
+      (s, dir) =>
+      val h = docs(s, dir)
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("t"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("t")), 1, 15), 16, 10)
+            .cast("long").as("h"))
+      // token × bit fan-out (60× rows) → one (doc, bit) partial-agg
+      // shuffle; weights collapse map-side, then 60 rows per doc fold
+      // into the fingerprint — vocab-independent shuffle volume
+      val fp = h
+        .select(col("doc_id"), col("h"),
+          explode(sequence(lit(0), lit(59))).as("j"))
+        .select(col("doc_id"), col("j"),
+          when(expr("shiftright(h, j) & 1") === 1, lit(1))
+            .otherwise(lit(-1)).as("sign"))
+        .groupBy(col("doc_id"), col("j"))
+        .agg(sum(col("sign")).as("wgt"))
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("wgt") > 0,
+          expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L))
+          .as("simhash"))
+      val bands = fp.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("simhash"), b * 15)
+              .bitwiseAND(lit(0x7FFFL)).as("bv"))): _*)).as("bk"))
+        .select(col("doc_id"), col("simhash"),
+          col("bk.band").as("band"), col("bk.bv").as("bv"))
+      bands.toDF("doc_a", "sh_a", "band", "bv")
+        .join(bands.toDF("doc_b", "sh_b", "band", "bv"), Seq("band", "bv"))
+        .where(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          expr("CAST(bit_count(sh_a ^ sh_b) AS INT)").as("hamming"))
+        .distinct()
+        .where(col("hamming") <= 3)
+    },
+
     // ---- Embedding-cosine near-dup: LSH-blocked, exact-verified. ----
     // Candidate pairs come from sign-LSH bucket collisions (32 tables × 4
     // bits over deterministic hyperplanes), then the true cosine is

@@ -20,14 +20,34 @@ object StreamingQ {
   private val ZohStartUs = 1704844800000000L
   private val ZohEndUs = 1706140800000000L
 
-  // events.parquet raw schema (ts is parquet TIMESTAMP(NANOS) → read as long)
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** events.parquet stream with `ts` normalized to microsecond
+    * TimestampType. The generator's physical ts type has varied across
+    * rounds (see Tables.load): TIMESTAMP(NANOS) — readable only as raw
+    * int64 via nanosAsLong — or TIMESTAMP(MICROS) isAdjustedToUTC=false
+    * (TIMESTAMP_NTZ). readStream needs an explicit schema up front, so
+    * probe the batch footer (schema-only, no data scan) and build the
+    * matching stream schema + conversion.
+    */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = s.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val raw = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    val stream = s.readStream.schema(raw)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val ts = tsType match {
+      case LongType => expr("timestamp_micros(ts div 1000)")
+      case TimestampType => col("ts")
+      case _ => col("ts").cast("timestamp") // NTZ; sessions run UTC
+    }
+    stream.withColumn("ts", ts)
+  }
 
   /** Start `df` as an AvailableNow memory-sink stream, block until the
     * bounded input is drained, and return the sink table.
@@ -69,7 +89,15 @@ object StreamingQ {
         .option("checkpointLocation", ckpt.toString)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      try { q.awaitTermination(120000); () } finally {
+      // a false return = the stream is still running after the timeout; the
+      // partially-drained memory sink would surface as a confusing
+      // cross-engine mismatch instead of a clear failure — fail loudly
+      try {
+        if (!q.awaitTermination(120000))
+          throw new IllegalStateException(
+            s"stream $viewName did not terminate within 120 s " +
+              "(AvailableNow drain hung); sink contents are partial")
+      } finally {
         if (sys.env.contains("GRAFT_STREAM_DEBUG"))
           q.recentProgress.foreach(p => System.err.println(
             s"[stream-debug] $viewName batch=${p.batchId} rows=${p.numInputRows} " +
@@ -98,12 +126,8 @@ object StreamingQ {
         |  event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val viewName = s"q22_mem_${java.util.UUID.randomUUID().toString.take(8)}"
-      val stream = s.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val stream = eventsStream(s, dir)
       val agg = stream
         .groupBy(window(col("ts"), "6 hours"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).cast("double").as("total"))
@@ -161,15 +185,11 @@ object StreamingQ {
         | AND p.event_type = 'purchase' AND c.event_type = 'click'
         | AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
         | AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)""".stripMargin) { (s, dir) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val viewName = s"q50_mem_${java.util.UUID.randomUUID().toString.take(8)}"
       // ONE source self-joined (not two readStream instances): both sides
       // share a single file-source log and listing per microbatch — the
       // second source would double the per-batch source bookkeeping.
-      val src = s.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val src = eventsStream(s, dir)
       val purchases = src.filter(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("user_id"),
                 col("ts").as("p_ts"))
@@ -207,11 +227,8 @@ object StreamingQ {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val viewName = s"q113_mem_${java.util.UUID.randomUUID().toString.take(8)}"
-      val stream = s.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
+      val stream = eventsStream(s, dir)
       val dim = Tables.load(s, dir, "customer")
         .select(col("c_custkey"), col("c_mktsegment"))
       val agg = stream
@@ -235,12 +252,8 @@ object StreamingQ {
       """SELECT DISTINCT user_id, event_type,
         |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day
         |FROM events""".stripMargin) { (s, dir) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val viewName = s"q52_mem_${java.util.UUID.randomUUID().toString.take(8)}"
-      val stream = s.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val stream = eventsStream(s, dir)
         .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
         .withWatermark("ts", "1 day")
         .dropDuplicates("user_id", "event_type", "day")
@@ -280,14 +293,11 @@ object StreamingQ {
          |FROM seg GROUP BY user_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val viewName = s"q61_mem_${java.util.UUID.randomUUID().toString.take(8)}"
-      val stream = s.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
+      val stream = eventsStream(s, dir)
         .filter(col("event_type") === "purchase")
         .select(col("user_id"),
-          expr("ts div 1000").as("t_us"), // nanos → micros
+          unix_micros(col("ts")).as("t_us"),
           col("value"))
         .as[(Long, Long, Double)]
       val update = (user: Long, rows: Iterator[(Long, Long, Double)],
@@ -351,13 +361,9 @@ object StreamingQ {
         |SELECT purchase_id, click_id FROM j
         |WHERE click_id IS NOT NULL OR p_ts < (SELECT w FROM wm)""".stripMargin) {
       (s, dir) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val viewName = s"q121_mem_${java.util.UUID.randomUUID().toString.take(8)}"
       // one source self-joined, as in q50 (single file-source log/listing)
-      val src = s.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val src = eventsStream(s, dir)
       val purchases = src.filter(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("user_id"),
                 col("ts").as("p_ts"))

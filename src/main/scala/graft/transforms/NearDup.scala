@@ -152,6 +152,115 @@ object NearDup {
     verifyPairs(cand, sh, threshold)
   }
 
+  /** (id, band, bh): LSH band keys for every doc — one row per (doc,
+    * band). Shared by [[minhashPairs]], [[minhashPairsStar]] and
+    * [[bandHeavyHitters]] so the three can never disagree on banding.
+    */
+  private def bandKeys(sh: DataFrame, numPerm: Int, numBands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val sig = sh.select(col("id"), Text.hashedShingles(col("shs")).as("hs"))
+      .select(col("id"),
+        Text.minhashSigFromHashes(col("hs"), numPerm).as("sig"))
+    sig
+      .select(col("id"),
+        explode(Text.lshBands(col("sig"), numBands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+  }
+
+  /** Per-band-bucket document frequencies ≥ `minF` — the heavy-hitter
+    * diagnostic for the banded pipeline (q87's sketch shape applied to
+    * band keys). Near-identical FAMILIES that exact-first collapse
+    * cannot merge (boilerplate with per-page mutations) put all f family
+    * members into the same bucket in every band, and the bucket
+    * self-join then costs f² candidates there. Returns (band, bh, f)
+    * for buckets at or above `minF`: run it before a big LSH job; the
+    * mass it reports is exactly where [[minhashPairsStar]]'s anchor
+    * split caps the quadratic term. The frame is vocab-bounded (one row
+    * per hot bucket) and fully partial-aggregatable.
+    */
+  def bandHeavyHitters(sh: DataFrame, minF: Long,
+      numPerm: Int = 128, numBands: Int = 32,
+      rowsPerBand: Int = 4): DataFrame =
+    bandKeys(sh, numPerm, numBands, rowsPerBand)
+      .groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("f"))
+      .where(col("f") >= minF)
+
+  /** [[minhashPairs]] with a hot-bucket star split — the cap-or-split
+    * strategy for band skew. Buckets with ≤ `starAbove` docs emit all
+    * pairs (identical to [[minhashPairs]]); hotter buckets emit only
+    * (anchor = min id in bucket, member) star edges — LINEAR in bucket
+    * size instead of quadratic. All candidates are exact-verified.
+    *
+    * What this trades, precisely: the full pair LIST of a hot bucket is
+    * Θ(f²) — if the f docs are genuinely pairwise-similar, that output
+    * is itself quadratic and no algorithm emits it in sub-quadratic
+    * work. But CONNECTED COMPONENTS (the dedup consumer) only needs a
+    * spanning structure per cluster: a verified star reaches every
+    * member in one hop. The star preserves cluster membership whenever
+    * anchor↔member similarity clears the threshold — true for
+    * homogeneous near-dup families (the thing that makes buckets hot);
+    * a member whose only qualifying partners are non-anchor members of
+    * hot buckets can be lost (measured, not assumed: graft.SkewScale
+    * drives a mutated-copy family through both paths and requires
+    * CLUSTER equality while candidate work drops from Θ(f²) to Θ(f)).
+    * Pair-list consumers (q31-style audits) should use [[minhashPairs]]
+    * or cold buckets only.
+    */
+  def minhashPairsStar(sh: DataFrame, threshold: Double,
+      starAbove: Long, numPerm: Int = 128, numBands: Int = 32,
+      rowsPerBand: Int = 4): DataFrame = {
+    // bands feed the size aggregate and both join sides — materialize once
+    val bands = bandKeys(sh, numPerm, numBands, rowsPerBand)
+      .localCheckpoint()
+    val sizes = bands.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("f"), min(col("id")).as("anchor"))
+      .localCheckpoint()
+    val coldKeys = sizes.where(col("f") <= starAbove)
+      .select(col("band"), col("bh"))
+    // join puts the (band, bh) keys first — re-select before renaming
+    val cold = bands.join(coldKeys, Seq("band", "bh"))
+      .select(col("id"), col("band"), col("bh"))
+    val coldPairs = cold.toDF("doc_a", "band", "bh")
+      .join(cold.toDF("doc_b", "band", "bh"), Seq("band", "bh"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+    // anchor = bucket min id, so (anchor, member) is already ordered
+    val hotPairs = bands
+      .join(sizes.where(col("f") > starAbove)
+        .select(col("band"), col("bh"), col("anchor")), Seq("band", "bh"))
+      .where(col("id") =!= col("anchor"))
+      .select(col("anchor").as("doc_a"), col("id").as("doc_b"))
+    verifyPairs(coldPairs.union(hotPairs).distinct(), sh, threshold)
+  }
+
+  /** Pick (numBands, rowsPerBand) for a banded MinHash signature so that
+    * a pair at exactly `threshold` true Jaccard is missed with
+    * probability ≤ 1e-6 — i.e. LSH candidate generation is (for any
+    * realistic corpus) indistinguishable from the exact inverted-index
+    * join, while candidate mass stays ∝ collision probability above the
+    * threshold. Fewer bands = fewer spurious candidates, so we take the
+    * FEWEST-bands config that still meets the recall bound: per-pair
+    * miss prob is (1 − t^r)^b with b·r = numPerm.
+    *
+    * Throws when no config over `numPerm` permutations meets the bound
+    * (threshold ≲ 0.105 at 128 perms) — at that point "near-duplicate"
+    * means "shares almost anything" and the caller should raise the
+    * threshold or choose the exact method.
+    */
+  def autoBands(threshold: Double, numPerm: Int = 128): (Int, Int) = {
+    val rowChoices = Seq(16, 8, 4, 2, 1).filter(numPerm % _ == 0)
+    rowChoices.iterator
+      .map(r => (numPerm / r, r))
+      .find { case (b, r) =>
+        math.pow(1.0 - math.pow(threshold, r), b) <= 1e-6
+      }
+      .getOrElse(throw new IllegalArgumentException(
+        s"no ($numPerm-permutation) LSH banding reaches 1e-6 recall at " +
+          s"threshold $threshold; raise the threshold (>= ~0.11 at 128 " +
+          "perms) or use the exact method / explicit BANDS-ROWS"))
+  }
+
   /** Exact-Jaccard verification of candidate pairs: joins the shingle
     * arrays onto (doc_a, doc_b) candidates and keeps true-jaccard ≥
     * threshold. The candidate frame is collision-bounded (sub-quadratic)

@@ -41,10 +41,11 @@ object TransformParser {
       case "QUOTA" => QuotaParser.parse(t)
       case "MERGE" => MergeParser.parse(t)
       case "NEARDEDUP" => NearDedupParser.parse(t)
+      case "KNN" => KnnParser.parse(t)
       case other => throw TransformError(
         s"unknown transform verb '$other' " +
           "(expected AGGREGATE|LOOKUP|APPLY|DEDUP|FILTER|SAMPLE|QUOTA|" +
-          "MERGE|NEARDEDUP)")
+          "MERGE|NEARDEDUP|KNN)")
     }
   }
 
@@ -503,6 +504,17 @@ object TransformParser {
         throw TransformError(s"MERGE: unknown column $n in $base"))
       val keyNames = keys.map(named)
       val verName = named(ver)
+      // a string version column would compare lexicographically in the
+      // max(struct) reduce ('10' < '9'), silently picking wrong winners —
+      // reject non-orderable-by-recency types up front (mirrors
+      // NearDedupVerb's integral-key check)
+      b.schema.find(_.name.equalsIgnoreCase(verName)).map(_.dataType)
+        .foreach {
+          case _: NumericType | DateType | TimestampType => ()
+          case other => throw TransformError(
+            s"MERGE VERSION BY $verName must be numeric/date/timestamp, " +
+              s"got ${other.simpleString} (strings order lexicographically)")
+        }
       val others = cols.filterNot(n =>
         keyNames.contains(n) || n.equalsIgnoreCase(verName))
       // __pri 0/1 breaks version ties toward the change set
@@ -529,42 +541,93 @@ object TransformParser {
   // ------------------------------------------------------------- NEARDEDUP
 
   /** NEARDEDUP ON <textcol> KEY <keycol> [THRESHOLD <0-1>]
+    *           [METHOD EXACT|LSH [BANDS <b> ROWS <r>]]
     *
     * Beyond-parity verb (SURVEY §7.3): near-duplicate removal as a
-    * language operator — the q31→q47→q118 pipeline (exact 3-gram Jaccard
-    * pairs via inverted-index join → min-label connected components →
-    * one canonical survivor per cluster) applied to the primary source.
-    * The longest text in each near-dup cluster survives (lowest key
-    * breaks ties); rows that near-match nothing pass through untouched,
-    * including rows too short to shingle (< 3 tokens). Default threshold
-    * 0.5 matches the q31 gate.
+    * language operator — the q31→q47→q118 pipeline (3-gram Jaccard
+    * pairs → min-label connected components → one canonical survivor
+    * per cluster) applied to the primary source. The longest text in
+    * each near-dup cluster survives (lowest key breaks ties); rows that
+    * near-match nothing pass through untouched, including rows too
+    * short to shingle (< 3 tokens). Default threshold 0.5 matches the
+    * q31 gate.
+    *
+    * METHOD picks the candidate-pair generator (default EXACT):
+    *   - EXACT — inverted-index join on hashed shingles
+    *     ([[NearDup.pairs]]): full recall, but a shingle shared by f
+    *     docs costs f² join work, so near-identical *families* (that
+    *     exact-first collapse can't merge) pay quadratic postings mass.
+    *   - LSH — banded MinHash ([[NearDup.minhashPairs]]): candidates ∝
+    *     true-collision mass, measured 13–18× faster at duplication
+    *     (SCALING.md) and sublinear to 320 k docs. Banding is auto-
+    *     chosen from the threshold ([[NearDup.autoBands]]: per-pair
+    *     miss ≤ 1e-6 at the threshold, fewest bands that achieve it)
+    *     unless BANDS/ROWS pins it. Candidates are exact-verified
+    *     either way, so LSH can only *miss* a pair (P ≤ 1e-6 at the
+    *     boundary), never admit a false one — the q124 gate hash-
+    *     matches its survivor set against the exact path's.
     *
     * Scale shape: see [[NearDup]] — the pair space is bounded by shared
-    * shingles (never O(n²)), postings join on 8-byte hashes, components
-    * converge in diameter rounds with a constant-depth checkpointed
-    * plan, and the final keep is a left-anti join against the (small)
-    * loser set, which AQE broadcasts while it fits. Identical texts are
-    * collapsed BEFORE pair generation (exact-first, see build) — the
-    * ordering SCALING.md measures as decisive under duplication.
+    * shingles / band collisions (never O(n²)), postings join on 8-byte
+    * hashes, components converge in diameter rounds with a constant-
+    * depth checkpointed plan, and the final keep is a left-anti join
+    * against the (small) loser set, which AQE broadcasts while it fits.
+    * Identical texts are collapsed BEFORE pair generation (exact-first,
+    * see build) — the ordering SCALING.md measures as decisive under
+    * duplication.
     */
   private object NearDedupParser {
     private val Re =
-      raw"(?is)^NEARDEDUP\s+ON\s+([A-Za-z_]\w*)\s+KEY\s+([A-Za-z_]\w*)(?:\s+THRESHOLD\s+([0-9]*\.?[0-9]+))?\s*$$".r
+      raw"(?is)^NEARDEDUP\s+ON\s+([A-Za-z_]\w*)\s+KEY\s+([A-Za-z_]\w*)(?:\s+THRESHOLD\s+([0-9]*\.?[0-9]+))?(?:\s+METHOD\s+([A-Za-z]+)(?:\s+BANDS\s+(\d+)\s+ROWS\s+(\d+))?)?\s*$$".r
 
     def parse(t: String): Verb = t.trim match {
-      case Re(text, key, th) =>
+      case Re(text, key, th, method, bands, rows) =>
         val threshold = Option(th).map(_.toDouble).getOrElse(0.5)
         if (threshold <= 0 || threshold > 1) throw TransformError(
           s"NEARDEDUP threshold $threshold out of range (0, 1]")
-        NearDedupVerb(text, key, threshold)
+        val m = Option(method).map(_.toUpperCase).getOrElse("EXACT")
+        if (m != "EXACT" && m != "LSH") throw TransformError(
+          s"NEARDEDUP METHOD $m unknown (expected EXACT or LSH)")
+        val br = (Option(bands), Option(rows)) match {
+          case (Some(b), Some(r)) => Some((b.toInt, r.toInt))
+          case _ => None // regex captures BANDS+ROWS together or not at all
+        }
+        br.foreach { case (b, r) =>
+          if (m != "LSH") throw TransformError(
+            "NEARDEDUP BANDS/ROWS only apply to METHOD LSH")
+          if (b < 1 || r < 1 || b * r > 128) throw TransformError(
+            s"NEARDEDUP BANDS $b ROWS $r invalid (need BANDS ≥ 1, " +
+              "ROWS ≥ 1, BANDS × ROWS ≤ 128 signature permutations)")
+        }
+        if (m == "LSH" && br.isEmpty)
+          try NearDup.autoBands(threshold)
+          catch { // surface the no-config case at parse time, not mid-job
+            case e: IllegalArgumentException => throw TransformError(
+              s"NEARDEDUP METHOD LSH: ${e.getMessage}")
+          }
+        NearDedupVerb(text, key, threshold, m, br)
       case _ => throw TransformError(
         "cannot parse NEARDEDUP (expected NEARDEDUP ON <textcol> " +
-          "KEY <keycol> [THRESHOLD <0-1>])")
+          "KEY <keycol> [THRESHOLD <0-1>] [METHOD EXACT|LSH " +
+          "[BANDS <n> ROWS <n>]])")
     }
   }
 
   final case class NearDedupVerb(textCol: String, key: String,
-      threshold: Double) extends Verb {
+      threshold: Double, method: String = "EXACT",
+      bandsRows: Option[(Int, Int)] = None) extends Verb {
+
+    /** Candidate-pair generation per METHOD — public so PlanSpec can
+      * assert the LSH verb joins on band keys instead of the exact
+      * postings self-join. `sh` columns: (id, shs) per NearDup.shingled.
+      */
+    def pairDf(sh: DataFrame): DataFrame = method match {
+      case "LSH" =>
+        val (b, r) = bandsRows.getOrElse(NearDup.autoBands(threshold))
+        NearDup.minhashPairs(sh, threshold,
+          numPerm = b * r, numBands = b, rowsPerBand = r)
+      case _ => NearDup.pairs(sh, threshold)
+    }
 
     def build(sources: Map[String, DataFrame], primary: DataFrame): DataFrame = {
       def named(n: String): StructField =
@@ -583,10 +646,13 @@ object TransformParser {
       // queries/Dedup.docs). Guarded: a many-split 100 TB corpus already
       // has the parallelism, and an unconditional repartition would
       // shuffle every text AND shrink thousands of scan splits down to
-      // the driver's core count.
+      // the driver's core count. The guard is PLAN-ONLY (optimizer size
+      // estimate vs ~16 MB/core), not an RDD probe — df.rdd would force
+      // physical planning + RDD lineage for a question the stats answer.
       val spreadPar = primary.sparkSession.sparkContext.defaultParallelism
       val spread =
-        if (primary.rdd.getNumPartitions < spreadPar)
+        if (primary.queryExecution.optimizedPlan.stats.sizeInBytes <=
+            BigInt(spreadPar.toLong) * (16L << 20))
           primary.repartition(spreadPar)
         else primary
       // EXACT-FIRST: collapse identical texts before pair generation and
@@ -618,7 +684,7 @@ object TransformParser {
         .localCheckpoint(false)
       val sh = NearDup.shingled(reps, "rep_id", "txt")
       val cl = NearDup.clusters(
-        NearDup.pairs(sh, threshold).select(col("doc_a"), col("doc_b")))
+        pairDf(sh).select(col("doc_a"), col("doc_b")))
       // identical-copy cliques: a shingle-able text with ≥ 2 copies is a
       // near-dup cluster by itself (J = 1) even when its rep pairs with
       // nothing; its min-label id is the rep id, matching what min-label
@@ -653,6 +719,113 @@ object TransformParser {
         .where(col("id") =!= col("__win"))
         .select(col("id").as(keyName))
       primary.join(losers, Seq(keyName), "left_anti")
+    }
+  }
+
+  // ------------------------------------------------------------------- KNN
+
+  /** KNN ON <veccol> KEY <keycol> [TOP <k>] [METHOD EXACT|LSH|IVF]
+    *     [TABLES <t>] [BITS <b>] [CELLS <c>] [PROBE <p>]
+    *     [QUERIES <sql-expr>]
+    *
+    * Beyond-parity verb (SURVEY §7.3): similarity search as a language
+    * operator, riding the q34/q35/q46 machinery ([[VecKnn]]). For every
+    * row matching QUERIES (default: all rows), emits its top-k cosine
+    * neighbors from the whole source, self excluded:
+    * (qid, neighbor_id, cosine, rank) with rank 1..k by (cosine DESC,
+    * neighbor id) — deterministic including ties.
+    *
+    * METHOD EXACT (default) is the brute-force baseline whose output
+    * hash-matches a DuckDB oracle (gate q125). METHOD LSH buckets by
+    * sign-LSH (TABLES × BITS, defaults 16 × 4) and METHOD IVF probes a
+    * seeded coarse quantizer (PROBE of CELLS cells, defaults 8 of 16);
+    * both exact-rerank their candidates, so they can only miss
+    * neighbors, never mis-rank the ones they find. Recall floors vs the
+    * exact baseline are asserted in PipelineSpec (≥ 0.8 at defaults on
+    * the sf0.001 panel).
+    */
+  private object KnnParser {
+    private val Re =
+      raw"(?is)^KNN\s+ON\s+([A-Za-z_]\w*)\s+KEY\s+([A-Za-z_]\w*)(?:\s+TOP\s+(\d+))?(?:\s+METHOD\s+([A-Za-z]+))?(?:\s+TABLES\s+(\d+))?(?:\s+BITS\s+(\d+))?(?:\s+CELLS\s+(\d+))?(?:\s+PROBE\s+(\d+))?(?:\s+QUERIES\s+(.+?))?\s*$$".r
+
+    def parse(t: String): Verb = t.trim match {
+      case Re(vec, key, top, method, tables, bits, cells, probe, queries) =>
+        val k = Option(top).map(_.toInt).getOrElse(5)
+        if (k < 1) throw TransformError(s"KNN TOP $k must be >= 1")
+        val m = Option(method).map(_.toUpperCase).getOrElse("EXACT")
+        if (!Set("EXACT", "LSH", "IVF").contains(m)) throw TransformError(
+          s"KNN METHOD $m unknown (expected EXACT, LSH or IVF)")
+        def only(name: String, v: Option[String], meth: String): Option[Int] = {
+          v.foreach(_ => if (m != meth) throw TransformError(
+            s"KNN $name only applies to METHOD $meth"))
+          v.map(_.toInt).map { n =>
+            if (n < 1) throw TransformError(s"KNN $name $n must be >= 1")
+            n
+          }
+        }
+        val tb = only("TABLES", Option(tables), "LSH")
+        val bi = only("BITS", Option(bits), "LSH")
+        val ce = only("CELLS", Option(cells), "IVF")
+        val pr = only("PROBE", Option(probe), "IVF")
+        for (c <- ce; p <- pr if p > c) throw TransformError(
+          s"KNN PROBE $p exceeds CELLS $c")
+        KnnVerb(vec, key, k, m, tb, bi, ce, pr,
+          Option(queries).map(_.trim))
+      case _ => throw TransformError(
+        "cannot parse KNN (expected KNN ON <veccol> KEY <keycol> " +
+          "[TOP <k>] [METHOD EXACT|LSH|IVF] [TABLES <t>] [BITS <b>] " +
+          "[CELLS <c>] [PROBE <p>] [QUERIES <expr>])")
+    }
+  }
+
+  final case class KnnVerb(vecCol: String, key: String, k: Int,
+      method: String, tables: Option[Int], bits: Option[Int],
+      cells: Option[Int], nprobe: Option[Int],
+      queries: Option[String]) extends Verb {
+
+    def build(sources: Map[String, DataFrame], primary: DataFrame): DataFrame = {
+      def named(n: String): StructField =
+        primary.schema.find(_.name.equalsIgnoreCase(n)).getOrElse(
+          throw TransformError(s"KNN: unknown column $n"))
+      val keyName = named(key).name
+      val vecName = named(vecCol).name
+      named(vecCol).dataType match {
+        case ArrayType(_: NumericType, _) => ()
+        case other => throw TransformError(
+          s"KNN ON $vecName must be a numeric array, got ${other.simpleString}")
+      }
+      // QUERIES resolves against the SOURCE schema (before the id/v
+      // projection renames), so the predicate can reference any column
+      val flagged = queries match {
+        case Some(q) =>
+          val p = try expr(q)
+            catch { case e: Exception => throw TransformError(
+              s"KNN QUERIES: cannot parse '$q': ${e.getMessage}") }
+          primary.withColumn("__isq", coalesce(p, lit(false)))
+        case None => primary.withColumn("__isq", lit(true))
+      }
+      // (id, v, nrm, __isq), spread across cores first — the dot-product
+      // stage is CPU-heavy and a small source may be one input split
+      // (plan-only stats guard, same rationale as NearDedupVerb's spread)
+      val base = flagged.select(col(keyName).as("id"),
+        col(vecName).cast("array<double>").as("v"), col("__isq"))
+      val par = primary.sparkSession.sparkContext.defaultParallelism
+      val spread =
+        if (primary.queryExecution.optimizedPlan.stats.sizeInBytes <=
+            BigInt(par.toLong) * (16L << 20)) base.repartition(par)
+        else base
+      val eAll = spread
+        .withColumn("nrm", graft.functions.Vectors.l2norm(col("v")))
+      val corpus = eAll.select(col("id"), col("v"), col("nrm"))
+      val queriesF = eAll.where(col("__isq"))
+        .select(col("id"), col("v"), col("nrm"))
+      method match {
+        case "LSH" => VecKnn.lsh(corpus, queriesF, k,
+          tables.getOrElse(16), bits.getOrElse(4))
+        case "IVF" => VecKnn.ivf(corpus, queriesF, k,
+          cells.getOrElse(16), nprobe.getOrElse(8))
+        case _ => VecKnn.exact(corpus, queriesF, k)
+      }
     }
   }
 

@@ -423,6 +423,31 @@ class AqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no column"))
   }
 
+  test("GLOBAL loop-appends: union lineage is capped, values intact") {
+    // 40 single-row INSERTs into one table: without the append cap the
+    // view's plan deepens by a Union per statement (linear analysis cost
+    // per read in an append-looping script); with the lazy-localCheckpoint
+    // cap every 8 appends the lineage stays O(1) deep and the data is
+    // unchanged.
+    val inserts = (1 to 40)
+      .map(i => s"  INSERT INTO T VALUES ($i, ${i * 10})").mkString(";\n")
+    val r = Aql.run(spark,
+      s"""GLOBAL 'Init' (
+         |  CREATE TABLE T (Id int, V int);
+         |$inserts
+         |)
+         |
+         |QUERY 'Check' FROM GLOBAL (
+         |  SELECT count(*) AS n, sum(V) AS s FROM T
+         |) INTO CONSOLE WITH (OUTPUT_FORMAT = 'JSON')""".stripMargin)
+    assert(r.console.head.contains("\"n\":40"), r.console.head)
+    assert(r.console.head.contains(s""""s":${(1 to 40).map(_ * 10).sum}"""),
+      r.console.head)
+    val unions = "Union".r
+      .findAllIn(spark.table("T").queryExecution.logical.toString).size
+    assert(unions < 10, s"append lineage not capped: $unions unions")
+  }
+
   test("EXEC USING PARAMETER binds ? placeholders against GLOBAL") {
     val r = Aql.run(spark,
       """DECLARE @Cutoff;
@@ -629,6 +654,12 @@ class AqlSpec extends AnyFunSuite {
     val bad = intercept[Exception](Aql.run(spark, script(
       ",\n  NUM_PARTITIONS = 4.9,\n  PARTITION_COLUMN = 'ID'")))
     assert(bad.getMessage.contains("must be an integer"), bad.getMessage)
+
+    // NUM_PARTITIONS <= 0 is a config error too (1 legitimately means
+    // single-connection; 0/negative can only be a typo)
+    val zero = intercept[Exception](Aql.run(spark, script(
+      ",\n  NUM_PARTITIONS = 0,\n  PARTITION_COLUMN = 'ID'")))
+    assert(zero.getMessage.contains("must be >= 1"), zero.getMessage)
   }
 
   test("TRANSACTIONAL sinks: all destinations commit together or not at all") {
@@ -1004,6 +1035,17 @@ class AqlSpec extends AnyFunSuite {
         |TRANSFORM 'M' FROM BLOCK D (MERGE D ON Id) INTO CONSOLE
         |""".stripMargin))
     assert(p.getMessage.contains("cannot parse MERGE"), p.getMessage)
+
+    // string VERSION BY rejected: '10' < '9' lexicographically would pick
+    // wrong winners silently
+    val v = intercept[Exception](Aql.run(spark,
+      """DATA 'Base' ([[1, "a", "9"]]) WITH (COLUMNS = 'Id, Val, Ver')
+        |DATA 'Chg' ([[1, "b", "10"]]) WITH (COLUMNS = 'Id, Val, Ver')
+        |TRANSFORM 'M' FROM BLOCK Base, BLOCK Chg (
+        |  MERGE Base WITH Chg ON Id VERSION BY Ver
+        |) INTO CONSOLE""".stripMargin))
+    assert(v.getMessage.contains("must be numeric/date/timestamp"),
+      v.getMessage)
   }
 
   test("NEARDEDUP verb: longest survivor per near-dup cluster") {
@@ -1078,6 +1120,101 @@ class AqlSpec extends AnyFunSuite {
     // clique → 4. 5/6 are short copies → both pass through.
     assert(r.outputs("SURVIVORS").collect().map(_.getLong(0)).sorted.toSeq ==
       Seq(2L, 4L, 5L, 6L))
+  }
+
+  test("NEARDEDUP METHOD LSH: same survivors as the exact path; options validate") {
+    // banded-MinHash candidate generation (NearDup.minhashPairs) through
+    // the language layer: candidates are exact-verified, and at this
+    // threshold autoBands picks a banding with per-pair miss ≤ 1e-6, so
+    // the survivor set must equal the exact method's on the same corpus
+    // (the q124 gate asserts the same at sf scale via q120's oracle).
+    val data =
+      """DATA 'D' (
+        |  [[1, "the quick brown fox jumps over the lazy dog"],
+        |   [2, "the quick brown fox jumps over the lazy cat"],
+        |   [3, "a very quick brown fox jumps over the lazy dog today"],
+        |   [4, "completely different words here with nothing shared at all"],
+        |   [5, "too short"]]
+        |) WITH (COLUMNS = 'Id, Txt')""".stripMargin
+    def survivors(verb: String): Seq[Long] = Aql.run(spark,
+      s"""$data
+         |TRANSFORM 'Survivors' FROM BLOCK D (
+         |  $verb
+         |) INTO CONSOLE""".stripMargin)
+      .outputs("SURVIVORS").collect().map(_.getLong(0)).sorted.toSeq
+    val exact = survivors("NEARDEDUP ON Txt KEY Id THRESHOLD 0.4")
+    assert(exact == Seq(3L, 4L, 5L))
+    assert(survivors("NEARDEDUP ON Txt KEY Id THRESHOLD 0.4 METHOD LSH")
+      == exact)
+    // explicit banding overrides autoBands (64 × 2 = full signature reuse)
+    assert(survivors(
+      "NEARDEDUP ON Txt KEY Id THRESHOLD 0.4 METHOD LSH BANDS 64 ROWS 2")
+      == exact)
+
+    // unknown method rejected
+    val m = intercept[Exception](survivors(
+      "NEARDEDUP ON Txt KEY Id METHOD FUZZY"))
+    assert(m.getMessage.contains("METHOD FUZZY unknown"), m.getMessage)
+    // BANDS/ROWS without METHOD LSH rejected
+    val b = intercept[Exception](survivors(
+      "NEARDEDUP ON Txt KEY Id METHOD EXACT BANDS 8 ROWS 4"))
+    assert(b.getMessage.contains("only apply to METHOD LSH"), b.getMessage)
+    // banding must fit the 128-permutation signature
+    val o = intercept[Exception](survivors(
+      "NEARDEDUP ON Txt KEY Id METHOD LSH BANDS 64 ROWS 4"))
+    assert(o.getMessage.contains("BANDS × ROWS ≤ 128"), o.getMessage)
+    // BANDS without ROWS is a parse error, not a silent default
+    val h = intercept[Exception](survivors(
+      "NEARDEDUP ON Txt KEY Id METHOD LSH BANDS 64"))
+    assert(h.getMessage.contains("cannot parse NEARDEDUP"), h.getMessage)
+    // a threshold too low for any auto banding fails at parse time with
+    // actionable guidance (explicit BANDS/ROWS or METHOD EXACT still work)
+    val t = intercept[Exception](survivors(
+      "NEARDEDUP ON Txt KEY Id THRESHOLD 0.05 METHOD LSH"))
+    assert(t.getMessage.contains("raise the threshold"), t.getMessage)
+  }
+
+  test("KNN verb: exact top-k neighbors e2e; options validate") {
+    // beyond-parity verb (SURVEY §7.3): q34/q35/q46's similarity search
+    // as a language operator. Four 2-d vectors in two clear pairs: each
+    // row's nearest neighbor is its pair partner, for every method —
+    // EXACT by brute force, LSH (sign buckets over 2 dims), IVF
+    // (CELLS 2 quantizer separates the pairs cleanly).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_knn_aql")
+    dir.toFile.deleteOnExit()
+    val pq = dir.resolve("vecs.parquet").toString
+    Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.1)),
+      (3L, Array(0.0, 1.0)), (4L, Array(0.1, 0.9)))
+      .toDF("vid", "emb").write.parquet(pq)
+    def run(verb: String): Seq[(Long, Long)] = Aql.run(spark,
+      s"""CONNECTION 'V' (DRIVER = 'file', FILE = '$pq', FORMAT = 'parquet')
+         |TRANSFORM 'K' FROM CONNECTION V (
+         |  $verb
+         |) INTO CONSOLE""".stripMargin)
+      .outputs("K").select("qid", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val want = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L))
+    assert(run("KNN ON emb KEY vid TOP 1") == want)
+    assert(run("KNN ON emb KEY vid TOP 1 METHOD LSH TABLES 8 BITS 2") == want)
+    assert(run("KNN ON emb KEY vid TOP 1 METHOD IVF CELLS 2 PROBE 2") == want)
+    // QUERIES restricts the query side; the corpus stays whole
+    assert(run("KNN ON emb KEY vid TOP 1 QUERIES vid <= 2")
+      == Seq((1L, 2L), (2L, 1L)))
+
+    // validation: unknown method, wrong-method options, PROBE > CELLS,
+    // non-array column, malformed clause
+    def bad(verb: String): String = intercept[Exception](run(verb)).getMessage
+    assert(bad("KNN ON emb KEY vid METHOD COSINE").contains("METHOD COSINE"))
+    assert(bad("KNN ON emb KEY vid TABLES 4")
+      .contains("only applies to METHOD LSH"))
+    assert(bad("KNN ON emb KEY vid METHOD LSH CELLS 4")
+      .contains("only applies to METHOD IVF"))
+    assert(bad("KNN ON emb KEY vid METHOD IVF CELLS 2 PROBE 3")
+      .contains("PROBE 3 exceeds CELLS 2"))
+    assert(bad("KNN ON vid KEY vid").contains("must be a numeric array"))
+    assert(bad("KNN emb").contains("cannot parse KNN"))
   }
 
   test("SAMPLE verb: deterministic hash sample, stable across runs") {

@@ -204,4 +204,34 @@ class ExcelSpec extends AnyFunSuite {
          |) INTO CONSOLE WITH (OUTPUT_FORMAT = 'JSON') AFTER Out""".stripMargin)
     assert(r.console.exists(s => s.contains("\"n\":2") && s.contains("\"total\":3")))
   }
+
+  test("DATEFORMAT accepts Go reference layouts as well as java patterns") {
+    // the reference's DATEFORMAT is a Go time.Parse layout
+    // (excel_source.go:256-268, magic instant `Mon Jan 2 15:04:05 MST
+    // 2006`); layouts containing the Go year token translate
+    // token-for-token, java patterns pass through unchanged
+    import graft.engine.Excel
+    assert(Excel.goLayoutToJavaPattern("2006-01-02 15:04:05")
+      == "yyyy-MM-dd HH:mm:ss")
+    assert(Excel.goLayoutToJavaPattern("02/01/2006") == "dd/MM/yyyy")
+    assert(Excel.goLayoutToJavaPattern("Jan 2, 2006 3:04 PM")
+      == "MMM d, yyyy h:mm a")
+    // literal letters get quoted (the T in an ISO-ish layout)
+    assert(Excel.goLayoutToJavaPattern("2006-01-02T15:04:05")
+      == "yyyy-MM-dd'T'HH:mm:ss")
+
+    def ts(display: String, fmt: String): Any =
+      Excel.probeCell(display, Some(fmt))._1
+    val want = java.sql.Timestamp.from(
+      java.time.Instant.parse("2020-03-04T05:06:07Z"))
+    // Go layout verbatim from the reference docs
+    assert(ts("2020-03-04 05:06:07", "2006-01-02 15:04:05") == want)
+    // the same cell through the equivalent java pattern
+    assert(ts("2020-03-04 05:06:07", "yyyy-MM-dd HH:mm:ss") == want)
+    // date-only Go layout probes as midnight, not string fall-through
+    assert(ts("04/03/2020", "02/01/2006") == java.sql.Timestamp.from(
+      java.time.Instant.parse("2020-03-04T00:00:00Z")))
+    // an unparseable display still falls through to string
+    assert(ts("not a date", "2006-01-02") == "not a date")
+  }
 }

@@ -141,4 +141,58 @@ class NearDupPropertySpec extends AnyFunSuite {
       ()
     }
   }
+
+  test("minhashPairsStar: star split preserves the cluster partition") {
+    // a 6-member mutated family (pairwise J ≈ 0.93) floods its band
+    // buckets; with starAbove = 2 every hot bucket takes the star path.
+    // The star pair set is smaller than the full one, but connected
+    // components — the dedup consumer — must produce the identical
+    // partition: one family cluster plus the unrelated pair untouched.
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val seedToks = (0 until 30).map(i => s"tok$i").mkString(" ")
+    val fam = (0 until 6).map(i => (i.toLong, s"$seedToks uniq$i"))
+    val other = Seq(
+      (100L, "completely different words entirely here and more of them"),
+      (101L, "completely different words entirely here and more of those"))
+    val docs = (fam ++ other).toDF("id", "txt")
+    val sh = NearDup.shingled(docs, "id", "txt")
+    val full = NearDup.minhashPairs(sh, 0.8)
+      .select(col("doc_a"), col("doc_b"))
+    val star = NearDup.minhashPairsStar(sh, 0.8, starAbove = 2L)
+      .select(col("doc_a"), col("doc_b"))
+    assert(star.count() <= full.count())
+    def partition(p: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      NearDup.clusters(p).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fullPart = partition(full)
+    assert(partition(star) == fullPart)
+    assert(fullPart.filter(_._1 < 100L).values.toSet == Set(0L))
+    // the diagnostic reports the hot buckets the star path split
+    assert(NearDup.bandHeavyHitters(sh, minF = 3L).count() >= 16)
+  }
+
+  test("autoBands: fewest-bands config with per-pair miss ≤ 1e-6 at the threshold") {
+    // closed-form check of the NEARDEDUP METHOD LSH auto-banding: miss
+    // prob for a pair at exactly t is (1 − t^r)^b; the chosen config must
+    // meet 1e-6 and every FEWER-bands (more rows) config must not — so
+    // candidate mass is minimized subject to the recall bound.
+    def miss(t: Double, b: Int, r: Int): Double =
+      math.pow(1.0 - math.pow(t, r), b)
+    for (t <- Seq(0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 0.95)) {
+      val (b, r) = NearDup.autoBands(t)
+      assert(b * r <= 128 && b >= 1 && r >= 1)
+      assert(miss(t, b, r) <= 1e-6, s"t=$t chose ($b,$r)")
+      // every config with more rows per band (fewer bands) fails the bound
+      for (r2 <- Seq(16, 8, 4, 2, 1) if r2 > r)
+        assert(miss(t, 128 / r2, r2) > 1e-6, s"t=$t: ($b,$r) not minimal")
+    }
+    // the known anchors (documented in TransformParser's NEARDEDUP doc)
+    assert(NearDup.autoBands(0.5) == (64, 2))
+    assert(NearDup.autoBands(0.8) == (32, 4))
+    assert(NearDup.autoBands(0.3) == (128, 1))
+    // below ~0.105 no 128-perm banding reaches the bound → actionable error
+    val e = intercept[IllegalArgumentException](NearDup.autoBands(0.05))
+    assert(e.getMessage.contains("raise the threshold"), e.getMessage)
+  }
 }

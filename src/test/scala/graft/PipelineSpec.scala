@@ -137,6 +137,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(mean >= 0.8, s"PQ recall $mean too low")
   }
 
+  private def knnVerb(verb: String): org.apache.spark.sql.DataFrame =
+    graft.transforms.TransformParser.parse(verb)
+      .build(Map.empty, Tables.load(spark, sfDir, "embeddings"))
+
+  test("KNN verb: EXACT equals q34 row-for-row; LSH/IVF meet the recall floor") {
+    // the verb is q34/q35/q46 re-expressed as a language operator — its
+    // EXACT method must reproduce the gate's exact output (same prep,
+    // rounding, ranking), and its ANN methods carry the same ≥ 0.8
+    // recall floor at their defaults on the 100-query panel.
+    val verbExact = knnVerb(
+      "KNN ON embedding KEY vec_id TOP 5 METHOD EXACT QUERIES vec_id < 100")
+    val q34 = SparkEntry.queries("q34_knn_bruteforce")(spark, sfDir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "neighbor_id", "cosine", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+    assert(rows(verbExact) == rows(q34))
+
+    val exactTop = topk("q34_knn_bruteforce")
+    def verbTop(verb: String): Map[Long, Set[Long]] =
+      knnVerb(verb).select("qid", "neighbor_id").collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getLong(1)).toSet).toMap
+    val lsh = meanRecall(verbTop(
+      "KNN ON embedding KEY vec_id TOP 5 METHOD LSH QUERIES vec_id < 100"),
+      exactTop)
+    info(s"KNN verb LSH mean recall@5 = $lsh")
+    assert(lsh >= 0.8, s"verb LSH recall $lsh too low")
+    val ivf = meanRecall(verbTop(
+      "KNN ON embedding KEY vec_id TOP 5 METHOD IVF QUERIES vec_id < 100"),
+      exactTop)
+    info(s"KNN verb IVF mean recall@5 = $ivf")
+    assert(ivf >= 0.8, s"verb IVF recall $ivf too low")
+  }
+
   test("q76 repeated spans: every reported span occurs in >= 2 docs verbatim") {
     import org.apache.spark.sql.functions._
     // independent check: substring containment over the raw corpus

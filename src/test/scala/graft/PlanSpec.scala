@@ -343,6 +343,52 @@ class PlanSpec extends AnyFunSuite {
       s"canonical pick must be an agg, not a per-cluster sort window:\n$p")
   }
 
+  test("NEARDEDUP METHOD LSH: band join replaces the postings self-join") {
+    // METHOD LSH must change the candidate-generation shape, not just the
+    // label: the pair plan bands minhash signatures (minhash_sig /
+    // lsh_buckets expressions, join on band keys) instead of exploding
+    // per-shingle postings into a self-join — the difference SCALING.md
+    // measures at 13–18×. The exact method's plan must stay postings-
+    // shaped (and free of the banding expressions) so the option is a
+    // real fork, not two names for one path.
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"))
+      .toDF("id", "txt")
+    val sh = graft.transforms.NearDup.shingled(docs, "id", "txt")
+    def pairQe(verb: String) = graft.transforms.TransformParser
+      .parse(verb) match {
+        case v: graft.transforms.TransformParser.NearDedupVerb =>
+          v.pairDf(sh).queryExecution
+        case other => fail(s"expected NearDedupVerb, got $other")
+      }
+    // the signature expression shows in the analyzed plan (the optimizer
+    // may fold tiny local inputs into a LocalTableScan, pre-evaluating
+    // it); the executed plan must join on the band-key columns
+    val lshQe = pairQe("NEARDEDUP ON txt KEY id THRESHOLD 0.5 METHOD LSH")
+    assert(lshQe.analyzed.toString.contains("minhash_sig"),
+      s"LSH method must build minhash signatures:\n${lshQe.analyzed}")
+    val lsh = lshQe.executedPlan.toString
+    assert(lsh.contains("band#") && lsh.contains("bh#"),
+      s"LSH candidates must join on band keys:\n$lsh")
+    val exactQe = pairQe("NEARDEDUP ON txt KEY id THRESHOLD 0.5")
+    assert(!exactQe.analyzed.toString.contains("minhash_sig") &&
+      !exactQe.executedPlan.toString.contains("bh#"),
+      s"exact method must keep the postings join:\n${exactQe.executedPlan}")
+
+    // the full LSH verb keeps the verb-level plan contracts too
+    val df = graft.transforms.TransformParser
+      .parse("NEARDEDUP ON txt KEY id THRESHOLD 0.5 METHOD LSH")
+      .build(Map.empty, docs)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti"), s"keep step must be a left-anti join:\n$p")
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+      s"pair space must come from band collisions, never all-pairs:\n$p")
+    assert(!p.contains("Window"),
+      s"canonical pick must be an agg, not a per-cluster sort window:\n$p")
+  }
+
   test("q108: z-order re-read pushes both box predicates to the scan") {
     // the point of the 2-D layout: BOTH dimensions' range predicates reach
     // the parquet scan, where the Morton clustering makes each column's

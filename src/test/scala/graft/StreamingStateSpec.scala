@@ -15,9 +15,13 @@ import org.scalatest.funsuite.AnyFunSuite
 class StreamingStateSpec extends AnyFunSuite {
   import SparkTestSession._
 
-  private val rawSchema = StructType(Seq(
+  // ts physical type varies by generator round (nanos-as-long or
+  // TIMESTAMP_NTZ micros — see Tables.load); this test never touches ts,
+  // so probe the batch footer and declare whatever is there
+  private def rawSchema = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // parquet TIMESTAMP(NANOS) read as long
+    StructField("ts", spark.read.parquet(s"$sfDir/events.parquet")
+      .schema("ts").dataType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),

@@ -541,7 +541,7 @@ object TransformParser {
   // ------------------------------------------------------------- NEARDEDUP
 
   /** NEARDEDUP ON <textcol> KEY <keycol> [THRESHOLD <0-1>]
-    *           [METHOD EXACT|LSH [BANDS <b> ROWS <r>]]
+    *           [METHOD EXACT|LSH [BANDS <b> ROWS <r>] [STAR ABOVE <n>]]
     *
     * Beyond-parity verb (SURVEY §7.3): near-duplicate removal as a
     * language operator — the q31→q47→q118 pipeline (3-gram Jaccard
@@ -567,6 +567,15 @@ object TransformParser {
     *     boundary), never admit a false one — the q124 gate hash-
     *     matches its survivor set against the exact path's.
     *
+    * STAR ABOVE n (LSH only) applies [[NearDup.minhashPairsStar]]'s
+    * hot-bucket split: band buckets holding more than n docs emit
+    * verified anchor-star edges (linear) instead of all pairs
+    * (quadratic) — the band-skew response for boilerplate-heavy
+    * corpora where near-identical families defeat exact-first
+    * collapse. Cluster-preserving for homogeneous families; measured
+    * flat to 16 000-member families in SCALING.md (graft.SkewScale)
+    * while producing the identical cluster partition.
+    *
     * Scale shape: see [[NearDup]] — the pair space is bounded by shared
     * shingles / band collisions (never O(n²)), postings join on 8-byte
     * hashes, components converge in diameter rounds with a constant-
@@ -578,10 +587,10 @@ object TransformParser {
     */
   private object NearDedupParser {
     private val Re =
-      raw"(?is)^NEARDEDUP\s+ON\s+([A-Za-z_]\w*)\s+KEY\s+([A-Za-z_]\w*)(?:\s+THRESHOLD\s+([0-9]*\.?[0-9]+))?(?:\s+METHOD\s+([A-Za-z]+)(?:\s+BANDS\s+(\d+)\s+ROWS\s+(\d+))?)?\s*$$".r
+      raw"(?is)^NEARDEDUP\s+ON\s+([A-Za-z_]\w*)\s+KEY\s+([A-Za-z_]\w*)(?:\s+THRESHOLD\s+([0-9]*\.?[0-9]+))?(?:\s+METHOD\s+([A-Za-z]+)(?:\s+BANDS\s+(\d+)\s+ROWS\s+(\d+))?(?:\s+STAR\s+ABOVE\s+(\d+))?)?\s*$$".r
 
     def parse(t: String): Verb = t.trim match {
-      case Re(text, key, th, method, bands, rows) =>
+      case Re(text, key, th, method, bands, rows, star) =>
         val threshold = Option(th).map(_.toDouble).getOrElse(0.5)
         if (threshold <= 0 || threshold > 1) throw TransformError(
           s"NEARDEDUP threshold $threshold out of range (0, 1]")
@@ -599,23 +608,31 @@ object TransformParser {
             s"NEARDEDUP BANDS $b ROWS $r invalid (need BANDS ≥ 1, " +
               "ROWS ≥ 1, BANDS × ROWS ≤ 128 signature permutations)")
         }
+        val starAbove = Option(star).map(_.toLong)
+        starAbove.foreach { n =>
+          if (m != "LSH") throw TransformError(
+            "NEARDEDUP STAR ABOVE only applies to METHOD LSH")
+          if (n < 1) throw TransformError(
+            s"NEARDEDUP STAR ABOVE $n must be >= 1")
+        }
         if (m == "LSH" && br.isEmpty)
           try NearDup.autoBands(threshold)
           catch { // surface the no-config case at parse time, not mid-job
             case e: IllegalArgumentException => throw TransformError(
               s"NEARDEDUP METHOD LSH: ${e.getMessage}")
           }
-        NearDedupVerb(text, key, threshold, m, br)
+        NearDedupVerb(text, key, threshold, m, br, starAbove)
       case _ => throw TransformError(
         "cannot parse NEARDEDUP (expected NEARDEDUP ON <textcol> " +
           "KEY <keycol> [THRESHOLD <0-1>] [METHOD EXACT|LSH " +
-          "[BANDS <n> ROWS <n>]])")
+          "[BANDS <n> ROWS <n>] [STAR ABOVE <n>]])")
     }
   }
 
   final case class NearDedupVerb(textCol: String, key: String,
       threshold: Double, method: String = "EXACT",
-      bandsRows: Option[(Int, Int)] = None) extends Verb {
+      bandsRows: Option[(Int, Int)] = None,
+      starAbove: Option[Long] = None) extends Verb {
 
     /** Candidate-pair generation per METHOD — public so PlanSpec can
       * assert the LSH verb joins on band keys instead of the exact
@@ -624,8 +641,12 @@ object TransformParser {
     def pairDf(sh: DataFrame): DataFrame = method match {
       case "LSH" =>
         val (b, r) = bandsRows.getOrElse(NearDup.autoBands(threshold))
-        NearDup.minhashPairs(sh, threshold,
-          numPerm = b * r, numBands = b, rowsPerBand = r)
+        starAbove match {
+          case Some(n) => NearDup.minhashPairsStar(sh, threshold, n,
+            numPerm = b * r, numBands = b, rowsPerBand = r)
+          case None => NearDup.minhashPairs(sh, threshold,
+            numPerm = b * r, numBands = b, rowsPerBand = r)
+        }
       case _ => NearDup.pairs(sh, threshold)
     }
 
@@ -724,16 +745,25 @@ object TransformParser {
 
   // ------------------------------------------------------------------- KNN
 
-  /** KNN ON <veccol> KEY <keycol> [TOP <k>] [METHOD EXACT|LSH|IVF]
+  /** KNN [<Queries> WITH <Corpus>] ON <veccol> KEY <keycol>
+    *     [TOP <k>] [METHOD EXACT|LSH|IVF]
     *     [TABLES <t>] [BITS <b>] [CELLS <c>] [PROBE <p>]
     *     [QUERIES <sql-expr>]
     *
     * Beyond-parity verb (SURVEY §7.3): similarity search as a language
     * operator, riding the q34/q35/q46 machinery ([[VecKnn]]). For every
-    * row matching QUERIES (default: all rows), emits its top-k cosine
-    * neighbors from the whole source, self excluded:
-    * (qid, neighbor_id, cosine, rank) with rank 1..k by (cosine DESC,
-    * neighbor id) — deterministic including ties.
+    * query row (rows matching QUERIES — default all — of the primary
+    * source, or of <Queries> in the two-source form), emits its top-k
+    * cosine neighbors from the corpus (the same source, or <Corpus>),
+    * same key excluded: (qid, neighbor_id, cosine, rank) with rank 1..k
+    * by (cosine DESC, neighbor id) — deterministic including ties.
+    *
+    * The two-source form `KNN Batch WITH Corpus ON …` is the
+    * incremental-serving shape (q85's batch-vs-corpus pattern for
+    * vectors): a new batch queries an existing indexed corpus without
+    * self-joining either side. Both sources must carry the vec and key
+    * columns; a key present in both (a re-indexed doc) never matches
+    * itself.
     *
     * METHOD EXACT (default) is the brute-force baseline whose output
     * hash-matches a DuckDB oracle (gate q125). METHOD LSH buckets by
@@ -746,10 +776,11 @@ object TransformParser {
     */
   private object KnnParser {
     private val Re =
-      raw"(?is)^KNN\s+ON\s+([A-Za-z_]\w*)\s+KEY\s+([A-Za-z_]\w*)(?:\s+TOP\s+(\d+))?(?:\s+METHOD\s+([A-Za-z]+))?(?:\s+TABLES\s+(\d+))?(?:\s+BITS\s+(\d+))?(?:\s+CELLS\s+(\d+))?(?:\s+PROBE\s+(\d+))?(?:\s+QUERIES\s+(.+?))?\s*$$".r
+      raw"(?is)^KNN(?:\s+(\w+)\s+WITH\s+(\w+))?\s+ON\s+([A-Za-z_]\w*)\s+KEY\s+([A-Za-z_]\w*)(?:\s+TOP\s+(\d+))?(?:\s+METHOD\s+([A-Za-z]+))?(?:\s+TABLES\s+(\d+))?(?:\s+BITS\s+(\d+))?(?:\s+CELLS\s+(\d+))?(?:\s+PROBE\s+(\d+))?(?:\s+QUERIES\s+(.+?))?\s*$$".r
 
     def parse(t: String): Verb = t.trim match {
-      case Re(vec, key, top, method, tables, bits, cells, probe, queries) =>
+      case Re(qsrc, csrc, vec, key, top, method, tables, bits, cells,
+          probe, queries) =>
         val k = Option(top).map(_.toInt).getOrElse(5)
         if (k < 1) throw TransformError(s"KNN TOP $k must be >= 1")
         val m = Option(method).map(_.toUpperCase).getOrElse("EXACT")
@@ -770,22 +801,33 @@ object TransformParser {
         for (c <- ce; p <- pr if p > c) throw TransformError(
           s"KNN PROBE $p exceeds CELLS $c")
         KnnVerb(vec, key, k, m, tb, bi, ce, pr,
-          Option(queries).map(_.trim))
+          Option(queries).map(_.trim),
+          (Option(qsrc), Option(csrc)) match {
+            case (Some(q), Some(c)) => Some((q, c))
+            case _ => None // regex captures both or neither
+          })
       case _ => throw TransformError(
-        "cannot parse KNN (expected KNN ON <veccol> KEY <keycol> " +
-          "[TOP <k>] [METHOD EXACT|LSH|IVF] [TABLES <t>] [BITS <b>] " +
-          "[CELLS <c>] [PROBE <p>] [QUERIES <expr>])")
+        "cannot parse KNN (expected KNN [<Queries> WITH <Corpus>] " +
+          "ON <veccol> KEY <keycol> [TOP <k>] [METHOD EXACT|LSH|IVF] " +
+          "[TABLES <t>] [BITS <b>] [CELLS <c>] [PROBE <p>] " +
+          "[QUERIES <expr>])")
     }
   }
 
   final case class KnnVerb(vecCol: String, key: String, k: Int,
       method: String, tables: Option[Int], bits: Option[Int],
       cells: Option[Int], nprobe: Option[Int],
-      queries: Option[String]) extends Verb {
+      queries: Option[String],
+      twoSource: Option[(String, String)] = None) extends Verb {
 
-    def build(sources: Map[String, DataFrame], primary: DataFrame): DataFrame = {
+    /** (id, v, nrm) from `df`, QUERIES-flagged, spread across cores —
+      * the dot-product stage is CPU-heavy and a small source may be one
+      * input split (plan-only stats guard, same rationale as
+      * NearDedupVerb's spread).
+      */
+    private def prep(df: DataFrame, withFlag: Boolean): DataFrame = {
       def named(n: String): StructField =
-        primary.schema.find(_.name.equalsIgnoreCase(n)).getOrElse(
+        df.schema.find(_.name.equalsIgnoreCase(n)).getOrElse(
           throw TransformError(s"KNN: unknown column $n"))
       val keyName = named(key).name
       val vecName = named(vecCol).name
@@ -797,28 +839,37 @@ object TransformParser {
       // QUERIES resolves against the SOURCE schema (before the id/v
       // projection renames), so the predicate can reference any column
       val flagged = queries match {
-        case Some(q) =>
+        case Some(q) if withFlag =>
           val p = try expr(q)
             catch { case e: Exception => throw TransformError(
               s"KNN QUERIES: cannot parse '$q': ${e.getMessage}") }
-          primary.withColumn("__isq", coalesce(p, lit(false)))
-        case None => primary.withColumn("__isq", lit(true))
+          df.withColumn("__isq", coalesce(p, lit(false)))
+        case _ => df.withColumn("__isq", lit(true))
       }
-      // (id, v, nrm, __isq), spread across cores first — the dot-product
-      // stage is CPU-heavy and a small source may be one input split
-      // (plan-only stats guard, same rationale as NearDedupVerb's spread)
       val base = flagged.select(col(keyName).as("id"),
         col(vecName).cast("array<double>").as("v"), col("__isq"))
-      val par = primary.sparkSession.sparkContext.defaultParallelism
+      val par = df.sparkSession.sparkContext.defaultParallelism
       val spread =
-        if (primary.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        if (df.queryExecution.optimizedPlan.stats.sizeInBytes <=
             BigInt(par.toLong) * (16L << 20)) base.repartition(par)
         else base
-      val eAll = spread
-        .withColumn("nrm", graft.functions.Vectors.l2norm(col("v")))
-      val corpus = eAll.select(col("id"), col("v"), col("nrm"))
-      val queriesF = eAll.where(col("__isq"))
-        .select(col("id"), col("v"), col("nrm"))
+      spread.withColumn("nrm", graft.functions.Vectors.l2norm(col("v")))
+    }
+
+    def build(sources: Map[String, DataFrame], primary: DataFrame): DataFrame = {
+      val (corpus, queriesF) = twoSource match {
+        case Some((qn, cn)) =>
+          def src(n: String): DataFrame = sources.getOrElse(n.toUpperCase,
+            throw TransformError(s"unknown KNN source $n"))
+          val q = prep(src(qn), withFlag = true)
+          val c = prep(src(cn), withFlag = false)
+          (c.select(col("id"), col("v"), col("nrm")),
+            q.where(col("__isq")).select(col("id"), col("v"), col("nrm")))
+        case None =>
+          val eAll = prep(primary, withFlag = true)
+          (eAll.select(col("id"), col("v"), col("nrm")),
+            eAll.where(col("__isq")).select(col("id"), col("v"), col("nrm")))
+      }
       method match {
         case "LSH" => VecKnn.lsh(corpus, queriesF, k,
           tables.getOrElse(16), bits.getOrElse(4))

@@ -1150,6 +1150,12 @@ class AqlSpec extends AnyFunSuite {
     assert(survivors(
       "NEARDEDUP ON Txt KEY Id THRESHOLD 0.4 METHOD LSH BANDS 64 ROWS 2")
       == exact)
+    // STAR ABOVE (hot-bucket anchor split, SkewScale-measured) keeps the
+    // cluster partition and therefore the survivors — here every bucket
+    // exceeds the tiny cap, so the star path carries ALL candidates
+    assert(survivors(
+      "NEARDEDUP ON Txt KEY Id THRESHOLD 0.4 METHOD LSH STAR ABOVE 1")
+      == exact)
 
     // unknown method rejected
     val m = intercept[Exception](survivors(
@@ -1202,6 +1208,23 @@ class AqlSpec extends AnyFunSuite {
     // QUERIES restricts the query side; the corpus stays whole
     assert(run("KNN ON emb KEY vid TOP 1 QUERIES vid <= 2")
       == Seq((1L, 2L), (2L, 1L)))
+
+    // two-source form: a query batch against a separate corpus (q85's
+    // incremental shape for vectors). Query 10 hits corpus vector 1;
+    // query 1 shares its key with a corpus row and must not match
+    // itself — the same-key exclusion routes it to vector 2.
+    val qpq = dir.resolve("queries.parquet").toString
+    Seq((10L, Array(1.0, 0.0)), (1L, Array(1.0, 0.0)))
+      .toDF("vid", "emb").write.parquet(qpq)
+    val two = Aql.run(spark,
+      s"""CONNECTION 'V' (DRIVER = 'file', FILE = '$pq', FORMAT = 'parquet')
+         |CONNECTION 'Q' (DRIVER = 'file', FILE = '$qpq', FORMAT = 'parquet')
+         |TRANSFORM 'K' FROM CONNECTION Q, CONNECTION V (
+         |  KNN Q WITH V ON emb KEY vid TOP 1
+         |) INTO CONSOLE""".stripMargin)
+      .outputs("K").select("qid", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(two == Seq((1L, 2L), (10L, 1L)))
 
     // validation: unknown method, wrong-method options, PROBE > CELLS,
     // non-array column, malformed clause

@@ -389,6 +389,18 @@ class PlanSpec extends AnyFunSuite {
       s"canonical pick must be an agg, not a per-cluster sort window:\n$p")
   }
 
+  test("q126: portable simhash is banded blocking, never all-pairs") {
+    // the md5-portable gate must keep q33's plan contract: candidate
+    // pairs come from the 15-bit band equi-join (hash join on band keys),
+    // never a cartesian/nested-loop pair space, and the fingerprint
+    // aggregation is partial (map-side combine on the 60x token fan-out)
+    val p = plan("q126_simhash_portable")
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+      s"pair space must come from band blocking:\n$p")
+    val aggs = "HashAggregate|ObjectHashAggregate".r.findAllIn(p).size
+    assert(aggs >= 4, s"expected partial+final aggs for votes+fingerprint:\n$p")
+  }
+
   test("q108: z-order re-read pushes both box predicates to the scan") {
     // the point of the 2-D layout: BOTH dimensions' range predicates reach
     // the parquet scan, where the Morton clustering makes each column's

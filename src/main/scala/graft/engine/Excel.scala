@@ -244,12 +244,17 @@ object Excel {
     * DATEFORMAT option takes a Go `time.Parse` layout — a literal rendering
     * of the magic instant `Mon Jan 2 15:04:05 MST 2006`
     * (excel_source.go:256-268) — so a script ported from the reference
-    * carries strings like `2006-01-02 15:04:05`. A layout containing the
-    * Go year token `2006` is translated token-for-token (longest match
-    * first; literal letters are quoted); anything else is treated as a
-    * java.time pattern directly, so both dialects work. Offsets parse as
-    * wall-clock fields; the probe pins custom-format timestamps to UTC
-    * (same divergence note as before — Go applies the parsed offset).
+    * carries strings like `2006-01-02 15:04:05`.
+    *
+    * Dialect detection is the presence of the Go YEAR token `2006`
+    * (documented in README "Divergences"): such layouts are translated
+    * token-for-token (longest match first; literal letters quoted);
+    * anything else — including yearless or two-digit-year Go layouts
+    * like `15:04` or `01/02/06`, which are indistinguishable from digit
+    * literals in a java pattern — is treated as a java.time pattern
+    * directly. Offsets parse as wall-clock fields; the probe pins
+    * custom-format timestamps to UTC (same divergence note as before —
+    * Go applies the parsed offset).
     */
   def goLayoutToJavaPattern(layout: String): String = {
     val tokens = Seq(
@@ -290,17 +295,19 @@ object Excel {
           case Some(fmt) =>
             val pattern =
               if (fmt.contains("2006")) goLayoutToJavaPattern(fmt) else fmt
-            // missing time fields default to midnight so date-only
-            // formats (Go `02/01/2006`, java `yyyy-MM-dd`) probe as
-            // timestamps instead of falling through to string
-            import java.time.temporal.ChronoField._
-            val f = new java.time.format.DateTimeFormatterBuilder()
-              .appendPattern(pattern)
-              .parseDefaulting(HOUR_OF_DAY, 0)
-              .parseDefaulting(MINUTE_OF_HOUR, 0)
-              .parseDefaulting(SECOND_OF_MINUTE, 0)
-              .toFormatter()
-            java.time.LocalDateTime.parse(display, f)
+            // Parse date and time fields separately so BOTH date-only
+            // formats (midnight default) and 12-hour h+a formats work: a
+            // parseDefaulting(HOUR_OF_DAY, 0) would CONFLICT with the
+            // resolver's own HOUR_OF_DAY derived from AmPmOfDay and make
+            // every AM/PM format silently unparseable.
+            val f = java.time.format.DateTimeFormatter.ofPattern(pattern)
+            val ta = f.parse(display)
+            val date = java.time.LocalDate.from(ta)
+            val time =
+              try java.time.LocalTime.from(ta)
+              catch { case _: java.time.DateTimeException =>
+                java.time.LocalTime.MIDNIGHT }
+            java.time.LocalDateTime.of(date, time)
               .atZone(java.time.ZoneOffset.UTC).toInstant
           case None => java.time.OffsetDateTime.parse(display).toInstant
         }

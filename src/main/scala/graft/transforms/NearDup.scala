@@ -137,13 +137,7 @@ object NearDup {
   def minhashPairs(sh: DataFrame, threshold: Double,
       numPerm: Int = 128, numBands: Int = 32,
       rowsPerBand: Int = 4): DataFrame = {
-    val sig = sh.select(col("id"), Text.hashedShingles(col("shs")).as("hs"))
-      .select(col("id"),
-        Text.minhashSigFromHashes(col("hs"), numPerm).as("sig"))
-    val bands = sig
-      .select(col("id"),
-        explode(Text.lshBands(col("sig"), numBands, rowsPerBand)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val bands = bandKeys(sh, numPerm, numBands, rowsPerBand)
     val cand = bands.toDF("doc_a", "band", "bh")
       .join(bands.toDF("doc_b", "band", "bh"), Seq("band", "bh"))
       .where(col("doc_a") < col("doc_b"))

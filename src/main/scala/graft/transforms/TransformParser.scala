@@ -68,6 +68,36 @@ object TransformParser {
     out.result()
   }
 
+  /** Spread a small-or-unknown-size source across all cores before a
+    * CPU-heavy projection (shingle/minhash/dot-product stages): a small
+    * parquet source may be one input split = one task, and a JDBC (or
+    * other driver-side) relation without partitioning options is ONE
+    * partition regardless of size. Plan-only (optimizer stats), no RDD
+    * materialization. "Unknown" = the optimizer's defaultSizeInBytes
+    * placeholder (conservatively huge) — for such sources the scan's own
+    * parallelism is at most its configured partition count, so one
+    * exchange is the safe default before CPU-bound work; a many-split
+    * 100 TB parquet corpus reports its real size, blows the bound, and
+    * keeps its scan splits.
+    */
+  private def spreadForCpu(df: DataFrame,
+      projected: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val small = size <= BigInt(par.toLong) * (16L << 20)
+    val unknown = size >= BigInt(Long.MaxValue)
+    if (small || unknown) projected.repartition(par) else projected
+  }
+
+  /** Bounded integer option parse: the verb grammars match `\d+`, which
+    * admits values beyond Int.MaxValue — surface those as TransformError
+    * like every other malformed clause, not a NumberFormatException.
+    */
+  private def intOption(verb: String, name: String, s: String): Int =
+    try s.toInt
+    catch { case _: NumberFormatException => throw TransformError(
+      s"$verb $name $s out of integer range") }
+
   /** Case-insensitive regex split helper keeping SQL-ish casing intact. */
   private def splitKeyword(s: String, kw: String): (String, Option[String]) = {
     val m = s"(?is)\\b$kw\\b".r.findFirstMatchIn(s)
@@ -598,7 +628,8 @@ object TransformParser {
         if (m != "EXACT" && m != "LSH") throw TransformError(
           s"NEARDEDUP METHOD $m unknown (expected EXACT or LSH)")
         val br = (Option(bands), Option(rows)) match {
-          case (Some(b), Some(r)) => Some((b.toInt, r.toInt))
+          case (Some(b), Some(r)) => Some((intOption("NEARDEDUP", "BANDS", b),
+            intOption("NEARDEDUP", "ROWS", r)))
           case _ => None // regex captures BANDS+ROWS together or not at all
         }
         br.foreach { case (b, r) =>
@@ -608,7 +639,8 @@ object TransformParser {
             s"NEARDEDUP BANDS $b ROWS $r invalid (need BANDS ≥ 1, " +
               "ROWS ≥ 1, BANDS × ROWS ≤ 128 signature permutations)")
         }
-        val starAbove = Option(star).map(_.toLong)
+        val starAbove = Option(star)
+          .map(intOption("NEARDEDUP", "STAR ABOVE", _).toLong)
         starAbove.foreach { n =>
           if (m != "LSH") throw TransformError(
             "NEARDEDUP STAR ABOVE only applies to METHOD LSH")
@@ -662,20 +694,10 @@ object TransformParser {
           s"NEARDEDUP KEY $keyName must be integral, got ${other.simpleString}" +
             " (cluster convergence sums labels)")
       }
-      // Spread the CPU-heavy shingle/hash projection across all cores: a
-      // small source may be one input split = one task (same rationale as
-      // queries/Dedup.docs). Guarded: a many-split 100 TB corpus already
-      // has the parallelism, and an unconditional repartition would
-      // shuffle every text AND shrink thousands of scan splits down to
-      // the driver's core count. The guard is PLAN-ONLY (optimizer size
-      // estimate vs ~16 MB/core), not an RDD probe — df.rdd would force
-      // physical planning + RDD lineage for a question the stats answer.
-      val spreadPar = primary.sparkSession.sparkContext.defaultParallelism
-      val spread =
-        if (primary.queryExecution.optimizedPlan.stats.sizeInBytes <=
-            BigInt(spreadPar.toLong) * (16L << 20))
-          primary.repartition(spreadPar)
-        else primary
+      // Spread the CPU-heavy shingle/hash projection across all cores
+      // (see spreadForCpu: plan-only guard; unknown-size sources like an
+      // unpartitioned JDBC read are treated as single-split and spread)
+      val spread = spreadForCpu(primary, primary)
       // EXACT-FIRST: collapse identical texts before pair generation and
       // run the quadratic-prone stages on one representative per text —
       // semantics-preserving (copies connect to the graph only through
@@ -781,7 +803,7 @@ object TransformParser {
     def parse(t: String): Verb = t.trim match {
       case Re(qsrc, csrc, vec, key, top, method, tables, bits, cells,
           probe, queries) =>
-        val k = Option(top).map(_.toInt).getOrElse(5)
+        val k = Option(top).map(intOption("KNN", "TOP", _)).getOrElse(5)
         if (k < 1) throw TransformError(s"KNN TOP $k must be >= 1")
         val m = Option(method).map(_.toUpperCase).getOrElse("EXACT")
         if (!Set("EXACT", "LSH", "IVF").contains(m)) throw TransformError(
@@ -789,7 +811,7 @@ object TransformParser {
         def only(name: String, v: Option[String], meth: String): Option[Int] = {
           v.foreach(_ => if (m != meth) throw TransformError(
             s"KNN $name only applies to METHOD $meth"))
-          v.map(_.toInt).map { n =>
+          v.map(intOption("KNN", name, _)).map { n =>
             if (n < 1) throw TransformError(s"KNN $name $n must be >= 1")
             n
           }
@@ -798,8 +820,11 @@ object TransformParser {
         val bi = only("BITS", Option(bits), "LSH")
         val ce = only("CELLS", Option(cells), "IVF")
         val pr = only("PROBE", Option(probe), "IVF")
-        for (c <- ce; p <- pr if p > c) throw TransformError(
-          s"KNN PROBE $p exceeds CELLS $c")
+        // validate against the DEFAULTS too: 'PROBE 32' with implicit
+        // CELLS 16 is the same invalid config as the explicit pair
+        if (m == "IVF" && pr.getOrElse(8) > ce.getOrElse(16))
+          throw TransformError(
+            s"KNN PROBE ${pr.getOrElse(8)} exceeds CELLS ${ce.getOrElse(16)}")
         KnnVerb(vec, key, k, m, tb, bi, ce, pr,
           Option(queries).map(_.trim),
           (Option(qsrc), Option(csrc)) match {
@@ -820,10 +845,14 @@ object TransformParser {
       queries: Option[String],
       twoSource: Option[(String, String)] = None) extends Verb {
 
-    /** (id, v, nrm) from `df`, QUERIES-flagged, spread across cores —
-      * the dot-product stage is CPU-heavy and a small source may be one
-      * input split (plan-only stats guard, same rationale as
-      * NearDedupVerb's spread).
+    /** (id, v, nrm) from `df`, QUERIES-flagged, spread across cores (see
+      * spreadForCpu), and MATERIALIZED once: every method consumes the
+      * prepped frame from ≥ 2 consumers (bucket/probe generation, exact
+      * rerank join, query broadcast), and without the checkpoint the
+      * scan + cast + norm pipeline would re-execute per consumer — the
+      * re-scan trap NearDup.pairsCapped documents. Lazy, executor-local
+      * storage; at 100 TB this materialization costs about one shuffle
+      * write of the corpus and saves up to three re-scans.
       */
     private def prep(df: DataFrame, withFlag: Boolean): DataFrame = {
       def named(n: String): StructField =
@@ -848,12 +877,9 @@ object TransformParser {
       }
       val base = flagged.select(col(keyName).as("id"),
         col(vecName).cast("array<double>").as("v"), col("__isq"))
-      val par = df.sparkSession.sparkContext.defaultParallelism
-      val spread =
-        if (df.queryExecution.optimizedPlan.stats.sizeInBytes <=
-            BigInt(par.toLong) * (16L << 20)) base.repartition(par)
-        else base
-      spread.withColumn("nrm", graft.functions.Vectors.l2norm(col("v")))
+      spreadForCpu(df, base)
+        .withColumn("nrm", graft.functions.Vectors.l2norm(col("v")))
+        .localCheckpoint(false)
     }
 
     def build(sources: Map[String, DataFrame], primary: DataFrame): DataFrame = {

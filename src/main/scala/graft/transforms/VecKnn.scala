@@ -89,6 +89,9 @@ object VecKnn {
     */
   def ivf(corpus: DataFrame, queries: DataFrame, k: Int,
       cells: Int = 16, nprobe: Int = 8): DataFrame = {
+    // KMeans.fit throws on zero rows — give the empty corpus the same
+    // clean empty result the EXACT and LSH methods produce
+    if (corpus.isEmpty) return exact(corpus, queries, k)
     val s = corpus.sparkSession
     val fe = corpus.withColumn("features",
       org.apache.spark.ml.functions.array_to_vector(col("v")))

@@ -1236,6 +1236,15 @@ class AqlSpec extends AnyFunSuite {
       .contains("only applies to METHOD IVF"))
     assert(bad("KNN ON emb KEY vid METHOD IVF CELLS 2 PROBE 3")
       .contains("PROBE 3 exceeds CELLS 2"))
+    // the default-valued halves of the pair are validated too
+    assert(bad("KNN ON emb KEY vid METHOD IVF PROBE 32")
+      .contains("PROBE 32 exceeds CELLS 16"))
+    assert(bad("KNN ON emb KEY vid METHOD IVF CELLS 4")
+      .contains("PROBE 8 exceeds CELLS 4"))
+    // out-of-int-range numerics are structured errors, not raw
+    // NumberFormatException
+    assert(bad("KNN ON emb KEY vid TOP 99999999999")
+      .contains("out of integer range"))
     assert(bad("KNN ON vid KEY vid").contains("must be a numeric array"))
     assert(bad("KNN emb").contains("cannot parse KNN"))
   }

@@ -231,6 +231,16 @@ class ExcelSpec extends AnyFunSuite {
     // date-only Go layout probes as midnight, not string fall-through
     assert(ts("04/03/2020", "02/01/2006") == java.sql.Timestamp.from(
       java.time.Instant.parse("2020-03-04T00:00:00Z")))
+    // 12-hour + AM/PM layouts actually PARSE (a naive
+    // parseDefaulting(HOUR_OF_DAY, 0) conflicts with the resolver's
+    // AmPmOfDay-derived hour and silently breaks every such format)
+    assert(ts("Mar 4, 2020 5:06 PM", "Jan 2, 2006 3:04 PM") ==
+      java.sql.Timestamp.from(java.time.Instant.parse("2020-03-04T17:06:00Z")))
+    assert(ts("Mar 4, 2020 5:06 AM", "Jan 2, 2006 3:04 PM") ==
+      java.sql.Timestamp.from(java.time.Instant.parse("2020-03-04T05:06:00Z")))
+    // ...through the java dialect too
+    assert(ts("2020-03-04 05:06 PM", "yyyy-MM-dd hh:mm a") ==
+      java.sql.Timestamp.from(java.time.Instant.parse("2020-03-04T17:06:00Z")))
     // an unparseable display still falls through to string
     assert(ts("not a date", "2006-01-02") == "not a date")
   }

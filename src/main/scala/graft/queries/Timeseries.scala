@@ -52,6 +52,82 @@ object Timeseries {
           percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95_price"))
     },
 
+    // ---- Bottom-k sample quantiles: the PORTABLE approximate-quantile
+    // sketch, closing q21's no-oracle gap the way q126 closed q33's. A
+    // per-group uniform sample is the rows with the k smallest
+    // md5-derived hashes of their unique row key (the q69/q111
+    // engine-portable trick) — bounded state (k values per group),
+    // associatively mergeable (k-smallest of a union = k-smallest of the
+    // per-partition k-smallest sets: the theta-sketch identity q119
+    // proves), and bit-identically replayable in DuckDB, so the gate is
+    // hash-exact INCLUDING the sampling error. Quantile = nearest-rank
+    // (ceil(q·n)-th order statistic) over the sample's DECIMAL values —
+    // integer rank arithmetic, no interpolation to diverge on.
+    //
+    // Scale shape: the per-group k-smallest runs as q77's salted
+    // two-phase top-N (16-way salted partial windows cut each slice to
+    // k, then the final per-group window sees ≤ 16k rows), so no
+    // reducer ever sorts a whole group; the quantile pass runs on
+    // |groups|·k rows. SketchSpec pins the estimator's accuracy against
+    // q03's exact quantiles (|CDF(est) − q| within the order-statistic
+    // bound for k = 256).
+    QueryDef(
+      "q127_sample_quantile",
+      """WITH h AS (
+        |  SELECT l_returnflag,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS v,
+        |    CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+        |      CAST(l_linenumber AS VARCHAR)), 1, 13)) AS BIGINT) AS hv
+        |  FROM lineitem),
+        |k AS (
+        |  SELECT l_returnflag, v FROM h
+        |  QUALIFY row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY hv) <= 256),
+        |r AS (
+        |  SELECT l_returnflag, v,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY v) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM k)
+        |SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n_sample,
+        |  CAST(max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+        |    THEN v END) AS DOUBLE) AS p50_est,
+        |  CAST(max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+        |    THEN v END) AS DOUBLE) AS p90_est
+        |FROM r GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val K = 256
+      val h = Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          Tables.dec2(col("l_quantity")).as("v"),
+          conv(substring(md5(concat_ws(":",
+            col("l_orderkey").cast("string"),
+            col("l_linenumber").cast("string"))), 1, 13), 16, 10)
+            .cast("bigint").as("hv"))
+      // salted partial top-k: each (group, salt) slice cuts to K rows
+      // before the final per-group window — q77's two-phase shape
+      val salted = Window.partitionBy(col("l_returnflag"),
+        pmod(col("hv"), lit(16))).orderBy(col("hv"))
+      val perGroup = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("hv"))
+      val sample = h
+        .withColumn("__srn", row_number().over(salted))
+        .where(col("__srn") <= K)
+        .withColumn("__rn", row_number().over(perGroup))
+        .where(col("__rn") <= K)
+        .select(col("l_returnflag"), col("v"))
+      val byV = Window.partitionBy(col("l_returnflag")).orderBy(col("v"))
+      val cnt = Window.partitionBy(col("l_returnflag"))
+      sample
+        .withColumn("rn", row_number().over(byV))
+        .withColumn("n", count(lit(1)).over(cnt))
+        .groupBy(col("l_returnflag"))
+        .agg(max(col("n")).cast("bigint").as("n_sample"),
+          max(when(col("rn") === ceil(lit(0.5) * col("n")).cast("bigint"),
+            col("v"))).cast("double").as("p50_est"),
+          max(when(col("rn") === ceil(lit(0.9) * col("n")).cast("bigint"),
+            col("v"))).cast("double").as("p90_est"))
+    },
+
     // HyperLogLog++ distinct-count sketch — the constant-memory path for
     // "how many unique users/documents" at 100 TB, where exact distinct
     // is a full shuffle of the key space. No oracle (sketch estimates are

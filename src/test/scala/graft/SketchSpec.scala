@@ -30,6 +30,31 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("q127 bottom-k sample quantiles within the order-statistic bound") {
+    // the estimator's error model: the ceil(q·k)-th order statistic of a
+    // k = 256 uniform sample sits at true CDF position q ± ~sqrt(q(1-q)/k)
+    // (±0.031 at q=0.5). Check |CDF(est) − q| ≤ 0.12 (≈ 3.8 sigma) per
+    // group against the raw data — a distribution-free bound, unlike a
+    // relative-value tolerance. Deterministic md5 sampling makes the
+    // assertion stable, not flaky.
+    import org.apache.spark.sql.functions.{col, count, lit, sum, when}
+    val est = SparkEntry.queries("q127_sample_quantile")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    val li = Tables.load(spark, sfDir, "lineitem")
+    est.foreach { case (flag, (p50, p90)) =>
+      val Seq(c50, c90, n) = li.where(col("l_returnflag") === flag)
+        .agg(sum(when(col("l_quantity") <= p50, 1L).otherwise(0L)),
+          sum(when(col("l_quantity") <= p90, 1L).otherwise(0L)),
+          count(lit(1)))
+        .head().toSeq.map(_.asInstanceOf[Long]).toSeq
+      val (cdf50, cdf90) = (c50.toDouble / n, c90.toDouble / n)
+      info(f"$flag p50_est=$p50%.2f cdf=$cdf50%.3f  p90_est=$p90%.2f cdf=$cdf90%.3f")
+      assert(math.abs(cdf50 - 0.5) <= 0.12, s"$flag p50 off: cdf=$cdf50")
+      assert(math.abs(cdf90 - 0.9) <= 0.12, s"$flag p90 off: cdf=$cdf90")
+    }
+  }
+
   test("q62 HLL distinct estimates within 3x rsd of exact counts") {
     import org.apache.spark.sql.functions._
     val exact = Tables.load(spark, sfDir, "lineitem")

@@ -401,6 +401,16 @@ class PlanSpec extends AnyFunSuite {
     assert(aggs >= 4, s"expected partial+final aggs for votes+fingerprint:\n$p")
   }
 
+  test("q127: sample selection is salted two-phase, no whole-group sort first") {
+    // the per-group bottom-k must run q77's salted shape: the FIRST
+    // window partitions by (group, salt) so no reducer ever sorts an
+    // entire group; only k-bounded slices reach the per-group windows
+    val p = plan("q127_sample_quantile")
+    assert(p.contains("pmod("), s"no salted partial window:\n$p")
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+      s"unexpected join shape:\n$p")
+  }
+
   test("q108: z-order re-read pushes both box predicates to the scan") {
     // the point of the 2-D layout: BOTH dimensions' range predicates reach
     // the parquet scan, where the Morton clustering makes each column's

@@ -374,6 +374,63 @@ object AqlQ {
       Aql.run(s, script).outputs("FINAL")
     },
 
+    // Incremental dedup through the language layer: the NEARDEDUP
+    // AGAINST form (q85's batch-vs-corpus shape as a verb) — drop every
+    // batch doc (even ids) near-matching a corpus doc (odd ids) at
+    // threshold 0.5. METHOD LSH exercises the banded cross-index path
+    // (corpus band index ⋈ batch bands, exact-verified); the oracle is
+    // the brute-force batch×corpus Jaccard join, so the gate proves the
+    // banded candidates lose nothing at this threshold (auto-banding
+    // 64×2: per-pair miss ≤ 1e-8 at the boundary).
+    QueryDef(
+      "q128_aql_neardedup_against",
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ws
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |                   for i in range(1, len(ws) - 1)]) AS sh
+        |  FROM w WHERE len(ws) >= 3),
+        |b AS (SELECT * FROM s WHERE doc_id % 2 = 0),
+        |c AS (SELECT * FROM s WHERE doc_id % 2 = 1),
+        |m AS (
+        |  SELECT DISTINCT b.doc_id
+        |  FROM b JOIN c ON round(CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE)
+        |      / (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh))), 6) >= 0.5)
+        |SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id % 2 = 0 AND doc_id NOT IN (SELECT doc_id FROM m)""".stripMargin) {
+      (s, dir) =>
+      val outDir = java.nio.file.Files.createTempDirectory("graft_q128")
+      Advanced.registerTmpDir(outDir)
+      val out = outDir.resolve("kept").toString
+      val script =
+        s"""CONNECTION 'Docs' (
+           |  DRIVER = 'file', FILE = '$dir/documents.parquet',
+           |  FORMAT = 'parquet'
+           |)
+           |CONNECTION 'Out' (
+           |  DRIVER = 'file', FILE = '$out', FORMAT = 'parquet'
+           |)
+           |
+           |QUERY 'Batch' FROM CONNECTION Docs (
+           |  SELECT * FROM Docs WHERE doc_id % 2 = 0
+           |)
+           |QUERY 'Corpus' FROM CONNECTION Docs (
+           |  SELECT * FROM Docs WHERE doc_id % 2 = 1
+           |)
+           |
+           |TRANSFORM 'Kept' FROM BLOCK Batch, BLOCK Corpus (
+           |  NEARDEDUP Batch AGAINST Corpus ON text KEY doc_id
+           |    THRESHOLD 0.5 METHOD LSH
+           |)
+           |
+           |QUERY 'Final' FROM BLOCK Kept (
+           |  SELECT doc_id, lang, source, n_chars FROM Kept
+           |) INTO CONNECTION Out""".stripMargin
+      Aql.run(s, script).outputs("FINAL")
+    },
+
     // Similarity search through the language layer: the KNN verb
     // (transforms/TransformParser.scala KnnVerb → transforms/VecKnn) in
     // its METHOD EXACT baseline, on q34's exact scenario — so the oracle

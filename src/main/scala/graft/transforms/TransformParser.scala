@@ -570,8 +570,21 @@ object TransformParser {
 
   // ------------------------------------------------------------- NEARDEDUP
 
-  /** NEARDEDUP ON <textcol> KEY <keycol> [THRESHOLD <0-1>]
+  /** NEARDEDUP [<Batch> AGAINST <Corpus>] ON <textcol> KEY <keycol>
+    *           [THRESHOLD <0-1>]
     *           [METHOD EXACT|LSH [BANDS <b> ROWS <r>] [STAR ABOVE <n>]]
+    *
+    * The two-source form `NEARDEDUP Batch AGAINST Corpus ON …` is the
+    * incremental-dedup shape (q85, decontamination-style): drop every
+    * Batch row whose text near-matches ≥ 1 Corpus doc at the threshold;
+    * Batch-internal near-dups are NOT collapsed (compose with a plain
+    * NEARDEDUP stage for that). No clustering or canonical pick — the
+    * keep set is a left-anti join against the matched batch ids, and
+    * candidate work is batch×corpus collision mass only
+    * ([[NearDup.crossMatchesExact]] / [[NearDup.minhashCrossMatches]];
+    * at 100 TB the corpus band index is write-once and each batch pays
+    * ∝ its own size). STAR ABOVE applies only to the single-source form
+    * (there is no per-cluster spanning structure to preserve here).
     *
     * Beyond-parity verb (SURVEY §7.3): near-duplicate removal as a
     * language operator — the q31→q47→q118 pipeline (3-gram Jaccard
@@ -617,10 +630,10 @@ object TransformParser {
     */
   private object NearDedupParser {
     private val Re =
-      raw"(?is)^NEARDEDUP\s+ON\s+([A-Za-z_]\w*)\s+KEY\s+([A-Za-z_]\w*)(?:\s+THRESHOLD\s+([0-9]*\.?[0-9]+))?(?:\s+METHOD\s+([A-Za-z]+)(?:\s+BANDS\s+(\d+)\s+ROWS\s+(\d+))?(?:\s+STAR\s+ABOVE\s+(\d+))?)?\s*$$".r
+      raw"(?is)^NEARDEDUP(?:\s+(\w+)\s+AGAINST\s+(\w+))?\s+ON\s+([A-Za-z_]\w*)\s+KEY\s+([A-Za-z_]\w*)(?:\s+THRESHOLD\s+([0-9]*\.?[0-9]+))?(?:\s+METHOD\s+([A-Za-z]+)(?:\s+BANDS\s+(\d+)\s+ROWS\s+(\d+))?(?:\s+STAR\s+ABOVE\s+(\d+))?)?\s*$$".r
 
     def parse(t: String): Verb = t.trim match {
-      case Re(text, key, th, method, bands, rows, star) =>
+      case Re(batch, corpus, text, key, th, method, bands, rows, star) =>
         val threshold = Option(th).map(_.toDouble).getOrElse(0.5)
         if (threshold <= 0 || threshold > 1) throw TransformError(
           s"NEARDEDUP threshold $threshold out of range (0, 1]")
@@ -653,18 +666,26 @@ object TransformParser {
             case e: IllegalArgumentException => throw TransformError(
               s"NEARDEDUP METHOD LSH: ${e.getMessage}")
           }
-        NearDedupVerb(text, key, threshold, m, br, starAbove)
+        val against = (Option(batch), Option(corpus)) match {
+          case (Some(b), Some(c)) => Some((b, c))
+          case _ => None // regex captures both or neither
+        }
+        if (against.isDefined && starAbove.isDefined) throw TransformError(
+          "NEARDEDUP STAR ABOVE applies only to the single-source form " +
+            "(AGAINST has no cluster structure to span)")
+        NearDedupVerb(text, key, threshold, m, br, starAbove, against)
       case _ => throw TransformError(
-        "cannot parse NEARDEDUP (expected NEARDEDUP ON <textcol> " +
-          "KEY <keycol> [THRESHOLD <0-1>] [METHOD EXACT|LSH " +
-          "[BANDS <n> ROWS <n>] [STAR ABOVE <n>]])")
+        "cannot parse NEARDEDUP (expected NEARDEDUP [<Batch> AGAINST " +
+          "<Corpus>] ON <textcol> KEY <keycol> [THRESHOLD <0-1>] " +
+          "[METHOD EXACT|LSH [BANDS <n> ROWS <n>] [STAR ABOVE <n>]])")
     }
   }
 
   final case class NearDedupVerb(textCol: String, key: String,
       threshold: Double, method: String = "EXACT",
       bandsRows: Option[(Int, Int)] = None,
-      starAbove: Option[Long] = None) extends Verb {
+      starAbove: Option[Long] = None,
+      against: Option[(String, String)] = None) extends Verb {
 
     /** Candidate-pair generation per METHOD — public so PlanSpec can
       * assert the LSH verb joins on band keys instead of the exact
@@ -682,7 +703,52 @@ object TransformParser {
       case _ => NearDup.pairs(sh, threshold)
     }
 
-    def build(sources: Map[String, DataFrame], primary: DataFrame): DataFrame = {
+    /** Cross-corpus matched-batch-ids generation per METHOD — public so
+      * PlanSpec can assert the AGAINST plan's join shape. `shB`/`shC`:
+      * (id, shs) per NearDup.shingled.
+      */
+    def crossMatchDf(shB: DataFrame, shC: DataFrame): DataFrame =
+      method match {
+        case "LSH" =>
+          val (b, r) = bandsRows.getOrElse(NearDup.autoBands(threshold))
+          NearDup.minhashCrossMatches(shB, shC, threshold,
+            numPerm = b * r, numBands = b, rowsPerBand = r)
+        case _ => NearDup.crossMatchesExact(shB, shC, threshold)
+      }
+
+    /** AGAINST form: drop batch rows near-matching ≥ 1 corpus doc. No
+      * clustering, no canonical pick — matched ids left-anti the batch.
+      */
+    private def buildAgainst(sources: Map[String, DataFrame],
+        batchName: String, corpusName: String): DataFrame = {
+      def src(n: String): DataFrame = sources.getOrElse(n.toUpperCase,
+        throw TransformError(s"unknown NEARDEDUP source $n"))
+      val batch = src(batchName)
+      val corpus = src(corpusName)
+      def named(df: DataFrame, which: String, n: String): String =
+        df.schema.find(_.name.equalsIgnoreCase(n)).map(_.name).getOrElse(
+          throw TransformError(s"NEARDEDUP: unknown column $n in $which"))
+      val bKey = named(batch, batchName, key)
+      val bText = named(batch, batchName, textCol)
+      val cKey = named(corpus, corpusName, key)
+      val cText = named(corpus, corpusName, textCol)
+      val shB = NearDup.shingled(
+        spreadForCpu(batch, batch.select(col(bKey).as("k"),
+          col(bText).as("t"))), "k", "t")
+      val shC = NearDup.shingled(
+        spreadForCpu(corpus, corpus.select(col(cKey).as("k"),
+          col(cText).as("t"))), "k", "t")
+      val matched = crossMatchDf(shB, shC).toDF(bKey)
+      batch.join(matched, Seq(bKey), "left_anti")
+    }
+
+    def build(sources: Map[String, DataFrame], primary: DataFrame): DataFrame =
+      against match {
+        case Some((b, c)) => buildAgainst(sources, b, c)
+        case None => buildSelf(primary)
+      }
+
+    private def buildSelf(primary: DataFrame): DataFrame = {
       def named(n: String): StructField =
         primary.schema.find(_.name.equalsIgnoreCase(n)).getOrElse(
           throw TransformError(s"NEARDEDUP: unknown column $n"))

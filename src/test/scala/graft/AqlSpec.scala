@@ -1180,6 +1180,48 @@ class AqlSpec extends AnyFunSuite {
     assert(t.getMessage.contains("raise the threshold"), t.getMessage)
   }
 
+  test("NEARDEDUP AGAINST: batch rows matching the corpus drop; the rest pass") {
+    // the incremental form (q85's batch-vs-corpus shape): batch doc 10
+    // near-matches corpus doc 2 and drops; 40 matches nothing and 50 is
+    // too short to shingle — both pass through. No batch-internal
+    // collapse (that's the single-source verb's job).
+    val script =
+      """DATA 'Batch' (
+        |  [[10, "the quick brown fox jumps over the lazy dog"],
+        |   [40, "completely different words here with nothing shared at all"],
+        |   [50, "too short"]]
+        |) WITH (COLUMNS = 'Id, Txt')
+        |DATA 'Corpus' (
+        |  [[2, "the quick brown fox jumps over the lazy cat"]]
+        |) WITH (COLUMNS = 'Id, Txt')
+        |TRANSFORM 'Kept' FROM BLOCK Batch, BLOCK Corpus (
+        |  NEARDEDUP Batch AGAINST Corpus ON Txt KEY Id THRESHOLD 0.4%s
+        |) INTO CONSOLE""".stripMargin
+    def kept(methodSuffix: String): Seq[Long] =
+      Aql.run(spark, script.format(methodSuffix))
+        .outputs("KEPT").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept("") == Seq(40L, 50L))
+    // the banded cross-index path agrees with the exact postings join
+    assert(kept(" METHOD LSH") == Seq(40L, 50L))
+
+    // STAR ABOVE has no meaning without clusters
+    val e = intercept[Exception](Aql.run(spark,
+      """DATA 'B' ([[1, "x"]]) WITH (COLUMNS = 'Id, Txt')
+        |DATA 'C' ([[2, "y"]]) WITH (COLUMNS = 'Id, Txt')
+        |TRANSFORM 'K' FROM BLOCK B, BLOCK C (
+        |  NEARDEDUP B AGAINST C ON Txt KEY Id METHOD LSH STAR ABOVE 4
+        |) INTO CONSOLE""".stripMargin))
+    assert(e.getMessage.contains("single-source form"), e.getMessage)
+
+    // unknown source name is a clear error
+    val u = intercept[Exception](Aql.run(spark,
+      """DATA 'B' ([[1, "x"]]) WITH (COLUMNS = 'Id, Txt')
+        |TRANSFORM 'K' FROM BLOCK B (
+        |  NEARDEDUP B AGAINST Nope ON Txt KEY Id
+        |) INTO CONSOLE""".stripMargin))
+    assert(u.getMessage.toLowerCase.contains("nope"), u.getMessage)
+  }
+
   test("KNN verb: exact top-k neighbors e2e; options validate") {
     // beyond-parity verb (SURVEY §7.3): q34/q35/q46's similarity search
     // as a language operator. Four 2-d vectors in two clear pairs: each

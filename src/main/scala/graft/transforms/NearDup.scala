@@ -261,9 +261,19 @@ object NearDup {
     * so the per-pair array_intersect is cheap. `sh` columns: (id, shs).
     */
   def verifyPairs(cand: DataFrame, sh: DataFrame,
+      threshold: Double): DataFrame =
+    verifyPairsAcross(cand, sh, sh, threshold)
+
+  /** [[verifyPairs]] generalized over two shingle frames — the ONE place
+    * the Jaccard/rounding algebra lives, so the self-join and the
+    * batch-vs-corpus ([[crossMatchesExact]]/[[minhashCrossMatches]])
+    * paths can never diverge on it. `cand` columns (doc_a, doc_b)
+    * resolve against `shA`/`shB` respectively.
+    */
+  def verifyPairsAcross(cand: DataFrame, shA: DataFrame, shB: DataFrame,
       threshold: Double): DataFrame = {
-    val a = sh.toDF("doc_a", "sh_a")
-    val b = sh.toDF("doc_b", "sh_b")
+    val a = shA.toDF("doc_a", "sh_a")
+    val b = shB.toDF("doc_b", "sh_b")
     cand.join(a, "doc_a").join(b, "doc_b")
       .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
@@ -277,53 +287,40 @@ object NearDup {
     * distinct batch ids whose text reaches Jaccard ≥ threshold against
     * ≥ 1 corpus doc. `shB`/`shC`: (id, shs) per [[shingled]]. The join
     * is asymmetric (batch postings ⋈ corpus postings on shingle hash) —
-    * no self-pairs, no ordering filter; work ∝ Σ_h f_B(h)·f_C(h), i.e.
-    * probe-side collision mass, the q85 incremental shape.
+    * no self-pairs, no ordering filter; candidate work ∝
+    * Σ_h f_B(h)·f_C(h), i.e. probe-side collision mass (the q85
+    * incremental shape), and verification rides the shared
+    * [[verifyPairsAcross]] — NOTHING corpus-sized is ever broadcast.
     */
   def crossMatchesExact(shB: DataFrame, shC: DataFrame,
       threshold: Double): DataFrame = {
-    val pb = shB.select(col("id"), size(col("shs")).as("n"),
+    val pb = shB.select(col("id").as("doc_a"),
       explode(Text.hashedShingles(col("shs"))).as("h"))
-    val pc = shC.select(col("id"), size(col("shs")).as("n"),
+    val pc = shC.select(col("id").as("doc_b"),
       explode(Text.hashedShingles(col("shs"))).as("h"))
-    val countsB = pb.select(col("id"), col("n")).distinct().localCheckpoint()
-    val countsC = pc.select(col("id"), col("n")).distinct().localCheckpoint()
-    val common = pb.select(col("id").as("b_id"), col("h"))
-      .join(pc.select(col("id").as("c_id"), col("h")), "h")
-      .groupBy("b_id", "c_id")
-      .agg(count(lit(1)).as("common"))
-    val nb = broadcast(countsB.toDF("b_id", "n_b"))
-    val nc = broadcast(countsC.toDF("c_id", "n_c"))
-    common.join(nb, "b_id").join(nc, "c_id")
-      .where(round(col("common").cast("double")
-        / (col("n_b") + col("n_c") - col("common")), 6) >= threshold)
-      .select(col("b_id")).distinct()
+    val cand = pb.join(pc, "h").select("doc_a", "doc_b").distinct()
+    verifyPairsAcross(cand, shB, shC, threshold)
+      .select(col("doc_a").as("b_id")).distinct()
   }
 
   /** Batch-vs-corpus near-dup matches via banded MinHash: candidates
     * are batch×corpus band-key collisions (never batch×corpus all-pairs;
     * at 100 TB the corpus band index is written once and every batch
     * pays only its own collision mass — the q85 deployment shape), then
-    * exact-verified like [[minhashPairs]]. Returns distinct batch ids
-    * with ≥ 1 corpus match at the threshold.
+    * exact-verified via the shared [[verifyPairsAcross]]. Returns
+    * distinct batch ids with ≥ 1 corpus match at the threshold.
     */
   def minhashCrossMatches(shB: DataFrame, shC: DataFrame,
       threshold: Double, numPerm: Int = 128, numBands: Int = 32,
       rowsPerBand: Int = 4): DataFrame = {
     val bb = bandKeys(shB, numPerm, numBands, rowsPerBand)
-      .toDF("b_id", "band", "bh")
+      .toDF("doc_a", "band", "bh")
     val bc = bandKeys(shC, numPerm, numBands, rowsPerBand)
-      .toDF("c_id", "band", "bh")
+      .toDF("doc_b", "band", "bh")
     val cand = bb.join(bc, Seq("band", "bh"))
-      .select("b_id", "c_id").distinct()
-    val a = shB.toDF("b_id", "sh_a")
-    val b = shC.toDF("c_id", "sh_b")
-    cand.join(a, "b_id").join(b, "c_id")
-      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .where(round(col("common").cast("double")
-        / (size(col("sh_a")) + size(col("sh_b")) - col("common")), 6)
-        >= threshold)
-      .select(col("b_id")).distinct()
+      .select("doc_a", "doc_b").distinct()
+    verifyPairsAcross(cand, shB, shC, threshold)
+      .select(col("doc_a").as("b_id")).distinct()
   }
 
   /** Min-label connected components over an undirected pair graph:

@@ -718,6 +718,24 @@ object TransformParser {
 
     /** AGAINST form: drop batch rows near-matching ≥ 1 corpus doc. No
       * clustering, no canonical pick — matched ids left-anti the batch.
+      *
+      * Semantics note (deliberate divergence from KNN's two-source
+      * form): there is NO same-key exclusion. Incremental dedup means
+      * "is this text already represented in the corpus?" — a re-ingested
+      * doc whose key exists in both sources matches its own corpus copy
+      * at J = 1 and drops, which is the point; consequently
+      * `NEARDEDUP A AGAINST A` drops every shingle-able row of A. KNN
+      * excludes same keys because "your own corpus copy" is a useless
+      * nearest NEIGHBOR; here it is exactly the duplicate being asked
+      * about.
+      *
+      * EXACT-FIRST on both sides, like buildSelf: identical batch texts
+      * collapse to one representative (verdicts fan back through the
+      * text hash — J(copy, c) = J(text, c), so per-copy verdicts equal
+      * the rep's), and the corpus dedupes to one row per distinct text
+      * (membership is all that matters) — so the quadratic-prone stages
+      * see distinct texts, not duplicate mass (the ordering SCALING.md
+      * measures as decisive; web batches are ~30-50 % exact dups).
       */
     private def buildAgainst(sources: Map[String, DataFrame],
         batchName: String, corpusName: String): DataFrame = {
@@ -730,16 +748,27 @@ object TransformParser {
           throw TransformError(s"NEARDEDUP: unknown column $n in $which"))
       val bKey = named(batch, batchName, key)
       val bText = named(batch, batchName, textCol)
-      val cKey = named(corpus, corpusName, key)
       val cText = named(corpus, corpusName, textCol)
-      val shB = NearDup.shingled(
-        spreadForCpu(batch, batch.select(col(bKey).as("k"),
-          col(bText).as("t"))), "k", "t")
-      val shC = NearDup.shingled(
-        spreadForCpu(corpus, corpus.select(col(cKey).as("k"),
-          col(cText).as("t"))), "k", "t")
-      val matched = crossMatchDf(shB, shC).toDF(bKey)
-      batch.join(matched, Seq(bKey), "left_anti")
+      named(corpus, corpusName, key) // corpus key must exist for symmetry
+      val par = batch.sparkSession.sparkContext.defaultParallelism
+      val bKeyed = spreadForCpu(batch, batch.select(col(bKey).as("id"),
+          col(bText).as("txt"), xxhash64(col(bText)).as("th")))
+        .localCheckpoint(false)
+      val bReps = bKeyed.groupBy(col("th"))
+        .agg(first(col("txt")).as("txt"))
+        .repartition(par) // AQE would coalesce below the CPU stage
+      val shB = NearDup.shingled(bReps, "th", "txt")
+      // corpus reps keyed by text hash too — the id never surfaces
+      val cReps = spreadForCpu(corpus, corpus.select(
+          xxhash64(col(cText)).as("cth"), col(cText).as("txt")))
+        .groupBy(col("cth")).agg(first(col("txt")).as("txt"))
+        .repartition(par)
+      val shC = NearDup.shingled(cReps, "cth", "txt")
+      // matched rep text-hashes fan back to every batch copy
+      val matched = crossMatchDf(shB, shC).toDF("th")
+      val matchedIds = bKeyed.join(matched, "th")
+        .select(col("id").as(bKey))
+      batch.join(matchedIds, Seq(bKey), "left_anti")
     }
 
     def build(sources: Map[String, DataFrame], primary: DataFrame): DataFrame =

@@ -401,6 +401,44 @@ class PlanSpec extends AnyFunSuite {
     assert(aggs >= 4, s"expected partial+final aggs for votes+fingerprint:\n$p")
   }
 
+  test("NEARDEDUP AGAINST: cross candidates join on band keys / postings, never all-pairs") {
+    // the AGAINST form's candidate generation must keep the collision-
+    // bounded shapes: METHOD LSH joins batch bands to corpus bands on
+    // (band, bh); EXACT joins postings on the shingle hash; neither may
+    // degenerate to a cartesian/nested-loop batch x corpus product, and
+    // the verb's keep step is a left-anti join
+    import spark.implicits._
+    val batch = Seq((10L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("id", "txt")
+    val corpus = Seq((2L, "the quick brown fox jumps over the lazy cat"))
+      .toDF("id", "txt")
+    def verb(m: String) = graft.transforms.TransformParser
+      .parse(s"NEARDEDUP B AGAINST C ON txt KEY id THRESHOLD 0.5 METHOD $m")
+      match {
+        case v: graft.transforms.TransformParser.NearDedupVerb => v
+        case other => fail(s"expected NearDedupVerb, got $other")
+      }
+    val shB = graft.transforms.NearDup.shingled(batch, "id", "txt")
+    val shC = graft.transforms.NearDup.shingled(corpus, "id", "txt")
+    val lsh = verb("LSH").crossMatchDf(shB, shC)
+      .queryExecution.executedPlan.toString
+    assert(lsh.contains("band#") && lsh.contains("bh#"),
+      s"LSH cross candidates must join on band keys:\n$lsh")
+    assert(!lsh.contains("Cartesian") && !lsh.contains("BroadcastNestedLoop"),
+      s"cross candidates must never be all-pairs:\n$lsh")
+    val exact = verb("EXACT").crossMatchDf(shB, shC)
+      .queryExecution.executedPlan.toString
+    assert(!exact.contains("bh#"),
+      s"exact method must keep the postings join:\n$exact")
+    assert(!exact.contains("Cartesian") && !exact.contains("BroadcastNestedLoop"),
+      s"cross candidates must never be all-pairs:\n$exact")
+
+    val full = verb("LSH")
+      .build(Map("B" -> batch, "C" -> corpus), batch)
+      .queryExecution.executedPlan.toString
+    assert(full.contains("LeftAnti"), s"keep step must be left-anti:\n$full")
+  }
+
   test("q127: sample selection is salted two-phase, no whole-group sort first") {
     // the per-group bottom-k must run q77's salted shape: the FIRST
     // window partitions by (group, salt) so no reducer ever sorts an

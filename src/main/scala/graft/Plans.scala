@@ -61,6 +61,11 @@ object Plans {
     "q123_boilerplate_prune" -> "per-source stoplist broadcast, map-side rewrite, vocab-bounded shuffles",
     "q126_simhash_portable" -> "md5 token votes -> (doc,bit) partial agg -> 15-bit band self-join",
     "q127_sample_quantile" -> "salted two-phase bottom-k sample, nearest-rank over k rows",
+    "q129_ivf_portable" -> "top-16 centroid pick, struct-max cell assignment, broadcast probe join",
+    "q132_pq_portable" -> "md5 codebook, DECIMAL-exact ADC partial agg, WindowGroupLimit shortlist",
+    "q133_lsh_portable" -> "md5-parity hyperplanes, integer projections, (t,bucket) collision join",
+    "q130_seeded_shards" -> "seeded shard key map-side, one 8-cell partial+final agg",
+    "q131_writer_packing" -> "salt-partitioned rank windows, serpentine deal, no join",
   )
 
   def main(args: Array[String]): Unit = {

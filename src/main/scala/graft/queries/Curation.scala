@@ -785,5 +785,89 @@ object Curation {
         array_join(col("clean"), " ").as("clean_text"),
         (size(col("ws")) - size(col("clean"))).cast("bigint").as("n_removed"))
     },
+
+    // ---- Seeded epoch shards: the deterministic global shuffle every
+    // training run needs — docs land in S shards by a seeded hash
+    // (md5("42:" || doc_id), re-seed per epoch to re-shuffle), and the
+    // output is the shard MANIFEST a dataloader verifies against: per
+    // shard, the doc count, total chars, a commutative content
+    // fingerprint (sum of the doc keys mod a prime — order-independent,
+    // so any engine that writes the same membership reproduces it), and
+    // the doc-id range. Shard membership is a pure map-side projection;
+    // the manifest is one S-group partial aggregation — at 100 TB this
+    // is a single corpus scan with map-side combine into 8 cells, and
+    // within-shard order (hash asc) is a sortWithinPartitions at write
+    // time, never a global sort. Portable via the md5 60-bit trick
+    // (q69/q109/q111): both engines derive identical shard and
+    // fingerprint integers.
+    QueryDef(
+      "q130_seeded_shards",
+      """WITH h AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT CAST(h % 8 AS INTEGER) AS shard,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(h % 1000000007) AS BIGINT) AS fp,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM h GROUP BY 1""".stripMargin) { (s, dir) =>
+      val h = docs(s, dir).select(col("doc_id"), col("n_chars"),
+        conv(substring(md5(concat(lit("42:"), col("doc_id").cast("string"))),
+          1, 15), 16, 10).cast("bigint").as("h"))
+      h.groupBy(pmod(col("h"), lit(8)).cast("int").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(col("h") % lit(1000000007L)).as("fp"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+    },
+
+    // ---- Balanced writer packing: assign docs to W=8 output writers so
+    // per-writer byte totals come out nearly equal — the shard-sizing
+    // step before writing training data, where naive hash sharding
+    // leaves the fattest writer dictating the stage tail. Shape: salt
+    // docs into G=8 independent groups by a seeded hash, rank each
+    // group by (n_chars DESC, doc_id), and deal ranks onto writers in
+    // serpentine (boustrophedon) order — block r/W alternates direction,
+    // so within every block of W the biggest doc of one pass pairs with
+    // the smallest of the next and per-writer totals converge fast.
+    // Every window is PARTITIONed by the salt group (q127's contract: no
+    // global sort, no single-reducer window); at 100 TB, G grows with
+    // the cluster and each group ranks 1/G of the corpus independently —
+    // the imbalance of the sum of G serpentine deals stays bounded by
+    // G × (largest doc). Balance is asserted in PipelineSpec; membership
+    // is hash-exact vs the oracle.
+    QueryDef(
+      "q131_writer_packing",
+      """WITH h AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 8 AS g
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_chars, g,
+        |    row_number() OVER (PARTITION BY g ORDER BY n_chars DESC, doc_id)
+        |      - 1 AS r0
+        |  FROM h)
+        |SELECT doc_id, CAST(g AS INTEGER) AS salt_group,
+        |  CAST(CASE WHEN (r0 // 8) % 2 = 0 THEN r0 % 8
+        |            ELSE 7 - (r0 % 8) END AS INTEGER) AS writer
+        |FROM r""".stripMargin) { (s, dir) =>
+      val W = 8
+      val h = docs(s, dir).select(col("doc_id"), col("n_chars"),
+        pmod(conv(substring(md5(concat(lit("pack:"),
+          col("doc_id").cast("string"))), 1, 15), 16, 10).cast("bigint"),
+          lit(8)).as("g"))
+      val gw = Window.partitionBy(col("g"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      h.withColumn("r0", row_number().over(gw) - 1)
+        .select(col("doc_id"), col("g").cast("int").as("salt_group"),
+          when((expr(s"r0 DIV $W") % 2) === 0,
+            col("r0") % W)
+            .otherwise(lit(W - 1) - col("r0") % W)
+            .cast("int").as("writer"))
+    },
   )
 }

@@ -34,6 +34,26 @@ object Similarity {
   // moves mean recall by 5 points; at 100 it takes a real regression.
   private val NumQueries = 100
 
+  /** q129 portable-IVF shape: 16 cells, 8 probed per query. Mirrors q46's
+    * parameters so the two gates pin the same search geometry — q46 with a
+    * trained quantizer + recall spec, q129 with a deterministic quantizer
+    * + hash-exact oracle.
+    */
+  private val IvfCells = 16
+  private val IvfProbes = 8
+
+  /** q132 portable-PQ shape, mirroring q82: 8 subspaces × 8 dims, 16-code
+    * shared codebook, ADC shortlist 100 before the exact rerank.
+    */
+  private val PqM = 8
+  private val PqSubDim = 8
+  private val PqCodes = 16
+  private val PqShortlist = 100
+
+  /** q133 portable sign-LSH shape, mirroring q35: 16 tables × 4 bits. */
+  private val LshTables = 16
+  private val LshBits = 4
+
   /** Train-once IVF quantizer cache, keyed by corpus dir. An IVF index is
     * built offline and served; training is not a per-query-batch cost.
     * Deterministic (seeded, fixed data) so a cache hit and a retrain give
@@ -323,6 +343,338 @@ object Similarity {
           (when(col("s") < 0, lit(-1L)).otherwise(lit(1L))
             * expr("(2 * abs(s) + n) DIV (2 * n)")).cast("double")
             ./(lit(1e9)).as("centroid"))
+    },
+
+    // ---- IVF with an engine-portable quantizer: the q46 search algebra
+    // made oracle-checkable. q46's coarse quantizer is seeded MLlib
+    // KMeans — engine-specific training, so it carries a recall spec
+    // instead of a hash match. THIS gate pins the *search* side of IVF
+    // cross-engine: centroids are the 16 corpus vectors with the
+    // smallest md5(vec_id) (a deterministic seeded sample both engines
+    // replay, cluster id = rank in md5 order), assignment is
+    // argmax-cosine to a centroid, queries probe their 8 nearest cells,
+    // and only the probed cells' members reach the exact rerank. Every
+    // comparison is on round(·,6) doubles over the same left-fold dot
+    // product as q34, so DuckDB replays cell assignment, probe choice,
+    // and final ranks bit-for-bit.
+    //
+    // 100 TB shape: centroid pick is a distributed top-16
+    // (TakeOrderedAndProject), never a global sort; the 16-row centroid
+    // frame is broadcast to both the assignment and probe stages. The
+    // 16× assignment fan-out collapses back to one row per vector in
+    // the map-side partial agg (all 16 candidate rows of a vector are
+    // born in the same task), so the only corpus-sized shuffle is the
+    // (vec_id) combine. Candidates = probed-cell members only — the
+    // corpus × query product never materializes, same
+    // candidates-then-verify contract as q35/q46/q82.
+    QueryDef(
+      "q129_ivf_portable",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v,
+         |  sqrt(list_reduce(list_prepend(0.0, [x*x for x in v]), (a,b) -> a+b)) AS nrm
+         |  FROM e),
+         |cent AS (
+         |  SELECT cluster, cv, cnrm FROM (
+         |    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+         |        AS cluster,
+         |      v AS cv, nrm AS cnrm
+         |    FROM n) WHERE cluster < $IvfCells),
+         |scored AS (
+         |  SELECT q.vec_id, q.v, q.nrm, c.cluster,
+         |    round(list_reduce(list_prepend(0.0,
+         |        [q.v[i] * c.cv[i] for i in range(1, len(q.v)+1)]), (a,b) -> a+b)
+         |      / (q.nrm * c.cnrm), 6) AS score
+         |  FROM n q, cent c),
+         |assigned AS (
+         |  SELECT vec_id, v, nrm, cluster FROM scored
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY score DESC, cluster) = 1),
+         |probes AS (
+         |  SELECT vec_id AS qid, v AS qv, nrm AS qnrm, cluster FROM scored
+         |  WHERE vec_id < $NumQueries
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY score DESC, cluster) <= $IvfProbes),
+         |s AS (
+         |  SELECT p.qid, a.vec_id AS neighbor_id,
+         |    round(list_reduce(list_prepend(0.0,
+         |        [p.qv[i] * a.v[i] for i in range(1, len(p.qv)+1)]),
+         |        (x, y) -> x + y)
+         |      / (p.qnrm * a.nrm), 6) AS cosine
+         |  FROM probes p JOIN assigned a
+         |    ON p.cluster = a.cluster AND p.qid <> a.vec_id)
+         |SELECT qid, neighbor_id, cosine, rank FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY qid ORDER BY cosine DESC, neighbor_id) AS rank FROM s)
+         |WHERE rank <= $K""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir).withColumn("nrm", l2norm(col("v")))
+      // deterministic seeded sample as centroids: distributed top-16 by
+      // md5(vec_id); the 16-row rank window runs on the post-limit frame
+      val cents = e
+        .withColumn("mk", md5(col("vec_id").cast("string")))
+        .orderBy(col("mk")).limit(IvfCells)
+        .withColumn("cluster",
+          row_number().over(Window.orderBy(col("mk"))) - 1)
+        .select(col("cluster"), col("v").as("cv"), col("nrm").as("cnrm"))
+      val scored = e.crossJoin(broadcast(cents))
+        .withColumn("score",
+          round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6))
+        .select(col("vec_id"), col("v"), col("nrm"), col("cluster"),
+          col("score"))
+      // argmax cell per vector: lexicographic struct max == the oracle's
+      // (score DESC, cluster ASC) row_number()=1; partial agg collapses
+      // the 16 candidate rows map-side before the one (vec_id) shuffle
+      val assigned = scored
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("score"), (-col("cluster")).as("nc"))).as("m"),
+          first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+        .select(col("vec_id"), (-col("m.nc")).as("cluster"), col("v"),
+          col("nrm"))
+      val pw = Window.partitionBy("vec_id")
+        .orderBy(col("score").desc, col("cluster"))
+      val probes = scored.where(col("vec_id") < NumQueries)
+        .withColumn("pr", row_number().over(pw))
+        .where(col("pr") <= IvfProbes)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qnrm"), col("cluster"))
+      val w2 = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
+      assigned.toDF("cid", "cluster", "cv", "cnrm")
+        .join(broadcast(probes), Seq("cluster"))
+        .where(col("qid") =!= col("cid"))
+        .withColumn("cosine",
+          round(dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")), 6))
+        .withColumn("rank", row_number().over(w2))
+        .where(col("rank") <= K)
+        .select(col("qid"), col("cid").as("neighbor_id"), col("cosine"),
+          col("rank"))
+    },
+
+    // ---- PQ with an engine-portable codebook: q82's ADC search algebra
+    // made oracle-checkable, completing the pattern q129 set for IVF.
+    // q82's shared codebook comes from seeded MLlib KMeans (engine-
+    // specific training ⇒ recall spec only); here the codebook is the 16
+    // corpus SUBvectors with the smallest md5(vec_id:m) — a deterministic
+    // sample over the (vector, subspace) population both engines replay,
+    // code id = rank in md5 order. Encoding (argmin round-6 squared L2,
+    // tie → smallest code), the per-query ADC lookup table, shortlist
+    // choice, and the exact rerank are then all bit-replayable: ADC
+    // partial dots are DECIMAL(28,12)-quantized before the per-pair sum
+    // (q112's trick) so the shortlist ranking key is exact and
+    // order-independent — a double sum over 8 subspaces would depend on
+    // aggregation order and diverge across engines/partitionings.
+    //
+    // 100 TB shape: identical to q82's — codes are a narrow 9-column
+    // frame, the LUT is |queries|×8×16 broadcast rows, ADC is one
+    // (qid,cid) partial agg, floats are touched at encode and for
+    // shortlisted candidates only. Codebook pick is a distributed
+    // top-16, never a global sort.
+    QueryDef(
+      "q132_pq_portable",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v,
+         |  sqrt(list_reduce(list_prepend(0.0, [x*x for x in v]), (a,b) -> a+b)) AS nrm
+         |  FROM e),
+         |subs AS (
+         |  SELECT vec_id, m, list_slice(v, m * $PqSubDim + 1, m * $PqSubDim + $PqSubDim) AS sub
+         |  FROM e, unnest(range(0, $PqM)) AS t(m)),
+         |cb AS (
+         |  SELECT code, cent FROM (
+         |    SELECT row_number() OVER (ORDER BY
+         |        md5(CAST(vec_id AS VARCHAR) || ':' || CAST(m AS VARCHAR))) - 1
+         |        AS code,
+         |      sub AS cent
+         |    FROM subs) WHERE code < $PqCodes),
+         |enc AS (
+         |  SELECT vec_id AS cid, m, code FROM (
+         |    SELECT s.vec_id, s.m, c.code,
+         |      round(list_reduce(list_prepend(0.0,
+         |          [(s.sub[i] - c.cent[i]) * (s.sub[i] - c.cent[i])
+         |           for i in range(1, len(s.sub)+1)]), (a,b) -> a+b), 6) AS d2
+         |    FROM subs s, cb c) d
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id, m
+         |    ORDER BY d2, code) = 1),
+         |lut AS (
+         |  SELECT s.vec_id AS qid, s.m, c.code,
+         |    CAST(list_reduce(list_prepend(0.0,
+         |        [s.sub[i] * c.cent[i] for i in range(1, len(s.sub)+1)]),
+         |        (a,b) -> a+b) AS DECIMAL(28,12)) AS pdot
+         |  FROM subs s, cb c WHERE s.vec_id < $NumQueries),
+         |adc AS (
+         |  SELECT l.qid, en.cid, sum(l.pdot) AS adc
+         |  FROM enc en JOIN lut l ON en.m = l.m AND en.code = l.code
+         |  WHERE l.qid <> en.cid
+         |  GROUP BY 1, 2),
+         |short AS (
+         |  SELECT qid, cid FROM adc
+         |  QUALIFY row_number() OVER (PARTITION BY qid
+         |    ORDER BY adc DESC, cid) <= $PqShortlist),
+         |s2 AS (
+         |  SELECT sh.qid, sh.cid AS neighbor_id,
+         |    round(list_reduce(list_prepend(0.0,
+         |        [q.v[i] * c.v[i] for i in range(1, len(q.v)+1)]),
+         |        (x, y) -> x + y)
+         |      / (q.nrm * c.nrm), 6) AS cosine
+         |  FROM short sh
+         |  JOIN n q ON q.vec_id = sh.qid
+         |  JOIN n c ON c.vec_id = sh.cid)
+         |SELECT qid, neighbor_id, cosine, rank FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY qid ORDER BY cosine DESC, neighbor_id) AS rank FROM s2)
+         |WHERE rank <= $K""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir).withColumn("nrm", l2norm(col("v")))
+      val subs = e.select(col("vec_id"),
+        posexplode(expr(s"transform(sequence(0, ${PqM - 1}), " +
+          s"m -> slice(v, m * $PqSubDim + 1, $PqSubDim))"))
+          .as(Seq("m", "sub")))
+      // deterministic shared codebook: distributed top-16 by md5(vec_id:m)
+      val cb = subs
+        .withColumn("mk", md5(concat_ws(":", col("vec_id").cast("string"),
+          col("m").cast("string"))))
+        .orderBy(col("mk")).limit(PqCodes)
+        .withColumn("code", row_number().over(Window.orderBy(col("mk"))) - 1)
+        .select(col("code"), col("sub").as("cent"))
+      // encode: argmin round-6 squared L2 as a lexicographic struct-min —
+      // the 16-code fan-out collapses map-side in the (vec_id, m) combine
+      val codes = subs.crossJoin(broadcast(cb))
+        .withColumn("diff", zip_with(col("sub"), col("cent"), (x, y) => x - y))
+        .withColumn("d2", round(dot(col("diff"), col("diff")), 6))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("d2"), col("code"))).as("mn"))
+        .select(col("vec_id").as("cid"), col("m"), col("mn.code").as("code"))
+      // per-query ADC LUT, partial dots exact-DECIMAL before any sum
+      val lut = subs.where(col("vec_id") < NumQueries)
+        .toDF("qid", "m", "qsub")
+        .crossJoin(broadcast(cb))
+        .select(col("qid"), col("m"), col("code"),
+          dot(col("qsub"), col("cent")).cast("decimal(28,12)").as("pdot"))
+      val adc = codes.join(broadcast(lut), Seq("m", "code"))
+        .where(col("qid") =!= col("cid"))
+        .groupBy(col("qid"), col("cid"))
+        .agg(sum(col("pdot")).as("adc"))
+      val ws = Window.partitionBy("qid").orderBy(col("adc").desc, col("cid"))
+      val shortlist = adc.withColumn("srank", row_number().over(ws))
+        .where(col("srank") <= PqShortlist)
+        .select(col("qid"), col("cid"))
+      val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
+      shortlist
+        .join(e.toDF("cid", "cv", "cnrm"), "cid")
+        .join(broadcast(e.toDF("qid", "qv", "qnrm")), "qid")
+        .withColumn("cosine",
+          round(dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")), 6))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= K)
+        .select(col("qid"), col("cid").as("neighbor_id"), col("cosine"),
+          col("rank"))
+    },
+
+    // ---- Sign-LSH with engine-portable hyperplanes: q35's bucketing
+    // algebra made oracle-checkable, closing the last ANN family without
+    // a hash-exact twin (q129 did IVF, q132 did PQ). Two portability
+    // moves replace the engine-specific parts:
+    //  1. hyperplane components come from md5 parity over (table:bit:dim)
+    //     — not the splitmix mix of functions.Vectors.hyper, whose
+    //     wrapping int64 multiplies DuckDB cannot replay (its BIGINT
+    //     arithmetic raises on overflow);
+    //  2. projections are INTEGER dot products over nano-quantized
+    //     components (q103's floor(x·1e9+0.5) trick) — a double
+    //     projection's sign could flip with summation order near zero,
+    //     an integer sum cannot, so bucket ids are exact under ANY
+    //     aggregation order, partitioning, or engine.
+    // Candidates = bucket collisions in ≥ 1 of 16 tables, deduped, then
+    // exact-reranked in round-6 double cosine — the same candidates-then-
+    // verify contract as q35, replayed bit-for-bit by DuckDB end to end.
+    //
+    // 100 TB shape: the hyperplane frame is 4096 broadcast rows; the dim
+    // fan-out collapses map-side in the (vec, table, bit) combine (every
+    // dim row of a vector is born in one task), the bucket fold is a
+    // second 16-cell-per-vector combine, and the collision join shuffles
+    // by (table, bucket) — collision-bounded, never the pair space. The
+    // native LshBucketsExpression (q35) stays the bench path: one fused
+    // per-row kernel instead of a 64× row fan-out.
+    QueryDef(
+      "q133_lsh_portable",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v,
+         |  sqrt(list_reduce(list_prepend(0.0, [x*x for x in v]), (a,b) -> a+b)) AS nrm
+         |  FROM e),
+         |hyper AS (
+         |  SELECT t, b, d,
+         |    CASE WHEN CAST(('0x' || substr(md5(
+         |        CAST(t AS VARCHAR) || ':' || CAST(b AS VARCHAR) || ':' ||
+         |        CAST(d AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0
+         |      THEN 1 ELSE -1 END AS sign
+         |  FROM range(0, $LshTables) rt(t), range(0, $LshBits) rb(b),
+         |       range(0, 64) rd(d)),
+         |dims AS (
+         |  SELECT vec_id, i - 1 AS d,
+         |    CAST(floor(v[i] * 1e9 + 0.5) AS BIGINT) AS vq
+         |  FROM n, unnest(range(1, len(v) + 1)) AS u(i)),
+         |proj AS (
+         |  SELECT dims.vec_id, h.t, h.b, sum(dims.vq * h.sign) AS p
+         |  FROM dims JOIN hyper h ON dims.d = h.d
+         |  GROUP BY 1, 2, 3),
+         |bk AS (
+         |  SELECT vec_id, t,
+         |    SUM(CASE WHEN p > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+         |      AS bucket
+         |  FROM proj GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+         |  FROM bk q JOIN bk c ON q.t = c.t AND q.bucket = c.bucket
+         |  WHERE q.vec_id < $NumQueries AND q.vec_id <> c.vec_id),
+         |s AS (
+         |  SELECT cand.qid, cand.cid AS neighbor_id,
+         |    round(list_reduce(list_prepend(0.0,
+         |        [q.v[i] * c.v[i] for i in range(1, len(q.v)+1)]),
+         |        (x, y) -> x + y)
+         |      / (q.nrm * c.nrm), 6) AS cosine
+         |  FROM cand
+         |  JOIN n q ON q.vec_id = cand.qid
+         |  JOIN n c ON c.vec_id = cand.cid)
+         |SELECT qid, neighbor_id, cosine, rank FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY qid ORDER BY cosine DESC, neighbor_id) AS rank FROM s)
+         |WHERE rank <= $K""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir).withColumn("nrm", l2norm(col("v")))
+      // 16×4×64 = 4096-row hyperplane frame; md5-parity signs
+      val hyper = s.range(LshTables).toDF("t")
+        .withColumn("b", explode(sequence(lit(0), lit(LshBits - 1))))
+        .withColumn("d", explode(sequence(lit(0), lit(63))))
+        .withColumn("sign",
+          when(conv(substring(md5(concat_ws(":",
+            col("t").cast("string"), col("b").cast("string"),
+            col("d").cast("string"))), 1, 1), 16, 10)
+            .cast("bigint") % 2 === 0, lit(1L)).otherwise(lit(-1L)))
+      // nano-quantized components -> integer projections -> bit fold
+      val dims = e.select(col("vec_id"), posexplode(col("v")).as(Seq("d", "x")))
+        .select(col("vec_id"), col("d"),
+          floor(col("x") * lit(1e9) + lit(0.5)).cast("bigint").as("vq"))
+      // materialized once: both sides of the collision join consume the
+      // frame, and without the checkpoint each side re-runs the full
+      // fan-out + two-level agg chain (KnnVerb.prep's re-scan rationale);
+      // the frame is |vectors|×16 narrow rows — cheap to hold
+      val buckets = dims.join(broadcast(hyper), "d")
+        .groupBy(col("vec_id"), col("t"), col("b"))
+        .agg(sum(col("vq") * col("sign")).as("p"))
+        .groupBy(col("vec_id"), col("t"))
+        .agg(sum(when(col("p") > 0,
+          expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L))
+          .as("bucket"))
+        .localCheckpoint(false)
+      val cand = buckets.toDF("qid", "t", "bucket")
+        .where(col("qid") < NumQueries)
+        .join(buckets.toDF("cid", "t", "bucket"), Seq("t", "bucket"))
+        .where(col("qid") =!= col("cid"))
+        .select("qid", "cid").distinct()
+      val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
+      cand
+        .join(e.toDF("cid", "cv", "cnrm"), "cid")
+        .join(broadcast(e.toDF("qid", "qv", "qnrm")), "qid")
+        .withColumn("cosine",
+          round(dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")), 6))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= K)
+        .select(col("qid"), col("cid").as("neighbor_id"), col("cosine"),
+          col("rank"))
     },
   )
 }

@@ -137,6 +137,65 @@ class PipelineSpec extends AnyFunSuite {
     assert(mean >= 0.8, s"PQ recall $mean too low")
   }
 
+  test("q129 portable-IVF recall@5 vs q34 brute force") {
+    // q129's correctness claim is the hash-exact DuckDB oracle (cell
+    // assignment, probe choice and ranks replayed bit-for-bit); its
+    // quantizer is deliberately UNtrained (centroids = md5-seeded sample,
+    // no Lloyd rounds), so its recall sits below the tuned q46 (measured
+    // 0.754 vs 0.82 at nprobe 8/16). The floor here only guards the
+    // search geometry against gross regressions.
+    val mean = meanRecall(topk("q129_ivf_portable"), topk("q34_knn_bruteforce"))
+    info(s"portable-IVF mean recall@5 = $mean")
+    assert(mean >= 0.7, s"portable-IVF recall $mean too low")
+  }
+
+  test("q132 portable-PQ recall@5 vs q34 brute force") {
+    // like q129: correctness is the hash-exact oracle (codebook pick,
+    // encoding, ADC shortlist and ranks replayed bit-for-bit in DuckDB);
+    // the codebook is an UNtrained md5 sample, so recall sits below the
+    // KMeans-trained q82 (measured 0.73 vs 0.86 at shortlist 100). The
+    // floor guards the ADC geometry, not tuning.
+    val mean = meanRecall(topk("q132_pq_portable"), topk("q34_knn_bruteforce"))
+    info(s"portable-PQ mean recall@5 = $mean")
+    assert(mean >= 0.65, s"portable-PQ recall $mean too low")
+  }
+
+  test("q133 portable sign-LSH recall@5 vs q34 brute force") {
+    // unlike q129/q132, the portable hyperplane family is a full-strength
+    // LSH (16 tables × 4 bits, like q35) — only the hash source changed
+    // (md5 parity for splitmix), so recall matches the family floor.
+    // Measured 0.878 at sf0.001; bucket ids are integer-exact so the
+    // number is deterministic.
+    val mean = meanRecall(topk("q133_lsh_portable"), topk("q34_knn_bruteforce"))
+    info(s"portable sign-LSH mean recall@5 = $mean")
+    assert(mean >= 0.8, s"portable LSH recall $mean too low")
+  }
+
+  test("q131 serpentine packing balances per-writer byte totals") {
+    // the operator's reason to exist: per-writer totals must come out
+    // far tighter than naive hash sharding. Measured relative spread
+    // (max-min)/mean ≈ 1.2% at sf0.001; gate at 5%.
+    import org.apache.spark.sql.functions._
+    val w = SparkEntry.queries("q131_writer_packing")(spark, sfDir)
+    val docs = Tables.load(spark, sfDir, "documents")
+    val totals = w.join(docs, "doc_id").groupBy("writer")
+      .agg(sum("n_chars").as("t")).collect().map(_.getLong(1).toDouble)
+    assert(totals.length == 8, s"expected 8 writers, got ${totals.length}")
+    val rel = (totals.max - totals.min) / (totals.sum / totals.length)
+    info(s"per-writer byte spread = ${(rel * 100).round}% of mean")
+    assert(rel < 0.05, s"writer imbalance $rel too high")
+  }
+
+  test("q130 seeded shards partition the corpus exactly") {
+    // membership and fingerprints are pinned by the DuckDB oracle; this
+    // asserts the partition property the manifest implies: every doc in
+    // exactly one shard, all 8 shards populated.
+    val m = SparkEntry.queries("q130_seeded_shards")(spark, sfDir).collect()
+    assert(m.length == 8, s"expected 8 shards, got ${m.length}")
+    val nDocs = m.map(_.getAs[Long]("n_docs")).sum
+    assert(nDocs == Tables.load(spark, sfDir, "documents").count())
+  }
+
   private def knnVerb(verb: String): org.apache.spark.sql.DataFrame =
     graft.transforms.TransformParser.parse(verb)
       .build(Map.empty, Tables.load(spark, sfDir, "embeddings"))

@@ -449,6 +449,92 @@ class PlanSpec extends AnyFunSuite {
       s"unexpected join shape:\n$p")
   }
 
+  test("q129: candidates come from the broadcast cell join, ranks use group-limit pushdown") {
+    // portable IVF's 100 TB contract: the only corpus x corpus contact is
+    // the broadcast hash join on the assigned cell (probed cells only) —
+    // the two BroadcastNestedLoopJoins in the plan are the 16-row centroid
+    // frame fanned against corpus/queries for scoring, never a pair space.
+    // Top-k windows must carry WindowGroupLimit so per-group state is
+    // k-bounded before the final sort.
+    val p = plan("q129_ivf_portable")
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe-cell join must be a broadcast hash join:\n$p")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 2, s"only the centroid-scoring fan-outs may be BNLJ:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian pair space:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"top-k windows must push group limits:\n$p")
+    // struct-max argmax compiles to SortAggregate (struct types are not
+    // hash-aggregable); partial+final still holds, which is the contract
+    val aggs = "HashAggregate|ObjectHashAggregate|SortAggregate"
+      .r.findAllIn(p).size
+    assert(aggs >= 2, s"cell assignment must be a partial+final agg:\n$p")
+  }
+
+  test("q132: ADC rides broadcast (m,code) join + partial agg; shortlist uses group limits") {
+    // portable PQ's 100 TB contract = q82's: the codes frame joins the
+    // broadcast LUT on (m, code) — never a pair space — ADC sums are
+    // partial+final on (qid, cid), and both the shortlist-100 and final
+    // top-5 windows push WindowGroupLimit. BNLJs are only the two 16-row
+    // codebook fan-outs (encode + LUT).
+    val p = plan("q132_pq_portable")
+    assert(p.contains("BroadcastHashJoin"),
+      s"ADC/rerank joins must be broadcast hash joins:\n$p")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 2, s"only the codebook fan-outs may be BNLJ:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian pair space:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"shortlist/top-k must push group limits:\n$p")
+    val hashAggs = "HashAggregate".r.findAllIn(p).size
+    assert(hashAggs >= 2, s"ADC sum must be a partial+final agg:\n$p")
+  }
+
+  test("q133: buckets fold map-side; candidates come from the (t,bucket) collision join") {
+    // portable sign-LSH's 100 TB contract = q35's: the hyperplane frame
+    // joins broadcast (4096 rows), projections and bit folds are
+    // partial+final aggs (the 64x dim fan-out collapses map-side), and
+    // the only corpus x corpus contact is the (t, bucket) collision
+    // equi-join — never a cartesian/nested-loop pair space.
+    // the buckets frame is localCheckpoint'd (computed once for both
+    // collision-join sides), so the final plan reads it as an RDD scan;
+    // assert the derivation shape on the un-checkpointed subplan and the
+    // collision/rerank shape on the full plan.
+    val p = plan("q133_lsh_portable")
+    assert(p.contains("Scan ExistingRDD"),
+      s"buckets frame must be materialized once (checkpoint boundary):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"rerank joins must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"candidates must come from bucket collisions, never all-pairs:\n$p")
+    val pairAggs = "HashAggregate".r.findAllIn(p).size
+    assert(pairAggs >= 2,
+      s"candidate dedup must be a partial+final agg:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"final top-k must push group limits:\n$p")
+  }
+
+  test("q130: shard manifest is one partial+final aggregation, no join") {
+    val p = plan("q130_seeded_shards")
+    assert(!p.contains("Join"), s"manifest must not join:\n$p")
+    val aggs = "HashAggregate".r.findAllIn(p).size
+    assert(aggs >= 2, s"expected map-side combine into 8 cells:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"manifest should shuffle once:\n$p")
+  }
+
+  test("q131: packing windows are salt-partitioned, never a global sort") {
+    // q127's contract applied to packing: every Window must PARTITION BY
+    // the salt group — an empty partition spec would funnel the corpus
+    // through one reducer.
+    val p = plan("q131_writer_packing")
+    assert(p.contains("pmod("), s"no salted grouping in plan:\n$p")
+    val winLines = p.split("\n").filter(_.contains("Window ["))
+    assert(winLines.nonEmpty && winLines.forall(_.contains("[g#")),
+      s"rank window must partition by the salt group:\n$p")
+    assert(!p.contains("Join"), s"packing needs no join:\n$p")
+  }
+
   test("q108: z-order re-read pushes both box predicates to the scan") {
     // the point of the 2-D layout: BOTH dimensions' range predicates reach
     // the parquet scan, where the Morton clustering makes each column's

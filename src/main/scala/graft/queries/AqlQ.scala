@@ -473,5 +473,80 @@ object AqlQ {
            |) INTO CONNECTION Out""".stripMargin
       Aql.run(s, script).outputs("KNN")
     },
+
+    // Deterministic epoch sharding through the language layer: the SHARD
+    // verb (q130's operator) appends a seeded-hash shard id; the oracle
+    // replays the md5 60-bit arithmetic per doc, so the gate pins the
+    // seed threading, key rendering, and mod arithmetic cross-engine.
+    QueryDef(
+      "q134_aql_shard_verb",
+      """SELECT doc_id,
+        |  CAST(CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |    AS BIGINT) % 8 AS INTEGER) AS shard
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val outDir = java.nio.file.Files.createTempDirectory("graft_q134")
+      Advanced.registerTmpDir(outDir)
+      val out = outDir.resolve("shards").toString
+      val script =
+        s"""CONNECTION 'Docs' (
+           |  DRIVER = 'file', FILE = '$dir/documents.parquet',
+           |  FORMAT = 'parquet'
+           |)
+           |CONNECTION 'Out' (
+           |  DRIVER = 'file', FILE = '$out', FORMAT = 'parquet'
+           |)
+           |
+           |TRANSFORM 'Sharded' FROM CONNECTION Docs (
+           |  SHARD ON doc_id INTO 8 SEED 42
+           |)
+           |
+           |QUERY 'Final' FROM BLOCK Sharded (
+           |  SELECT doc_id, shard FROM Sharded
+           |) INTO CONNECTION Out""".stripMargin
+      Aql.run(s, script).outputs("FINAL")
+    },
+
+    // Balanced writer packing through the language layer: the PACK verb
+    // (q131's operator) appends the serpentine writer id; the oracle
+    // replays salt, per-group (size DESC, key) rank, and the serpentine
+    // deal — so the gate pins the whole assignment, and PipelineSpec's
+    // q131 balance property carries over (identical algebra).
+    QueryDef(
+      "q135_aql_pack_verb",
+      """WITH h AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 8 AS g
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_chars, g,
+        |    row_number() OVER (PARTITION BY g ORDER BY n_chars DESC, doc_id)
+        |      - 1 AS r0
+        |  FROM h)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN (r0 // 8) % 2 = 0 THEN r0 % 8
+        |            ELSE 7 - (r0 % 8) END AS INTEGER) AS writer
+        |FROM r""".stripMargin) { (s, dir) =>
+      val outDir = java.nio.file.Files.createTempDirectory("graft_q135")
+      Advanced.registerTmpDir(outDir)
+      val out = outDir.resolve("packed").toString
+      val script =
+        s"""CONNECTION 'Docs' (
+           |  DRIVER = 'file', FILE = '$dir/documents.parquet',
+           |  FORMAT = 'parquet'
+           |)
+           |CONNECTION 'Out' (
+           |  DRIVER = 'file', FILE = '$out', FORMAT = 'parquet'
+           |)
+           |
+           |TRANSFORM 'Packed' FROM CONNECTION Docs (
+           |  PACK BY n_chars KEY doc_id INTO 8
+           |)
+           |
+           |QUERY 'Final' FROM BLOCK Packed (
+           |  SELECT doc_id, writer FROM Packed
+           |) INTO CONNECTION Out""".stripMargin
+      Aql.run(s, script).outputs("FINAL")
+    },
   )
 }

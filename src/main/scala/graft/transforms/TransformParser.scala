@@ -42,10 +42,12 @@ object TransformParser {
       case "MERGE" => MergeParser.parse(t)
       case "NEARDEDUP" => NearDedupParser.parse(t)
       case "KNN" => KnnParser.parse(t)
+      case "SHARD" => ShardParser.parse(t)
+      case "PACK" => PackParser.parse(t)
       case other => throw TransformError(
         s"unknown transform verb '$other' " +
           "(expected AGGREGATE|LOOKUP|APPLY|DEDUP|FILTER|SAMPLE|QUOTA|" +
-          "MERGE|NEARDEDUP|KNN)")
+          "MERGE|NEARDEDUP|KNN|SHARD|PACK)")
     }
   }
 
@@ -1059,6 +1061,137 @@ object TransformParser {
         e.as(it.alias.getOrElse(it.column))
       }
       primary.select(out: _*)
+    }
+  }
+
+  // ----------------------------------------------------------------- SHARD
+
+  /** SHARD ON <keycol> INTO <n> [SEED <s>]
+    *
+    * Beyond-parity verb: the deterministic epoch shuffle of a training
+    * pipeline (q130's operator as a language verb). Appends a `shard`
+    * INT column = seeded 60-bit md5 hash of the key, mod n — membership
+    * is a pure row function of (seed, key), so it is identical under any
+    * partitioning, engine, retry, or epoch replay with the same seed,
+    * and re-seeding re-shuffles the corpus. Map-side only: no shuffle,
+    * no state — at 100 TB this is a projection the scan absorbs, and the
+    * downstream writer partitions by the new column.
+    */
+  private object ShardParser {
+    private val Re =
+      raw"(?is)^SHARD\s+ON\s+([A-Za-z_]\w*)\s+INTO\s+(\d+)(?:\s+SEED\s+(\d+))?\s*$$".r
+
+    def parse(t: String): Verb = t.trim match {
+      case Re(key, n, seed) =>
+        val parts = intOption("SHARD", "INTO", n)
+        if (parts < 1) throw TransformError(s"SHARD INTO $parts must be >= 1")
+        ShardVerb(key, parts,
+          Option(seed).map(intOption("SHARD", "SEED", _)).getOrElse(42))
+      case _ => throw TransformError(
+        "cannot parse SHARD (expected SHARD ON <keycol> INTO <n> " +
+          "[SEED <s>])")
+    }
+  }
+
+  final case class ShardVerb(key: String, parts: Int, seed: Int)
+      extends Verb {
+    def build(sources: Map[String, DataFrame], primary: DataFrame): DataFrame = {
+      val keyName = integralKey("SHARD", primary, key,
+        " (the seeded hash renders the key as a decimal string)")
+      if (primary.columns.exists(_.equalsIgnoreCase("shard")))
+        throw TransformError(
+          "SHARD: output column 'shard' already exists in the source")
+      primary.withColumn("shard",
+        pmod(seededKeyHash(seed.toString, col(keyName)), lit(parts))
+          .cast("int"))
+    }
+  }
+
+  // ------------------------------------------------------------------ PACK
+
+  /** PACK BY <sizecol> KEY <keycol> INTO <n> [GROUPS <g>]
+    *
+    * Beyond-parity verb: balanced writer packing (q131's operator as a
+    * language verb) — appends a `writer` INT column assigning each row
+    * to one of n writers so per-writer totals of the size column come
+    * out nearly equal, where plain hash sharding leaves the fattest
+    * writer dictating the write-stage tail. Rows salt into g independent
+    * groups by a seeded hash of the key; each group ranks by
+    * (size DESC, key) and deals ranks onto writers serpentine (block
+    * direction alternates, so a pass of big rows pairs with the next
+    * pass of smaller ones). Every window PARTITIONs by the salt group —
+    * never a global sort; g scales with the cluster, and the total
+    * imbalance is bounded by g × (largest row's size).
+    */
+  private object PackParser {
+    private val Re =
+      raw"(?is)^PACK\s+BY\s+([A-Za-z_]\w*)\s+KEY\s+([A-Za-z_]\w*)\s+INTO\s+(\d+)(?:\s+GROUPS\s+(\d+))?\s*$$".r
+
+    def parse(t: String): Verb = t.trim match {
+      case Re(size, key, n, g) =>
+        val writers = intOption("PACK", "INTO", n)
+        if (writers < 1) throw TransformError(s"PACK INTO $writers must be >= 1")
+        val groups = Option(g).map(intOption("PACK", "GROUPS", _))
+          .getOrElse(writers)
+        if (groups < 1) throw TransformError(s"PACK GROUPS $groups must be >= 1")
+        PackVerb(size, key, writers, groups)
+      case _ => throw TransformError(
+        "cannot parse PACK (expected PACK BY <sizecol> KEY <keycol> " +
+          "INTO <n> [GROUPS <g>])")
+    }
+  }
+
+  final case class PackVerb(sizeCol: String, key: String, writers: Int,
+      groups: Int) extends Verb {
+    def build(sources: Map[String, DataFrame], primary: DataFrame): DataFrame = {
+      val keyName = integralKey("PACK", primary, key,
+        " (the salt hash renders the key as a decimal string)")
+      val sizeName = primary.schema
+        .find(_.name.equalsIgnoreCase(sizeCol)).getOrElse(
+          throw TransformError(s"PACK: unknown column $sizeCol")) match {
+        case f if f.dataType.isInstanceOf[NumericType] => f.name
+        case f => throw TransformError(
+          s"PACK BY ${f.name} must be numeric, got ${f.dataType.simpleString}")
+      }
+      if (primary.columns.exists(_.equalsIgnoreCase("writer")))
+        throw TransformError(
+          "PACK: output column 'writer' already exists in the source")
+      val gw = Window.partitionBy(col("__g"))
+        .orderBy(col(sizeName).desc, col(keyName))
+      primary
+        .withColumn("__g",
+          pmod(seededKeyHash("pack", col(keyName)), lit(groups)))
+        .withColumn("__r0", row_number().over(gw) - 1)
+        .withColumn("writer",
+          when((expr(s"__r0 DIV $writers") % 2) === 0,
+            col("__r0") % writers)
+            .otherwise(lit(writers - 1) - col("__r0") % writers)
+            .cast("int"))
+        .drop("__g", "__r0")
+    }
+  }
+
+  /** Seeded engine-portable 60-bit key hash (the q69/q109/q111 md5
+    * trick), shared by SHARD and PACK.
+    */
+  private def seededKeyHash(seed: String, key: Column): Column =
+    conv(substring(md5(concat(lit(seed + ":"), key.cast("string"))),
+      1, 15), 16, 10).cast("bigint")
+
+  /** Resolve `key` in `df` and require an integral type — the md5 hash
+    * input is the key's decimal string rendering, which only integral
+    * types make engine-stable (floats/timestamps render differently
+    * across engines).
+    */
+  private def integralKey(verb: String, df: DataFrame, key: String,
+      why: String): String = {
+    val f = df.schema.find(_.name.equalsIgnoreCase(key)).getOrElse(
+      throw TransformError(s"$verb: unknown column $key"))
+    f.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => f.name
+      case other => throw TransformError(
+        s"$verb KEY ${f.name} must be integral, got ${other.simpleString}" +
+          why)
     }
   }
 }

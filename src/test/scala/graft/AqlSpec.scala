@@ -1379,4 +1379,74 @@ class AqlSpec extends AnyFunSuite {
     finally spark.conf.set("spark.sql.shuffle.partitions", saved)
     assert(a.size == 2 && a == b, s"nondeterministic under ties: $a vs $b")
   }
+
+  test("SHARD verb: seeded deterministic shard ids; options validate") {
+    // beyond-parity verb (q130 as a language operator): the shard id is a
+    // pure function of (seed, key) — same seed ⇒ identical assignment on
+    // replay, different seed ⇒ a re-shuffle.
+    def shards(verb: String): Map[Long, Int] = Aql.run(spark,
+      s"""DATA 'D' ([[1, 10], [2, 20], [3, 30], [4, 40]])
+         |  WITH (COLUMNS = 'Id, Sz')
+         |TRANSFORM 'S' FROM BLOCK D ($verb) INTO CONSOLE
+         |""".stripMargin).outputs("S").collect()
+      .map(r => r.getLong(0) -> r.getAs[Int]("shard")).toMap
+    val a = shards("SHARD ON Id INTO 4 SEED 7")
+    assert(a == shards("SHARD ON Id INTO 4 SEED 7"), "replay must be identical")
+    assert(a.values.forall(s => s >= 0 && s < 4))
+    val b = shards("SHARD ON Id INTO 4 SEED 8")
+    assert(a != b, "re-seeding must re-shuffle")
+    assert(shards("SHARD ON Id INTO 4") ==
+      shards("SHARD ON Id INTO 4 SEED 42"), "default seed is 42")
+
+    // INTO < 1 rejected; non-integral key rejected; existing column name
+    val z = intercept[Exception](Aql.run(spark,
+      """DATA 'D' ([[1, 1]]) WITH (COLUMNS = 'Id, Sz')
+        |TRANSFORM 'S' FROM BLOCK D (SHARD ON Id INTO 0) INTO CONSOLE
+        |""".stripMargin))
+    assert(z.getMessage.contains("must be >= 1"), z.getMessage)
+    val k = intercept[Exception](Aql.run(spark,
+      """DATA 'D' ([["a", 1]]) WITH (COLUMNS = 'Id, Sz')
+        |TRANSFORM 'S' FROM BLOCK D (SHARD ON Id INTO 4) INTO CONSOLE
+        |""".stripMargin))
+    assert(k.getMessage.contains("must be integral"), k.getMessage)
+    val c = intercept[Exception](Aql.run(spark,
+      """DATA 'D' ([[1, 2]]) WITH (COLUMNS = 'Id, Shard')
+        |TRANSFORM 'S' FROM BLOCK D (SHARD ON Id INTO 4) INTO CONSOLE
+        |""".stripMargin))
+    assert(c.getMessage.contains("already exists"), c.getMessage)
+  }
+
+  test("PACK verb: serpentine deal balances writers; options validate") {
+    // beyond-parity verb (q131 as a language operator). With one salt
+    // group the deal is fully deterministic: ranks by (Sz DESC, Id) are
+    // 8,7,6,5,4,3,2,1 → writers 0,1,1,0 per serpentine block of 2.
+    val r = Aql.run(spark,
+      """DATA 'D' ([[1, 80], [2, 70], [3, 60], [4, 50]])
+        |  WITH (COLUMNS = 'Id, Sz')
+        |TRANSFORM 'P' FROM BLOCK D (
+        |  PACK BY Sz KEY Id INTO 2 GROUPS 1
+        |) INTO CONSOLE""".stripMargin).outputs("P").collect()
+      .map(x => x.getLong(0) -> x.getAs[Int]("writer")).toMap
+    assert(r == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 0), r.toString)
+    // per-writer totals: {80+50, 70+60} = {130, 130} — balanced exactly
+    // on this geometric-ish spread, the property q131's gate measures
+
+    // non-numeric size column rejected; unknown column; bad INTO
+    val n = intercept[Exception](Aql.run(spark,
+      """DATA 'D' ([[1, "x"]]) WITH (COLUMNS = 'Id, Sz')
+        |TRANSFORM 'P' FROM BLOCK D (PACK BY Sz KEY Id INTO 2) INTO CONSOLE
+        |""".stripMargin))
+    assert(n.getMessage.contains("must be numeric"), n.getMessage)
+    val u = intercept[Exception](Aql.run(spark,
+      """DATA 'D' ([[1, 2]]) WITH (COLUMNS = 'Id, Sz')
+        |TRANSFORM 'P' FROM BLOCK D (PACK BY Nope KEY Id INTO 2) INTO CONSOLE
+        |""".stripMargin))
+    assert(u.getMessage.contains("unknown column"), u.getMessage)
+    val g = intercept[Exception](Aql.run(spark,
+      """DATA 'D' ([[1, 2]]) WITH (COLUMNS = 'Id, Sz')
+        |TRANSFORM 'P' FROM BLOCK D (
+        |  PACK BY Sz KEY Id INTO 2 GROUPS 0
+        |) INTO CONSOLE""".stripMargin))
+    assert(g.getMessage.contains("must be >= 1"), g.getMessage)
+  }
 }

@@ -25,14 +25,21 @@ object Tables {
       // oracle sees. Oracle side uses CAST(ts AS TIMESTAMP) either way.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$sfDir/$name.parquet")
-      val ts = raw.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          expr("timestamp_micros(ts div 1000)") // raw nanos
-        case org.apache.spark.sql.types.TimestampType => col("ts")
-        case _ => col("ts").cast("timestamp") // TIMESTAMP_NTZ (micros)
-      }
-      raw.withColumn("ts", ts).select(raw.columns.map(col): _*)
+      raw.withColumn("ts", tsColumn(raw.schema("ts").dataType))
+        .select(raw.columns.map(col): _*)
     } else spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** Normalize the events `ts` physical encoding to microsecond
+    * TimestampType. Shared by this batch loader and the streaming reader
+    * (StreamingQ.eventsStream) so the two paths cannot drift when the
+    * generator's encoding changes again.
+    */
+  def tsColumn(dt: org.apache.spark.sql.types.DataType): Column = dt match {
+    case org.apache.spark.sql.types.LongType =>
+      expr("timestamp_micros(ts div 1000)") // raw nanos
+    case org.apache.spark.sql.types.TimestampType => col("ts")
+    case _ => col("ts").cast("timestamp") // TIMESTAMP_NTZ (micros); UTC
   }
 
   /** Register all tables as temp views; cheap (schema-only) and idempotent. */

@@ -261,10 +261,23 @@ object Excel {
       "2006" -> "yyyy", "January" -> "MMMM", "Jan" -> "MMM",
       "Monday" -> "EEEE", "Mon" -> "EEE",
       ".000000000" -> ".SSSSSSSSS", ".000000" -> ".SSSSSS", ".000" -> ".SSS",
+      ".00" -> ".SS", ".0" -> ".S",
+      // Go's .9-family is a trailing-zero-trimmed fraction that may be
+      // absent entirely — java's closest is an optional section of fixed
+      // width ([.SSS]): the absent case and full-width case parse; a
+      // partially-trimmed fraction (".12" under ".999") does not
+      // (documented divergence — java patterns cannot express "any
+      // number of fraction digits")
+      ".999999999" -> "[.SSSSSSSSS]", ".999999" -> "[.SSSSSS]",
+      ".999" -> "[.SSS]", ".99" -> "[.SS]", ".9" -> "[.S]",
+      "002" -> "DDD",
       "-07:00" -> "XXX", "-0700" -> "Z", "Z07:00" -> "XXX",
       "MST" -> "zzz",
       "15" -> "HH", "01" -> "MM", "02" -> "dd", "03" -> "hh",
       "04" -> "mm", "05" -> "ss", "06" -> "yy",
+      // meridiem: java 'a' — the probe's formatter parses
+      // case-insensitively, so Go's lowercase "pm" layout accepts both
+      // "pm" and "PM" cell values
       "PM" -> "a", "pm" -> "a",
       "1" -> "M", "2" -> "d", "3" -> "h", "4" -> "m", "5" -> "s")
     val sb = new StringBuilder
@@ -300,7 +313,12 @@ object Excel {
             // parseDefaulting(HOUR_OF_DAY, 0) would CONFLICT with the
             // resolver's own HOUR_OF_DAY derived from AmPmOfDay and make
             // every AM/PM format silently unparseable.
-            val f = java.time.format.DateTimeFormatter.ofPattern(pattern)
+            // case-insensitive + ENGLISH: Go month/meridiem names are
+            // English regardless of host locale, and Go layouts like
+            // "3:04pm" must accept "PM"/"pm"/"Pm" cell values alike
+            val f = new java.time.format.DateTimeFormatterBuilder()
+              .parseCaseInsensitive().appendPattern(pattern)
+              .toFormatter(java.util.Locale.ENGLISH)
             val ta = f.parse(display)
             val date = java.time.LocalDate.from(ta)
             val time =

@@ -31,6 +31,10 @@ final class GlobalStore(spark: SparkSession) {
 
   def register(name: String, df: DataFrame): Unit = {
     tables(name.toUpperCase) = df
+    // a re-registration (CREATE/CTAS/UPDATE rewrite) starts a fresh table
+    // lineage, so the append-cap cycle restarts too — a stale counter
+    // would checkpoint off-cycle and accumulate for dropped tables
+    appendDepth.remove(name.toUpperCase)
     df.createOrReplaceTempView(name)
   }
 
@@ -46,11 +50,11 @@ final class GlobalStore(spark: SparkSession) {
         val unioned = existing.unionByName(df, allowMissingColumns = true)
         val depth = appendDepth(name.toUpperCase) + 1
         if (depth % 8 == 0) {
-          appendDepth(name.toUpperCase) = 0
-          register(name, unioned.localCheckpoint(false))
+          register(name, unioned.localCheckpoint(false)) // resets the counter
         } else {
-          appendDepth(name.toUpperCase) = depth
           register(name, unioned)
+          // set AFTER register (which clears the counter for fresh tables)
+          appendDepth(name.toUpperCase) = depth
         }
       case None => register(name, df)
     }
@@ -171,6 +175,7 @@ final class GlobalStore(spark: SparkSession) {
       register(name, remaining)
     case DropRe(name) =>
       tables.remove(name.toUpperCase)
+      appendDepth.remove(name.toUpperCase)
       spark.catalog.dropTempView(name)
     case other =>
       throw new IllegalArgumentException(

@@ -792,7 +792,12 @@ object Curation {
     // output is the shard MANIFEST a dataloader verifies against: per
     // shard, the doc count, total chars, a commutative content
     // fingerprint (sum of the doc keys mod a prime — order-independent,
-    // so any engine that writes the same membership reproduces it), and
+    // so any engine that writes the same membership reproduces it; the
+    // per-doc terms sum in DECIMAL(38,0)/HUGEINT so the running sum is
+    // exact to ~1e28 rows and the OUTER mod keeps the artifact a bounded
+    // BIGINT — a raw long sum of ~5e8-sized terms would wrap past
+    // ~1.9e10 docs/shard, silently in Spark and as an error in DuckDB,
+    // exactly at the corpus scale the manifest is for), and
     // the doc-id range. Shard membership is a pure map-side projection;
     // the manifest is one S-group partial aggregation — at 100 TB this
     // is a single corpus scan with map-side combine into 8 cells, and
@@ -810,16 +815,19 @@ object Curation {
         |SELECT CAST(h % 8 AS INTEGER) AS shard,
         |  count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
-        |  CAST(sum(h % 1000000007) AS BIGINT) AS fp,
+        |  CAST(sum(h % 1000000007) % 1000000007 AS BIGINT) AS fp,
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM h GROUP BY 1""".stripMargin) { (s, dir) =>
       val h = docs(s, dir).select(col("doc_id"), col("n_chars"),
         conv(substring(md5(concat(lit("42:"), col("doc_id").cast("string"))),
           1, 15), 16, 10).cast("bigint").as("h"))
+      // exact decimal running sum (DuckDB sums BIGINT in HUGEINT), outer
+      // mod bounds the published fingerprint
       h.groupBy(pmod(col("h"), lit(8)).cast("int").as("shard"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("total_chars"),
-          sum(col("h") % lit(1000000007L)).as("fp"),
+          (sum((col("h") % lit(1000000007L)).cast("decimal(38,0)"))
+            % lit(1000000007L)).cast("bigint").as("fp"),
           min(col("doc_id")).as("min_doc"),
           max(col("doc_id")).as("max_doc"))
     },

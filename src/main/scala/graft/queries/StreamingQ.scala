@@ -41,12 +41,7 @@ object StreamingQ {
     val stream = s.readStream.schema(raw)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-    val ts = tsType match {
-      case LongType => expr("timestamp_micros(ts div 1000)")
-      case TimestampType => col("ts")
-      case _ => col("ts").cast("timestamp") // NTZ; sessions run UTC
-    }
-    stream.withColumn("ts", ts)
+    stream.withColumn("ts", graft.Tables.tsColumn(tsType))
   }
 
   /** Start `df` as an AvailableNow memory-sink stream, block until the

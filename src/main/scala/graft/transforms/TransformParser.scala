@@ -88,7 +88,27 @@ object TransformParser {
     val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val small = size <= BigInt(par.toLong) * (16L << 20)
     val unknown = size >= BigInt(Long.MaxValue)
-    if (small || unknown) projected.repartition(par) else projected
+    // size alone misses sources whose SCAN parallelism is capped below
+    // their size: a large non-splittable compressed file reads as one
+    // task per FILE, and a driver-side relation (JDBC et al.) is one
+    // partition unless explicitly range-partitioned — both would run the
+    // CPU-heavy projection serially however big they are. Still
+    // plan-only (the file index is already resolved; no RDD
+    // materialization). A deliberately partitioned JDBC read pays one
+    // extra exchange here — acceptable before CPU-bound stages.
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val scanCapped = df.queryExecution.optimizedPlan.collectFirst {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          val files = fs.location.inputFiles
+          files.length < par && files.exists(f =>
+            f.endsWith(".gz") || f.endsWith(".bz2") ||
+              f.endsWith(".zst") || f.endsWith(".deflate"))
+        case _ => true // JDBC & other driver-side relations
+      }
+    }.getOrElse(false)
+    if (small || unknown || scanCapped) projected.repartition(par)
+    else projected
   }
 
   /** Bounded integer option parse: the verb grammars match `\d+`, which
@@ -915,6 +935,13 @@ object TransformParser {
         }
         val tb = only("TABLES", Option(tables), "LSH")
         val bi = only("BITS", Option(bits), "LSH")
+        // surface the bucket-expression's own bounds as TransformErrors
+        // with verb context, not a bare `require` from deep in the build
+        bi.foreach(b => if (b > 30) throw TransformError(
+          s"KNN BITS $b must be <= 30 (bucket ids are positive Ints)"))
+        tb.foreach(t => if (t > 1024) throw TransformError(
+          s"KNN TABLES $t must be <= 1024 (per-row bucket array and " +
+            "hyperplane table grow linearly in TABLES)"))
         val ce = only("CELLS", Option(cells), "IVF")
         val pr = only("PROBE", Option(probe), "IVF")
         // validate against the DEFAULTS too: 'PROBE 32' with implicit

@@ -446,6 +446,25 @@ class AqlSpec extends AnyFunSuite {
     val unions = "Union".r
       .findAllIn(spark.table("T").queryExecution.logical.toString).size
     assert(unions < 10, s"append lineage not capped: $unions unions")
+
+    // drop + recreate mid-script: the append-cap counter follows the
+    // table lifecycle (a stale counter would checkpoint off-cycle), and
+    // only post-recreate rows survive
+    val r2 = Aql.run(spark,
+      """GLOBAL 'Init' (
+        |  CREATE TABLE T (Id int, V int);
+        |  INSERT INTO T VALUES (1, 1);
+        |  DROP TABLE T;
+        |  CREATE TABLE T (Id int, V int);
+        |  INSERT INTO T VALUES (2, 20);
+        |  INSERT INTO T VALUES (3, 30)
+        |)
+        |
+        |QUERY 'Check' FROM GLOBAL (
+        |  SELECT count(*) AS n, sum(V) AS s FROM T
+        |) INTO CONSOLE WITH (OUTPUT_FORMAT = 'JSON')""".stripMargin)
+    assert(r2.console.head.contains("\"n\":2") &&
+      r2.console.head.contains("\"s\":50"), r2.console.head)
   }
 
   test("EXEC USING PARAMETER binds ? placeholders against GLOBAL") {
@@ -1287,6 +1306,12 @@ class AqlSpec extends AnyFunSuite {
     // NumberFormatException
     assert(bad("KNN ON emb KEY vid TOP 99999999999")
       .contains("out of integer range"))
+    // the bucket expression's own bounds surface as TransformErrors with
+    // verb context, not a bare `require` from deep in the build
+    assert(bad("KNN ON emb KEY vid METHOD LSH BITS 40")
+      .contains("BITS 40 must be <= 30"))
+    assert(bad("KNN ON emb KEY vid METHOD LSH TABLES 2048")
+      .contains("TABLES 2048 must be <= 1024"))
     assert(bad("KNN ON vid KEY vid").contains("must be a numeric array"))
     assert(bad("KNN emb").contains("cannot parse KNN"))
   }

@@ -238,6 +238,20 @@ class ExcelSpec extends AnyFunSuite {
       java.sql.Timestamp.from(java.time.Instant.parse("2020-03-04T17:06:00Z")))
     assert(ts("Mar 4, 2020 5:06 AM", "Jan 2, 2006 3:04 PM") ==
       java.sql.Timestamp.from(java.time.Instant.parse("2020-03-04T05:06:00Z")))
+    // fractional-second layouts: .000 (fixed) and .999 (optional) both
+    // parse instead of silently degrading the column to strings
+    assert(ts("2020-03-04 05:06:07.123", "2006-01-02 15:04:05.000") ==
+      java.sql.Timestamp.from(java.time.Instant.parse("2020-03-04T05:06:07.123Z")))
+    assert(ts("2020-03-04 05:06:07.123", "2006-01-02 15:04:05.999") ==
+      java.sql.Timestamp.from(java.time.Instant.parse("2020-03-04T05:06:07.123Z")))
+    // .999 = trailing-zero-trimmed in Go: the absent-fraction case parses
+    assert(ts("2020-03-04 05:06:07", "2006-01-02 15:04:05.999") ==
+      java.sql.Timestamp.from(java.time.Instant.parse("2020-03-04T05:06:07Z")))
+    // lowercase Go meridiem layouts accept pm/PM cell values alike
+    assert(ts("5:06pm 2020-03-04", "3:04pm 2006-01-02") ==
+      java.sql.Timestamp.from(java.time.Instant.parse("2020-03-04T17:06:00Z")))
+    assert(ts("5:06PM 2020-03-04", "3:04pm 2006-01-02") ==
+      java.sql.Timestamp.from(java.time.Instant.parse("2020-03-04T17:06:00Z")))
     // ...through the java dialect too
     assert(ts("2020-03-04 05:06 PM", "yyyy-MM-dd hh:mm a") ==
       java.sql.Timestamp.from(java.time.Instant.parse("2020-03-04T17:06:00Z")))

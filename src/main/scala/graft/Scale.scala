@@ -294,6 +294,22 @@ object Scale {
       }
       val nKeeps = keeps.count()
 
+      // ---- writer packing under replication: PACK's balance bound
+      // (per-writer byte spread ≤ G × largest doc, G=8 salt groups —
+      // SURVEY §9) checked at every k through the production verb
+      // itself, so the language operator, not a reimplementation, is
+      // what scales.
+      val ((nWriters, packSpread), tPack) = timed {
+        val packed = graft.transforms.TransformParser
+          .parse("PACK BY n_chars KEY doc_id INTO 8")
+          .build(Map.empty, docs)
+        val totals = packed.groupBy(col("writer"))
+          .agg(sum(col("n_chars")).as("t"))
+          .collect().map(_.getLong(1))
+        (totals.length, totals.max - totals.min)
+      }
+      val maxDoc = docs.agg(max(col("n_chars"))).head().getLong(0)
+
       val expPairs = s1 * k.toLong * (k - 1) / 2 + e1 * k.toLong * k
       // CC runs on the 0.5 exact pairs in full mode, the 0.8 banded
       // pairs in LSH-only mode — same component algebra, different
@@ -313,7 +329,8 @@ object Scale {
         "exact_first_pair_set" -> (efDiff == 0L && efCount == e1d),
         "lsh_equals_exact" -> (nLsh == expLsh),
         "knn_top5_expansion" -> knnOk,
-        "capped_subset_of_exact" -> (cappedSpurious == 0L))
+        "capped_subset_of_exact" -> (cappedSpurious == 0L),
+        "pack_balance" -> (nWriters == 8 && packSpread <= 8L * maxDoc))
       val ok = checks.values.forall(identity)
       val line =
         s"""{"metric":"scale","k":$k,"mode":"${
@@ -326,10 +343,11 @@ object Scale {
           if (nPairs <= 0) -1.0
           else math.round(nCapped.toDouble / nPairs * 10000) / 10000.0},""" +
         s""""clusters":$nClusters,"keeps":$nKeeps,""" +
+        s""""pack_spread":$packSpread,""" +
         s""""sec":{"exact":$tExact,"shingle":$tShingle,"pairs":$tPairs,""" +
         s""""lsh":$tLsh,""" +
         s""""cc":$tCc,"canonical":$tCanon,"exact_first_pairs":$tEfPairs,""" +
-        s""""knn":$tKnn,"capped_pairs":$tCapped},""" +
+        s""""knn":$tKnn,"capped_pairs":$tCapped,"pack":$tPack},""" +
         s""""invariants_ok":$ok,""" +
         s""""failed":[${checks.filterNot(_._2).keys.map("\"" + _ + "\"")
           .mkString(",")}]}"""

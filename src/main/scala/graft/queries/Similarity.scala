@@ -406,7 +406,10 @@ object Similarity {
          |  SELECT *, row_number() OVER (
          |    PARTITION BY qid ORDER BY cosine DESC, neighbor_id) AS rank FROM s)
          |WHERE rank <= $K""".stripMargin) { (s, dir) =>
+      // e feeds four consumers (centroid pick, scoring, both rerank
+      // sides) — materialize once (the q133/KnnVerb.prep rationale)
       val e = emb(s, dir).withColumn("nrm", l2norm(col("v")))
+        .localCheckpoint(false)
       // deterministic seeded sample as centroids: distributed top-16 by
       // md5(vec_id); the 16-row rank window runs on the post-limit frame
       val cents = e
@@ -520,11 +523,16 @@ object Similarity {
          |  SELECT *, row_number() OVER (
          |    PARTITION BY qid ORDER BY cosine DESC, neighbor_id) AS rank FROM s2)
          |WHERE rank <= $K""".stripMargin) { (s, dir) =>
+      // subs feeds THREE consumers (codebook pick, encoding, LUT) and e
+      // two rerank sides — materialize each once instead of re-running
+      // the scan + explode per consumer (the q133/KnnVerb.prep rationale)
       val e = emb(s, dir).withColumn("nrm", l2norm(col("v")))
+        .localCheckpoint(false)
       val subs = e.select(col("vec_id"),
         posexplode(expr(s"transform(sequence(0, ${PqM - 1}), " +
           s"m -> slice(v, m * $PqSubDim + 1, $PqSubDim))"))
           .as(Seq("m", "sub")))
+        .localCheckpoint(false)
       // deterministic shared codebook: distributed top-16 by md5(vec_id:m)
       val cb = subs
         .withColumn("mk", md5(concat_ws(":", col("vec_id").cast("string"),

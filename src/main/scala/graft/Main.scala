@@ -8,9 +8,12 @@ import java.nio.file.{Files, Paths}
 /** CLI entry point mirroring the reference's primary lifecycle
   * (reference cmd/main.go:17-28, cmd/run.go:14-55, cmd/test.go:13-51):
   *
-  *   runMain graft.Main run  --script job.aql [--params '{"k":"v"}']
+  *   runMain graft.Main run  --script job.aql [--params '{"k":"v"}'] [--v|--vv]
   *   runMain graft.Main test --script job.aql [--params '{"k":"v"}']
   *   runMain graft.Main explain --script job.aql   (formatted Spark plans)
+  *
+  * `--v` / `--vv` mirror the reference's verbosity params (docs cli.md):
+  * INFO-level / TRACE-level engine events printed to the console.
   *
   * `--params` is a JSON object of option name → value, merged over SET
   * globals with CLI precedence (reference aql/parser.go:322-355 StrToOpts,
@@ -42,15 +45,28 @@ object Main {
       case Seq(c @ ("run" | "test" | "validate" | "explain" | "serve"), r @ _*) =>
         (c, r)
       case _ =>
-        out("usage: graft.Main run|test|validate|explain --script <file.aql> [--params '{…}']\n" +
+        out("usage: graft.Main run|test|validate|explain --script <file.aql> [--params '{…}'] [--v|--vv]\n" +
           "       graft.Main serve [--port 4040] [--ws-port 4041] " +
           "[--db analyst.db.json] [--repos repositories] [--interval 5] " +
           "[--allow-file-repos true]")
         return 2
     }
-    val opts = rest.grouped(2).collect {
-      case Seq(k, v) if k.startsWith("--") => k.drop(2) -> v
-    }.toMap
+    // bare verbosity flags (reference cmd params `v`/`vv`, docs cli.md):
+    // --v = INFO-level events to console, --vv = TRACE-level. Extracted
+    // before pairing so they don't shift the key/value grouping.
+    val verbosity =
+      if (rest.contains("--vv")) 0 // TRACE
+      else if (rest.contains("--v")) 1 // INFO
+      else Int.MaxValue // events stay silent; errors surface via [ERROR]
+    val levels = Seq("TRACE", "INFO", "WARNING", "ERROR")
+    val logger: (String, String, String) => Unit = (lvl, src, msg) => {
+      val ord = levels.indexOf(lvl.toUpperCase).max(0)
+      if (ord >= verbosity) out(s"[${levels(ord)}] $src - $msg")
+    }
+    val opts = rest.filterNot(a => a == "--v" || a == "--vv")
+      .grouped(2).collect {
+        case Seq(k, v) if k.startsWith("--") => k.drop(2) -> v
+      }.toMap
     if (cmd == "serve") return serve(opts, spark, out)
     val scriptPath = opts.getOrElse("script", {
       out("--script is required"); return 2
@@ -87,7 +103,7 @@ object Main {
     }
     try {
       val r = Aql.run(spark, text, cliParams = params,
-        baseDir = baseDir, testMode = cmd == "test")
+        baseDir = baseDir, testMode = cmd == "test", logger = logger)
       r.console.foreach(out)
       if (cmd == "test") {
         r.testFailures.foreach(f => out(s"[FAIL] $f"))

@@ -295,7 +295,8 @@ object Aql {
       testMode: Boolean = false,
       httpFetch: (String, Map[String, String]) => String = Connectors.defaultHttpFetch,
       notifyPost: Notify.Post = Notify.defaultPost,
-      consoleHook: String => Unit = _ => ()): RunResult = {
+      consoleHook: String => Unit = _ => (),
+      logger: (String, String, String) => Unit = (_, _, _) => ()): RunResult = {
 
     // graft kernels (vec_dot, minhash_sig, …) available to delegated SQL,
     // matching a cluster configured with spark.sql.extensions
@@ -683,16 +684,24 @@ object Aql {
     // SlackWrapper, engine/slack.go:104-141; docs cli.md "Logging to
     // Slack"): block completions at INFO, failures at ERROR.
     val slack = Notify.slackLogger(k => optionOf(Map.empty, None, k), notifyPost)
+    // every engine event goes to the caller-supplied logger too — the
+    // CLI's --v/--vv console verbosity (reference cmd flags `v`/`vv`,
+    // docs cli.md "Logging": TRACE/INFO/WARNING/ERROR)
+    def emit(level: String, source: String, message: String): Unit = {
+      logger(level, source, message)
+      slack.foreach(_(level, source, message))
+    }
     try {
       roots.distinct.foreach { n =>
+        emit("trace", n, "executing block")
         runAction(n)
-        slack.foreach(_("info", n, "block executed"))
+        emit("info", n, "block executed")
       }
       publishStaged(pendingPublish.toSeq)
     } catch {
       case e: Throwable =>
-        slack.foreach(_("error", "run",
-          Option(e.getMessage).getOrElse(e.toString)))
+        emit("error", "run",
+          Option(e.getMessage).getOrElse(e.toString))
         // a failed run leaves no staged leftovers behind
         dropStaged(pendingPublish.toSeq)
         throw e

@@ -29,6 +29,32 @@ class CliSpec extends AnyFunSuite {
     assert(lines.result().exists(_.contains("\"Total\":6")))
   }
 
+  test("run mode: --v / --vv console verbosity (reference cli.md params v/vv)") {
+    val p = script(
+      """DATA 'Vals' ([[1],[2]]) WITH (COLUMNS = 'V')
+        |TRANSFORM 'Sum' FROM BLOCK Vals (
+        |  AGGREGATE SUM(V) AS Total
+        |) INTO CONSOLE WITH (OUTPUT_FORMAT = 'JSON')""".stripMargin)
+    def run(extra: String*): Seq[String] = {
+      val lines = Seq.newBuilder[String]
+      assert(Main.run(Seq("run", "--script", p) ++ extra, spark,
+        lines += _) == 0)
+      lines.result()
+    }
+    // default: no event lines, just the console sink output
+    val quiet = run()
+    assert(!quiet.exists(_.startsWith("[INFO]")), quiet.mkString("\n"))
+    // --v: INFO block-executed events, no TRACE
+    val v = run("--v")
+    assert(v.exists(l => l.startsWith("[INFO]") && l.contains("block executed")),
+      v.mkString("\n"))
+    assert(!v.exists(_.startsWith("[TRACE]")), v.mkString("\n"))
+    // --vv: TRACE events appear; flag order must not break --params pairing
+    val vv = run("--vv")
+    assert(vv.exists(_.startsWith("[TRACE]")), vv.mkString("\n"))
+    assert(vv.exists(_.contains("\"Total\":3")), vv.mkString("\n"))
+  }
+
   test("run mode: --params templating reaches the script") {
     val p = script(
       """DATA 'Vals' ([[{{ .N }}]]) WITH (COLUMNS = 'V')

@@ -58,10 +58,10 @@ object Main {
       if (rest.contains("--vv")) 0 // TRACE
       else if (rest.contains("--v")) 1 // INFO
       else Int.MaxValue // events stay silent; errors surface via [ERROR]
-    val levels = Seq("TRACE", "INFO", "WARNING", "ERROR")
     val logger: (String, String, String) => Unit = (lvl, src, msg) => {
-      val ord = levels.indexOf(lvl.toUpperCase).max(0)
-      if (ord >= verbosity) out(s"[${levels(ord)}] $src - $msg")
+      val ord = graft.engine.Notify.levelOrd(lvl) // shared with Slack logger
+      if (ord >= verbosity)
+        out(s"[${graft.engine.Notify.Levels(ord)}] $src - $msg")
     }
     val opts = rest.filterNot(a => a == "--v" || a == "--vv")
       .grouped(2).collect {

@@ -164,6 +164,10 @@ object Scale {
       (r, (System.nanoTime() - t0) / 1e9)
     }
 
+    // replication copies n_chars unchanged, so the pack-balance bound's
+    // max-doc term is k-invariant — computed once from the base corpus
+    val maxDoc = base.agg(max(col("n_chars"))).head().getLong(0)
+
     val lines = reps.map { k =>
       // replicate ×k: copy r of doc d gets id d·maxRep + r, so the min id
       // of a clique is copy 0 of the k=1 min — id order is preserved
@@ -308,7 +312,6 @@ object Scale {
           .collect().map(_.getLong(1))
         (totals.length, totals.max - totals.min)
       }
-      val maxDoc = docs.agg(max(col("n_chars"))).head().getLong(0)
 
       val expPairs = s1 * k.toLong * (k - 1) / 2 + e1 * k.toLong * k
       // CC runs on the 0.5 exact pairs in full mode, the 0.8 banded

@@ -283,7 +283,16 @@ object Excel {
     val sb = new StringBuilder
     var i = 0
     while (i < layout.length) {
-      tokens.find { case (go, _) => layout.startsWith(go, i) } match {
+      // Go's fraction guard: ".0"/".9" runs are fraction tokens only when
+      // the run is NOT followed by another digit — in "02.01.2006" the
+      // dot is a literal date separator and ".0" must not fire (Go
+      // format.go nextStdChunk applies the same rule), else the layout
+      // mistranslates and every cell degrades to string
+      def applies(go: String): Boolean =
+        layout.startsWith(go, i) && (!go.startsWith(".") ||
+          i + go.length >= layout.length ||
+          !layout.charAt(i + go.length).isDigit)
+      tokens.find { case (go, _) => applies(go) } match {
         case Some((go, java)) => sb ++= java; i += go.length
         case None =>
           val c = layout.charAt(i)

@@ -31,11 +31,18 @@ final class GlobalStore(spark: SparkSession) {
 
   def register(name: String, df: DataFrame): Unit = {
     tables(name.toUpperCase) = df
-    // a re-registration (CREATE/CTAS/UPDATE rewrite) starts a fresh table
-    // lineage, so the append-cap cycle restarts too — a stale counter
-    // would checkpoint off-cycle and accumulate for dropped tables
-    appendDepth.remove(name.toUpperCase)
     df.createOrReplaceTempView(name)
+  }
+
+  /** Register a table whose lineage starts fresh (CREATE / CTAS): the
+    * append-cap cycle restarts with it. UPDATE/DELETE rewrites go through
+    * plain `register` — they DEEPEN lineage on top of prior appends, so
+    * the counter must survive them or interleaved INSERT+UPDATE would
+    * keep resetting it and the every-8 checkpoint could never fire.
+    */
+  private def registerFresh(name: String, df: DataFrame): Unit = {
+    appendDepth.remove(name.toUpperCase)
+    register(name, df)
   }
 
   /** Appends every 8 unions are truncated with a lazy localCheckpoint:
@@ -50,11 +57,11 @@ final class GlobalStore(spark: SparkSession) {
         val unioned = existing.unionByName(df, allowMissingColumns = true)
         val depth = appendDepth(name.toUpperCase) + 1
         if (depth % 8 == 0) {
-          register(name, unioned.localCheckpoint(false)) // resets the counter
+          appendDepth(name.toUpperCase) = 0
+          register(name, unioned.localCheckpoint(false))
         } else {
-          register(name, unioned)
-          // set AFTER register (which clears the counter for fresh tables)
           appendDepth(name.toUpperCase) = depth
+          register(name, unioned)
         }
       case None => register(name, df)
     }
@@ -93,7 +100,7 @@ final class GlobalStore(spark: SparkSession) {
         StructField(parts(0), GlobalStore.sqlType(parts.lift(1)
           .getOrElse("TEXT")), nullable)
       }
-      register(name, spark.createDataFrame(
+      registerFresh(name, spark.createDataFrame(
         java.util.Collections.emptyList[Row](), StructType(fields)))
     case InsertRe(name, colList, valuesPart) =>
       val target = get(name).getOrElse(throw new IllegalArgumentException(
@@ -117,7 +124,7 @@ final class GlobalStore(spark: SparkSession) {
     case CtasRe(name, select) =>
       // CREATE TABLE AS SELECT: the select resolves against the already-
       // registered views, so the new table's plan snapshots their state
-      register(name, spark.sql(select))
+      registerFresh(name, spark.sql(select))
     case InsertSelectRe(name, colList, select) =>
       val target = get(name).getOrElse(throw new IllegalArgumentException(
         s"INSERT into unknown GLOBAL table $name"))

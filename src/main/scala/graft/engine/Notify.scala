@@ -154,9 +154,12 @@ object Notify {
 
   // ---------------------------------------------------------------- slack
 
-  /** Log levels in reference order (engine/api.go LogLevel). */
-  private val Levels = Seq("TRACE", "INFO", "WARNING", "ERROR")
-  private def levelOrd(s: String): Int = {
+  /** Log levels in reference order (engine/api.go LogLevel). Shared with
+    * the CLI's --v/--vv console logger (graft.Main) so the two can't
+    * drift.
+    */
+  private[graft] val Levels = Seq("TRACE", "INFO", "WARNING", "ERROR")
+  private[graft] def levelOrd(s: String): Int = {
     val i = Levels.indexOf(s.trim.toUpperCase)
     if (i < 0) throw new IllegalArgumentException(s"invalid level $s")
     i

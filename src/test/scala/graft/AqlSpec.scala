@@ -447,6 +447,30 @@ class AqlSpec extends AnyFunSuite {
       .findAllIn(spark.table("T").queryExecution.logical.toString).size
     assert(unions < 10, s"append lineage not capped: $unions unions")
 
+    // appends interleaved with UPDATEs: the rewrite deepens lineage on
+    // top of prior appends, so the cap counter must SURVIVE it — if each
+    // UPDATE reset the counter, the every-8 checkpoint could never fire
+    // and the plan would deepen linearly
+    val mixed = (1 to 12)
+      .map(i => s"  INSERT INTO M VALUES ($i, $i);\n" +
+        s"  UPDATE M SET V = V + 1 WHERE Id = $i").mkString(";\n")
+    val rm = Aql.run(spark,
+      s"""GLOBAL 'Init' (
+         |  CREATE TABLE M (Id int, V int);
+         |$mixed
+         |)
+         |
+         |QUERY 'Check' FROM GLOBAL (
+         |  SELECT count(*) AS n, sum(V) AS s FROM M
+         |) INTO CONSOLE WITH (OUTPUT_FORMAT = 'JSON')""".stripMargin)
+    assert(rm.console.head.contains("\"n\":12"), rm.console.head)
+    assert(rm.console.head.contains(s""""s":${(1 to 12).map(_ + 1).sum}"""),
+      rm.console.head)
+    val mixedUnions = "Union".r
+      .findAllIn(spark.table("M").queryExecution.logical.toString).size
+    assert(mixedUnions < 8,
+      s"cap must fire despite interleaved UPDATEs: $mixedUnions unions")
+
     // drop + recreate mid-script: the append-cap counter follows the
     // table lifecycle (a stale counter would checkpoint off-cycle), and
     // only post-recreate rows survive

@@ -247,6 +247,12 @@ class ExcelSpec extends AnyFunSuite {
     // .999 = trailing-zero-trimmed in Go: the absent-fraction case parses
     assert(ts("2020-03-04 05:06:07", "2006-01-02 15:04:05.999") ==
       java.sql.Timestamp.from(java.time.Instant.parse("2020-03-04T05:06:07Z")))
+    // dot-separated date layouts: the fraction tokens (.0/.9 family)
+    // must NOT fire when the run is followed by another digit (Go's own
+    // nextStdChunk guard) — '.' here is a literal separator
+    assert(Excel.goLayoutToJavaPattern("02.01.2006") == "dd.MM.yyyy")
+    assert(ts("04.03.2020", "02.01.2006") == java.sql.Timestamp.from(
+      java.time.Instant.parse("2020-03-04T00:00:00Z")))
     // lowercase Go meridiem layouts accept pm/PM cell values alike
     assert(ts("5:06pm 2020-03-04", "3:04pm 2006-01-02") ==
       java.sql.Timestamp.from(java.time.Instant.parse("2020-03-04T17:06:00Z")))

@@ -240,10 +240,13 @@ object AqlQ {
     // verb (transforms/TransformParser.scala NearDedupVerb — inverted-
     // index Jaccard pairs → connected components → longest-text survivor
     // per cluster, all in transforms/NearDup.scala) applied to the
-    // documents corpus. The oracle recomputes the whole pipeline in
-    // DuckDB: shingle sets, exact pair join, recursive-CTE reachability,
-    // window-ranked canonical pick — so the gate pins candidate
-    // generation, clustering, AND survivor choice cross-engine.
+    // documents corpus, pinned to METHOD EXACT (the verb's DEFAULT is
+    // the banded LSH path since round 7b — q124 gates that — so this
+    // gate keeps the exact inverted-index path oracle-checked). The
+    // oracle recomputes the whole pipeline in DuckDB: shingle sets,
+    // exact pair join, recursive-CTE reachability, window-ranked
+    // canonical pick — so the gate pins candidate generation,
+    // clustering, AND survivor choice cross-engine.
     QueryDef(
       "q120_aql_neardedup_verb",
       """WITH w AS (
@@ -295,7 +298,7 @@ object AqlQ {
            |)
            |
            |TRANSFORM 'Survivors' FROM CONNECTION Docs (
-           |  NEARDEDUP ON text KEY doc_id THRESHOLD 0.5
+           |  NEARDEDUP ON text KEY doc_id THRESHOLD 0.5 METHOD EXACT
            |)
            |
            |QUERY 'Final' FROM BLOCK Survivors (

@@ -1185,10 +1185,27 @@ class AqlSpec extends AnyFunSuite {
          |  $verb
          |) INTO CONSOLE""".stripMargin)
       .outputs("SURVIVORS").collect().map(_.getLong(0)).sorted.toSeq
-    val exact = survivors("NEARDEDUP ON Txt KEY Id THRESHOLD 0.4")
+    val exact = survivors("NEARDEDUP ON Txt KEY Id THRESHOLD 0.4 METHOD EXACT")
     assert(exact == Seq(3L, 4L, 5L))
     assert(survivors("NEARDEDUP ON Txt KEY Id THRESHOLD 0.4 METHOD LSH")
       == exact)
+    // METHOD omitted → the LSH default (round 7b), same survivors
+    assert(survivors("NEARDEDUP ON Txt KEY Id THRESHOLD 0.4") == exact)
+    graft.transforms.TransformParser
+      .parse("NEARDEDUP ON Txt KEY Id THRESHOLD 0.4") match {
+        case v: graft.transforms.TransformParser.NearDedupVerb =>
+          assert(v.method == "LSH", s"default method was ${v.method}")
+        case other => fail(s"expected NearDedupVerb, got $other")
+      }
+    // …but an un-bandable threshold falls back to EXACT instead of
+    // failing (explicit METHOD LSH there still errors, asserted below)
+    graft.transforms.TransformParser
+      .parse("NEARDEDUP ON Txt KEY Id THRESHOLD 0.05") match {
+        case v: graft.transforms.TransformParser.NearDedupVerb =>
+          assert(v.method == "EXACT",
+            s"low-threshold default was ${v.method}")
+        case other => fail(s"expected NearDedupVerb, got $other")
+      }
     // explicit banding overrides autoBands (64 × 2 = full signature reuse)
     assert(survivors(
       "NEARDEDUP ON Txt KEY Id THRESHOLD 0.4 METHOD LSH BANDS 64 ROWS 2")
@@ -1243,9 +1260,12 @@ class AqlSpec extends AnyFunSuite {
     def kept(methodSuffix: String): Seq[Long] =
       Aql.run(spark, script.format(methodSuffix))
         .outputs("KEPT").collect().map(_.getLong(0)).sorted.toSeq
-    assert(kept("") == Seq(40L, 50L))
-    // the banded cross-index path agrees with the exact postings join
+    assert(kept(" METHOD EXACT") == Seq(40L, 50L))
+    // the banded cross-index path agrees with the exact postings join;
+    // METHOD omitted resolves to the same LSH default as the
+    // single-source form
     assert(kept(" METHOD LSH") == Seq(40L, 50L))
+    assert(kept("") == Seq(40L, 50L))
 
     // STAR ABOVE has no meaning without clusters
     val e = intercept[Exception](Aql.run(spark,

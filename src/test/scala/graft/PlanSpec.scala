@@ -372,10 +372,15 @@ class PlanSpec extends AnyFunSuite {
     val lsh = lshQe.executedPlan.toString
     assert(lsh.contains("band#") && lsh.contains("bh#"),
       s"LSH candidates must join on band keys:\n$lsh")
-    val exactQe = pairQe("NEARDEDUP ON txt KEY id THRESHOLD 0.5")
+    val exactQe = pairQe("NEARDEDUP ON txt KEY id THRESHOLD 0.5 METHOD EXACT")
     assert(!exactQe.analyzed.toString.contains("minhash_sig") &&
       !exactQe.executedPlan.toString.contains("bh#"),
       s"exact method must keep the postings join:\n${exactQe.executedPlan}")
+    // METHOD omitted resolves to the LSH default (round 7b): the default
+    // plan must band, not run the postings self-join
+    val defQe = pairQe("NEARDEDUP ON txt KEY id THRESHOLD 0.5")
+    assert(defQe.analyzed.toString.contains("minhash_sig"),
+      s"default method must take the banded path:\n${defQe.analyzed}")
 
     // the full LSH verb keeps the verb-level plan contracts too
     val df = graft.transforms.TransformParser

@@ -55,7 +55,7 @@ object Dedup {
       .select(col("doc_id"), Text.shinglesFromTokens(col("ws")).as("shs"))
 
   /** DuckDB-side 3-gram shingle set (mirrors [[Text.shingles]]). */
-  private val oracleShingles =
+  private[queries] val oracleShingles =
     """WITH w AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ws
       |  FROM documents

@@ -378,6 +378,90 @@ object StreamingQ {
       // is load-bearing here — the exact flush q50 gets to skip.
       runAvailableNow(s, joined, "append", viewName, noDataBatch = true)
     },
+
+    // Streaming near-dedup against a FROZEN corpus index — the continuous-
+    // ingestion twin of q85: documents arrive as a stream (even doc_ids
+    // here), and each is checked for near-duplication (3-gram Jaccard
+    // ≥ 0.8) against a static corpus (odd doc_ids) whose banded-MinHash
+    // index was built ONCE batch-side. This is the production shape of
+    // "dedup the incoming crawl against the training corpus": the
+    // per-document work — shingle, 128-perm MinHash, 32×4 band keys — is
+    // stateless and map-side; candidates come from a stream-static
+    // equi-join on (band, band-hash) against the prebuilt index, so
+    // per-arriving-doc cost ∝ its own band collisions, never corpus size;
+    // verification is exact Jaccard on the carried shingle set. The ONLY
+    // stateful operator is the final per-doc aggregation (complete mode;
+    // on an unbounded source this becomes update mode + watermark once
+    // docs carry arrival time). Identical band parameters to q85 ⇒
+    // identical candidate recall ⇒ the same batch oracle is hash-exact.
+    //
+    // 100 TB: the corpus band index is corpus-sized — it stays a shuffled
+    // equi-join (NOT broadcast); the stream side shuffles only its own
+    // 32-per-doc band keys. Candidate pairs may repeat across bands (no
+    // stateless distinct exists mid-stream); the terminal collect_set
+    // dedupes them, trading a few re-verified pairs for zero extra state.
+    QueryDef(
+      "q137_stream_neardedup",
+      s"""${Dedup.oracleShingles},
+         |bt AS (SELECT * FROM s WHERE doc_id % 2 = 0),
+         |cp AS (SELECT * FROM s WHERE doc_id % 2 = 1),
+         |m AS (
+         |  SELECT bt.doc_id, cp.doc_id AS dup
+         |  FROM bt JOIN cp ON round(CAST(len(list_intersect(bt.sh, cp.sh)) AS DOUBLE)
+         |    / (len(bt.sh) + len(cp.sh) - len(list_intersect(bt.sh, cp.sh))), 6) >= 0.8)
+         |SELECT bt.doc_id, count(m.dup) AS n_dups, count(m.dup) > 0 AS is_dup
+         |FROM bt LEFT JOIN m USING (doc_id)
+         |GROUP BY bt.doc_id""".stripMargin) { (s, dir) =>
+      import graft.functions.Text
+      val viewName = s"q137_mem_${java.util.UUID.randomUUID().toString.take(8)}"
+      def shingle(df: DataFrame): DataFrame = df
+        .select(col("doc_id"), Text.tokens(col("text")).as("ws"))
+        .where(size(col("ws")) >= 3)
+        .select(col("doc_id"), Text.shinglesFromTokens(col("ws")).as("shs"))
+      def bands(sh: DataFrame): DataFrame = sh
+        .select(col("doc_id"), col("shs"),
+          explode(Text.lshBands(
+            Text.minhashSigFromHashes(Text.hashedShingles(col("shs")), 128),
+            numBands = 32, rowsPerBand = 4)).as("bk"))
+        .select(col("doc_id"), col("shs"),
+          col("bk.band").as("band"), col("bk.bh").as("bh"))
+      // static corpus index, built once; localCheckpoint = the stored
+      // artifact (a real deployment reads it back from parquet, q136's
+      // stored-index pattern)
+      val corpus = shingle(Tables.load(s, dir, "documents")
+        .where(col("doc_id") % 2 === 1)
+        .repartition(s.sparkContext.defaultParallelism))
+      val corpusBands = bands(corpus)
+        .select(col("doc_id").as("doc_b"), col("shs").as("sh_b"),
+          col("band"), col("bh"))
+        .localCheckpoint(false)
+      // arriving stream: per-doc signature + band keys, stateless
+      val raw = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("lang", StringType),
+        StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val stream = shingle(s.readStream.schema(raw)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .where(col("doc_id") % 2 === 0))
+      val matched = bands(stream)
+        .join(corpusBands, Seq("band", "bh"))
+        .withColumn("common", size(array_intersect(col("shs"), col("sh_b"))))
+        .withColumn("jaccard", round(col("common").cast("double")
+          / (size(col("shs")) + size(col("sh_b")) - col("common")), 6))
+        .where(col("jaccard") >= 0.8)
+        .select(col("doc_id"), col("doc_b"))
+      // zero-match docs must still report (n_dups = 0): union a null
+      // marker per arriving doc; collect_set skips nulls
+      val agg = matched
+        .unionByName(stream.select(col("doc_id"),
+          lit(null).cast("long").as("doc_b")))
+        .groupBy(col("doc_id"))
+        .agg(size(collect_set(col("doc_b"))).cast("long").as("n_dups"))
+        .withColumn("is_dup", col("n_dups") > 0)
+      runAvailableNow(s, agg, "complete", viewName)
+    },
   )
 
   /** Exact-decimal ZOH fold over sorted points (the reference reducer's

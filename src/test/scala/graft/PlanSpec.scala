@@ -755,4 +755,43 @@ class PlanSpec extends AnyFunSuite {
     assert(keyShuffles <= 3, s"corpus rewrite is shuffling:\n$p")
     assert(!p.contains("Window"), s"no window in the rewrite:\n$p")
   }
+
+  test("q136: stored-index probe scan is dynamically partition-pruned to the probed cells") {
+    // the stored-IVF deployment contract: the candidate scan must read
+    // only the probed cells' files. That shows up as a dynamicpruning
+    // PartitionFilter on the `cluster` directory column, fed by the
+    // broadcast probe frame — without it the probe join would load the
+    // whole index and filter post-scan, i.e. a full corpus read per
+    // query batch.
+    val p = plan("q136_ivf_stored")
+    assert(p.contains("cluster") && p.contains(" IN ("),
+      s"index scan must carry the probed-cell partition filter:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe-cell join must be a broadcast hash join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian pair space:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"final top-k must push group limits:\n$p")
+    // and the pruning must be REAL at this panel size: run the probe and
+    // check the index scan touched a strict subset of the 16 cell
+    // directories (the scan's partition-count metric post-DPP)
+    val df = SparkEntry.queries("q136_ivf_stored")(spark, sfDir)
+    df.collect()
+    // descend through AQE wrappers — collect() on the adaptive root does
+    // not cross AdaptiveSparkPlanExec/QueryStageExec boundaries
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val idxScans = scans(df.queryExecution.executedPlan).filter(f =>
+      f.metadata.get("Location").exists(l =>
+        l.contains("graft_ivf_") && l.contains("index")))
+    assert(idxScans.nonEmpty, "no stored-index scan in the executed plan")
+    val partsRead = idxScans.map(_.metrics("numPartitions").value).sum
+    assert(partsRead > 0 && partsRead < 16,
+      s"expected a strict subset of the 16 cells read, got $partsRead")
+  }
 }

@@ -61,6 +61,27 @@ object StreamingQ {
     */
   private def runAvailableNow(s: SparkSession, df: DataFrame, mode: String,
       viewName: String, noDataBatch: Boolean = false): DataFrame = {
+    drainAvailableNow(s, viewName, noDataBatch) { ckpt =>
+      df.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(viewName)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    s.table(viewName)
+  }
+
+  /** The shared bounded-drain harness behind [[runAvailableNow]] and the
+    * foreachBatch sink gate (q138): tmpfs checkpoint, 8 state partitions,
+    * optional trailing no-data batch, hard 120 s hang guard, checkpoint
+    * cleanup. `start` receives the checkpoint path and must return the
+    * started query.
+    */
+  private def drainAvailableNow(s: SparkSession, label: String,
+      noDataBatch: Boolean)(
+      start: String => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     import java.nio.file.{Files, Paths}
     val shm = Paths.get("/dev/shm")
     val base = if (Files.isDirectory(shm) && Files.isWritable(shm)) shm
@@ -77,25 +98,19 @@ object StreamingQ {
     // pure floor — skip it unless the caller's semantics need it.
     s.conf.set(noDataKey, noDataBatch.toString)
     try {
-      val q = df.writeStream
-        .outputMode(mode)
-        .format("memory")
-        .queryName(viewName)
-        .option("checkpointLocation", ckpt.toString)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+      val q = start(ckpt.toString)
       // a false return = the stream is still running after the timeout; the
-      // partially-drained memory sink would surface as a confusing
-      // cross-engine mismatch instead of a clear failure — fail loudly
+      // partially-drained sink would surface as a confusing cross-engine
+      // mismatch instead of a clear failure — fail loudly
       try {
         if (!q.awaitTermination(120000))
           throw new IllegalStateException(
-            s"stream $viewName did not terminate within 120 s " +
+            s"stream $label did not terminate within 120 s " +
               "(AvailableNow drain hung); sink contents are partial")
       } finally {
         if (sys.env.contains("GRAFT_STREAM_DEBUG"))
           q.recentProgress.foreach(p => System.err.println(
-            s"[stream-debug] $viewName batch=${p.batchId} rows=${p.numInputRows} " +
+            s"[stream-debug] $label batch=${p.batchId} rows=${p.numInputRows} " +
             s"durationMs=${p.durationMs}"))
         q.stop()
       }
@@ -108,7 +123,6 @@ object StreamingQ {
           .sortBy(-_.getNameCount).foreach(p => Files.deleteIfExists(p))
       } catch { case _: Throwable => () }
     }
-    s.table(viewName)
   }
 
   val entries: Seq[QueryDef] = Seq(
@@ -400,6 +414,14 @@ object StreamingQ {
     // 32-per-doc band keys. Candidate pairs may repeat across bands (no
     // stateless distinct exists mid-stream); the terminal collect_set
     // dedupes them, trading a few re-verified pairs for zero extra state.
+    //
+    // The gate is MULTI-microbatch by construction: the arriving docs are
+    // pre-split into 4 files and the source capped at maxFilesPerTrigger
+    // = 1, so the aggregation state genuinely accumulates across 4
+    // batches (a single-file source would collapse the whole gate into
+    // one batch and never exercise cross-batch state). The final result
+    // must be batch-boundary-invariant — that invariance is what the
+    // batch oracle checks.
     QueryDef(
       "q137_stream_neardedup",
       s"""${Dedup.oracleShingles},
@@ -435,7 +457,15 @@ object StreamingQ {
         .select(col("doc_id").as("doc_b"), col("shs").as("sh_b"),
           col("band"), col("bh"))
         .localCheckpoint(false)
-      // arriving stream: per-doc signature + band keys, stateless
+      // arriving stream: the even-id docs pre-split into 4 parquet files
+      // so maxFilesPerTrigger=1 yields 4 real microbatches; per-doc
+      // signature + band keys stay stateless
+      val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_")
+      Advanced.registerTmpDir(streamDir)
+      Tables.load(s, dir, "documents")
+        .where(col("doc_id") % 2 === 0)
+        .repartition(4)
+        .write.mode("overwrite").parquet(streamDir.toString)
       val raw = StructType(Seq(
         StructField("doc_id", LongType),
         StructField("text", StringType),
@@ -443,8 +473,7 @@ object StreamingQ {
         StructField("source", StringType),
         StructField("n_chars", LongType)))
       val stream = shingle(s.readStream.schema(raw)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
-        .where(col("doc_id") % 2 === 0))
+        .option("maxFilesPerTrigger", "1").parquet(streamDir.toString))
       val matched = bands(stream)
         .join(corpusBands, Seq("band", "bh"))
         .withColumn("common", size(array_intersect(col("shs"), col("sh_b"))))
@@ -461,6 +490,73 @@ object StreamingQ {
         .agg(size(collect_set(col("doc_b"))).cast("long").as("n_dups"))
         .withColumn("is_dup", col("n_dups") > 0)
       runAvailableNow(s, agg, "complete", viewName)
+    },
+
+    // Streaming upsert sink — the "streaming materialized view" shape: a
+    // running keyed aggregation maintained in a PERSISTENT store by
+    // update-mode foreachBatch MERGE, the pattern every warehouse
+    // ingestion pipeline runs (Delta/Iceberg MERGE INTO per microbatch).
+    // Events arrive across 4 real microbatches (pre-split files +
+    // maxFilesPerTrigger=1); each batch emits only the keys whose running
+    // totals CHANGED in that batch (update mode reads the agg state), and
+    // the sink upserts them into a keyed parquet table: delete-matched +
+    // insert (left_anti ∪ updates) — last write per key wins. The final
+    // store must equal the one-shot batch aggregate no matter how the
+    // input was sliced into batches: per-batch emissions depend on batch
+    // boundaries, the upserted RESULT must not. That boundary-invariance
+    // is exactly what the batch oracle pins.
+    //
+    // 100 TB: the store rewrite here is whole-table because plain parquet
+    // has no transactional row-level MERGE — a real deployment swaps the
+    // foreachBatch body for MERGE INTO on a table format (or partitions
+    // the store by key range and rewrites touched partitions only);
+    // update-mode emission keeps the per-batch upsert ∝ changed keys, not
+    // store size, which is what makes the pattern viable. The
+    // localCheckpoint before the overwrite is the q81 rule: materialize
+    // the merged frame BEFORE truncating the directory it lazily reads.
+    QueryDef(
+      "q138_stream_upsert",
+      """SELECT event_type, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val base = java.nio.file.Files.createTempDirectory("graft_upsert_")
+      Advanced.registerTmpDir(base)
+      val inDir = s"$base/in"
+      val store = s"$base/store"
+      // pre-split the (ts-normalized) events into 4 files = 4 microbatches
+      Tables.load(s, dir, "events")
+        .select(col("ts"), col("event_type"), col("value"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(inDir)
+      val schema = s.read.parquet(inDir).schema
+      val agg = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+        .groupBy(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("value"))).cast("double").as("total"))
+      drainAvailableNow(s, "q138_upsert", noDataBatch = false) { ckpt =>
+        agg.writeStream
+          .outputMode("update")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val sp = batch.sparkSession
+            val upd = batch.localCheckpoint(true)
+            val merged =
+              if (!new java.io.File(store).exists) upd
+              else sp.read.parquet(store)
+                .join(upd.select("event_type", "day"),
+                  Seq("event_type", "day"), "left_anti")
+                .unionByName(upd)
+                .localCheckpoint(true)
+            merged.write.mode("overwrite").parquet(store)
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      s.read.parquet(store)
+        .select(col("event_type"), col("day"), col("n"), col("total"))
     },
   )
 

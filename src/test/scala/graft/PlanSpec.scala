@@ -758,11 +758,11 @@ class PlanSpec extends AnyFunSuite {
 
   test("q136: stored-index probe scan is dynamically partition-pruned to the probed cells") {
     // the stored-IVF deployment contract: the candidate scan must read
-    // only the probed cells' files. That shows up as a dynamicpruning
-    // PartitionFilter on the `cluster` directory column, fed by the
-    // broadcast probe frame — without it the probe join would load the
-    // whole index and filter post-scan, i.e. a full corpus read per
-    // query batch.
+    // only the probed cells' files. That shows up as a static
+    // `cluster IN (...)` PartitionFilter on the directory column, pushed
+    // by the driver-side probe routing — without it the probe join would
+    // load the whole index and filter post-scan, i.e. a full corpus read
+    // per query batch.
     val p = plan("q136_ivf_stored")
     assert(p.contains("cluster") && p.contains(" IN ("),
       s"index scan must carry the probed-cell partition filter:\n$p")

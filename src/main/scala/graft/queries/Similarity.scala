@@ -27,6 +27,8 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  import graft.functions.Vectors.{dot, l2norm, lshBuckets}
+
   private val K = 5
   // 100-query panel: wide enough that the PipelineSpec recall@5 floors
   // (≥ 0.8 for LSH/IVF/PQ vs the q34 exact baseline) measure parameter
@@ -49,8 +51,173 @@ object Similarity {
     * a 100-query × 8-probe panel would touch every cell and make the
     * pruning vacuously true.
     */
-  private val StoredQueries = 8
-  private val StoredProbes = 2
+  private[queries] val StoredQueries = 8
+  private[queries] val StoredProbes = 2
+
+  /** Portable-IVF oracle parameterized on the probe panel — ONE SQL text
+    * for q129/q136 so a future change to the scoring/tie-break algebra
+    * cannot desynchronize the two gates' oracles.
+    */
+  private def ivfOracleSql(numQueries: Int, numProbes: Int): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v,
+       |  sqrt(list_reduce(list_prepend(0.0, [x*x for x in v]), (a,b) -> a+b)) AS nrm
+       |  FROM e),
+       |cent AS (
+       |  SELECT cluster, cv, cnrm FROM (
+       |    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+       |        AS cluster,
+       |      v AS cv, nrm AS cnrm
+       |    FROM n) WHERE cluster < $IvfCells),
+       |scored AS (
+       |  SELECT q.vec_id, q.v, q.nrm, c.cluster,
+       |    round(list_reduce(list_prepend(0.0,
+       |        [q.v[i] * c.cv[i] for i in range(1, len(q.v)+1)]), (a,b) -> a+b)
+       |      / (q.nrm * c.cnrm), 6) AS score
+       |  FROM n q, cent c),
+       |assigned AS (
+       |  SELECT vec_id, v, nrm, cluster FROM scored
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY score DESC, cluster) = 1),
+       |probes AS (
+       |  SELECT vec_id AS qid, v AS qv, nrm AS qnrm, cluster FROM scored
+       |  WHERE vec_id < $numQueries
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY score DESC, cluster) <= $numProbes),
+       |s AS (
+       |  SELECT p.qid, a.vec_id AS neighbor_id,
+       |    round(list_reduce(list_prepend(0.0,
+       |        [p.qv[i] * a.v[i] for i in range(1, len(p.qv)+1)]),
+       |        (x, y) -> x + y)
+       |      / (p.qnrm * a.nrm), 6) AS cosine
+       |  FROM probes p JOIN assigned a
+       |    ON p.cluster = a.cluster AND p.qid <> a.vec_id)
+       |SELECT qid, neighbor_id, cosine, rank FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY qid ORDER BY cosine DESC, neighbor_id) AS rank FROM s)
+       |WHERE rank <= $K""".stripMargin
+
+  /** Deterministic portable-IVF index build shared by q129/q136 — ONE
+    * implementation of the centroid pick + scoring + assignment so the
+    * in-plan gate (q129) and the stored-artifact gate (q136) can never
+    * diverge. Returns (e, cents, scored, assigned):
+    *  - e: normalized embeddings, materialized once (feeds centroid pick,
+    *    scoring, and both rerank sides — the q133/KnnVerb.prep rationale);
+    *  - cents: deterministic seeded sample as centroids — distributed
+    *    top-16 by md5(vec_id), the 16-row rank window runs post-limit;
+    *  - scored: every (vector, centroid) round-6 cosine, the broadcast
+    *    16-row fan-out;
+    *  - assigned: argmax cell per vector — lexicographic struct max ==
+    *    the oracle's (score DESC, cluster ASC) row_number()=1; the
+    *    partial agg collapses the 16 candidate rows map-side before the
+    *    one (vec_id) shuffle.
+    */
+  private def ivfBuild(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val e = emb(s, dir).withColumn("nrm", l2norm(col("v")))
+      .localCheckpoint(false)
+    val cents = e
+      .withColumn("mk", md5(col("vec_id").cast("string")))
+      .orderBy(col("mk")).limit(IvfCells)
+      .withColumn("cluster",
+        row_number().over(Window.orderBy(col("mk"))) - 1)
+      .select(col("cluster"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val scored = e.crossJoin(broadcast(cents))
+      .withColumn("score",
+        round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cluster"),
+        col("score"))
+    val assigned = scored
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("score"), (-col("cluster")).as("nc"))).as("m"),
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+      .select(col("vec_id"), (-col("m.nc")).as("cluster"), col("v"),
+        col("nrm"))
+    (e, cents, scored, assigned)
+  }
+
+  /** q136's oracle text, exposed for the streaming serving gate (q139):
+    * the stream answers the SAME probe panel from the SAME stored index,
+    * so the two gates share one oracle by construction.
+    */
+  private[queries] def storedIvfOracleSql: String =
+    ivfOracleSql(StoredQueries, StoredProbes)
+
+  /** The once-per-corpus IVF index-build job: [[ivfBuild]]'s deterministic
+    * assignment persisted as the stored artifact — `<base>/index` is the
+    * assignment frame written `partitionBy("cluster")` (cell membership
+    * encoded in the directory layout, which is what probe-time pruning
+    * keys on) and `<base>/centroids` the 16 centroid rows. Shared by the
+    * batch probe (q136) and the streaming probe (q139) so both serving
+    * gates answer from an identically-built artifact. Returns the base
+    * dir (a temp dir registered for JVM-exit cleanup).
+    */
+  private[queries] def ivfStore(s: SparkSession, dir: String): String =
+    storedIvf.getOrElseUpdate(dir, {
+      val (_, cents, _, assigned) = ivfBuild(s, dir)
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf_")
+      Advanced.registerTmpDir(idxDir)
+      val base = idxDir.toString
+      assigned.write.mode("overwrite").partitionBy("cluster")
+        .parquet(s"$base/index")
+      cents.write.mode("overwrite").parquet(s"$base/centroids")
+      base
+    })
+
+  /** One stored artifact per corpus dir per JVM — that IS the deployment
+    * model (the index-build job runs once; every probe batch, streaming
+    * or not, consumes the same files), and it keeps q136+q139 from each
+    * paying the identical deterministic build. The build is a pure
+    * function of the corpus, so sharing cannot change either gate's
+    * output. Same memo pattern as [[quantizers]].
+    */
+  private val storedIvf =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The per-query-batch IVF serving step against a stored index at
+    * `base`: centroids re-read from disk pick each query's top-
+    * [[StoredProbes]] cells, probe ROUTING is driver-side (the probe
+    * frame is |queries|×nprobe rows by contract — a query batch, not a
+    * corpus — so collecting its distinct cells is bounded, and pushing
+    * them as a STATIC partition filter makes the candidate scan read
+    * ONLY the probed cells' files; see q136 for why this beats dynamic
+    * partition pruning here), then exact top-[[K]] rerank over the
+    * probed cells. `queries` columns: (qid, qv: array<double>, qnrm).
+    * ONE implementation serves q136 (the whole panel in one batch) and
+    * q139 (the same panel sliced into microbatches) — batch-boundary
+    * invariance of the union of outputs is exactly what q139's shared
+    * oracle checks.
+    */
+  private[queries] def ivfProbeStored(s: SparkSession, base: String,
+      queries: DataFrame): DataFrame = {
+    val dcents = s.read.parquet(s"$base/centroids")
+    val pw = Window.partitionBy("qid")
+      .orderBy(col("score").desc, col("cluster"))
+    val probes = queries.crossJoin(broadcast(dcents))
+      .withColumn("score",
+        round(dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")), 6))
+      .withColumn("pr", row_number().over(pw))
+      .where(col("pr") <= StoredProbes)
+      .select(col("qid"), col("qv"), col("qnrm"), col("cluster"))
+      // materialized once: the probe frame feeds the candidate join's
+      // build side AND the driver-side cell routing below
+      .localCheckpoint(false)
+    val cells = probes.select("cluster").distinct().collect()
+      .map(_.getInt(0)).sorted
+    val idx = s.read.parquet(s"$base/index")
+      .where(col("cluster").isin(cells.map(Integer.valueOf): _*))
+      .select(col("vec_id").as("cid"), col("v").as("cv"),
+        col("nrm").as("cnrm"), col("cluster"))
+    val w2 = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
+    idx.join(broadcast(probes), Seq("cluster"))
+      .where(col("qid") =!= col("cid"))
+      .withColumn("cosine",
+        round(dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")), 6))
+      .withColumn("rank", row_number().over(w2))
+      .where(col("rank") <= K)
+      .select(col("qid"), col("cid").as("neighbor_id"), col("cosine"),
+        col("rank"))
+  }
 
   /** q132 portable-PQ shape, mirroring q82: 8 subspaces × 8 dims, 16-code
     * shared codebook, ADC shortlist 100 before the exact rerank.
@@ -73,13 +240,11 @@ object Similarity {
   private val quantizers = scala.collection.concurrent.TrieMap
     .empty[String, org.apache.spark.ml.clustering.KMeansModel]
 
-  import graft.functions.Vectors.{dot, l2norm, lshBuckets}
-
   /** Embeddings, spread across all cores — the local corpus is one parquet
     * file = one input split, which would serialize the (interpreted HOF)
     * dot-product work; real corpora parallelize via scan splits.
     */
-  private def emb(s: SparkSession, dir: String): DataFrame =
+  private[queries] def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -379,69 +544,8 @@ object Similarity {
     // candidates-then-verify contract as q35/q46/q82.
     QueryDef(
       "q129_ivf_portable",
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |n AS (SELECT vec_id, v,
-         |  sqrt(list_reduce(list_prepend(0.0, [x*x for x in v]), (a,b) -> a+b)) AS nrm
-         |  FROM e),
-         |cent AS (
-         |  SELECT cluster, cv, cnrm FROM (
-         |    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
-         |        AS cluster,
-         |      v AS cv, nrm AS cnrm
-         |    FROM n) WHERE cluster < $IvfCells),
-         |scored AS (
-         |  SELECT q.vec_id, q.v, q.nrm, c.cluster,
-         |    round(list_reduce(list_prepend(0.0,
-         |        [q.v[i] * c.cv[i] for i in range(1, len(q.v)+1)]), (a,b) -> a+b)
-         |      / (q.nrm * c.cnrm), 6) AS score
-         |  FROM n q, cent c),
-         |assigned AS (
-         |  SELECT vec_id, v, nrm, cluster FROM scored
-         |  QUALIFY row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY score DESC, cluster) = 1),
-         |probes AS (
-         |  SELECT vec_id AS qid, v AS qv, nrm AS qnrm, cluster FROM scored
-         |  WHERE vec_id < $NumQueries
-         |  QUALIFY row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY score DESC, cluster) <= $IvfProbes),
-         |s AS (
-         |  SELECT p.qid, a.vec_id AS neighbor_id,
-         |    round(list_reduce(list_prepend(0.0,
-         |        [p.qv[i] * a.v[i] for i in range(1, len(p.qv)+1)]),
-         |        (x, y) -> x + y)
-         |      / (p.qnrm * a.nrm), 6) AS cosine
-         |  FROM probes p JOIN assigned a
-         |    ON p.cluster = a.cluster AND p.qid <> a.vec_id)
-         |SELECT qid, neighbor_id, cosine, rank FROM (
-         |  SELECT *, row_number() OVER (
-         |    PARTITION BY qid ORDER BY cosine DESC, neighbor_id) AS rank FROM s)
-         |WHERE rank <= $K""".stripMargin) { (s, dir) =>
-      // e feeds four consumers (centroid pick, scoring, both rerank
-      // sides) — materialize once (the q133/KnnVerb.prep rationale)
-      val e = emb(s, dir).withColumn("nrm", l2norm(col("v")))
-        .localCheckpoint(false)
-      // deterministic seeded sample as centroids: distributed top-16 by
-      // md5(vec_id); the 16-row rank window runs on the post-limit frame
-      val cents = e
-        .withColumn("mk", md5(col("vec_id").cast("string")))
-        .orderBy(col("mk")).limit(IvfCells)
-        .withColumn("cluster",
-          row_number().over(Window.orderBy(col("mk"))) - 1)
-        .select(col("cluster"), col("v").as("cv"), col("nrm").as("cnrm"))
-      val scored = e.crossJoin(broadcast(cents))
-        .withColumn("score",
-          round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6))
-        .select(col("vec_id"), col("v"), col("nrm"), col("cluster"),
-          col("score"))
-      // argmax cell per vector: lexicographic struct max == the oracle's
-      // (score DESC, cluster ASC) row_number()=1; partial agg collapses
-      // the 16 candidate rows map-side before the one (vec_id) shuffle
-      val assigned = scored
-        .groupBy(col("vec_id"))
-        .agg(max(struct(col("score"), (-col("cluster")).as("nc"))).as("m"),
-          first(col("v")).as("v"), first(col("nrm")).as("nrm"))
-        .select(col("vec_id"), (-col("m.nc")).as("cluster"), col("v"),
-          col("nrm"))
+      ivfOracleSql(NumQueries, IvfProbes)) { (s, dir) =>
+      val (_, _, scored, assigned) = ivfBuild(s, dir)
       val pw = Window.partitionBy("vec_id")
         .orderBy(col("score").desc, col("cluster"))
       val probes = scored.where(col("vec_id") < NumQueries)
@@ -713,118 +817,30 @@ object Similarity {
     // them (doubles round-trip parquet exactly) must not change a bit.
     QueryDef(
       "q136_ivf_stored",
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |n AS (SELECT vec_id, v,
-         |  sqrt(list_reduce(list_prepend(0.0, [x*x for x in v]), (a,b) -> a+b)) AS nrm
-         |  FROM e),
-         |cent AS (
-         |  SELECT cluster, cv, cnrm FROM (
-         |    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
-         |        AS cluster,
-         |      v AS cv, nrm AS cnrm
-         |    FROM n) WHERE cluster < $IvfCells),
-         |scored AS (
-         |  SELECT q.vec_id, q.v, q.nrm, c.cluster,
-         |    round(list_reduce(list_prepend(0.0,
-         |        [q.v[i] * c.cv[i] for i in range(1, len(q.v)+1)]), (a,b) -> a+b)
-         |      / (q.nrm * c.cnrm), 6) AS score
-         |  FROM n q, cent c),
-         |assigned AS (
-         |  SELECT vec_id, v, nrm, cluster FROM scored
-         |  QUALIFY row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY score DESC, cluster) = 1),
-         |probes AS (
-         |  SELECT vec_id AS qid, v AS qv, nrm AS qnrm, cluster FROM scored
-         |  WHERE vec_id < $StoredQueries
-         |  QUALIFY row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY score DESC, cluster) <= $StoredProbes),
-         |s AS (
-         |  SELECT p.qid, a.vec_id AS neighbor_id,
-         |    round(list_reduce(list_prepend(0.0,
-         |        [p.qv[i] * a.v[i] for i in range(1, len(p.qv)+1)]),
-         |        (x, y) -> x + y)
-         |      / (p.qnrm * a.nrm), 6) AS cosine
-         |  FROM probes p JOIN assigned a
-         |    ON p.cluster = a.cluster AND p.qid <> a.vec_id)
-         |SELECT qid, neighbor_id, cosine, rank FROM (
-         |  SELECT *, row_number() OVER (
-         |    PARTITION BY qid ORDER BY cosine DESC, neighbor_id) AS rank FROM s)
-         |WHERE rank <= $K""".stripMargin) { (s, dir) =>
-      // ---- Index build (the once-per-corpus job) — q129's deterministic
-      // centroids + argmax assignment, then persisted. partitionBy makes
-      // `cluster` a directory column: cell membership is encoded in the
-      // file layout, which is what probe-time pruning keys on.
-      val e = emb(s, dir).withColumn("nrm", l2norm(col("v")))
-        .localCheckpoint(false)
-      val cents = e
-        .withColumn("mk", md5(col("vec_id").cast("string")))
-        .orderBy(col("mk")).limit(IvfCells)
-        .withColumn("cluster",
-          row_number().over(Window.orderBy(col("mk"))) - 1)
-        .select(col("cluster"), col("v").as("cv"), col("nrm").as("cnrm"))
-      val scored = e.crossJoin(broadcast(cents))
-        .withColumn("score",
-          round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6))
-        .select(col("vec_id"), col("v"), col("nrm"), col("cluster"),
-          col("score"))
-      val assigned = scored
-        .groupBy(col("vec_id"))
-        .agg(max(struct(col("score"), (-col("cluster")).as("nc"))).as("m"),
-          first(col("v")).as("v"), first(col("nrm")).as("nrm"))
-        .select(col("vec_id"), (-col("m.nc")).as("cluster"), col("v"),
-          col("nrm"))
-      val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf_")
-      Advanced.registerTmpDir(idxDir)
-      val base = idxDir.toString
-      assigned.write.mode("overwrite").partitionBy("cluster")
-        .parquet(s"$base/index")
-      cents.write.mode("overwrite").parquet(s"$base/centroids")
+      ivfOracleSql(StoredQueries, StoredProbes)) { (s, dir) =>
+      // ---- Index build (the once-per-corpus job) — the SHARED ivfStore
+      // (q129's ivfBuild by construction), persisted partitioned by cell.
+      val base = ivfStore(s, dir)
       // ---- Probe (the per-query-batch job) — touches ONLY the stored
-      // artifact plus the query panel. Probe-cell choice replays the
-      // assignment scoring against the disk centroids (same doubles, so
-      // the same round-6 scores q129's in-plan probes got).
-      val dcents = s.read.parquet(s"$base/centroids")
-      val queries = e.where(col("vec_id") < StoredQueries)
+      // artifact plus the query panel (derived fresh, NOT the build job's
+      // frame: in production the query batch arrives independently of the
+      // index build). Probe-cell choice replays the assignment scoring
+      // against the disk centroids (same doubles, so the same round-6
+      // scores q129's in-plan probes got). Probe routing is driver-side,
+      // like every IVF serving system — pushing the collected cells as a
+      // STATIC partition filter makes the scan prune deterministically
+      // (PartitionFilters: cluster IN (...), a strict subset of the cell
+      // directories — PlanSpec pins the metric). The declarative
+      // alternative — dynamic partition pruning off the broadcast probe
+      // join — plans the filter but AQE demotes it to `true` here because
+      // the window-over-broadcast probe subtree doesn't canonicalize to
+      // the reused exchange, and a demoted filter reads the whole index:
+      // the one case where hand-routing beats the optimizer is exactly
+      // the case the operator exists for.
+      val queries = emb(s, dir).where(col("vec_id") < StoredQueries)
         .select(col("vec_id").as("qid"), col("v").as("qv"),
-          col("nrm").as("qnrm"))
-      val pw = Window.partitionBy("qid")
-        .orderBy(col("score").desc, col("cluster"))
-      val probes = queries.crossJoin(broadcast(dcents))
-        .withColumn("score",
-          round(dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")), 6))
-        .withColumn("pr", row_number().over(pw))
-        .where(col("pr") <= StoredProbes)
-        .select(col("qid"), col("qv"), col("qnrm"), col("cluster"))
-        // materialized once: the probe frame feeds the candidate join's
-        // build side AND the driver-side cell routing below
-        .localCheckpoint(false)
-      // Probe ROUTING is driver-side, like every IVF serving system: the
-      // probe frame is |queries|×nprobe rows by contract (a query batch,
-      // not a corpus), so collecting its distinct cells is bounded, and
-      // pushing them as a STATIC partition filter makes the scan prune
-      // deterministically (PartitionFilters: cluster IN (...), a strict
-      // subset of the cell directories — PlanSpec pins the metric). The
-      // declarative alternative — dynamic partition pruning off the
-      // broadcast probe join — plans the filter but AQE demotes it to
-      // `true` here because the window-over-broadcast probe subtree
-      // doesn't canonicalize to the reused exchange, and a demoted filter
-      // reads the whole index: the one case where hand-routing beats the
-      // optimizer is exactly the case the operator exists for.
-      val cells = probes.select("cluster").distinct().collect()
-        .map(_.getInt(0)).sorted
-      val idx = s.read.parquet(s"$base/index")
-        .where(col("cluster").isin(cells.map(Integer.valueOf): _*))
-        .select(col("vec_id").as("cid"), col("v").as("cv"),
-          col("nrm").as("cnrm"), col("cluster"))
-      val w2 = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
-      idx.join(broadcast(probes), Seq("cluster"))
-        .where(col("qid") =!= col("cid"))
-        .withColumn("cosine",
-          round(dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")), 6))
-        .withColumn("rank", row_number().over(w2))
-        .where(col("rank") <= K)
-        .select(col("qid"), col("cid").as("neighbor_id"), col("cosine"),
-          col("rank"))
+          l2norm(col("v")).as("qnrm"))
+      ivfProbeStored(s, base, queries)
     },
   )
 }

@@ -410,8 +410,13 @@ object StreamingQ {
     // identical candidate recall ⇒ the same batch oracle is hash-exact.
     //
     // 100 TB: the corpus band index is corpus-sized — it stays a shuffled
-    // equi-join (NOT broadcast); the stream side shuffles only its own
-    // 32-per-doc band keys. Candidate pairs may repeat across bands (no
+    // equi-join (NOT broadcast) and is SLIM ((doc_b, band, bh), ~24
+    // bytes/row, q85's index shape): corpus shingles live in a separate
+    // once-per-doc frame joined only for candidate verification, never
+    // fanned ×32 through the index. The stream side shuffles its own 32
+    // band keys per arriving doc with the doc's shingle payload carried —
+    // bounded per-arrival work (a stream row cannot re-join its own
+    // shingles statelessly). Candidate pairs may repeat across bands (no
     // stateless distinct exists mid-stream); the terminal collect_set
     // dedupes them, trading a few re-verified pairs for zero extra state.
     //
@@ -435,50 +440,54 @@ object StreamingQ {
          |FROM bt LEFT JOIN m USING (doc_id)
          |GROUP BY bt.doc_id""".stripMargin) { (s, dir) =>
       import graft.functions.Text
+      import graft.transforms.NearDup
       val viewName = s"q137_mem_${java.util.UUID.randomUUID().toString.take(8)}"
-      def shingle(df: DataFrame): DataFrame = df
-        .select(col("doc_id"), Text.tokens(col("text")).as("ws"))
-        .where(size(col("ws")) >= 3)
-        .select(col("doc_id"), Text.shinglesFromTokens(col("ws")).as("shs"))
-      def bands(sh: DataFrame): DataFrame = sh
-        .select(col("doc_id"), col("shs"),
-          explode(Text.lshBands(
-            Text.minhashSigFromHashes(Text.hashedShingles(col("shs")), 128),
-            numBands = 32, rowsPerBand = 4)).as("bk"))
-        .select(col("doc_id"), col("shs"),
-          col("bk.band").as("band"), col("bk.bh").as("bh"))
-      // static corpus index, built once; localCheckpoint = the stored
-      // artifact (a real deployment reads it back from parquet, q136's
-      // stored-index pattern)
-      val corpus = shingle(Tables.load(s, dir, "documents")
-        .where(col("doc_id") % 2 === 1)
-        .repartition(s.sparkContext.defaultParallelism))
-      val corpusBands = bands(corpus)
-        .select(col("doc_id").as("doc_b"), col("shs").as("sh_b"),
-          col("band"), col("bh"))
+      // static corpus index (odd ids), built once, SLIM: band keys only —
+      // shingles live in a separate once-per-doc frame joined at
+      // verification. localCheckpoint = the stored artifact (a real
+      // deployment reads both back from parquet, q136's pattern).
+      // Shingle projection, band keys, and Jaccard all ride the shared
+      // NearDup machinery so this gate can never diverge from the batch
+      // paths on the algebra.
+      val corpusSh = NearDup.shingled(
+        Tables.load(s, dir, "documents")
+          .where(col("doc_id") % 2 === 1)
+          .repartition(s.sparkContext.defaultParallelism),
+        "doc_id", "text")
+      // q85's banding parameters — ONE definition for both sides
+      val (perms, nBands, nRows) = (128, 32, 4)
+      val corpusBands = NearDup.bandKeys(corpusSh,
+          numPerm = perms, numBands = nBands, rowsPerBand = nRows)
+        .toDF("doc_b", "band", "bh")
+        .localCheckpoint(false)
+      val corpusShingles = corpusSh.toDF("doc_b", "sh_b")
         .localCheckpoint(false)
       // arriving stream: the even-id docs pre-split into 4 parquet files
       // so maxFilesPerTrigger=1 yields 4 real microbatches; per-doc
-      // signature + band keys stay stateless
+      // signature + band keys stay stateless. Stream schema comes from
+      // the files this very function just wrote — correct by construction.
       val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_")
       Advanced.registerTmpDir(streamDir)
       Tables.load(s, dir, "documents")
         .where(col("doc_id") % 2 === 0)
         .repartition(4)
         .write.mode("overwrite").parquet(streamDir.toString)
-      val raw = StructType(Seq(
-        StructField("doc_id", LongType),
-        StructField("text", StringType),
-        StructField("lang", StringType),
-        StructField("source", StringType),
-        StructField("n_chars", LongType)))
-      val stream = shingle(s.readStream.schema(raw)
-        .option("maxFilesPerTrigger", "1").parquet(streamDir.toString))
-      val matched = bands(stream)
+      val schema = s.read.parquet(streamDir.toString).schema
+      val stream = NearDup.shingled(
+          s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(streamDir.toString),
+          "doc_id", "text")
+        .toDF("doc_id", "shs")
+      val matched = stream
+        .select(col("doc_id"), col("shs"),
+          explode(Text.lshBands(
+            Text.minhashSigFromHashes(Text.hashedShingles(col("shs")), perms),
+            numBands = nBands, rowsPerBand = nRows)).as("bk"))
+        .select(col("doc_id"), col("shs"),
+          col("bk.band").as("band"), col("bk.bh").as("bh"))
         .join(corpusBands, Seq("band", "bh"))
-        .withColumn("common", size(array_intersect(col("shs"), col("sh_b"))))
-        .withColumn("jaccard", round(col("common").cast("double")
-          / (size(col("shs")) + size(col("sh_b")) - col("common")), 6))
+        .join(corpusShingles, Seq("doc_b"))
+        .withColumn("jaccard", NearDup.jaccardCol(col("shs"), col("sh_b")))
         .where(col("jaccard") >= 0.8)
         .select(col("doc_id"), col("doc_b"))
       // zero-match docs must still report (n_dups = 0): union a null
@@ -557,6 +566,63 @@ object StreamingQ {
       }
       s.read.parquet(store)
         .select(col("event_type"), col("day"), col("n"), col("total"))
+    },
+
+    // Streaming ANN serving — the ONLINE consumer of q136's stored IVF
+    // index: query vectors arrive as a stream (the 8-query panel sliced
+    // into 4 real microbatches) and each microbatch is answered entirely
+    // from the stored artifact via foreachBatch running the SAME serving
+    // step q136 runs once (Similarity.ivfProbeStored): centroids re-read
+    // from disk pick probe cells, the batch's cells are collected
+    // driver-side (|batch|×nprobe rows by contract) and pushed as a
+    // static partition filter, so each microbatch reads ONLY its probed
+    // cells' files — per-batch work ∝ batch size × cell size, never
+    // index size. Results append to a parquet store; no streaming state
+    // at all (a query is fully answered in its arrival batch — ANN
+    // serving is stateless by nature, which is why foreachBatch + batch
+    // API is the right shape, not a stateful agg).
+    //
+    // The gate: the union of per-batch answers must equal the one-shot
+    // batch probe no matter how the panel was sliced — q136's oracle
+    // verbatim (same stored-index algebra, same panel), checked
+    // hash-exact. 100 TB: the index build amortizes across every later
+    // batch; per-batch cost is the routing collect (bounded) + a pruned
+    // scan; the append-only result store is the serving log.
+    QueryDef(
+      "q139_stream_knn",
+      Similarity.storedIvfOracleSql) { (s, dir) =>
+      import graft.functions.Vectors.l2norm
+      // once-per-corpus: the SHARED index build (identical to q136's)
+      val base = Similarity.ivfStore(s, dir)
+      val qBase = java.nio.file.Files.createTempDirectory("graft_knnstream_")
+      Advanced.registerTmpDir(qBase)
+      val inDir = s"$qBase/in"
+      val resDir = s"$qBase/out"
+      // the query panel arrives as a stream: pre-split into 4 files so
+      // maxFilesPerTrigger=1 yields 4 real microbatches of ~2 queries
+      Similarity.emb(s, dir)
+        .where(col("vec_id") < Similarity.StoredQueries)
+        .repartition(4)
+        .write.mode("overwrite").parquet(inDir)
+      val schema = s.read.parquet(inDir).schema
+      drainAvailableNow(s, "q139_stream_knn", noDataBatch = false) { ckpt =>
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir)
+          .writeStream
+          .outputMode("append")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val sp = batch.sparkSession
+            val queries = batch.select(col("vec_id").as("qid"),
+              col("v").as("qv"), l2norm(col("v")).as("qnrm"))
+            Similarity.ivfProbeStored(sp, base, queries)
+              .write.mode("append").parquet(resDir)
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      s.read.parquet(resDir)
+        .select(col("qid"), col("neighbor_id"), col("cosine"), col("rank"))
     },
   )
 

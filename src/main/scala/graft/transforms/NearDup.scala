@@ -150,7 +150,7 @@ object NearDup {
     * band). Shared by [[minhashPairs]], [[minhashPairsStar]] and
     * [[bandHeavyHitters]] so the three can never disagree on banding.
     */
-  private def bandKeys(sh: DataFrame, numPerm: Int, numBands: Int,
+  private[graft] def bandKeys(sh: DataFrame, numPerm: Int, numBands: Int,
       rowsPerBand: Int): DataFrame = {
     val sig = sh.select(col("id"), Text.hashedShingles(col("shs")).as("hs"))
       .select(col("id"),
@@ -264,21 +264,30 @@ object NearDup {
       threshold: Double): DataFrame =
     verifyPairsAcross(cand, sh, sh, threshold)
 
-  /** [[verifyPairs]] generalized over two shingle frames — the ONE place
-    * the Jaccard/rounding algebra lives, so the self-join and the
-    * batch-vs-corpus ([[crossMatchesExact]]/[[minhashCrossMatches]])
-    * paths can never diverge on it. `cand` columns (doc_a, doc_b)
-    * resolve against `shA`/`shB` respectively.
+  /** round-6 Jaccard of two distinct-shingle arrays — the ONE place the
+    * intersection/union/rounding algebra lives, so every verification
+    * path (batch self-join, batch-vs-corpus, the streaming gate) computes
+    * the same value. Spark's subexpression elimination dedups the
+    * repeated intersection size at codegen.
+    */
+  def jaccardCol(shA: org.apache.spark.sql.Column,
+      shB: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val common = size(array_intersect(shA, shB))
+    round(common.cast("double") / (size(shA) + size(shB) - common), 6)
+  }
+
+  /** [[verifyPairs]] generalized over two shingle frames — shared by the
+    * self-join and batch-vs-corpus
+    * ([[crossMatchesExact]]/[[minhashCrossMatches]]) paths so they can
+    * never diverge on the [[jaccardCol]] algebra. `cand` columns
+    * (doc_a, doc_b) resolve against `shA`/`shB` respectively.
     */
   def verifyPairsAcross(cand: DataFrame, shA: DataFrame, shB: DataFrame,
       threshold: Double): DataFrame = {
     val a = shA.toDF("doc_a", "sh_a")
     val b = shB.toDF("doc_b", "sh_b")
     cand.join(a, "doc_a").join(b, "doc_b")
-      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard",
-        round(col("common").cast("double")
-          / (size(col("sh_a")) + size(col("sh_b")) - col("common")), 6))
+      .withColumn("jaccard", jaccardCol(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }

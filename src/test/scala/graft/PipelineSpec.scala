@@ -231,6 +231,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(ivf >= 0.8, s"verb IVF recall $ivf too low")
   }
 
+  test("q139 streaming ANN serving == q136 one-shot stored-index probe") {
+    // batch-boundary invariance: the panel sliced into 4 microbatches,
+    // each answered from the stored index via the shared serving step,
+    // must union to exactly the one-shot probe's answer — same rows, same
+    // cosines, same ranks (a query is fully answered in its arrival
+    // batch, so per-query ranking cannot see batch boundaries).
+    def rows(name: String) =
+      SparkEntry.queries(name)(spark, sfDir)
+        .select("qid", "neighbor_id", "cosine", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+    val stream = rows("q139_stream_knn")
+    assert(stream.nonEmpty, "streaming ANN produced no results")
+    assert(stream == rows("q136_ivf_stored"))
+  }
+
   test("q76 repeated spans: every reported span occurs in >= 2 docs verbatim") {
     import org.apache.spark.sql.functions._
     // independent check: substring containment over the raw corpus

@@ -763,8 +763,16 @@ class PlanSpec extends AnyFunSuite {
     // by the driver-side probe routing — without it the probe join would
     // load the whole index and filter post-scan, i.e. a full corpus read
     // per query batch.
-    val p = plan("q136_ivf_stored")
-    assert(p.contains("cluster") && p.contains(" IN ("),
+    // ONE build: the query function writes the index artifact as a side
+    // effect, so constructing the frame twice would pay the whole
+    // index-build job twice (and leak a second temp dir until JVM exit)
+    val df = SparkEntry.queries("q136_ivf_stored")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // the probed-cell filter sits on the index scan's own line; at ≥ 11
+    // cells OptimizeIn renders it INSET instead of IN
+    val idxLine = p.split("\n").find(l =>
+      l.contains("graft_ivf_") && l.contains("index"))
+    assert(idxLine.exists(l => l.contains(" IN ") || l.contains(" INSET ")),
       s"index scan must carry the probed-cell partition filter:\n$p")
     assert(p.contains("BroadcastHashJoin"),
       s"probe-cell join must be a broadcast hash join:\n$p")
@@ -774,7 +782,6 @@ class PlanSpec extends AnyFunSuite {
     // and the pruning must be REAL at this panel size: run the probe and
     // check the index scan touched a strict subset of the 16 cell
     // directories (the scan's partition-count metric post-DPP)
-    val df = SparkEntry.queries("q136_ivf_stored")(spark, sfDir)
     df.collect()
     // descend through AQE wrappers — collect() on the adaptive root does
     // not cross AdaptiveSparkPlanExec/QueryStageExec boundaries

@@ -551,5 +551,36 @@ object AqlQ {
            |) INTO CONNECTION Out""".stripMargin
       Aql.run(s, script).outputs("FINAL")
     },
+
+    // Token chunking through the language layer: the CHUNK verb (q67's
+    // operator — the verb family's one row generator) at SIZE 64
+    // STRIDE 48 is exactly q67's algebra, so the gate shares q67's
+    // oracle: window boundaries, overlap, tail-chunk length, and the
+    // zero-token drop are all replayed per-row.
+    QueryDef(
+      "q140_aql_chunk_verb",
+      Curation.chunkOracleSql) { (s, dir) =>
+      val outDir = java.nio.file.Files.createTempDirectory("graft_q140")
+      Advanced.registerTmpDir(outDir)
+      val out = outDir.resolve("chunks").toString
+      val script =
+        s"""CONNECTION 'Docs' (
+           |  DRIVER = 'file', FILE = '$dir/documents.parquet',
+           |  FORMAT = 'parquet'
+           |)
+           |CONNECTION 'Out' (
+           |  DRIVER = 'file', FILE = '$out', FORMAT = 'parquet'
+           |)
+           |
+           |TRANSFORM 'Chunked' FROM CONNECTION Docs (
+           |  CHUNK ON text KEY doc_id SIZE 64 STRIDE 48
+           |)
+           |
+           |QUERY 'Final' FROM BLOCK Chunked (
+           |  SELECT doc_id, chunk_idx, n_chunk_tokens, chunk_text
+           |  FROM Chunked
+           |) INTO CONNECTION Out""".stripMargin
+      Aql.run(s, script).outputs("FINAL")
+    },
   )
 }

@@ -35,6 +35,25 @@ object Curation {
   private val DuckWs =
     "list_filter(string_split(text, ' '), x -> x <> '')"
 
+  /** q67's oracle text, exposed for the CHUNK-verb gate (q140): the verb
+    * at SIZE 64 STRIDE 48 is q67's algebra through the language layer,
+    * so the two gates share one oracle by construction.
+    */
+  private[queries] val chunkOracleSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, $DuckWs AS ws FROM documents),
+       |c AS (
+       |  SELECT doc_id, ws,
+       |    unnest(range(0, (len(ws) - 1) // 48 + 1)) AS chunk_idx
+       |  FROM t WHERE len(ws) > 0)
+       |SELECT doc_id, chunk_idx,
+       |  len(list_slice(ws, chunk_idx * 48 + 1, chunk_idx * 48 + 64))
+       |    AS n_chunk_tokens,
+       |  array_to_string(
+       |    list_slice(ws, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' ')
+       |    AS chunk_text
+       |FROM c""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
 
     // ---- Fixed-size token chunking with overlap (64-token windows,
@@ -47,19 +66,7 @@ object Curation {
     // length distribution.
     QueryDef(
       "q67_doc_chunking",
-      s"""WITH t AS (
-         |  SELECT doc_id, $DuckWs AS ws FROM documents),
-         |c AS (
-         |  SELECT doc_id, ws,
-         |    unnest(range(0, (len(ws) - 1) // 48 + 1)) AS chunk_idx
-         |  FROM t WHERE len(ws) > 0)
-         |SELECT doc_id, chunk_idx,
-         |  len(list_slice(ws, chunk_idx * 48 + 1, chunk_idx * 48 + 64))
-         |    AS n_chunk_tokens,
-         |  array_to_string(
-         |    list_slice(ws, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' ')
-         |    AS chunk_text
-         |FROM c""".stripMargin) { (s, dir) =>
+      chunkOracleSql) { (s, dir) =>
       val ws = Text.tokens(col("text"))
       val chunk = slice(col("ws"),
         (col("chunk_idx") * 48 + 1).cast("int"), lit(64))

@@ -44,10 +44,11 @@ object TransformParser {
       case "KNN" => KnnParser.parse(t)
       case "SHARD" => ShardParser.parse(t)
       case "PACK" => PackParser.parse(t)
+      case "CHUNK" => ChunkParser.parse(t)
       case other => throw TransformError(
         s"unknown transform verb '$other' " +
           "(expected AGGREGATE|LOOKUP|APPLY|DEDUP|FILTER|SAMPLE|QUOTA|" +
-          "MERGE|NEARDEDUP|KNN|SHARD|PACK)")
+          "MERGE|NEARDEDUP|KNN|SHARD|PACK|CHUNK)")
     }
   }
 
@@ -1216,6 +1217,81 @@ object TransformParser {
             .otherwise(lit(writers - 1) - col("__r0") % writers)
             .cast("int"))
         .drop("__g", "__r0")
+    }
+  }
+
+  // ----------------------------------------------------------------- CHUNK
+
+  /** CHUNK ON <textcol> KEY <keycol> [SIZE <n>] [STRIDE <s>]
+    *
+    * Beyond-parity verb: fixed-size token chunking (q67's operator as a
+    * language verb) — the context-window shaping step before
+    * tokenization/embedding, and the verb family's one row GENERATOR
+    * (1 → N rows where every other verb is 1 → ≤ 1). Splits the text
+    * column's whitespace tokens into SIZE-token windows every STRIDE
+    * tokens (STRIDE < SIZE overlaps, STRIDE = SIZE — the default —
+    * tiles; STRIDE > SIZE is rejected: it would silently drop tokens)
+    * and emits one row per chunk: (<keycol>, chunk_idx,
+    * n_chunk_tokens, chunk_text). Zero-token rows produce no chunks
+    * (q67's contract). Output PROJECTS to the key + chunk columns
+    * rather than fanning every source column out ×chunks — carrying
+    * doc metadata through a 1/STRIDE-per-token fan-out multiplies the
+    * corpus for columns a LOOKUP can re-attach later by key.
+    *
+    * 100 TB: explode(sequence) is a map-side row fan-out — no shuffle
+    * anywhere, parallelism = input partitions; chunk rows are bounded
+    * by SIZE, so downstream writers see no skew regardless of the
+    * document length distribution.
+    */
+  private object ChunkParser {
+    private val Re =
+      raw"(?is)^CHUNK\s+ON\s+([A-Za-z_]\w*)\s+KEY\s+([A-Za-z_]\w*)(?:\s+SIZE\s+(\d+))?(?:\s+STRIDE\s+(\d+))?\s*$$".r
+
+    def parse(t: String): Verb = t.trim match {
+      case Re(text, key, sz, st) =>
+        val width = Option(sz).map(intOption("CHUNK", "SIZE", _)).getOrElse(64)
+        if (width < 1) throw TransformError(s"CHUNK SIZE $width must be >= 1")
+        val stride = Option(st).map(intOption("CHUNK", "STRIDE", _))
+          .getOrElse(width)
+        if (stride < 1)
+          throw TransformError(s"CHUNK STRIDE $stride must be >= 1")
+        if (stride > width) throw TransformError(
+          s"CHUNK STRIDE $stride must be <= SIZE $width " +
+            "(a larger stride silently drops the tokens between windows)")
+        ChunkVerb(text, key, width, stride)
+      case _ => throw TransformError(
+        "cannot parse CHUNK (expected CHUNK ON <textcol> KEY <keycol> " +
+          "[SIZE <n>] [STRIDE <s>])")
+    }
+  }
+
+  final case class ChunkVerb(textCol: String, key: String, width: Int,
+      stride: Int) extends Verb {
+    def build(sources: Map[String, DataFrame], primary: DataFrame): DataFrame = {
+      val keyName = primary.schema.find(_.name.equalsIgnoreCase(key))
+        .getOrElse(throw TransformError(s"CHUNK: unknown column $key")).name
+      val textName = primary.schema
+        .find(_.name.equalsIgnoreCase(textCol)).getOrElse(
+          throw TransformError(s"CHUNK: unknown column $textCol")) match {
+        case f if f.dataType == StringType => f.name
+        case f => throw TransformError(
+          s"CHUNK ON ${f.name} must be string, got ${f.dataType.simpleString}")
+      }
+      for (out <- Seq("chunk_idx", "n_chunk_tokens", "chunk_text"))
+        if (keyName.equalsIgnoreCase(out)) throw TransformError(
+          s"CHUNK: key column $keyName collides with output column $out")
+      val ws = graft.functions.Text.tokens(col(textName))
+      val chunk = slice(col("__ws"),
+        (col("chunk_idx") * stride + 1).cast("int"), lit(width))
+      primary
+        .select(col(keyName), ws.as("__ws"))
+        .where(size(col("__ws")) > 0)
+        .select(col(keyName), col("__ws"),
+          explode(sequence(lit(0L),
+            ((size(col("__ws")) - 1) / stride).cast("long"))).as("chunk_idx"))
+        .select(col(keyName), col("chunk_idx"),
+          size(chunk).as("n_chunk_tokens"),
+          array_join(chunk, " ").as("chunk_text"))
     }
   }
 

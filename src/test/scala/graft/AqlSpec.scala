@@ -1518,4 +1518,44 @@ class AqlSpec extends AnyFunSuite {
         |) INTO CONSOLE""".stripMargin))
     assert(g.getMessage.contains("must be >= 1"), g.getMessage)
   }
+
+  test("CHUNK verb: windowing, overlap, tail, zero-token drop; validate") {
+    // beyond-parity verb (q67 as a language operator) — the verb
+    // family's one row generator. Hand-computed chunks on a 5-token doc.
+    def chunks(verb: String): Seq[(Long, Long, Int, String)] = Aql.run(spark,
+      s"""DATA 'D' (
+         |  [[1, "a b c d e"], [2, "x"], [3, ""]]
+         |) WITH (COLUMNS = 'Id, Txt', FORMAT = 'JSON_ARRAY')
+         |TRANSFORM 'C' FROM BLOCK D ($verb) INTO CONSOLE
+         |""".stripMargin).outputs("C").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // tiling (STRIDE = SIZE): ceil(5/2)=3 chunks incl. the short tail;
+    // the empty doc 3 yields no rows
+    assert(chunks("CHUNK ON Txt KEY Id SIZE 2 STRIDE 2") == Seq(
+      (1L, 0L, 2, "a b"), (1L, 1L, 2, "c d"), (1L, 2L, 1, "e"),
+      (2L, 0L, 1, "x")))
+    // overlap (STRIDE < SIZE): windows start every 2 tokens, 3 wide
+    assert(chunks("CHUNK ON Txt KEY Id SIZE 3 STRIDE 2") == Seq(
+      (1L, 0L, 3, "a b c"), (1L, 1L, 3, "c d e"), (1L, 2L, 1, "e"),
+      (2L, 0L, 1, "x")))
+    // defaults: SIZE 64, STRIDE = SIZE → one whole-doc chunk here
+    assert(chunks("CHUNK ON Txt KEY Id") == Seq(
+      (1L, 0L, 5, "a b c d e"), (2L, 0L, 1, "x")))
+
+    def bad(verb: String): String = intercept[Exception](Aql.run(spark,
+      s"""DATA 'D' ([[1, "a"]]) WITH (COLUMNS = 'Id, Txt')
+         |TRANSFORM 'C' FROM BLOCK D ($verb) INTO CONSOLE
+         |""".stripMargin)).getMessage
+    assert(bad("CHUNK ON Txt KEY Id SIZE 2 STRIDE 3")
+      .contains("must be <= SIZE"))
+    assert(bad("CHUNK ON Txt KEY Id SIZE 0").contains("must be >= 1"))
+    assert(bad("CHUNK ON Nope KEY Id").contains("unknown column"))
+    assert(bad("CHUNK ON Id KEY Txt").contains("must be string"))
+    val c = intercept[Exception](Aql.run(spark,
+      """DATA 'D' ([["a", "b"]]) WITH (COLUMNS = 'chunk_text, Txt')
+        |TRANSFORM 'C' FROM BLOCK D (CHUNK ON Txt KEY chunk_text) INTO CONSOLE
+        |""".stripMargin))
+    assert(c.getMessage.contains("collides"), c.getMessage)
+  }
 }

@@ -210,6 +210,11 @@ class PlanSpec extends AnyFunSuite {
     assert(p67.contains("Generate"), s"expected explode fan-out:\n$p67")
     val p69 = plan("q69_stratified_sample")
     assert(!p69.contains("Exchange"), s"sampling must not shuffle:\n$p69")
+    // the CHUNK verb through the language layer keeps q67's shape: the
+    // generator fan-out stays map-side regardless of the Aql plumbing
+    val p140 = plan("q140_aql_chunk_verb")
+    assert(!p140.contains("Exchange"), s"CHUNK verb must not shuffle:\n$p140")
+    assert(p140.contains("Generate"), s"expected explode fan-out:\n$p140")
   }
 
   test("q70: contamination join broadcasts the probe grams") {

@@ -439,7 +439,6 @@ object StreamingQ {
          |SELECT bt.doc_id, count(m.dup) AS n_dups, count(m.dup) > 0 AS is_dup
          |FROM bt LEFT JOIN m USING (doc_id)
          |GROUP BY bt.doc_id""".stripMargin) { (s, dir) =>
-      import graft.functions.Text
       import graft.transforms.NearDup
       val viewName = s"q137_mem_${java.util.UUID.randomUUID().toString.take(8)}"
       // static corpus index (odd ids), built once, SLIM: band keys only —
@@ -449,11 +448,14 @@ object StreamingQ {
       // Shingle projection, band keys, and Jaccard all ride the shared
       // NearDup machinery so this gate can never diverge from the batch
       // paths on the algebra.
+      // ONE corpus scan: the shingle frame materializes once and feeds
+      // both stored artifacts (the band index derives from it in memory)
       val corpusSh = NearDup.shingled(
         Tables.load(s, dir, "documents")
           .where(col("doc_id") % 2 === 1)
           .repartition(s.sparkContext.defaultParallelism),
         "doc_id", "text")
+        .localCheckpoint(false)
       // q85's banding parameters — ONE definition for both sides
       val (perms, nBands, nRows) = (128, 32, 4)
       val corpusBands = NearDup.bandKeys(corpusSh,
@@ -461,7 +463,6 @@ object StreamingQ {
         .toDF("doc_b", "band", "bh")
         .localCheckpoint(false)
       val corpusShingles = corpusSh.toDF("doc_b", "sh_b")
-        .localCheckpoint(false)
       // arriving stream: the even-id docs pre-split into 4 parquet files
       // so maxFilesPerTrigger=1 yields 4 real microbatches; per-doc
       // signature + band keys stay stateless. Stream schema comes from
@@ -477,14 +478,10 @@ object StreamingQ {
           s.readStream.schema(schema)
             .option("maxFilesPerTrigger", "1").parquet(streamDir.toString),
           "doc_id", "text")
-        .toDF("doc_id", "shs")
-      val matched = stream
-        .select(col("doc_id"), col("shs"),
-          explode(Text.lshBands(
-            Text.minhashSigFromHashes(Text.hashedShingles(col("shs")), perms),
-            numBands = nBands, rowsPerBand = nRows)).as("bk"))
-        .select(col("doc_id"), col("shs"),
-          col("bk.band").as("band"), col("bk.bh").as("bh"))
+      val matched = NearDup.bandKeysWith(stream,
+          numPerm = perms, numBands = nBands, rowsPerBand = nRows,
+          carryShingles = true)
+        .withColumnRenamed("id", "doc_id")
         .join(corpusBands, Seq("band", "bh"))
         .join(corpusShingles, Seq("doc_b"))
         .withColumn("jaccard", NearDup.jaccardCol(col("shs"), col("sh_b")))
@@ -493,7 +490,7 @@ object StreamingQ {
       // zero-match docs must still report (n_dups = 0): union a null
       // marker per arriving doc; collect_set skips nulls
       val agg = matched
-        .unionByName(stream.select(col("doc_id"),
+        .unionByName(stream.select(col("id").as("doc_id"),
           lit(null).cast("long").as("doc_b")))
         .groupBy(col("doc_id"))
         .agg(size(collect_set(col("doc_b"))).cast("long").as("n_dups"))
@@ -610,12 +607,17 @@ object StreamingQ {
           .option("maxFilesPerTrigger", "1").parquet(inDir)
           .writeStream
           .outputMode("append")
-          .foreachBatch { (batch: DataFrame, _: Long) =>
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
             val sp = batch.sparkSession
             val queries = batch.select(col("vec_id").as("qid"),
               col("v").as("qv"), l2norm(col("v")).as("qnrm"))
+            // idempotent under foreachBatch's at-least-once contract: a
+            // re-executed microbatch OVERWRITES its own batchId-keyed
+            // directory instead of appending a duplicate answer set —
+            // the standard deterministic-path pattern a transactional
+            // sink (MERGE on batchId) generalizes
             Similarity.ivfProbeStored(sp, base, queries)
-              .write.mode("append").parquet(resDir)
+              .write.mode("overwrite").parquet(s"$resDir/batch=$batchId")
           }
           .option("checkpointLocation", ckpt)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -151,14 +151,29 @@ object NearDup {
     * [[bandHeavyHitters]] so the three can never disagree on banding.
     */
   private[graft] def bandKeys(sh: DataFrame, numPerm: Int, numBands: Int,
-      rowsPerBand: Int): DataFrame = {
-    val sig = sh.select(col("id"), Text.hashedShingles(col("shs")).as("hs"))
-      .select(col("id"),
-        Text.minhashSigFromHashes(col("hs"), numPerm).as("sig"))
+      rowsPerBand: Int): DataFrame =
+    bandKeysWith(sh, numPerm, numBands, rowsPerBand, carryShingles = false)
+      .select(col("id"), col("band"), col("bh"))
+
+  /** [[bandKeys]] with the shingle payload optionally carried through
+    * the fan-out — the ONE banding expression chain (token-hash →
+    * signature → band fold) for every consumer, so a slim index build
+    * (carry = false) and a payload-carrying probe side (carry = true,
+    * the streaming gate's shape: a stream row cannot statelessly re-join
+    * its own shingles) can never diverge on the algebra.
+    */
+  private[graft] def bandKeysWith(sh: DataFrame, numPerm: Int, numBands: Int,
+      rowsPerBand: Int, carryShingles: Boolean): DataFrame = {
+    val carried = if (carryShingles) Seq(col("shs")) else Seq.empty
+    val sig = sh.select(Seq(col("id"),
+      Text.minhashSigFromHashes(
+        Text.hashedShingles(col("shs")), numPerm).as("sig")) ++ carried: _*)
     sig
-      .select(col("id"),
+      .select(Seq(col("id"),
         explode(Text.lshBands(col("sig"), numBands, rowsPerBand)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+        ++ carried: _*)
+      .select(Seq(col("id"), col("bk.band").as("band"),
+        col("bk.bh").as("bh")) ++ carried: _*)
   }
 
   /** Per-band-bucket document frequencies ≥ `minF` — the heavy-hitter

@@ -1205,6 +1205,7 @@ object TransformParser {
       if (primary.columns.exists(_.equalsIgnoreCase("writer")))
         throw TransformError(
           "PACK: output column 'writer' already exists in the source")
+      requireFreshWorkColumns("PACK", primary, Seq("__g", "__r0"))
       val gw = Window.partitionBy(col("__g"))
         .orderBy(col(sizeName).desc, col(keyName))
       primary
@@ -1280,6 +1281,11 @@ object TransformParser {
       for (out <- Seq("chunk_idx", "n_chunk_tokens", "chunk_text"))
         if (keyName.equalsIgnoreCase(out)) throw TransformError(
           s"CHUNK: key column $keyName collides with output column $out")
+      // only the KEY can clash with the working column — the first select
+      // projects every other source column away before the alias lands
+      if (keyName.equalsIgnoreCase("__ws")) throw TransformError(
+        s"CHUNK: key column $keyName collides with an internal working " +
+          "column; rename it first")
       val ws = graft.functions.Text.tokens(col(textName))
       val chunk = slice(col("__ws"),
         (col("chunk_idx") * stride + 1).cast("int"), lit(width))
@@ -1294,6 +1300,19 @@ object TransformParser {
           array_join(chunk, " ").as("chunk_text"))
     }
   }
+
+  /** Reject source columns that would capture a verb's internal working
+    * column (withColumn would silently REPLACE them, a select would turn
+    * ambiguous) — the column grammar admits leading underscores, so the
+    * clash is reachable and deserves the same clean TransformError as
+    * any other invalid input.
+    */
+  private def requireFreshWorkColumns(verb: String, df: DataFrame,
+      names: Seq[String]): Unit =
+    for (n <- names)
+      if (df.columns.exists(_.equalsIgnoreCase(n))) throw TransformError(
+        s"$verb: source column $n collides with an internal working " +
+          "column; rename it first")
 
   /** Seeded engine-portable 60-bit key hash (the q69/q109/q111 md5
     * trick), shared by SHARD and PACK.

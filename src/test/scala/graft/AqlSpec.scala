@@ -1517,6 +1517,13 @@ class AqlSpec extends AnyFunSuite {
         |  PACK BY Sz KEY Id INTO 2 GROUPS 0
         |) INTO CONSOLE""".stripMargin))
     assert(g.getMessage.contains("must be >= 1"), g.getMessage)
+    // a source column named like an internal working column would be
+    // silently REPLACED by withColumn and then dropped — reject instead
+    val w = intercept[Exception](Aql.run(spark,
+      """DATA 'D' ([[1, 2, 3]]) WITH (COLUMNS = 'Id, Sz, __g')
+        |TRANSFORM 'P' FROM BLOCK D (PACK BY Sz KEY Id INTO 2) INTO CONSOLE
+        |""".stripMargin))
+    assert(w.getMessage.contains("internal working"), w.getMessage)
   }
 
   test("CHUNK verb: windowing, overlap, tail, zero-token drop; validate") {
@@ -1557,5 +1564,13 @@ class AqlSpec extends AnyFunSuite {
         |TRANSFORM 'C' FROM BLOCK D (CHUNK ON Txt KEY chunk_text) INTO CONSOLE
         |""".stripMargin))
     assert(c.getMessage.contains("collides"), c.getMessage)
+    // KEY capturing the internal working column would be ambiguous
+    // downstream — rejected up front (other source columns are fine:
+    // the first select projects them away)
+    val ww = intercept[Exception](Aql.run(spark,
+      """DATA 'D' ([[1, "b"]]) WITH (COLUMNS = '__ws, Txt')
+        |TRANSFORM 'C' FROM BLOCK D (CHUNK ON Txt KEY __ws) INTO CONSOLE
+        |""".stripMargin))
+    assert(ww.getMessage.contains("internal working"), ww.getMessage)
   }
 }

@@ -241,10 +241,13 @@ class PipelineSpec extends AnyFunSuite {
       SparkEntry.queries(name)(spark, sfDir)
         .select("qid", "neighbor_id", "cosine", "rank").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
-        .toSet
     val stream = rows("q139_stream_knn")
     assert(stream.nonEmpty, "streaming ANN produced no results")
-    assert(stream == rows("q136_ivf_stored"))
+    // no duplicate rows either — a set compare would mask a re-executed
+    // batch double-writing its answers
+    assert(stream.length == stream.toSet.size,
+      "duplicate rows in the streaming result store")
+    assert(stream.toSet == rows("q136_ivf_stored").toSet)
   }
 
   test("q76 repeated spans: every reported span occurs in >= 2 docs verbatim") {

@@ -768,9 +768,9 @@ class PlanSpec extends AnyFunSuite {
     // by the driver-side probe routing — without it the probe join would
     // load the whole index and filter post-scan, i.e. a full corpus read
     // per query batch.
-    // ONE build: the query function writes the index artifact as a side
-    // effect, so constructing the frame twice would pay the whole
-    // index-build job twice (and leak a second temp dir until JVM exit)
+    // ONE frame construction: the builder runs the probe's routing
+    // collect as a side effect, so a second construction would repeat
+    // that (the index build itself is memoized per corpus dir)
     val df = SparkEntry.queries("q136_ivf_stored")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
     // the probed-cell filter sits on the index scan's own line; at ≥ 11

@@ -116,9 +116,21 @@ object Similarity {
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val e = emb(s, dir).withColumn("nrm", l2norm(col("v")))
       .localCheckpoint(false)
+    val (cents, scored, assigned) = ivfBuildFrom(e, IvfCells)
+    (e, cents, scored, assigned)
+  }
+
+  /** [[ivfBuild]]'s algebra over an arbitrary normalized frame
+    * (vec_id, v, nrm) at an arbitrary cell count — the shared core for
+    * the gate constants (16 cells) and the scale harness
+    * (graft.AnnScale, cells ∝ √corpus). One definition of centroid
+    * pick + scoring + argmax assignment for every IVF consumer.
+    */
+  private[graft] def ivfBuildFrom(e: DataFrame, cells: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     val cents = e
       .withColumn("mk", md5(col("vec_id").cast("string")))
-      .orderBy(col("mk")).limit(IvfCells)
+      .orderBy(col("mk")).limit(cells)
       .withColumn("cluster",
         row_number().over(Window.orderBy(col("mk"))) - 1)
       .select(col("cluster"), col("v").as("cv"), col("nrm").as("cnrm"))
@@ -133,7 +145,7 @@ object Similarity {
         first(col("v")).as("v"), first(col("nrm")).as("nrm"))
       .select(col("vec_id"), (-col("m.nc")).as("cluster"), col("v"),
         col("nrm"))
-    (e, cents, scored, assigned)
+    (cents, scored, assigned)
   }
 
   /** q136's oracle text, exposed for the streaming serving gate (q139):
@@ -154,15 +166,32 @@ object Similarity {
     */
   private[queries] def ivfStore(s: SparkSession, dir: String): String =
     storedIvf.getOrElseUpdate(dir, {
-      val (_, cents, _, assigned) = ivfBuild(s, dir)
-      val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf_")
-      Advanced.registerTmpDir(idxDir)
-      val base = idxDir.toString
-      assigned.write.mode("overwrite").partitionBy("cluster")
-        .parquet(s"$base/index")
-      cents.write.mode("overwrite").parquet(s"$base/centroids")
-      base
+      val e = emb(s, dir).withColumn("nrm", l2norm(col("v")))
+        .localCheckpoint(false)
+      ivfStoreFrom(e, IvfCells)
     })
+
+  /** The non-memoized index-build-and-persist step over an arbitrary
+    * normalized frame — shared by [[ivfStore]] (gate constants) and
+    * graft.AnnScale (per-k rebuilds, which must NOT memoize: each k is
+    * a different corpus).
+    */
+  private[graft] def ivfStoreFrom(e: DataFrame, cells: Int): String = {
+    val (cents, _, assigned) = ivfBuildFrom(e, cells)
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf_")
+    Advanced.registerTmpDir(idxDir)
+    val base = idxDir.toString
+    // co-locate each cell before the partitionBy write: without it every
+    // write task opens a file in every cell directory (tasks × cells
+    // small files — measured the build bottleneck in graft.AnnScale at
+    // 256 cells); with it the file count is ∝ cells and each directory
+    // is written by one task
+    assigned.repartition(col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$base/index")
+    cents.write.mode("overwrite").parquet(s"$base/centroids")
+    base
+  }
 
   /** One stored artifact per corpus dir per JVM — that IS the deployment
     * model (the index-build job runs once; every probe batch, streaming
@@ -188,8 +217,9 @@ object Similarity {
     * invariance of the union of outputs is exactly what q139's shared
     * oracle checks.
     */
-  private[queries] def ivfProbeStored(s: SparkSession, base: String,
-      queries: DataFrame): DataFrame = {
+  private[graft] def ivfProbeStored(s: SparkSession, base: String,
+      queries: DataFrame, nprobe: Int = StoredProbes,
+      topK: Int = K): DataFrame = {
     val dcents = s.read.parquet(s"$base/centroids")
     val pw = Window.partitionBy("qid")
       .orderBy(col("score").desc, col("cluster"))
@@ -197,7 +227,7 @@ object Similarity {
       .withColumn("score",
         round(dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")), 6))
       .withColumn("pr", row_number().over(pw))
-      .where(col("pr") <= StoredProbes)
+      .where(col("pr") <= nprobe)
       .select(col("qid"), col("qv"), col("qnrm"), col("cluster"))
       // materialized once: the probe frame feeds the candidate join's
       // build side AND the driver-side cell routing below
@@ -214,7 +244,7 @@ object Similarity {
       .withColumn("cosine",
         round(dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")), 6))
       .withColumn("rank", row_number().over(w2))
-      .where(col("rank") <= K)
+      .where(col("rank") <= topK)
       .select(col("qid"), col("cid").as("neighbor_id"), col("cosine"),
         col("rank"))
   }

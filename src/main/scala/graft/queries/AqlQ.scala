@@ -582,5 +582,60 @@ object AqlQ {
            |) INTO CONNECTION Out""".stripMargin
       Aql.run(s, script).outputs("FINAL")
     },
+
+    // Embedding near-dedup through the language layer: NEARDEDUP METHOD
+    // COSINE (q44's blocked threshold join as a verb) at q44's exact
+    // corpus/config, so candidate recall is complete (PipelineSpec pins
+    // q44's 32×4 recall = 1 on this corpus) and the oracle can afford
+    // brute force: all cosine-0.45 pairs → recursive-CTE connected
+    // components → the min-key member of each cluster survives (the verb
+    // gets that pick free: min-label propagation over key labels makes
+    // cluster_id the cluster's min key). Projected to vec_id — the gate
+    // pins exactly which rows survive.
+    QueryDef(
+      "q141_aql_neardedup_cosine",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |  sqrt(list_reduce(list_prepend(0.0, [x*x for x in v]), (a,b) -> a+b)) AS nrm
+        |  FROM e),
+        |p AS (
+        |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |  WHERE round(list_reduce(list_prepend(0.0,
+        |      [a.v[i] * b.v[i] for i in range(1, len(a.v)+1)]), (x,y) -> x+y)
+        |    / (a.nrm * b.nrm), 6) >= 0.45),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+        |  UNION ALL SELECT doc_b, doc_a FROM p),
+        |reach AS (
+        |  WITH RECURSIVE r(id, label) AS (
+        |    SELECT src, src FROM edges
+        |    UNION
+        |    SELECT e2.dst, r.label FROM r JOIN edges e2 ON e2.src = r.id)
+        |  SELECT * FROM r),
+        |lbl AS (SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id)
+        |SELECT vec_id FROM embeddings
+        |WHERE vec_id NOT IN (SELECT id FROM lbl WHERE id <> cluster_id)"""
+        .stripMargin) { (s, dir) =>
+      val outDir = java.nio.file.Files.createTempDirectory("graft_q141")
+      Advanced.registerTmpDir(outDir)
+      val out = outDir.resolve("kept").toString
+      val script =
+        s"""CONNECTION 'Vecs' (
+           |  DRIVER = 'file', FILE = '$dir/embeddings.parquet',
+           |  FORMAT = 'parquet'
+           |)
+           |CONNECTION 'Out' (
+           |  DRIVER = 'file', FILE = '$out', FORMAT = 'parquet'
+           |)
+           |
+           |TRANSFORM 'Deduped' FROM CONNECTION Vecs (
+           |  NEARDEDUP ON embedding KEY vec_id THRESHOLD 0.45 METHOD COSINE
+           |)
+           |
+           |QUERY 'Final' FROM BLOCK Deduped (
+           |  SELECT vec_id FROM Deduped
+           |) INTO CONNECTION Out""".stripMargin
+      Aql.run(s, script).outputs("FINAL")
+    },
   )
 }

@@ -658,17 +658,20 @@ object TransformParser {
     */
   private object NearDedupParser {
     private val Re =
-      raw"(?is)^NEARDEDUP(?:\s+(\w+)\s+AGAINST\s+(\w+))?\s+ON\s+([A-Za-z_]\w*)\s+KEY\s+([A-Za-z_]\w*)(?:\s+THRESHOLD\s+([0-9]*\.?[0-9]+))?(?:\s+METHOD\s+([A-Za-z]+)(?:\s+BANDS\s+(\d+)\s+ROWS\s+(\d+))?(?:\s+STAR\s+ABOVE\s+(\d+))?)?\s*$$".r
+      raw"(?is)^NEARDEDUP(?:\s+(\w+)\s+AGAINST\s+(\w+))?\s+ON\s+([A-Za-z_]\w*)\s+KEY\s+([A-Za-z_]\w*)(?:\s+THRESHOLD\s+([0-9]*\.?[0-9]+))?(?:\s+METHOD\s+([A-Za-z]+)(?:\s+BANDS\s+(\d+)\s+ROWS\s+(\d+))?(?:\s+STAR\s+ABOVE\s+(\d+))?(?:\s+TABLES\s+(\d+))?(?:\s+BITS\s+(\d+))?)?\s*$$".r
 
     def parse(t: String): Verb = t.trim match {
-      case Re(batch, corpus, text, key, th, method, bands, rows, star) =>
+      case Re(batch, corpus, text, key, th, method, bands, rows, star,
+          tables, bits) =>
         val threshold = Option(th).map(_.toDouble).getOrElse(0.5)
         if (threshold <= 0 || threshold > 1) throw TransformError(
           s"NEARDEDUP threshold $threshold out of range (0, 1]")
         val m = Option(method).map(_.toUpperCase) match {
           case Some(x) =>
-            if (x != "EXACT" && x != "LSH") throw TransformError(
-              s"NEARDEDUP METHOD $x unknown (expected EXACT or LSH)")
+            if (x != "EXACT" && x != "LSH" && x != "COSINE")
+              throw TransformError(
+                s"NEARDEDUP METHOD $x unknown (expected EXACT, LSH or " +
+                  "COSINE)")
             x
           case None =>
             // default = the banded scale path: LSH candidate generation
@@ -710,6 +713,18 @@ object TransformParser {
             case e: IllegalArgumentException => throw TransformError(
               s"NEARDEDUP METHOD LSH: ${e.getMessage}")
           }
+        val tb = (Option(tables).map(intOption("NEARDEDUP", "TABLES", _)),
+          Option(bits).map(intOption("NEARDEDUP", "BITS", _))) match {
+          case (None, None) => None
+          case (t2, b2) =>
+            if (m != "COSINE") throw TransformError(
+              "NEARDEDUP TABLES/BITS only apply to METHOD COSINE")
+            val tv = t2.getOrElse(32); val bv = b2.getOrElse(4)
+            if (tv < 1 || bv < 1 || bv > 30) throw TransformError(
+              s"NEARDEDUP TABLES $tv BITS $bv invalid (need TABLES ≥ 1, " +
+                "1 ≤ BITS ≤ 30)")
+            Some((tv, bv))
+        }
         val against = (Option(batch), Option(corpus)) match {
           case (Some(b), Some(c)) => Some((b, c))
           case _ => None // regex captures both or neither
@@ -717,11 +732,12 @@ object TransformParser {
         if (against.isDefined && starAbove.isDefined) throw TransformError(
           "NEARDEDUP STAR ABOVE applies only to the single-source form " +
             "(AGAINST has no cluster structure to span)")
-        NearDedupVerb(text, key, threshold, m, br, starAbove, against)
+        NearDedupVerb(text, key, threshold, m, br, starAbove, against, tb)
       case _ => throw TransformError(
         "cannot parse NEARDEDUP (expected NEARDEDUP [<Batch> AGAINST " +
-          "<Corpus>] ON <textcol> KEY <keycol> [THRESHOLD <0-1>] " +
-          "[METHOD EXACT|LSH [BANDS <n> ROWS <n>] [STAR ABOVE <n>]])")
+          "<Corpus>] ON <textcol|veccol> KEY <keycol> [THRESHOLD <0-1>] " +
+          "[METHOD EXACT|LSH [BANDS <n> ROWS <n>] [STAR ABOVE <n>] | " +
+          "COSINE [TABLES <n>] [BITS <n>]])")
     }
   }
 
@@ -729,7 +745,8 @@ object TransformParser {
       threshold: Double, method: String = "EXACT",
       bandsRows: Option[(Int, Int)] = None,
       starAbove: Option[Long] = None,
-      against: Option[(String, String)] = None) extends Verb {
+      against: Option[(String, String)] = None,
+      tablesBits: Option[(Int, Int)] = None) extends Verb {
 
     /** Candidate-pair generation per METHOD — public so PlanSpec can
       * assert the LSH verb joins on band keys instead of the exact
@@ -816,10 +833,99 @@ object TransformParser {
     }
 
     def build(sources: Map[String, DataFrame], primary: DataFrame): DataFrame =
-      against match {
-        case Some((b, c)) => buildAgainst(sources, b, c)
-        case None => buildSelf(primary)
+      (method, against) match {
+        case ("COSINE", Some((b, c))) => buildAgainstCosine(sources, b, c)
+        case ("COSINE", None) => buildSelfCosine(primary)
+        case (_, Some((b, c))) => buildAgainst(sources, b, c)
+        case _ => buildSelf(primary)
       }
+
+    /** Resolve ON as a vector column of `df` and prep the (id, v, nrm)
+      * frame the COSINE paths consume. Null/empty vectors cannot
+      * near-dup and pass through untouched — the vector analogue of the
+      * text paths' short-text passthrough. (A zero vector's cosine is
+      * NaN, which compares false against any threshold: it likewise
+      * never pairs and survives.)
+      */
+    private def vecFrame(df: DataFrame, which: String): DataFrame = {
+      def named(n: String): StructField =
+        df.schema.find(_.name.equalsIgnoreCase(n)).getOrElse(
+          throw TransformError(s"NEARDEDUP: unknown column $n in $which"))
+      val v = named(textCol)
+      v.dataType match {
+        case ArrayType(FloatType | DoubleType, _) => ()
+        case other => throw TransformError(
+          s"NEARDEDUP METHOD COSINE ON ${v.name} must be " +
+            s"array<float|double>, got ${other.simpleString}")
+      }
+      df.select(col(named(key).name).as("id"),
+          col(v.name).cast("array<double>").as("v"))
+        .where(col("v").isNotNull && size(col("v")) > 0)
+        .withColumn("nrm", graft.functions.Vectors.l2norm(col("v")))
+    }
+
+    /** METHOD COSINE, single source: embedding near-dedup (q44 as a
+      * language operator). Sign-LSH-blocked candidates → exact round-6
+      * cosine ≥ threshold (VecKnn.cosinePairs, the candidates-then-
+      * verify contract) → min-label connected components → keep the
+      * MIN-KEY member per cluster. The canonical rule differs from the
+      * text form's longest-text on purpose: vectors carry no quality
+      * proxy comparable to length, so the deterministic minimum key is
+      * the honest pick — and it is free, because min-label propagation
+      * over key labels already makes cluster_id the cluster's min key
+      * (the survivor is the row whose id equals its cluster_id). No
+      * exact-first collapse either: identical vectors collide in every
+      * bucket and verify at cosine 1.0, so correctness never depends on
+      * it, and the blocking cost of a duplicate clique is linear in
+      * copies per table (not f² postings work as in text shingles).
+      */
+    private def buildSelfCosine(primary: DataFrame): DataFrame = {
+      val keyField = primary.schema.find(_.name.equalsIgnoreCase(key))
+        .getOrElse(throw TransformError(s"NEARDEDUP: unknown column $key"))
+      keyField.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => ()
+        case other => throw TransformError(
+          s"NEARDEDUP KEY ${keyField.name} must be integral, got " +
+            s"${other.simpleString} (cluster convergence sums labels)")
+      }
+      val (t2, b2) = tablesBits.getOrElse((32, 4))
+      // checkpoint: the frame feeds the bucket self-join AND both rerank
+      // sides of cosinePairs
+      val e = spreadForCpu(primary, vecFrame(primary, "the source"))
+        .localCheckpoint(false)
+      val cl = NearDup.clusters(
+        VecKnn.cosinePairs(e, threshold, t2, b2)
+          .select(col("doc_a"), col("doc_b")))
+      val losers = cl.where(col("id") =!= col("cluster_id"))
+        .select(col("id").as(keyField.name))
+      primary.join(losers, Seq(keyField.name), "left_anti")
+    }
+
+    /** METHOD COSINE, AGAINST form: drop batch rows whose vector is
+      * within the threshold of ≥ 1 corpus vector — embedding-level
+      * incremental dedup/decontamination. Same semantics as the text
+      * AGAINST (no same-key exclusion: a re-ingested row matches its own
+      * corpus copy at cosine 1.0 and drops); the corpus bucket frame is
+      * the write-once index at scale.
+      */
+    private def buildAgainstCosine(sources: Map[String, DataFrame],
+        batchName: String, corpusName: String): DataFrame = {
+      def src(n: String): DataFrame = sources.getOrElse(n.toUpperCase,
+        throw TransformError(s"unknown NEARDEDUP source $n"))
+      val batch = src(batchName)
+      val corpus = src(corpusName)
+      val bKey = batch.schema.find(_.name.equalsIgnoreCase(key))
+        .map(_.name).getOrElse(throw TransformError(
+          s"NEARDEDUP: unknown column $key in $batchName"))
+      val (t2, b2) = tablesBits.getOrElse((32, 4))
+      val bE = spreadForCpu(batch, vecFrame(batch, batchName))
+        .localCheckpoint(false)
+      val cE = spreadForCpu(corpus, vecFrame(corpus, corpusName))
+        .localCheckpoint(false)
+      val matched = VecKnn.cosineCrossMatches(bE, cE, threshold, t2, b2)
+        .toDF(bKey)
+      batch.join(matched, Seq(bKey), "left_anti")
+    }
 
     private def buildSelf(primary: DataFrame): DataFrame = {
       def named(n: String): StructField =

@@ -119,4 +119,65 @@ object VecKnn {
       .join(broadcast(probes), Seq("cluster"))
       .where(col("qid") =!= col("cid")), k)
   }
+
+  /** Sign-LSH-blocked cosine THRESHOLD pairs over one frame — q44's
+    * candidates-then-verify shape generalized over (tables, bits) for
+    * the NEARDEDUP METHOD COSINE verb. Input (id, v, nrm); output
+    * (doc_a, doc_b, cosine) with doc_a < doc_b and round-6 cosine ≥ t.
+    * Candidates are bucket collisions (the pair space never
+    * materializes); for a pair at cosine c the all-tables miss
+    * probability is (1−(1−acos(c)/π)^bits)^tables — raise bits for
+    * tighter thresholds, tables for recall.
+    */
+  def cosinePairs(e: DataFrame, threshold: Double,
+      tables: Int = 32, bits: Int = 4): DataFrame = {
+    val dims = e.select(size(col("v"))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    if (dims == 0) // empty input → empty pair frame, same schema
+      return e.select(col("id").as("doc_a"), col("id").as("doc_b"),
+        lit(0.0).as("cosine")).limit(0)
+    val buckets = e.select(col("id"),
+      posexplode(lshBuckets(col("v"), tables, bits, dims))
+        .as(Seq("t", "bucket")))
+    val cand = buckets.toDF("doc_a", "t", "bucket")
+      .join(buckets.toDF("doc_b", "t", "bucket"), Seq("t", "bucket"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(e.toDF("doc_a", "va", "nrm_a"), "doc_a")
+      .join(e.toDF("doc_b", "vb", "nrm_b"), "doc_b")
+      .withColumn("cosine",
+        round(dot(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")), 6))
+      .where(col("cosine") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("cosine"))
+  }
+
+  /** Batch-vs-corpus cosine threshold matching for the AGAINST form:
+    * batch ids with ≥ 1 corpus vector at round-6 cosine ≥ t. Same
+    * blocking as [[cosinePairs]], but candidates are batch×corpus
+    * bucket collisions only — the corpus bucket frame is the write-once
+    * index at scale, the batch side shuffles its own buckets.
+    */
+  def cosineCrossMatches(batch: DataFrame, corpus: DataFrame,
+      threshold: Double, tables: Int = 32, bits: Int = 4): DataFrame = {
+    val dims = corpus.select(size(col("v"))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    if (dims == 0)
+      return batch.select(col("id")).limit(0)
+    val cb = corpus.select(col("id").as("cid"),
+      posexplode(lshBuckets(col("v"), tables, bits, dims))
+        .as(Seq("t", "bucket")))
+    val bb = batch.select(col("id").as("bid"),
+      posexplode(lshBuckets(col("v"), tables, bits, dims))
+        .as(Seq("t", "bucket")))
+    val cand = bb.join(cb, Seq("t", "bucket"))
+      .select("bid", "cid").distinct()
+    cand
+      .join(batch.toDF("bid", "bv", "bnrm"), "bid")
+      .join(corpus.toDF("cid", "cv", "cnrm"), "cid")
+      .withColumn("cosine",
+        round(dot(col("bv"), col("cv")) / (col("bnrm") * col("cnrm")), 6))
+      .where(col("cosine") >= threshold)
+      .select(col("bid").as("id")).distinct()
+  }
 }

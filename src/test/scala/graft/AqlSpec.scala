@@ -1285,6 +1285,67 @@ class AqlSpec extends AnyFunSuite {
     assert(u.getMessage.toLowerCase.contains("nope"), u.getMessage)
   }
 
+  test("NEARDEDUP METHOD COSINE: embedding dedup e2e; options validate") {
+    // the vector member of the dedup verb family (q44 as a language
+    // operator). Five 2-d vectors: 1-2-5 form a cosine-0.9 chain
+    // (cos(1,2)=0.994, cos(1,5)=0.970, cos(2,5)=0.991), 3 and 4 are
+    // isolated — survivors are the min key per cluster: {1, 3, 4}.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cos_aql")
+    dir.toFile.deleteOnExit()
+    val pq = dir.resolve("vecs.parquet").toString
+    Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.1)), (5L, Array(0.8, 0.2)),
+      (3L, Array(0.0, 1.0)), (4L, Array(-1.0, 0.0)))
+      .toDF("vid", "emb").write.parquet(pq)
+    val kept = Aql.run(spark,
+      s"""CONNECTION 'V' (DRIVER = 'file', FILE = '$pq', FORMAT = 'parquet')
+         |TRANSFORM 'D' FROM CONNECTION V (
+         |  NEARDEDUP ON emb KEY vid THRESHOLD 0.9 METHOD COSINE
+         |) INTO CONSOLE""".stripMargin)
+      .outputs("D").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 3L, 4L), kept.toString)
+
+    // AGAINST: batch 10 matches corpus vector 1 and drops; 1 matches its
+    // own corpus copy (no same-key exclusion — re-ingestion IS the
+    // duplicate) and drops; 11 matches nothing and passes
+    val bpq = dir.resolve("batch.parquet").toString
+    Seq((10L, Array(1.0, 0.0)), (1L, Array(1.0, 0.0)),
+      (11L, Array(0.0, -1.0)))
+      .toDF("vid", "emb").write.parquet(bpq)
+    val keptB = Aql.run(spark,
+      s"""CONNECTION 'V' (DRIVER = 'file', FILE = '$pq', FORMAT = 'parquet')
+         |CONNECTION 'B' (DRIVER = 'file', FILE = '$bpq', FORMAT = 'parquet')
+         |TRANSFORM 'D' FROM CONNECTION B, CONNECTION V (
+         |  NEARDEDUP B AGAINST V ON emb KEY vid THRESHOLD 0.9 METHOD COSINE
+         |) INTO CONSOLE""".stripMargin)
+      .outputs("D").collect().map(_.getLong(0)).sorted.toSeq
+    assert(keptB == Seq(11L), keptB.toString)
+
+    def bad(verb: String, data: String = s"CONNECTION 'V' (DRIVER = " +
+        s"'file', FILE = '$pq', FORMAT = 'parquet')"): String =
+      intercept[Exception](Aql.run(spark,
+        s"""$data
+           |TRANSFORM 'D' FROM CONNECTION V ($verb) INTO CONSOLE
+           |""".stripMargin)).getMessage
+    // ON must be a vector column for COSINE
+    val tv = intercept[Exception](Aql.run(spark,
+      """DATA 'T' ([[1, "x"]]) WITH (COLUMNS = 'Id, Txt')
+        |TRANSFORM 'D' FROM BLOCK T (
+        |  NEARDEDUP ON Txt KEY Id METHOD COSINE
+        |) INTO CONSOLE""".stripMargin))
+    assert(tv.getMessage.contains("array<float|double>"), tv.getMessage)
+    // option pairing: TABLES/BITS are COSINE-only, BANDS/ROWS LSH-only
+    assert(bad("NEARDEDUP ON emb KEY vid METHOD LSH TABLES 8")
+      .contains("only apply to METHOD COSINE"))
+    assert(bad("NEARDEDUP ON emb KEY vid METHOD COSINE BANDS 8 ROWS 2")
+      .contains("only apply to METHOD LSH"))
+    assert(bad("NEARDEDUP ON emb KEY vid METHOD COSINE TABLES 0")
+      .contains("invalid"))
+    assert(bad("NEARDEDUP ON emb KEY vid METHOD COSINE STAR ABOVE 4")
+      .contains("only applies to METHOD LSH"))
+  }
+
   test("KNN verb: exact top-k neighbors e2e; options validate") {
     // beyond-parity verb (SURVEY §7.3): q34/q35/q46's similarity search
     // as a language operator. Four 2-d vectors in two clear pairs: each

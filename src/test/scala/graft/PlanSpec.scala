@@ -399,6 +399,44 @@ class PlanSpec extends AnyFunSuite {
       s"canonical pick must be an agg, not a per-cluster sort window:\n$p")
   }
 
+  test("NEARDEDUP METHOD COSINE: bucket-blocked pairs, anti-join keep, no window") {
+    // the vector method must keep the family's plan contracts: candidate
+    // pairs come from the sign-LSH bucket equi-join (never a cartesian/
+    // nested-loop pair space), the keep step is a left-anti join, and
+    // the canonical pick costs nothing (min-label IS the min key — no
+    // window, no extra agg beyond the cluster propagation)
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.1)), (3L, Array(0.0, 1.0)))
+      .toDF("vid", "emb")
+    // the pair stage (pre-clustering — the cluster rounds materialize
+    // eagerly, so the verb's final plan shows them as a LogicalRDD, same
+    // as the text methods' tests): bucket blocking, never all-pairs
+    import graft.functions.Vectors.l2norm
+    import org.apache.spark.sql.functions.{col, size}
+    val e = vecs.select(col("vid").as("id"),
+        col("emb").cast("array<double>").as("v"))
+      .where(col("v").isNotNull && size(col("v")) > 0)
+      .withColumn("nrm", l2norm(col("v")))
+    val pairQe = graft.transforms.VecKnn.cosinePairs(e, 0.9)
+      .queryExecution
+    assert(pairQe.analyzed.toString.contains("lsh_buckets"),
+      s"COSINE method must block on sign-LSH buckets:\n${pairQe.analyzed}")
+    val pp = pairQe.executedPlan.toString
+    assert(pp.contains("bucket#"),
+      s"candidates must join on bucket keys:\n$pp")
+    assert(!pp.contains("Cartesian") && !pp.contains("BroadcastNestedLoop"),
+      s"pair space must come from bucket collisions, never all-pairs:\n$pp")
+    // the whole verb: anti-join keep, no per-cluster window
+    val df = graft.transforms.TransformParser
+      .parse("NEARDEDUP ON emb KEY vid THRESHOLD 0.9 METHOD COSINE")
+      .build(Map.empty, vecs)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti"), s"keep step must be a left-anti join:\n$p")
+    assert(!p.contains("Window"),
+      s"canonical pick must be free (min-label = min key), no window:\n$p")
+  }
+
   test("q126: portable simhash is banded blocking, never all-pairs") {
     // the md5-portable gate must keep q33's plan contract: candidate
     // pairs come from the 15-bit band equi-join (hash join on band keys),

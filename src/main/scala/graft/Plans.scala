@@ -66,6 +66,9 @@ object Plans {
     "q133_lsh_portable" -> "md5-parity hyperplanes, integer projections, (t,bucket) collision join",
     "q130_seeded_shards" -> "seeded shard key map-side, one 8-cell partial+final agg",
     "q131_writer_packing" -> "salt-partitioned rank windows, serpentine deal, no join",
+    "q136_ivf_stored" -> "stored-index probe: static cell filter prunes the partitioned scan",
+    "q140_aql_chunk_verb" -> "CHUNK verb through the Aql layer: explode fan-out, zero Exchange",
+    "q141_aql_neardedup_cosine" -> "COSINE dedup verb: bucket-blocked pairs, anti-join keep",
   )
 
   def main(args: Array[String]): Unit = {

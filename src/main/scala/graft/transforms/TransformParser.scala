@@ -865,19 +865,26 @@ object TransformParser {
     }
 
     /** METHOD COSINE, single source: embedding near-dedup (q44 as a
-      * language operator). Sign-LSH-blocked candidates → exact round-6
-      * cosine ≥ threshold (VecKnn.cosinePairs, the candidates-then-
-      * verify contract) → min-label connected components → keep the
-      * MIN-KEY member per cluster. The canonical rule differs from the
+      * language operator). EXACT-FIRST like the text form: identical
+      * vectors collapse on xxhash64(v) to one min-key representative
+      * before pair generation — a duplicate clique of f copies would
+      * otherwise pay f²/2 bucket-collision candidates in EVERY table
+      * (identical vectors share every bucket), and the collapse is
+      * semantics-preserving because cosine(copy, x) == cosine(rep, x)
+      * exactly (identical doubles, identical dot). Then sign-LSH-blocked
+      * candidates → exact round-6 cosine ≥ threshold
+      * (VecKnn.cosinePairs, the candidates-then-verify contract) →
+      * min-label connected components over the reps → verdicts fan back
+      * through the vector hash. The canonical rule differs from the
       * text form's longest-text on purpose: vectors carry no quality
       * proxy comparable to length, so the deterministic minimum key is
-      * the honest pick — and it is free, because min-label propagation
-      * over key labels already makes cluster_id the cluster's min key
-      * (the survivor is the row whose id equals its cluster_id). No
-      * exact-first collapse either: identical vectors collide in every
-      * bucket and verify at cosine 1.0, so correctness never depends on
-      * it, and the blocking cost of a duplicate clique is linear in
-      * copies per table (not f² postings work as in text shingles).
+      * the honest pick — and it is free, because rep ids are per-group
+      * key minima and min-label propagation over them makes cluster_id
+      * the cluster's global min key (the survivor is the row whose id
+      * equals its cluster_id). An identical-copy group that pairs with
+      * nothing is a duplicate clique by itself (cosine 1.0 ≥ any legal
+      * threshold) — its rep survives, its copies drop, mirroring
+      * buildSelf's clique gate. Null/empty vectors pass through.
       */
     private def buildSelfCosine(primary: DataFrame): DataFrame = {
       val keyField = primary.schema.find(_.name.equalsIgnoreCase(key))
@@ -889,14 +896,31 @@ object TransformParser {
             s"${other.simpleString} (cluster convergence sums labels)")
       }
       val (t2, b2) = tablesBits.getOrElse((32, 4))
-      // checkpoint: the frame feeds the bucket self-join AND both rerank
-      // sides of cosinePairs
-      val e = spreadForCpu(primary, vecFrame(primary, "the source"))
+      // checkpoint: feeds the rep collapse AND the verdict fan-back
+      val keyed = spreadForCpu(primary, vecFrame(primary, "the source"))
+        .withColumn("vh", xxhash64(col("v")))
+        .localCheckpoint(false)
+      val par = primary.sparkSession.sparkContext.defaultParallelism
+      // reps checkpoint: feeds the bucket self-join AND both rerank
+      // sides of cosinePairs, plus the clique gate below
+      val reps = keyed.groupBy(col("vh")).agg(
+          min(col("id")).as("id"),
+          first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+          count(lit(1)).as("n_copies"))
+        .repartition(par) // AQE would coalesce below the CPU stage
         .localCheckpoint(false)
       val cl = NearDup.clusters(
-        VecKnn.cosinePairs(e, threshold, t2, b2)
+        VecKnn.cosinePairs(reps.select(col("id"), col("v"), col("nrm")),
+            threshold, t2, b2)
           .select(col("doc_a"), col("doc_b")))
-      val losers = cl.where(col("id") =!= col("cluster_id"))
+      val clustered = reps.select(col("vh"), col("id"), col("n_copies"))
+        .join(cl, Seq("id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"),
+          when(col("n_copies") >= 2, col("id"))))
+        .where(col("cluster_id").isNotNull)
+        .select(col("vh"), col("cluster_id"))
+      val losers = keyed.join(clustered, "vh")
+        .where(col("id") =!= col("cluster_id"))
         .select(col("id").as(keyField.name))
       primary.join(losers, Seq(keyField.name), "left_anti")
     }
@@ -906,7 +930,10 @@ object TransformParser {
       * incremental dedup/decontamination. Same semantics as the text
       * AGAINST (no same-key exclusion: a re-ingested row matches its own
       * corpus copy at cosine 1.0 and drops); the corpus bucket frame is
-      * the write-once index at scale.
+      * the write-once index at scale. EXACT-FIRST on both sides like the
+      * text form: batch verdicts compute once per distinct vector and
+      * fan back through the hash, the corpus dedupes to one row per
+      * distinct vector (membership is all that matters).
       */
     private def buildAgainstCosine(sources: Map[String, DataFrame],
         batchName: String, corpusName: String): DataFrame = {
@@ -918,13 +945,26 @@ object TransformParser {
         .map(_.name).getOrElse(throw TransformError(
           s"NEARDEDUP: unknown column $key in $batchName"))
       val (t2, b2) = tablesBits.getOrElse((32, 4))
-      val bE = spreadForCpu(batch, vecFrame(batch, batchName))
+      val par = batch.sparkSession.sparkContext.defaultParallelism
+      val bKeyed = spreadForCpu(batch, vecFrame(batch, batchName))
+        .withColumn("vh", xxhash64(col("v")))
         .localCheckpoint(false)
-      val cE = spreadForCpu(corpus, vecFrame(corpus, corpusName))
-        .localCheckpoint(false)
-      val matched = VecKnn.cosineCrossMatches(bE, cE, threshold, t2, b2)
-        .toDF(bKey)
-      batch.join(matched, Seq(bKey), "left_anti")
+      val bReps = bKeyed.groupBy(col("vh")).agg(
+          first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+        .select(col("vh").as("id"), col("v"), col("nrm"))
+        .repartition(par)
+      val cReps = spreadForCpu(corpus, vecFrame(corpus, corpusName))
+        .withColumn("vh", xxhash64(col("v")))
+        .groupBy(col("vh")).agg(
+          first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+        .select(col("vh").as("id"), col("v"), col("nrm"))
+        .repartition(par)
+      // matched rep vector-hashes fan back to every batch copy
+      val matched = VecKnn.cosineCrossMatches(bReps, cReps, threshold,
+        t2, b2).toDF("vh")
+      val matchedIds = bKeyed.join(matched, "vh")
+        .select(col("id").as(bKey))
+      batch.join(matchedIds, Seq(bKey), "left_anti")
     }
 
     private def buildSelf(primary: DataFrame): DataFrame = {

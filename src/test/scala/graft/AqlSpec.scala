@@ -1287,15 +1287,20 @@ class AqlSpec extends AnyFunSuite {
 
   test("NEARDEDUP METHOD COSINE: embedding dedup e2e; options validate") {
     // the vector member of the dedup verb family (q44 as a language
-    // operator). Five 2-d vectors: 1-2-5 form a cosine-0.9 chain
-    // (cos(1,2)=0.994, cos(1,5)=0.970, cos(2,5)=0.991), 3 and 4 are
-    // isolated — survivors are the min key per cluster: {1, 3, 4}.
+    // operator). Eight 2-d vectors: 1-2-5 form a cosine-0.9 chain
+    // (cos(1,2)=0.994, cos(1,5)=0.970, cos(2,5)=0.991) and 6 is an
+    // EXACT copy of 1 (exercises the exact-first collapse: the copy
+    // joins 1's cluster through the vector hash and drops); 7-8 are an
+    // isolated identical pair (a clique with no near neighbors — the
+    // clique gate keeps 7, drops 8); 3 and 4 are isolated singletons —
+    // survivors are the min key per cluster: {1, 3, 4, 7}.
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_cos_aql")
     dir.toFile.deleteOnExit()
     val pq = dir.resolve("vecs.parquet").toString
     Seq(
       (1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.1)), (5L, Array(0.8, 0.2)),
+      (6L, Array(1.0, 0.0)), (7L, Array(0.5, -0.5)), (8L, Array(0.5, -0.5)),
       (3L, Array(0.0, 1.0)), (4L, Array(-1.0, 0.0)))
       .toDF("vid", "emb").write.parquet(pq)
     val kept = Aql.run(spark,
@@ -1304,7 +1309,7 @@ class AqlSpec extends AnyFunSuite {
          |  NEARDEDUP ON emb KEY vid THRESHOLD 0.9 METHOD COSINE
          |) INTO CONSOLE""".stripMargin)
       .outputs("D").collect().map(_.getLong(0)).sorted.toSeq
-    assert(kept == Seq(1L, 3L, 4L), kept.toString)
+    assert(kept == Seq(1L, 3L, 4L, 7L), kept.toString)
 
     // AGAINST: batch 10 matches corpus vector 1 and drops; 1 matches its
     // own corpus copy (no same-key exclusion — re-ingestion IS the

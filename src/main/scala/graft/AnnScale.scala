@@ -73,6 +73,10 @@ object AnnScale {
       .localCheckpoint()
     val n0 = base.count()
 
+    // k=1 survivor set of the COSINE dedup verb — the closed-form
+    // baseline every later k must reproduce exactly
+    var kept1: Option[Set[Long]] = None
+
     val lines = for (k <- reps) yield {
       val cells = math.round(Cells0 * math.sqrt(k.toDouble)).toInt
       // the corpus "exists" before the build job starts: materialize the
@@ -140,10 +144,27 @@ object AnnScale {
         got.getOrElse(q, Set.empty).intersect(want).size.toDouble / want.size
       }.sum / truth.size
 
+      // ---- NEARDEDUP METHOD COSINE on the replicated corpus: the
+      // verb's exact-first collapse must make dedup cost ~flat in copy
+      // count (without it the identical cliques pay k²/2 bucket
+      // candidates per original per table), and the survivor set is a
+      // CLOSED FORM of the k=1 run: every ≥2-copy group keeps exactly
+      // its min copy (r=0 of the min original per cluster), so
+      // kept_k == kept_1 — same ids, every added copy dropped.
+      val (keptK, dedupS) = timed {
+        graft.transforms.TransformParser
+          .parse("NEARDEDUP ON v KEY vec_id THRESHOLD 0.45 METHOD COSINE")
+          .build(Map.empty, corpus.select(col("vec_id"), col("v")))
+          .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+      }
+      if (k == 1) kept1 = Some(keptK)
+      val dedupOk = kept1.forall(_ == keptK)
+
       val checks = Map(
         "ranks_contiguous" -> ranksOk,
         "self_copy_dominance" -> selfDom,
         "answered_cells_subset" -> cellsOk,
+        "cosine_dedup_closed_form" -> dedupOk,
         // guaranteed only in the self-copy regime: at k > TopK the truth
         // top-TopK is the query's own copies, which share its argmax
         // cell — probed first by construction. At k ≤ TopK recall is
@@ -154,24 +175,27 @@ object AnnScale {
         s"""{"metric":"ann_scale","k":$k,"corpus":$n,"cells":$cells,""" +
         s""""nprobe":$NProbe,"answered_cells":$answeredCells,""" +
         s""""recall":${math.round(recall * 10000) / 10000.0},""" +
+        s""""kept":${keptK.size},""" +
         s""""sec":{"build":${math.round(buildS * 1000) / 1000.0},""" +
-        s""""probe":${math.round(probeS * 1000) / 1000.0}},""" +
+        s""""probe":${math.round(probeS * 1000) / 1000.0},""" +
+        s""""dedup":${math.round(dedupS * 1000) / 1000.0}},""" +
         s""""invariants_ok":$ok,""" +
         s""""failed":[${checks.filterNot(_._2).keys.map("\"" + _ + "\"")
           .mkString(",")}]}""")
       require(ok, s"ann scale invariants failed at k=$k: " +
         checks.filterNot(_._2).keys.mkString(", "))
-      (k, buildS, probeS)
+      (k, buildS, probeS, dedupS)
     }
 
     for {
-      (1, b1, p1) <- lines.find(_._1 == 1).toSeq
-      (k, bk, pk) <- lines if k > 1
+      (1, b1, p1, d1) <- lines.find(_._1 == 1).toSeq
+      (k, bk, pk, dk) <- lines if k > 1
     } {
       def exp(t: Double, t0: Double) =
         math.round(math.log(t / t0) / math.log(k.toDouble) * 1000) / 1000.0
       println(s"""{"metric":"ann_scale_exponent","k":$k,""" +
-        s""""build":${exp(bk, b1)},"probe":${exp(pk, p1)}}""")
+        s""""build":${exp(bk, b1)},"probe":${exp(pk, p1)},""" +
+        s""""dedup":${exp(dk, d1)}}""")
     }
     spark.stop()
   }

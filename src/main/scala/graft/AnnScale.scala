@@ -56,6 +56,12 @@ object AnnScale {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1,16,64")
       .split(",").map(_.trim.toInt).toSeq
+    // every closed form (self-copy dominance counts, kept_k == kept_1)
+    // derives from the k=1 run — without it the dedup invariant would
+    // be vacuously true, so refuse to run blind
+    require(reps.headOption.contains(1),
+      s"SPARK_GRAFT_REPS must start with 1 (closed-form baselines), got " +
+        reps.mkString(","))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -158,7 +164,9 @@ object AnnScale {
           .select(col("vec_id")).collect().map(_.getLong(0)).toSet
       }
       if (k == 1) kept1 = Some(keptK)
-      val dedupOk = kept1.forall(_ == keptK)
+      // exists, not forall: a missing baseline must FAIL, not pass
+      // vacuously (reps are require'd to start at 1 above)
+      val dedupOk = k == 1 || kept1.exists(_ == keptK)
 
       val checks = Map(
         "ranks_contiguous" -> ranksOk,

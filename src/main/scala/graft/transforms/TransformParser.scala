@@ -656,6 +656,11 @@ object TransformParser {
     * see build) — the ordering SCALING.md measures as decisive under
     * duplication.
     */
+  /** NEARDEDUP METHOD COSINE's (TABLES, BITS) defaults — ONE definition
+    * for the parser's partial-option fill and both builders.
+    */
+  private val CosineDefaults = (32, 4)
+
   private object NearDedupParser {
     private val Re =
       raw"(?is)^NEARDEDUP(?:\s+(\w+)\s+AGAINST\s+(\w+))?\s+ON\s+([A-Za-z_]\w*)\s+KEY\s+([A-Za-z_]\w*)(?:\s+THRESHOLD\s+([0-9]*\.?[0-9]+))?(?:\s+METHOD\s+([A-Za-z]+)(?:\s+BANDS\s+(\d+)\s+ROWS\s+(\d+))?(?:\s+STAR\s+ABOVE\s+(\d+))?(?:\s+TABLES\s+(\d+))?(?:\s+BITS\s+(\d+))?)?\s*$$".r
@@ -719,7 +724,8 @@ object TransformParser {
           case (t2, b2) =>
             if (m != "COSINE") throw TransformError(
               "NEARDEDUP TABLES/BITS only apply to METHOD COSINE")
-            val tv = t2.getOrElse(32); val bv = b2.getOrElse(4)
+            val tv = t2.getOrElse(CosineDefaults._1)
+            val bv = b2.getOrElse(CosineDefaults._2)
             if (tv < 1 || bv < 1 || bv > 30) throw TransformError(
               s"NEARDEDUP TABLES $tv BITS $bv invalid (need TABLES ≥ 1, " +
                 "1 ≤ BITS ≤ 30)")
@@ -841,11 +847,14 @@ object TransformParser {
       }
 
     /** Resolve ON as a vector column of `df` and prep the (id, v, nrm)
-      * frame the COSINE paths consume. Null/empty vectors cannot
-      * near-dup and pass through untouched — the vector analogue of the
-      * text paths' short-text passthrough. (A zero vector's cosine is
-      * NaN, which compares false against any threshold: it likewise
-      * never pairs and survives.)
+      * frame the COSINE paths consume. Null, empty, and ZERO vectors
+      * cannot near-dup and pass through untouched — the vector analogue
+      * of the text paths' short-text passthrough. The zero-norm filter
+      * is load-bearing, not cosmetic: a zero vector's cosine is
+      * 0/0 = NaN, and Spark's NaN-safe ordering ranks NaN ABOVE every
+      * number, so `NaN >= threshold` is TRUE — an unfiltered zero
+      * vector would "match" every bucket collision and min-label
+      * propagation would merge those unrelated clusters into one.
       */
     private def vecFrame(df: DataFrame, which: String): DataFrame = {
       def named(n: String): StructField =
@@ -862,6 +871,7 @@ object TransformParser {
           col(v.name).cast("array<double>").as("v"))
         .where(col("v").isNotNull && size(col("v")) > 0)
         .withColumn("nrm", graft.functions.Vectors.l2norm(col("v")))
+        .where(col("nrm") > 0)
     }
 
     /** METHOD COSINE, single source: embedding near-dedup (q44 as a
@@ -895,7 +905,7 @@ object TransformParser {
           s"NEARDEDUP KEY ${keyField.name} must be integral, got " +
             s"${other.simpleString} (cluster convergence sums labels)")
       }
-      val (t2, b2) = tablesBits.getOrElse((32, 4))
+      val (t2, b2) = tablesBits.getOrElse(CosineDefaults)
       // checkpoint: feeds the rep collapse AND the verdict fan-back
       val keyed = spreadForCpu(primary, vecFrame(primary, "the source"))
         .withColumn("vh", xxhash64(col("v")))
@@ -944,21 +954,26 @@ object TransformParser {
       val bKey = batch.schema.find(_.name.equalsIgnoreCase(key))
         .map(_.name).getOrElse(throw TransformError(
           s"NEARDEDUP: unknown column $key in $batchName"))
-      val (t2, b2) = tablesBits.getOrElse((32, 4))
+      val (t2, b2) = tablesBits.getOrElse(CosineDefaults)
       val par = batch.sparkSession.sparkContext.defaultParallelism
       val bKeyed = spreadForCpu(batch, vecFrame(batch, batchName))
         .withColumn("vh", xxhash64(col("v")))
         .localCheckpoint(false)
+      // rep checkpoints: each side feeds cosineCrossMatches' bucket
+      // frame AND its rerank join (same multi-consumer rationale as
+      // buildSelfCosine's reps)
       val bReps = bKeyed.groupBy(col("vh")).agg(
           first(col("v")).as("v"), first(col("nrm")).as("nrm"))
         .select(col("vh").as("id"), col("v"), col("nrm"))
         .repartition(par)
+        .localCheckpoint(false)
       val cReps = spreadForCpu(corpus, vecFrame(corpus, corpusName))
         .withColumn("vh", xxhash64(col("v")))
         .groupBy(col("vh")).agg(
           first(col("v")).as("v"), first(col("nrm")).as("nrm"))
         .select(col("vh").as("id"), col("v"), col("nrm"))
         .repartition(par)
+        .localCheckpoint(false)
       // matched rep vector-hashes fan back to every batch copy
       val matched = VecKnn.cosineCrossMatches(bReps, cReps, threshold,
         t2, b2).toDF("vh")

@@ -1,7 +1,7 @@
 package graft.transforms
 
 import graft.functions.Vectors.{dot, l2norm, lshBuckets}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -131,24 +131,19 @@ object VecKnn {
     */
   def cosinePairs(e: DataFrame, threshold: Double,
       tables: Int = 32, bits: Int = 4): DataFrame = {
-    val dims = e.select(size(col("v"))).limit(1).collect()
-      .headOption.map(_.getInt(0)).getOrElse(0)
+    val dims = probeDims(e, "NEARDEDUP METHOD COSINE")
     if (dims == 0) // empty input → empty pair frame, same schema
       return e.select(col("id").as("doc_a"), col("id").as("doc_b"),
         lit(0.0).as("cosine")).limit(0)
-    val buckets = e.select(col("id"),
-      posexplode(lshBuckets(col("v"), tables, bits, dims))
-        .as(Seq("t", "bucket")))
+    val buckets = bucketFrame(e, tables, bits, dims)
     val cand = buckets.toDF("doc_a", "t", "bucket")
       .join(buckets.toDF("doc_b", "t", "bucket"), Seq("t", "bucket"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    cand
+    verifiedCosine(cand
       .join(e.toDF("doc_a", "va", "nrm_a"), "doc_a")
-      .join(e.toDF("doc_b", "vb", "nrm_b"), "doc_b")
-      .withColumn("cosine",
-        round(dot(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")), 6))
-      .where(col("cosine") >= threshold)
+      .join(e.toDF("doc_b", "vb", "nrm_b"), "doc_b"),
+      col("va"), col("vb"), col("nrm_a"), col("nrm_b"), threshold)
       .select(col("doc_a"), col("doc_b"), col("cosine"))
   }
 
@@ -160,24 +155,54 @@ object VecKnn {
     */
   def cosineCrossMatches(batch: DataFrame, corpus: DataFrame,
       threshold: Double, tables: Int = 32, bits: Int = 4): DataFrame = {
-    val dims = corpus.select(size(col("v"))).limit(1).collect()
-      .headOption.map(_.getInt(0)).getOrElse(0)
-    if (dims == 0)
+    val cd = probeDims(corpus, "NEARDEDUP METHOD COSINE corpus")
+    val bd = probeDims(batch, "NEARDEDUP METHOD COSINE batch")
+    if (cd == 0 || bd == 0)
       return batch.select(col("id")).limit(0)
-    val cb = corpus.select(col("id").as("cid"),
-      posexplode(lshBuckets(col("v"), tables, bits, dims))
-        .as(Seq("t", "bucket")))
-    val bb = batch.select(col("id").as("bid"),
-      posexplode(lshBuckets(col("v"), tables, bits, dims))
-        .as(Seq("t", "bucket")))
+    if (cd != bd) throw graft.transforms.TransformParser.TransformError(
+      s"NEARDEDUP METHOD COSINE: batch vectors are $bd-dimensional but " +
+        s"corpus vectors are $cd-dimensional")
+    val cb = bucketFrame(corpus, tables, bits, cd).toDF("cid", "t", "bucket")
+    val bb = bucketFrame(batch, tables, bits, cd).toDF("bid", "t", "bucket")
     val cand = bb.join(cb, Seq("t", "bucket"))
       .select("bid", "cid").distinct()
-    cand
+    verifiedCosine(cand
       .join(batch.toDF("bid", "bv", "bnrm"), "bid")
-      .join(corpus.toDF("cid", "cv", "cnrm"), "cid")
-      .withColumn("cosine",
-        round(dot(col("bv"), col("cv")) / (col("bnrm") * col("cnrm")), 6))
-      .where(col("cosine") >= threshold)
+      .join(corpus.toDF("cid", "cv", "cnrm"), "cid"),
+      col("bv"), col("cv"), col("bnrm"), col("cnrm"), threshold)
       .select(col("bid").as("id")).distinct()
   }
+
+  /** Vector dimension of an (id, v, nrm) frame — 0 when empty, a
+    * TransformError when ragged. The check is load-bearing: the native
+    * bucket/dot kernels iterate min(dims, len), so a silently mixed
+    * corpus would hash short vectors as zero-padded and truncate dots
+    * to the shared prefix — "matches" the oracle can never reproduce.
+    * One 2-cell aggregate over the frame, cheap next to the bucket job.
+    */
+  private def probeDims(df: DataFrame, what: String): Int = {
+    val r = df.agg(min(size(col("v"))), max(size(col("v")))).collect().head
+    if (r.isNullAt(0)) 0
+    else if (r.getInt(0) != r.getInt(1))
+      throw graft.transforms.TransformParser.TransformError(
+        s"$what: ragged vector lengths (${r.getInt(0)}..${r.getInt(1)}) — " +
+          "all vectors must share one dimension")
+    else r.getInt(1)
+  }
+
+  /** ONE definition of the sign-LSH bucket fan-out (id, t, bucket) and
+    * of the exact-verify predicate, shared by both cosine threshold
+    * paths so a fix to either can never apply to one and not the other.
+    */
+  private def bucketFrame(df: DataFrame, tables: Int, bits: Int,
+      dims: Int): DataFrame =
+    df.select(col("id"),
+      posexplode(lshBuckets(col("v"), tables, bits, dims))
+        .as(Seq("t", "bucket")))
+
+  private def verifiedCosine(joined: DataFrame, va: Column, vb: Column,
+      na: Column, nb: Column, threshold: Double): DataFrame =
+    joined
+      .withColumn("cosine", round(dot(va, vb) / (na * nb), 6))
+      .where(col("cosine") >= threshold)
 }

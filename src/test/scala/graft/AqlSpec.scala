@@ -1292,8 +1292,12 @@ class AqlSpec extends AnyFunSuite {
     // EXACT copy of 1 (exercises the exact-first collapse: the copy
     // joins 1's cluster through the vector hash and drops); 7-8 are an
     // isolated identical pair (a clique with no near neighbors — the
-    // clique gate keeps 7, drops 8); 3 and 4 are isolated singletons —
-    // survivors are the min key per cluster: {1, 3, 4, 7}.
+    // clique gate keeps 7, drops 8); 3 and 4 are isolated singletons;
+    // 9 is the ZERO vector — its cosine is 0/0 = NaN, which Spark's
+    // NaN-safe ordering ranks ABOVE any threshold, so it must be
+    // filtered out of dedup entirely (passes through) rather than
+    // "matching" every bucket collision — survivors are the min key per
+    // cluster plus the passthrough: {1, 3, 4, 7, 9}.
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_cos_aql")
     dir.toFile.deleteOnExit()
@@ -1301,7 +1305,7 @@ class AqlSpec extends AnyFunSuite {
     Seq(
       (1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.1)), (5L, Array(0.8, 0.2)),
       (6L, Array(1.0, 0.0)), (7L, Array(0.5, -0.5)), (8L, Array(0.5, -0.5)),
-      (3L, Array(0.0, 1.0)), (4L, Array(-1.0, 0.0)))
+      (3L, Array(0.0, 1.0)), (4L, Array(-1.0, 0.0)), (9L, Array(0.0, 0.0)))
       .toDF("vid", "emb").write.parquet(pq)
     val kept = Aql.run(spark,
       s"""CONNECTION 'V' (DRIVER = 'file', FILE = '$pq', FORMAT = 'parquet')
@@ -1309,7 +1313,7 @@ class AqlSpec extends AnyFunSuite {
          |  NEARDEDUP ON emb KEY vid THRESHOLD 0.9 METHOD COSINE
          |) INTO CONSOLE""".stripMargin)
       .outputs("D").collect().map(_.getLong(0)).sorted.toSeq
-    assert(kept == Seq(1L, 3L, 4L, 7L), kept.toString)
+    assert(kept == Seq(1L, 3L, 4L, 7L, 9L), kept.toString)
 
     // AGAINST: batch 10 matches corpus vector 1 and drops; 1 matches its
     // own corpus copy (no same-key exclusion — re-ingestion IS the

@@ -1,7 +1,8 @@
 package graft.queries
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
 import graft.engine.Aql
+import org.apache.spark.sql.functions.col
 
 /** Operator-coverage entry driving the full AQL engine end-to-end: script
   * text → lexer → parser → transform compile → Spark execution, with the
@@ -634,6 +635,60 @@ object AqlQ {
            |
            |QUERY 'Final' FROM BLOCK Deduped (
            |  SELECT vec_id FROM Deduped
+           |) INTO CONNECTION Out""".stripMargin
+      Aql.run(s, script).outputs("FINAL")
+    },
+
+    // The AGAINST form of the COSINE method through the language layer:
+    // embedding-level decontamination (drop batch vectors within the
+    // threshold of any corpus vector). Batch = even vec_ids, corpus =
+    // odd (q137/q85's split); the oracle brute-forces every batch×corpus
+    // cosine, so the gate pins candidate recall (q44's 32×4 blocking is
+    // measured complete on this corpus), the exact verify, and the
+    // anti-join keep — with no batch-internal collapse (kept batch rows
+    // appear verbatim).
+    QueryDef(
+      "q142_aql_cosine_against",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |  sqrt(list_reduce(list_prepend(0.0, [x*x for x in v]), (a,b) -> a+b)) AS nrm
+        |  FROM e),
+        |b AS (SELECT * FROM n WHERE vec_id % 2 = 0),
+        |c AS (SELECT * FROM n WHERE vec_id % 2 = 1),
+        |m AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM b JOIN c ON round(list_reduce(list_prepend(0.0,
+        |      [b.v[i] * c.v[i] for i in range(1, len(b.v)+1)]), (x,y) -> x+y)
+        |    / (b.nrm * c.nrm), 6) >= 0.45)
+        |SELECT vec_id FROM embeddings
+        |WHERE vec_id % 2 = 0 AND vec_id NOT IN (SELECT vec_id FROM m)"""
+        .stripMargin) { (s, dir) =>
+      val outDir = java.nio.file.Files.createTempDirectory("graft_q142")
+      Advanced.registerTmpDir(outDir)
+      val out = outDir.resolve("kept").toString
+      val emb = Tables.load(s, dir, "embeddings")
+      val bPq = outDir.resolve("batch.parquet").toString
+      val cPq = outDir.resolve("corpus.parquet").toString
+      emb.where(col("vec_id") % 2 === 0).write.parquet(bPq)
+      emb.where(col("vec_id") % 2 === 1).write.parquet(cPq)
+      val script =
+        s"""CONNECTION 'B' (
+           |  DRIVER = 'file', FILE = '$bPq', FORMAT = 'parquet'
+           |)
+           |CONNECTION 'C' (
+           |  DRIVER = 'file', FILE = '$cPq', FORMAT = 'parquet'
+           |)
+           |CONNECTION 'Out' (
+           |  DRIVER = 'file', FILE = '$out', FORMAT = 'parquet'
+           |)
+           |
+           |TRANSFORM 'Kept' FROM CONNECTION B, CONNECTION C (
+           |  NEARDEDUP B AGAINST C ON embedding KEY vec_id
+           |  THRESHOLD 0.45 METHOD COSINE
+           |)
+           |
+           |QUERY 'Final' FROM BLOCK Kept (
+           |  SELECT vec_id FROM Kept
            |) INTO CONNECTION Out""".stripMargin
       Aql.run(s, script).outputs("FINAL")
     },

@@ -692,5 +692,110 @@ object AqlQ {
            |) INTO CONNECTION Out""".stripMargin
       Aql.run(s, script).outputs("FINAL")
     },
+
+    // Fuzzy string dedup through the language layer: NEARDEDUP METHOD
+    // TYPO (q98's SymSpell blocking as a verb) run over the SAME 299
+    // customers in two regimes at once — c_name, where the zero-padded
+    // numeric field makes keys 1..299 one Hamming-connected edit-
+    // distance-1 component (one survivor: longest-then-min-key over a
+    // 299-node closure, a real clustering computation), and
+    // c_mktsegment, five distinct values shared by ~60 rows each —
+    // the exact-first collapse + identical-clique regime (five
+    // survivors, min key per value, no cross-value ED-1 pairs). The
+    // oracle brute-forces levenshtein over both columns
+    // and replays the recursive-CTE closure + canonical rule, so the
+    // gate also proves blocking completeness (q98's property) at the
+    // verb level.
+    QueryDef(
+      "q143_aql_typo_verb",
+      """WITH c AS (
+        |  SELECT c_custkey AS id, c_name AS nm, c_mktsegment AS ad
+        |  FROM customer WHERE c_custkey < 300),
+        |pn AS (
+        |  SELECT a.id AS doc_a, b.id AS doc_b
+        |  FROM c a JOIN c b ON a.id < b.id AND levenshtein(a.nm, b.nm) <= 1),
+        |pa AS (
+        |  SELECT a.id AS doc_a, b.id AS doc_b
+        |  FROM c a JOIN c b ON a.id < b.id AND levenshtein(a.ad, b.ad) <= 1),
+        |en AS (SELECT doc_a AS src, doc_b AS dst FROM pn
+        |  UNION ALL SELECT doc_b, doc_a FROM pn),
+        |ea AS (SELECT doc_a AS src, doc_b AS dst FROM pa
+        |  UNION ALL SELECT doc_b, doc_a FROM pa),
+        |rn AS (
+        |  WITH RECURSIVE r(id, label) AS (
+        |    SELECT src, src FROM en
+        |    UNION
+        |    SELECT e2.dst, r.label FROM r JOIN en e2 ON e2.src = r.id)
+        |  SELECT id, MIN(label) AS cl FROM r GROUP BY id),
+        |ra AS (
+        |  WITH RECURSIVE r(id, label) AS (
+        |    SELECT src, src FROM ea
+        |    UNION
+        |    SELECT e2.dst, r.label FROM r JOIN ea e2 ON e2.src = r.id)
+        |  SELECT id, MIN(label) AS cl FROM r GROUP BY id),
+        |dn AS (
+        |  SELECT m.id FROM
+        |    (SELECT rn.id, rn.cl, length(c.nm) AS len
+        |     FROM rn JOIN c ON c.id = rn.id) m
+        |  JOIN (
+        |    SELECT cl, min(id) AS w FROM (
+        |      SELECT rn.id, rn.cl, length(c.nm) AS len,
+        |        max(length(c.nm)) OVER (PARTITION BY rn.cl) AS ml
+        |      FROM rn JOIN c ON c.id = rn.id)
+        |    WHERE len = ml GROUP BY cl) w ON m.cl = w.cl
+        |  WHERE m.id <> w.w),
+        |da AS (
+        |  SELECT m.id FROM
+        |    (SELECT ra.id, ra.cl, length(c.ad) AS len
+        |     FROM ra JOIN c ON c.id = ra.id) m
+        |  JOIN (
+        |    SELECT cl, min(id) AS w FROM (
+        |      SELECT ra.id, ra.cl, length(c.ad) AS len,
+        |        max(length(c.ad)) OVER (PARTITION BY ra.cl) AS ml
+        |      FROM ra JOIN c ON c.id = ra.id)
+        |    WHERE len = ml GROUP BY cl) w ON m.cl = w.cl
+        |  WHERE m.id <> w.w)
+        |SELECT 'name' AS fam, id AS c_custkey FROM c
+        |  WHERE id NOT IN (SELECT id FROM dn)
+        |UNION ALL
+        |SELECT 'seg' AS fam, id AS c_custkey FROM c
+        |  WHERE id NOT IN (SELECT id FROM da)""".stripMargin) { (s, dir) =>
+      val outDir = java.nio.file.Files.createTempDirectory("graft_q143")
+      Advanced.registerTmpDir(outDir)
+      val out = outDir.resolve("kept").toString
+      val subPq = outDir.resolve("cust.parquet").toString
+      Tables.load(s, dir, "customer")
+        .where(col("c_custkey") < 300)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .write.parquet(subPq)
+      val script =
+        s"""CONNECTION 'Cust' (
+           |  DRIVER = 'file', FILE = '$subPq', FORMAT = 'parquet'
+           |)
+           |CONNECTION 'OutName' (
+           |  DRIVER = 'file', FILE = '$out/name', FORMAT = 'parquet'
+           |)
+           |CONNECTION 'OutSeg' (
+           |  DRIVER = 'file', FILE = '$out/seg', FORMAT = 'parquet'
+           |)
+           |
+           |TRANSFORM 'ByName' FROM CONNECTION Cust (
+           |  NEARDEDUP ON c_name KEY c_custkey METHOD TYPO
+           |)
+           |TRANSFORM 'BySeg' FROM CONNECTION Cust (
+           |  NEARDEDUP ON c_mktsegment KEY c_custkey METHOD TYPO
+           |)
+           |
+           |QUERY 'KeptName' FROM BLOCK ByName (
+           |  SELECT 'name' AS fam, c_custkey FROM ByName
+           |) INTO CONNECTION OutName
+           |QUERY 'KeptSeg' FROM BLOCK BySeg (
+           |  SELECT 'seg' AS fam, c_custkey FROM BySeg
+           |) INTO CONNECTION OutSeg""".stripMargin
+      // QUERY takes one source block (reference grammar), so the two
+      // kept frames union here purely to package one gate result
+      val r = Aql.run(s, script)
+      r.outputs("KEPTNAME").unionByName(r.outputs("KEPTSEG"))
+    },
   )
 }

@@ -673,10 +673,10 @@ object TransformParser {
           s"NEARDEDUP threshold $threshold out of range (0, 1]")
         val m = Option(method).map(_.toUpperCase) match {
           case Some(x) =>
-            if (x != "EXACT" && x != "LSH" && x != "COSINE")
+            if (x != "EXACT" && x != "LSH" && x != "COSINE" && x != "TYPO")
               throw TransformError(
-                s"NEARDEDUP METHOD $x unknown (expected EXACT, LSH or " +
-                  "COSINE)")
+                s"NEARDEDUP METHOD $x unknown (expected EXACT, LSH, " +
+                  "COSINE or TYPO)")
             x
           case None =>
             // default = the banded scale path: LSH candidate generation
@@ -692,6 +692,12 @@ object TransformParser {
               catch { case _: IllegalArgumentException => false }
             if (lshFeasible) "LSH" else "EXACT"
         }
+        // TYPO is fixed edit-distance-1 matching — a Jaccard/cosine
+        // threshold has no meaning there, so an explicit THRESHOLD is a
+        // config error, not something to silently ignore
+        if (m == "TYPO" && th != null) throw TransformError(
+          "NEARDEDUP THRESHOLD does not apply to METHOD TYPO " +
+            "(fixed edit distance 1)")
         val br = (Option(bands), Option(rows)) match {
           case (Some(b), Some(r)) => Some((intOption("NEARDEDUP", "BANDS", b),
             intOption("NEARDEDUP", "ROWS", r)))
@@ -743,7 +749,7 @@ object TransformParser {
         "cannot parse NEARDEDUP (expected NEARDEDUP [<Batch> AGAINST " +
           "<Corpus>] ON <textcol|veccol> KEY <keycol> [THRESHOLD <0-1>] " +
           "[METHOD EXACT|LSH [BANDS <n> ROWS <n>] [STAR ABOVE <n>] | " +
-          "COSINE [TABLES <n>] [BITS <n>]])")
+          "COSINE [TABLES <n>] [BITS <n>] | TYPO])")
     }
   }
 
@@ -842,6 +848,8 @@ object TransformParser {
       (method, against) match {
         case ("COSINE", Some((b, c))) => buildAgainstCosine(sources, b, c)
         case ("COSINE", None) => buildSelfCosine(primary)
+        case ("TYPO", Some((b, c))) => buildAgainstTypo(sources, b, c)
+        case ("TYPO", None) => buildSelfTypo(primary)
         case (_, Some((b, c))) => buildAgainst(sources, b, c)
         case _ => buildSelf(primary)
       }
@@ -982,6 +990,123 @@ object TransformParser {
       batch.join(matchedIds, Seq(bKey), "left_anti")
     }
 
+    /** Delete-1 variant frame for the TYPO method — SymSpell's index
+      * adapted to a join (q98's blocking, one definition for the self
+      * and AGAINST forms). Emits one row per variant of each input
+      * string: the identity (i = length deletes nothing) plus every
+      * single-character deletion, keyed by xxhash64(variant) — 8-byte
+      * join rows regardless of string length. Completeness: two strings
+      * within edit distance 1 always share a member of
+      * {s} ∪ deletes1(s), so the equi-join covers every true pair and
+      * levenshtein runs only on candidates (hash collisions can only
+      * add candidates; the exact verify removes them).
+      */
+    private def delete1Variants(df: DataFrame): DataFrame = df
+      .withColumn("__i",
+        explode(sequence(lit(0), length(col("txt")).cast("int"))))
+      .withColumn("vh", xxhash64(concat(
+        expr("substr(txt, 1, __i)"), expr("substr(txt, __i + 2)"))))
+      .drop("__i")
+
+    /** Resolve ON as a string column and prep the exact-first-collapsed
+      * rep frame the TYPO paths share: keyed = (id, txt, th) with
+      * th = xxhash64(txt), reps = one min-key row per distinct string.
+      * Unlike the shingle methods there is NO passthrough class — every
+      * string (even the empty one) can sit within edit distance 1 of
+      * another, so every row participates.
+      */
+    private def typoPrep(df: DataFrame, which: String)
+        : (String, DataFrame, DataFrame) = {
+      def named(n: String): StructField =
+        df.schema.find(_.name.equalsIgnoreCase(n)).getOrElse(
+          throw TransformError(s"NEARDEDUP: unknown column $n in $which"))
+      val t = named(textCol)
+      if (t.dataType != StringType) throw TransformError(
+        s"NEARDEDUP METHOD TYPO ON ${t.name} must be string, got " +
+          t.dataType.simpleString)
+      val keyName = named(key).name
+      val par = df.sparkSession.sparkContext.defaultParallelism
+      val keyed = spreadForCpu(df, df.select(col(keyName).as("id"),
+          col(t.name).as("txt"), xxhash64(col(t.name)).as("th")))
+        .localCheckpoint(false)
+      val reps = keyed.groupBy(col("th")).agg(
+          min(col("id")).as("id"), first(col("txt")).as("txt"),
+          count(lit(1)).as("n_copies"))
+        .repartition(par)
+        .localCheckpoint(false)
+      (keyName, keyed, reps)
+    }
+
+    /** METHOD TYPO, single source: fuzzy string dedup at edit distance
+      * ≤ 1 (q98's SymSpell blocking as a language operator) — the fourth
+      * member of the dedup method family, for short-string columns
+      * (names, titles, keys) where token shingles are meaningless.
+      * EXACT-FIRST collapse on the string hash, delete-1 variant
+      * candidates over the reps, exact levenshtein ≤ 1 verify, min-label
+      * clusters, and the text family's canonical rule (longest string,
+      * then min key). Candidate volume is Σ(len+1) per side — linear,
+      * never |n|² cross-levenshtein.
+      */
+    private def buildSelfTypo(primary: DataFrame): DataFrame = {
+      val keyField = primary.schema.find(_.name.equalsIgnoreCase(key))
+        .getOrElse(throw TransformError(s"NEARDEDUP: unknown column $key"))
+      keyField.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => ()
+        case other => throw TransformError(
+          s"NEARDEDUP KEY ${keyField.name} must be integral, got " +
+            s"${other.simpleString} (cluster convergence sums labels)")
+      }
+      val (keyName, keyed, reps) = typoPrep(primary, "the source")
+      val v = delete1Variants(reps.select(col("id"), col("txt")))
+      val pairs = v.toDF("doc_a", "ta", "vh")
+        .join(v.toDF("doc_b", "tb", "vh"), Seq("vh"))
+        .where(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("ta"), col("doc_b"), col("tb"))
+        .distinct()
+        .where(levenshtein(col("ta"), col("tb")) <= 1)
+        .select(col("doc_a"), col("doc_b"))
+      val cl = NearDup.clusters(pairs)
+      // identical-copy cliques: any string with ≥ 2 copies is a cluster
+      // by itself (edit distance 0) even when its rep pairs with nothing
+      val clustered = reps.select(col("th"), col("id"), col("n_copies"))
+        .join(cl, Seq("id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"),
+          when(col("n_copies") >= 2, col("id"))))
+        .where(col("cluster_id").isNotNull)
+        .select(col("th"), col("cluster_id"))
+      val members = keyed.join(clustered, "th")
+        .select(col("id"), col("cluster_id"), length(col("txt")).as("__len"))
+      primary.join(longestThenMinKeyLosers(members, keyName),
+        Seq(keyName), "left_anti")
+    }
+
+    /** METHOD TYPO, AGAINST form: drop batch rows whose string is within
+      * edit distance 1 of ≥ 1 corpus string — q98's dirty-vs-dictionary
+      * shape with the family's AGAINST semantics (no same-key exclusion;
+      * the corpus delete index is write-once at scale). EXACT-FIRST on
+      * both sides; verdicts fan back through the string hash.
+      */
+    private def buildAgainstTypo(sources: Map[String, DataFrame],
+        batchName: String, corpusName: String): DataFrame = {
+      def src(n: String): DataFrame = sources.getOrElse(n.toUpperCase,
+        throw TransformError(s"unknown NEARDEDUP source $n"))
+      val batch = src(batchName)
+      val corpus = src(corpusName)
+      val (bKey, bKeyed, bReps) = typoPrep(batch, batchName)
+      val (_, _, cReps) = typoPrep(corpus, corpusName)
+      val bv = delete1Variants(bReps.select(col("th"), col("txt")))
+        .toDF("bth", "tb", "vh")
+      val cv = delete1Variants(cReps.select(col("id"), col("txt")))
+        .toDF("cid", "tc", "vh")
+      val matched = bv.join(cv, Seq("vh"))
+        .select(col("bth"), col("tb"), col("tc")).distinct()
+        .where(levenshtein(col("tb"), col("tc")) <= 1)
+        .select(col("bth").as("th")).distinct()
+      val matchedIds = bKeyed.join(matched, "th")
+        .select(col("id").as(bKey))
+      batch.join(matchedIds, Seq(bKey), "left_anti")
+    }
+
     private def buildSelf(primary: DataFrame): DataFrame = {
       def named(n: String): StructField =
         primary.schema.find(_.name.equalsIgnoreCase(n)).getOrElse(
@@ -1048,20 +1173,29 @@ object TransformParser {
       val members = keyed
         .join(clustered, "th")
         .select(col("id"), col("cluster_id"), length(col("txt")).as("__len"))
-      // Canonical pick without a per-cluster sort window: max length per
-      // cluster, then min key among the max-length members — two aggs on
-      // the same cluster_id shuffle (exchange reuse), both partial-
-      // aggregatable. min/max (not max(struct)) so the shape also works
-      // when keys are later widened beyond longs.
+      primary.join(longestThenMinKeyLosers(members, keyName),
+        Seq(keyName), "left_anti")
+    }
+
+    /** Canonical pick shared by the text methods (EXACT/LSH/TYPO),
+      * without a per-cluster sort window: max length per cluster, then
+      * min key among the max-length members — two aggs on the same
+      * cluster_id shuffle (exchange reuse), both partial-aggregatable.
+      * min/max (not max(struct)) so the shape also works when keys are
+      * later widened beyond longs. `members` columns: (id, cluster_id,
+      * __len); returns the dropped keys as a 1-column frame named
+      * `keyName`.
+      */
+    private def longestThenMinKeyLosers(members: DataFrame,
+        keyName: String): DataFrame = {
       val best = members.groupBy(col("cluster_id"))
         .agg(max(col("__len")).as("__maxlen"))
       val winners = members.join(best, "cluster_id")
         .where(col("__len") === col("__maxlen"))
         .groupBy(col("cluster_id")).agg(min(col("id")).as("__win"))
-      val losers = members.join(winners, "cluster_id")
+      members.join(winners, "cluster_id")
         .where(col("id") =!= col("__win"))
         .select(col("id").as(keyName))
-      primary.join(losers, Seq(keyName), "left_anti")
     }
   }
 

@@ -1355,6 +1355,55 @@ class AqlSpec extends AnyFunSuite {
       .contains("only applies to METHOD LSH"))
   }
 
+  test("NEARDEDUP METHOD TYPO: edit-distance dedup e2e; options validate") {
+    // the fuzzy-string member of the dedup verb family (q98 as a
+    // language operator). Hand-computed: 1-2-4 chain ("abcd"~"abxd"
+    // substitution, "abcd"~"abc" deletion; longest len-4 tie -> min key
+    // 1 survives), 6 is an exact copy of "abcd" (collapse path, drops),
+    // 7-8 an isolated identical pair (clique keeps 7), 5 isolated.
+    def kept(rows: String, verb: String): Seq[Long] = Aql.run(spark,
+      s"""DATA 'D' ([$rows]) WITH (COLUMNS = 'Id, Txt', FORMAT = 'JSON_ARRAY')
+         |TRANSFORM 'T' FROM BLOCK D ($verb) INTO CONSOLE
+         |""".stripMargin).outputs("T").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val rows =
+      """[1, "abcd"], [2, "abxd"], [4, "abc"], [5, "zzzz"],
+        |[6, "abcd"], [7, "qq"], [8, "qq"]""".stripMargin
+    assert(kept(rows, "NEARDEDUP ON Txt KEY Id METHOD TYPO")
+      == Seq(1L, 5L, 7L))
+
+    // AGAINST: batch 10 ("abce") is ED-1 from corpus "abcd" and drops;
+    // 1 re-ingests its own corpus string (no same-key exclusion) and
+    // drops; 11 matches nothing and passes
+    val keptB = Aql.run(spark,
+      """DATA 'B' ([[10, "abce"], [1, "abcd"], [11, "hello"]])
+        |  WITH (COLUMNS = 'Id, Txt', FORMAT = 'JSON_ARRAY')
+        |DATA 'C' ([[1, "abcd"], [2, "zzzz"]])
+        |  WITH (COLUMNS = 'Id, Txt', FORMAT = 'JSON_ARRAY')
+        |TRANSFORM 'T' FROM BLOCK B, BLOCK C (
+        |  NEARDEDUP B AGAINST C ON Txt KEY Id METHOD TYPO
+        |) INTO CONSOLE""".stripMargin).outputs("T").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(keptB == Seq(11L), keptB.toString)
+
+    def bad(verb: String): String = intercept[Exception](Aql.run(spark,
+      s"""DATA 'D' ([[1, "x"]]) WITH (COLUMNS = 'Id, Txt')
+         |TRANSFORM 'T' FROM BLOCK D ($verb) INTO CONSOLE
+         |""".stripMargin)).getMessage
+    assert(bad("NEARDEDUP ON Txt KEY Id THRESHOLD 0.5 METHOD TYPO")
+      .contains("does not apply to METHOD TYPO"))
+    val ns = intercept[Exception](Aql.run(spark,
+      """DATA 'D' ([[1, 2]]) WITH (COLUMNS = 'Id, Num')
+        |TRANSFORM 'T' FROM BLOCK D (
+        |  NEARDEDUP ON Num KEY Id METHOD TYPO
+        |) INTO CONSOLE""".stripMargin))
+    assert(ns.getMessage.contains("must be string"), ns.getMessage)
+    assert(bad("NEARDEDUP ON Txt KEY Id METHOD TYPO TABLES 8")
+      .contains("only apply to METHOD COSINE"))
+    assert(bad("NEARDEDUP ON Txt KEY Id METHOD TYPO BANDS 8 ROWS 2")
+      .contains("only apply to METHOD LSH"))
+  }
+
   test("KNN verb: exact top-k neighbors e2e; options validate") {
     // beyond-parity verb (SURVEY §7.3): q34/q35/q46's similarity search
     // as a language operator. Four 2-d vectors in two clear pairs: each

@@ -437,6 +437,26 @@ class PlanSpec extends AnyFunSuite {
       s"canonical pick must be free (min-label = min key), no window:\n$p")
   }
 
+  test("NEARDEDUP METHOD TYPO: variant-blocked pairs, anti-join keep, no window") {
+    // the fuzzy-string method's contracts: candidates come from the
+    // delete-1 variant equi-join on the 8-byte xxhash64 key (q98's
+    // blocking — never a cartesian/nested-loop cross-levenshtein), the
+    // keep step is a left-anti join, and the canonical pick is the
+    // shared two-agg longest-then-min-key (no per-cluster sort window)
+    import spark.implicits._
+    val names = Seq((1L, "abcd"), (2L, "abxd"), (3L, "zzzz"))
+      .toDF("id", "txt")
+    val df = graft.transforms.TransformParser
+      .parse("NEARDEDUP ON txt KEY id METHOD TYPO")
+      .build(Map.empty, names)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti"), s"keep step must be a left-anti join:\n$p")
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+      s"candidates must come from the variant join, never all-pairs:\n$p")
+    assert(!p.contains("Window"),
+      s"canonical pick must be the two-agg shape, no window:\n$p")
+  }
+
   test("q126: portable simhash is banded blocking, never all-pairs") {
     // the md5-portable gate must keep q33's plan contract: candidate
     // pairs come from the 15-bit band equi-join (hash join on band keys),

@@ -37,6 +37,10 @@ import org.apache.spark.sql.functions._
   *
   * Usage: SPARK_GRAFT_SF_DIR=… SPARK_GRAFT_REPS=1,16,64 runMain
   * graft.AnnScale. Prints one JSON line per k plus fitted exponents.
+  * REPS must start with 1 (the closed-form baselines derive from it);
+  * k ≥ 512 (≥ 1 M vectors) needs SPARK_DRIVER_MEM=96g — the default
+  * 8 GiB JVM OOMs in the scored-frame shuffle, the same single-JVM
+  * cliff graft.Scale documents at 180 M pairs.
   */
 object AnnScale {
 

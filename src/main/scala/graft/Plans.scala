@@ -69,6 +69,7 @@ object Plans {
     "q136_ivf_stored" -> "stored-index probe: static cell filter prunes the partitioned scan",
     "q140_aql_chunk_verb" -> "CHUNK verb through the Aql layer: explode fan-out, zero Exchange",
     "q141_aql_neardedup_cosine" -> "COSINE dedup verb: bucket-blocked pairs, anti-join keep",
+    "q143_aql_typo_verb" -> "TYPO dedup verb: delete-1 variant join, anti-join keep",
   )
 
   def main(args: Array[String]): Unit = {

@@ -503,14 +503,10 @@ object Dedup {
         |  ON levenshtein(d.q, c.c_name) <= 1""".stripMargin) { (s, dir) =>
       val cust = Tables.load(s, dir, "customer")
         .select(col("c_custkey"), col("c_name"))
-      // delete-1 variants plus the identity (i = length ⇒ nothing deleted)
-      def variants(src: DataFrame, strCol: String): DataFrame = src
-        .withColumn("i",
-          explode(sequence(lit(0), length(col(strCol)).cast("int"))))
-        .withColumn("vh", xxhash64(concat(
-          expr(s"substr($strCol, 1, i)"),
-          expr(s"substr($strCol, i + 2)"))))
-        .drop("i")
+      // delete-1 variants plus the identity — the SHARED generator
+      // (NearDup.delete1Variants, also the TYPO verb's blocking)
+      def variants(src: DataFrame, strCol: String): DataFrame =
+        NearDup.delete1Variants(src, strCol)
       val dirty = cust.where(col("c_custkey") % 3 === 0)
         .select(col("c_custkey").as("qkey"),
           concat(

@@ -307,6 +307,27 @@ object NearDup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Delete-1 variant fan-out — SymSpell's index adapted to a join key
+    * (reference shape: q98 / the NEARDEDUP METHOD TYPO verb; ONE
+    * definition for every edit-distance consumer). Emits one row per
+    * variant of each input string: the identity (i = length deletes
+    * nothing) plus every single-character deletion, keyed by
+    * `vh` = xxhash64(variant) — 8-byte join rows regardless of string
+    * length. Completeness: two strings within edit distance 1 always
+    * share a member of {s} ∪ deletes1(s) (deletion ⇒ q ∈ D1(c);
+    * substitution ⇒ same-position deletes collide; equality trivial),
+    * so an equi-join on `vh` covers every true pair and levenshtein
+    * runs only on candidates (hash collisions can only add candidates,
+    * never drop them — the exact verify removes them). All other input
+    * columns pass through.
+    */
+  def delete1Variants(df: DataFrame, strCol: String): DataFrame = df
+    .withColumn("__i",
+      explode(sequence(lit(0), length(col(strCol)).cast("int"))))
+    .withColumn("vh", xxhash64(concat(
+      expr(s"substr($strCol, 1, __i)"), expr(s"substr($strCol, __i + 2)"))))
+    .drop("__i")
+
   /** Batch-vs-corpus near-dup matches via the exact inverted index:
     * distinct batch ids whose text reaches Jaccard ≥ threshold against
     * ≥ 1 corpus doc. `shB`/`shC`: (id, shs) per [[shingled]]. The join

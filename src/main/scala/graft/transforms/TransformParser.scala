@@ -773,7 +773,10 @@ object TransformParser {
           case None => NearDup.minhashPairs(sh, threshold,
             numPerm = b * r, numBands = b, rowsPerBand = r)
         }
-      case _ => NearDup.pairs(sh, threshold)
+      case "EXACT" => NearDup.pairs(sh, threshold)
+      case other => throw new IllegalStateException(
+        s"pairDf is the shingle-method hook; METHOD $other candidates " +
+          "live in VecKnn.cosinePairs / NearDup.delete1Variants")
     }
 
     /** Cross-corpus matched-batch-ids generation per METHOD — public so
@@ -786,7 +789,10 @@ object TransformParser {
           val (b, r) = bandsRows.getOrElse(NearDup.autoBands(threshold))
           NearDup.minhashCrossMatches(shB, shC, threshold,
             numPerm = b * r, numBands = b, rowsPerBand = r)
-        case _ => NearDup.crossMatchesExact(shB, shC, threshold)
+        case "EXACT" => NearDup.crossMatchesExact(shB, shC, threshold)
+        case other => throw new IllegalStateException(
+          s"crossMatchDf is the shingle-method hook; METHOD $other " +
+            "candidates live in VecKnn / NearDup.delete1Variants")
       }
 
     /** AGAINST form: drop batch rows near-matching ≥ 1 corpus doc. No
@@ -990,33 +996,11 @@ object TransformParser {
       batch.join(matchedIds, Seq(bKey), "left_anti")
     }
 
-    /** Delete-1 variant frame for the TYPO method — SymSpell's index
-      * adapted to a join (q98's blocking, one definition for the self
-      * and AGAINST forms). Emits one row per variant of each input
-      * string: the identity (i = length deletes nothing) plus every
-      * single-character deletion, keyed by xxhash64(variant) — 8-byte
-      * join rows regardless of string length. Completeness: two strings
-      * within edit distance 1 always share a member of
-      * {s} ∪ deletes1(s), so the equi-join covers every true pair and
-      * levenshtein runs only on candidates (hash collisions can only
-      * add candidates; the exact verify removes them).
+    /** Resolve ON as a string column of `df` for the TYPO paths,
+      * returning (keyName, textName). The key must exist on both sides
+      * of AGAINST for symmetry (mirroring the text form).
       */
-    private def delete1Variants(df: DataFrame): DataFrame = df
-      .withColumn("__i",
-        explode(sequence(lit(0), length(col("txt")).cast("int"))))
-      .withColumn("vh", xxhash64(concat(
-        expr("substr(txt, 1, __i)"), expr("substr(txt, __i + 2)"))))
-      .drop("__i")
-
-    /** Resolve ON as a string column and prep the exact-first-collapsed
-      * rep frame the TYPO paths share: keyed = (id, txt, th) with
-      * th = xxhash64(txt), reps = one min-key row per distinct string.
-      * Unlike the shingle methods there is NO passthrough class — every
-      * string (even the empty one) can sit within edit distance 1 of
-      * another, so every row participates.
-      */
-    private def typoPrep(df: DataFrame, which: String)
-        : (String, DataFrame, DataFrame) = {
+    private def typoCols(df: DataFrame, which: String): (String, String) = {
       def named(n: String): StructField =
         df.schema.find(_.name.equalsIgnoreCase(n)).getOrElse(
           throw TransformError(s"NEARDEDUP: unknown column $n in $which"))
@@ -1024,10 +1008,23 @@ object TransformParser {
       if (t.dataType != StringType) throw TransformError(
         s"NEARDEDUP METHOD TYPO ON ${t.name} must be string, got " +
           t.dataType.simpleString)
-      val keyName = named(key).name
+      (named(key).name, t.name)
+    }
+
+    /** Exact-first-collapsed frames for the TYPO self path: keyed =
+      * (id, txt, th) with th = xxhash64(txt), reps = one min-key row per
+      * distinct string (+ copy count for the clique gate). NULL strings
+      * pass through untouched (they cannot sit at any edit distance) —
+      * the only passthrough class: every non-null string, even the
+      * empty one, can be within distance 1 of another and participates.
+      */
+    private def typoPrep(df: DataFrame, which: String)
+        : (String, DataFrame, DataFrame) = {
+      val (keyName, textName) = typoCols(df, which)
       val par = df.sparkSession.sparkContext.defaultParallelism
       val keyed = spreadForCpu(df, df.select(col(keyName).as("id"),
-          col(t.name).as("txt"), xxhash64(col(t.name)).as("th")))
+          col(textName).as("txt"), xxhash64(col(textName)).as("th")))
+        .where(col("txt").isNotNull)
         .localCheckpoint(false)
       val reps = keyed.groupBy(col("th")).agg(
           min(col("id")).as("id"), first(col("txt")).as("txt"),
@@ -1057,13 +1054,17 @@ object TransformParser {
             s"${other.simpleString} (cluster convergence sums labels)")
       }
       val (keyName, keyed, reps) = typoPrep(primary, "the source")
-      val v = delete1Variants(reps.select(col("id"), col("txt")))
+      val v = NearDup.delete1Variants(
+        reps.select(col("id"), col("txt")), "txt")
+      // thresholded levenshtein: the banded 3-arg form returns -1 past
+      // the bound, so the verify is O(len·1) per candidate, not the
+      // full O(len²) DP — ON is not restricted to short columns
       val pairs = v.toDF("doc_a", "ta", "vh")
         .join(v.toDF("doc_b", "tb", "vh"), Seq("vh"))
         .where(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("ta"), col("doc_b"), col("tb"))
         .distinct()
-        .where(levenshtein(col("ta"), col("tb")) <= 1)
+        .where(levenshtein(col("ta"), col("tb"), 1) >= 0)
         .select(col("doc_a"), col("doc_b"))
       val cl = NearDup.clusters(pairs)
       // identical-copy cliques: any string with ≥ 2 copies is a cluster
@@ -1092,15 +1093,30 @@ object TransformParser {
         throw TransformError(s"unknown NEARDEDUP source $n"))
       val batch = src(batchName)
       val corpus = src(corpusName)
-      val (bKey, bKeyed, bReps) = typoPrep(batch, batchName)
-      val (_, _, cReps) = typoPrep(corpus, corpusName)
-      val bv = delete1Variants(bReps.select(col("th"), col("txt")))
-        .toDF("bth", "tb", "vh")
-      val cv = delete1Variants(cReps.select(col("id"), col("txt")))
-        .toDF("cid", "tc", "vh")
+      val (bKey, bTextName) = typoCols(batch, batchName)
+      val (_, cTextName) = typoCols(corpus, corpusName)
+      val par = batch.sparkSession.sparkContext.defaultParallelism
+      // batch collapse: verdicts compute once per distinct string and
+      // fan back through the hash (keyed feeds the rep agg AND the
+      // fan-back → checkpoint; reps/corpus each have ONE consumer, so
+      // no checkpoint and no unused min-id/copy-count aggregates —
+      // mirroring buildAgainst/buildAgainstCosine)
+      val bKeyed = spreadForCpu(batch, batch.select(col(bKey).as("id"),
+          col(bTextName).as("txt"), xxhash64(col(bTextName)).as("th")))
+        .where(col("txt").isNotNull)
+        .localCheckpoint(false)
+      val bReps = bKeyed.groupBy(col("th"))
+        .agg(first(col("txt")).as("txt"))
+        .repartition(par)
+      val cReps = spreadForCpu(corpus,
+          corpus.select(col(cTextName).as("txt")))
+        .where(col("txt").isNotNull).distinct()
+        .repartition(par)
+      val bv = NearDup.delete1Variants(bReps, "txt").toDF("bth", "tb", "vh")
+      val cv = NearDup.delete1Variants(cReps, "txt").toDF("tc", "vh")
       val matched = bv.join(cv, Seq("vh"))
         .select(col("bth"), col("tb"), col("tc")).distinct()
-        .where(levenshtein(col("tb"), col("tc")) <= 1)
+        .where(levenshtein(col("tb"), col("tc"), 1) >= 0)
         .select(col("bth").as("th")).distinct()
       val matchedIds = bKeyed.join(matched, "th")
         .select(col("id").as(bKey))

@@ -1366,11 +1366,13 @@ class AqlSpec extends AnyFunSuite {
          |TRANSFORM 'T' FROM BLOCK D ($verb) INTO CONSOLE
          |""".stripMargin).outputs("T").collect()
       .map(_.getLong(0)).sorted.toSeq
+    // 9 and 12 carry NULL text: the only passthrough class (a null is
+    // at no edit distance from anything) — both survive, even as a pair
     val rows =
       """[1, "abcd"], [2, "abxd"], [4, "abc"], [5, "zzzz"],
-        |[6, "abcd"], [7, "qq"], [8, "qq"]""".stripMargin
+        |[6, "abcd"], [7, "qq"], [8, "qq"], [9, null], [12, null]""".stripMargin
     assert(kept(rows, "NEARDEDUP ON Txt KEY Id METHOD TYPO")
-      == Seq(1L, 5L, 7L))
+      == Seq(1L, 5L, 7L, 9L, 12L))
 
     // AGAINST: batch 10 ("abce") is ED-1 from corpus "abcd" and drops;
     // 1 re-ingests its own corpus string (no same-key exclusion) and

@@ -1,0 +1,186 @@
+package graft
+
+import graft.functions.Text
+import graft.transforms.NearDup
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-replication harness for the STORED banded text index
+  * (q144's machinery, `NearDup.bandStoreFrom` /
+  * `minhashCrossMatchesStored`): grows the corpus ×k with DISTINCT
+  * salted documents and probes a FIXED small batch against the stored
+  * artifact at every k, with the partition-cell count scaled ∝ corpus
+  * (the IVF sizing rule applied to band cells).
+  *
+  * Why salted replicas instead of AnnScale's exact copies: the stored
+  * index is built over text SHINGLES, and the AGAINST paths collapse
+  * exact duplicates before indexing — exact-copy replication would
+  * leave the index flat and measure nothing. Salting every token with
+  * the replica ordinal (`tok` → `tokq<r>`) makes every added document's
+  * shingle set disjoint from the batch's, so the corpus genuinely grows
+  * (index rows ∝ k) while the batch's TRUE match set is invariant —
+  * which turns every scale step into a correctness gate.
+  *
+  * What the measurement claims: the index BUILD is the one corpus-sized
+  * job (time ∝ N), while the per-batch PROBE cost is governed by the
+  * batch's own band keys — the scanned fraction is
+  * |batch cells| / cells, and with cells ∝ N the scanned ROW count
+  * (|batch cells| × N/cells) stays constant as the corpus grows. That
+  * is the whole reason the artifact exists at 100 TB: a batch pays for
+  * its own collision mass, never for corpus size.
+  *
+  * Invariants at every k (each scale step is also a correctness gate):
+  *  - matched-set closed form: the batch ids matched at k are EXACTLY
+  *    the k=1 matched ids — salted docs share no shingles with the
+  *    batch, so any band collision they produce (hash chance) must die
+  *    in the exact verify; a survivor would be a verification bug;
+  *  - nonempty baseline: the k=1 matched set is nonempty BY
+  *    CONSTRUCTION — half the batch is verbatim corpus docs
+  *    (re-ingestion, which AGAINST matches at J = 1 on purpose), so the
+  *    closed form never passes vacuously; the other half is batch-only
+  *    docs driving the negative verify path;
+  *  - cell-subset: the probe touched at most min(|batch keys|, cells)
+  *    band cells, and strictly fewer than `cells` once cells exceeds
+  *    the batch's key count — the index is never scanned whole.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=… SPARK_GRAFT_REPS=1,4,16 runMain
+  * graft.BandScale. REPS must start with 1 (the matched-set baseline).
+  * Prints one JSON line per k plus fitted build/probe exponents.
+  */
+object BandScale {
+
+  private final val Cells0 = 512
+  private final val BatchDocs = 8
+  private final val Threshold = 0.5
+  // autoBands(0.5) over 128 permutations — the q128/q144 banding
+  private final val NumPerm = 128
+  private final val NumBands = 64
+  private final val RowsPerBand = 2
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1,4,16")
+      .split(",").map(_.trim.toInt).toSeq
+    require(reps.headOption.contains(1),
+      s"SPARK_GRAFT_REPS must start with 1 (matched-set baseline), got " +
+        reps.mkString(","))
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try spark.range(1000000).selectExpr("sum(id * 2)").collect()
+    catch { case _: Throwable => () }
+
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint()
+
+    // FIXED batch: the 8 smallest odd doc ids (VERBATIM corpus members —
+    // re-ingestion, which the AGAINST semantics deliberately match at
+    // J = 1, so the baseline matched set is nonempty by construction)
+    // plus the 8 smallest even ids (batch-only docs, exercising the
+    // negative verify path) — the same 16 query documents at every k
+    // (the streaming-microbatch serving shape)
+    val batchIds = docs.where(col("doc_id") % 2 === 1)
+      .select(col("doc_id")).orderBy(col("doc_id")).limit(BatchDocs)
+      .union(docs.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id")).orderBy(col("doc_id")).limit(BatchDocs))
+    val batch = docs.join(batchIds, "doc_id")
+    val shB = batch
+      .select(col("doc_id"), Text.tokens(col("text")).as("ws"))
+      .where(size(col("ws")) >= 3)
+      .select(col("doc_id").as("id"),
+        Text.shinglesFromTokens(col("ws")).as("shs"))
+      .localCheckpoint()
+    val batchKeys = shB.count() * NumBands
+
+    val corpus0 = docs.where(col("doc_id") % 2 === 1)
+
+    var matched1: Option[Set[Long]] = None
+    val lines = for (k <- reps) yield {
+      val cells = Cells0 * k
+      // salted replicas r = 1..k-1: every token carries the replica
+      // ordinal, so each replica's shingle set is disjoint from every
+      // other replica's AND from the batch's — the corpus "exists"
+      // before the build job starts (checkpoint), mirroring AnnScale
+      val corpus =
+        if (k == 1) corpus0.select(col("doc_id").as("id"), col("text").as("txt"))
+          .localCheckpoint()
+        else corpus0
+          .select(col("doc_id"), col("text"),
+            explode(sequence(lit(1), lit(k - 1))).as("r"))
+          .select((col("doc_id") * lit(1000000L) + col("r")).as("id"),
+            array_join(transform(Text.tokens(col("text")),
+              t => concat(t, lit("q"), col("r").cast("string"))), " ")
+              .as("txt"))
+          .union(corpus0.select(col("doc_id").as("id"), col("text").as("txt")))
+          .localCheckpoint()
+      val n = corpus.count()
+      val shC = corpus
+        .select(col("id"), Text.tokens(col("txt")).as("ws"))
+        .where(size(col("ws")) >= 3)
+        .select(col("id"), Text.shinglesFromTokens(col("ws")).as("shs"))
+
+      val (base, buildS) = timed {
+        NearDup.bandStoreFrom(shC, NumPerm, NumBands, RowsPerBand, cells)
+      }
+      val idxRows = spark.read.parquet(s"$base/bands").count()
+
+      val (matchedK, probeS) = timed {
+        NearDup.minhashCrossMatchesStored(spark, base, shB,
+            Threshold, NumPerm, NumBands, RowsPerBand)
+          .collect().map(_.getLong(0)).toSet
+      }
+      // the routing the probe just used, recomputed for the report
+      // (outside the timed section — it is a diagnostic, not probe
+      // work): distinct band-store cells of the batch's keys
+      val probeCells = NearDup.bandKeys(shB, NumPerm, NumBands, RowsPerBand)
+        .select(pmod(xxhash64(col("band"), col("bh")), lit(cells.toLong))
+          .cast("int"))
+        .distinct().count()
+      if (k == 1) matched1 = Some(matchedK)
+
+      val checks = Map(
+        // exists, not forall: a missing baseline must FAIL (reps are
+        // require'd to start at 1)
+        "matched_closed_form" -> (k == 1 || matched1.exists(_ == matchedK)),
+        "baseline_nonempty" -> matched1.exists(_.nonEmpty),
+        "cell_subset" -> (probeCells <= math.min(batchKeys, cells.toLong) &&
+          (cells <= batchKeys || probeCells < cells)))
+      val ok = checks.values.forall(identity)
+      println(
+        s"""{"metric":"band_scale","k":$k,"corpus":$n,"index_rows":$idxRows,""" +
+        s""""cells":$cells,"probe_cells":$probeCells,""" +
+        s""""matched":${matchedK.size},""" +
+        s""""sec":{"build":${math.round(buildS * 1000) / 1000.0},""" +
+        s""""probe":${math.round(probeS * 1000) / 1000.0}},""" +
+        s""""invariants_ok":$ok,""" +
+        s""""failed":[${checks.filterNot(_._2).keys.map("\"" + _ + "\"")
+          .mkString(",")}]}""")
+      require(ok, s"band scale invariants failed at k=$k: " +
+        checks.filterNot(_._2).keys.mkString(", "))
+      (k, buildS, probeS)
+    }
+
+    for {
+      (1, b1, p1) <- lines.find(_._1 == 1).toSeq
+      (k, bk, pk) <- lines if k > 1
+    } {
+      def exp(t: Double, t0: Double) =
+        math.round(math.log(t / t0) / math.log(k.toDouble) * 1000) / 1000.0
+      println(s"""{"metric":"band_scale_exponent","k":$k,""" +
+        s""""build":${exp(bk, b1)},"probe":${exp(pk, p1)}}""")
+    }
+    spark.stop()
+  }
+}

@@ -34,7 +34,7 @@ object Advanced {
         catch { case _: Throwable => () }
       }
     }))
-  private[queries] def registerTmpDir(d: java.nio.file.Path): Unit = {
+  private[graft] def registerTmpDir(d: java.nio.file.Path): Unit = {
     cleanupHook
     tmpDirs.add(d)
     ()

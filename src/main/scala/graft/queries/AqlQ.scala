@@ -386,24 +386,11 @@ object AqlQ {
     // the brute-force batch×corpus Jaccard join, so the gate proves the
     // banded candidates lose nothing at this threshold (auto-banding
     // 64×2: per-pair miss ≤ 1e-8 at the boundary).
+    // (oracle text shared with q144, the stored-band-index gate — ONE
+    // SQL for the AGAINST-at-0.5 family, the ivfOracleSql pattern)
     QueryDef(
       "q128_aql_neardedup_against",
-      """WITH w AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ws
-        |  FROM documents),
-        |s AS (
-        |  SELECT doc_id,
-        |    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-        |                   for i in range(1, len(ws) - 1)]) AS sh
-        |  FROM w WHERE len(ws) >= 3),
-        |b AS (SELECT * FROM s WHERE doc_id % 2 = 0),
-        |c AS (SELECT * FROM s WHERE doc_id % 2 = 1),
-        |m AS (
-        |  SELECT DISTINCT b.doc_id
-        |  FROM b JOIN c ON round(CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE)
-        |      / (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh))), 6) >= 0.5)
-        |SELECT doc_id, lang, source, n_chars FROM documents
-        |WHERE doc_id % 2 = 0 AND doc_id NOT IN (SELECT doc_id FROM m)""".stripMargin) {
+      Dedup.againstKeptOracleSql) {
       (s, dir) =>
       val outDir = java.nio.file.Files.createTempDirectory("graft_q128")
       Advanced.registerTmpDir(outDir)

@@ -75,6 +75,50 @@ object Dedup {
        |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= $threshold""".stripMargin
 
+  /** ONE oracle text for the AGAINST-at-0.5 family — the verb gate
+    * (q128, in-plan banded cross-index) and the stored-artifact gate
+    * (q144, probe of the persisted band index) both answer it, so the
+    * two candidate paths can never desynchronize from each other or
+    * from the brute-force batch×corpus Jaccard truth (the ivfOracleSql
+    * pattern from Similarity.scala).
+    */
+  private[queries] val againstKeptOracleSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ws
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |                   for i in range(1, len(ws) - 1)]) AS sh
+      |  FROM w WHERE len(ws) >= 3),
+      |b AS (SELECT * FROM s WHERE doc_id % 2 = 0),
+      |c AS (SELECT * FROM s WHERE doc_id % 2 = 1),
+      |m AS (
+      |  SELECT DISTINCT b.doc_id
+      |  FROM b JOIN c ON round(CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE)
+      |      / (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh))), 6) >= 0.5)
+      |SELECT doc_id, lang, source, n_chars FROM documents
+      |WHERE doc_id % 2 = 0 AND doc_id NOT IN (SELECT doc_id FROM m)""".stripMargin
+
+  /** One stored band index per corpus dir per JVM — the deployment
+    * model (the index-build job runs once over the odd-id corpus;
+    * every probe batch consumes the same files), and it keeps q144's
+    * repeat runs from re-paying the identical deterministic build.
+    * Pure function of the corpus ⇒ sharing cannot change any output.
+    * Same memo pattern as Similarity.storedIvf. Banding is
+    * autoBands(0.5) = 64 bands × 2 rows — the exact banding the q128
+    * verb path auto-derives, so the two gates index identically.
+    */
+  private val storedBands =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private[queries] def bandStore(s: SparkSession, dir: String): String =
+    storedBands.getOrElseUpdate(dir, {
+      val shC = shingled(s, dir).where(col("doc_id") % 2 === 1)
+        .toDF("id", "shs")
+      NearDup.bandStoreFrom(shC, numPerm = 128, numBands = 64,
+        rowsPerBand = 2, cells = 64)
+    })
+
   val entries: Seq[QueryDef] = Seq(
 
     // ---- Exact dedup: one keeper (min doc_id) per distinct text. ----
@@ -522,6 +566,40 @@ object Dedup {
         .select(col("qkey"), col("q").as("dirty"),
           col("c_name").as("canonical"),
           levenshtein(col("q"), col("c_name")).as("dist"))
+    },
+
+    // ---- Banded text index as a STORED artifact: build once, persist
+    // cell-partitioned, probe from the files. q128 proves the AGAINST
+    // algebra through the language layer with the corpus index built
+    // in-plan; THIS gate proves the deployment shape the 100 TB story
+    // everywhere promises (NearDup.minhashCrossMatches scaladoc: "the
+    // corpus band index is written once and every batch pays only its
+    // own collision mass"): corpus shingling + signatures + band keys
+    // happen ONE time in NearDup.bandStoreFrom's index-build job, and
+    // the per-batch probe (minhashCrossMatchesStored) answers from the
+    // stored files alone — batch-side signatures, driver-routed static
+    // cell pruning on both the band store and the shingle store, exact
+    // verification, never a corpus text re-scan. The oracle is the SAME
+    // brute-force batch×corpus SQL as q128, so storing and re-reading
+    // the index (band keys and shingle arrays round-trip parquet
+    // exactly) must not change a single kept row. graft.BandScale
+    // measures the per-batch flatness claim this gate pins the
+    // correctness of.
+    QueryDef(
+      "q144_neardedup_stored",
+      againstKeptOracleSql) { (s, dir) =>
+      val base = bandStore(s, dir)
+      val batch = docs(s, dir).where(col("doc_id") % 2 === 0)
+        .localCheckpoint(false) // feeds shingling AND the final anti-join
+      val shB = batch
+        .select(col("doc_id"), Text.tokens(col("text")).as("ws"))
+        .where(size(col("ws")) >= 3)
+        .select(col("doc_id").as("id"),
+          Text.shinglesFromTokens(col("ws")).as("shs"))
+      val matched = NearDup.minhashCrossMatchesStored(s, base, shB, 0.5,
+        numPerm = 128, numBands = 64, rowsPerBand = 2).toDF("doc_id")
+      batch.join(matched, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
     },
   )
 }

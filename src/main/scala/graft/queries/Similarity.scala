@@ -171,13 +171,108 @@ object Similarity {
       ivfStoreFrom(e, IvfCells)
     })
 
+  /** Above this cell count the stored-index build switches from flat
+    * argmax assignment (O(N·cells) score rows — the stage SCALING.md
+    * measured super-linear: 385 s at 1.02 M vectors × 362 cells) to the
+    * two-level coarse quantizer [[ivfBuildHier]] (O(N·√cells)). The gate
+    * constants ([[IvfCells]] = 16) sit far below the threshold, so
+    * q129/q136/q139 and their DuckDB oracles ride the flat path
+    * bit-for-bit; only the scale harness (graft.AnnScale, cells ∝ √N)
+    * crosses it.
+    */
+  private[graft] val IvfFlatMaxCells = 64
+
+  /** Two-level coarse quantizer — the assignment shape every production
+    * IVF build uses (FAISS-style IMI/residual coarse level) once the cell
+    * count makes flat argmax the dominant cost. Geometry:
+    *  - super-centroids = the first ⌈√cells⌉ rows of the SAME md5
+    *    ordering that picks the cells, so every super-centroid is also a
+    *    child centroid (cluster < g) and assigns to itself (self-cosine
+    *    1.0 wins its own argmax);
+    *  - each child centroid joins the super it scores highest against
+    *    (identical round-6 cosine + smaller-id tie-break algebra as
+    *    vector assignment);
+    *  - a vector assigns in two argmax hops: nearest super (N·g score
+    *    rows), then nearest child WITHIN that super (N·cells/g average) —
+    *    O(N·√cells) total vs flat's O(N·cells).
+    * The assignment is approximate where flat is exact (a vector near a
+    * super-cell boundary can land in a neighboring super's child), which
+    * is why the gates stay flat: this path exists for the index-build
+    * scale curve, and [[ivfProbeStored]] routes probes through the SAME
+    * two hops so a query is always served its own assignment cell first —
+    * graft.AnnScale's self-copy-dominance and recall invariants hold on
+    * both paths. Identical vectors still get identical cells (the two
+    * hops are deterministic functions of v), which the dedup closed form
+    * relies on.
+    *
+    * Returns (cents with their `super` column, supers, assigned).
+    */
+  private[graft] def ivfBuildHier(e: DataFrame, cells: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val g = math.ceil(math.sqrt(cells.toDouble)).toInt
+    // tiny (≤ cells rows) but derived via a corpus-wide TakeOrdered —
+    // checkpoint once so its three consumers don't each rescan the corpus
+    val cents0 = e
+      .withColumn("mk", md5(col("vec_id").cast("string")))
+      .orderBy(col("mk")).limit(cells)
+      .withColumn("cluster",
+        row_number().over(Window.orderBy(col("mk"))) - 1)
+      .select(col("cluster"), col("v").as("cv"), col("nrm").as("cnrm"))
+      .localCheckpoint(false)
+    val supers = cents0.where(col("cluster") < g)
+      .select(col("cluster").as("super"), col("cv").as("sv"),
+        col("cnrm").as("snrm"))
+      .localCheckpoint(false)
+    val cents = cents0.crossJoin(broadcast(supers))
+      .withColumn("score",
+        round(dot(col("cv"), col("sv")) / (col("cnrm") * col("snrm")), 6))
+      .groupBy(col("cluster"))
+      .agg(max(struct(col("score"), (-col("super")).as("ns"))).as("m"),
+        first(col("cv")).as("cv"), first(col("cnrm")).as("cnrm"))
+      .select(col("cluster"), col("cv"), col("cnrm"),
+        (-col("m.ns")).as("super"))
+      .localCheckpoint(false)
+    // hop 1: nearest super — the only corpus × g score fan-out; the 16×
+    // flat-path rationale applies unchanged: all g candidate rows of a
+    // vector are born in one task, the partial agg collapses them
+    // map-side before the (vec_id) exchange
+    val sAssigned = e.crossJoin(broadcast(supers))
+      .withColumn("score",
+        round(dot(col("v"), col("sv")) / (col("nrm") * col("snrm")), 6))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("score"), (-col("super")).as("ns"))).as("m"),
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+      .select(col("vec_id"), (-col("m.ns")).as("super"), col("v"),
+        col("nrm"))
+    // hop 2: nearest child within the vector's own super — the broadcast
+    // hash join fans each vector out to ~cells/g children only
+    val assigned = sAssigned.join(broadcast(cents), "super")
+      .withColumn("score",
+        round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("score"), (-col("cluster")).as("nc"))).as("m"),
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+      .select(col("vec_id"), (-col("m.nc")).as("cluster"), col("v"),
+        col("nrm"))
+    (cents, supers, assigned)
+  }
+
   /** The non-memoized index-build-and-persist step over an arbitrary
     * normalized frame — shared by [[ivfStore]] (gate constants) and
     * graft.AnnScale (per-k rebuilds, which must NOT memoize: each k is
-    * a different corpus).
+    * a different corpus). At ≤ [[IvfFlatMaxCells]] cells the assignment
+    * is the exact flat argmax the gates' oracles replay; above it the
+    * two-level quantizer [[ivfBuildHier]] takes over and the artifact
+    * additionally carries `<base>/supers` plus a `super` column on the
+    * centroids — the marker [[ivfProbeStored]] keys its routing on.
     */
   private[graft] def ivfStoreFrom(e: DataFrame, cells: Int): String = {
-    val (cents, _, assigned) = ivfBuildFrom(e, cells)
+    val (cents, supersOpt, assigned) =
+      if (cells <= IvfFlatMaxCells) {
+        val (c, _, a) = ivfBuildFrom(e, cells); (c, None, a)
+      } else {
+        val (c, s, a) = ivfBuildHier(e, cells); (c, Some(s), a)
+      }
     val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf_")
     Advanced.registerTmpDir(idxDir)
     val base = idxDir.toString
@@ -190,6 +285,7 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$base/index")
     cents.write.mode("overwrite").parquet(s"$base/centroids")
+    supersOpt.foreach(_.write.mode("overwrite").parquet(s"$base/supers"))
     base
   }
 
@@ -221,12 +317,41 @@ object Similarity {
       queries: DataFrame, nprobe: Int = StoredProbes,
       topK: Int = K): DataFrame = {
     val dcents = s.read.parquet(s"$base/centroids")
-    val pw = Window.partitionBy("qid")
-      .orderBy(col("score").desc, col("cluster"))
-    val probes = queries.crossJoin(broadcast(dcents))
-      .withColumn("score",
-        round(dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")), 6))
-      .withColumn("pr", row_number().over(pw))
+    // A flat-built artifact ranks cells by plain centroid score. A
+    // hierarchically-built one (marked by the `super` column +
+    // `<base>/supers`) must rank them through the SAME two argmax hops
+    // the build used — (query's super rank, child score) — so the first
+    // probed cell IS the cell the assignment would give the query
+    // vector. Flat routing over a hierarchical index would probe the
+    // globally-nearest centroids, which need not include the query's own
+    // assignment cell, silently breaking the "a vector's duplicates are
+    // always served" contract AnnScale's self-copy-dominance invariant
+    // pins.
+    val ranked = if (dcents.columns.contains("super")) {
+      val dsupers = s.read.parquet(s"$base/supers")
+      val sw = Window.partitionBy("qid")
+        .orderBy(col("sscore").desc, col("super"))
+      val qsup = queries.crossJoin(broadcast(dsupers))
+        .withColumn("sscore",
+          round(dot(col("qv"), col("sv")) / (col("qnrm") * col("snrm")), 6))
+        .withColumn("srank", row_number().over(sw))
+        .select(col("qid"), col("qv"), col("qnrm"), col("super"),
+          col("srank"))
+      val pw = Window.partitionBy("qid")
+        .orderBy(col("srank"), col("score").desc, col("cluster"))
+      qsup.join(broadcast(dcents), "super")
+        .withColumn("score",
+          round(dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")), 6))
+        .withColumn("pr", row_number().over(pw))
+    } else {
+      val pw = Window.partitionBy("qid")
+        .orderBy(col("score").desc, col("cluster"))
+      queries.crossJoin(broadcast(dcents))
+        .withColumn("score",
+          round(dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")), 6))
+        .withColumn("pr", row_number().over(pw))
+    }
+    val probes = ranked
       .where(col("pr") <= nprobe)
       .select(col("qid"), col("qv"), col("qnrm"), col("cluster"))
       // materialized once: the probe frame feeds the candidate join's

@@ -319,14 +319,26 @@ object NearDup {
     * so an equi-join on `vh` covers every true pair and levenshtein
     * runs only on candidates (hash collisions can only add candidates,
     * never drop them — the exact verify removes them). All other input
-    * columns pass through.
+    * columns pass through; `vh` and `__i` are RESERVED working names —
+    * an input already carrying either is rejected (withColumn would
+    * silently replace it) rather than corrupted.
+    *
+    * Keep the carried columns narrow: the fan-out multiplies every
+    * passthrough byte by len+1 (the TYPO verb carries only (hash, vh)
+    * through its candidate join and rejoins the strings afterwards).
     */
-  def delete1Variants(df: DataFrame, strCol: String): DataFrame = df
-    .withColumn("__i",
-      explode(sequence(lit(0), length(col(strCol)).cast("int"))))
-    .withColumn("vh", xxhash64(concat(
-      expr(s"substr($strCol, 1, __i)"), expr(s"substr($strCol, __i + 2)"))))
-    .drop("__i")
+  def delete1Variants(df: DataFrame, strCol: String): DataFrame = {
+    for (n <- Seq("vh", "__i"))
+      require(!df.columns.exists(_.equalsIgnoreCase(n)),
+        s"delete1Variants: input column $n collides with a reserved " +
+          "working column; rename it first")
+    df
+      .withColumn("__i",
+        explode(sequence(lit(0), length(col(strCol)).cast("int"))))
+      .withColumn("vh", xxhash64(concat(
+        expr(s"substr($strCol, 1, __i)"), expr(s"substr($strCol, __i + 2)"))))
+      .drop("__i")
+  }
 
   /** Batch-vs-corpus near-dup matches via the exact inverted index:
     * distinct batch ids whose text reaches Jaccard ≥ threshold against
@@ -365,6 +377,123 @@ object NearDup {
     val cand = bb.join(bc, Seq("band", "bh"))
       .select("doc_a", "doc_b").distinct()
     verifyPairsAcross(cand, shB, shC, threshold)
+      .select(col("doc_a").as("b_id")).distinct()
+  }
+
+  /** Default partition-cell count for [[bandStoreFrom]]'s artifact
+    * layout. Sized like IVF cells: grow ∝ corpus so a fixed probe
+    * batch's scanned fraction shrinks as the corpus grows
+    * (graft.BandScale measures the resulting flat per-batch cost).
+    */
+  final val BandStoreCells = 1024
+
+  /** The once-per-corpus banded text index persisted to disk — the
+    * write-once artifact the 100 TB AGAINST story names
+    * ([[minhashCrossMatches]]'s scaladoc): corpus shingling, MinHash
+    * signatures, and band keys are computed ONE time here, and every
+    * later probe batch ([[minhashCrossMatchesStored]], batch or
+    * streaming) answers from the files without touching corpus text.
+    * Layout under the returned base dir:
+    *  - `bands/` — (band, bh, id) partitioned by
+    *    pc = pmod(xxhash64(band, bh), cells): a band key's cell is a
+    *    pure function of the key, so a probe batch's candidate scan
+    *    reads ONLY its own keys' cell directories (static routing, the
+    *    q136 pattern — the scanned fraction is probe-cells/cells);
+    *  - `shingles/` — (id, shs) partitioned by
+    *    sc = pmod(xxhash64(id), cells): exact verification fetches only
+    *    the candidate docs' cells, so the full-shingle store is stored
+    *    once (no ×numBands payload duplication) yet never scanned whole;
+    *  - `meta/` — one row (cells, num_perm, num_bands, rows_per_band):
+    *    probing with a DIFFERENT banding than the index was built with
+    *    would silently miss every true pair, so the probe validates
+    *    against this and errors instead.
+    * Each partitioned write repartitions on its cell column first —
+    * without it every task opens a file in every cell directory
+    * (tasks × cells small files, the ivfStoreFrom lesson); with it file
+    * count ∝ cells. `shC` columns: (id, shs) per [[shingled]].
+    */
+  def bandStoreFrom(shC: DataFrame, numPerm: Int = 128, numBands: Int = 32,
+      rowsPerBand: Int = 4, cells: Int = BandStoreCells): String = {
+    require(cells >= 1, s"bandStoreFrom: cells $cells must be >= 1")
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_bands_")
+    graft.queries.Advanced.registerTmpDir(idxDir)
+    val base = idxDir.toString
+    val sh = shC.localCheckpoint(false) // feeds band keys AND the shingle store
+    bandKeys(sh, numPerm, numBands, rowsPerBand)
+      .withColumn("pc",
+        pmod(xxhash64(col("band"), col("bh")), lit(cells.toLong)).cast("int"))
+      .repartition(col("pc"))
+      .write.mode("overwrite").partitionBy("pc").parquet(s"$base/bands")
+    sh.withColumn("sc",
+        pmod(xxhash64(col("id")), lit(cells.toLong)).cast("int"))
+      .repartition(col("sc"))
+      .write.mode("overwrite").partitionBy("sc").parquet(s"$base/shingles")
+    val spark = shC.sparkSession
+    import spark.implicits._
+    Seq((cells, numPerm, numBands, rowsPerBand))
+      .toDF("cells", "num_perm", "num_bands", "rows_per_band")
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/meta")
+    base
+  }
+
+  /** [[minhashCrossMatches]] against a [[bandStoreFrom]] artifact: the
+    * per-batch probe job that touches ONLY the stored files plus the
+    * batch. Shape:
+    *  1. batch band keys (the batch's own signatures — the only
+    *     signature work per batch);
+    *  2. driver-side cell routing (distinct pc of the batch keys —
+    *     bounded by min(|batch|×numBands, cells) ints, the q136
+    *     contract-bounded collect) pushed as a STATIC partition filter,
+    *     so the candidate scan reads only the batch's cells;
+    *  3. candidates = pruned stored bands ⋈ broadcast(batch bands) on
+    *     (band, bh) — the batch side broadcasts, the corpus side never
+    *     shuffles (probe batches are microbatch-/panel-sized by
+    *     contract; a corpus-sized "batch" belongs in the in-plan
+    *     [[minhashCrossMatches]] instead);
+    *  4. exact verify: candidate doc ids route the SAME way into the
+    *     shingle store's cells (second bounded collect ∝ candidate
+    *     mass), then the shared [[verifyPairsAcross]] algebra.
+    * Returns distinct batch ids with ≥ 1 corpus match at `threshold`.
+    * The banding arguments must equal the stored index's (validated
+    * against `meta/` — a mismatch would silently miss every true pair).
+    */
+  def minhashCrossMatchesStored(s: org.apache.spark.sql.SparkSession,
+      base: String, shB: DataFrame, threshold: Double,
+      numPerm: Int = 128, numBands: Int = 32,
+      rowsPerBand: Int = 4): DataFrame = {
+    val meta = s.read.parquet(s"$base/meta").head()
+    val cells = meta.getAs[Int]("cells")
+    for ((want, got, what) <- Seq(
+        (numPerm, meta.getAs[Int]("num_perm"), "numPerm"),
+        (numBands, meta.getAs[Int]("num_bands"), "numBands"),
+        (rowsPerBand, meta.getAs[Int]("rows_per_band"), "rowsPerBand")))
+      require(want == got,
+        s"stored band index at $base was built with $what=$got but the " +
+          s"probe asked for $want — probing with mismatched banding " +
+          "would silently miss every true pair")
+    // checkpoint: feeds the routing collect AND the candidate join
+    val bb = bandKeys(shB, numPerm, numBands, rowsPerBand)
+      .toDF("doc_a", "band", "bh")
+      .localCheckpoint(false)
+    val probeCells = bb
+      .select(pmod(xxhash64(col("band"), col("bh")), lit(cells.toLong))
+        .cast("int").as("pc"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val stored = s.read.parquet(s"$base/bands")
+      .where(col("pc").isin(probeCells.map(Integer.valueOf): _*))
+      .select(col("id").as("doc_b"), col("band"), col("bh"))
+    // checkpoint: feeds the shingle-cell routing AND the verify join
+    val cand = stored.join(broadcast(bb), Seq("band", "bh"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+      .localCheckpoint(false)
+    val shCells = cand
+      .select(pmod(xxhash64(col("doc_b")), lit(cells.toLong))
+        .cast("int").as("sc"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val shStored = s.read.parquet(s"$base/shingles")
+      .where(col("sc").isin(shCells.map(Integer.valueOf): _*))
+      .select(col("id"), col("shs"))
+    verifyPairsAcross(cand, shB, shStored, threshold)
       .select(col("doc_a").as("b_id")).distinct()
   }
 

@@ -861,14 +861,19 @@ object TransformParser {
       }
 
     /** Resolve ON as a vector column of `df` and prep the (id, v, nrm)
-      * frame the COSINE paths consume. Null, empty, and ZERO vectors
-      * cannot near-dup and pass through untouched — the vector analogue
-      * of the text paths' short-text passthrough. The zero-norm filter
-      * is load-bearing, not cosmetic: a zero vector's cosine is
-      * 0/0 = NaN, and Spark's NaN-safe ordering ranks NaN ABOVE every
-      * number, so `NaN >= threshold` is TRUE — an unfiltered zero
-      * vector would "match" every bucket collision and min-label
-      * propagation would merge those unrelated clusters into one.
+      * frame the COSINE paths consume. Null, empty, ZERO, and
+      * NaN-component vectors cannot near-dup and pass through untouched
+      * — the vector analogue of the text paths' short-text passthrough.
+      * The norm filter is load-bearing, not cosmetic: a zero vector's
+      * cosine is 0/0 = NaN, a NaN-component vector's cosine is NaN
+      * outright, and Spark's NaN-safe ordering ranks NaN ABOVE every
+      * number, so `NaN >= threshold` is TRUE — an unfiltered zero or
+      * NaN vector would "match" every bucket collision and min-label
+      * propagation would merge those unrelated clusters into one. The
+      * `nrm > 0` comparison alone does NOT exclude NaN (NaN > 0 is
+      * true under the same ordering), hence the explicit isnan guard —
+      * one NaN component makes the whole norm NaN, so filtering the
+      * norm covers every component.
       */
     private def vecFrame(df: DataFrame, which: String): DataFrame = {
       def named(n: String): StructField =
@@ -885,7 +890,7 @@ object TransformParser {
           col(v.name).cast("array<double>").as("v"))
         .where(col("v").isNotNull && size(col("v")) > 0)
         .withColumn("nrm", graft.functions.Vectors.l2norm(col("v")))
-        .where(col("nrm") > 0)
+        .where(col("nrm") > 0 && !isnan(col("nrm")))
     }
 
     /** METHOD COSINE, single source: embedding near-dedup (q44 as a
@@ -1034,6 +1039,38 @@ object TransformParser {
       (keyName, keyed, reps)
     }
 
+    /** Candidate-then-verify pair generation for METHOD TYPO — public so
+      * PlanSpec can pin the slim-join contract. Candidate rows carry
+      * ONLY (id, vh) — 16 bytes — through the len+1-way delete-1 variant
+      * fan-out and the `vh` equi-join; the two strings rejoin from
+      * `reps` onto the candidate-sized output for the levenshtein
+      * verify. Carrying txt on the variant rows instead would put
+      * Σ len(s)·(len(s)+1) bytes into the join — quadratic bytes per row
+      * in string length, ruinous the moment ON points at a long text
+      * column. The verify's banded 3-arg levenshtein returns −1 past the
+      * bound, so it is O(len·1) per candidate, not the full O(len²) DP.
+      * `reps` columns: (id, txt), one row per distinct string (callers
+      * pass the checkpointed exact-first rep frame, so the two rejoins
+      * read materialized partitions).
+      */
+    def typoPairs(reps: DataFrame): DataFrame = {
+      val v = NearDup.delete1Variants(
+          reps.select(col("id"), col("txt")), "txt")
+        .select(col("id"), col("vh"))
+      val cand = v.toDF("doc_a", "vh")
+        .join(v.toDF("doc_b", "vh"), Seq("vh"))
+        .where(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+        .distinct()
+      cand
+        .join(reps.select(col("id").as("doc_a"), col("txt").as("ta")),
+          "doc_a")
+        .join(reps.select(col("id").as("doc_b"), col("txt").as("tb")),
+          "doc_b")
+        .where(levenshtein(col("ta"), col("tb"), 1) >= 0)
+        .select(col("doc_a"), col("doc_b"))
+    }
+
     /** METHOD TYPO, single source: fuzzy string dedup at edit distance
       * ≤ 1 (q98's SymSpell blocking as a language operator) — the fourth
       * member of the dedup method family, for short-string columns
@@ -1054,19 +1091,8 @@ object TransformParser {
             s"${other.simpleString} (cluster convergence sums labels)")
       }
       val (keyName, keyed, reps) = typoPrep(primary, "the source")
-      val v = NearDup.delete1Variants(
-        reps.select(col("id"), col("txt")), "txt")
-      // thresholded levenshtein: the banded 3-arg form returns -1 past
-      // the bound, so the verify is O(len·1) per candidate, not the
-      // full O(len²) DP — ON is not restricted to short columns
-      val pairs = v.toDF("doc_a", "ta", "vh")
-        .join(v.toDF("doc_b", "tb", "vh"), Seq("vh"))
-        .where(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("ta"), col("doc_b"), col("tb"))
-        .distinct()
-        .where(levenshtein(col("ta"), col("tb"), 1) >= 0)
-        .select(col("doc_a"), col("doc_b"))
-      val cl = NearDup.clusters(pairs)
+      val cl = NearDup.clusters(
+        typoPairs(reps.select(col("id"), col("txt"))))
       // identical-copy cliques: any string with ≥ 2 copies is a cluster
       // by itself (edit distance 0) even when its rep pairs with nothing
       val clustered = reps.select(col("th"), col("id"), col("n_copies"))
@@ -1098,9 +1124,8 @@ object TransformParser {
       val par = batch.sparkSession.sparkContext.defaultParallelism
       // batch collapse: verdicts compute once per distinct string and
       // fan back through the hash (keyed feeds the rep agg AND the
-      // fan-back → checkpoint; reps/corpus each have ONE consumer, so
-      // no checkpoint and no unused min-id/copy-count aggregates —
-      // mirroring buildAgainst/buildAgainstCosine)
+      // fan-back → checkpoint; each rep frame now feeds its variant
+      // fan-out AND the candidate-sized text rejoin → checkpoint too)
       val bKeyed = spreadForCpu(batch, batch.select(col(bKey).as("id"),
           col(bTextName).as("txt"), xxhash64(col(bTextName)).as("th")))
         .where(col("txt").isNotNull)
@@ -1108,14 +1133,27 @@ object TransformParser {
       val bReps = bKeyed.groupBy(col("th"))
         .agg(first(col("txt")).as("txt"))
         .repartition(par)
+        .localCheckpoint(false)
       val cReps = spreadForCpu(corpus,
           corpus.select(col(cTextName).as("txt")))
         .where(col("txt").isNotNull).distinct()
+        .withColumn("cth", xxhash64(col("txt")))
         .repartition(par)
-      val bv = NearDup.delete1Variants(bReps, "txt").toDF("bth", "tb", "vh")
-      val cv = NearDup.delete1Variants(cReps, "txt").toDF("tc", "vh")
+        .localCheckpoint(false)
+      // hash-only candidate rows, same rationale as buildSelfTypo: the
+      // variant fan-out and equi-join carry 16-byte (hash, vh) rows; the
+      // two strings rejoin from the rep frames on candidates only
+      val bv = NearDup.delete1Variants(
+          bReps.select(col("th"), col("txt")), "txt")
+        .select(col("th").as("bth"), col("vh"))
+      val cv = NearDup.delete1Variants(
+          cReps.select(col("cth"), col("txt")), "txt")
+        .select(col("cth"), col("vh"))
       val matched = bv.join(cv, Seq("vh"))
-        .select(col("bth"), col("tb"), col("tc")).distinct()
+        .select(col("bth"), col("cth")).distinct()
+        .join(bReps.select(col("th").as("bth"), col("txt").as("tb")),
+          "bth")
+        .join(cReps.select(col("cth"), col("txt").as("tc")), "cth")
         .where(levenshtein(col("tb"), col("tc"), 1) >= 0)
         .select(col("bth").as("th")).distinct()
       val matchedIds = bKeyed.join(matched, "th")

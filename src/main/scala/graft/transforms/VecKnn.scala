@@ -128,6 +128,14 @@ object VecKnn {
     * materializes); for a pair at cosine c the all-tables miss
     * probability is (1−(1−acos(c)/π)^bits)^tables — raise bits for
     * tighter thresholds, tables for recall.
+    *
+    * NOT side-effect free at construction: the [[probeDims]] raggedness
+    * probe runs one eager 2-cell aggregate over `e` (two for the
+    * AGAINST variant) BEFORE the returned frame is ever executed. The
+    * dimension cannot be validated lazily — it parameterizes the native
+    * bucket/dot kernel width, so it must be known at plan-build time.
+    * Callers pass localCheckpointed rep frames (the verb builders), so
+    * the probe reads materialized partitions, not the raw pipeline.
     */
   def cosinePairs(e: DataFrame, threshold: Double,
       tables: Int = 32, bits: Int = 4): DataFrame = {
@@ -151,7 +159,9 @@ object VecKnn {
     * batch ids with ≥ 1 corpus vector at round-6 cosine ≥ t. Same
     * blocking as [[cosinePairs]], but candidates are batch×corpus
     * bucket collisions only — the corpus bucket frame is the write-once
-    * index at scale, the batch side shuffles its own buckets.
+    * index at scale, the batch side shuffles its own buckets. Same
+    * construction-time caveat as [[cosinePairs]]: the dimension probe
+    * runs eagerly over BOTH frames before the result executes.
     */
   def cosineCrossMatches(batch: DataFrame, corpus: DataFrame,
       threshold: Double, tables: Int = 32, bits: Int = 4): DataFrame = {

@@ -37,8 +37,13 @@ class CosineDedupPropertySpec extends AnyFunSuite {
   }
 
   private def refKept(rows: Seq[(Long, Array[Double])]): Set[Long] = {
-    val zero = rows.filter(_._2.forall(_ == 0.0)).map(_._1)
-    val live = rows.filterNot(_._2.forall(_ == 0.0))
+    // passthrough classes: zero vectors (norm 0 → cosine NaN) and
+    // NaN-component vectors (norm NaN → cosine NaN) — both excluded
+    // from the pair graph and always kept
+    def dead(v: Array[Double]): Boolean =
+      v.forall(_ == 0.0) || v.exists(_.isNaN)
+    val zero = rows.filter(r => dead(r._2)).map(_._1)
+    val live = rows.filterNot(r => dead(r._2))
     val parent = scala.collection.mutable.Map(live.map(r => r._1 -> r._1): _*)
     def find(x: Long): Long =
       if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
@@ -70,7 +75,12 @@ class CosineDedupPropertySpec extends AnyFunSuite {
       // isolated direction
       (1, Gen.listOfN(4, Gen.choose(-1.0, 1.0)).map(_.toArray)),
       // zero vector (must pass through)
-      (1, Gen.const(Array(0.0, 0.0, 0.0, 0.0)))))
+      (1, Gen.const(Array(0.0, 0.0, 0.0, 0.0))),
+      // NaN-component vector (must pass through — NaN > 0 is true
+      // under Spark's NaN ordering, so the norm guard needs the
+      // explicit isnan; without it this vector would "match" every
+      // bucket collision and merge unrelated clusters)
+      (1, Gen.const(Array(1.0, Double.NaN, 0.0, 0.0)))))
   } yield rows.zipWithIndex.map { case (v, i) => (i.toLong, v) }
 
   test("COSINE verb == driver-side union-find replay on random corpora") {

@@ -457,6 +457,41 @@ class PlanSpec extends AnyFunSuite {
       s"canonical pick must be the two-agg shape, no window:\n$p")
   }
 
+  test("NEARDEDUP METHOD TYPO: candidate join carries hashes only, no strings") {
+    // the slim-join contract on a LONG string column: the delete-1
+    // variant equi-join on vh must see (id, vh) rows only — carrying the
+    // text would put Σ len·(len+1) bytes into the join, quadratic in
+    // string length. Assert on the OPTIMIZED plan of the exposed
+    // typoPairs hook: every join keyed on vh has no string attribute in
+    // either child's output; the strings appear only in the candidate-
+    // sized rejoin above it (where levenshtein runs).
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.types.StringType
+    val long = "x" * 5000
+    val reps = Seq((1L, long), (2L, long.dropRight(1)), (3L, "zzzz"))
+      .toDF("id", "txt")
+    val verb = graft.transforms.TransformParser
+      .parse("NEARDEDUP ON txt KEY id METHOD TYPO")
+      .asInstanceOf[graft.transforms.TransformParser.NearDedupVerb]
+    val pairs = verb.typoPairs(reps)
+    val joins = pairs.queryExecution.optimizedPlan.collect {
+      case j: Join => j
+    }
+    val vhJoins = joins.filter(_.condition.exists(
+      _.references.exists(_.name == "vh")))
+    assert(vhJoins.nonEmpty, "expected a candidate equi-join on vh:\n" +
+      pairs.queryExecution.optimizedPlan)
+    for (j <- vhJoins; side <- j.children)
+      assert(!side.output.exists(_.dataType == StringType),
+        s"vh candidate join must carry hashes only, found a string " +
+          s"column in:\n${side.output.mkString(", ")}\nplan:\n" +
+          pairs.queryExecution.optimizedPlan)
+    // and the verify still runs: the full pair set is exact
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)), got.toString)
+  }
+
   test("q126: portable simhash is banded blocking, never all-pairs") {
     // the md5-portable gate must keep q33's plan contract: candidate
     // pairs come from the 15-bit band equi-join (hash join on band keys),

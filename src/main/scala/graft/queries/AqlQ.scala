@@ -784,5 +784,121 @@ object AqlQ {
       val r = Aql.run(s, script)
       r.outputs("KEPTNAME").unionByName(r.outputs("KEPTSEG"))
     },
+
+    // Deterministic train/val/test assignment through the language
+    // layer: the SPLIT verb (q66's operator) at 80/10/10 — the oracle
+    // replays the 60-bit md5 bucket, the ppm cut points (cumulative-
+    // then-floor), and the last-slice remainder rule per row, so the
+    // gate pins key rendering, bucket arithmetic, and slice ordering
+    // cross-engine (q134's pattern for SHARD). q66 itself stays the
+    // Scala-level gate at 1 % granularity; the verb buckets in ppm so
+    // arbitrary fractions (0.825, …) assign exactly.
+    QueryDef(
+      "q145_aql_split_verb",
+      """SELECT doc_id,
+        |  CASE
+        |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 1000000 < 800000 THEN 'train'
+        |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 1000000 < 900000 THEN 'val'
+        |    ELSE 'test'
+        |  END AS split
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val outDir = java.nio.file.Files.createTempDirectory("graft_q145")
+      Advanced.registerTmpDir(outDir)
+      val out = outDir.resolve("splits").toString
+      val script =
+        s"""CONNECTION 'Docs' (
+           |  DRIVER = 'file', FILE = '$dir/documents.parquet',
+           |  FORMAT = 'parquet'
+           |)
+           |CONNECTION 'Out' (
+           |  DRIVER = 'file', FILE = '$out', FORMAT = 'parquet'
+           |)
+           |
+           |TRANSFORM 'Assigned' FROM CONNECTION Docs (
+           |  SPLIT ON doc_id INTO train=0.8, val=0.1, test=0.1
+           |)
+           |
+           |QUERY 'Final' FROM BLOCK Assigned (
+           |  SELECT doc_id, split FROM Assigned
+           |) INTO CONNECTION Out""".stripMargin
+      Aql.run(s, script).outputs("FINAL")
+    },
+
+    // Temperature-scaled source mixing through the language layer: the
+    // MIX verb (q100's operator) at the standard T = 0.5, weighted by
+    // n_chars — the oracle replays the per-source byte rollup, the
+    // (w_min/w)^(1−T) ppm rates (correctly-rounded sqrt + division on
+    // both engines at T = 0.5, so the thresholds are bit-exact), and
+    // the md5-bucket keep decision per row. q100 stays the Scala-level
+    // stats gate; THIS gate proves the row-level keep set through the
+    // verb.
+    QueryDef(
+      "q146_aql_mix_verb",
+      """WITH stats AS (
+        |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS w FROM documents
+        |  GROUP BY source),
+        |rates AS (
+        |  SELECT source,
+        |    CAST(floor(1000000.0 * sqrt(CAST(min(w) OVER () AS DOUBLE)) /
+        |      sqrt(CAST(w AS DOUBLE))) AS BIGINT) AS keep_ppm
+        |  FROM stats WHERE w > 0)
+        |SELECT d.doc_id, d.source FROM documents d
+        |JOIN rates r USING (source)
+        |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+        |  AS BIGINT) % 1000000 < r.keep_ppm""".stripMargin) { (s, dir) =>
+      val outDir = java.nio.file.Files.createTempDirectory("graft_q146")
+      Advanced.registerTmpDir(outDir)
+      val out = outDir.resolve("mixed").toString
+      val script =
+        s"""CONNECTION 'Docs' (
+           |  DRIVER = 'file', FILE = '$dir/documents.parquet',
+           |  FORMAT = 'parquet'
+           |)
+           |CONNECTION 'Out' (
+           |  DRIVER = 'file', FILE = '$out', FORMAT = 'parquet'
+           |)
+           |
+           |TRANSFORM 'Mixed' FROM CONNECTION Docs (
+           |  MIX BY source WEIGHT n_chars KEY doc_id TEMPERATURE 0.5
+           |)
+           |
+           |QUERY 'Final' FROM BLOCK Mixed (
+           |  SELECT doc_id, source FROM Mixed
+           |) INTO CONNECTION Out""".stripMargin
+      Aql.run(s, script).outputs("FINAL")
+    },
+
+    // ANN serving from the STORED index through the language layer: the
+    // KNN verb's STORED form consumes the SAME persisted IVF artifact
+    // as q136 (one memoized build per corpus per JVM) through the SAME
+    // probe implementation (Similarity.ivfProbeStored), so the panel
+    // answers must be byte-identical — the gate shares q136/q139's
+    // oracle text. This closes the loop the AnnScale curve opened: the
+    // serving shape measured flat to 2 M vectors is now reachable from
+    // AQL, not just Scala.
+    QueryDef(
+      "q147_aql_knn_stored",
+      Similarity.storedIvfOracleSql) { (s, dir) =>
+      val base = Similarity.ivfStore(s, dir)
+      val outDir = java.nio.file.Files.createTempDirectory("graft_q147")
+      Advanced.registerTmpDir(outDir)
+      val out = outDir.resolve("knn").toString
+      val script =
+        s"""CONNECTION 'Emb' (
+           |  DRIVER = 'file', FILE = '$dir/embeddings.parquet',
+           |  FORMAT = 'parquet'
+           |)
+           |CONNECTION 'Out' (
+           |  DRIVER = 'file', FILE = '$out', FORMAT = 'parquet'
+           |)
+           |
+           |TRANSFORM 'Knn' FROM CONNECTION Emb (
+           |  KNN ON embedding KEY vec_id TOP 5 METHOD IVF PROBE 2
+           |    STORED '$base' QUERIES vec_id < 8
+           |) INTO CONNECTION Out""".stripMargin
+      Aql.run(s, script).outputs("KNN")
+    },
   )
 }

@@ -576,16 +576,23 @@ object Curation {
     },
 
     // ---- Temperature-scaled source mixing: resample a multi-source
-    // corpus so source s keeps rate ∝ bytes_s^T / max (T = 0.5 flattens
-    // the source-size distribution — the standard multilingual/multi-
-    // source rebalancing before LLM training). Stage 1 aggregates bytes
-    // per source (|sources| rows); the rate frame broadcasts back onto
-    // the corpus and the keep decision is the md5-bucket trick (q69) —
-    // map-side, deterministic, engine-portable. sqrt and the ×10⁶ floor
-    // are correctly-rounded IEEE ops ⇒ identical thresholds on both
-    // engines. Two corpus scans total (stats + filter), the q78 pattern;
-    // at 100 TB the rate frame is computed once per snapshot and reused
-    // across epochs.
+    // corpus so source s keeps rate ∝ (bytes_min / bytes_s)^(1−T) —
+    // the smallest source keeps 100 % and kept MASS comes out
+    // ∝ bytes_s^T, which at T = 0.5 flattens the source-size
+    // distribution (a 9× bigger source ends 3× bigger, not 9×) — the
+    // standard multilingual/multi-source rebalancing before LLM
+    // training, achievable without upsampling. (Round-8 fix: the
+    // original rate ∝ bytes^T/max kept the LARGEST source whole and
+    // thinned the small ones — kept mass ∝ bytes^(1+T), the opposite
+    // of flattening; the MIX verb's T=1 identity exposed it.) Stage 1
+    // aggregates bytes per source (|sources| rows); the rate frame
+    // broadcasts back onto the corpus and the keep decision is the
+    // md5-bucket trick (q69) — map-side, deterministic, engine-
+    // portable. sqrt, division and the ×10⁶ floor are correctly-
+    // rounded IEEE ops ⇒ identical thresholds on both engines. Two
+    // corpus scans total (stats + filter), the q78 pattern; at 100 TB
+    // the rate frame is computed once per snapshot and reused across
+    // epochs.
     QueryDef(
       "q100_temperature_mix",
       """WITH stats AS (
@@ -593,8 +600,9 @@ object Curation {
         |  FROM documents GROUP BY source),
         |rates AS (
         |  SELECT source, bytes_s,
-        |    CAST(floor(1000000.0 * sqrt(CAST(bytes_s AS DOUBLE)) /
-        |      max(sqrt(CAST(bytes_s AS DOUBLE))) OVER ()) AS BIGINT)
+        |    CAST(floor(1000000.0 *
+        |      sqrt(CAST(min(bytes_s) OVER () AS DOUBLE)) /
+        |      sqrt(CAST(bytes_s AS DOUBLE))) AS BIGINT)
         |      AS keep_ppm
         |  FROM stats),
         |kept AS (
@@ -610,9 +618,10 @@ object Curation {
       val stats = d.groupBy(col("source"))
         .agg(sum(col("n_chars")).cast("bigint").as("bytes_s"))
       val rates = stats.withColumn("keep_ppm",
-        floor(lit(1000000.0) * sqrt(col("bytes_s").cast("double")) /
-          max(sqrt(col("bytes_s").cast("double")))
-            .over(Window.partitionBy())).cast("bigint"))
+        floor(lit(1000000.0) *
+          sqrt(min(col("bytes_s")).over(Window.partitionBy())
+            .cast("double")) /
+          sqrt(col("bytes_s").cast("double"))).cast("bigint"))
       val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
         16, 10).cast("bigint") % 1000000
       val kept = d.join(broadcast(rates.select("source", "keep_ppm")),

@@ -479,8 +479,25 @@ object NearDup {
       .select(pmod(xxhash64(col("band"), col("bh")), lit(cells.toLong))
         .cast("int").as("pc"))
       .distinct().collect().map(_.getInt(0)).sorted
-    val stored = s.read.parquet(s"$base/bands")
-      .where(col("pc").isin(probeCells.map(Integer.valueOf): _*))
+    // Routed cells are read as EXPLICIT directory paths, not a filter
+    // over the whole store: a `.where(pc isin …)` prunes rows but still
+    // LISTS every cell directory to discover partitions, and that
+    // metadata pass grows with the index (measured in graft.BandScale:
+    // probe wall-clock ×4.6 for a fixed batch when cells grew 512 →
+    // 8192 under listing; flat after this change). Explicit paths are
+    // the plain-parquet analogue of metastore partition pruning — at
+    // 100 TB the catalog serves this lookup. Cells a batch routes to
+    // but no corpus key ever occupied have no directory; they are
+    // skipped driver-side (an empty cell cannot hold candidates).
+    def existingCellPaths(sub: String, pcol: String,
+        wanted: Array[Int]): Seq[String] =
+      wanted.toSeq.map(c => new java.io.File(s"$base/$sub/$pcol=$c"))
+        .filter(_.isDirectory).map(_.toString)
+    def emptyMatches = shB.select(col("id").as("b_id")).limit(0)
+    val bandPaths = existingCellPaths("bands", "pc", probeCells)
+    if (bandPaths.isEmpty) return emptyMatches
+    val stored = s.read.option("basePath", s"$base/bands")
+      .parquet(bandPaths: _*)
       .select(col("id").as("doc_b"), col("band"), col("bh"))
     // checkpoint: feeds the shingle-cell routing AND the verify join
     val cand = stored.join(broadcast(bb), Seq("band", "bh"))
@@ -490,8 +507,10 @@ object NearDup {
       .select(pmod(xxhash64(col("doc_b")), lit(cells.toLong))
         .cast("int").as("sc"))
       .distinct().collect().map(_.getInt(0)).sorted
-    val shStored = s.read.parquet(s"$base/shingles")
-      .where(col("sc").isin(shCells.map(Integer.valueOf): _*))
+    val shPaths = existingCellPaths("shingles", "sc", shCells)
+    if (shPaths.isEmpty) return emptyMatches
+    val shStored = s.read.option("basePath", s"$base/shingles")
+      .parquet(shPaths: _*)
       .select(col("id"), col("shs"))
     verifyPairsAcross(cand, shB, shStored, threshold)
       .select(col("doc_a").as("b_id")).distinct()

@@ -45,10 +45,12 @@ object TransformParser {
       case "SHARD" => ShardParser.parse(t)
       case "PACK" => PackParser.parse(t)
       case "CHUNK" => ChunkParser.parse(t)
+      case "SPLIT" => SplitParser.parse(t)
+      case "MIX" => MixParser.parse(t)
       case other => throw TransformError(
         s"unknown transform verb '$other' " +
           "(expected AGGREGATE|LOOKUP|APPLY|DEDUP|FILTER|SAMPLE|QUOTA|" +
-          "MERGE|NEARDEDUP|KNN|SHARD|PACK|CHUNK)")
+          "MERGE|NEARDEDUP|KNN|SHARD|PACK|CHUNK|SPLIT|MIX)")
     }
   }
 
@@ -1258,7 +1260,17 @@ object TransformParser {
   /** KNN [<Queries> WITH <Corpus>] ON <veccol> KEY <keycol>
     *     [TOP <k>] [METHOD EXACT|LSH|IVF]
     *     [TABLES <t>] [BITS <b>] [CELLS <c>] [PROBE <p>]
-    *     [QUERIES <sql-expr>]
+    *     [STORED '<index-dir>'] [QUERIES <sql-expr>]
+    *
+    * `METHOD IVF STORED '<dir>'` serves from a PERSISTED IVF index
+    * (built once by Similarity.ivfStoreFrom — the q136/q139 artifact)
+    * instead of indexing the source in-plan: the one source supplies
+    * only the query rows, the candidate scan reads only the probed
+    * cells' files, and the answers are byte-identical to the in-plan
+    * build over the same corpus (gate q147 hash-matches q136's oracle
+    * from the same stored index). CELLS is fixed by the artifact;
+    * PROBE picks the cells per query. This is the serving shape the
+    * AnnScale curve measures flat to 2 M vectors.
     *
     * Beyond-parity verb (SURVEY §7.3): similarity search as a language
     * operator, riding the q34/q35/q46 machinery ([[VecKnn]]). For every
@@ -1286,11 +1298,11 @@ object TransformParser {
     */
   private object KnnParser {
     private val Re =
-      raw"(?is)^KNN(?:\s+(\w+)\s+WITH\s+(\w+))?\s+ON\s+([A-Za-z_]\w*)\s+KEY\s+([A-Za-z_]\w*)(?:\s+TOP\s+(\d+))?(?:\s+METHOD\s+([A-Za-z]+))?(?:\s+TABLES\s+(\d+))?(?:\s+BITS\s+(\d+))?(?:\s+CELLS\s+(\d+))?(?:\s+PROBE\s+(\d+))?(?:\s+QUERIES\s+(.+?))?\s*$$".r
+      raw"(?is)^KNN(?:\s+(\w+)\s+WITH\s+(\w+))?\s+ON\s+([A-Za-z_]\w*)\s+KEY\s+([A-Za-z_]\w*)(?:\s+TOP\s+(\d+))?(?:\s+METHOD\s+([A-Za-z]+))?(?:\s+TABLES\s+(\d+))?(?:\s+BITS\s+(\d+))?(?:\s+CELLS\s+(\d+))?(?:\s+PROBE\s+(\d+))?(?:\s+STORED\s+'([^']+)')?(?:\s+QUERIES\s+(.+?))?\s*$$".r
 
     def parse(t: String): Verb = t.trim match {
       case Re(qsrc, csrc, vec, key, top, method, tables, bits, cells,
-          probe, queries) =>
+          probe, storedPath, queries) =>
         val k = Option(top).map(intOption("KNN", "TOP", _)).getOrElse(5)
         if (k < 1) throw TransformError(s"KNN TOP $k must be >= 1")
         val m = Option(method).map(_.toUpperCase).getOrElse("EXACT")
@@ -1315,9 +1327,23 @@ object TransformParser {
             "hyperplane table grow linearly in TABLES)"))
         val ce = only("CELLS", Option(cells), "IVF")
         val pr = only("PROBE", Option(probe), "IVF")
+        val st = Option(storedPath)
+        st.foreach { _ =>
+          if (m != "IVF") throw TransformError(
+            "KNN STORED only applies to METHOD IVF (the stored artifact " +
+              "is an IVF index)")
+          if (ce.isDefined) throw TransformError(
+            "KNN CELLS does not apply with STORED (the artifact fixes " +
+              "the cell count at index-build time)")
+          if (qsrc != null || csrc != null) throw TransformError(
+            "KNN STORED replaces the corpus side — use the one-source " +
+              "form (the source provides only the queries)")
+        }
         // validate against the DEFAULTS too: 'PROBE 32' with implicit
-        // CELLS 16 is the same invalid config as the explicit pair
-        if (m == "IVF" && pr.getOrElse(8) > ce.getOrElse(16))
+        // CELLS 16 is the same invalid config as the explicit pair.
+        // STORED skips it: the artifact's cell count is unknown at parse
+        // time, and an over-large nprobe just probes every cell.
+        if (m == "IVF" && st.isEmpty && pr.getOrElse(8) > ce.getOrElse(16))
           throw TransformError(
             s"KNN PROBE ${pr.getOrElse(8)} exceeds CELLS ${ce.getOrElse(16)}")
         KnnVerb(vec, key, k, m, tb, bi, ce, pr,
@@ -1325,12 +1351,12 @@ object TransformParser {
           (Option(qsrc), Option(csrc)) match {
             case (Some(q), Some(c)) => Some((q, c))
             case _ => None // regex captures both or neither
-          })
+          }, st)
       case _ => throw TransformError(
         "cannot parse KNN (expected KNN [<Queries> WITH <Corpus>] " +
           "ON <veccol> KEY <keycol> [TOP <k>] [METHOD EXACT|LSH|IVF] " +
           "[TABLES <t>] [BITS <b>] [CELLS <c>] [PROBE <p>] " +
-          "[QUERIES <expr>])")
+          "[STORED '<index-dir>'] [QUERIES <expr>])")
     }
   }
 
@@ -1338,7 +1364,8 @@ object TransformParser {
       method: String, tables: Option[Int], bits: Option[Int],
       cells: Option[Int], nprobe: Option[Int],
       queries: Option[String],
-      twoSource: Option[(String, String)] = None) extends Verb {
+      twoSource: Option[(String, String)] = None,
+      stored: Option[String] = None) extends Verb {
 
     /** (id, v, nrm) from `df`, QUERIES-flagged, spread across cores (see
       * spreadForCpu), and MATERIALIZED once: every method consumes the
@@ -1348,8 +1375,13 @@ object TransformParser {
       * re-scan trap NearDup.pairsCapped documents. Lazy, executor-local
       * storage; at 100 TB this materialization costs about one shuffle
       * write of the corpus and saves up to three re-scans.
+      * `materialize = false` skips the checkpoint for the one
+      * single-consumer path (STORED serving, where the frame feeds only
+      * the probe's query side and a checkpoint would eagerly hold the
+      * whole source for an often-tiny query panel).
       */
-    private def prep(df: DataFrame, withFlag: Boolean): DataFrame = {
+    private def prep(df: DataFrame, withFlag: Boolean,
+        materialize: Boolean = true): DataFrame = {
       def named(n: String): StructField =
         df.schema.find(_.name.equalsIgnoreCase(n)).getOrElse(
           throw TransformError(s"KNN: unknown column $n"))
@@ -1372,12 +1404,27 @@ object TransformParser {
       }
       val base = flagged.select(col(keyName).as("id"),
         col(vecName).cast("array<double>").as("v"), col("__isq"))
-      spreadForCpu(df, base)
+      val p = spreadForCpu(df, base)
         .withColumn("nrm", graft.functions.Vectors.l2norm(col("v")))
-        .localCheckpoint(false)
+      if (materialize) p.localCheckpoint(false) else p
     }
 
     def build(sources: Map[String, DataFrame], primary: DataFrame): DataFrame = {
+      // STORED serving: the corpus IS the persisted IVF artifact
+      // (Similarity.ivfStoreFrom's layout — the q136/q139 machinery,
+      // SHARED code so the verb can never diverge from the gates); the
+      // one source supplies only the query rows. This is the AnnScale-
+      // measured serving shape reachable from the language layer: the
+      // per-batch cost is the probed cells' files, never an index-build
+      // or corpus scan.
+      stored.foreach { base =>
+        val q = prep(primary, withFlag = true, materialize = false)
+        return graft.queries.Similarity.ivfProbeStored(
+          primary.sparkSession, base,
+          q.where(col("__isq")).select(col("id").as("qid"),
+            col("v").as("qv"), col("nrm").as("qnrm")),
+          nprobe.getOrElse(8), k)
+      }
       val (corpus, queriesF) = twoSource match {
         case Some((qn, cn)) =>
           def src(n: String): DataFrame = sources.getOrElse(n.toUpperCase,
@@ -1567,6 +1614,185 @@ object TransformParser {
             .otherwise(lit(writers - 1) - col("__r0") % writers)
             .cast("int"))
         .drop("__g", "__r0")
+    }
+  }
+
+  // ----------------------------------------------------------------- SPLIT
+
+  /** SPLIT ON <keycol> INTO <name>=<frac>[, <name>=<frac> …] [SEED <s>]
+    *
+    * Beyond-parity verb: deterministic train/val/test assignment (q66's
+    * operator as a language verb) — appends a `split` STRING column
+    * naming the slice each row falls in. Assignment is the md5-bucket
+    * trick: the 60-bit md5 hash of the key's decimal rendering
+    * (seed-prefixed when SEED is given, exactly [[ShardVerb]]'s
+    * threading) mod 10⁶ ppm, cut at the cumulative fraction thresholds
+    * IN THE ORDER GIVEN; the LAST slice absorbs the floor remainder so
+    * assignment is total. Membership is a pure row function of
+    * (seed, key) — identical under any partitioning, engine, retry, or
+    * epoch replay with the same seed; re-seeding re-deals the corpus.
+    * Map-side only: no shuffle, no state — at 100 TB this is a
+    * projection the scan absorbs, and downstream writers partition by
+    * the new column. Fractions must each be in (0, 1] and sum to 1
+    * (±1e-6): a partial split would silently drop data, which is a
+    * FILTER's job, not SPLIT's.
+    */
+  private object SplitParser {
+    private val Re =
+      raw"(?is)^SPLIT\s+ON\s+([A-Za-z_]\w*)\s+INTO\s+(.+?)(?:\s+SEED\s+(\d+))?\s*$$".r
+    private val PartRe = raw"(?s)^([A-Za-z_]\w*)\s*=\s*([0-9]*\.?[0-9]+)$$".r
+
+    def parse(t: String): Verb = t.trim match {
+      case Re(key, parts, seed) =>
+        val ps = splitTop(parts).map(_.trim).filter(_.nonEmpty).map {
+          case PartRe(n, f) => (n, f.toDouble)
+          case other => throw TransformError(
+            s"cannot parse SPLIT slice '$other' (expected <name>=<fraction>)")
+        }
+        if (ps.isEmpty)
+          throw TransformError("SPLIT INTO needs at least one slice")
+        ps.foreach { case (n, f) =>
+          if (f <= 0 || f > 1) throw TransformError(
+            s"SPLIT slice $n=$f out of range (0, 1]")
+        }
+        val names = ps.map(_._1.toLowerCase)
+        if (names.distinct.size != names.size) throw TransformError(
+          s"SPLIT slice names must be distinct, got " +
+            ps.map(_._1).mkString(", "))
+        val total = ps.map(_._2).sum
+        if (math.abs(total - 1.0) > 1e-6) throw TransformError(
+          f"SPLIT fractions must sum to 1 (a partial split silently " +
+            f"drops data — use FILTER for that), got $total%.6f")
+        SplitVerb(key, ps,
+          Option(seed).map(intOption("SPLIT", "SEED", _)))
+      case _ => throw TransformError(
+        "cannot parse SPLIT (expected SPLIT ON <keycol> INTO " +
+          "<name>=<frac>[, <name>=<frac> ...] [SEED <s>])")
+    }
+  }
+
+  final case class SplitVerb(key: String, slices: Seq[(String, Double)],
+      seed: Option[Int]) extends Verb {
+    def build(sources: Map[String, DataFrame], primary: DataFrame): DataFrame = {
+      val keyName = integralKey("SPLIT", primary, key,
+        " (the md5 bucket renders the key as a decimal string)")
+      if (primary.columns.exists(_.equalsIgnoreCase("split")))
+        throw TransformError(
+          "SPLIT: output column 'split' already exists in the source")
+      // unseeded = md5(key) — q66's exact replayable form; seeded = the
+      // SHARD verb's seed:key threading
+      val hash = seed match {
+        case Some(s2) => seededKeyHash(s2.toString, col(keyName))
+        case None => conv(substring(md5(col(keyName).cast("string")), 1, 15),
+          16, 10).cast("bigint")
+      }
+      val b = pmod(hash, lit(1000000L))
+      // cumulative-then-floor ppm cuts (no per-slice floor drift); the
+      // last slice is the otherwise-branch, absorbing the remainder
+      val cuts = slices.map(_._2).scanLeft(0.0)(_ + _).tail
+        .map(c => math.floor(c * 1e6).toLong)
+      val assigned =
+        if (slices.size == 1) lit(slices.head._1)
+        else slices.init.zip(cuts.init)
+          .foldLeft(Option.empty[Column]) { case (acc, ((n, _), c)) =>
+            Some(acc.fold(when(b < c, n))(_.when(b < c, n)))
+          }.get.otherwise(slices.last._1)
+      primary.withColumn("split", assigned)
+    }
+  }
+
+  // ------------------------------------------------------------------- MIX
+
+  /** MIX BY <srccol> [WEIGHT <numcol>] KEY <keycol>
+    *     TEMPERATURE <t> [SEED <s>]
+    *
+    * Beyond-parity verb: temperature-scaled source mixing (q100's
+    * operator as a language verb) — the standard multilingual/multi-
+    * source rebalancing before LLM training. Keeps each row of source s
+    * with probability (w_min / w_s)^(1−T), where w_s is the source's
+    * total WEIGHT (sum of the weight column; row count when WEIGHT is
+    * omitted) and w_min the smallest source's: the smallest source
+    * keeps 100 % and kept MASS comes out ∝ w_s^T — T = 1 keeps
+    * everything (the identity mix), T → 0 approaches per-source parity,
+    * T = 0.5 turns a 9× size gap into 3× — the standard resampling
+    * form, achievable without upsampling. The keep decision is the
+    * md5-bucket trick on the key ([seed:]key, the
+    * [[SplitVerb]]/[[ShardVerb]] threading) against the source's ppm
+    * rate — deterministic, partition-independent, replayable.
+    *
+    * Scale shape (q100's): stage 1 is ONE partial-aggregatable rollup
+    * to |sources| rows; the ppm-rate frame broadcasts back and the keep
+    * decision is map-side — two corpus scans total, no corpus shuffle.
+    * At T = 0.5 (the standard setting) the scaling rides sqrt —
+    * correctly rounded in every IEEE engine, so the gate's oracle
+    * replays the thresholds bit-for-bit; other temperatures ride
+    * pow(x, T), which carries a documented cross-engine last-ulp
+    * caveat (deterministic within Spark either way). Rows whose source
+    * is NULL or whose source total weight is ≤ 0 keep nothing
+    * (they match no positive rate), mirroring q100's inner join.
+    */
+  private object MixParser {
+    private val Re =
+      raw"(?is)^MIX\s+BY\s+([A-Za-z_]\w*)(?:\s+WEIGHT\s+([A-Za-z_]\w*))?\s+KEY\s+([A-Za-z_]\w*)\s+TEMPERATURE\s+([0-9]*\.?[0-9]+)(?:\s+SEED\s+(\d+))?\s*$$".r
+
+    def parse(t: String): Verb = t.trim match {
+      case Re(src, weight, key, temp, seed) =>
+        val tv = temp.toDouble
+        if (tv <= 0 || tv > 1) throw TransformError(
+          s"MIX TEMPERATURE $tv out of range (0, 1] (1 = keep " +
+            "everything, smaller = flatter source mix)")
+        MixVerb(src, Option(weight), key, tv,
+          Option(seed).map(intOption("MIX", "SEED", _)))
+      case _ => throw TransformError(
+        "cannot parse MIX (expected MIX BY <srccol> [WEIGHT <numcol>] " +
+          "KEY <keycol> TEMPERATURE <t> [SEED <s>])")
+    }
+  }
+
+  final case class MixVerb(srcCol: String, weightCol: Option[String],
+      key: String, temperature: Double, seed: Option[Int]) extends Verb {
+    def build(sources: Map[String, DataFrame], primary: DataFrame): DataFrame = {
+      val keyName = integralKey("MIX", primary, key,
+        " (the md5 bucket renders the key as a decimal string)")
+      val srcName = primary.schema.find(_.name.equalsIgnoreCase(srcCol))
+        .getOrElse(throw TransformError(s"MIX: unknown column $srcCol")).name
+      val wExpr = weightCol match {
+        case Some(w) => primary.schema.find(_.name.equalsIgnoreCase(w))
+          .getOrElse(throw TransformError(s"MIX: unknown column $w")) match {
+          case f if f.dataType.isInstanceOf[NumericType] => col(f.name)
+          case f => throw TransformError(
+            s"MIX WEIGHT ${f.name} must be numeric, got " +
+              f.dataType.simpleString)
+        }
+        case None => lit(1L)
+      }
+      requireFreshWorkColumns("MIX", primary, Seq("__ppm"))
+      // rate = (w_min / w)^(1−T). T = 0.5 rides correctly-rounded
+      // sqrt + division (hash-exact cross-engine, q146's oracle); T = 1
+      // is the exact identity; the general pow path is deterministic
+      // but carries a last-ulp cross-engine caveat — see the scaladoc
+      def rate(w: Column, minw: Column): Column =
+        if (temperature == 1.0) lit(1.0)
+        else if (temperature == 0.5)
+          sqrt(minw.cast("double")) / sqrt(w.cast("double"))
+        else pow(minw.cast("double") / w.cast("double"), 1 - temperature)
+      val minW = min(col("__w")).over(Window.partitionBy())
+      val rates = primary.groupBy(col(srcName))
+        .agg(sum(wExpr).cast("bigint").as("__w"))
+        .where(col("__w") > 0)
+        .select(col(srcName),
+          floor(lit(1000000.0) * rate(col("__w"), minW))
+            .cast("bigint").as("__ppm"))
+      val hash = seed match {
+        case Some(s2) => seededKeyHash(s2.toString, col(keyName))
+        case None => conv(substring(md5(col(keyName).cast("string")), 1, 15),
+          16, 10).cast("bigint")
+      }
+      primary.join(broadcast(rates), Seq(srcName))
+        .where(pmod(hash, lit(1000000L)) < col("__ppm"))
+        .drop("__ppm")
+        // the rates join reorders srcName first — restore source order
+        .select(primary.columns.map(col).toIndexedSeq: _*)
     }
   }
 

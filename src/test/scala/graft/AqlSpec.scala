@@ -1484,6 +1484,36 @@ class AqlSpec extends AnyFunSuite {
       .contains("TABLES 2048 must be <= 1024"))
     assert(bad("KNN ON vid KEY vid").contains("must be a numeric array"))
     assert(bad("KNN emb").contains("cannot parse KNN"))
+
+    // STORED serving: build the persisted IVF artifact over the SAME
+    // 4-vector corpus (Similarity.ivfStoreFrom — the q136/q139 code),
+    // then answer through the verb from the files alone. Top-1 answers
+    // must equal the in-plan methods' (the pairs are in separate cells,
+    // PROBE 2 covers both).
+    val e = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.1)),
+      (3L, Array(0.0, 1.0)), (4L, Array(0.1, 0.9)))
+      .toDF("vec_id", "v")
+      .withColumn("nrm", graft.functions.Vectors.l2norm($"v"))
+    val base = graft.queries.Similarity.ivfStoreFrom(e, 2)
+    assert(run(s"KNN ON emb KEY vid TOP 1 METHOD IVF PROBE 2 STORED '$base'")
+      == want)
+    assert(run(s"KNN ON emb KEY vid TOP 1 METHOD IVF PROBE 2 " +
+      s"STORED '$base' QUERIES vid <= 2") == Seq((1L, 2L), (2L, 1L)))
+    // STORED option pairing: IVF-only, CELLS fixed by the artifact,
+    // one-source only
+    assert(bad(s"KNN ON emb KEY vid METHOD LSH STORED '$base'")
+      .contains("STORED only applies to METHOD IVF"))
+    assert(bad(s"KNN ON emb KEY vid METHOD IVF CELLS 2 STORED '$base'")
+      .contains("CELLS does not apply with STORED"))
+    val tw = intercept[Exception](Aql.run(spark,
+      s"""CONNECTION 'V' (DRIVER = 'file', FILE = '$pq', FORMAT = 'parquet')
+         |CONNECTION 'Q' (DRIVER = 'file', FILE = '$qpq', FORMAT = 'parquet')
+         |TRANSFORM 'K' FROM CONNECTION Q, CONNECTION V (
+         |  KNN Q WITH V ON emb KEY vid METHOD IVF STORED '$base'
+         |) INTO CONSOLE""".stripMargin))
+    assert(tw.getMessage.contains("replaces the corpus side"),
+      tw.getMessage)
   }
 
   test("SAMPLE verb: deterministic hash sample, stable across runs") {
@@ -1698,5 +1728,120 @@ class AqlSpec extends AnyFunSuite {
         |TRANSFORM 'C' FROM BLOCK D (CHUNK ON Txt KEY __ws) INTO CONSOLE
         |""".stripMargin))
     assert(ww.getMessage.contains("internal working"), ww.getMessage)
+  }
+
+  test("SPLIT verb: deterministic slice assignment; options validate") {
+    // beyond-parity verb (q66 as a language operator): split is a pure
+    // function of (seed, key); the last slice absorbs the remainder so
+    // every row is assigned; re-seeding re-deals.
+    def splits(verb: String): Map[Long, String] = Aql.run(spark,
+      s"""DATA 'D' ([[1, 10], [2, 20], [3, 30], [4, 40], [5, 50],
+         |  [6, 60], [7, 70], [8, 80]]) WITH (COLUMNS = 'Id, Sz')
+         |TRANSFORM 'S' FROM BLOCK D ($verb) INTO CONSOLE
+         |""".stripMargin).outputs("S").collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    val a = splits("SPLIT ON Id INTO train=0.5, val=0.25, test=0.25")
+    assert(a == splits("SPLIT ON Id INTO train=0.5, val=0.25, test=0.25"),
+      "replay must be identical")
+    assert(a.values.forall(Set("train", "val", "test")), a.toString)
+    assert(a.size == 8, "every row must be assigned")
+    val b = splits("SPLIT ON Id INTO train=0.5, val=0.25, test=0.25 SEED 7")
+    assert(a != b, "re-seeding must re-deal")
+    // driver-side replay of the unseeded md5-ppm algebra: bucket =
+    // 60-bit md5 prefix % 1e6, cuts at 500000 / 750000
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(id: Long): Long = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % 1000000L
+    }
+    for ((id, got) <- a) {
+      val want = if (bucket(id) < 500000L) "train"
+        else if (bucket(id) < 750000L) "val" else "test"
+      assert(got == want, s"id $id: bucket ${bucket(id)} → $got, want $want")
+    }
+
+    def bad(verb: String): String = intercept[Exception](Aql.run(spark,
+      s"""DATA 'D' ([[1, 1]]) WITH (COLUMNS = 'Id, Sz')
+         |TRANSFORM 'S' FROM BLOCK D ($verb) INTO CONSOLE
+         |""".stripMargin)).getMessage
+    assert(bad("SPLIT ON Id INTO train=0.5, val=0.4")
+      .contains("must sum to 1"))
+    assert(bad("SPLIT ON Id INTO train=0.5, train=0.5")
+      .contains("must be distinct"))
+    assert(bad("SPLIT ON Id INTO train=0, test=1.0")
+      .contains("out of range"))
+    assert(bad("SPLIT ON Sz INTO a=1.0, 5")
+      .contains("cannot parse SPLIT slice"))
+    val ki = intercept[Exception](Aql.run(spark,
+      """DATA 'D' ([["a", 1]]) WITH (COLUMNS = 'Id, Sz')
+        |TRANSFORM 'S' FROM BLOCK D (SPLIT ON Id INTO a=1.0) INTO CONSOLE
+        |""".stripMargin))
+    assert(ki.getMessage.contains("must be integral"), ki.getMessage)
+    val cc = intercept[Exception](Aql.run(spark,
+      """DATA 'D' ([[1, "x"]]) WITH (COLUMNS = 'Id, Split')
+        |TRANSFORM 'S' FROM BLOCK D (SPLIT ON Id INTO a=1.0) INTO CONSOLE
+        |""".stripMargin))
+    assert(cc.getMessage.contains("already exists"), cc.getMessage)
+  }
+
+  test("MIX verb: temperature-scaled source keep rates; options validate") {
+    // beyond-parity verb (q100 as a language operator). Two sources with
+    // weights 90 and 10 at T=0.5: rate = (w_min/w)^0.5 → the SMALL
+    // source keeps 100 % (ppm 1 000 000) and big keeps sqrt(10/90) = 1/3
+    // (ppm 333 333) — kept mass 10 vs 30, the 9× gap flattened to 3×.
+    def kept(verb: String): Set[Long] = Aql.run(spark,
+      s"""DATA 'D' ([[1, "big", 30], [2, "big", 30], [3, "big", 30],
+         |  [4, "small", 1], [5, "small", 1], [6, "small", 1],
+         |  [7, "small", 1], [8, "small", 1], [9, "small", 1],
+         |  [10, "small", 1], [11, "small", 1], [12, "small", 1],
+         |  [13, "small", 1]]) WITH (COLUMNS = 'Id, Src, W')
+         |TRANSFORM 'M' FROM BLOCK D ($verb) INTO CONSOLE
+         |""".stripMargin).outputs("M").collect()
+      .map(_.getLong(0)).toSet
+    val a = kept("MIX BY Src WEIGHT W KEY Id TEMPERATURE 0.5")
+    assert(a == kept("MIX BY Src WEIGHT W KEY Id TEMPERATURE 0.5"),
+      "replay must be identical")
+    assert((4L to 13L).toSet.subsetOf(a), s"smallest source keeps all: $a")
+    // big source: weight 90 vs min 10 → keep_ppm = floor(1e6/3) = 333333;
+    // replay the md5 bucket per id
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(id: Long): Long = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % 1000000L
+    }
+    val wantBig = (1L to 3L).filter(bucket(_) < 333333L).toSet
+    assert(a == (4L to 13L).toSet ++ wantBig, s"$a vs big=${wantBig}")
+    // T = 1 is the identity mix: every rate is (w_min/w)^0 = 1
+    assert(kept("MIX BY Src WEIGHT W KEY Id TEMPERATURE 1.0") ==
+      (1L to 13L).toSet)
+    // unweighted: rates from row counts (big=3 rows vs small=10 rows →
+    // BIG is now the smallest source and keeps all; small keeps
+    // (3/10)^0.5 = ppm 547722)
+    val u = kept("MIX BY Src KEY Id TEMPERATURE 0.5")
+    assert(Set(1L, 2L, 3L).subsetOf(u),
+      s"count-weighted: big IS the smallest source, keeps all: $u")
+    assert(u == Set(1L, 2L, 3L) ++
+      (4L to 13L).filter(bucket(_) < 547722L).toSet, u.toString)
+
+    def bad(verb: String): String = intercept[Exception](Aql.run(spark,
+      s"""DATA 'D' ([[1, "s", 1]]) WITH (COLUMNS = 'Id, Src, W')
+         |TRANSFORM 'M' FROM BLOCK D ($verb) INTO CONSOLE
+         |""".stripMargin)).getMessage
+    assert(bad("MIX BY Src WEIGHT W KEY Id TEMPERATURE 0")
+      .contains("out of range"))
+    assert(bad("MIX BY Src WEIGHT W KEY Id TEMPERATURE 1.5")
+      .contains("out of range"))
+    assert(bad("MIX BY Src WEIGHT Src KEY Id TEMPERATURE 0.5")
+      .contains("must be numeric"))
+    assert(bad("MIX BY Nope KEY Id TEMPERATURE 0.5")
+      .contains("unknown column"))
+    val ki = intercept[Exception](Aql.run(spark,
+      """DATA 'D' ([["a", "s", 1]]) WITH (COLUMNS = 'Id, Src, W')
+        |TRANSFORM 'M' FROM BLOCK D (MIX BY Src KEY Id TEMPERATURE 0.5)
+        |  INTO CONSOLE
+        |""".stripMargin))
+    assert(ki.getMessage.contains("must be integral"), ki.getMessage)
   }
 }

@@ -99,8 +99,17 @@ object Bench {
     val failed = results.filter(_._2 < 0).map(_._1)
     val total = if (failed.nonEmpty) -1.0 else results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Contention honesty: record every pass's per-query time (not just
+    // the min) so a reader can separate a code regression (slow in ALL
+    // passes) from co-tenant load (slow in one) without a re-run. A
+    // failed observation records -1 in its pass.
+    val passesRaw = timed.map { pass =>
+      pass.map { case (n, sec, ok) =>
+        s"\"" + n + "\":" + (if (ok) sec else -1.0)
+      }.mkString("{", ",", "}")
+    }.mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","passes":$passes,"agg":"min"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","passes":$passes,"agg":"min","passes_raw":$passesRaw}"""
     println(json)
     // Belt-and-braces for harnesses that scrape logged (prefixed) stdout:
     // leave the same line in a well-known file too.

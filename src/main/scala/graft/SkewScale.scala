@@ -36,6 +36,13 @@ import org.apache.spark.sql.functions._
   *        SPARK_GRAFT_SKEW_FULL_MAX=2000 runMain graft.SkewScale
   * Prints one JSON line per m with timings + invariant checks; aborts on
   * any failed invariant. Results recorded in SCALING.md.
+  *
+  * Round 8 adds the VECTOR-side family (second section of main): one
+  * synthetic direction at m distinctly-perturbed copies — the
+  * embedding-space skew exact-first collapse cannot touch — driven
+  * through NEARDEDUP METHOD COSINE with and without STAR ABOVE, gated
+  * on survivor-set equality plus the VecKnn.bucketHeavyHitters
+  * diagnostic reporting the hot buckets.
   */
 object SkewScale {
 
@@ -149,6 +156,98 @@ object SkewScale {
         s""""failed":[${checks.filterNot(_._2).keys.map("\"" + _ + "\"")
           .mkString(",")}]}""")
       require(ok, s"skew invariants failed at m=$m: " +
+        checks.filterNot(_._2).keys.mkString(", "))
+    }
+
+    // ================= vector-side family (NEARDEDUP METHOD COSINE) ====
+    //
+    // The COSINE analogue of the boilerplate family: ONE direction u at
+    // m perturbed copies (copy i nudges component i mod 64 by
+    // 1e-4·(1 + i/64) — every copy a DISTINCT bit pattern, so
+    // exact-first collapse on xxhash64(v) cannot merge them), pairwise
+    // cosine ≈ 1 ≥ the 0.8 threshold, and nearly every copy shares the
+    // same sign pattern in every table — the bucket self-join pays
+    // Θ(m²) per table without a response. Measured responses mirror the
+    // text side: VecKnn.bucketHeavyHitters must REPORT the skew, the
+    // full verb path is the honest quadratic baseline (small m only),
+    // and STAR ABOVE must produce the IDENTICAL survivor set (cluster
+    // partition) at Θ(m) candidate work.
+    val vecT = 0.8
+    val vecBase = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .repartition(par).localCheckpoint()
+    val vFamBase = Option(vecBase.agg(max(col("vec_id"))).head().get(0))
+      .fold(0L)(_.asInstanceOf[Long]) + 1000000L
+    val uArr = (0 until 64).map(j => (((j * 37) % 13) - 6) / 6.0)
+    // the D suffix matters: bare decimal literals parse as DECIMAL(p,s)
+    // and would silently turn every cosine into decimal arithmetic
+    val uLit = s"array(${uArr.map(v => s"${v}D").mkString(", ")})"
+    import graft.functions.Vectors.l2norm
+    // the family can only pair within itself IF its direction clears
+    // the threshold against every corpus vector — VERIFY the margin
+    // instead of assuming it (one 1-row aggregate)
+    val maxAbsCos = vecBase
+      .select(abs(round(graft.functions.Vectors.dot(col("v"), expr(uLit))
+        / (l2norm(col("v")) * l2norm(expr(uLit))), 6)).as("c"))
+      .agg(max(col("c"))).head().getDouble(0)
+    require(maxAbsCos < vecT - 0.05,
+      f"family direction too close to the corpus (max |cos| = " +
+        f"$maxAbsCos%.3f vs threshold $vecT) — closed forms would break")
+    def cosineKept(df: DataFrame, verb: String): Set[Long] =
+      graft.transforms.TransformParser.parse(verb)
+        .build(Map.empty, df)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val cosVerb = s"NEARDEDUP ON v KEY vec_id THRESHOLD $vecT METHOD COSINE"
+    // pure-corpus survivor baseline (at 0.8 the sf embeddings have no
+    // near pairs — but compute, don't assume)
+    val vecKept0 = cosineKept(vecBase, cosVerb)
+
+    ms.foreach { m =>
+      val fam = spark.range(m.toLong)
+        .select((lit(vFamBase) + col("id")).as("vec_id"),
+          (col("id") % 64).cast("int").as("__pi"),
+          (lit(1.0e-4) * ((col("id") / 64).cast("double") + lit(1.0)))
+            .as("__pm"))
+        .select(col("vec_id"),
+          expr(s"transform(sequence(0, 63), j -> element_at($uLit, j + 1)" +
+            s" + IF(j = __pi, __pm, CAST(0.0 AS DOUBLE)))").as("v"))
+      val corpus = vecBase.unionByName(fam)
+        .repartition(par).localCheckpoint()
+      val e = corpus.select(col("vec_id").as("id"), col("v"))
+        .withColumn("nrm", l2norm(col("v")))
+        .localCheckpoint()
+
+      val (hotBuckets, tHh) = timed {
+        graft.transforms.VecKnn
+          .bucketHeavyHitters(e, minF = math.max(2L, m / 2L)).count()
+      }
+
+      val full = m <= fullMax
+      val (fullKept, tFull) =
+        if (!full) (Set.empty[Long], -1.0)
+        else timed { cosineKept(corpus, cosVerb) }
+
+      val (starKept, tStar) = timed {
+        cosineKept(corpus, s"$cosVerb STAR ABOVE $StarAbove")
+      }
+
+      val wantKept = vecKept0 + vFamBase
+      val checks = Map(
+        "vec_hh_reports_skew" -> (hotBuckets >= 16L),
+        "vec_full_closed_form" -> (!full || fullKept == wantKept),
+        "vec_star_closed_form" -> (starKept == wantKept),
+        "vec_star_equals_full" -> (!full || starKept == fullKept))
+      val ok = checks.values.forall(identity)
+      println(
+        s"""{"metric":"skew_cosine","m":$m,"full":$full,""" +
+        s""""hot_buckets":$hotBuckets,"kept":${starKept.size},""" +
+        s""""sec":{"hh":${math.round(tHh * 1000) / 1000.0},""" +
+        s""""full":${math.round(tFull * 1000) / 1000.0},""" +
+        s""""star":${math.round(tStar * 1000) / 1000.0}},""" +
+        s""""invariants_ok":$ok,""" +
+        s""""failed":[${checks.filterNot(_._2).keys.map("\"" + _ + "\"")
+          .mkString(",")}]}""")
+      require(ok, s"cosine skew invariants failed at m=$m: " +
         checks.filterNot(_._2).keys.mkString(", "))
     }
     spark.stop()

@@ -715,8 +715,9 @@ object TransformParser {
         val starAbove = Option(star)
           .map(intOption("NEARDEDUP", "STAR ABOVE", _).toLong)
         starAbove.foreach { n =>
-          if (m != "LSH") throw TransformError(
-            "NEARDEDUP STAR ABOVE only applies to METHOD LSH")
+          if (m != "LSH" && m != "COSINE") throw TransformError(
+            "NEARDEDUP STAR ABOVE only applies to METHOD LSH or COSINE " +
+              "(the bucketed methods with a hot-bucket split)")
           if (n < 1) throw TransformError(
             s"NEARDEDUP STAR ABOVE $n must be >= 1")
         }
@@ -751,7 +752,7 @@ object TransformParser {
         "cannot parse NEARDEDUP (expected NEARDEDUP [<Batch> AGAINST " +
           "<Corpus>] ON <textcol|veccol> KEY <keycol> [THRESHOLD <0-1>] " +
           "[METHOD EXACT|LSH [BANDS <n> ROWS <n>] [STAR ABOVE <n>] | " +
-          "COSINE [TABLES <n>] [BITS <n>] | TYPO])")
+          "COSINE [STAR ABOVE <n>] [TABLES <n>] [BITS <n>] | TYPO])")
     }
   }
 
@@ -940,10 +941,16 @@ object TransformParser {
           count(lit(1)).as("n_copies"))
         .repartition(par) // AQE would coalesce below the CPU stage
         .localCheckpoint(false)
-      val cl = NearDup.clusters(
-        VecKnn.cosinePairs(reps.select(col("id"), col("v"), col("nrm")),
-            threshold, t2, b2)
-          .select(col("doc_a"), col("doc_b")))
+      val repVecs = reps.select(col("id"), col("v"), col("nrm"))
+      // STAR ABOVE: the vector-side hot-bucket split (perturbed-copy
+      // families defeat exact-first collapse exactly like boilerplate
+      // defeats it on text — graft.SkewScale measures the response)
+      val pairsF = starAbove match {
+        case Some(n) =>
+          VecKnn.cosinePairsStar(repVecs, threshold, n, t2, b2)
+        case None => VecKnn.cosinePairs(repVecs, threshold, t2, b2)
+      }
+      val cl = NearDup.clusters(pairsF.select(col("doc_a"), col("doc_b")))
       val clustered = reps.select(col("vh"), col("id"), col("n_copies"))
         .join(cl, Seq("id"), "left")
         .withColumn("cluster_id", coalesce(col("cluster_id"),

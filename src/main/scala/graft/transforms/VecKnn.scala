@@ -155,6 +155,107 @@ object VecKnn {
       .select(col("doc_a"), col("doc_b"), col("cosine"))
   }
 
+  /** Per-bucket document frequencies ≥ `minF` over the sign-LSH tables —
+    * [[NearDup.bandHeavyHitters]]'s diagnostic ported to the vector
+    * side. A near-identical VECTOR family (one embedding re-encoded
+    * with tiny perturbations — the thing exact-first collapse on
+    * xxhash64(v) cannot merge, because every copy has a distinct bit
+    * pattern) shares the same sign pattern in (almost) every table, so
+    * its f members put ~f rows into one bucket per table and the bucket
+    * self-join pays Θ(f²) there. Returns (t, bucket, f) for buckets at
+    * or above `minF` — run it before a big cosine-dedup job; the mass
+    * it reports is where [[cosinePairsStar]] caps the quadratic term.
+    * Frame is bucket-vocabulary-bounded and fully partial-aggregatable.
+    */
+  def bucketHeavyHitters(e: DataFrame, minF: Long,
+      tables: Int = 32, bits: Int = 4): DataFrame = {
+    val dims = probeDims(e, "cosine bucketHeavyHitters")
+    if (dims == 0)
+      return e.sparkSession.range(0)
+        .select(col("id").cast("int").as("t"),
+          col("id").cast("int").as("bucket"), col("id").as("f"))
+    bucketFrame(e, tables, bits, dims)
+      .groupBy(col("t"), col("bucket"))
+      .agg(count(lit(1)).as("f"))
+      .where(col("f") >= minF)
+  }
+
+  /** [[cosinePairs]] with a hot-bucket star split —
+    * [[NearDup.minhashPairsStar]]'s cap-or-split strategy ported to the
+    * vector side, with one necessary addition the text star does not
+    * need: SUB-BUCKET REFINEMENT. Buckets with ≤ `starAbove` members
+    * emit all pairs (identical to [[cosinePairs]]); hotter buckets
+    * refine their members by extending the SAME table's signature with
+    * up to 16 extra hyperplane bits (the coarse bucket is exactly the
+    * low `bits` of the extended id, so refinement never moves a member
+    * out of its bucket) and emit only verified
+    * (anchor = min id in SUB-bucket, member) star edges — LINEAR in
+    * bucket size instead of quadratic.
+    *
+    * Why refinement is load-bearing here and absent in the text star: a
+    * MinHash band collision already implies high Jaccard, so a hot
+    * band-bucket is a genuine near-dup family and its min id anchors
+    * it. A `bits`-bit sign-LSH bucket is just 1/2^bits of the sphere —
+    * a hot bucket holds the ε-family AND ordinary corpus traffic, and
+    * the min id lands on a dissimilar corpus vector whose star edges
+    * all fail verification (measured: the unrefined port lost EVERY
+    * family pair in graft.SkewScale). At bits+16 the family still
+    * shares its sub-bucket (per-member flip probability ∝ its tiny
+    * angle) while corpus density per sub-bucket drops 2^-16, so the
+    * sub-anchor is a family member and the star verifies. Members that
+    * flip a refinement bit in one table rejoin the family through the
+    * common min-member anchor in the other tables; the exact verify
+    * guarantees no false merges in any case — refinement only affects
+    * RECALL of the star, and graft.SkewScale gates survivor-set
+    * equality with the all-pairs path on a perturbed-copy family while
+    * candidate work drops Θ(f²) → Θ(f). Pair-list consumers should use
+    * [[cosinePairs]] or cold buckets only.
+    */
+  def cosinePairsStar(e: DataFrame, threshold: Double, starAbove: Long,
+      tables: Int = 32, bits: Int = 4): DataFrame = {
+    val dims = probeDims(e, "NEARDEDUP METHOD COSINE")
+    if (dims == 0)
+      return e.select(col("id").as("doc_a"), col("id").as("doc_b"),
+        lit(0.0).as("cosine")).limit(0)
+    val refine = math.min(16, 30 - bits)
+    // one extended-signature fan-out feeds the size aggregate and both
+    // join sides; coarse bucket = low `bits` of the extended id
+    val buckets = e.select(col("id"),
+        posexplode(lshBuckets(col("v"), tables, bits + refine, dims))
+          .as(Seq("t", "ext")))
+      .withColumn("bucket", col("ext").bitwiseAND(lit((1 << bits) - 1)))
+      .localCheckpoint()
+    val sizes = buckets.groupBy(col("t"), col("bucket"))
+      .agg(count(lit(1)).as("f"))
+      .localCheckpoint()
+    val coldKeys = sizes.where(col("f") <= starAbove)
+      .select(col("t"), col("bucket"))
+    val cold = buckets.join(coldKeys, Seq("t", "bucket"))
+      .select(col("id"), col("t"), col("bucket"))
+    val coldPairs = cold.toDF("doc_a", "t", "bucket")
+      .join(cold.toDF("doc_b", "t", "bucket"), Seq("t", "bucket"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+    // hot buckets: star within each refined sub-bucket; anchor =
+    // sub-bucket min id, so (anchor, member) is already ordered
+    val hotMembers = buckets
+      .join(sizes.where(col("f") > starAbove)
+        .select(col("t"), col("bucket")), Seq("t", "bucket"))
+      .select(col("id"), col("t"), col("ext"))
+      .localCheckpoint()
+    val subAnchors = hotMembers.groupBy(col("t"), col("ext"))
+      .agg(min(col("id")).as("anchor"))
+    val hotPairs = hotMembers.join(subAnchors, Seq("t", "ext"))
+      .where(col("id") =!= col("anchor"))
+      .select(col("anchor").as("doc_a"), col("id").as("doc_b"))
+    val cand = coldPairs.union(hotPairs).distinct()
+    verifiedCosine(cand
+      .join(e.toDF("doc_a", "va", "nrm_a"), "doc_a")
+      .join(e.toDF("doc_b", "vb", "nrm_b"), "doc_b"),
+      col("va"), col("vb"), col("nrm_a"), col("nrm_b"), threshold)
+      .select(col("doc_a"), col("doc_b"), col("cosine"))
+  }
+
   /** Batch-vs-corpus cosine threshold matching for the AGAINST form:
     * batch ids with ≥ 1 corpus vector at round-6 cosine ≥ t. Same
     * blocking as [[cosinePairs]], but candidates are batch×corpus

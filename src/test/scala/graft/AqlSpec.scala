@@ -1356,8 +1356,21 @@ class AqlSpec extends AnyFunSuite {
       .contains("only apply to METHOD LSH"))
     assert(bad("NEARDEDUP ON emb KEY vid METHOD COSINE TABLES 0")
       .contains("invalid"))
-    assert(bad("NEARDEDUP ON emb KEY vid METHOD COSINE STAR ABOVE 4")
-      .contains("only applies to METHOD LSH"))
+    // STAR ABOVE on COSINE is the vector-side hot-bucket split: with
+    // the most aggressive setting (every ≥2 bucket starred) the cluster
+    // partition — and so the survivor set — must be IDENTICAL to the
+    // all-pairs path on this corpus (homogeneous families; the
+    // SkewScale contract at miniature scale)
+    val keptStar = Aql.run(spark,
+      s"""CONNECTION 'V' (DRIVER = 'file', FILE = '$pq', FORMAT = 'parquet')
+         |TRANSFORM 'D' FROM CONNECTION V (
+         |  NEARDEDUP ON emb KEY vid THRESHOLD 0.9 METHOD COSINE
+         |    STAR ABOVE 1
+         |) INTO CONSOLE""".stripMargin)
+      .outputs("D").collect().map(_.getLong(0)).sorted.toSeq
+    assert(keptStar == kept, s"star survivors $keptStar != $kept")
+    assert(bad("NEARDEDUP ON emb KEY vid METHOD TYPO STAR ABOVE 4")
+      .contains("only applies to METHOD LSH or COSINE"))
   }
 
   test("NEARDEDUP METHOD TYPO: edit-distance dedup e2e; options validate") {

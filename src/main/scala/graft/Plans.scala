@@ -70,6 +70,10 @@ object Plans {
     "q140_aql_chunk_verb" -> "CHUNK verb through the Aql layer: explode fan-out, zero Exchange",
     "q141_aql_neardedup_cosine" -> "COSINE dedup verb: bucket-blocked pairs, anti-join keep",
     "q143_aql_typo_verb" -> "TYPO dedup verb: delete-1 variant join, anti-join keep",
+    "q144_neardedup_stored" -> "stored band index probe: routed-cell scan, left-anti keep",
+    "q145_aql_split_verb" -> "SPLIT verb: md5-ppm assignment map-side, no shuffle",
+    "q146_aql_mix_verb" -> "MIX verb: rates rollup -> broadcast back -> map-side keep",
+    "q147_aql_knn_stored" -> "KNN STORED: persisted-IVF probe via the shared serving step",
   )
 
   def main(args: Array[String]): Unit = {

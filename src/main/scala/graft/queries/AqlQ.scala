@@ -900,5 +900,45 @@ object AqlQ {
            |) INTO CONNECTION Out""".stripMargin
       Aql.run(s, script).outputs("KNN")
     },
+
+    // Incremental text dedup from the STORED band index through the
+    // language layer: NEARDEDUP's AGAINST STORED form consumes the SAME
+    // persisted artifact as q144 (one memoized build per corpus per
+    // JVM) through the SAME probe (NearDup.minhashCrossMatchesStored),
+    // so the kept set must be byte-identical — the gate shares
+    // q128/q144's oracle. Together with q147 this closes the
+    // stored-artifact story at the language layer for BOTH index
+    // families: a user writes the index once and every later AQL job
+    // (batch here, streaming in q149) probes files, never the corpus.
+    QueryDef(
+      "q148_aql_neardedup_stored_verb",
+      Dedup.againstKeptOracleSql) { (s, dir) =>
+      val base = Dedup.bandStore(s, dir)
+      val outDir = java.nio.file.Files.createTempDirectory("graft_q148")
+      Advanced.registerTmpDir(outDir)
+      val out = outDir.resolve("kept").toString
+      val script =
+        s"""CONNECTION 'Docs' (
+           |  DRIVER = 'file', FILE = '$dir/documents.parquet',
+           |  FORMAT = 'parquet'
+           |)
+           |CONNECTION 'Out' (
+           |  DRIVER = 'file', FILE = '$out', FORMAT = 'parquet'
+           |)
+           |
+           |QUERY 'Batch' FROM CONNECTION Docs (
+           |  SELECT * FROM Docs WHERE doc_id % 2 = 0
+           |)
+           |
+           |TRANSFORM 'Kept' FROM BLOCK Batch (
+           |  NEARDEDUP Batch AGAINST STORED '$base' ON text KEY doc_id
+           |    THRESHOLD 0.5 METHOD LSH
+           |)
+           |
+           |QUERY 'Final' FROM BLOCK Kept (
+           |  SELECT doc_id, lang, source, n_chars FROM Kept
+           |) INTO CONNECTION Out""".stripMargin
+      Aql.run(s, script).outputs("FINAL")
+    },
   )
 }

@@ -626,6 +626,75 @@ object StreamingQ {
       s.read.parquet(resDir)
         .select(col("qid"), col("neighbor_id"), col("cosine"), col("rank"))
     },
+
+    // Streaming incremental dedup from the STORED band index — the
+    // continuous-ingestion consumer of q144's artifact, completing the
+    // triangle q139 drew for ANN (one write-once index; q144 = batch
+    // probe, q148 = language-layer probe, THIS = streaming probe). The
+    // even-doc batch arrives as 4 real microbatches; each is shingled,
+    // signed, and answered ENTIRELY from the stored files via
+    // foreachBatch running the SAME probe step
+    // (NearDup.minhashCrossMatchesStored): routed cells read as
+    // explicit paths, broadcast batch bands, exact verify against the
+    // pruned shingle store — per-batch work ∝ the batch's own band
+    // keys, NEVER corpus size or a corpus re-scan (the q137 shape with
+    // the in-plan frozen index swapped for the on-disk artifact). No
+    // streaming state: a doc's verdict depends only on itself and the
+    // frozen index, so foreachBatch + batch API is the right shape.
+    // Batch-boundary invariance IS the gate: the union of per-batch
+    // kept sets must equal the one-shot q144/q128 answer — shared
+    // oracle, checked hash-exact.
+    QueryDef(
+      "q149_stream_stored_neardedup",
+      Dedup.againstKeptOracleSql) { (s, dir) =>
+      import graft.functions.Text
+      import graft.transforms.NearDup
+      // once-per-corpus: the SHARED stored band index (identical to
+      // q144's — memoized, so the two gates probe one artifact)
+      val base = Dedup.bandStore(s, dir)
+      val qBase = java.nio.file.Files
+        .createTempDirectory("graft_dedupstream_")
+      Advanced.registerTmpDir(qBase)
+      val inDir = s"$qBase/in"
+      val resDir = s"$qBase/out"
+      // the batch side arrives as a stream: pre-split into 4 files so
+      // maxFilesPerTrigger=1 yields 4 real microbatches
+      Tables.load(s, dir, "documents")
+        .where(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(inDir)
+      val schema = s.read.parquet(inDir).schema
+      drainAvailableNow(s, "q149_stored_dedup", noDataBatch = false) { ckpt =>
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir)
+          .writeStream
+          .outputMode("append")
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val sp = batch.sparkSession
+            val shB = batch
+              .select(col("doc_id"), Text.tokens(col("text")).as("ws"))
+              .where(size(col("ws")) >= 3)
+              .select(col("doc_id").as("id"),
+                Text.shinglesFromTokens(col("ws")).as("shs"))
+            val matched = NearDup.minhashCrossMatchesStored(sp, base,
+                shB, 0.5, numPerm = 128, numBands = 64, rowsPerBand = 2)
+              .toDF("doc_id")
+            // idempotent under at-least-once: batchId-keyed overwrite
+            // (q139's pattern)
+            batch.join(matched, Seq("doc_id"), "left_anti")
+              .select(col("doc_id"), col("lang"), col("source"),
+                col("n_chars"))
+              .write.mode("overwrite").parquet(s"$resDir/batch=$batchId")
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      s.read.parquet(resDir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    },
   )
 
   /** Exact-decimal ZOH fold over sorted points (the reference reducer's

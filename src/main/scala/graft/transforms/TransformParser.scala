@@ -665,11 +665,11 @@ object TransformParser {
 
   private object NearDedupParser {
     private val Re =
-      raw"(?is)^NEARDEDUP(?:\s+(\w+)\s+AGAINST\s+(\w+))?\s+ON\s+([A-Za-z_]\w*)\s+KEY\s+([A-Za-z_]\w*)(?:\s+THRESHOLD\s+([0-9]*\.?[0-9]+))?(?:\s+METHOD\s+([A-Za-z]+)(?:\s+BANDS\s+(\d+)\s+ROWS\s+(\d+))?(?:\s+STAR\s+ABOVE\s+(\d+))?(?:\s+TABLES\s+(\d+))?(?:\s+BITS\s+(\d+))?)?\s*$$".r
+      raw"(?is)^NEARDEDUP(?:\s+(\w+)\s+AGAINST\s+(?:STORED\s+'([^']+)'|(\w+)))?\s+ON\s+([A-Za-z_]\w*)\s+KEY\s+([A-Za-z_]\w*)(?:\s+THRESHOLD\s+([0-9]*\.?[0-9]+))?(?:\s+METHOD\s+([A-Za-z]+)(?:\s+BANDS\s+(\d+)\s+ROWS\s+(\d+))?(?:\s+STAR\s+ABOVE\s+(\d+))?(?:\s+TABLES\s+(\d+))?(?:\s+BITS\s+(\d+))?)?\s*$$".r
 
     def parse(t: String): Verb = t.trim match {
-      case Re(batch, corpus, text, key, th, method, bands, rows, star,
-          tables, bits) =>
+      case Re(batch, storedPath, corpus, text, key, th, method, bands,
+          rows, star, tables, bits) =>
         val threshold = Option(th).map(_.toDouble).getOrElse(0.5)
         if (threshold <= 0 || threshold > 1) throw TransformError(
           s"NEARDEDUP threshold $threshold out of range (0, 1]")
@@ -744,10 +744,21 @@ object TransformParser {
           case (Some(b), Some(c)) => Some((b, c))
           case _ => None // regex captures both or neither
         }
-        if (against.isDefined && starAbove.isDefined) throw TransformError(
+        val againstStored = (Option(batch), Option(storedPath)) match {
+          case (Some(b), Some(p)) => Some((b, p))
+          case _ => None
+        }
+        if ((against.isDefined || againstStored.isDefined) &&
+            starAbove.isDefined) throw TransformError(
           "NEARDEDUP STAR ABOVE applies only to the single-source form " +
             "(AGAINST has no cluster structure to span)")
-        NearDedupVerb(text, key, threshold, m, br, starAbove, against, tb)
+        // the stored artifact IS a banded MinHash index — only the LSH
+        // method can probe it (EXACT/COSINE/TYPO have no banded store)
+        if (againstStored.isDefined && m != "LSH") throw TransformError(
+          s"NEARDEDUP AGAINST STORED requires METHOD LSH (the stored " +
+            s"index is banded MinHash), got METHOD $m")
+        NearDedupVerb(text, key, threshold, m, br, starAbove, against, tb,
+          againstStored)
       case _ => throw TransformError(
         "cannot parse NEARDEDUP (expected NEARDEDUP [<Batch> AGAINST " +
           "<Corpus>] ON <textcol|veccol> KEY <keycol> [THRESHOLD <0-1>] " +
@@ -761,7 +772,8 @@ object TransformParser {
       bandsRows: Option[(Int, Int)] = None,
       starAbove: Option[Long] = None,
       against: Option[(String, String)] = None,
-      tablesBits: Option[(Int, Int)] = None) extends Verb {
+      tablesBits: Option[(Int, Int)] = None,
+      againstStored: Option[(String, String)] = None) extends Verb {
 
     /** Candidate-pair generation per METHOD — public so PlanSpec can
       * assert the LSH verb joins on band keys instead of the exact
@@ -854,14 +866,57 @@ object TransformParser {
     }
 
     def build(sources: Map[String, DataFrame], primary: DataFrame): DataFrame =
-      (method, against) match {
-        case ("COSINE", Some((b, c))) => buildAgainstCosine(sources, b, c)
-        case ("COSINE", None) => buildSelfCosine(primary)
-        case ("TYPO", Some((b, c))) => buildAgainstTypo(sources, b, c)
-        case ("TYPO", None) => buildSelfTypo(primary)
-        case (_, Some((b, c))) => buildAgainst(sources, b, c)
+      (method, against, againstStored) match {
+        case (_, _, Some((b, p))) => buildAgainstStored(sources, b, p)
+        case ("COSINE", Some((b, c)), _) => buildAgainstCosine(sources, b, c)
+        case ("COSINE", None, _) => buildSelfCosine(primary)
+        case ("TYPO", Some((b, c)), _) => buildAgainstTypo(sources, b, c)
+        case ("TYPO", None, _) => buildSelfTypo(primary)
+        case (_, Some((b, c)), _) => buildAgainst(sources, b, c)
         case _ => buildSelf(primary)
       }
+
+    /** AGAINST STORED form: drop batch rows near-matching ≥ 1 doc of a
+      * PERSISTED band index ([[NearDup.bandStoreFrom]]'s artifact — the
+      * q144 deployment shape reachable from the language layer, the
+      * NEARDEDUP analogue of KNN's STORED serving). Same AGAINST
+      * semantics as the two-source form (no same-key exclusion;
+      * re-ingestion matches its own corpus copy on purpose), same
+      * EXACT-FIRST batch collapse with verdicts fanning back through
+      * the text hash — but the corpus side is never shingled, banded,
+      * or even scanned: the probe touches only the batch's routed cell
+      * files ([[NearDup.minhashCrossMatchesStored]]). Banding comes
+      * from BANDS/ROWS or the threshold's auto-banding and is validated
+      * against the artifact's meta at probe time — a mismatch errors
+      * instead of silently missing every pair.
+      */
+    private def buildAgainstStored(sources: Map[String, DataFrame],
+        batchName: String, base: String): DataFrame = {
+      val batch = sources.getOrElse(batchName.toUpperCase,
+        throw TransformError(s"unknown NEARDEDUP source $batchName"))
+      def named(n: String): String =
+        batch.schema.find(_.name.equalsIgnoreCase(n)).map(_.name).getOrElse(
+          throw TransformError(
+            s"NEARDEDUP: unknown column $n in $batchName"))
+      val bKey = named(key)
+      val bText = named(textCol)
+      val par = batch.sparkSession.sparkContext.defaultParallelism
+      val bKeyed = spreadForCpu(batch, batch.select(col(bKey).as("id"),
+          col(bText).as("txt"), xxhash64(col(bText)).as("th")))
+        .localCheckpoint(false)
+      val bReps = bKeyed.groupBy(col("th"))
+        .agg(first(col("txt")).as("txt"))
+        .repartition(par)
+      val shB = NearDup.shingled(bReps, "th", "txt")
+      val (b, r) = bandsRows.getOrElse(NearDup.autoBands(threshold))
+      val matched = NearDup.minhashCrossMatchesStored(batch.sparkSession,
+          base, shB, threshold,
+          numPerm = b * r, numBands = b, rowsPerBand = r)
+        .toDF("th")
+      val matchedIds = bKeyed.join(matched, "th")
+        .select(col("id").as(bKey))
+      batch.join(matchedIds, Seq(bKey), "left_anti")
+    }
 
     /** Resolve ON as a vector column of `df` and prep the (id, v, nrm)
       * frame the COSINE paths consume. Null, empty, ZERO, and

@@ -1283,6 +1283,45 @@ class AqlSpec extends AnyFunSuite {
         |  NEARDEDUP B AGAINST Nope ON Txt KEY Id
         |) INTO CONSOLE""".stripMargin))
     assert(u.getMessage.toLowerCase.contains("nope"), u.getMessage)
+
+    // AGAINST STORED: build the persisted band index over the SAME
+    // one-doc corpus (NearDup.bandStoreFrom — q144's artifact), then
+    // probe it through the verb from the files alone: the kept set
+    // must equal the two-source forms' exactly. Banding must match the
+    // store (autoBands(0.4) = 128×1, same as the build below).
+    import spark.implicits._
+    val shC = graft.transforms.NearDup.shingled(
+      Seq((2L, "the quick brown fox jumps over the lazy cat"))
+        .toDF("id", "txt"), "id", "txt")
+    val sBase = graft.transforms.NearDup.bandStoreFrom(shC,
+      numPerm = 128, numBands = 128, rowsPerBand = 1, cells = 8)
+    val keptStored = Aql.run(spark,
+      s"""DATA 'Batch' (
+         |  [[10, "the quick brown fox jumps over the lazy dog"],
+         |   [40, "completely different words here with nothing shared at all"],
+         |   [50, "too short"]]
+         |) WITH (COLUMNS = 'Id, Txt')
+         |TRANSFORM 'Kept' FROM BLOCK Batch (
+         |  NEARDEDUP Batch AGAINST STORED '$sBase' ON Txt KEY Id
+         |    THRESHOLD 0.4 METHOD LSH
+         |) INTO CONSOLE""".stripMargin)
+      .outputs("KEPT").collect().map(_.getLong(0)).sorted.toSeq
+    assert(keptStored == Seq(40L, 50L), keptStored.toString)
+    // the stored index is banded — only METHOD LSH can probe it
+    val sm = intercept[Exception](Aql.run(spark,
+      s"""DATA 'B' ([[1, "x"]]) WITH (COLUMNS = 'Id, Txt')
+         |TRANSFORM 'K' FROM BLOCK B (
+         |  NEARDEDUP B AGAINST STORED '$sBase' ON Txt KEY Id METHOD EXACT
+         |) INTO CONSOLE""".stripMargin))
+    assert(sm.getMessage.contains("requires METHOD LSH"), sm.getMessage)
+    // mismatched banding errors instead of silently missing every pair
+    val mb = intercept[Exception](Aql.run(spark,
+      s"""DATA 'B' ([[1, "one two three four"]]) WITH (COLUMNS = 'Id, Txt')
+         |TRANSFORM 'K' FROM BLOCK B (
+         |  NEARDEDUP B AGAINST STORED '$sBase' ON Txt KEY Id
+         |    THRESHOLD 0.4 METHOD LSH BANDS 64 ROWS 2
+         |) INTO CONSOLE""".stripMargin))
+    assert(mb.getMessage.contains("mismatched banding"), mb.getMessage)
   }
 
   test("NEARDEDUP METHOD COSINE: embedding dedup e2e; options validate") {

@@ -492,6 +492,50 @@ class PlanSpec extends AnyFunSuite {
     assert(got == Set((1L, 2L)), got.toString)
   }
 
+  test("SPLIT verb: pure map-side projection — no exchange, no join, no window") {
+    // the assignment is a row function of (seed, key): at 100 TB the
+    // scan absorbs it, so ANY exchange/join/window in the plan is a bug
+    import spark.implicits._
+    val df = graft.transforms.TransformParser
+      .parse("SPLIT ON id INTO train=0.8, val=0.1, test=0.1 SEED 7")
+      .build(Map.empty, Seq((1L, "a"), (2L, "b")).toDF("id", "txt"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"SPLIT must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"SPLIT must not join:\n$p")
+    assert(!p.contains("Window"), s"SPLIT must not window:\n$p")
+  }
+
+  test("MIX verb: |sources|-row rates broadcast back; corpus never sort-merge-joins") {
+    // stage 1 is one partial-aggregatable rollup; the ppm-rate frame
+    // must come back as a BROADCAST join (sources are few by nature) —
+    // a sort-merge join would shuffle the whole corpus by source
+    import spark.implicits._
+    val df = graft.transforms.TransformParser
+      .parse("MIX BY src KEY id TEMPERATURE 0.5")
+      .build(Map.empty,
+        Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "src"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"rates must broadcast back onto the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Cartesian"),
+      s"corpus must never shuffle for the rates join:\n$p")
+    val aggs = "HashAggregate|ObjectHashAggregate".r.findAllIn(p).size
+    assert(aggs >= 2, s"expected partial+final rollup aggs:\n$p")
+  }
+
+  test("q144: stored-band probe keeps the anti-join shape, never all-pairs") {
+    // the stored-artifact AGAINST gate: kept rows come off a left-anti
+    // join against the matched-id frame; nothing in the plan may
+    // degenerate to a cartesian/nested-loop batch×corpus product (the
+    // probe's internal broadcast + cell routing sit behind checkpoint
+    // boundaries — BandScale measures their flatness; this pins the
+    // visible keep shape)
+    val p = plan("q144_neardedup_stored")
+    assert(p.contains("LeftAnti"), s"keep step must be a left-anti join:\n$p")
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+      s"no all-pairs anywhere in the stored probe:\n$p")
+  }
+
   test("q126: portable simhash is banded blocking, never all-pairs") {
     // the md5-portable gate must keep q33's plan contract: candidate
     // pairs come from the 15-bit band equi-join (hash join on band keys),

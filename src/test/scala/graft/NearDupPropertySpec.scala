@@ -195,4 +195,29 @@ class NearDupPropertySpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](NearDup.autoBands(0.05))
     assert(e.getMessage.contains("raise the threshold"), e.getMessage)
   }
+
+  test("delete1Variants rejects reserved vh/__i input columns") {
+    // the variant generator withColumn's its working names — an input
+    // already carrying them would be silently REPLACED; the guard turns
+    // that into a structured error instead (all other columns pass
+    // through untouched)
+    import spark.implicits._
+    for (reserved <- Seq("vh", "__i")) {
+      val df = Seq((1L, "abc", 9L)).toDF("id", "txt", reserved)
+      val e = intercept[IllegalArgumentException](
+        NearDup.delete1Variants(df, "txt"))
+      assert(e.getMessage.contains(reserved) &&
+        e.getMessage.contains("reserved"), e.getMessage)
+    }
+    // case-insensitive like every other column resolution
+    val e2 = intercept[IllegalArgumentException](
+      NearDup.delete1Variants(Seq((1L, "a", 2L)).toDF("id", "txt", "VH"),
+        "txt"))
+    assert(e2.getMessage.contains("reserved"), e2.getMessage)
+    // and the passthrough contract still holds for ordinary columns
+    val out = NearDup.delete1Variants(
+      Seq((1L, "ab", "keep")).toDF("id", "txt", "extra"), "txt")
+    assert(out.columns.toSeq == Seq("id", "txt", "extra", "vh"))
+    assert(out.count() == 3) // identity + 2 single-char deletions
+  }
 }

@@ -102,6 +102,10 @@ object AnnScale {
       val (idxBase, buildS) = timed {
         Similarity.ivfStoreFrom(corpus, cells)
       }
+      // assignment totality: every corpus vector must land in some cell
+      // (the hierarchical path once dropped vectors routed to childless
+      // supers — an index hole is silent unservability, so gate it)
+      val idxRows = spark.read.parquet(s"$idxBase/index").count()
 
       // fixed panel: replica 0 of the 8 smallest original ids — the same
       // 8 query VECTORS at every k
@@ -175,6 +179,7 @@ object AnnScale {
       val checks = Map(
         "ranks_contiguous" -> ranksOk,
         "self_copy_dominance" -> selfDom,
+        "index_complete" -> (idxRows == n),
         "answered_cells_subset" -> cellsOk,
         "cosine_dedup_closed_form" -> dedupOk,
         // guaranteed only in the self-copy regime: at k > TopK the truth

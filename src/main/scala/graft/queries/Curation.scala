@@ -599,11 +599,17 @@ object Curation {
         |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS bytes_s
         |  FROM documents GROUP BY source),
         |rates AS (
+        |  -- min over POSITIVE weights only, and a degenerate (zero-
+        |  -- weight) source reports keep_ppm = 0 for itself instead of
+        |  -- poisoning every source's rate (sqrt(0)/sqrt(w) would zero
+        |  -- the whole corpus; 0/0 = NaN would diverge between engines)
         |  SELECT source, bytes_s,
-        |    CAST(floor(1000000.0 *
-        |      sqrt(CAST(min(bytes_s) OVER () AS DOUBLE)) /
-        |      sqrt(CAST(bytes_s AS DOUBLE))) AS BIGINT)
-        |      AS keep_ppm
+        |    CASE WHEN bytes_s > 0 THEN
+        |      CAST(floor(1000000.0 *
+        |        sqrt(CAST(min(CASE WHEN bytes_s > 0 THEN bytes_s END)
+        |          OVER () AS DOUBLE)) /
+        |        sqrt(CAST(bytes_s AS DOUBLE))) AS BIGINT)
+        |    ELSE 0 END AS keep_ppm
         |  FROM stats),
         |kept AS (
         |  SELECT d.source,
@@ -618,10 +624,12 @@ object Curation {
       val stats = d.groupBy(col("source"))
         .agg(sum(col("n_chars")).cast("bigint").as("bytes_s"))
       val rates = stats.withColumn("keep_ppm",
-        floor(lit(1000000.0) *
-          sqrt(min(col("bytes_s")).over(Window.partitionBy())
-            .cast("double")) /
-          sqrt(col("bytes_s").cast("double"))).cast("bigint"))
+        when(col("bytes_s") > 0,
+          floor(lit(1000000.0) *
+            sqrt(min(when(col("bytes_s") > 0, col("bytes_s")))
+              .over(Window.partitionBy()).cast("double")) /
+            sqrt(col("bytes_s").cast("double"))).cast("bigint"))
+          .otherwise(lit(0L)))
       val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
         16, 10).cast("bigint") % 1000000
       val kept = d.join(broadcast(rates.select("source", "keep_ppm")),
@@ -892,6 +900,72 @@ object Curation {
             col("r0") % W)
             .otherwise(lit(W - 1) - col("r0") % W)
             .cast("int").as("writer"))
+    },
+
+    // ---- PII scrubbing: the redaction pass every pre-training corpus
+    // runs before release (emails, IPv4s, phone-like numbers → typed
+    // placeholders, plus per-class counts for the scrub report). The
+    // synthetic corpus carries no real PII, so the gate INJECTS a
+    // deterministic payload per doc in-plan (email + IP + 555-prefixed
+    // phone derived from doc_id) and both engines replay injection,
+    // extraction counts, and the three-stage replacement chain
+    // identically — what the gate pins is the cross-engine regex
+    // semantics (Java regex vs RE2: the patterns stay in the common
+    // subset — POSIX classes, bounded quantifiers, \b, no lookaround)
+    // and the replacement ORDER (emails first, so the user@host dots
+    // are gone before the IP pass; IPs before phones). 100 TB shape:
+    // a pure map-side compiled-regex chain the scan absorbs — zero
+    // shuffle, codegen'd string expressions, embarrassingly parallel;
+    // per-class counts are plain column functions, no second scan.
+    QueryDef(
+      "q150_pii_scrub",
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |    '@example.com or 10.2.' || CAST(doc_id % 256 AS VARCHAR) ||
+        |    '.' || CAST((doc_id * 7) % 256 AS VARCHAR) ||
+        |    ' call 555-01' || CAST(doc_id AS VARCHAR) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(t,
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips,
+        |  len(regexp_extract_all(t, '\b555-[0-9]{2,}\b')) AS n_phones,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(t,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |        '[EMAIL]', 'g'),
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+        |      '[IP]', 'g'),
+        |    '\b555-[0-9]{2,}\b', '[PHONE]', 'g') AS clean_text
+        |FROM d""".stripMargin) { (s, dir) =>
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+      val phoneRe = "\\b555-[0-9]{2,}\\b"
+      // docsPar: the regex chain is per-row CPU-heavy — fan the
+      // single-split local scan out first (docsPar's documented trap)
+      docsPar(s, dir)
+        .select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or 10.2."),
+            (col("doc_id") % 256).cast("string"), lit("."),
+            ((col("doc_id") * 7) % 256).cast("string"),
+            lit(" call 555-01"), col("doc_id").cast("string")).as("t"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("t"), lit(emailRe), lit(0)))
+            .cast("bigint").as("n_emails"),
+          size(regexp_extract_all(col("t"), lit(ipRe), lit(0)))
+            .cast("bigint").as("n_ips"),
+          size(regexp_extract_all(col("t"), lit(phoneRe), lit(0)))
+            .cast("bigint").as("n_phones"),
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("t"), emailRe, "[EMAIL]"),
+              ipRe, "[IP]"),
+            phoneRe, "[PHONE]").as("clean_text"))
     },
   )
 }

@@ -232,11 +232,22 @@ object Similarity {
       .select(col("cluster"), col("cv"), col("cnrm"),
         (-col("m.ns")).as("super"))
       .localCheckpoint(false)
+    // hop 1 routes only to OCCUPIED supers: a super-centroid can lose
+    // even its own child-row to a lower-id twin (two near-identical
+    // vectors in the md5 prefix tie at rounded score 1.0 and the
+    // min-id tie-break sends both children to the lower super), and a
+    // vector hop-1-routed to a childless super would be silently
+    // DROPPED from the index by hop 2's inner join — unservable
+    // forever. Restricting the argmax to supers with ≥ 1 child keeps
+    // assignment total; both frames are ≤ cells rows.
+    val occupied = supers
+      .join(cents.select(col("super")).distinct(), "super")
+      .localCheckpoint(false)
     // hop 1: nearest super — the only corpus × g score fan-out; the 16×
     // flat-path rationale applies unchanged: all g candidate rows of a
     // vector are born in one task, the partial agg collapses them
     // map-side before the (vec_id) exchange
-    val sAssigned = e.crossJoin(broadcast(supers))
+    val sAssigned = e.crossJoin(broadcast(occupied))
       .withColumn("score",
         round(dot(col("v"), col("sv")) / (col("nrm") * col("snrm")), 6))
       .groupBy(col("vec_id"))

@@ -488,11 +488,18 @@ object NearDup {
     // the plain-parquet analogue of metastore partition pruning — at
     // 100 TB the catalog serves this lookup. Cells a batch routes to
     // but no corpus key ever occupied have no directory; they are
-    // skipped driver-side (an empty cell cannot hold candidates).
+    // skipped driver-side (an empty cell cannot hold candidates). The
+    // existence probe goes through the path's own Hadoop FileSystem —
+    // java.io.File would silently report every hdfs://… or s3a://…
+    // cell absent and the probe would return zero matches on exactly
+    // the distributed deployments the artifact exists for.
     def existingCellPaths(sub: String, pcol: String,
-        wanted: Array[Int]): Seq[String] =
-      wanted.toSeq.map(c => new java.io.File(s"$base/$sub/$pcol=$c"))
-        .filter(_.isDirectory).map(_.toString)
+        wanted: Array[Int]): Seq[String] = {
+      val root = new org.apache.hadoop.fs.Path(s"$base/$sub")
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      wanted.toSeq.map(c => new org.apache.hadoop.fs.Path(root, s"$pcol=$c"))
+        .filter(fs.exists).map(_.toString)
+    }
     def emptyMatches = shB.select(col("id").as("b_id")).limit(0)
     val bandPaths = existingCellPaths("bands", "pc", probeCells)
     if (bandPaths.isEmpty) return emptyMatches

@@ -931,7 +931,11 @@ object TransformParser {
       * `nrm > 0` comparison alone does NOT exclude NaN (NaN > 0 is
       * true under the same ordering), hence the explicit isnan guard —
       * one NaN component makes the whole norm NaN, so filtering the
-      * norm covers every component.
+      * norm covers every component. INFINITE norms (components near
+      * ±1e160 whose squares overflow) are excluded for the same
+      * reason: Inf/Inf and Inf + −Inf in the dot/cosine are NaN again,
+      * so an Inf-norm vector would also "match" everything — the guard
+      * requires a finite positive norm.
       */
     private def vecFrame(df: DataFrame, which: String): DataFrame = {
       def named(n: String): StructField =
@@ -948,7 +952,8 @@ object TransformParser {
           col(v.name).cast("array<double>").as("v"))
         .where(col("v").isNotNull && size(col("v")) > 0)
         .withColumn("nrm", graft.functions.Vectors.l2norm(col("v")))
-        .where(col("nrm") > 0 && !isnan(col("nrm")))
+        .where(col("nrm") > 0 && !isnan(col("nrm")) &&
+          col("nrm") < lit(Double.PositiveInfinity))
     }
 
     /** METHOD COSINE, single source: embedding near-dedup (q44 as a
@@ -1349,6 +1354,12 @@ object TransformParser {
     * columns; a key present in both (a re-indexed doc) never matches
     * itself.
     *
+    * Degenerate vectors — null/empty arrays and zero/NaN/Inf norms —
+    * leave BOTH sides before any scoring: their cosine is NaN, which
+    * Spark's NaN-safe ordering ranks above every real value, so an
+    * unfiltered zero vector would be every query's "nearest" neighbor.
+    * A degenerate query row simply emits no neighbor rows.
+    *
     * METHOD EXACT (default) is the brute-force baseline whose output
     * hash-matches a DuckDB oracle (gate q125). METHOD LSH buckets by
     * sign-LSH (TABLES × BITS, defaults 16 × 4) and METHOD IVF probes a
@@ -1466,8 +1477,16 @@ object TransformParser {
       }
       val base = flagged.select(col(keyName).as("id"),
         col(vecName).cast("array<double>").as("v"), col("__isq"))
+      // degenerate vectors (null/empty/zero/NaN/Inf norm) leave the
+      // frame on BOTH sides: their cosine is NaN, which Spark's
+      // NaN-safe ordering ranks ABOVE every real value — an unfiltered
+      // zero vector would be every query's "nearest" neighbor (the
+      // vecFrame rationale applied to ranking instead of thresholding)
       val p = spreadForCpu(df, base)
+        .where(col("v").isNotNull && size(col("v")) > 0)
         .withColumn("nrm", graft.functions.Vectors.l2norm(col("v")))
+        .where(col("nrm") > 0 && !isnan(col("nrm")) &&
+          col("nrm") < lit(Double.PositiveInfinity))
       if (materialize) p.localCheckpoint(false) else p
     }
 

@@ -1335,12 +1335,14 @@ class AqlSpec extends AnyFunSuite {
     // 9 is the ZERO vector — its cosine is 0/0 = NaN, which Spark's
     // NaN-safe ordering ranks ABOVE any threshold, so it must be
     // filtered out of dedup entirely (passes through) rather than
-    // "matching" every bucket collision — and 12 carries a NaN
-    // component (norm NaN; NaN > 0 is TRUE under the same ordering, so
-    // the norm guard needs its explicit isnan — an unfiltered NaN
-    // vector's cosine is NaN ≥ any threshold and would merge unrelated
-    // clusters exactly like the zero vector). Survivors are the min key
-    // per cluster plus the passthroughs: {1, 3, 4, 7, 9, 12}.
+    // "matching" every bucket collision — 12 carries a NaN component
+    // (norm NaN; NaN > 0 is TRUE under the same ordering, so the norm
+    // guard needs its explicit isnan — an unfiltered NaN vector's
+    // cosine is NaN ≥ any threshold and would merge unrelated clusters
+    // exactly like the zero vector) — and 13 overflows (components
+    // ~1e160 whose squares overflow: norm = Inf, cosines NaN, same
+    // failure mode, needs the finite guard). Survivors are the min key
+    // per cluster plus the passthroughs: {1, 3, 4, 7, 9, 12, 13}.
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_cos_aql")
     dir.toFile.deleteOnExit()
@@ -1349,7 +1351,7 @@ class AqlSpec extends AnyFunSuite {
       (1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.1)), (5L, Array(0.8, 0.2)),
       (6L, Array(1.0, 0.0)), (7L, Array(0.5, -0.5)), (8L, Array(0.5, -0.5)),
       (3L, Array(0.0, 1.0)), (4L, Array(-1.0, 0.0)), (9L, Array(0.0, 0.0)),
-      (12L, Array(1.0, Double.NaN)))
+      (12L, Array(1.0, Double.NaN)), (13L, Array(1.6e160, 1.0e160)))
       .toDF("vid", "emb").write.parquet(pq)
     val kept = Aql.run(spark,
       s"""CONNECTION 'V' (DRIVER = 'file', FILE = '$pq', FORMAT = 'parquet')
@@ -1357,7 +1359,7 @@ class AqlSpec extends AnyFunSuite {
          |  NEARDEDUP ON emb KEY vid THRESHOLD 0.9 METHOD COSINE
          |) INTO CONSOLE""".stripMargin)
       .outputs("D").collect().map(_.getLong(0)).sorted.toSeq
-    assert(kept == Seq(1L, 3L, 4L, 7L, 9L, 12L), kept.toString)
+    assert(kept == Seq(1L, 3L, 4L, 7L, 9L, 12L, 13L), kept.toString)
 
     // AGAINST: batch 10 matches corpus vector 1 and drops; 1 matches its
     // own corpus copy (no same-key exclusion — re-ingestion IS the

@@ -37,11 +37,15 @@ class CosineDedupPropertySpec extends AnyFunSuite {
   }
 
   private def refKept(rows: Seq[(Long, Array[Double])]): Set[Long] = {
-    // passthrough classes: zero vectors (norm 0 → cosine NaN) and
-    // NaN-component vectors (norm NaN → cosine NaN) — both excluded
-    // from the pair graph and always kept
-    def dead(v: Array[Double]): Boolean =
-      v.forall(_ == 0.0) || v.exists(_.isNaN)
+    // passthrough classes: zero vectors (norm 0 → cosine NaN),
+    // NaN-component vectors (norm NaN → cosine NaN), and overflow
+    // vectors (norm Inf → Inf/Inf = NaN cosine) — all excluded from
+    // the pair graph and always kept. Mirror the verb's guard exactly:
+    // it filters on the norm, i.e. on sqrt(Σx²)
+    def dead(v: Array[Double]): Boolean = {
+      val n2 = v.map(x => x * x).sum
+      n2 == 0.0 || n2.isNaN || n2.isInfinite
+    }
     val zero = rows.filter(r => dead(r._2)).map(_._1)
     val live = rows.filterNot(r => dead(r._2))
     val parent = scala.collection.mutable.Map(live.map(r => r._1 -> r._1): _*)
@@ -80,7 +84,10 @@ class CosineDedupPropertySpec extends AnyFunSuite {
       // under Spark's NaN ordering, so the norm guard needs the
       // explicit isnan; without it this vector would "match" every
       // bucket collision and merge unrelated clusters)
-      (1, Gen.const(Array(1.0, Double.NaN, 0.0, 0.0)))))
+      (1, Gen.const(Array(1.0, Double.NaN, 0.0, 0.0))),
+      // overflow vector: squares overflow, norm = Inf, cosine = NaN —
+      // same every-bucket-match failure mode, needs the finite guard
+      (1, Gen.const(Array(1.6e160, 1.0e160, 0.0, 0.0)))))
   } yield rows.zipWithIndex.map { case (v, i) => (i.toLong, v) }
 
   test("COSINE verb == driver-side union-find replay on random corpora") {

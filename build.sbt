@@ -42,6 +42,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Pin the initial heap to the max: with a small default -Xms, the
+  // FIRST allocation-heavy stage in a JVM pays the whole heap-expansion
+  // GC thrash (measured on graft.AnnScale at 96g: the first 1M-vector
+  // index build in a session read 100-240 s while an IDENTICAL build
+  // moments later read 4-5 s — whichever scale step allocated big first
+  // absorbed a ~40× spike, masquerading as an algebra regression).
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   // 100 bench queries × whole-stage codegen ≈ thousands of generated
   // classes; the JDK default 240 MB code cache fills late in the run,
   // stalling C2 so new/cold code runs interpreted (observed as 10-40×

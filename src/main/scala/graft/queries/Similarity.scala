@@ -243,28 +243,39 @@ object Similarity {
     val occupied = supers
       .join(cents.select(col("super")).distinct(), "super")
       .localCheckpoint(false)
-    // hop 1: nearest super — the only corpus × g score fan-out; the 16×
-    // flat-path rationale applies unchanged: all g candidate rows of a
-    // vector are born in one task, the partial agg collapses them
-    // map-side before the (vec_id) exchange
-    val sAssigned = e.crossJoin(broadcast(occupied))
-      .withColumn("score",
-        round(dot(col("v"), col("sv")) / (col("nrm") * col("snrm")), 6))
+    // Both argmax hops PROJECT THE VECTOR AWAY before aggregating and
+    // rejoin (v, nrm) by key afterwards. Carrying v through the agg
+    // (the flat path's first(v) shape, fine at 16 cells) is ruinous
+    // here: first() over an array type disqualifies hash aggregation,
+    // so Spark runs an object/sort-based aggregate — an external SORT
+    // of the ~550-byte fan-out rows (jcmd-profiled: the build spent
+    // its time in SortBasedAggregationIterator + UnsafeExternalSorter
+    // page allocation, 100-240 s for a 1 M-vector build that reads
+    // ~7 s in this shape). A slim (vec_id, cell, score) fan-out keeps
+    // the argmax a pure-numeric HashAggregate with map-side combine;
+    // the key joins that re-attach (v, nrm) shuffle e by vec_id once
+    // each — narrow-row exchanges, cheap next to the sort they
+    // replace.
+    // hop 1: nearest super — the corpus × g score fan-out
+    val ids1 = e.crossJoin(broadcast(occupied))
+      .select(col("vec_id"), col("super"),
+        round(dot(col("v"), col("sv")) / (col("nrm") * col("snrm")), 6)
+          .as("score"))
       .groupBy(col("vec_id"))
-      .agg(max(struct(col("score"), (-col("super")).as("ns"))).as("m"),
-        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
-      .select(col("vec_id"), (-col("m.ns")).as("super"), col("v"),
-        col("nrm"))
-    // hop 2: nearest child within the vector's own super — the broadcast
-    // hash join fans each vector out to ~cells/g children only
-    val assigned = sAssigned.join(broadcast(cents), "super")
-      .withColumn("score",
-        round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6))
+      .agg(max(struct(col("score"), (-col("super")).as("ns"))).as("m"))
+      .select(col("vec_id"), (-col("m.ns")).as("super"))
+    val e2 = e.join(ids1, "vec_id")
+    // hop 2: nearest child within the vector's own super — the
+    // broadcast hash join fans each vector out to ~cells/g children
+    val ids2 = e2.join(broadcast(cents), "super")
+      .select(col("vec_id"), col("cluster"),
+        round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6)
+          .as("score"))
       .groupBy(col("vec_id"))
-      .agg(max(struct(col("score"), (-col("cluster")).as("nc"))).as("m"),
-        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
-      .select(col("vec_id"), (-col("m.nc")).as("cluster"), col("v"),
-        col("nrm"))
+      .agg(max(struct(col("score"), (-col("cluster")).as("nc"))).as("m"))
+      .select(col("vec_id"), (-col("m.nc")).as("cluster"))
+    val assigned = e.join(ids2, "vec_id")
+      .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
     (cents, supers, assigned)
   }
 
@@ -314,10 +325,11 @@ object Similarity {
     * `base`: centroids re-read from disk pick each query's top-
     * [[StoredProbes]] cells, probe ROUTING is driver-side (the probe
     * frame is |queries|×nprobe rows by contract — a query batch, not a
-    * corpus — so collecting its distinct cells is bounded, and pushing
-    * them as a STATIC partition filter makes the candidate scan read
-    * ONLY the probed cells' files; see q136 for why this beats dynamic
-    * partition pruning here), then exact top-[[K]] rerank over the
+    * corpus — so collecting its distinct cells is bounded, and reading
+    * them as EXPLICIT cell-directory paths makes the candidate scan
+    * read — and even LIST — only the probed cells' files; see q136 for
+    * why this beats dynamic partition pruning here), then exact
+    * top-[[K]] rerank over the
     * probed cells. `queries` columns: (qid, qv: array<double>, qnrm).
     * ONE implementation serves q136 (the whole panel in one batch) and
     * q139 (the same panel sliced into microbatches) — batch-boundary
@@ -370,8 +382,25 @@ object Similarity {
       .localCheckpoint(false)
     val cells = probes.select("cluster").distinct().collect()
       .map(_.getInt(0)).sorted
-    val idx = s.read.parquet(s"$base/index")
-      .where(col("cluster").isin(cells.map(Integer.valueOf): _*))
+    // Routed cells are read as EXPLICIT directory paths (basePath keeps
+    // the partition column), not an isin partition filter: the filter
+    // prunes rows but partition DISCOVERY still lists every cell
+    // directory, a metadata pass ∝ index size — the exact failure
+    // graft.BandScale measured on the band store (probe ×4.6 across a
+    // 16× index under listing, flat after the explicit-path form). At
+    // this family's cell counts (∝ √corpus) the listing is small, but
+    // the probe is THE serving hot path and the catalog-scale form
+    // costs nothing here. Existence goes through the path's Hadoop
+    // FileSystem so hdfs/s3a artifacts don't read as absent.
+    val idxRoot = new org.apache.hadoop.fs.Path(s"$base/index")
+    val idxFs = idxRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val cellPaths = cells.toSeq
+      .map(c => new org.apache.hadoop.fs.Path(idxRoot, s"cluster=$c"))
+      .filter(idxFs.exists).map(_.toString)
+    val idx = (if (cellPaths.isEmpty)
+        s.read.parquet(s"$base/index").where(lit(false))
+      else s.read.option("basePath", s"$base/index")
+        .parquet(cellPaths: _*))
       .select(col("vec_id").as("cid"), col("v").as("cv"),
         col("nrm").as("cnrm"), col("cluster"))
     val w2 = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
@@ -993,10 +1022,11 @@ object Similarity {
       // index build). Probe-cell choice replays the assignment scoring
       // against the disk centroids (same doubles, so the same round-6
       // scores q129's in-plan probes got). Probe routing is driver-side,
-      // like every IVF serving system — pushing the collected cells as a
-      // STATIC partition filter makes the scan prune deterministically
-      // (PartitionFilters: cluster IN (...), a strict subset of the cell
-      // directories — PlanSpec pins the metric). The declarative
+      // like every IVF serving system — the collected cells are read as
+      // EXPLICIT directory paths (a strict subset of the cell
+      // directories — PlanSpec pins the scan's partition-count metric),
+      // so neither the scan NOR partition discovery touches unprobed
+      // cells. The declarative
       // alternative — dynamic partition pruning off the broadcast probe
       // join — plans the filter but AQE demotes it to `true` here because
       // the window-over-broadcast probe subtree doesn't canonicalize to

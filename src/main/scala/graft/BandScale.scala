@@ -113,17 +113,25 @@ object BandScale {
       // ordinal, so each replica's shingle set is disjoint from every
       // other replica's AND from the batch's — the corpus "exists"
       // before the build job starts (checkpoint), mirroring AnnScale
+      // multiplicative id encoding (id = doc_id * maxRep + r, originals
+      // at r = 0) — collision-free for ANY doc_id range, unlike an
+      // additive doc_id*1e6+r salt which collides with original ids
+      // once they reach 1e6 (AnnScale's scheme, applied here after the
+      // round-8 advice flagged the additive form)
+      val maxRep = reps.max.toLong
       val corpus =
-        if (k == 1) corpus0.select(col("doc_id").as("id"), col("text").as("txt"))
+        if (k == 1) corpus0
+          .select((col("doc_id") * lit(maxRep)).as("id"), col("text").as("txt"))
           .localCheckpoint()
         else corpus0
           .select(col("doc_id"), col("text"),
             explode(sequence(lit(1), lit(k - 1))).as("r"))
-          .select((col("doc_id") * lit(1000000L) + col("r")).as("id"),
+          .select((col("doc_id") * lit(maxRep) + col("r")).as("id"),
             array_join(transform(Text.tokens(col("text")),
               t => concat(t, lit("q"), col("r").cast("string"))), " ")
               .as("txt"))
-          .union(corpus0.select(col("doc_id").as("id"), col("text").as("txt")))
+          .union(corpus0.select((col("doc_id") * lit(maxRep)).as("id"),
+            col("text").as("txt")))
           .localCheckpoint()
       val n = corpus.count()
       val shC = corpus

@@ -12,6 +12,54 @@ import org.apache.spark.sql.functions.col
   */
 object AqlQ {
 
+  /** ONE oracle text for the COSINE-AGAINST-at-0.45 family — the
+    * two-source verb gate (q142, in-plan corpus buckets) and the
+    * stored-artifact gate (q153, probe of the persisted sign-LSH bucket
+    * index) both answer it, so the two candidate paths can never
+    * desynchronize from each other or from the brute-force batch×corpus
+    * cosine truth (the Dedup.againstKeptOracleSql pattern applied to
+    * vectors). Batch = even vec_ids, corpus = odd.
+    */
+  private[queries] val cosineAgainstKeptOracleSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |  sqrt(list_reduce(list_prepend(0.0, [x*x for x in v]), (a,b) -> a+b)) AS nrm
+      |  FROM e),
+      |b AS (SELECT * FROM n WHERE vec_id % 2 = 0),
+      |c AS (SELECT * FROM n WHERE vec_id % 2 = 1),
+      |m AS (
+      |  SELECT DISTINCT b.vec_id
+      |  FROM b JOIN c ON round(list_reduce(list_prepend(0.0,
+      |      [b.v[i] * c.v[i] for i in range(1, len(b.v)+1)]), (x,y) -> x+y)
+      |    / (b.nrm * c.nrm), 6) >= 0.45)
+      |SELECT vec_id FROM embeddings
+      |WHERE vec_id % 2 = 0 AND vec_id NOT IN (SELECT vec_id FROM m)"""
+      .stripMargin
+
+  /** ONE oracle text for the TYPO-AGAINST family (q154): brute-force
+    * levenshtein ≤ 1 of every even-custkey name (keys < 300, the q143
+    * slice) against the odd keys BELOW 100 — the corpus cut keeps both
+    * verdict classes provably nonempty at every SF: zero-padded names
+    * are fixed-length, so only single-digit SUBSTITUTIONS can reach
+    * edit distance 1, and parity lives in the last digit — an even key
+    * < 100 always matches (flip its last digit to an odd neighbor in
+    * the corpus range) while an even key ≥ 100 never does (last-digit
+    * flips stay ≥ 100, other flips keep the name even). Kept = batch
+    * rows matching nothing; no clustering or canonical pick — the
+    * AGAINST semantics are membership only.
+    */
+  private[queries] val typoAgainstKeptOracleSql: String =
+    """WITH c AS (
+      |  SELECT c_custkey AS id, c_name AS nm
+      |  FROM customer WHERE c_custkey < 300),
+      |b AS (SELECT * FROM c WHERE id % 2 = 0),
+      |k AS (SELECT * FROM c WHERE id % 2 = 1 AND id < 100),
+      |m AS (
+      |  SELECT DISTINCT b.id
+      |  FROM b JOIN k ON levenshtein(b.nm, k.nm) <= 1)
+      |SELECT id AS c_custkey FROM b
+      |WHERE id NOT IN (SELECT id FROM m)""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -636,20 +684,7 @@ object AqlQ {
     // appear verbatim).
     QueryDef(
       "q142_aql_cosine_against",
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |n AS (SELECT vec_id, v,
-        |  sqrt(list_reduce(list_prepend(0.0, [x*x for x in v]), (a,b) -> a+b)) AS nrm
-        |  FROM e),
-        |b AS (SELECT * FROM n WHERE vec_id % 2 = 0),
-        |c AS (SELECT * FROM n WHERE vec_id % 2 = 1),
-        |m AS (
-        |  SELECT DISTINCT b.vec_id
-        |  FROM b JOIN c ON round(list_reduce(list_prepend(0.0,
-        |      [b.v[i] * c.v[i] for i in range(1, len(b.v)+1)]), (x,y) -> x+y)
-        |    / (b.nrm * c.nrm), 6) >= 0.45)
-        |SELECT vec_id FROM embeddings
-        |WHERE vec_id % 2 = 0 AND vec_id NOT IN (SELECT vec_id FROM m)"""
-        .stripMargin) { (s, dir) =>
+      cosineAgainstKeptOracleSql) { (s, dir) =>
       val outDir = java.nio.file.Files.createTempDirectory("graft_q142")
       Advanced.registerTmpDir(outDir)
       val out = outDir.resolve("kept").toString
@@ -937,6 +972,262 @@ object AqlQ {
            |
            |QUERY 'Final' FROM BLOCK Kept (
            |  SELECT doc_id, lang, source, n_chars FROM Kept
+           |) INTO CONNECTION Out""".stripMargin
+      Aql.run(s, script).outputs("FINAL")
+    },
+
+    // The durable index BUILD step through the language layer — the
+    // round-8 verdict's top gap closed: before this, AQL could PROBE a
+    // stored band index (q148) but only Scala could produce one, and
+    // only into a self-deleting temp dir. Here script A builds the
+    // artifact with the INDEX verb into a user-chosen directory and a
+    // SEPARATE Aql.run (script B — a different engine instance, sharing
+    // nothing but the files) probes it with AGAINST STORED; the kept
+    // set answers q128/q144/q148's brute-force oracle bit-for-bit, so
+    // the verb-built artifact is proven interchangeable with the
+    // Scala-built one. The INDEX build collapses the corpus to distinct
+    // texts first (membership is all AGAINST asks — the same collapse
+    // the two-source form applies), which the shared oracle also pins.
+    QueryDef(
+      "q151_aql_index_lsh_build_probe",
+      Dedup.againstKeptOracleSql) { (s, dir) =>
+      val outDir = java.nio.file.Files.createTempDirectory("graft_q151")
+      Advanced.registerTmpDir(outDir)
+      val idx = outDir.resolve("band_index").toString
+      val out = outDir.resolve("kept").toString
+      val buildScript =
+        s"""CONNECTION 'Docs' (
+           |  DRIVER = 'file', FILE = '$dir/documents.parquet',
+           |  FORMAT = 'parquet'
+           |)
+           |
+           |QUERY 'Corpus' FROM CONNECTION Docs (
+           |  SELECT * FROM Docs WHERE doc_id % 2 = 1
+           |)
+           |
+           |TRANSFORM 'Built' FROM BLOCK Corpus (
+           |  INDEX ON text KEY doc_id METHOD LSH THRESHOLD 0.5 CELLS 64
+           |    INTO '$idx'
+           |)
+           |
+           |QUERY 'Summary' FROM BLOCK Built (
+           |  SELECT * FROM Built
+           |) INTO CONSOLE""".stripMargin
+      Aql.run(s, buildScript)
+      val probeScript =
+        s"""CONNECTION 'Docs' (
+           |  DRIVER = 'file', FILE = '$dir/documents.parquet',
+           |  FORMAT = 'parquet'
+           |)
+           |CONNECTION 'Out' (
+           |  DRIVER = 'file', FILE = '$out', FORMAT = 'parquet'
+           |)
+           |
+           |QUERY 'Batch' FROM CONNECTION Docs (
+           |  SELECT * FROM Docs WHERE doc_id % 2 = 0
+           |)
+           |
+           |TRANSFORM 'Kept' FROM BLOCK Batch (
+           |  NEARDEDUP Batch AGAINST STORED '$idx' ON text KEY doc_id
+           |    THRESHOLD 0.5 METHOD LSH
+           |)
+           |
+           |QUERY 'Final' FROM BLOCK Kept (
+           |  SELECT doc_id, lang, source, n_chars FROM Kept
+           |) INTO CONNECTION Out""".stripMargin
+      Aql.run(s, probeScript).outputs("FINAL")
+    },
+
+    // INDEX METHOD IVF → KNN STORED, build and serve both through the
+    // language layer in separate engine runs: the verb-built IVF
+    // artifact (same ivfStoreTo writer as q136's store, 16 cells) serves
+    // the q136/q139/q147 probe panel byte-identically — the gate shares
+    // their oracle, closing the vector side of the "write once from
+    // AQL, probe forever from AQL" contract.
+    QueryDef(
+      "q152_aql_index_ivf_knn",
+      Similarity.storedIvfOracleSql) { (s, dir) =>
+      val outDir = java.nio.file.Files.createTempDirectory("graft_q152")
+      Advanced.registerTmpDir(outDir)
+      val idx = outDir.resolve("ivf_index").toString
+      val out = outDir.resolve("knn").toString
+      val buildScript =
+        s"""CONNECTION 'Emb' (
+           |  DRIVER = 'file', FILE = '$dir/embeddings.parquet',
+           |  FORMAT = 'parquet'
+           |)
+           |
+           |TRANSFORM 'Built' FROM CONNECTION Emb (
+           |  INDEX ON embedding KEY vec_id METHOD IVF CELLS 16 INTO '$idx'
+           |)
+           |
+           |QUERY 'Summary' FROM BLOCK Built (
+           |  SELECT * FROM Built
+           |) INTO CONSOLE""".stripMargin
+      Aql.run(s, buildScript)
+      val probeScript =
+        s"""CONNECTION 'Emb' (
+           |  DRIVER = 'file', FILE = '$dir/embeddings.parquet',
+           |  FORMAT = 'parquet'
+           |)
+           |CONNECTION 'Out' (
+           |  DRIVER = 'file', FILE = '$out', FORMAT = 'parquet'
+           |)
+           |
+           |TRANSFORM 'Knn' FROM CONNECTION Emb (
+           |  KNN ON embedding KEY vec_id TOP 5 METHOD IVF PROBE 2
+           |    STORED '$idx' QUERIES vec_id < 8
+           |) INTO CONNECTION Out""".stripMargin
+      Aql.run(s, probeScript).outputs("KNN")
+    },
+
+    // INDEX METHOD COSINE → NEARDEDUP COSINE AGAINST STORED: embedding
+    // decontamination from a persisted sign-LSH bucket index — q142's
+    // shape without recomputing corpus buckets per run (the round-8
+    // verdict's item 3). The gate shares q142's brute-force batch×corpus
+    // cosine oracle, so the stored path is pinned to the in-plan
+    // two-source path through the truth they both must answer.
+    QueryDef(
+      "q153_aql_cosine_stored",
+      cosineAgainstKeptOracleSql) { (s, dir) =>
+      val outDir = java.nio.file.Files.createTempDirectory("graft_q153")
+      Advanced.registerTmpDir(outDir)
+      val idx = outDir.resolve("cosine_index").toString
+      val out = outDir.resolve("kept").toString
+      val emb = Tables.load(s, dir, "embeddings")
+      val bPq = outDir.resolve("batch.parquet").toString
+      val cPq = outDir.resolve("corpus.parquet").toString
+      emb.where(col("vec_id") % 2 === 0).write.parquet(bPq)
+      emb.where(col("vec_id") % 2 === 1).write.parquet(cPq)
+      val buildScript =
+        s"""CONNECTION 'C' (
+           |  DRIVER = 'file', FILE = '$cPq', FORMAT = 'parquet'
+           |)
+           |
+           |TRANSFORM 'Built' FROM CONNECTION C (
+           |  INDEX ON embedding KEY vec_id METHOD COSINE CELLS 64
+           |    INTO '$idx'
+           |)
+           |
+           |QUERY 'Summary' FROM BLOCK Built (
+           |  SELECT * FROM Built
+           |) INTO CONSOLE""".stripMargin
+      Aql.run(s, buildScript)
+      val probeScript =
+        s"""CONNECTION 'B' (
+           |  DRIVER = 'file', FILE = '$bPq', FORMAT = 'parquet'
+           |)
+           |CONNECTION 'Out' (
+           |  DRIVER = 'file', FILE = '$out', FORMAT = 'parquet'
+           |)
+           |
+           |TRANSFORM 'Kept' FROM CONNECTION B (
+           |  NEARDEDUP B AGAINST STORED '$idx' ON embedding KEY vec_id
+           |    THRESHOLD 0.45 METHOD COSINE
+           |)
+           |
+           |QUERY 'Final' FROM BLOCK Kept (
+           |  SELECT vec_id FROM Kept
+           |) INTO CONNECTION Out""".stripMargin
+      Aql.run(s, probeScript).outputs("FINAL")
+    },
+
+    // INDEX METHOD TYPO → NEARDEDUP TYPO AGAINST STORED: the q98
+    // "write-once corpus delete index" finally persisted and consumed
+    // from files (round-8 verdict item 4). Corpus = odd custkeys < 100,
+    // batch = even keys < 300 — see typoAgainstKeptOracleSql for why
+    // this cut makes BOTH verdict classes nonempty at every SF (evens
+    // < 100 always match a last-digit flip; evens ≥ 100 never match),
+    // so the gate exercises the match path and the survivor path of
+    // the stored variant probe simultaneously.
+    QueryDef(
+      "q154_aql_typo_stored",
+      typoAgainstKeptOracleSql) { (s, dir) =>
+      val outDir = java.nio.file.Files.createTempDirectory("graft_q154")
+      Advanced.registerTmpDir(outDir)
+      val idx = outDir.resolve("typo_index").toString
+      val out = outDir.resolve("kept").toString
+      val bPq = outDir.resolve("batch.parquet").toString
+      val cPq = outDir.resolve("corpus.parquet").toString
+      val cust = Tables.load(s, dir, "customer")
+        .where(col("c_custkey") < 300)
+        .select(col("c_custkey"), col("c_name"))
+      cust.where(col("c_custkey") % 2 === 0).write.parquet(bPq)
+      cust.where(col("c_custkey") % 2 === 1 && col("c_custkey") < 100)
+        .write.parquet(cPq)
+      val buildScript =
+        s"""CONNECTION 'C' (
+           |  DRIVER = 'file', FILE = '$cPq', FORMAT = 'parquet'
+           |)
+           |
+           |TRANSFORM 'Built' FROM CONNECTION C (
+           |  INDEX ON c_name KEY c_custkey METHOD TYPO CELLS 32 INTO '$idx'
+           |)
+           |
+           |QUERY 'Summary' FROM BLOCK Built (
+           |  SELECT * FROM Built
+           |) INTO CONSOLE""".stripMargin
+      Aql.run(s, buildScript)
+      val probeScript =
+        s"""CONNECTION 'B' (
+           |  DRIVER = 'file', FILE = '$bPq', FORMAT = 'parquet'
+           |)
+           |CONNECTION 'Out' (
+           |  DRIVER = 'file', FILE = '$out', FORMAT = 'parquet'
+           |)
+           |
+           |TRANSFORM 'Kept' FROM CONNECTION B (
+           |  NEARDEDUP B AGAINST STORED '$idx' ON c_name KEY c_custkey
+           |    METHOD TYPO
+           |)
+           |
+           |QUERY 'Final' FROM BLOCK Kept (
+           |  SELECT c_custkey FROM Kept
+           |) INTO CONNECTION Out""".stripMargin
+      Aql.run(s, probeScript).outputs("FINAL")
+    },
+
+    // MIX at a GENERAL temperature (T = 0.7), hash-exact cross-engine:
+    // the rate (w_min/w)^0.3 rides pow — faithfully rounded but not
+    // correctly rounded across engines — so the verb quantizes it to
+    // DECIMAL(18,12) before the exact long×DECIMAL ppm floor, and the
+    // oracle replays the identical quantization. q146 (T = 0.5) pins
+    // the sqrt fast path; THIS pins the general path that previously
+    // carried a documented last-ulp caveat with no gate.
+    QueryDef(
+      "q155_aql_mix_t07",
+      """WITH stats AS (
+        |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS w FROM documents
+        |  GROUP BY source),
+        |rates AS (
+        |  SELECT source,
+        |    CAST(floor(1000000 * CAST(CAST(pow(
+        |      CAST(min(w) OVER () AS DOUBLE) / CAST(w AS DOUBLE),
+        |      0.3) AS DECIMAL(18,12)) AS DECIMAL(30,12))) AS BIGINT)
+        |      AS keep_ppm
+        |  FROM stats WHERE w > 0)
+        |SELECT d.doc_id, d.source FROM documents d
+        |JOIN rates r USING (source)
+        |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+        |  AS BIGINT) % 1000000 < r.keep_ppm""".stripMargin) { (s, dir) =>
+      val outDir = java.nio.file.Files.createTempDirectory("graft_q155")
+      Advanced.registerTmpDir(outDir)
+      val out = outDir.resolve("mixed").toString
+      val script =
+        s"""CONNECTION 'Docs' (
+           |  DRIVER = 'file', FILE = '$dir/documents.parquet',
+           |  FORMAT = 'parquet'
+           |)
+           |CONNECTION 'Out' (
+           |  DRIVER = 'file', FILE = '$out', FORMAT = 'parquet'
+           |)
+           |
+           |TRANSFORM 'Mixed' FROM CONNECTION Docs (
+           |  MIX BY source WEIGHT n_chars KEY doc_id TEMPERATURE 0.7
+           |)
+           |
+           |QUERY 'Final' FROM BLOCK Mixed (
+           |  SELECT doc_id, source FROM Mixed
            |) INTO CONNECTION Out""".stripMargin
       Aql.run(s, script).outputs("FINAL")
     },

@@ -289,15 +289,28 @@ object Similarity {
     * centroids — the marker [[ivfProbeStored]] keys its routing on.
     */
   private[graft] def ivfStoreFrom(e: DataFrame, cells: Int): String = {
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf_")
+    Advanced.registerTmpDir(idxDir)
+    ivfStoreTo(idxDir.toString, e, cells)
+    idxDir.toString
+  }
+
+  /** [[ivfStoreFrom]]'s write step against an EXPLICIT base path — the
+    * durable form the INDEX language verb drives (a user-chosen
+    * directory that outlives the JVM, completing the "write once, probe
+    * forever" contract across jobs, not just across probes within one
+    * session). Also writes a `meta/` row (kind = "ivf_vec", cells) so
+    * cross-family artifact mixups error at probe time; [[ivfProbeStored]]
+    * does not require it (pre-meta artifacts stay probe-able).
+    */
+  private[graft] def ivfStoreTo(base: String, e: DataFrame,
+      cells: Int): Unit = {
     val (cents, supersOpt, assigned) =
       if (cells <= IvfFlatMaxCells) {
         val (c, _, a) = ivfBuildFrom(e, cells); (c, None, a)
       } else {
         val (c, s, a) = ivfBuildHier(e, cells); (c, Some(s), a)
       }
-    val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf_")
-    Advanced.registerTmpDir(idxDir)
-    val base = idxDir.toString
     // co-locate each cell before the partitionBy write: without it every
     // write task opens a file in every cell directory (tasks × cells
     // small files — measured the build bottleneck in graft.AnnScale at
@@ -308,7 +321,10 @@ object Similarity {
       .parquet(s"$base/index")
     cents.write.mode("overwrite").parquet(s"$base/centroids")
     supersOpt.foreach(_.write.mode("overwrite").parquet(s"$base/supers"))
-    base
+    val spark = e.sparkSession
+    import spark.implicits._
+    Seq(("ivf_vec", cells)).toDF("kind", "cells")
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/meta")
   }
 
   /** One stored artifact per corpus dir per JVM — that IS the deployment

@@ -413,27 +413,55 @@ object NearDup {
     * count ∝ cells. `shC` columns: (id, shs) per [[shingled]].
     */
   def bandStoreFrom(shC: DataFrame, numPerm: Int = 128, numBands: Int = 32,
-      rowsPerBand: Int = 4, cells: Int = BandStoreCells): String = {
-    require(cells >= 1, s"bandStoreFrom: cells $cells must be >= 1")
+      rowsPerBand: Int = 4, cells: Int = BandStoreCells,
+      hashShingles: Boolean = true): String = {
     val idxDir = java.nio.file.Files.createTempDirectory("graft_bands_")
     graft.queries.Advanced.registerTmpDir(idxDir)
-    val base = idxDir.toString
+    bandStoreTo(idxDir.toString, shC, numPerm, numBands, rowsPerBand, cells,
+      hashShingles)
+    idxDir.toString
+  }
+
+  /** [[bandStoreFrom]]'s write step against an EXPLICIT base path — the
+    * durable form the INDEX language verb drives (a user-chosen
+    * directory that outlives the JVM, so "write once, probe forever"
+    * holds across jobs, not just across probes within one session).
+    *
+    * `hashShingles` (default true) stores the verification sets as
+    * xxhash64'd shingles (array<long>, 8 bytes each) instead of the raw
+    * ~20-char strings — the q31 postings key applied to the artifact:
+    * the exact verify only needs intersection/size algebra, which is
+    * hash-invariant modulo cross-doc collisions (P ≈ n²/2⁶⁵, the same
+    * documented budget as the postings join), and at corpus scale the
+    * raw-string store is the artifact's dominant bytes (several× the
+    * hashed form — measured in graft.BandScale's artifact-bytes column).
+    * The scheme is recorded in `meta/` and the probe adapts its batch
+    * side to match, so mixed-scheme probing is impossible.
+    */
+  def bandStoreTo(base: String, shC: DataFrame, numPerm: Int, numBands: Int,
+      rowsPerBand: Int, cells: Int, hashShingles: Boolean = true): Unit = {
+    require(cells >= 1, s"bandStoreTo: cells $cells must be >= 1")
     val sh = shC.localCheckpoint(false) // feeds band keys AND the shingle store
     bandKeys(sh, numPerm, numBands, rowsPerBand)
       .withColumn("pc",
         pmod(xxhash64(col("band"), col("bh")), lit(cells.toLong)).cast("int"))
       .repartition(col("pc"))
       .write.mode("overwrite").partitionBy("pc").parquet(s"$base/bands")
-    sh.withColumn("sc",
+    val shStore =
+      if (hashShingles)
+        sh.select(col("id"), Text.hashedShingles(col("shs")).as("shs"))
+      else sh
+    shStore.withColumn("sc",
         pmod(xxhash64(col("id")), lit(cells.toLong)).cast("int"))
       .repartition(col("sc"))
       .write.mode("overwrite").partitionBy("sc").parquet(s"$base/shingles")
     val spark = shC.sparkSession
     import spark.implicits._
-    Seq((cells, numPerm, numBands, rowsPerBand))
-      .toDF("cells", "num_perm", "num_bands", "rows_per_band")
+    Seq(("lsh_text", cells, numPerm, numBands, rowsPerBand,
+        if (hashShingles) "xxhash64" else "raw"))
+      .toDF("kind", "cells", "num_perm", "num_bands", "rows_per_band",
+        "shingle_scheme")
       .coalesce(1).write.mode("overwrite").parquet(s"$base/meta")
-    base
   }
 
   /** [[minhashCrossMatches]] against a [[bandStoreFrom]] artifact: the
@@ -462,6 +490,7 @@ object NearDup {
       numPerm: Int = 128, numBands: Int = 32,
       rowsPerBand: Int = 4): DataFrame = {
     val meta = s.read.parquet(s"$base/meta").head()
+    requireKind(meta, base, "lsh_text", "NEARDEDUP … AGAINST STORED")
     val cells = meta.getAs[Int]("cells")
     for ((want, got, what) <- Seq(
         (numPerm, meta.getAs[Int]("num_perm"), "numPerm"),
@@ -471,6 +500,21 @@ object NearDup {
         s"stored band index at $base was built with $what=$got but the " +
           s"probe asked for $want — probing with mismatched banding " +
           "would silently miss every true pair")
+    // the stored verification sets may be hashed (the default artifact
+    // form) — the batch side must speak the SAME scheme or every
+    // intersection would be empty and the probe would silently match
+    // nothing. Scheme comes from meta, so mixing is impossible.
+    val scheme =
+      if (meta.schema.fieldNames.contains("shingle_scheme"))
+        meta.getAs[String]("shingle_scheme")
+      else "raw"
+    val shBVerify = scheme match {
+      case "xxhash64" =>
+        shB.select(col("id"), Text.hashedShingles(col("shs")).as("shs"))
+      case "raw" => shB
+      case other => throw new IllegalArgumentException(
+        s"stored band index at $base uses unknown shingle scheme '$other'")
+    }
     // checkpoint: feeds the routing collect AND the candidate join
     val bb = bandKeys(shB, numPerm, numBands, rowsPerBand)
       .toDF("doc_a", "band", "bh")
@@ -493,15 +537,8 @@ object NearDup {
     // java.io.File would silently report every hdfs://… or s3a://…
     // cell absent and the probe would return zero matches on exactly
     // the distributed deployments the artifact exists for.
-    def existingCellPaths(sub: String, pcol: String,
-        wanted: Array[Int]): Seq[String] = {
-      val root = new org.apache.hadoop.fs.Path(s"$base/$sub")
-      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-      wanted.toSeq.map(c => new org.apache.hadoop.fs.Path(root, s"$pcol=$c"))
-        .filter(fs.exists).map(_.toString)
-    }
     def emptyMatches = shB.select(col("id").as("b_id")).limit(0)
-    val bandPaths = existingCellPaths("bands", "pc", probeCells)
+    val bandPaths = existingCellPaths(s, s"$base/bands", "pc", probeCells)
     if (bandPaths.isEmpty) return emptyMatches
     val stored = s.read.option("basePath", s"$base/bands")
       .parquet(bandPaths: _*)
@@ -514,13 +551,135 @@ object NearDup {
       .select(pmod(xxhash64(col("doc_b")), lit(cells.toLong))
         .cast("int").as("sc"))
       .distinct().collect().map(_.getInt(0)).sorted
-    val shPaths = existingCellPaths("shingles", "sc", shCells)
+    val shPaths = existingCellPaths(s, s"$base/shingles", "sc", shCells)
     if (shPaths.isEmpty) return emptyMatches
     val shStored = s.read.option("basePath", s"$base/shingles")
       .parquet(shPaths: _*)
       .select(col("id"), col("shs"))
-    verifyPairsAcross(cand, shB, shStored, threshold)
+    verifyPairsAcross(cand, shBVerify, shStored, threshold)
       .select(col("doc_a").as("b_id")).distinct()
+  }
+
+  /** Resolve the subset of `wanted` partition cells that exist under
+    * `root` as explicit directory paths — the plain-parquet analogue of
+    * metastore partition pruning, shared by every stored-artifact probe
+    * (band/typo stores here, the cosine store in VecKnn). Existence goes
+    * through the path's OWN Hadoop FileSystem: java.io.File would
+    * silently report every hdfs://… or s3a://… cell absent and a probe
+    * would return zero matches on exactly the distributed deployments
+    * the artifacts exist for. Cells never occupied by any key have no
+    * directory and are skipped driver-side (an empty cell cannot hold
+    * candidates).
+    */
+  private[graft] def existingCellPaths(s: org.apache.spark.sql.SparkSession,
+      root: String, pcol: String, wanted: Array[Int]): Seq[String] = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    wanted.toSeq.map(c => new org.apache.hadoop.fs.Path(rootPath, s"$pcol=$c"))
+      .filter(fs.exists).map(_.toString)
+  }
+
+  /** Validate a stored artifact's `kind` against what the probe expects —
+    * probing (say) an IVF vector index with the banded-text path would
+    * otherwise fail with an opaque missing-column error or, worse, a
+    * silent empty match set. Artifacts written before the kind column
+    * existed are accepted (nothing to check against).
+    */
+  private[graft] def requireKind(meta: org.apache.spark.sql.Row,
+      base: String, want: String, who: String): Unit =
+    if (meta.schema.fieldNames.contains("kind")) {
+      val got = meta.getAs[String]("kind")
+      require(got == want,
+        s"$who expects a '$want' artifact but $base holds kind '$got' — " +
+          "the stored index families are not interchangeable")
+    }
+
+  /** The once-per-corpus delete-1 variant index persisted to disk — the
+    * "write-once corpus delete index" SURVEY names for q98/METHOD TYPO,
+    * completing the stored-artifact family (band store for LSH text,
+    * cosine store for vectors, THIS for edit-distance strings). Layout
+    * under `base` mirrors [[bandStoreTo]]:
+    *  - `variants/` — (id, vh) rows from [[delete1Variants]] partitioned
+    *    by pc = pmod(vh, cells): a variant's cell is a pure function of
+    *    its hash, so a probe batch reads ONLY its own variants' cells;
+    *  - `strings/` — (id, txt) partitioned by sc = pmod(xxhash64(id),
+    *    cells): the exact levenshtein verify fetches only candidate
+    *    docs' cells, and the string is stored ONCE, not ×(len+1) on the
+    *    variant rows (the slim-join contract applied to the artifact);
+    *  - `meta/` — (kind = "typo_text", cells).
+    * `reps` columns: (id, txt), one row per distinct string (callers
+    * collapse exact duplicates first — membership is all a probe asks).
+    */
+  def typoStoreTo(base: String, reps: DataFrame,
+      cells: Int = BandStoreCells): Unit = {
+    require(cells >= 1, s"typoStoreTo: cells $cells must be >= 1")
+    val r = reps.select(col("id"), col("txt")).localCheckpoint(false)
+    delete1Variants(r, "txt")
+      .select(col("id"), col("vh"))
+      .withColumn("pc", pmod(col("vh"), lit(cells.toLong)).cast("int"))
+      .repartition(col("pc"))
+      .write.mode("overwrite").partitionBy("pc").parquet(s"$base/variants")
+    r.withColumn("sc",
+        pmod(xxhash64(col("id")), lit(cells.toLong)).cast("int"))
+      .repartition(col("sc"))
+      .write.mode("overwrite").partitionBy("sc").parquet(s"$base/strings")
+    val spark = reps.sparkSession
+    import spark.implicits._
+    Seq(("typo_text", cells)).toDF("kind", "cells")
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/meta")
+  }
+
+  /** Batch-vs-corpus edit-distance-≤1 matches against a [[typoStoreTo]]
+    * artifact: distinct batch ids whose string is within edit distance 1
+    * of ≥ 1 stored string, touching ONLY the batch's routed cell files.
+    * Shape mirrors [[minhashCrossMatchesStored]]:
+    *  1. batch delete-1 variants (the only fan-out work per batch);
+    *  2. driver-side cell routing (distinct pc of the batch's variant
+    *     hashes — bounded by min(Σ(len+1), cells) ints) read as explicit
+    *     paths, so the candidate scan reads only the batch's cells;
+    *  3. candidates = pruned stored variants ⋈ broadcast(batch
+    *     variants) on vh — the corpus side never shuffles;
+    *  4. exact verify: candidate ids route into `strings/` cells, then
+    *     the banded 3-arg levenshtein over candidate pairs only.
+    * `bReps` columns: (id, txt), one row per distinct batch string.
+    */
+  def typoCrossMatchesStored(s: org.apache.spark.sql.SparkSession,
+      base: String, bReps: DataFrame): DataFrame = {
+    val meta = s.read.parquet(s"$base/meta").head()
+    requireKind(meta, base, "typo_text", "NEARDEDUP METHOD TYPO AGAINST STORED")
+    val cells = meta.getAs[Int]("cells")
+    val br = bReps.select(col("id"), col("txt")).localCheckpoint(false)
+    // checkpoint: feeds the routing collect AND the candidate join
+    val bv = delete1Variants(br, "txt")
+      .select(col("id").as("b_id"), col("vh"))
+      .localCheckpoint(false)
+    val probeCells = bv
+      .select(pmod(col("vh"), lit(cells.toLong)).cast("int").as("pc"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    def emptyMatches = br.select(col("id").as("b_id")).limit(0)
+    val vPaths = existingCellPaths(s, s"$base/variants", "pc", probeCells)
+    if (vPaths.isEmpty) return emptyMatches
+    val stored = s.read.option("basePath", s"$base/variants")
+      .parquet(vPaths: _*)
+      .select(col("id").as("c_id"), col("vh"))
+    // checkpoint: feeds the string-cell routing AND the verify join
+    val cand = stored.join(broadcast(bv), Seq("vh"))
+      .select(col("b_id"), col("c_id")).distinct()
+      .localCheckpoint(false)
+    val sCells = cand
+      .select(pmod(xxhash64(col("c_id")), lit(cells.toLong))
+        .cast("int").as("sc"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val sPaths = existingCellPaths(s, s"$base/strings", "sc", sCells)
+    if (sPaths.isEmpty) return emptyMatches
+    val cStr = s.read.option("basePath", s"$base/strings")
+      .parquet(sPaths: _*)
+      .select(col("id").as("c_id"), col("txt").as("tc"))
+    cand
+      .join(br.select(col("id").as("b_id"), col("txt").as("tb")), "b_id")
+      .join(cStr, "c_id")
+      .where(levenshtein(col("tb"), col("tc"), 1) >= 0)
+      .select(col("b_id")).distinct()
   }
 
   /** Min-label connected components over an undirected pair graph:

@@ -47,10 +47,11 @@ object TransformParser {
       case "CHUNK" => ChunkParser.parse(t)
       case "SPLIT" => SplitParser.parse(t)
       case "MIX" => MixParser.parse(t)
+      case "INDEX" => IndexParser.parse(t)
       case other => throw TransformError(
         s"unknown transform verb '$other' " +
           "(expected AGGREGATE|LOOKUP|APPLY|DEDUP|FILTER|SAMPLE|QUOTA|" +
-          "MERGE|NEARDEDUP|KNN|SHARD|PACK|CHUNK|SPLIT|MIX)")
+          "MERGE|NEARDEDUP|KNN|SHARD|PACK|CHUNK|SPLIT|MIX|INDEX)")
     }
   }
 
@@ -752,11 +753,14 @@ object TransformParser {
             starAbove.isDefined) throw TransformError(
           "NEARDEDUP STAR ABOVE applies only to the single-source form " +
             "(AGAINST has no cluster structure to span)")
-        // the stored artifact IS a banded MinHash index — only the LSH
-        // method can probe it (EXACT/COSINE/TYPO have no banded store)
-        if (againstStored.isDefined && m != "LSH") throw TransformError(
-          s"NEARDEDUP AGAINST STORED requires METHOD LSH (the stored " +
-            s"index is banded MinHash), got METHOD $m")
+        // every non-EXACT method has a stored-artifact family (LSH →
+        // band store, COSINE → sign-LSH bucket store, TYPO → delete-1
+        // variant store — all INDEX-verb-buildable); EXACT's "index" IS
+        // the corpus, so it has nothing to persist beyond the data
+        if (againstStored.isDefined && m == "EXACT") throw TransformError(
+          "NEARDEDUP AGAINST STORED requires METHOD LSH, COSINE or TYPO " +
+            "(EXACT has no stored index form — its candidate index is " +
+            "the corpus itself; use the two-source AGAINST)")
         NearDedupVerb(text, key, threshold, m, br, starAbove, against, tb,
           againstStored)
       case _ => throw TransformError(
@@ -867,6 +871,9 @@ object TransformParser {
 
     def build(sources: Map[String, DataFrame], primary: DataFrame): DataFrame =
       (method, against, againstStored) match {
+        case ("COSINE", _, Some((b, p))) =>
+          buildAgainstStoredCosine(sources, b, p)
+        case ("TYPO", _, Some((b, p))) => buildAgainstStoredTypo(sources, b, p)
         case (_, _, Some((b, p))) => buildAgainstStored(sources, b, p)
         case ("COSINE", Some((b, c)), _) => buildAgainstCosine(sources, b, c)
         case ("COSINE", None, _) => buildSelfCosine(primary)
@@ -913,6 +920,72 @@ object TransformParser {
           base, shB, threshold,
           numPerm = b * r, numBands = b, rowsPerBand = r)
         .toDF("th")
+      val matchedIds = bKeyed.join(matched, "th")
+        .select(col("id").as(bKey))
+      batch.join(matchedIds, Seq(bKey), "left_anti")
+    }
+
+    /** METHOD COSINE's AGAINST STORED form: drop batch rows whose vector
+      * is within the threshold of ≥ 1 vector of a PERSISTED sign-LSH
+      * bucket index ([[VecKnn.cosineStoreTo]]'s artifact, built by the
+      * INDEX verb) — embedding decontamination (q142's shape) without
+      * recomputing corpus buckets per run. Same AGAINST semantics and
+      * EXACT-FIRST batch collapse as the two-source form; the probe
+      * touches only the batch's routed cell files
+      * ([[VecKnn.cosineCrossMatchesStored]]). TABLES/BITS come from the
+      * options or the defaults and are validated against the artifact's
+      * meta at probe time.
+      */
+    private def buildAgainstStoredCosine(sources: Map[String, DataFrame],
+        batchName: String, base: String): DataFrame = {
+      val batch = sources.getOrElse(batchName.toUpperCase,
+        throw TransformError(s"unknown NEARDEDUP source $batchName"))
+      val bKey = batch.schema.find(_.name.equalsIgnoreCase(key))
+        .map(_.name).getOrElse(throw TransformError(
+          s"NEARDEDUP: unknown column $key in $batchName"))
+      val (t2, b2) = tablesBits.getOrElse(CosineDefaults)
+      val par = batch.sparkSession.sparkContext.defaultParallelism
+      val bKeyed = spreadForCpu(batch, vecFrame(batch, batchName))
+        .withColumn("vh", xxhash64(col("v")))
+        .localCheckpoint(false)
+      val bReps = bKeyed.groupBy(col("vh")).agg(
+          first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+        .select(col("vh").as("id"), col("v"), col("nrm"))
+        .repartition(par)
+        .localCheckpoint(false)
+      val matched = VecKnn.cosineCrossMatchesStored(batch.sparkSession,
+        base, bReps, threshold, t2, b2).toDF("vh")
+      val matchedIds = bKeyed.join(matched, "vh")
+        .select(col("id").as(bKey))
+      batch.join(matchedIds, Seq(bKey), "left_anti")
+    }
+
+    /** METHOD TYPO's AGAINST STORED form: drop batch rows whose string
+      * is within edit distance 1 of ≥ 1 string of a PERSISTED delete-1
+      * variant index ([[NearDup.typoStoreTo]]'s artifact, built by the
+      * INDEX verb) — the q98 "write-once corpus delete index" finally
+      * consumed from files instead of rebuilt per run. Same AGAINST
+      * semantics and EXACT-FIRST batch collapse as the two-source form;
+      * the probe touches only the batch's routed cell files
+      * ([[NearDup.typoCrossMatchesStored]]).
+      */
+    private def buildAgainstStoredTypo(sources: Map[String, DataFrame],
+        batchName: String, base: String): DataFrame = {
+      val batch = sources.getOrElse(batchName.toUpperCase,
+        throw TransformError(s"unknown NEARDEDUP source $batchName"))
+      val (bKey, bTextName) = typoCols(batch, batchName)
+      val par = batch.sparkSession.sparkContext.defaultParallelism
+      val bKeyed = spreadForCpu(batch, batch.select(col(bKey).as("id"),
+          col(bTextName).as("txt"), xxhash64(col(bTextName)).as("th")))
+        .where(col("txt").isNotNull)
+        .localCheckpoint(false)
+      val bReps = bKeyed.groupBy(col("th"))
+        .agg(first(col("txt")).as("txt"))
+        .select(col("th").as("id"), col("txt"))
+        .repartition(par)
+        .localCheckpoint(false)
+      val matched = NearDup.typoCrossMatchesStored(batch.sparkSession,
+        base, bReps).toDF("th")
       val matchedIds = bKeyed.join(matched, "th")
         .select(col("id").as(bKey))
       batch.join(matchedIds, Seq(bKey), "left_anti")
@@ -1498,34 +1571,231 @@ object TransformParser {
       // measured serving shape reachable from the language layer: the
       // per-batch cost is the probed cells' files, never an index-build
       // or corpus scan.
-      stored.foreach { base =>
-        val q = prep(primary, withFlag = true, materialize = false)
-        return graft.queries.Similarity.ivfProbeStored(
-          primary.sparkSession, base,
-          q.where(col("__isq")).select(col("id").as("qid"),
-            col("v").as("qv"), col("nrm").as("qnrm")),
-          nprobe.getOrElse(8), k)
-      }
-      val (corpus, queriesF) = twoSource match {
-        case Some((qn, cn)) =>
-          def src(n: String): DataFrame = sources.getOrElse(n.toUpperCase,
-            throw TransformError(s"unknown KNN source $n"))
-          val q = prep(src(qn), withFlag = true)
-          val c = prep(src(cn), withFlag = false)
-          (c.select(col("id"), col("v"), col("nrm")),
-            q.where(col("__isq")).select(col("id"), col("v"), col("nrm")))
+      stored match {
+        case Some(base) =>
+          val q = prep(primary, withFlag = true, materialize = false)
+          graft.queries.Similarity.ivfProbeStored(
+            primary.sparkSession, base,
+            q.where(col("__isq")).select(col("id").as("qid"),
+              col("v").as("qv"), col("nrm").as("qnrm")),
+            nprobe.getOrElse(8), k)
         case None =>
-          val eAll = prep(primary, withFlag = true)
-          (eAll.select(col("id"), col("v"), col("nrm")),
-            eAll.where(col("__isq")).select(col("id"), col("v"), col("nrm")))
+          val (corpus, queriesF) = twoSource match {
+            case Some((qn, cn)) =>
+              def src(n: String): DataFrame = sources.getOrElse(n.toUpperCase,
+                throw TransformError(s"unknown KNN source $n"))
+              val q = prep(src(qn), withFlag = true)
+              val c = prep(src(cn), withFlag = false)
+              (c.select(col("id"), col("v"), col("nrm")),
+                q.where(col("__isq"))
+                  .select(col("id"), col("v"), col("nrm")))
+            case None =>
+              val eAll = prep(primary, withFlag = true)
+              (eAll.select(col("id"), col("v"), col("nrm")),
+                eAll.where(col("__isq"))
+                  .select(col("id"), col("v"), col("nrm")))
+          }
+          method match {
+            case "LSH" => VecKnn.lsh(corpus, queriesF, k,
+              tables.getOrElse(16), bits.getOrElse(4))
+            case "IVF" => VecKnn.ivf(corpus, queriesF, k,
+              cells.getOrElse(16), nprobe.getOrElse(8))
+            case _ => VecKnn.exact(corpus, queriesF, k)
+          }
       }
-      method match {
-        case "LSH" => VecKnn.lsh(corpus, queriesF, k,
-          tables.getOrElse(16), bits.getOrElse(4))
-        case "IVF" => VecKnn.ivf(corpus, queriesF, k,
-          cells.getOrElse(16), nprobe.getOrElse(8))
-        case _ => VecKnn.exact(corpus, queriesF, k)
+    }
+  }
+
+  // ----------------------------------------------------------------- INDEX
+
+  /** INDEX ON <col> KEY <keycol> METHOD LSH|IVF|COSINE|TYPO
+    *       [THRESHOLD <0-1>] [BANDS <b> ROWS <r>] [CELLS <c>]
+    *       [TABLES <t>] [BITS <b>] INTO '<dir>'
+    *
+    * The durable index BUILD step — the language-reachable producer for
+    * every stored artifact the probe forms consume (`NEARDEDUP …
+    * AGAINST STORED` for LSH/COSINE/TYPO, `KNN … STORED` for IVF).
+    * Writes the artifact to the USER-CHOSEN directory `<dir>` — not a
+    * self-deleting temp path — so "write once, probe forever" holds
+    * across jobs and JVMs: one AQL script builds the corpus index, every
+    * later script (batch or streaming) probes the files without ever
+    * scanning, shingling, bucketing or assigning the corpus again.
+    *
+    * Method → artifact (each is the exact layout its probe validates
+    * against, shared code with the gate machinery so the verb can never
+    * diverge):
+    *  - LSH — banded MinHash text index ([[NearDup.bandStoreTo]]):
+    *    banding from BANDS/ROWS or auto-chosen from THRESHOLD (default
+    *    0.5, the [[NearDup.autoBands]] recall bound); the probe's
+    *    banding must match (validated via `meta/`). Corpus texts are
+    *    EXACT-FIRST collapsed (one entry per distinct text, keyed by
+    *    xxhash64(text)) — membership is all the AGAINST probe asks, and
+    *    verification sets are stored as hashed shingles (the q31 key).
+    *  - IVF — vector cell index ([[graft.queries.Similarity]]'s
+    *    ivfStoreTo, the q136/q147 artifact): KEY becomes the served
+    *    vec_id; CELLS defaults to 16 (the KNN verb's default; size
+    *    ∝ √corpus at scale — the two-level build quantizer takes over
+    *    above 64 cells automatically).
+    *  - COSINE — sign-LSH bucket index ([[VecKnn.cosineStoreTo]]):
+    *    TABLES/BITS default 32 × 4 (the NEARDEDUP COSINE defaults);
+    *    exact-duplicate vectors collapse to one entry (keyed by
+    *    xxhash64(v)).
+    *  - TYPO — delete-1 variant index ([[NearDup.typoStoreTo]]):
+    *    distinct strings keyed by xxhash64(string).
+    *
+    * CELLS is the artifact's partition-cell count for the non-IVF
+    * methods (default [[NearDup.BandStoreCells]]) — size it ∝ corpus so
+    * a fixed probe batch's scanned fraction shrinks as the corpus grows
+    * (graft.BandScale measures the resulting flat per-batch cost).
+    *
+    * KEY must name an existing column on every method (symmetry with
+    * the probe verbs); for LSH/COSINE/TYPO the stored entries are keyed
+    * by content hash (ids never surface from an AGAINST probe), while
+    * IVF stores the key itself (KNN returns it as neighbor_id).
+    *
+    * The build is EAGER (the writes run when the block builds) and the
+    * block's output is a one-row summary (path, kind, cells,
+    * indexed_rows) — pipe it to a console/param destination for
+    * logging, or ignore it.
+    */
+  private object IndexParser {
+    private val Re =
+      raw"(?is)^INDEX\s+ON\s+([A-Za-z_]\w*)\s+KEY\s+([A-Za-z_]\w*)\s+METHOD\s+([A-Za-z]+)(?:\s+THRESHOLD\s+([0-9]*\.?[0-9]+))?(?:\s+BANDS\s+(\d+)\s+ROWS\s+(\d+))?(?:\s+CELLS\s+(\d+))?(?:\s+TABLES\s+(\d+))?(?:\s+BITS\s+(\d+))?\s+INTO\s+'([^']+)'\s*$$".r
+
+    def parse(t: String): Verb = t.trim match {
+      case Re(on, key, method, th, bands, rows, cells, tables, bits, dir) =>
+        val m = method.toUpperCase
+        if (!Set("LSH", "IVF", "COSINE", "TYPO").contains(m))
+          throw TransformError(
+            s"INDEX METHOD $m unknown (expected LSH, IVF, COSINE or TYPO)")
+        def rejectUnless(meth: String, what: String, v: String): Unit =
+          if (v != null && m != meth) throw TransformError(
+            s"INDEX $what only applies to METHOD $meth")
+        rejectUnless("LSH", "THRESHOLD", th)
+        rejectUnless("LSH", "BANDS/ROWS", bands)
+        rejectUnless("COSINE", "TABLES", tables)
+        rejectUnless("COSINE", "BITS", bits)
+        val threshold = Option(th).map(_.toDouble).getOrElse(0.5)
+        if (threshold <= 0 || threshold > 1) throw TransformError(
+          s"INDEX THRESHOLD $threshold out of range (0, 1]")
+        val br = (Option(bands), Option(rows)) match {
+          case (Some(b), Some(r)) => Some((intOption("INDEX", "BANDS", b),
+            intOption("INDEX", "ROWS", r)))
+          case _ => None // regex captures BANDS+ROWS together or not at all
+        }
+        br.foreach { case (b, r) =>
+          if (b < 1 || r < 1 || b * r > 128) throw TransformError(
+            s"INDEX BANDS $b ROWS $r invalid (need BANDS ≥ 1, ROWS ≥ 1, " +
+              "BANDS × ROWS ≤ 128 signature permutations)")
+        }
+        if (m == "LSH" && br.isEmpty)
+          try NearDup.autoBands(threshold)
+          catch { // surface the no-config case at parse time, not mid-job
+            case e: IllegalArgumentException => throw TransformError(
+              s"INDEX METHOD LSH: ${e.getMessage}")
+          }
+        val ce = Option(cells).map(intOption("INDEX", "CELLS", _))
+        ce.foreach(c => if (c < 1) throw TransformError(
+          s"INDEX CELLS $c must be >= 1"))
+        val tb = Option(tables).map(intOption("INDEX", "TABLES", _))
+          .getOrElse(CosineDefaults._1)
+        val bi = Option(bits).map(intOption("INDEX", "BITS", _))
+          .getOrElse(CosineDefaults._2)
+        if (tb < 1 || bi < 1 || bi > 30) throw TransformError(
+          s"INDEX TABLES $tb BITS $bi invalid (need TABLES ≥ 1, " +
+            "1 ≤ BITS ≤ 30)")
+        IndexVerb(on, key, m, dir, threshold, br, ce, tb, bi)
+      case _ => throw TransformError(
+        "cannot parse INDEX (expected INDEX ON <col> KEY <keycol> " +
+          "METHOD LSH|IVF|COSINE|TYPO [THRESHOLD <0-1>] " +
+          "[BANDS <n> ROWS <n>] [CELLS <n>] [TABLES <n>] [BITS <n>] " +
+          "INTO '<dir>')")
+    }
+  }
+
+  final case class IndexVerb(onCol: String, key: String, method: String,
+      dir: String, threshold: Double, bandsRows: Option[(Int, Int)],
+      cells: Option[Int], tables: Int, bits: Int) extends Verb {
+
+    def build(sources: Map[String, DataFrame], primary: DataFrame): DataFrame = {
+      def named(n: String): StructField =
+        primary.schema.find(_.name.equalsIgnoreCase(n)).getOrElse(
+          throw TransformError(s"INDEX: unknown column $n"))
+      named(key) // must exist on every method (see scaladoc)
+      val onField = named(onCol)
+      val spark = primary.sparkSession
+      val par = spark.sparkContext.defaultParallelism
+      val cellCount = cells.getOrElse(
+        if (method == "IVF") 16 else NearDup.BandStoreCells)
+      // the entry-count scan after each build reads parquet footers only
+      val (kind, entriesPath) = method match {
+        case "LSH" =>
+          if (onField.dataType != StringType) throw TransformError(
+            s"INDEX METHOD LSH ON ${onField.name} must be string, got " +
+              onField.dataType.simpleString)
+          val (b, r) = bandsRows.getOrElse(NearDup.autoBands(threshold))
+          // EXACT-FIRST: one entry per distinct text (membership is all
+          // an AGAINST probe asks), keyed by the text hash — the same
+          // collapse the two-source AGAINST applies to its corpus side
+          val reps = spreadForCpu(primary,
+              primary.select(xxhash64(col(onField.name)).as("th"),
+                col(onField.name).as("txt")))
+            .groupBy(col("th")).agg(first(col("txt")).as("txt"))
+            .repartition(par)
+          val sh = NearDup.shingled(reps, "th", "txt")
+          NearDup.bandStoreTo(dir, sh, numPerm = b * r, numBands = b,
+            rowsPerBand = r, cells = cellCount)
+          ("lsh_text", s"$dir/shingles")
+        case "IVF" =>
+          // mirrors the q136 store's frame prep (Similarity.ivfStore) so
+          // an INDEX-built artifact serves byte-identical answers
+          val e = spreadForCpu(primary,
+              primary.select(col(named(key).name).as("vec_id"),
+                col(onField.name).cast("array<double>").as("v")))
+            .withColumn("nrm", graft.functions.Vectors.l2norm(col("v")))
+            .localCheckpoint(false)
+          graft.queries.Similarity.ivfStoreTo(dir, e, cellCount)
+          ("ivf_vec", s"$dir/index")
+        case "COSINE" =>
+          onField.dataType match {
+            case ArrayType(FloatType | DoubleType, _) => ()
+            case other => throw TransformError(
+              s"INDEX METHOD COSINE ON ${onField.name} must be " +
+                s"array<float|double>, got ${other.simpleString}")
+          }
+          // degenerate vectors (null/empty/zero/NaN/Inf norm) leave the
+          // index exactly as they leave every cosine probe side — they
+          // can never verify, so storing them would only add dead bytes
+          val vf = spreadForCpu(primary,
+              primary.select(col(onField.name).cast("array<double>").as("v")))
+            .where(col("v").isNotNull && size(col("v")) > 0)
+            .withColumn("nrm", graft.functions.Vectors.l2norm(col("v")))
+            .where(col("nrm") > 0 && !isnan(col("nrm")) &&
+              col("nrm") < lit(Double.PositiveInfinity))
+          val reps = vf.withColumn("vh", xxhash64(col("v")))
+            .groupBy(col("vh")).agg(
+              first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+            .select(col("vh").as("id"), col("v"), col("nrm"))
+            .repartition(par)
+          VecKnn.cosineStoreTo(dir, reps, tables, bits, cellCount)
+          ("cosine_vec", s"$dir/vectors")
+        case "TYPO" =>
+          if (onField.dataType != StringType) throw TransformError(
+            s"INDEX METHOD TYPO ON ${onField.name} must be string, got " +
+              onField.dataType.simpleString)
+          val reps = spreadForCpu(primary,
+              primary.select(col(onField.name).as("txt")))
+            .where(col("txt").isNotNull).distinct()
+            .select(xxhash64(col("txt")).as("id"), col("txt"))
+            .repartition(par)
+          NearDup.typoStoreTo(dir, reps, cellCount)
+          ("typo_text", s"$dir/strings")
+        case other => throw new IllegalStateException(
+          s"INDEX METHOD $other unreachable (parser validates)")
       }
+      import spark.implicits._
+      Seq((dir, kind, cellCount, spark.read.parquet(entriesPath).count()))
+        .toDF("path", "kind", "cells", "indexed_rows")
     }
   }
 
@@ -1806,11 +2076,14 @@ object TransformParser {
     * decision is map-side — two corpus scans total, no corpus shuffle.
     * At T = 0.5 (the standard setting) the scaling rides sqrt —
     * correctly rounded in every IEEE engine, so the gate's oracle
-    * replays the thresholds bit-for-bit; other temperatures ride
-    * pow(x, T), which carries a documented cross-engine last-ulp
-    * caveat (deterministic within Spark either way). Rows whose source
-    * is NULL or whose source total weight is ≤ 0 keep nothing
-    * (they match no positive rate), mirroring q100's inner join.
+    * replays the thresholds bit-for-bit (q146); other temperatures ride
+    * pow(x, 1−T) QUANTIZED to DECIMAL(18,12) before the ppm floor, so
+    * faithfully-rounded-but-ulp-divergent cross-engine pow results
+    * still floor identically (gate q155 at T = 0.7 replays the keep
+    * set hash-exact; a flip would need the true rate within 5e-13 of a
+    * 1e-12 boundary). Rows whose source is NULL or whose source total
+    * weight is ≤ 0 keep nothing (they match no positive rate),
+    * mirroring q100's inner join.
     */
   private object MixParser {
     private val Re =
@@ -1850,20 +2123,32 @@ object TransformParser {
       requireFreshWorkColumns("MIX", primary, Seq("__ppm"))
       // rate = (w_min / w)^(1−T). T = 0.5 rides correctly-rounded
       // sqrt + division (hash-exact cross-engine, q146's oracle); T = 1
-      // is the exact identity; the general pow path is deterministic
-      // but carries a last-ulp cross-engine caveat — see the scaladoc
-      def rate(w: Column, minw: Column): Column =
-        if (temperature == 1.0) lit(1.0)
+      // is the exact identity. The general pow path quantizes the rate
+      // to DECIMAL(18,12) BEFORE the ppm floor (the q78/q112 trick):
+      // IEEE pow is deterministic within an engine but only
+      // faithfully-rounded across engines, and an unquantized last-ulp
+      // difference flips the floor exactly when 1e6·rate grazes an
+      // integer; rounding at 1e-12 absorbs ulp-level divergence (a flip
+      // now needs the true rate within 5e-13 of a rounding boundary),
+      // which is what lets general-T keep sets replay hash-exact
+      // cross-engine (gate q155 at T = 0.7). The long×DECIMAL multiply
+      // and floor are exact in both engines.
+      def ppm(w: Column, minw: Column): Column =
+        if (temperature == 1.0) lit(1000000L)
         else if (temperature == 0.5)
-          sqrt(minw.cast("double")) / sqrt(w.cast("double"))
-        else pow(minw.cast("double") / w.cast("double"), 1 - temperature)
+          floor(lit(1000000.0) *
+            (sqrt(minw.cast("double")) / sqrt(w.cast("double"))))
+            .cast("bigint")
+        else
+          floor(lit(1000000L) *
+            pow(minw.cast("double") / w.cast("double"), 1 - temperature)
+              .cast("decimal(18,12)"))
+            .cast("bigint")
       val minW = min(col("__w")).over(Window.partitionBy())
       val rates = primary.groupBy(col(srcName))
         .agg(sum(wExpr).cast("bigint").as("__w"))
         .where(col("__w") > 0)
-        .select(col(srcName),
-          floor(lit(1000000.0) * rate(col("__w"), minW))
-            .cast("bigint").as("__ppm"))
+        .select(col(srcName), ppm(col("__w"), minW).as("__ppm"))
       val hash = seed match {
         case Some(s2) => seededKeyHash(s2.toString, col(keyName))
         case None => conv(substring(md5(col(keyName).cast("string")), 1, 15),

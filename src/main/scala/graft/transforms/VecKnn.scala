@@ -224,10 +224,10 @@ object VecKnn {
         posexplode(lshBuckets(col("v"), tables, bits + refine, dims))
           .as(Seq("t", "ext")))
       .withColumn("bucket", col("ext").bitwiseAND(lit((1 << bits) - 1)))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val sizes = buckets.groupBy(col("t"), col("bucket"))
       .agg(count(lit(1)).as("f"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val coldKeys = sizes.where(col("f") <= starAbove)
       .select(col("t"), col("bucket"))
     val cold = buckets.join(coldKeys, Seq("t", "bucket"))
@@ -242,7 +242,7 @@ object VecKnn {
       .join(sizes.where(col("f") > starAbove)
         .select(col("t"), col("bucket")), Seq("t", "bucket"))
       .select(col("id"), col("t"), col("ext"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val subAnchors = hotMembers.groupBy(col("t"), col("ext"))
       .agg(min(col("id")).as("anchor"))
     val hotPairs = hotMembers.join(subAnchors, Seq("t", "ext"))
@@ -282,6 +282,117 @@ object VecKnn {
       .join(corpus.toDF("cid", "cv", "cnrm"), "cid"),
       col("bv"), col("cv"), col("bnrm"), col("cnrm"), threshold)
       .select(col("bid").as("id")).distinct()
+  }
+
+  /** The once-per-corpus sign-LSH bucket index persisted to disk — the
+    * write-once artifact for embedding-level AGAINST (q142's shape): the
+    * corpus bucket fan-out is computed ONE time here and every later
+    * probe batch ([[cosineCrossMatchesStored]]) answers from the files
+    * without touching corpus vectors outside its routed cells. Layout
+    * under `base` mirrors NearDup.bandStoreTo:
+    *  - `buckets/` — (id, t, bucket) partitioned by
+    *    pc = pmod(xxhash64(t, bucket), cells): a bucket's cell is a pure
+    *    function of (table, bucket), so a probe batch's candidate scan
+    *    reads ONLY its own buckets' cell directories;
+    *  - `vectors/` — (id, v, nrm) partitioned by sc = pmod(xxhash64(id),
+    *    cells): the exact cosine verify fetches only candidate ids'
+    *    cells — vectors are stored once, never ×tables;
+    *  - `meta/` — (kind = "cosine_vec", cells, tables, bits, dims): the
+    *    hyperplanes are a pure function of (tables, bits, dims), so
+    *    recording those pins the whole bucketing; a probe with different
+    *    geometry errors instead of silently missing every pair.
+    * `e` columns: (id, v, nrm) — callers collapse exact-duplicate
+    * vectors first (membership is all the AGAINST probe asks).
+    */
+  def cosineStoreTo(base: String, e: DataFrame, tables: Int, bits: Int,
+      cells: Int): Unit = {
+    require(cells >= 1, s"cosineStoreTo: cells $cells must be >= 1")
+    val dims = probeDims(e, "INDEX METHOD COSINE")
+    val ee = e.select(col("id"), col("v"), col("nrm")).localCheckpoint(false)
+    bucketFrame(ee, tables, bits, dims)
+      .withColumn("pc",
+        pmod(xxhash64(col("t"), col("bucket")), lit(cells.toLong)).cast("int"))
+      .repartition(col("pc"))
+      .write.mode("overwrite").partitionBy("pc").parquet(s"$base/buckets")
+    ee.withColumn("sc",
+        pmod(xxhash64(col("id")), lit(cells.toLong)).cast("int"))
+      .repartition(col("sc"))
+      .write.mode("overwrite").partitionBy("sc").parquet(s"$base/vectors")
+    val spark = e.sparkSession
+    import spark.implicits._
+    Seq(("cosine_vec", cells, tables, bits, dims))
+      .toDF("kind", "cells", "tables", "bits", "dims")
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/meta")
+  }
+
+  /** [[cosineCrossMatches]] against a [[cosineStoreTo]] artifact: batch
+    * ids with ≥ 1 stored vector at round-6 cosine ≥ threshold, touching
+    * ONLY the stored files plus the batch. Shape mirrors
+    * NearDup.minhashCrossMatchesStored:
+    *  1. batch bucket fan-out (the only hash work per batch);
+    *  2. driver-side cell routing (distinct pc of the batch's buckets —
+    *     bounded by min(|batch|×tables, cells) ints) read as EXPLICIT
+    *     cell paths, so the candidate scan reads only the batch's cells;
+    *  3. candidates = pruned stored buckets ⋈ broadcast(batch buckets)
+    *     on (t, bucket) — the corpus side never shuffles;
+    *  4. exact verify: candidate ids route into `vectors/` cells, then
+    *     the shared round-6 cosine predicate.
+    * The batch's dimension and the probe's (tables, bits) must equal the
+    * artifact's (validated against `meta/` — a mismatch would silently
+    * miss every true pair). `batch` columns: (id, v, nrm).
+    */
+  def cosineCrossMatchesStored(s: org.apache.spark.sql.SparkSession,
+      base: String, batch: DataFrame, threshold: Double,
+      tables: Int = 32, bits: Int = 4): DataFrame = {
+    val meta = s.read.parquet(s"$base/meta").head()
+    NearDup.requireKind(meta, base, "cosine_vec",
+      "NEARDEDUP METHOD COSINE AGAINST STORED")
+    val cells = meta.getAs[Int]("cells")
+    val dims = meta.getAs[Int]("dims")
+    for ((want, got, what) <- Seq((tables, meta.getAs[Int]("tables"),
+        "TABLES"), (bits, meta.getAs[Int]("bits"), "BITS")))
+      require(want == got,
+        s"stored cosine index at $base was built with $what=$got but the " +
+          s"probe asked for $want — mismatched bucketing would silently " +
+          "miss every true pair")
+    val bd = probeDims(batch, "NEARDEDUP METHOD COSINE batch")
+    if (bd == 0) return batch.select(col("id")).limit(0)
+    if (bd != dims) throw graft.transforms.TransformParser.TransformError(
+      s"NEARDEDUP METHOD COSINE: batch vectors are $bd-dimensional but " +
+        s"the stored index at $base holds $dims-dimensional vectors")
+    // checkpoint: feeds the routing collect AND the candidate join
+    val bb = bucketFrame(batch, tables, bits, dims)
+      .toDF("b_id", "t", "bucket")
+      .localCheckpoint(false)
+    val probeCells = bb
+      .select(pmod(xxhash64(col("t"), col("bucket")), lit(cells.toLong))
+        .cast("int").as("pc"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    def emptyMatches = batch.select(col("id").as("b_id")).limit(0)
+    val bPaths = NearDup.existingCellPaths(s, s"$base/buckets", "pc",
+      probeCells)
+    if (bPaths.isEmpty) return emptyMatches
+    val stored = s.read.option("basePath", s"$base/buckets")
+      .parquet(bPaths: _*)
+      .select(col("id").as("c_id"), col("t"), col("bucket"))
+    // checkpoint: feeds the vector-cell routing AND the verify join
+    val cand = stored.join(broadcast(bb), Seq("t", "bucket"))
+      .select(col("b_id"), col("c_id")).distinct()
+      .localCheckpoint(false)
+    val vCells = cand
+      .select(pmod(xxhash64(col("c_id")), lit(cells.toLong))
+        .cast("int").as("sc"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val vPaths = NearDup.existingCellPaths(s, s"$base/vectors", "sc", vCells)
+    if (vPaths.isEmpty) return emptyMatches
+    val cVec = s.read.option("basePath", s"$base/vectors")
+      .parquet(vPaths: _*)
+      .select(col("id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+    verifiedCosine(cand
+      .join(batch.toDF("b_id", "bv", "bnrm"), "b_id")
+      .join(cVec, "c_id"),
+      col("bv"), col("cv"), col("bnrm"), col("cnrm"), threshold)
+      .select(col("b_id")).distinct()
   }
 
   /** Vector dimension of an (id, v, nrm) frame — 0 when empty, a

@@ -102,6 +102,20 @@ object AnnScale {
       val (idxBase, buildS) = timed {
         Similarity.ivfStoreFrom(corpus, cells)
       }
+      // SCALING.md's "never a first observation" rule applied to the
+      // build itself: the session's FIRST allocation-heavy job pays
+      // Tungsten page-pool + heap growth (measured up to 40× on an
+      // identical repeat), and with ascending REPS the largest k is
+      // always mid-session but its 2× working-set step can still fault
+      // fresh pages. SPARK_GRAFT_BUILD_REPEATS=2 rebuilds the index at
+      // each k (a brand-new artifact dir — nothing is memoized) and
+      // reports the repeat separately, so the curve can be read off
+      // warm timings end to end. Default 1 keeps the harness cheap.
+      val buildRepeats =
+        sys.env.getOrElse("SPARK_GRAFT_BUILD_REPEATS", "1").toInt.max(1)
+      val buildRepeatS = (2 to buildRepeats)
+        .map(_ => timed(Similarity.ivfStoreFrom(corpus, cells))._2)
+        .minOption
       // assignment totality: every corpus vector must land in some cell
       // (the hierarchical path once dropped vectors routed to childless
       // supers — an index hole is silent unservability, so gate it)
@@ -194,6 +208,8 @@ object AnnScale {
         s""""recall":${math.round(recall * 10000) / 10000.0},""" +
         s""""kept":${keptK.size},""" +
         s""""sec":{"build":${math.round(buildS * 1000) / 1000.0},""" +
+        buildRepeatS.fold("")(r =>
+          s""""build_repeat":${math.round(r * 1000) / 1000.0},""") +
         s""""probe":${math.round(probeS * 1000) / 1000.0},""" +
         s""""dedup":${math.round(dedupS * 1000) / 1000.0}},""" +
         s""""invariants_ok":$ok,""" +

@@ -143,6 +143,28 @@ object BandScale {
         NearDup.bandStoreFrom(shC, NumPerm, NumBands, RowsPerBand, cells)
       }
       val idxRows = spark.read.parquet(s"$base/bands").count()
+      // Artifact-size audit (the round-8 "hash the stored shingle sets"
+      // change): bytes of the band postings and of the verification
+      // store under BOTH schemes — the hashed store is what
+      // bandStoreFrom writes (8-byte keys); the raw-string store is
+      // written here purely to measure what the artifact WOULD cost
+      // without the hashing (same partitioning/write shape), then
+      // deleted. Diagnostic, outside the timed sections.
+      def dirBytes(path: String): Long = {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+      }
+      val rawDir = java.nio.file.Files.createTempDirectory("graft_rawsh_")
+      shC.withColumn("sc",
+          pmod(xxhash64(col("id")), lit(cells.toLong)).cast("int"))
+        .repartition(col("sc"))
+        .write.mode("overwrite").partitionBy("sc")
+        .parquet(s"$rawDir/shingles")
+      val bandsBytes = dirBytes(s"$base/bands")
+      val shHashedBytes = dirBytes(s"$base/shingles")
+      val shRawBytes = dirBytes(s"$rawDir/shingles")
+      org.apache.commons.io.FileUtils.deleteQuietly(rawDir.toFile)
 
       val (matchedK, probeS) = timed {
         NearDup.minhashCrossMatchesStored(spark, base, shB,
@@ -172,6 +194,9 @@ object BandScale {
         s""""matched":${matchedK.size},""" +
         s""""sec":{"build":${math.round(buildS * 1000) / 1000.0},""" +
         s""""probe":${math.round(probeS * 1000) / 1000.0}},""" +
+        s""""artifact_bytes":{"bands":$bandsBytes,""" +
+        s""""shingles_hashed":$shHashedBytes,""" +
+        s""""shingles_raw":$shRawBytes},""" +
         s""""invariants_ok":$ok,""" +
         s""""failed":[${checks.filterNot(_._2).keys.map("\"" + _ + "\"")
           .mkString(",")}]}""")

@@ -83,8 +83,26 @@ object Bench {
       }
     }
     val byPass = timed.map(_.map(t => t._1 -> (t._2, t._3)).toMap)
+    // Contention retry: a min-of-N is only a calm observation if SOME
+    // pass was calm — when the box is loaded during BOTH passes the min
+    // is itself a contended floor (observed: q124 8.3/26.8 s across
+    // passes on unchanged code). Queries whose pass spread exceeds 3×
+    // get ONE extra solo observation each (bounded extra work — only
+    // the noisy tail re-runs, serially, after the bulk passes finished
+    // competing for the box) and the min is taken over all three.
+    val spreadFactor = 3.0
+    val retried = selected.filter { case (name, _) =>
+      val good = byPass.map(_.apply(name)).filter(_._2).map(_._1)
+      good.size >= 2 && good.max > good.min * spreadFactor
+    }.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      name -> ((System.nanoTime() - t0) / 1e9, ok)
+    }.toMap
     val results = selected.map(_._1).map { name =>
-      val obs = byPass.map(_.apply(name))
+      val obs = byPass.map(_.apply(name)) ++ retried.get(name)
       val good = obs.filter(_._2).map(_._1)
       // all passes failed → record -1 so the artifact shows the failure
       // instead of a plausible-looking duration
@@ -108,8 +126,12 @@ object Bench {
         s"\"" + n + "\":" + (if (ok) sec else -1.0)
       }.mkString("{", ",", "}")
     }.mkString("[", ",", "]")
+    // retried queries' third (solo) observation, for the same audit
+    val retriedRaw = retried.toSeq.sortBy(_._1).map { case (n, (sec, ok)) =>
+      s"\"" + n + "\":" + (if (ok) sec else -1.0)
+    }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","passes":$passes,"agg":"min","passes_raw":$passesRaw}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","passes":$passes,"agg":"min","passes_raw":$passesRaw,"spread_retries":$retriedRaw}"""
     println(json)
     // Belt-and-braces for harnesses that scrape logged (prefixed) stdout:
     // leave the same line in a well-known file too.

@@ -1,0 +1,206 @@
+package graft
+
+import graft.transforms.VecKnn
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-replication harness for the STORED sign-LSH bucket index
+  * (q153's machinery, `VecKnn.cosineStoreTo` /
+  * `cosineCrossMatchesStored`) — graft.BandScale's protocol applied to
+  * the vector family: grow the corpus ×k with DISTINCT pseudo-random
+  * vectors and probe a FIXED small batch against the stored artifact at
+  * every k, with the partition-cell count scaled ∝ corpus.
+  *
+  * Why synthetic vectors instead of salted text: the index stores
+  * buckets of real-valued vectors, and the batch's TRUE match set must
+  * be invariant as the corpus grows. Deterministic unit-sphere-ish
+  * vectors derived from xxhash64(id, component) concentrate around
+  * cosine 0 at 64 dims (std ≈ 1/√64), so at THRESHOLD 0.99 an added
+  * vector can collide in buckets by chance but can never survive the
+  * exact verify — every scale step is also a correctness gate
+  * (BandScale's matched-closed-form invariant, verbatim).
+  *
+  * What the measurement claims (the q153/stored-COSINE deployment
+  * story): the index BUILD is the one corpus-sized job, while the
+  * per-batch PROBE cost is governed by the batch's own bucket keys —
+  * scanned fraction = |batch cells| / cells, and with cells ∝ N the
+  * scanned row count stays constant as the corpus grows.
+  *
+  * Invariants at every k:
+  *  - matched-set closed form: matched ids at k == the k=1 matched ids
+  *    (chance bucket collisions must die in the exact cosine verify);
+  *  - nonempty baseline: half the batch is verbatim corpus vectors
+  *    (re-ingestion matches its own copy at cosine 1.0 ≥ any
+  *    threshold), the other half is batch-only vectors driving the
+  *    negative path;
+  *  - cell-subset: the probe touched at most min(|batch|×tables, cells)
+  *    bucket cells, strictly fewer than `cells` once cells exceeds the
+  *    batch's key count.
+  *
+  * Usage: SPARK_GRAFT_REPS=1,4,16 runMain graft.CosineScale. REPS must
+  * start with 1. Prints one JSON line per k plus fitted exponents.
+  */
+object CosineScale {
+
+  private final val Cells0 = 256
+  private final val BatchVecs = 8
+  private final val Threshold = 0.99
+  private final val Tables = 32
+  /** Bucket bits at k = 1; grows with log₂(corpus). A sign-LSH bucket
+    * is a FIXED 1/2^bits slice of the sphere, so collision (candidate)
+    * mass per batch key is ∝ corpus/2^bits — with constant bits the
+    * probe cost grows linearly in the corpus however the cells are
+    * partitioned (measured: exponent +0.36 over 16× growth at fixed
+    * 4 bits). Keeping per-bucket occupancy constant needs 2^bits ∝
+    * corpus, i.e. bits = Bits0 + log₂(k) — the bucket-space analogue
+    * of cells ∝ corpus. Recall at the dedup thresholds is unharmed:
+    * a true near-dup pair's per-bit flip probability is ∝ its (tiny)
+    * angle, and re-ingested exact copies share every bucket at any
+    * width; the exact verify keeps every step a correctness gate.
+    */
+  private final val Bits0 = 8
+  private final val Dims = 64
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1,4,16")
+      .split(",").map(_.trim.toInt).toSeq
+    require(reps.headOption.contains(1),
+      s"SPARK_GRAFT_REPS must start with 1 (matched-set baseline), got " +
+        reps.mkString(","))
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try spark.range(1000000).selectExpr("sum(id * 2)").collect()
+    catch { case _: Throwable => () }
+    import graft.functions.Vectors.l2norm
+
+    // deterministic pseudo-random vector for any id: component c =
+    // xxhash64(id, c) mapped to [-1, 1] — a pure column function, so the
+    // "corpus" is reproducible at any k without storing anything
+    def synthVec(id: org.apache.spark.sql.Column) =
+      transform(sequence(lit(1), lit(Dims)),
+        c => (xxhash64(id, c).cast("double") / lit(Long.MaxValue.toDouble)))
+
+    val n0 = 2000L
+    // base corpus: ids 0..n0-1; batch = 8 re-ingested corpus vectors
+    // (ids 0..7 — cosine 1.0 with their own copies by construction) +
+    // 8 batch-only vectors (ids n0·1e6.. — present in NO corpus)
+    val batch = spark.range(0, BatchVecs)
+      .union(spark.range(n0 * 1000000L, n0 * 1000000L + BatchVecs))
+      .select(col("id"), synthVec(col("id")).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+      .localCheckpoint()
+    val batchKeys = batch.count() * Tables
+
+    var matched1: Option[Set[Long]] = None
+    val lines = for (k <- reps) yield {
+      val cells = Cells0 * k
+      // 2^bits ∝ corpus — see Bits0
+      val bits = Bits0 + (math.log(k.toDouble) / math.log(2.0)).round.toInt
+      // corpus ids 0..k·n0-1: the k=1 prefix is shared at every k, the
+      // growth rows are new ids = new pseudo-random vectors (disjoint
+      // from the batch-only ids, which live at n0·1e6+)
+      val corpus = spark.range(0, n0 * k)
+        .select(col("id"), synthVec(col("id")).as("v"))
+        .withColumn("nrm", l2norm(col("v")))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
+      val n = corpus.count()
+
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_cosidx_")
+      graft.queries.Advanced.registerTmpDir(idxDir)
+      val base = idxDir.toString
+      val (_, buildS) = timed {
+        VecKnn.cosineStoreTo(base, corpus, Tables, bits, cells)
+      }
+      val idxRows = spark.read.parquet(s"$base/buckets").count()
+
+      val (matchedK, probeS) = timed {
+        VecKnn.cosineCrossMatchesStored(spark, base, batch,
+            Threshold, Tables, bits)
+          .collect().map(_.getLong(0)).toSet
+      }
+      // diagnostics, outside the timed probe: the cells the batch routes
+      // to, and the ROWS those routed cells actually hold — wall-clock at
+      // this toy scale carries a per-FILE constant (footer read + task)
+      // for every routed cell dir, so the scale claim is pinned on rows
+      // scanned, with the file count reported alongside
+      val bucketFanout = batch
+        .select(col("id"),
+          posexplode(graft.functions.Vectors.lshBuckets(col("v"),
+            Tables, bits, Dims)).as(Seq("t", "bucket")))
+        .localCheckpoint()
+      val routed = bucketFanout
+        .select(pmod(xxhash64(col("t"), col("bucket")), lit(cells.toLong))
+          .cast("int").as("pc"))
+        .distinct().collect().map(_.getInt(0)).sorted
+      val probeCells = routed.length.toLong
+      val bPaths = graft.transforms.NearDup.existingCellPaths(
+        spark, s"$base/buckets", "pc", routed)
+      val bucketRowsScanned =
+        if (bPaths.isEmpty) 0L
+        else spark.read.option("basePath", s"$base/buckets")
+          .parquet(bPaths: _*).count()
+      // vector-store side: candidate ids route into vectors/ cells
+      val cand = spark.read.option("basePath", s"$base/buckets")
+        .parquet(bPaths: _*)
+        .join(broadcast(bucketFanout.toDF("b_id", "t", "bucket")),
+          Seq("t", "bucket"))
+        .select(col("id")).distinct()
+      val vRouted = cand
+        .select(pmod(xxhash64(col("id")), lit(cells.toLong))
+          .cast("int").as("sc"))
+        .distinct().collect().map(_.getInt(0)).sorted
+      val vPaths = graft.transforms.NearDup.existingCellPaths(
+        spark, s"$base/vectors", "sc", vRouted)
+      val vectorRowsScanned =
+        if (vPaths.isEmpty) 0L
+        else spark.read.option("basePath", s"$base/vectors")
+          .parquet(vPaths: _*).count()
+      if (k == 1) matched1 = Some(matchedK)
+
+      val checks = Map(
+        "matched_closed_form" -> (k == 1 || matched1.exists(_ == matchedK)),
+        "baseline_nonempty" -> matched1.exists(_.nonEmpty),
+        "cell_subset" -> (probeCells <= math.min(batchKeys, cells.toLong) &&
+          (cells <= batchKeys || probeCells < cells)))
+      val ok = checks.values.forall(identity)
+      println(
+        s"""{"metric":"cosine_scale","k":$k,"corpus":$n,"bits":$bits,""" +
+        s""""index_rows":$idxRows,"cells":$cells,""" +
+        s""""probe_cells":$probeCells,"vector_cells":${vPaths.length},""" +
+        s""""rows_scanned":{"buckets":$bucketRowsScanned,""" +
+        s""""vectors":$vectorRowsScanned},""" +
+        s""""matched":${matchedK.size},""" +
+        s""""sec":{"build":${math.round(buildS * 1000) / 1000.0},""" +
+        s""""probe":${math.round(probeS * 1000) / 1000.0}},""" +
+        s""""invariants_ok":$ok,""" +
+        s""""failed":[${checks.filterNot(_._2).keys.map("\"" + _ + "\"")
+          .mkString(",")}]}""")
+      require(ok, s"cosine scale invariants failed at k=$k: " +
+        checks.filterNot(_._2).keys.mkString(", "))
+      (k, buildS, probeS)
+    }
+
+    for {
+      (1, b1, p1) <- lines.find(_._1 == 1).toSeq
+      (k, bk, pk) <- lines if k > 1
+    } {
+      def exp(t: Double, t0: Double) =
+        math.round(math.log(t / t0) / math.log(k.toDouble) * 1000) / 1000.0
+      println(s"""{"metric":"cosine_scale_exponent","k":$k,""" +
+        s""""build":${exp(bk, b1)},"probe":${exp(pk, p1)}}""")
+    }
+    spark.stop()
+  }
+}

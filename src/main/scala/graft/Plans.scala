@@ -74,6 +74,14 @@ object Plans {
     "q145_aql_split_verb" -> "SPLIT verb: md5-ppm assignment map-side, no shuffle",
     "q146_aql_mix_verb" -> "MIX verb: rates rollup -> broadcast back -> map-side keep",
     "q147_aql_knn_stored" -> "KNN STORED: persisted-IVF probe via the shared serving step",
+    "q148_aql_neardedup_stored_verb" -> "AGAINST STORED verb: q144's stored-band probe via the language layer, left-anti keep",
+    "q149_stream_stored_neardedup" -> "streaming stored-band dedup: idempotent sink read-back (each microbatch runs q144's shared probe shape — see q144/q148 for the per-batch plan; explain cannot render the in-flight streaming plan)",
+    "q150_pii_scrub" -> "PII scrub: pure map-side compiled-regex chain, zero Exchange",
+    "q151_aql_index_lsh_build_probe" -> "INDEX verb build (separate engine run) -> AGAINST STORED probe, left-anti keep",
+    "q152_aql_index_ivf_knn" -> "INDEX IVF (separate engine run) -> KNN STORED: q147's shared serving step over the verb-built artifact",
+    "q153_aql_cosine_stored" -> "stored sign-LSH bucket probe: routed cells, exact cosine verify, left-anti keep",
+    "q154_aql_typo_stored" -> "stored delete-1 variant probe: routed cells, banded-lev verify, left-anti keep",
+    "q155_aql_mix_t07" -> "general-T MIX: DECIMAL-quantized pow rate, broadcast back, map-side keep",
   )
 
   def main(args: Array[String]): Unit = {

@@ -257,6 +257,15 @@ object Similarity {
     // each — narrow-row exchanges, cheap next to the sort they
     // replace.
     // hop 1: nearest super — the corpus × g score fan-out
+    // The two vec_id re-attach joins below carry a CORPUS-SIZED build
+    // side (ids1/ids2 are one row per vector) and are hinted merge:
+    // their slim (long, int) rows compress so well that AQE's runtime
+    // size estimate can fall under the broadcast threshold and convert
+    // them to broadcast hash joins — building an N-row hashed relation
+    // in driver memory, which is wrong at ANY scale for a frame ∝
+    // corpus (measured: the 2.05 M-vector AnnScale build OOM'd the 8 GB
+    // driver on exactly this conversion; merge-hinted it completes).
+    // The hint costs nothing real: both sides already shuffle on vec_id.
     val ids1 = e.crossJoin(broadcast(occupied))
       .select(col("vec_id"), col("super"),
         round(dot(col("v"), col("sv")) / (col("nrm") * col("snrm")), 6)
@@ -264,7 +273,7 @@ object Similarity {
       .groupBy(col("vec_id"))
       .agg(max(struct(col("score"), (-col("super")).as("ns"))).as("m"))
       .select(col("vec_id"), (-col("m.ns")).as("super"))
-    val e2 = e.join(ids1, "vec_id")
+    val e2 = e.join(ids1.hint("merge"), "vec_id")
     // hop 2: nearest child within the vector's own super — the
     // broadcast hash join fans each vector out to ~cells/g children
     val ids2 = e2.join(broadcast(cents), "super")
@@ -274,7 +283,7 @@ object Similarity {
       .groupBy(col("vec_id"))
       .agg(max(struct(col("score"), (-col("cluster")).as("nc"))).as("m"))
       .select(col("vec_id"), (-col("m.nc")).as("cluster"))
-    val assigned = e.join(ids2, "vec_id")
+    val assigned = e.join(ids2.hint("merge"), "vec_id")
       .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
     (cents, supers, assigned)
   }

@@ -432,9 +432,15 @@ object NearDup {
     * ~20-char strings — the q31 postings key applied to the artifact:
     * the exact verify only needs intersection/size algebra, which is
     * hash-invariant modulo cross-doc collisions (P ≈ n²/2⁶⁵, the same
-    * documented budget as the postings join), and at corpus scale the
-    * raw-string store is the artifact's dominant bytes (several× the
-    * hashed form — measured in graft.BandScale's artifact-bytes column).
+    * documented budget as the postings join). ON DISK the two schemes
+    * are nearly equal — parquet dictionary+snappy already compresses
+    * the repetitive shingle strings to within 2–9 % of the hash columns
+    * (measured in graft.BandScale's artifact-bytes column; SCALING.md
+    * records the overturned expectation). The hashed form is the
+    * default for the cost encoding can NOT remove: the exact verify
+    * DECODES the sets into rows, and 8-byte longs are ≈3× narrower
+    * in-memory than ~20-char strings — every byte of that width rides
+    * the candidate join and any broadcast of it.
     * The scheme is recorded in `meta/` and the probe adapts its batch
     * side to match, so mixed-scheme probing is impossible.
     */

@@ -1324,6 +1324,95 @@ class AqlSpec extends AnyFunSuite {
     assert(mb.getMessage.contains("mismatched banding"), mb.getMessage)
   }
 
+  test("INDEX verb: durable build-then-probe across engine runs; validate") {
+    // the INDEX verb writes to a USER path (no temp-dir registration in
+    // the verb itself — registered here only so the TEST cleans up):
+    // script A builds, a SEPARATE Aql.run probes from the files alone —
+    // the "write once, probe forever" contract at the language layer.
+    val dir = java.nio.file.Files.createTempDirectory("graft_aqlspec_index")
+    graft.queries.Advanced.registerTmpDir(dir)
+    val lshIdx = dir.resolve("lsh").toString
+    val built = Aql.run(spark,
+      s"""DATA 'Corpus' (
+         |  [[2, "the quick brown fox jumps over the lazy cat"]]
+         |) WITH (COLUMNS = 'Id, Txt')
+         |TRANSFORM 'Built' FROM BLOCK Corpus (
+         |  INDEX ON Txt KEY Id METHOD LSH THRESHOLD 0.4 CELLS 8
+         |    INTO '$lshIdx'
+         |) INTO CONSOLE""".stripMargin).outputs("BUILT").collect()
+    // one summary row: (path, kind, cells, indexed_rows)
+    assert(built.length == 1)
+    assert(built.head.getAs[String]("path") == lshIdx)
+    assert(built.head.getAs[String]("kind") == "lsh_text")
+    assert(built.head.getAs[Long]("indexed_rows") == 1L)
+    // separate run, files only: same kept set as the two-source form
+    // (autoBands(0.4) = 128×1 on both sides)
+    val kept = Aql.run(spark,
+      s"""DATA 'Batch' (
+         |  [[10, "the quick brown fox jumps over the lazy dog"],
+         |   [40, "completely different words here with nothing shared at all"],
+         |   [50, "too short"]]
+         |) WITH (COLUMNS = 'Id, Txt')
+         |TRANSFORM 'Kept' FROM BLOCK Batch (
+         |  NEARDEDUP Batch AGAINST STORED '$lshIdx' ON Txt KEY Id
+         |    THRESHOLD 0.4 METHOD LSH
+         |) INTO CONSOLE""".stripMargin)
+      .outputs("KEPT").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(40L, 50L), kept.toString)
+
+    // TYPO family through the verb too: build a 2-string delete index,
+    // probe drops the ED-1 batch row and keeps the unrelated one
+    val typoIdx = dir.resolve("typo").toString
+    Aql.run(spark,
+      s"""DATA 'Corpus' ([[1, "alpha"], [2, "beta"]])
+         |  WITH (COLUMNS = 'Id, Txt')
+         |TRANSFORM 'Built' FROM BLOCK Corpus (
+         |  INDEX ON Txt KEY Id METHOD TYPO CELLS 4 INTO '$typoIdx'
+         |) INTO CONSOLE""".stripMargin)
+    val keptTypo = Aql.run(spark,
+      s"""DATA 'Batch' ([[7, "alpho"], [8, "gamma"]])
+         |  WITH (COLUMNS = 'Id, Txt')
+         |TRANSFORM 'Kept' FROM BLOCK Batch (
+         |  NEARDEDUP Batch AGAINST STORED '$typoIdx' ON Txt KEY Id
+         |    METHOD TYPO
+         |) INTO CONSOLE""".stripMargin)
+      .outputs("KEPT").collect().map(_.getLong(0)).toSeq
+    assert(keptTypo == Seq(8L), keptTypo.toString)
+
+    // cross-family artifact mixups error instead of silently matching
+    // nothing: probing the TYPO store with METHOD LSH names both kinds
+    val km = intercept[Exception](Aql.run(spark,
+      s"""DATA 'B' ([[1, "one two three four"]]) WITH (COLUMNS = 'Id, Txt')
+         |TRANSFORM 'K' FROM BLOCK B (
+         |  NEARDEDUP B AGAINST STORED '$typoIdx' ON Txt KEY Id
+         |    THRESHOLD 0.4 METHOD LSH
+         |) INTO CONSOLE""".stripMargin))
+    assert(km.getMessage.contains("not interchangeable"), km.getMessage)
+
+    // option algebra: each knob only applies to its method
+    def bad(body: String): String =
+      intercept[Exception](Aql.run(spark,
+        s"""DATA 'C' ([[1, "x"]]) WITH (COLUMNS = 'Id, Txt')
+           |TRANSFORM 'K' FROM BLOCK C (
+           |  $body
+           |) INTO CONSOLE""".stripMargin)).getMessage
+    assert(bad(s"INDEX ON Txt KEY Id METHOD LSH TABLES 8 INTO '$lshIdx'")
+      .contains("TABLES only applies to METHOD COSINE"))
+    assert(bad(s"INDEX ON Txt KEY Id METHOD TYPO THRESHOLD 0.5 INTO '$lshIdx'")
+      .contains("THRESHOLD only applies to METHOD LSH"))
+    assert(bad(s"INDEX ON Txt KEY Id METHOD IVF BANDS 4 ROWS 2 INTO '$lshIdx'")
+      .contains("BANDS/ROWS only applies to METHOD LSH"))
+    assert(bad(s"INDEX ON Txt KEY Id METHOD NOPE INTO '$lshIdx'")
+      .contains("METHOD NOPE unknown"))
+    assert(bad("INDEX ON Txt KEY Id METHOD LSH") // INTO is mandatory
+      .toLowerCase.contains("cannot parse index"))
+    assert(bad(s"INDEX ON Txt KEY Nope METHOD LSH INTO '$lshIdx'")
+      .contains("unknown column Nope"))
+    // LSH on a non-string / TYPO on a non-string error clearly
+    assert(bad(s"INDEX ON Id KEY Id METHOD LSH INTO '$lshIdx'")
+      .contains("must be string"))
+  }
+
   test("NEARDEDUP METHOD COSINE: embedding dedup e2e; options validate") {
     // the vector member of the dedup verb family (q44 as a language
     // operator). Eight 2-d vectors: 1-2-5 form a cosine-0.9 chain

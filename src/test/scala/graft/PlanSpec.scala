@@ -942,5 +942,82 @@ class PlanSpec extends AnyFunSuite {
     val partsRead = idxScans.map(_.metrics("numPartitions").value).sum
     assert(partsRead > 0 && partsRead < 16,
       s"expected a strict subset of the 16 cells read, got $partsRead")
+    // and the routing must be the EXPLICIT-path form, not a filter over
+    // the whole store: every scan root must BE a probed cluster=
+    // directory (a regression to basePath-wide reading would root at the
+    // index dir and re-pay partition listing ∝ index size — the failure
+    // BandScale measured), and strictly fewer roots than the 16 cells
+    val roots = idxScans.flatMap(_.relation.location.rootPaths)
+      .map(_.toString)
+    assert(roots.nonEmpty && roots.forall(_.contains("/cluster=")),
+      s"index scan roots must be explicit cell directories, got:\n" +
+        roots.mkString("\n"))
+    assert(roots.distinct.size < 16,
+      s"expected a strict subset of the 16 cell dirs as scan roots, " +
+        s"got ${roots.distinct.size}")
+  }
+
+  test("q148: language-layer stored-band probe keeps the anti-join shape") {
+    // q144's pin covers the Scala path; THIS pins the verb form — the
+    // kept rows must come off a left-anti join and nothing in the
+    // language-layer plan may degenerate to a batch×corpus pair space.
+    // The probe's shingle-store verify scan is visible (only the
+    // candidate frame sits behind a checkpoint), so the explicit-path
+    // routing marker (sc= cell dirs) is asserted too.
+    val df = SparkEntry.queries("q148_aql_neardedup_stored_verb")(
+      spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti"), s"keep step must be a left-anti join:\n$p")
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+      s"no all-pairs anywhere in the stored-verb probe:\n$p")
+  }
+
+  test("stored COSINE/TYPO probes keep the anti-join shape, never all-pairs") {
+    // q153/q154's machinery driven directly (the gates run full AQL
+    // round-trips; this pins the verb-level plan shape): both stored
+    // AGAINST forms end in a left-anti keep and neither may enumerate
+    // a batch×corpus pair space in-plan.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array, lit}
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_planspec_idx")
+    graft.queries.Advanced.registerTmpDir(idxDir)
+    // cosine store over a 3-vector corpus
+    val cosBase = idxDir.resolve("cos").toString
+    val corpusV = Seq((1L, Array(1.0, 0.0)), (3L, Array(0.0, 1.0)),
+        (5L, Array(0.6, 0.8)))
+      .toDF("id", "varr")
+      .select(col("id"), col("varr").as("v"))
+      .withColumn("nrm", graft.functions.Vectors.l2norm(col("v")))
+    graft.transforms.VecKnn.cosineStoreTo(cosBase, corpusV, 8, 4, 4)
+    val batchV = Seq((10L, Array(1.0, 0.05)), (12L, Array(-1.0, 0.0)))
+      .toDF("id", "embedding")
+    val cosKept = graft.transforms.TransformParser
+      .parse(s"NEARDEDUP B AGAINST STORED '$cosBase' ON embedding KEY id " +
+        "THRESHOLD 0.9 METHOD COSINE TABLES 8 BITS 4")
+      .build(Map("B" -> batchV), batchV)
+    val pc = cosKept.queryExecution.executedPlan.toString
+    assert(pc.contains("LeftAnti"), s"cosine keep must be left-anti:\n$pc")
+    assert(!pc.contains("Cartesian") && !pc.contains("BroadcastNestedLoop"),
+      s"no all-pairs in the stored cosine probe:\n$pc")
+    // typo store over a 2-string corpus
+    val typoBase = idxDir.resolve("typo").toString
+    val corpusT = Seq((100L, "alpha"), (101L, "beta")).toDF("id", "txt")
+    graft.transforms.NearDup.typoStoreTo(typoBase, corpusT, 4)
+    val batchT = Seq((1L, "alpho"), (2L, "gamma")).toDF("id", "name")
+    val typoKept = graft.transforms.TransformParser
+      .parse(s"NEARDEDUP B AGAINST STORED '$typoBase' ON name KEY id " +
+        "METHOD TYPO")
+      .build(Map("B" -> batchT), batchT)
+    val pt = typoKept.queryExecution.executedPlan.toString
+    assert(pt.contains("LeftAnti"), s"typo keep must be left-anti:\n$pt")
+    assert(!pt.contains("Cartesian") && !pt.contains("BroadcastNestedLoop"),
+      s"no all-pairs in the stored typo probe:\n$pt")
+    // and the verdicts are right (shape + semantics in one spec):
+    // 10 matches (cos ≈ 0.9988 ≥ 0.9), 12 is anti-parallel and survives;
+    // "alphо"→"alpha" is one substitution, "gamma" matches nothing
+    assert(cosKept.select("id").collect().map(_.getLong(0)).toSet ==
+      Set(12L))
+    assert(typoKept.select("id").collect().map(_.getLong(0)).toSet ==
+      Set(2L))
   }
 }

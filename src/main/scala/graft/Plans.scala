@@ -82,6 +82,9 @@ object Plans {
     "q153_aql_cosine_stored" -> "stored sign-LSH bucket probe: routed cells, exact cosine verify, left-anti keep",
     "q154_aql_typo_stored" -> "stored delete-1 variant probe: routed cells, banded-lev verify, left-anti keep",
     "q155_aql_mix_t07" -> "general-T MIX: DECIMAL-quantized pow rate, broadcast back, map-side keep",
+    "q156_aql_index_lsh_append" -> "INDEX APPEND (two separate engine runs) -> AGAINST STORED probe over the grown artifact: q148's routed-cell left-anti shape, append-invariant",
+    "q157_stream_stored_cosine_dedup" -> "streaming stored-cosine dedup: idempotent sink read-back (each microbatch runs q153's shared probe shape - see q153 for the per-batch plan; explain cannot render the in-flight streaming plan)",
+    "q158_aql_index_compact" -> "build -> APPEND -> COMPACT -> probe: answers identical to q156 (compaction rewrites cells, never rows); probe plan is q148's routed-cell left-anti shape",
   )
 
   def main(args: Array[String]): Unit = {

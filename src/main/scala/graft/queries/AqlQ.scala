@@ -1231,5 +1231,131 @@ object AqlQ {
            |) INTO CONNECTION Out""".stripMargin
       Aql.run(s, script).outputs("FINAL")
     },
+
+    // INDEX … APPEND: the index-MAINTENANCE form — the corpus half that
+    // q151 indexed in one build is here indexed as build-then-append
+    // (doc_id % 4 = 1 built, % 4 = 3 appended, union = the odd docs)
+    // across SEPARATE engine runs, and a third run probes the grown
+    // artifact. Because a doc's band rows are pure functions of its own
+    // text, the appended artifact must answer q128/q144/q148/q151's
+    // brute-force oracle BIT-FOR-BIT — the gate that makes "ingest
+    // today's documents without re-shingling yesterday's corpus" a
+    // verified claim rather than a design note.
+    QueryDef(
+      "q156_aql_index_lsh_append",
+      Dedup.againstKeptOracleSql) { (s, dir) =>
+      val outDir = java.nio.file.Files.createTempDirectory("graft_q156")
+      Advanced.registerTmpDir(outDir)
+      val idx = outDir.resolve("band_index").toString
+      val out = outDir.resolve("kept").toString
+      def corpusScript(slice: Int, appendKw: String) =
+        s"""CONNECTION 'Docs' (
+           |  DRIVER = 'file', FILE = '$dir/documents.parquet',
+           |  FORMAT = 'parquet'
+           |)
+           |
+           |QUERY 'Corpus' FROM CONNECTION Docs (
+           |  SELECT * FROM Docs WHERE doc_id % 4 = $slice
+           |)
+           |
+           |TRANSFORM 'Built' FROM BLOCK Corpus (
+           |  INDEX ON text KEY doc_id METHOD LSH${
+             if (appendKw.isEmpty) " THRESHOLD 0.5 CELLS 64" else ""}
+           |    INTO '$idx'$appendKw
+           |)
+           |
+           |QUERY 'Summary' FROM BLOCK Built (
+           |  SELECT * FROM Built
+           |) INTO CONSOLE""".stripMargin
+      Aql.run(s, corpusScript(1, ""))
+      Aql.run(s, corpusScript(3, " APPEND"))
+      val probeScript =
+        s"""CONNECTION 'Docs' (
+           |  DRIVER = 'file', FILE = '$dir/documents.parquet',
+           |  FORMAT = 'parquet'
+           |)
+           |CONNECTION 'Out' (
+           |  DRIVER = 'file', FILE = '$out', FORMAT = 'parquet'
+           |)
+           |
+           |QUERY 'Batch' FROM CONNECTION Docs (
+           |  SELECT * FROM Docs WHERE doc_id % 2 = 0
+           |)
+           |
+           |TRANSFORM 'Kept' FROM BLOCK Batch (
+           |  NEARDEDUP Batch AGAINST STORED '$idx' ON text KEY doc_id
+           |    THRESHOLD 0.5 METHOD LSH
+           |)
+           |
+           |QUERY 'Final' FROM BLOCK Kept (
+           |  SELECT doc_id, lang, source, n_chars FROM Kept
+           |) INTO CONNECTION Out""".stripMargin
+      Aql.run(s, probeScript).outputs("FINAL")
+    },
+
+    // INDEX COMPACT — the maintenance statement that caps APPEND's
+    // file growth: q156's exact chain (build %4=1, append %4=3) with a
+    // COMPACT run between append and probe. Compaction rewrites each
+    // cell to one file and must change NOTHING about answers — the
+    // gate shares the same brute-force oracle, so a compact that
+    // dropped/duplicated/moved rows (or touched meta) fails
+    // hash-exactly. The file-count reduction itself is pinned in
+    // AqlSpec (files_after < files_before after a double append).
+    QueryDef(
+      "q158_aql_index_compact",
+      Dedup.againstKeptOracleSql) { (s, dir) =>
+      val outDir = java.nio.file.Files.createTempDirectory("graft_q158")
+      Advanced.registerTmpDir(outDir)
+      val idx = outDir.resolve("band_index").toString
+      val out = outDir.resolve("kept").toString
+      def corpusScript(slice: Int, appendKw: String) =
+        s"""CONNECTION 'Docs' (
+           |  DRIVER = 'file', FILE = '$dir/documents.parquet',
+           |  FORMAT = 'parquet'
+           |)
+           |
+           |QUERY 'Corpus' FROM CONNECTION Docs (
+           |  SELECT * FROM Docs WHERE doc_id % 4 = $slice
+           |)
+           |
+           |TRANSFORM 'Built' FROM BLOCK Corpus (
+           |  INDEX ON text KEY doc_id METHOD LSH${
+             if (appendKw.isEmpty) " THRESHOLD 0.5 CELLS 64" else ""}
+           |    INTO '$idx'$appendKw
+           |)
+           |
+           |QUERY 'Summary' FROM BLOCK Built (
+           |  SELECT * FROM Built
+           |) INTO CONSOLE""".stripMargin
+      Aql.run(s, corpusScript(1, ""))
+      Aql.run(s, corpusScript(3, " APPEND"))
+      Aql.run(s,
+        s"""DATA 'One' ([[1]]) WITH (COLUMNS = 'X')
+           |TRANSFORM 'Compacted' FROM BLOCK One (
+           |  INDEX COMPACT '$idx'
+           |) INTO CONSOLE""".stripMargin)
+      val probeScript =
+        s"""CONNECTION 'Docs' (
+           |  DRIVER = 'file', FILE = '$dir/documents.parquet',
+           |  FORMAT = 'parquet'
+           |)
+           |CONNECTION 'Out' (
+           |  DRIVER = 'file', FILE = '$out', FORMAT = 'parquet'
+           |)
+           |
+           |QUERY 'Batch' FROM CONNECTION Docs (
+           |  SELECT * FROM Docs WHERE doc_id % 2 = 0
+           |)
+           |
+           |TRANSFORM 'Kept' FROM BLOCK Batch (
+           |  NEARDEDUP Batch AGAINST STORED '$idx' ON text KEY doc_id
+           |    THRESHOLD 0.5 METHOD LSH
+           |)
+           |
+           |QUERY 'Final' FROM BLOCK Kept (
+           |  SELECT doc_id, lang, source, n_chars FROM Kept
+           |) INTO CONNECTION Out""".stripMargin
+      Aql.run(s, probeScript).outputs("FINAL")
+    },
   )
 }

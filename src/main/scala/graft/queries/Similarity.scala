@@ -336,6 +336,68 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$base/meta")
   }
 
+  /** Append new vectors to an existing [[ivfStoreTo]] artifact against
+    * its FROZEN centroids — the one stored family whose append is not
+    * equivalent to a full rebuild: centroids are a function of the
+    * whole corpus, so a rebuild over the union would pick different
+    * cells, while an append assigns the new vectors into the EXISTING
+    * geometry (exactly how production IVF deployments ingest — FAISS
+    * `add` after `train`). The assignment replays the build's own
+    * argmax algebra — flat artifacts get the flat round-6 argmax,
+    * hierarchical ones (marked by the `super` column) the same two
+    * occupied-super hops — so an appended vector lands in precisely the
+    * cell the build would have assigned it, and [[ivfProbeStored]]'s
+    * hierarchy-consistent routing serves it from its own cell first
+    * (the self-copy-dominance contract extends to appended rows, which
+    * the AqlSpec append case pins at cosine 1.0). The quality caveat is
+    * the standard one: if the appended distribution drifts far from the
+    * build corpus, frozen cells partition it poorly — recall degrades
+    * gracefully (probe more cells) until a rebuild re-trains; the
+    * artifact stays correct either way because serving reranks with
+    * exact cosine. Centroids, supers and `meta/` are untouched; new
+    * rows land as extra files in existing `cluster=` directories.
+    * Both argmax hops use the slim project-array-away shape + merge-
+    * hinted rejoins (the build's own scale lessons) on BOTH paths —
+    * an append batch can be corpus-sized (a backfill), so the flat
+    * path must not ride first()-over-array either.
+    */
+  private[graft] def ivfStoreAppend(base: String, e: DataFrame): Unit = {
+    val s = e.sparkSession
+    val meta = s.read.parquet(s"$base/meta").head()
+    graft.transforms.NearDup.requireKind(meta, base, "ivf_vec",
+      "INDEX … APPEND")
+    val cents = s.read.parquet(s"$base/centroids").localCheckpoint(false)
+    def argmaxInto(scored: DataFrame, cellCol: String): DataFrame = scored
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("score"), (-col(cellCol)).as("nc"))).as("m"))
+      .select(col("vec_id"), (-col("m.nc")).as(cellCol))
+    val ids =
+      if (cents.columns.contains("super")) {
+        val supers = s.read.parquet(s"$base/supers")
+        // only OCCUPIED supers, as in the build: hop-2's inner join on
+        // `super` would silently drop a vector routed to a childless one
+        val occupied = supers
+          .join(cents.select(col("super")).distinct(), "super")
+        val ids1 = argmaxInto(e.crossJoin(broadcast(occupied))
+          .select(col("vec_id"), col("super"),
+            round(dot(col("v"), col("sv")) / (col("nrm") * col("snrm")), 6)
+              .as("score")), "super")
+        val e2 = e.join(ids1.hint("merge"), "vec_id")
+        argmaxInto(e2.join(broadcast(cents), "super")
+          .select(col("vec_id"), col("cluster"),
+            round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6)
+              .as("score")), "cluster")
+      } else
+        argmaxInto(e.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("cluster"),
+            round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6)
+              .as("score")), "cluster")
+    e.join(ids.hint("merge"), "vec_id")
+      .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
+      .repartition(col("cluster"))
+      .write.mode("append").partitionBy("cluster").parquet(s"$base/index")
+  }
+
   /** One stored artifact per corpus dir per JVM — that IS the deployment
     * model (the index-build job runs once; every probe batch, streaming
     * or not, consumes the same files), and it keeps q136+q139 from each
@@ -468,6 +530,33 @@ object Similarity {
     Tables.load(s, dir, "embeddings")
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  /** One stored sign-LSH bucket index per corpus dir per JVM — the
+    * [[storedIvf]] / Dedup.bandStore memo applied to the cosine family:
+    * the odd-vec_id corpus indexed once (TABLES 32 × BITS 4, 64 cells —
+    * the NEARDEDUP COSINE defaults q142/q153 ride), consumed by the
+    * streaming gate (q157) and any future batch consumer. Degenerate
+    * vectors (null/empty/zero/NaN/Inf norm) are excluded exactly as the
+    * INDEX verb excludes them — they can never verify, so storing them
+    * would only add dead bytes. Pure function of the corpus ⇒ sharing
+    * cannot change any output.
+    */
+  private val storedCosine =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private[queries] def cosineStore(s: SparkSession, dir: String): String =
+    storedCosine.getOrElseUpdate(dir, {
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_cosidx_")
+      Advanced.registerTmpDir(idxDir)
+      val e = emb(s, dir).where(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("id"), col("v"))
+        .where(col("v").isNotNull && size(col("v")) > 0)
+        .withColumn("nrm", l2norm(col("v")))
+        .where(col("nrm") > 0 && !isnan(col("nrm")) &&
+          col("nrm") < lit(Double.PositiveInfinity))
+      graft.transforms.VecKnn.cosineStoreTo(idxDir.toString, e,
+        tables = 32, bits = 4, cells = 64)
+      idxDir.toString
+    })
 
   val entries: Seq[QueryDef] = Seq(
 

@@ -695,6 +695,66 @@ object StreamingQ {
       s.read.parquet(resDir)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
     },
+
+    // Streaming embedding decontamination from the STORED sign-LSH
+    // bucket index — the VECTOR triangle completed, mirroring the text
+    // one (q142 = in-plan two-source, q153 = language-layer probe of
+    // the verb-built artifact, THIS = streaming probe; one write-once
+    // index shape serves all three). The even-vec batch arrives as 4
+    // real microbatches; each is bucketed and answered ENTIRELY from
+    // the stored files via foreachBatch running the SAME probe step
+    // (VecKnn.cosineCrossMatchesStored): routed bucket cells read as
+    // explicit paths, broadcast batch buckets, exact round-6 cosine
+    // verify against the pruned vector store — per-batch work ∝ the
+    // batch's own bucket keys, never corpus size. No streaming state
+    // (a vector's verdict depends only on itself and the frozen
+    // index); batchId-keyed idempotent sink. Batch-boundary invariance
+    // IS the gate: the union of per-batch kept sets must equal the
+    // one-shot q142/q153 answer — shared brute-force oracle,
+    // hash-exact.
+    QueryDef(
+      "q157_stream_stored_cosine_dedup",
+      AqlQ.cosineAgainstKeptOracleSql) { (s, dir) =>
+      import graft.functions.Vectors.l2norm
+      import graft.transforms.VecKnn
+      // once-per-corpus: the SHARED stored bucket index (memoized —
+      // repeat runs probe one artifact, the deployment model)
+      val base = Similarity.cosineStore(s, dir)
+      val qBase = java.nio.file.Files
+        .createTempDirectory("graft_cosstream_")
+      Advanced.registerTmpDir(qBase)
+      val inDir = s"$qBase/in"
+      val resDir = s"$qBase/out"
+      Similarity.emb(s, dir)
+        .where(col("vec_id") % 2 === 0)
+        .repartition(4)
+        .write.mode("overwrite").parquet(inDir)
+      val schema = s.read.parquet(inDir).schema
+      drainAvailableNow(s, "q157_stored_cosine", noDataBatch = false) {
+        ckpt =>
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir)
+          .writeStream
+          .outputMode("append")
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val sp = batch.sparkSession
+            val b = batch
+              .select(col("vec_id").as("id"), col("v"))
+              .withColumn("nrm", l2norm(col("v")))
+            val matched = VecKnn
+              .cosineCrossMatchesStored(sp, base, b, 0.45)
+              .toDF("vec_id")
+            // idempotent under at-least-once: batchId-keyed overwrite
+            batch.select(col("vec_id"))
+              .join(matched, Seq("vec_id"), "left_anti")
+              .write.mode("overwrite").parquet(s"$resDir/batch=$batchId")
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      s.read.parquet(resDir).select(col("vec_id"))
+    },
   )
 
   /** Exact-decimal ZOH fold over sorted points (the reference reducer's

@@ -447,20 +447,8 @@ object NearDup {
   def bandStoreTo(base: String, shC: DataFrame, numPerm: Int, numBands: Int,
       rowsPerBand: Int, cells: Int, hashShingles: Boolean = true): Unit = {
     require(cells >= 1, s"bandStoreTo: cells $cells must be >= 1")
-    val sh = shC.localCheckpoint(false) // feeds band keys AND the shingle store
-    bandKeys(sh, numPerm, numBands, rowsPerBand)
-      .withColumn("pc",
-        pmod(xxhash64(col("band"), col("bh")), lit(cells.toLong)).cast("int"))
-      .repartition(col("pc"))
-      .write.mode("overwrite").partitionBy("pc").parquet(s"$base/bands")
-    val shStore =
-      if (hashShingles)
-        sh.select(col("id"), Text.hashedShingles(col("shs")).as("shs"))
-      else sh
-    shStore.withColumn("sc",
-        pmod(xxhash64(col("id")), lit(cells.toLong)).cast("int"))
-      .repartition(col("sc"))
-      .write.mode("overwrite").partitionBy("sc").parquet(s"$base/shingles")
+    bandStoreRows(base, shC, numPerm, numBands, rowsPerBand, cells,
+      hashShingles, org.apache.spark.sql.SaveMode.Overwrite)
     val spark = shC.sparkSession
     import spark.implicits._
     Seq(("lsh_text", cells, numPerm, numBands, rowsPerBand,
@@ -468,6 +456,61 @@ object NearDup {
       .toDF("kind", "cells", "num_perm", "num_bands", "rows_per_band",
         "shingle_scheme")
       .coalesce(1).write.mode("overwrite").parquet(s"$base/meta")
+  }
+
+  /** Append new docs to an existing [[bandStoreTo]] artifact — the
+    * index-MAINTENANCE step of the deployment story (a growing corpus
+    * must not rebuild its whole index to ingest a day's documents).
+    * Geometry (banding, cells, shingle scheme) comes from the
+    * artifact's `meta/`, never from the caller, so an append can never
+    * silently mix bandings; `meta/` itself is untouched. Because a
+    * doc's band signature and shingle set are pure functions of its own
+    * text, build-then-append is EXACTLY equivalent to one full build of
+    * the union (modulo file layout) — the property the q156 gate pins
+    * bit-for-bit against the full-build oracle. Appended rows land as
+    * new files inside the existing cell directories (cells is fixed in
+    * meta), so probe routing is unchanged and file count grows by
+    * ∝ cells per append — compaction is a plain per-cell parquet
+    * rewrite if appends are frequent. Re-appending an id that is
+    * already stored duplicates its postings: harmless for correctness
+    * (candidates are distinct-ed and the verify is per-pair) but wasted
+    * bytes — callers collapse to distinct texts first, as the INDEX
+    * verb does.
+    */
+  def bandStoreAppend(base: String, shC: DataFrame): Unit = {
+    val meta = shC.sparkSession.read.parquet(s"$base/meta").head()
+    requireKind(meta, base, "lsh_text", "INDEX … APPEND")
+    val scheme =
+      if (meta.schema.fieldNames.contains("shingle_scheme"))
+        meta.getAs[String]("shingle_scheme")
+      else "raw"
+    bandStoreRows(base, shC, meta.getAs[Int]("num_perm"),
+      meta.getAs[Int]("num_bands"), meta.getAs[Int]("rows_per_band"),
+      meta.getAs[Int]("cells"), scheme == "xxhash64",
+      org.apache.spark.sql.SaveMode.Append)
+  }
+
+  /** The shared row-writing step of [[bandStoreTo]] / [[bandStoreAppend]]
+    * — identical frames and partitioning either way; only the save mode
+    * differs (append adds files inside the existing cell directories).
+    */
+  private def bandStoreRows(base: String, shC: DataFrame, numPerm: Int,
+      numBands: Int, rowsPerBand: Int, cells: Int, hashShingles: Boolean,
+      mode: org.apache.spark.sql.SaveMode): Unit = {
+    val sh = shC.localCheckpoint(false) // feeds band keys AND the shingle store
+    bandKeys(sh, numPerm, numBands, rowsPerBand)
+      .withColumn("pc",
+        pmod(xxhash64(col("band"), col("bh")), lit(cells.toLong)).cast("int"))
+      .repartition(col("pc"))
+      .write.mode(mode).partitionBy("pc").parquet(s"$base/bands")
+    val shStore =
+      if (hashShingles)
+        sh.select(col("id"), Text.hashedShingles(col("shs")).as("shs"))
+      else sh
+    shStore.withColumn("sc",
+        pmod(xxhash64(col("id")), lit(cells.toLong)).cast("int"))
+      .repartition(col("sc"))
+      .write.mode(mode).partitionBy("sc").parquet(s"$base/shingles")
   }
 
   /** [[minhashCrossMatches]] against a [[bandStoreFrom]] artifact: the
@@ -619,20 +662,39 @@ object NearDup {
   def typoStoreTo(base: String, reps: DataFrame,
       cells: Int = BandStoreCells): Unit = {
     require(cells >= 1, s"typoStoreTo: cells $cells must be >= 1")
+    typoStoreRows(base, reps, cells, org.apache.spark.sql.SaveMode.Overwrite)
+    val spark = reps.sparkSession
+    import spark.implicits._
+    Seq(("typo_text", cells)).toDF("kind", "cells")
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/meta")
+  }
+
+  /** Append new strings to an existing [[typoStoreTo]] artifact —
+    * [[bandStoreAppend]]'s contract for the delete-1 family: cells from
+    * `meta/` (never the caller), meta untouched, and because a string's
+    * variant set is a pure function of the string itself,
+    * build-then-append ≡ one full build of the union.
+    */
+  def typoStoreAppend(base: String, reps: DataFrame): Unit = {
+    val meta = reps.sparkSession.read.parquet(s"$base/meta").head()
+    requireKind(meta, base, "typo_text", "INDEX … APPEND")
+    typoStoreRows(base, reps, meta.getAs[Int]("cells"),
+      org.apache.spark.sql.SaveMode.Append)
+  }
+
+  /** Shared row-writing step of [[typoStoreTo]] / [[typoStoreAppend]]. */
+  private def typoStoreRows(base: String, reps: DataFrame, cells: Int,
+      mode: org.apache.spark.sql.SaveMode): Unit = {
     val r = reps.select(col("id"), col("txt")).localCheckpoint(false)
     delete1Variants(r, "txt")
       .select(col("id"), col("vh"))
       .withColumn("pc", pmod(col("vh"), lit(cells.toLong)).cast("int"))
       .repartition(col("pc"))
-      .write.mode("overwrite").partitionBy("pc").parquet(s"$base/variants")
+      .write.mode(mode).partitionBy("pc").parquet(s"$base/variants")
     r.withColumn("sc",
         pmod(xxhash64(col("id")), lit(cells.toLong)).cast("int"))
       .repartition(col("sc"))
-      .write.mode("overwrite").partitionBy("sc").parquet(s"$base/strings")
-    val spark = reps.sparkSession
-    import spark.implicits._
-    Seq(("typo_text", cells)).toDF("kind", "cells")
-      .coalesce(1).write.mode("overwrite").parquet(s"$base/meta")
+      .write.mode(mode).partitionBy("sc").parquet(s"$base/strings")
   }
 
   /** Batch-vs-corpus edit-distance-≤1 matches against a [[typoStoreTo]]

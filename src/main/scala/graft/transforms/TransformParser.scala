@@ -1610,7 +1610,7 @@ object TransformParser {
 
   /** INDEX ON <col> KEY <keycol> METHOD LSH|IVF|COSINE|TYPO
     *       [THRESHOLD <0-1>] [BANDS <b> ROWS <r>] [CELLS <c>]
-    *       [TABLES <t>] [BITS <b>] INTO '<dir>'
+    *       [TABLES <t>] [BITS <b>] INTO '<dir>' [APPEND]
     *
     * The durable index BUILD step — the language-reachable producer for
     * every stored artifact the probe forms consume (`NEARDEDUP …
@@ -1655,19 +1655,49 @@ object TransformParser {
     *
     * The build is EAGER (the writes run when the block builds) and the
     * block's output is a one-row summary (path, kind, cells,
-    * indexed_rows) — pipe it to a console/param destination for
-    * logging, or ignore it.
+    * indexed_rows — the artifact's TOTAL entries after this statement)
+    * — pipe it to a console/param destination for logging, or ignore
+    * it.
+    *
+    * `INTO '<dir>' APPEND` is the index-MAINTENANCE form: the block's
+    * rows are ADDED to an existing artifact instead of rebuilding it —
+    * the growing-corpus story at 100 TB, where re-shingling yesterday's
+    * exabyte to ingest today's terabyte is not an option. All geometry
+    * (banding, cells, tables/bits, IVF centroids) comes from the
+    * artifact's `meta/`, so every geometry option is REJECTED with
+    * APPEND (the same algebra as KNN STORED rejecting CELLS), and
+    * appending METHOD X onto a kind-Y artifact errors. For LSH, COSINE
+    * and TYPO an entry's index rows are pure functions of its own
+    * content, so build-then-append is EXACTLY a full build of the union
+    * (q156 pins this bit-for-bit against the full-build oracle); IVF
+    * appends against the FROZEN centroids (how production IVF ingests —
+    * see Similarity.ivfStoreAppend for the drift caveat). Appended rows
+    * land as new files in existing cell directories; probe routing is
+    * unchanged.
     */
   private object IndexParser {
     private val Re =
-      raw"(?is)^INDEX\s+ON\s+([A-Za-z_]\w*)\s+KEY\s+([A-Za-z_]\w*)\s+METHOD\s+([A-Za-z]+)(?:\s+THRESHOLD\s+([0-9]*\.?[0-9]+))?(?:\s+BANDS\s+(\d+)\s+ROWS\s+(\d+))?(?:\s+CELLS\s+(\d+))?(?:\s+TABLES\s+(\d+))?(?:\s+BITS\s+(\d+))?\s+INTO\s+'([^']+)'\s*$$".r
+      raw"(?is)^INDEX\s+ON\s+([A-Za-z_]\w*)\s+KEY\s+([A-Za-z_]\w*)\s+METHOD\s+([A-Za-z]+)(?:\s+THRESHOLD\s+([0-9]*\.?[0-9]+))?(?:\s+BANDS\s+(\d+)\s+ROWS\s+(\d+))?(?:\s+CELLS\s+(\d+))?(?:\s+TABLES\s+(\d+))?(?:\s+BITS\s+(\d+))?\s+INTO\s+'([^']+)'(?:\s+(APPEND))?\s*$$".r
+    private val CompactRe =
+      raw"(?is)^INDEX\s+COMPACT\s+'([^']+)'\s*$$".r
 
     def parse(t: String): Verb = t.trim match {
-      case Re(on, key, method, th, bands, rows, cells, tables, bits, dir) =>
+      case CompactRe(dir) => IndexCompactVerb(dir)
+      case Re(on, key, method, th, bands, rows, cells, tables, bits, dir,
+          app) =>
         val m = method.toUpperCase
         if (!Set("LSH", "IVF", "COSINE", "TYPO").contains(m))
           throw TransformError(
             s"INDEX METHOD $m unknown (expected LSH, IVF, COSINE or TYPO)")
+        val append = app != null
+        if (append) // the artifact fixes ALL geometry — the same option
+          // algebra as KNN STORED rejecting CELLS: accepting a knob the
+          // store overrides would silently lie about what was built
+          for ((v, what) <- Seq((th, "THRESHOLD"), (bands, "BANDS/ROWS"),
+              (cells, "CELLS"), (tables, "TABLES"), (bits, "BITS")))
+            if (v != null) throw TransformError(
+              s"INDEX … APPEND: $what comes from the stored artifact's " +
+                "meta and cannot be overridden (drop the option)")
         def rejectUnless(meth: String, what: String, v: String): Unit =
           if (v != null && m != meth) throw TransformError(
             s"INDEX $what only applies to METHOD $meth")
@@ -1688,7 +1718,7 @@ object TransformParser {
             s"INDEX BANDS $b ROWS $r invalid (need BANDS ≥ 1, ROWS ≥ 1, " +
               "BANDS × ROWS ≤ 128 signature permutations)")
         }
-        if (m == "LSH" && br.isEmpty)
+        if (m == "LSH" && br.isEmpty && !append)
           try NearDup.autoBands(threshold)
           catch { // surface the no-config case at parse time, not mid-job
             case e: IllegalArgumentException => throw TransformError(
@@ -1704,18 +1734,102 @@ object TransformParser {
         if (tb < 1 || bi < 1 || bi > 30) throw TransformError(
           s"INDEX TABLES $tb BITS $bi invalid (need TABLES ≥ 1, " +
             "1 ≤ BITS ≤ 30)")
-        IndexVerb(on, key, m, dir, threshold, br, ce, tb, bi)
+        IndexVerb(on, key, m, dir, threshold, br, ce, tb, bi, append)
       case _ => throw TransformError(
         "cannot parse INDEX (expected INDEX ON <col> KEY <keycol> " +
           "METHOD LSH|IVF|COSINE|TYPO [THRESHOLD <0-1>] " +
           "[BANDS <n> ROWS <n>] [CELLS <n>] [TABLES <n>] [BITS <n>] " +
-          "INTO '<dir>')")
+          "INTO '<dir>' [APPEND], or INDEX COMPACT '<dir>')")
+    }
+  }
+
+  /** INDEX COMPACT '<dir>' — rewrite each cell of a stored artifact
+    * back to one file per cell. Every `INDEX … APPEND` statement adds
+    * one file per touched cell directory (the repartition-then-
+    * partitionBy write), so N appends leave N files per cell and probe
+    * tasks pay N footer reads where one would do; COMPACT is the
+    * maintenance statement that caps that growth — run it on whatever
+    * cadence appends accumulate (the small-file compaction every
+    * warehouse format schedules, as an explicit language operator).
+    * Rows, cells and `meta/` are untouched — probe answers are
+    * IDENTICAL before and after (q158 pins this bit-for-bit on the
+    * oracle of the build→append→probe chain; the AqlSpec case
+    * additionally pins files_after < files_before after a double
+    * append). Each store directory is rewritten to a staging sibling
+    * and swapped in with two renames (live → .old, staging → live) —
+    * atomic per store on HDFS/posix; on object stores without atomic
+    * rename, run it in a maintenance window exactly as every
+    * rename-committing Spark job is. A crash between the renames
+    * leaves `.old_<store>` intact for manual recovery, and the next
+    * COMPACT clears stale staging dirs before writing. The block's
+    * input frame is ignored (the artifact is the operand); output is a
+    * one-row summary (path, kind, files_before, files_after).
+    */
+  final case class IndexCompactVerb(dir: String) extends Verb {
+    def build(sources: Map[String, DataFrame], primary: DataFrame)
+        : DataFrame = {
+      import org.apache.hadoop.fs.Path
+      val spark = primary.sparkSession
+      val fs = new Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new Path(s"$dir/meta"))) throw TransformError(
+        s"INDEX COMPACT: no stored index at $dir")
+      val kind = spark.read.parquet(s"$dir/meta").head()
+        .getAs[String]("kind")
+      // store subdir → its cell column; centroids/supers/meta are
+      // single small files and never append, so they are not rewritten
+      val stores: Seq[(String, String)] = kind match {
+        case "lsh_text" => Seq("bands" -> "pc", "shingles" -> "sc")
+        case "cosine_vec" => Seq("buckets" -> "pc", "vectors" -> "sc")
+        case "typo_text" => Seq("variants" -> "pc", "strings" -> "sc")
+        case "ivf_vec" => Seq("index" -> "cluster")
+        case other => throw TransformError(
+          s"INDEX COMPACT: unknown artifact kind '$other' at $dir")
+      }
+      def dataFiles(p: Path): Long = {
+        val it = fs.listFiles(p, true)
+        var n = 0L
+        while (it.hasNext) {
+          val nm = it.next().getPath.getName
+          if (!nm.startsWith("_") && !nm.startsWith(".")) n += 1
+        }
+        n
+      }
+      var before = 0L
+      var after = 0L
+      for ((sub, cellCol) <- stores) {
+        val live = new Path(s"$dir/$sub")
+        if (fs.exists(live)) {
+          before += dataFiles(live)
+          val tmp = new Path(s"$dir/.compact_$sub")
+          if (fs.exists(tmp)) fs.delete(tmp, true) // stale staging
+          spark.read.parquet(live.toString)
+            .repartition(col(cellCol))
+            .write.mode("overwrite").partitionBy(cellCol)
+            .parquet(tmp.toString)
+          val old = new Path(s"$dir/.old_$sub")
+          if (fs.exists(old)) fs.delete(old, true)
+          if (!fs.rename(live, old)) throw TransformError(
+            s"INDEX COMPACT: cannot stage out $live")
+          if (!fs.rename(tmp, live)) {
+            fs.rename(old, live) // roll back so the artifact stays live
+            throw TransformError(
+              s"INDEX COMPACT: cannot swap in compacted $sub at $dir")
+          }
+          fs.delete(old, true)
+          after += dataFiles(live)
+        }
+      }
+      import spark.implicits._
+      Seq((dir, kind, before, after))
+        .toDF("path", "kind", "files_before", "files_after")
     }
   }
 
   final case class IndexVerb(onCol: String, key: String, method: String,
       dir: String, threshold: Double, bandsRows: Option[(Int, Int)],
-      cells: Option[Int], tables: Int, bits: Int) extends Verb {
+      cells: Option[Int], tables: Int, bits: Int,
+      append: Boolean = false) extends Verb {
 
     def build(sources: Map[String, DataFrame], primary: DataFrame): DataFrame = {
       def named(n: String): StructField =
@@ -1725,15 +1839,28 @@ object TransformParser {
       val onField = named(onCol)
       val spark = primary.sparkSession
       val par = spark.sparkContext.defaultParallelism
-      val cellCount = cells.getOrElse(
-        if (method == "IVF") 16 else NearDup.BandStoreCells)
+      // APPEND pre-flight: a clear error beats Spark's "path does not
+      // exist" mid-job — and the artifact's meta supplies the cell
+      // count for the summary row (the append writers re-read it for
+      // their own geometry + kind validation)
+      val appendMeta: Option[org.apache.spark.sql.Row] =
+        if (!append) None
+        else {
+          val mp = new org.apache.hadoop.fs.Path(s"$dir/meta")
+          val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(mp)) throw TransformError(
+            s"INDEX … APPEND: no stored index at $dir (build one first " +
+              "with INDEX … INTO)")
+          Some(spark.read.parquet(s"$dir/meta").head())
+        }
+      val cellCount = appendMeta.map(_.getAs[Int]("cells")).getOrElse(
+        cells.getOrElse(if (method == "IVF") 16 else NearDup.BandStoreCells))
       // the entry-count scan after each build reads parquet footers only
       val (kind, entriesPath) = method match {
         case "LSH" =>
           if (onField.dataType != StringType) throw TransformError(
             s"INDEX METHOD LSH ON ${onField.name} must be string, got " +
               onField.dataType.simpleString)
-          val (b, r) = bandsRows.getOrElse(NearDup.autoBands(threshold))
           // EXACT-FIRST: one entry per distinct text (membership is all
           // an AGAINST probe asks), keyed by the text hash — the same
           // collapse the two-source AGAINST applies to its corpus side
@@ -1743,8 +1870,12 @@ object TransformParser {
             .groupBy(col("th")).agg(first(col("txt")).as("txt"))
             .repartition(par)
           val sh = NearDup.shingled(reps, "th", "txt")
-          NearDup.bandStoreTo(dir, sh, numPerm = b * r, numBands = b,
-            rowsPerBand = r, cells = cellCount)
+          if (append) NearDup.bandStoreAppend(dir, sh)
+          else {
+            val (b, r) = bandsRows.getOrElse(NearDup.autoBands(threshold))
+            NearDup.bandStoreTo(dir, sh, numPerm = b * r, numBands = b,
+              rowsPerBand = r, cells = cellCount)
+          }
           ("lsh_text", s"$dir/shingles")
         case "IVF" =>
           // mirrors the q136 store's frame prep (Similarity.ivfStore) so
@@ -1754,7 +1885,8 @@ object TransformParser {
                 col(onField.name).cast("array<double>").as("v")))
             .withColumn("nrm", graft.functions.Vectors.l2norm(col("v")))
             .localCheckpoint(false)
-          graft.queries.Similarity.ivfStoreTo(dir, e, cellCount)
+          if (append) graft.queries.Similarity.ivfStoreAppend(dir, e)
+          else graft.queries.Similarity.ivfStoreTo(dir, e, cellCount)
           ("ivf_vec", s"$dir/index")
         case "COSINE" =>
           onField.dataType match {
@@ -1777,7 +1909,8 @@ object TransformParser {
               first(col("v")).as("v"), first(col("nrm")).as("nrm"))
             .select(col("vh").as("id"), col("v"), col("nrm"))
             .repartition(par)
-          VecKnn.cosineStoreTo(dir, reps, tables, bits, cellCount)
+          if (append) VecKnn.cosineStoreAppend(dir, reps)
+          else VecKnn.cosineStoreTo(dir, reps, tables, bits, cellCount)
           ("cosine_vec", s"$dir/vectors")
         case "TYPO" =>
           if (onField.dataType != StringType) throw TransformError(
@@ -1788,7 +1921,8 @@ object TransformParser {
             .where(col("txt").isNotNull).distinct()
             .select(xxhash64(col("txt")).as("id"), col("txt"))
             .repartition(par)
-          NearDup.typoStoreTo(dir, reps, cellCount)
+          if (append) NearDup.typoStoreAppend(dir, reps)
+          else NearDup.typoStoreTo(dir, reps, cellCount)
           ("typo_text", s"$dir/strings")
         case other => throw new IllegalStateException(
           s"INDEX METHOD $other unreachable (parser validates)")

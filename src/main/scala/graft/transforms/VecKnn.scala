@@ -308,21 +308,52 @@ object VecKnn {
       cells: Int): Unit = {
     require(cells >= 1, s"cosineStoreTo: cells $cells must be >= 1")
     val dims = probeDims(e, "INDEX METHOD COSINE")
-    val ee = e.select(col("id"), col("v"), col("nrm")).localCheckpoint(false)
-    bucketFrame(ee, tables, bits, dims)
-      .withColumn("pc",
-        pmod(xxhash64(col("t"), col("bucket")), lit(cells.toLong)).cast("int"))
-      .repartition(col("pc"))
-      .write.mode("overwrite").partitionBy("pc").parquet(s"$base/buckets")
-    ee.withColumn("sc",
-        pmod(xxhash64(col("id")), lit(cells.toLong)).cast("int"))
-      .repartition(col("sc"))
-      .write.mode("overwrite").partitionBy("sc").parquet(s"$base/vectors")
+    cosineStoreRows(base, e, tables, bits, cells, dims,
+      org.apache.spark.sql.SaveMode.Overwrite)
     val spark = e.sparkSession
     import spark.implicits._
     Seq(("cosine_vec", cells, tables, bits, dims))
       .toDF("kind", "cells", "tables", "bits", "dims")
       .coalesce(1).write.mode("overwrite").parquet(s"$base/meta")
+  }
+
+  /** Append new vectors to an existing [[cosineStoreTo]] artifact —
+    * NearDup.bandStoreAppend's contract for the sign-LSH family:
+    * geometry (tables, bits, cells, dims) comes from `meta/`, never the
+    * caller; meta is untouched; and because a vector's buckets are a
+    * pure function of the vector and the (meta-pinned) hyperplanes,
+    * build-then-append ≡ one full build of the union. Appending vectors
+    * of a different dimension errors (the hyperplane geometry is pinned
+    * to `dims`; mixed dims would bucket nonsense).
+    */
+  def cosineStoreAppend(base: String, e: DataFrame): Unit = {
+    val meta = e.sparkSession.read.parquet(s"$base/meta").head()
+    NearDup.requireKind(meta, base, "cosine_vec", "INDEX … APPEND")
+    val dims = meta.getAs[Int]("dims")
+    val ad = probeDims(e, "INDEX … APPEND METHOD COSINE")
+    if (ad == 0) return // nothing indexable in the append batch
+    if (ad != dims) throw graft.transforms.TransformParser.TransformError(
+      s"INDEX … APPEND: appended vectors are $ad-dimensional but the " +
+        s"stored index at $base holds $dims-dimensional vectors")
+    cosineStoreRows(base, e, meta.getAs[Int]("tables"),
+      meta.getAs[Int]("bits"), meta.getAs[Int]("cells"), dims,
+      org.apache.spark.sql.SaveMode.Append)
+  }
+
+  /** Shared row-writing step of [[cosineStoreTo]] / [[cosineStoreAppend]]. */
+  private def cosineStoreRows(base: String, e: DataFrame, tables: Int,
+      bits: Int, cells: Int, dims: Int,
+      mode: org.apache.spark.sql.SaveMode): Unit = {
+    val ee = e.select(col("id"), col("v"), col("nrm")).localCheckpoint(false)
+    bucketFrame(ee, tables, bits, dims)
+      .withColumn("pc",
+        pmod(xxhash64(col("t"), col("bucket")), lit(cells.toLong)).cast("int"))
+      .repartition(col("pc"))
+      .write.mode(mode).partitionBy("pc").parquet(s"$base/buckets")
+    ee.withColumn("sc",
+        pmod(xxhash64(col("id")), lit(cells.toLong)).cast("int"))
+      .repartition(col("sc"))
+      .write.mode(mode).partitionBy("sc").parquet(s"$base/vectors")
   }
 
   /** [[cosineCrossMatches]] against a [[cosineStoreTo]] artifact: batch

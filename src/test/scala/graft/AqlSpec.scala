@@ -1413,6 +1413,177 @@ class AqlSpec extends AnyFunSuite {
       .contains("must be string"))
   }
 
+  test("INDEX APPEND: grows each stored family; append == full build") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_aqlspec_appidx")
+    graft.queries.Advanced.registerTmpDir(dir)
+    def idxScript(data: String, cols: String, body: String) =
+      s"""DATA 'Corpus' ($data) WITH (COLUMNS = '$cols')
+         |TRANSFORM 'Built' FROM BLOCK Corpus (
+         |  $body
+         |) INTO CONSOLE""".stripMargin
+
+    // LSH: build doc A, APPEND doc B in a separate run; probing the
+    // grown artifact answers exactly like one full build of A∪B —
+    // band rows are pure functions of each doc, so the equivalence is
+    // exact, not approximate
+    val grown = dir.resolve("lsh_grown").toString
+    val full = dir.resolve("lsh_full").toString
+    val docA = "the quick brown fox jumps over the lazy cat"
+    val docB = "entirely unrelated sentences about winter weather patterns"
+    Aql.run(spark, idxScript(s"""[[1, "$docA"]]""", "Id, Txt",
+      s"INDEX ON Txt KEY Id METHOD LSH THRESHOLD 0.4 CELLS 8 INTO '$grown'"))
+    val appended = Aql.run(spark, idxScript(s"""[[2, "$docB"]]""", "Id, Txt",
+      s"INDEX ON Txt KEY Id METHOD LSH INTO '$grown' APPEND"))
+      .outputs("BUILT").collect()
+    // summary row reports the artifact's total entries after the append
+    assert(appended.head.getAs[Long]("indexed_rows") == 2L)
+    assert(appended.head.getAs[Int]("cells") == 8)
+    Aql.run(spark, idxScript(
+      s"""[[1, "$docA"], [2, "$docB"]]""", "Id, Txt",
+      s"INDEX ON Txt KEY Id METHOD LSH THRESHOLD 0.4 CELLS 8 INTO '$full'"))
+    def probeLsh(base: String): Seq[Long] = Aql.run(spark,
+      s"""DATA 'Batch' (
+         |  [[10, "the quick brown fox jumps over the lazy dog"],
+         |   [20, "entirely unrelated sentences about winter weather storms"],
+         |   [30, "no overlap with anything stored whatsoever in here"]]
+         |) WITH (COLUMNS = 'Id, Txt')
+         |TRANSFORM 'Kept' FROM BLOCK Batch (
+         |  NEARDEDUP Batch AGAINST STORED '$base' ON Txt KEY Id
+         |    THRESHOLD 0.4 METHOD LSH
+         |) INTO CONSOLE""".stripMargin)
+      .outputs("KEPT").collect().map(_.getLong(0)).sorted.toSeq
+    val keptGrown = probeLsh(grown)
+    assert(keptGrown == probeLsh(full), s"append != full build: $keptGrown")
+    // doc 10 matched the BUILT entry, doc 20 the APPENDED one
+    assert(keptGrown == Seq(30L), keptGrown.toString)
+
+    // TYPO: the appended string matches ED-1 probes too
+    val typoIdx = dir.resolve("typo").toString
+    Aql.run(spark, idxScript("""[[1, "alpha"]]""", "Id, Txt",
+      s"INDEX ON Txt KEY Id METHOD TYPO CELLS 4 INTO '$typoIdx'"))
+    Aql.run(spark, idxScript("""[[2, "beta"]]""", "Id, Txt",
+      s"INDEX ON Txt KEY Id METHOD TYPO INTO '$typoIdx' APPEND"))
+    val keptTypo = Aql.run(spark,
+      s"""DATA 'Batch' ([[7, "alpho"], [8, "betb"], [9, "gamma"]])
+         |  WITH (COLUMNS = 'Id, Txt')
+         |TRANSFORM 'Kept' FROM BLOCK Batch (
+         |  NEARDEDUP Batch AGAINST STORED '$typoIdx' ON Txt KEY Id
+         |    METHOD TYPO
+         |) INTO CONSOLE""".stripMargin)
+      .outputs("KEPT").collect().map(_.getLong(0)).toSeq
+    assert(keptTypo == Seq(9L), keptTypo.toString)
+
+    // COSINE: batch vectors near the appended direction are dropped
+    val cosIdx = dir.resolve("cos").toString
+    val vpqA = dir.resolve("vecsA.parquet").toString
+    val vpqB = dir.resolve("vecsB.parquet").toString
+    val bpq = dir.resolve("vecsBatch.parquet").toString
+    Seq((1L, Array(1.0, 0.0))).toDF("vid", "emb").write.parquet(vpqA)
+    Seq((2L, Array(0.0, 1.0))).toDF("vid", "emb").write.parquet(vpqB)
+    Seq((7L, Array(0.05, 1.0)), (8L, Array(-1.0, 0.05)))
+      .toDF("vid", "emb").write.parquet(bpq)
+    def vecScript(pq: String, body: String) =
+      s"""CONNECTION 'V' (DRIVER = 'file', FILE = '$pq', FORMAT = 'parquet')
+         |TRANSFORM 'T' FROM CONNECTION V (
+         |  $body
+         |) INTO CONSOLE""".stripMargin
+    Aql.run(spark, vecScript(vpqA,
+      s"INDEX ON emb KEY vid METHOD COSINE CELLS 4 TABLES 8 BITS 2 " +
+        s"INTO '$cosIdx'"))
+    Aql.run(spark, vecScript(vpqB,
+      s"INDEX ON emb KEY vid METHOD COSINE INTO '$cosIdx' APPEND"))
+    val keptCos = Aql.run(spark,
+      s"""CONNECTION 'B' (DRIVER = 'file', FILE = '$bpq', FORMAT = 'parquet')
+         |TRANSFORM 'Kept' FROM CONNECTION B (
+         |  NEARDEDUP B AGAINST STORED '$cosIdx' ON emb KEY vid
+         |    THRESHOLD 0.9 METHOD COSINE TABLES 8 BITS 2
+         |) INTO CONSOLE""".stripMargin)
+      .outputs("KEPT").collect().map(_.getLong(0)).toSeq
+    // 7 is cosine 0.9988 with the APPENDED [0,1] (dropped); 8 is at
+    // most cosine ~0.05 with either stored direction (kept)
+    assert(keptCos == Seq(8L), keptCos.toString)
+
+    // IVF: append a copy of vector 1 under a new id; the frozen-centroid
+    // assignment must land it in 1's own cell, so STORED serving returns
+    // it as 1's top neighbor at cosine 1.0 (self excluded by id) —
+    // the self-copy-dominance contract extended to appended rows
+    val ivfIdx = dir.resolve("ivf").toString
+    val cpq = dir.resolve("ivfCorpus.parquet").toString
+    val apq = dir.resolve("ivfAppend.parquet").toString
+    Seq((1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.1)),
+        (3L, Array(0.0, 1.0)), (4L, Array(0.1, 0.9)))
+      .toDF("vid", "emb").write.parquet(cpq)
+    Seq((5L, Array(1.0, 0.0))).toDF("vid", "emb").write.parquet(apq)
+    Aql.run(spark, vecScript(cpq,
+      s"INDEX ON emb KEY vid METHOD IVF CELLS 2 INTO '$ivfIdx'"))
+    Aql.run(spark, vecScript(apq,
+      s"INDEX ON emb KEY vid METHOD IVF INTO '$ivfIdx' APPEND"))
+    val served = Aql.run(spark,
+      s"""CONNECTION 'V' (DRIVER = 'file', FILE = '$cpq', FORMAT = 'parquet')
+         |TRANSFORM 'K' FROM CONNECTION V (
+         |  KNN ON emb KEY vid TOP 1 METHOD IVF PROBE 2 STORED '$ivfIdx'
+         |    QUERIES vid = 1
+         |) INTO CONSOLE""".stripMargin)
+      .outputs("K").collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cosine"))).toSeq
+    assert(served == Seq((1L, 5L, 1.0)), served.toString)
+
+    // option algebra + artifact validation
+    def bad(script: String): String =
+      intercept[Exception](Aql.run(spark, script)).getMessage
+    assert(bad(idxScript("""[[1, "x"]]""", "Id, Txt",
+      s"INDEX ON Txt KEY Id METHOD LSH CELLS 8 INTO '$grown' APPEND"))
+      .contains("cannot be overridden"))
+    assert(bad(idxScript("""[[1, "x"]]""", "Id, Txt",
+      s"INDEX ON Txt KEY Id METHOD LSH THRESHOLD 0.4 INTO '$grown' APPEND"))
+      .contains("cannot be overridden"))
+    assert(bad(idxScript("""[[1, "x"]]""", "Id, Txt",
+      s"INDEX ON Txt KEY Id METHOD LSH INTO '${dir.resolve("nope")}' APPEND"))
+      .contains("no stored index"))
+    // cross-kind append errors via the artifact's meta
+    assert(bad(idxScript("""[[1, "x"]]""", "Id, Txt",
+      s"INDEX ON Txt KEY Id METHOD TYPO INTO '$grown' APPEND"))
+      .contains("not interchangeable"))
+    // dimension drift errors instead of bucketing nonsense
+    val wpq = dir.resolve("vecsWide.parquet").toString
+    Seq((9L, Array(1.0, 0.0, 0.0))).toDF("vid", "emb").write.parquet(wpq)
+    assert(bad(vecScript(wpq,
+      s"INDEX ON emb KEY vid METHOD COSINE INTO '$cosIdx' APPEND"))
+      .contains("dimensional"))
+
+    // COMPACT: after the build + append above, the grown LSH artifact
+    // holds ≥ 2 files in some cell; compaction reduces the file count
+    // and changes NOTHING about answers
+    val keptBefore = probeLsh(grown)
+    val compacted = Aql.run(spark,
+      s"""DATA 'One' ([[1]]) WITH (COLUMNS = 'X')
+         |TRANSFORM 'C' FROM BLOCK One (
+         |  INDEX COMPACT '$grown'
+         |) INTO CONSOLE""".stripMargin)
+      .outputs("C").collect().head
+    assert(compacted.getAs[String]("kind") == "lsh_text")
+    assert(compacted.getAs[Long]("files_after") <
+      compacted.getAs[Long]("files_before"),
+      s"expected fewer files after compaction, got $compacted")
+    assert(probeLsh(grown) == keptBefore)
+    // summary row totals survive too (the shingle store is rewritten,
+    // not filtered): a further APPEND still works on the compacted
+    // artifact
+    val again = Aql.run(spark, idxScript(
+      """[[3, "yet another fresh unrelated document about gardening"]]""",
+      "Id, Txt", s"INDEX ON Txt KEY Id METHOD LSH INTO '$grown' APPEND"))
+      .outputs("BUILT").collect().head
+    assert(again.getAs[Long]("indexed_rows") == 3L)
+    assert(bad(
+      s"""DATA 'One' ([[1]]) WITH (COLUMNS = 'X')
+         |TRANSFORM 'C' FROM BLOCK One (
+         |  INDEX COMPACT '${dir.resolve("missing")}'
+         |) INTO CONSOLE""".stripMargin)
+      .contains("no stored index"))
+  }
+
   test("NEARDEDUP METHOD COSINE: embedding dedup e2e; options validate") {
     // the vector member of the dedup verb family (q44 as a language
     // operator). Eight 2-d vectors: 1-2-5 form a cosine-0.9 chain

@@ -180,20 +180,51 @@ object BandScale {
         .distinct().count()
       if (k == 1) matched1 = Some(matchedK)
 
+      // APPEND leg (round 9): add the batch's 8 UNMATCHED docs to the
+      // store via NearDup.bandStoreAppend and re-probe. Two claims,
+      // both closed-form:
+      //  - append COST is governed by the appended rows' own band
+      //    keys (8 docs × 64 bands), never corpus size — the
+      //    ingest-today's-documents-without-re-shingling-yesterday's-
+      //    corpus contract, measured flat across the ×16 corpus;
+      //  - after the append EVERY batch doc matches (the re-ingested
+      //    half matches corpus as before, the batch-only half now
+      //    matches its own appended copy at J = 1) — so the append
+      //    provably changed probe answers in exactly the predicted
+      //    way. Appended ids are doc_id × maxRep (even doc_ids; corpus
+      //    holds odd×maxRep+r, r < maxRep — parity makes collision
+      //    impossible).
+      val appendSh = shB.where(col("id") % 2 === 0)
+        .select((col("id") * lit(maxRep)).as("id"), col("shs"))
+      val (_, appendS) = timed {
+        NearDup.bandStoreAppend(base, appendSh)
+      }
+      val (matchedAfter, reprobeS) = timed {
+        NearDup.minhashCrossMatchesStored(spark, base, shB,
+            Threshold, NumPerm, NumBands, RowsPerBand)
+          .collect().map(_.getLong(0)).toSet
+      }
+      val allBatchIds = shB.select(col("id")).collect()
+        .map(_.getLong(0)).toSet
+
       val checks = Map(
         // exists, not forall: a missing baseline must FAIL (reps are
         // require'd to start at 1)
         "matched_closed_form" -> (k == 1 || matched1.exists(_ == matchedK)),
         "baseline_nonempty" -> matched1.exists(_.nonEmpty),
         "cell_subset" -> (probeCells <= math.min(batchKeys, cells.toLong) &&
-          (cells <= batchKeys || probeCells < cells)))
+          (cells <= batchKeys || probeCells < cells)),
+        "append_closed_form" -> (matchedAfter == allBatchIds))
       val ok = checks.values.forall(identity)
       println(
         s"""{"metric":"band_scale","k":$k,"corpus":$n,"index_rows":$idxRows,""" +
         s""""cells":$cells,"probe_cells":$probeCells,""" +
         s""""matched":${matchedK.size},""" +
+        s""""matched_after_append":${matchedAfter.size},""" +
         s""""sec":{"build":${math.round(buildS * 1000) / 1000.0},""" +
-        s""""probe":${math.round(probeS * 1000) / 1000.0}},""" +
+        s""""probe":${math.round(probeS * 1000) / 1000.0},""" +
+        s""""append":${math.round(appendS * 1000) / 1000.0},""" +
+        s""""reprobe":${math.round(reprobeS * 1000) / 1000.0}},""" +
         s""""artifact_bytes":{"bands":$bandsBytes,""" +
         s""""shingles_hashed":$shHashedBytes,""" +
         s""""shingles_raw":$shRawBytes},""" +

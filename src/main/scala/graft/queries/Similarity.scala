@@ -366,36 +366,76 @@ object Similarity {
     val meta = s.read.parquet(s"$base/meta").head()
     graft.transforms.NearDup.requireKind(meta, base, "ivf_vec",
       "INDEX … APPEND")
+    val ids = assignToStored(base, e)
+    e.join(ids.hint("merge"), "vec_id")
+      .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
+      .repartition(col("cluster"))
+      .write.mode("append").partitionBy("cluster").parquet(s"$base/index")
+  }
+
+  /** The frozen-centroid assignment (vec_id, cluster) of a batch
+    * against a stored artifact's geometry — [[ivfStoreAppend]]'s
+    * routing step, shared with [[ivfStoreDelete]] so an appended row
+    * and its later deletion can never route to different cells. Flat
+    * artifacts get the flat round-6 argmax, hierarchical ones (marked
+    * by the `super` column) the same two occupied-super hops as the
+    * build; both paths ride the slim project-array-away argmax +
+    * merge-hinted rejoins (a maintenance batch can be corpus-sized).
+    */
+  private def assignToStored(base: String, e: DataFrame): DataFrame = {
+    val s = e.sparkSession
     val cents = s.read.parquet(s"$base/centroids").localCheckpoint(false)
     def argmaxInto(scored: DataFrame, cellCol: String): DataFrame = scored
       .groupBy(col("vec_id"))
       .agg(max(struct(col("score"), (-col(cellCol)).as("nc"))).as("m"))
       .select(col("vec_id"), (-col("m.nc")).as(cellCol))
-    val ids =
-      if (cents.columns.contains("super")) {
-        val supers = s.read.parquet(s"$base/supers")
-        // only OCCUPIED supers, as in the build: hop-2's inner join on
-        // `super` would silently drop a vector routed to a childless one
-        val occupied = supers
-          .join(cents.select(col("super")).distinct(), "super")
-        val ids1 = argmaxInto(e.crossJoin(broadcast(occupied))
-          .select(col("vec_id"), col("super"),
-            round(dot(col("v"), col("sv")) / (col("nrm") * col("snrm")), 6)
-              .as("score")), "super")
-        val e2 = e.join(ids1.hint("merge"), "vec_id")
-        argmaxInto(e2.join(broadcast(cents), "super")
-          .select(col("vec_id"), col("cluster"),
-            round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6)
-              .as("score")), "cluster")
-      } else
-        argmaxInto(e.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("cluster"),
-            round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6)
-              .as("score")), "cluster")
-    e.join(ids.hint("merge"), "vec_id")
-      .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
-      .repartition(col("cluster"))
-      .write.mode("append").partitionBy("cluster").parquet(s"$base/index")
+    if (cents.columns.contains("super")) {
+      val supers = s.read.parquet(s"$base/supers")
+      // only OCCUPIED supers, as in the build: hop-2's inner join on
+      // `super` would silently drop a vector routed to a childless one
+      val occupied = supers
+        .join(cents.select(col("super")).distinct(), "super")
+      val ids1 = argmaxInto(e.crossJoin(broadcast(occupied))
+        .select(col("vec_id"), col("super"),
+          round(dot(col("v"), col("sv")) / (col("nrm") * col("snrm")), 6)
+            .as("score")), "super")
+      val e2 = e.join(ids1.hint("merge"), "vec_id")
+      argmaxInto(e2.join(broadcast(cents), "super")
+        .select(col("vec_id"), col("cluster"),
+          round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6)
+            .as("score")), "cluster")
+    } else
+      argmaxInto(e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cluster"),
+          round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6)
+            .as("score")), "cluster")
+  }
+
+  /** Remove vectors from an existing [[ivfStoreTo]] artifact by
+    * vec_id — NearDup.bandStoreDelete's contract for the IVF family.
+    * Routing replays [[assignToStored]] on the batch's OWN vectors:
+    * build and append both assigned each vec_id by this exact argmax
+    * over the frozen centroids, so providing the stored vector (the
+    * natural case — the delete batch is rows of the indexed corpus)
+    * routes to precisely the cell its row lives in, and only the
+    * routed cells are rewritten (NearDup.deleteFromCellStore). Unlike
+    * the content-keyed text/cosine stores, the anti-join key is the
+    * user's vec_id — re-ingesting a key after deletion is a plain
+    * append. Centroids, supers and `meta/` are untouched: deletion
+    * does not re-train (FAISS `remove_ids` semantics); if deletions
+    * hollow out the corpus, a rebuild re-trains exactly as with
+    * append drift. `e` columns: (vec_id, v, nrm).
+    */
+  private[graft] def ivfStoreDelete(base: String, e: DataFrame): Unit = {
+    val s = e.sparkSession
+    val meta = s.read.parquet(s"$base/meta").head()
+    graft.transforms.NearDup.requireKind(meta, base, "ivf_vec",
+      "INDEX … DELETE")
+    val ids = assignToStored(base, e).localCheckpoint(false)
+    val touched = ids.select(col("cluster").cast("int"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    graft.transforms.NearDup.deleteFromCellStore(s, s"$base/index",
+      "cluster", touched, "vec_id", ids.select(col("vec_id")))
   }
 
   /** One stored artifact per corpus dir per JVM — that IS the deployment

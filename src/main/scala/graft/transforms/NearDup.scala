@@ -513,6 +513,110 @@ object NearDup {
       .write.mode(mode).partitionBy("sc").parquet(s"$base/shingles")
   }
 
+  /** Remove docs from an existing [[bandStoreTo]] artifact — the
+    * third index-MAINTENANCE form (build / APPEND / DELETE), and the
+    * one a 100 TB deployment cannot live without: contaminated,
+    * opted-out or re-ingested documents must leave the corpus index
+    * without re-shingling the exabyte already there. Because a doc's
+    * band keys and shingle-store cell are PURE FUNCTIONS of its own
+    * text (same banding, from `meta/`), the delete batch routes to
+    * exactly the cell directories that hold its rows — so only those
+    * cells are rewritten ([[deleteFromCellStore]]'s staging + two-
+    * rename swap, COMPACT's machinery applied per cell) and the cost
+    * is governed by the batch's own band keys, never by index size
+    * (the same flat-cost contract graft.BandScale measures for APPEND).
+    *
+    * Semantics are CONTENT-KEYED, matching the store: entries are one
+    * per distinct text (keyed th = xxhash64(text)), so deleting a text
+    * removes its membership no matter how many source rows carried it —
+    * including rows appended twice (duplicated postings share the id
+    * and vanish together). The q159 gate pins this against an oracle
+    * that states the same semantics in SQL (corpus minus shared texts),
+    * with the delete batch fully appended first, so both false
+    * retention (a surviving posting would match everything back) and
+    * over-deletion (a lost neighbor) fail hash-exactly.
+    * `shC` columns: (id, shs) per [[shingled]] — the same frame shape
+    * the build and append take, because routing NEEDS the content.
+    */
+  def bandStoreDelete(base: String, shC: DataFrame): Unit = {
+    val s = shC.sparkSession
+    val meta = s.read.parquet(s"$base/meta").head()
+    requireKind(meta, base, "lsh_text", "INDEX … DELETE")
+    val cells = meta.getAs[Int]("cells")
+    val sh = shC.localCheckpoint(false) // feeds band routing AND the id set
+    val ids = sh.select(col("id")).distinct().localCheckpoint(false)
+    val bandCells = bandKeys(sh, meta.getAs[Int]("num_perm"),
+        meta.getAs[Int]("num_bands"), meta.getAs[Int]("rows_per_band"))
+      .select(pmod(xxhash64(col("band"), col("bh")), lit(cells.toLong))
+        .cast("int").as("pc"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    deleteFromCellStore(s, s"$base/bands", "pc", bandCells, "id", ids)
+    val shCells = ids
+      .select(pmod(xxhash64(col("id")), lit(cells.toLong))
+        .cast("int").as("sc"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    deleteFromCellStore(s, s"$base/shingles", "sc", shCells, "id", ids)
+  }
+
+  /** The shared cell-rewrite step of every stored-index DELETE
+    * (band/typo stores here, the cosine store in VecKnn, the IVF index
+    * in Similarity): anti-join the batch's ids out of ONLY the routed
+    * cell directories and swap the rewritten cells in. Shape:
+    *  1. the touched cells arrive from the caller's own routing math
+    *     (band keys / variant hashes / bucket keys / frozen-centroid
+    *     assignment — each a pure function of the deleted content, so
+    *     the routed set provably covers every row the ids occupy);
+    *  2. ONE Spark job reads the existing routed cells (explicit
+    *     basePath paths, the probe's partition-pruning idiom),
+    *     anti-joins broadcast(ids), and writes survivors cell-
+    *     partitioned into a staging sibling;
+    *  3. per touched cell: live → `.old`, staging → live, drop `.old`
+    *     (INDEX COMPACT's two-rename swap, per cell) — a cell whose
+    *     rows were all deleted has no staging dir and is simply
+    *     removed. Untouched cells are never listed, read or rewritten
+    *     (the AqlSpec delete case pins their files byte-identical).
+    * Crash safety matches COMPACT: renames are atomic per cell on
+    * HDFS/posix; a crash between the two renames leaves `.old_…`
+    * intact for manual recovery, and the next delete clears stale
+    * staging dirs before writing. `dropIds` is one column named
+    * `idCol`; batches are maintenance-sized by contract (the broadcast
+    * mirrors the probe's batch side).
+    */
+  private[graft] def deleteFromCellStore(s: org.apache.spark.sql.SparkSession,
+      root: String, pcol: String, wanted: Array[Int], idCol: String,
+      dropIds: DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val touched = wanted.toSeq
+      .filter(c => fs.exists(new Path(rootPath, s"$pcol=$c")))
+    if (touched.isEmpty) return // ids occupy no existing cell — no-op
+    val paths = touched.map(c => new Path(rootPath, s"$pcol=$c").toString)
+    val stage = new Path(rootPath.getParent,
+      s".delete_stage_${rootPath.getName}")
+    if (fs.exists(stage)) fs.delete(stage, true) // stale from a crash
+    s.read.option("basePath", root).parquet(paths: _*)
+      .join(broadcast(dropIds.select(col(idCol))), Seq(idCol), "left_anti")
+      .repartition(col(pcol))
+      .write.mode("overwrite").partitionBy(pcol).parquet(stage.toString)
+    for (c <- touched) {
+      val live = new Path(rootPath, s"$pcol=$c")
+      val old = new Path(rootPath, s".old_${pcol}_$c")
+      val staged = new Path(stage, s"$pcol=$c")
+      if (fs.exists(old)) fs.delete(old, true)
+      if (!fs.rename(live, old))
+        throw new IllegalStateException(
+          s"INDEX … DELETE: cannot stage out cell $live")
+      if (fs.exists(staged) && !fs.rename(staged, live)) {
+        fs.rename(old, live) // roll back so the artifact stays live
+        throw new IllegalStateException(
+          s"INDEX … DELETE: cannot swap in rewritten cell $live")
+      }
+      fs.delete(old, true)
+    }
+    fs.delete(stage, true)
+  }
+
   /** [[minhashCrossMatches]] against a [[bandStoreFrom]] artifact: the
     * per-batch probe job that touches ONLY the stored files plus the
     * batch. Shape:
@@ -680,6 +784,34 @@ object NearDup {
     requireKind(meta, base, "typo_text", "INDEX … APPEND")
     typoStoreRows(base, reps, meta.getAs[Int]("cells"),
       org.apache.spark.sql.SaveMode.Append)
+  }
+
+  /** Remove strings from an existing [[typoStoreTo]] artifact —
+    * [[bandStoreDelete]]'s contract for the delete-1 family: a
+    * string's variant hashes and string-store cell are pure functions
+    * of the string itself, so the delete batch routes to exactly the
+    * cells holding its rows and only those are rewritten
+    * ([[deleteFromCellStore]]). Content-keyed like the store (id =
+    * xxhash64(string)): deleting a string removes its membership no
+    * matter how many rows or appends carried it. `reps` columns:
+    * (id, txt), the build/append frame shape.
+    */
+  def typoStoreDelete(base: String, reps: DataFrame): Unit = {
+    val s = reps.sparkSession
+    val meta = s.read.parquet(s"$base/meta").head()
+    requireKind(meta, base, "typo_text", "INDEX … DELETE")
+    val cells = meta.getAs[Int]("cells")
+    val r = reps.select(col("id"), col("txt")).localCheckpoint(false)
+    val ids = r.select(col("id")).distinct().localCheckpoint(false)
+    val vCells = delete1Variants(r, "txt")
+      .select(pmod(col("vh"), lit(cells.toLong)).cast("int").as("pc"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    deleteFromCellStore(s, s"$base/variants", "pc", vCells, "id", ids)
+    val sCells = ids
+      .select(pmod(xxhash64(col("id")), lit(cells.toLong))
+        .cast("int").as("sc"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    deleteFromCellStore(s, s"$base/strings", "sc", sCells, "id", ids)
   }
 
   /** Shared row-writing step of [[typoStoreTo]] / [[typoStoreAppend]]. */

@@ -1610,7 +1610,7 @@ object TransformParser {
 
   /** INDEX ON <col> KEY <keycol> METHOD LSH|IVF|COSINE|TYPO
     *       [THRESHOLD <0-1>] [BANDS <b> ROWS <r>] [CELLS <c>]
-    *       [TABLES <t>] [BITS <b>] INTO '<dir>' [APPEND]
+    *       [TABLES <t>] [BITS <b>] INTO '<dir>' [APPEND|DELETE]
     *
     * The durable index BUILD step — the language-reachable producer for
     * every stored artifact the probe forms consume (`NEARDEDUP …
@@ -1674,10 +1674,29 @@ object TransformParser {
     * see Similarity.ivfStoreAppend for the drift caveat). Appended rows
     * land as new files in existing cell directories; probe routing is
     * unchanged.
+    *
+    * `INTO '<dir>' DELETE` completes the maintenance triple: the
+    * block's rows are REMOVED from the artifact — the contaminated/
+    * opted-out/re-ingested-document path a 100 TB deployment cannot
+    * run without (re-shingling the exabyte to forget a terabyte is
+    * not an option). Routing reuses each family's own content math
+    * (band keys / bucket keys / variant hashes / frozen-centroid
+    * assignment — geometry from `meta/`, same option algebra as
+    * APPEND), so ONLY the batch's routed cell directories are
+    * rewritten (NearDup.deleteFromCellStore's staging + two-rename
+    * swap; untouched cells are never listed or read) and the cost is
+    * governed by the batch, never the index. LSH/COSINE/TYPO deletes
+    * are CONTENT-KEYED like their stores — deleting a text/vector
+    * removes its membership however many rows or appends carried it
+    * (q159 pins the semantics against an oracle that says the same in
+    * SQL); IVF deletes by the user's vec_id within the routed cells
+    * (FAISS remove_ids semantics — supply the stored vector so the
+    * frozen assignment routes to its cell). Centroids, supers and
+    * `meta/` are untouched on every family.
     */
   private object IndexParser {
     private val Re =
-      raw"(?is)^INDEX\s+ON\s+([A-Za-z_]\w*)\s+KEY\s+([A-Za-z_]\w*)\s+METHOD\s+([A-Za-z]+)(?:\s+THRESHOLD\s+([0-9]*\.?[0-9]+))?(?:\s+BANDS\s+(\d+)\s+ROWS\s+(\d+))?(?:\s+CELLS\s+(\d+))?(?:\s+TABLES\s+(\d+))?(?:\s+BITS\s+(\d+))?\s+INTO\s+'([^']+)'(?:\s+(APPEND))?\s*$$".r
+      raw"(?is)^INDEX\s+ON\s+([A-Za-z_]\w*)\s+KEY\s+([A-Za-z_]\w*)\s+METHOD\s+([A-Za-z]+)(?:\s+THRESHOLD\s+([0-9]*\.?[0-9]+))?(?:\s+BANDS\s+(\d+)\s+ROWS\s+(\d+))?(?:\s+CELLS\s+(\d+))?(?:\s+TABLES\s+(\d+))?(?:\s+BITS\s+(\d+))?\s+INTO\s+'([^']+)'(?:\s+(APPEND|DELETE))?\s*$$".r
     private val CompactRe =
       raw"(?is)^INDEX\s+COMPACT\s+'([^']+)'\s*$$".r
 
@@ -1689,15 +1708,19 @@ object TransformParser {
         if (!Set("LSH", "IVF", "COSINE", "TYPO").contains(m))
           throw TransformError(
             s"INDEX METHOD $m unknown (expected LSH, IVF, COSINE or TYPO)")
-        val append = app != null
-        if (append) // the artifact fixes ALL geometry — the same option
-          // algebra as KNN STORED rejecting CELLS: accepting a knob the
-          // store overrides would silently lie about what was built
+        val maint = Option(app).map(_.toUpperCase) // APPEND | DELETE
+        val append = maint.contains("APPEND")
+        val delete = maint.contains("DELETE")
+        if (append || delete) // the artifact fixes ALL geometry — the
+          // same option algebra as KNN STORED rejecting CELLS: accepting
+          // a knob the store overrides would silently lie about what was
+          // built (and a DELETE that accepted different geometry would
+          // route to the wrong cells and silently delete nothing)
           for ((v, what) <- Seq((th, "THRESHOLD"), (bands, "BANDS/ROWS"),
               (cells, "CELLS"), (tables, "TABLES"), (bits, "BITS")))
             if (v != null) throw TransformError(
-              s"INDEX … APPEND: $what comes from the stored artifact's " +
-                "meta and cannot be overridden (drop the option)")
+              s"INDEX … ${maint.get}: $what comes from the stored " +
+                "artifact's meta and cannot be overridden (drop the option)")
         def rejectUnless(meth: String, what: String, v: String): Unit =
           if (v != null && m != meth) throw TransformError(
             s"INDEX $what only applies to METHOD $meth")
@@ -1718,7 +1741,7 @@ object TransformParser {
             s"INDEX BANDS $b ROWS $r invalid (need BANDS ≥ 1, ROWS ≥ 1, " +
               "BANDS × ROWS ≤ 128 signature permutations)")
         }
-        if (m == "LSH" && br.isEmpty && !append)
+        if (m == "LSH" && br.isEmpty && maint.isEmpty)
           try NearDup.autoBands(threshold)
           catch { // surface the no-config case at parse time, not mid-job
             case e: IllegalArgumentException => throw TransformError(
@@ -1734,12 +1757,13 @@ object TransformParser {
         if (tb < 1 || bi < 1 || bi > 30) throw TransformError(
           s"INDEX TABLES $tb BITS $bi invalid (need TABLES ≥ 1, " +
             "1 ≤ BITS ≤ 30)")
-        IndexVerb(on, key, m, dir, threshold, br, ce, tb, bi, append)
+        IndexVerb(on, key, m, dir, threshold, br, ce, tb, bi, append,
+          delete)
       case _ => throw TransformError(
         "cannot parse INDEX (expected INDEX ON <col> KEY <keycol> " +
           "METHOD LSH|IVF|COSINE|TYPO [THRESHOLD <0-1>] " +
           "[BANDS <n> ROWS <n>] [CELLS <n>] [TABLES <n>] [BITS <n>] " +
-          "INTO '<dir>' [APPEND], or INDEX COMPACT '<dir>')")
+          "INTO '<dir>' [APPEND|DELETE], or INDEX COMPACT '<dir>')")
     }
   }
 
@@ -1829,7 +1853,7 @@ object TransformParser {
   final case class IndexVerb(onCol: String, key: String, method: String,
       dir: String, threshold: Double, bandsRows: Option[(Int, Int)],
       cells: Option[Int], tables: Int, bits: Int,
-      append: Boolean = false) extends Verb {
+      append: Boolean = false, delete: Boolean = false) extends Verb {
 
     def build(sources: Map[String, DataFrame], primary: DataFrame): DataFrame = {
       def named(n: String): StructField =
@@ -1839,18 +1863,19 @@ object TransformParser {
       val onField = named(onCol)
       val spark = primary.sparkSession
       val par = spark.sparkContext.defaultParallelism
-      // APPEND pre-flight: a clear error beats Spark's "path does not
-      // exist" mid-job — and the artifact's meta supplies the cell
-      // count for the summary row (the append writers re-read it for
-      // their own geometry + kind validation)
+      val maintWord = if (append) "APPEND" else "DELETE"
+      // APPEND/DELETE pre-flight: a clear error beats Spark's "path does
+      // not exist" mid-job — and the artifact's meta supplies the cell
+      // count for the summary row (the maintenance writers re-read it
+      // for their own geometry + kind validation)
       val appendMeta: Option[org.apache.spark.sql.Row] =
-        if (!append) None
+        if (!append && !delete) None
         else {
           val mp = new org.apache.hadoop.fs.Path(s"$dir/meta")
           val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
           if (!fs.exists(mp)) throw TransformError(
-            s"INDEX … APPEND: no stored index at $dir (build one first " +
-              "with INDEX … INTO)")
+            s"INDEX … $maintWord: no stored index at $dir (build one " +
+              "first with INDEX … INTO)")
           Some(spark.read.parquet(s"$dir/meta").head())
         }
       val cellCount = appendMeta.map(_.getAs[Int]("cells")).getOrElse(
@@ -1870,7 +1895,8 @@ object TransformParser {
             .groupBy(col("th")).agg(first(col("txt")).as("txt"))
             .repartition(par)
           val sh = NearDup.shingled(reps, "th", "txt")
-          if (append) NearDup.bandStoreAppend(dir, sh)
+          if (delete) NearDup.bandStoreDelete(dir, sh)
+          else if (append) NearDup.bandStoreAppend(dir, sh)
           else {
             val (b, r) = bandsRows.getOrElse(NearDup.autoBands(threshold))
             NearDup.bandStoreTo(dir, sh, numPerm = b * r, numBands = b,
@@ -1885,7 +1911,8 @@ object TransformParser {
                 col(onField.name).cast("array<double>").as("v")))
             .withColumn("nrm", graft.functions.Vectors.l2norm(col("v")))
             .localCheckpoint(false)
-          if (append) graft.queries.Similarity.ivfStoreAppend(dir, e)
+          if (delete) graft.queries.Similarity.ivfStoreDelete(dir, e)
+          else if (append) graft.queries.Similarity.ivfStoreAppend(dir, e)
           else graft.queries.Similarity.ivfStoreTo(dir, e, cellCount)
           ("ivf_vec", s"$dir/index")
         case "COSINE" =>
@@ -1909,7 +1936,8 @@ object TransformParser {
               first(col("v")).as("v"), first(col("nrm")).as("nrm"))
             .select(col("vh").as("id"), col("v"), col("nrm"))
             .repartition(par)
-          if (append) VecKnn.cosineStoreAppend(dir, reps)
+          if (delete) VecKnn.cosineStoreDelete(dir, reps)
+          else if (append) VecKnn.cosineStoreAppend(dir, reps)
           else VecKnn.cosineStoreTo(dir, reps, tables, bits, cellCount)
           ("cosine_vec", s"$dir/vectors")
         case "TYPO" =>
@@ -1921,7 +1949,8 @@ object TransformParser {
             .where(col("txt").isNotNull).distinct()
             .select(xxhash64(col("txt")).as("id"), col("txt"))
             .repartition(par)
-          if (append) NearDup.typoStoreAppend(dir, reps)
+          if (delete) NearDup.typoStoreDelete(dir, reps)
+          else if (append) NearDup.typoStoreAppend(dir, reps)
           else NearDup.typoStoreTo(dir, reps, cellCount)
           ("typo_text", s"$dir/strings")
         case other => throw new IllegalStateException(

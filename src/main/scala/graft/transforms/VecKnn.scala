@@ -356,6 +356,45 @@ object VecKnn {
       .write.mode(mode).partitionBy("sc").parquet(s"$base/vectors")
   }
 
+  /** Remove vectors from an existing [[cosineStoreTo]] artifact —
+    * NearDup.bandStoreDelete's contract for the sign-LSH family: a
+    * vector's bucket keys and vector-store cell are pure functions of
+    * the vector itself (hyperplanes are seeded by (t, dims), geometry
+    * from `meta/`), so the delete batch routes to exactly the cells
+    * holding its rows and only those are rewritten
+    * (NearDup.deleteFromCellStore). Content-keyed like the store
+    * (id = xxhash64(v)): deleting a vector removes its membership no
+    * matter how many rows or appends carried it. Degenerate vectors
+    * (the build's null/zero/NaN filter) were never stored, so callers
+    * apply the same filter before routing. `e` columns: (id, v, nrm),
+    * the build/append frame shape.
+    */
+  def cosineStoreDelete(base: String, e: DataFrame): Unit = {
+    val s = e.sparkSession
+    val meta = s.read.parquet(s"$base/meta").head()
+    NearDup.requireKind(meta, base, "cosine_vec", "INDEX … DELETE")
+    val dims = meta.getAs[Int]("dims")
+    val ad = probeDims(e, "INDEX … DELETE METHOD COSINE")
+    if (ad == 0) return // nothing deletable in the batch
+    if (ad != dims) throw graft.transforms.TransformParser.TransformError(
+      s"INDEX … DELETE: batch vectors are $ad-dimensional but the " +
+        s"stored index at $base holds $dims-dimensional vectors")
+    val cells = meta.getAs[Int]("cells")
+    val ee = e.select(col("id"), col("v"), col("nrm")).localCheckpoint(false)
+    val ids = ee.select(col("id")).distinct().localCheckpoint(false)
+    val bCells = bucketFrame(ee, meta.getAs[Int]("tables"),
+        meta.getAs[Int]("bits"), dims)
+      .select(pmod(xxhash64(col("t"), col("bucket")), lit(cells.toLong))
+        .cast("int").as("pc"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    NearDup.deleteFromCellStore(s, s"$base/buckets", "pc", bCells, "id", ids)
+    val vCells = ids
+      .select(pmod(xxhash64(col("id")), lit(cells.toLong))
+        .cast("int").as("sc"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    NearDup.deleteFromCellStore(s, s"$base/vectors", "sc", vCells, "id", ids)
+  }
+
   /** [[cosineCrossMatches]] against a [[cosineStoreTo]] artifact: batch
     * ids with ≥ 1 stored vector at round-6 cosine ≥ threshold, touching
     * ONLY the stored files plus the batch. Shape mirrors

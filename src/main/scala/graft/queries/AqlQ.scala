@@ -1357,5 +1357,68 @@ object AqlQ {
            |) INTO CONNECTION Out""".stripMargin
       Aql.run(s, probeScript).outputs("FINAL")
     },
+
+    // INDEX … DELETE — the third maintenance form, gated exactly as its
+    // scaladoc specs: build the odd corpus, APPEND the even batch in a
+    // second engine run, DELETE it in a third, probe it in a fourth.
+    // Deletion is CONTENT-KEYED (entries are one per distinct text), so
+    // the artifact after the chain holds the odd texts that are not any
+    // even doc's text — deleteKeptOracleSql states the same in SQL
+    // (cross-parity shared texts exist at sf0.1, so the restatement is
+    // load-bearing, not pedantry). Both failure modes fail hash-exactly:
+    // FALSE RETENTION — any surviving appended entry matches its own
+    // batch doc back (Jaccard 1.0) and drops it; OVER-DELETION — a lost
+    // odd entry un-drops its near-matching batch docs.
+    QueryDef(
+      "q159_aql_index_delete",
+      Dedup.deleteKeptOracleSql) { (s, dir) =>
+      val outDir = java.nio.file.Files.createTempDirectory("graft_q159")
+      Advanced.registerTmpDir(outDir)
+      val idx = outDir.resolve("band_index").toString
+      val out = outDir.resolve("kept").toString
+      def maintScript(parity: Int, opts: String, maintKw: String) =
+        s"""CONNECTION 'Docs' (
+           |  DRIVER = 'file', FILE = '$dir/documents.parquet',
+           |  FORMAT = 'parquet'
+           |)
+           |
+           |QUERY 'Corpus' FROM CONNECTION Docs (
+           |  SELECT * FROM Docs WHERE doc_id % 2 = $parity
+           |)
+           |
+           |TRANSFORM 'Built' FROM BLOCK Corpus (
+           |  INDEX ON text KEY doc_id METHOD LSH$opts
+           |    INTO '$idx'$maintKw
+           |)
+           |
+           |QUERY 'Summary' FROM BLOCK Built (
+           |  SELECT * FROM Built
+           |) INTO CONSOLE""".stripMargin
+      Aql.run(s, maintScript(1, " THRESHOLD 0.5 CELLS 64", ""))
+      Aql.run(s, maintScript(0, "", " APPEND"))
+      Aql.run(s, maintScript(0, "", " DELETE"))
+      val probeScript =
+        s"""CONNECTION 'Docs' (
+           |  DRIVER = 'file', FILE = '$dir/documents.parquet',
+           |  FORMAT = 'parquet'
+           |)
+           |CONNECTION 'Out' (
+           |  DRIVER = 'file', FILE = '$out', FORMAT = 'parquet'
+           |)
+           |
+           |QUERY 'Batch' FROM CONNECTION Docs (
+           |  SELECT * FROM Docs WHERE doc_id % 2 = 0
+           |)
+           |
+           |TRANSFORM 'Kept' FROM BLOCK Batch (
+           |  NEARDEDUP Batch AGAINST STORED '$idx' ON text KEY doc_id
+           |    THRESHOLD 0.5 METHOD LSH
+           |)
+           |
+           |QUERY 'Final' FROM BLOCK Kept (
+           |  SELECT doc_id, lang, source, n_chars FROM Kept
+           |) INTO CONNECTION Out""".stripMargin
+      Aql.run(s, probeScript).outputs("FINAL")
+    },
   )
 }

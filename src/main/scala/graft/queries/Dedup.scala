@@ -100,6 +100,38 @@ object Dedup {
       |SELECT doc_id, lang, source, n_chars FROM documents
       |WHERE doc_id % 2 = 0 AND doc_id NOT IN (SELECT doc_id FROM m)""".stripMargin
 
+  /** q159's oracle — [[againstKeptOracleSql]] with the corpus restated
+    * under CONTENT-KEYED deletion: after `build(odds) → append(evens) →
+    * delete(evens)`, the artifact's entries are the odd texts that are
+    * NOT the text of any even doc (entries are one per distinct text, so
+    * deleting a text removes its membership no matter which rows carried
+    * it — including odd corpus rows that SHARE an even doc's text, which
+    * exist at sf0.1). Both failure modes of the DELETE fail this hash:
+    * false retention (a surviving appended even entry matches its own
+    * batch doc back, dropping it) and over-deletion (a lost odd entry
+    * un-drops its near-matching batch docs).
+    */
+  private[queries] val deleteKeptOracleSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ws
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |                   for i in range(1, len(ws) - 1)]) AS sh
+      |  FROM w WHERE len(ws) >= 3),
+      |b AS (SELECT * FROM s WHERE doc_id % 2 = 0),
+      |c AS (
+      |  SELECT s.* FROM s JOIN documents d USING (doc_id)
+      |  WHERE doc_id % 2 = 1 AND d.text NOT IN (
+      |    SELECT text FROM documents WHERE doc_id % 2 = 0)),
+      |m AS (
+      |  SELECT DISTINCT b.doc_id
+      |  FROM b JOIN c ON round(CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE)
+      |      / (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh))), 6) >= 0.5)
+      |SELECT doc_id, lang, source, n_chars FROM documents
+      |WHERE doc_id % 2 = 0 AND doc_id NOT IN (SELECT doc_id FROM m)""".stripMargin
+
   /** One stored band index per corpus dir per JVM — the deployment
     * model (the index-build job runs once over the odd-id corpus;
     * every probe batch consumes the same files), and it keeps q144's

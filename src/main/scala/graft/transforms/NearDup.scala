@@ -570,15 +570,24 @@ object NearDup {
     *     basePath paths, the probe's partition-pruning idiom),
     *     anti-joins broadcast(ids), and writes survivors cell-
     *     partitioned into a staging sibling;
-    *  3. per touched cell: live → `.old`, staging → live, drop `.old`
-    *     (INDEX COMPACT's two-rename swap, per cell) — a cell whose
-    *     rows were all deleted has no staging dir and is simply
-    *     removed. Untouched cells are never listed, read or rewritten
-    *     (the AqlSpec delete case pins their files byte-identical).
+    *  3. TWO-PHASE swap across the touched cells (so a rename failure
+    *     can never leave a silently half-applied delete): phase A
+    *     stages out EVERY touched cell first (live → `.old_…`) — a
+    *     failure here rolls the already-staged cells back and the
+    *     artifact is bit-identical to before the statement; phase B
+    *     swaps the rewritten cells in (staging → live) — a failure at
+    *     cell k rolls cells k… back to their OLD rows and the error
+    *     names exactly which cells carry the applied delete, each cell
+    *     individually consistent, and re-running the SAME DELETE
+    *     completes the rest (deleting already-deleted ids is a per-cell
+    *     no-op). A cell whose rows were ALL deleted has no staging dir
+    *     and is simply removed. Untouched cells are never listed, read
+    *     or rewritten (the AqlSpec delete case pins their files
+    *     byte-identical).
     * Crash safety matches COMPACT: renames are atomic per cell on
-    * HDFS/posix; a crash between the two renames leaves `.old_…`
-    * intact for manual recovery, and the next delete clears stale
-    * staging dirs before writing. `dropIds` is one column named
+    * HDFS/posix; a crash mid-swap leaves `.old_…` intact for the
+    * mechanical re-run recovery above, and the next delete clears
+    * stale staging dirs before writing. `dropIds` is one column named
     * `idCol`; batches are maintenance-sized by contract (the broadcast
     * mirrors the probe's batch side).
     */
@@ -599,21 +608,41 @@ object NearDup {
       .join(broadcast(dropIds.select(col(idCol))), Seq(idCol), "left_anti")
       .repartition(col(pcol))
       .write.mode("overwrite").partitionBy(pcol).parquet(stage.toString)
+    def live(c: Int) = new Path(rootPath, s"$pcol=$c")
+    def old(c: Int) = new Path(rootPath, s".old_${pcol}_$c")
+    // phase A: stage out ALL touched cells before swapping any in — a
+    // failure rolls back completely, so no delete is partially applied
+    var stagedOut = List.empty[Int]
     for (c <- touched) {
-      val live = new Path(rootPath, s"$pcol=$c")
-      val old = new Path(rootPath, s".old_${pcol}_$c")
-      val staged = new Path(stage, s"$pcol=$c")
-      if (fs.exists(old)) fs.delete(old, true)
-      if (!fs.rename(live, old))
+      if (fs.exists(old(c))) fs.delete(old(c), true)
+      if (!fs.rename(live(c), old(c))) {
+        for (r <- stagedOut) fs.rename(old(r), live(r))
         throw new IllegalStateException(
-          s"INDEX … DELETE: cannot stage out cell $live")
-      if (fs.exists(staged) && !fs.rename(staged, live)) {
-        fs.rename(old, live) // roll back so the artifact stays live
-        throw new IllegalStateException(
-          s"INDEX … DELETE: cannot swap in rewritten cell $live")
+          s"INDEX … DELETE: cannot stage out cell ${live(c)} — the " +
+            "delete was NOT applied (all staged-out cells were rolled " +
+            "back; the artifact is unchanged)")
       }
-      fs.delete(old, true)
+      stagedOut ::= c
     }
+    // phase B: swap rewritten cells in; on failure, roll the unswapped
+    // tail back to its old rows and name the committed cells — recovery
+    // is re-running the same DELETE (already-deleted ids are a no-op)
+    for ((c, i) <- touched.zipWithIndex) {
+      val staged = new Path(stage, s"$pcol=$c")
+      // no staging dir ⇒ every row of the cell was deleted ⇒ removal
+      // IS the swap for this cell
+      if (fs.exists(staged) && !fs.rename(staged, live(c))) {
+        for (r <- touched.drop(i)) fs.rename(old(r), live(r))
+        throw new IllegalStateException(
+          s"INDEX … DELETE: cannot swap in rewritten cell ${live(c)}. " +
+            s"Cells [${touched.take(i).mkString(", ")}] of $root carry " +
+            "the applied delete; the remaining touched cells were rolled " +
+            "back to their prior rows — each cell is individually " +
+            "consistent, and re-running the same DELETE statement " +
+            "completes the rest (deleting already-deleted ids is a no-op)")
+      }
+    }
+    for (c <- touched) fs.delete(old(c), true)
     fs.delete(stage, true)
   }
 

@@ -1798,8 +1798,20 @@ object TransformParser {
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(new Path(s"$dir/meta"))) throw TransformError(
         s"INDEX COMPACT: no stored index at $dir")
-      val kind = spark.read.parquet(s"$dir/meta").head()
-        .getAs[String]("kind")
+      val metaRow = spark.read.parquet(s"$dir/meta").head()
+      // mirror requireKind's back-compat: a pre-kind artifact (meta
+      // without the column) is inferred from its store layout instead
+      // of throwing an opaque field-not-found error
+      val kind =
+        if (metaRow.schema.fieldNames.contains("kind"))
+          metaRow.getAs[String]("kind")
+        else if (fs.exists(new Path(s"$dir/bands"))) "lsh_text"
+        else if (fs.exists(new Path(s"$dir/buckets"))) "cosine_vec"
+        else if (fs.exists(new Path(s"$dir/variants"))) "typo_text"
+        else if (fs.exists(new Path(s"$dir/index"))) "ivf_vec"
+        else throw TransformError(
+          s"INDEX COMPACT: artifact at $dir predates kind metadata and " +
+            "has no recognizable store layout — rebuild it with INDEX … INTO")
       // store subdir → its cell column; centroids/supers/meta are
       // single small files and never append, so they are not rewritten
       val stores: Seq[(String, String)] = kind match {
@@ -1957,7 +1969,34 @@ object TransformParser {
           s"INDEX METHOD $other unreachable (parser validates)")
       }
       import spark.implicits._
-      Seq((dir, kind, cellCount, spark.read.parquet(entriesPath).count()))
+      // a DELETE that removed every entry leaves no cell directories —
+      // spark.read on the bare store root would throw "unable to infer
+      // schema" even though the delete itself succeeded, so probe for
+      // data files first and report 0 (the honest total) instead
+      val entryCount: Long = {
+        val ep = new org.apache.hadoop.fs.Path(entriesPath)
+        val fs = ep.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        def hasData: Boolean = {
+          if (!fs.exists(ep)) return false
+          val it = fs.listFiles(ep, true)
+          while (it.hasNext) {
+            val p = it.next().getPath
+            // skip hidden/meta paths the parquet reader also skips
+            // (e.g. a stale .old_… cell left by a crashed maintenance)
+            var cur = p
+            var hidden = false
+            while (cur != null && cur.toString != ep.toString) {
+              val nm = cur.getName
+              if (nm.startsWith("_") || nm.startsWith(".")) hidden = true
+              cur = cur.getParent
+            }
+            if (!hidden) return true
+          }
+          false
+        }
+        if (hasData) spark.read.parquet(entriesPath).count() else 0L
+      }
+      Seq((dir, kind, cellCount, entryCount))
         .toDF("path", "kind", "cells", "indexed_rows")
     }
   }

@@ -3,6 +3,8 @@ package graft
 import graft.engine.Aql
 import org.scalatest.funsuite.AnyFunSuite
 
+import scala.jdk.CollectionConverters._
+
 /** End-to-end AQL script tests — the compatibility contract, mirroring the
   * reference's own e2e suite (reference compiler_test.go:15-691).
   */
@@ -1582,6 +1584,193 @@ class AqlSpec extends AnyFunSuite {
          |  INDEX COMPACT '${dir.resolve("missing")}'
          |) INTO CONSOLE""".stripMargin)
       .contains("no stored index"))
+  }
+
+  test("INDEX DELETE: removes membership per family; untouched cells " +
+      "byte-identical; content-keyed; errors") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_aqlspec_delidx")
+    graft.queries.Advanced.registerTmpDir(dir)
+    def idxScript(data: String, cols: String, body: String) =
+      s"""DATA 'Corpus' ($data) WITH (COLUMNS = '$cols')
+         |TRANSFORM 'Built' FROM BLOCK Corpus (
+         |  $body
+         |) INTO CONSOLE""".stripMargin
+    def bad(script: String): String =
+      intercept[Exception](Aql.run(spark, script)).getMessage
+
+    // LSH: build docs A+B, DELETE B's text under a DIFFERENT key —
+    // membership is content-keyed (entries are one per distinct text,
+    // ids never surface from an AGAINST probe), so the key value must
+    // not matter. After the delete, a probe near B is KEPT (its match
+    // is gone) while a probe near A still drops — both directions of
+    // the delete observable through the language layer alone.
+    val lshIdx = dir.resolve("lsh").toString
+    val docA = "the quick brown fox jumps over the lazy cat"
+    val docB = "entirely unrelated sentences about winter weather patterns"
+    Aql.run(spark, idxScript(s"""[[1, "$docA"], [2, "$docB"]]""", "Id, Txt",
+      s"INDEX ON Txt KEY Id METHOD LSH THRESHOLD 0.4 CELLS 64 INTO '$lshIdx'"))
+    def probeLsh(): Seq[Long] = Aql.run(spark,
+      s"""DATA 'Batch' (
+         |  [[10, "the quick brown fox jumps over the lazy dog"],
+         |   [20, "entirely unrelated sentences about winter weather storms"],
+         |   [30, "no overlap with anything stored whatsoever in here"]]
+         |) WITH (COLUMNS = 'Id, Txt')
+         |TRANSFORM 'Kept' FROM BLOCK Batch (
+         |  NEARDEDUP Batch AGAINST STORED '$lshIdx' ON Txt KEY Id
+         |    THRESHOLD 0.4 METHOD LSH
+         |) INTO CONSOLE""".stripMargin)
+      .outputs("KEPT").collect().map(_.getLong(0)).sorted.toSeq
+    assert(probeLsh() == Seq(30L)) // both docs stored: 10 and 20 drop
+    // snapshot every data file (path → bytes) before the delete: a
+    // rewritten cell gets fresh part-file names, so any path present in
+    // BOTH snapshots must be an untouched cell's file — assert all such
+    // files are byte-identical AND that at least one exists (if DELETE
+    // wrongly rewrote every cell, zero common paths would survive and
+    // this fails)
+    def snapshot(): Map[String, Array[Byte]] = {
+      val base = java.nio.file.Paths.get(lshIdx)
+      val it = java.nio.file.Files.walk(base)
+      try it.iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          !p.getFileName.toString.startsWith("_") &&
+          !p.getFileName.toString.startsWith("."))
+        .map(p => base.relativize(p).toString ->
+          java.nio.file.Files.readAllBytes(p))
+        .toMap
+      finally it.close()
+    }
+    val before = snapshot()
+    Aql.run(spark, idxScript(s"""[[999, "$docB"]]""", "Id, Txt",
+      s"INDEX ON Txt KEY Id METHOD LSH INTO '$lshIdx' DELETE"))
+    val after = snapshot()
+    val common = before.keySet.intersect(after.keySet)
+    assert(common.nonEmpty,
+      "expected ≥ 1 untouched cell file to survive the delete unrenamed")
+    for (p <- common)
+      assert(java.util.Arrays.equals(before(p), after(p)),
+        s"untouched cell file $p changed bytes across the delete")
+    assert(after.size < before.size, // routed cells were rewritten/removed
+      s"expected fewer files after delete, got ${after.size}/${before.size}")
+    assert(probeLsh() == Seq(20L, 30L)) // 20's match gone; 10 still drops
+
+    // duplicate-append-then-delete: append docB twice more (duplicated
+    // postings), one DELETE removes the membership entirely
+    Aql.run(spark, idxScript(s"""[[3, "$docB"]]""", "Id, Txt",
+      s"INDEX ON Txt KEY Id METHOD LSH INTO '$lshIdx' APPEND"))
+    Aql.run(spark, idxScript(s"""[[4, "$docB"]]""", "Id, Txt",
+      s"INDEX ON Txt KEY Id METHOD LSH INTO '$lshIdx' APPEND"))
+    assert(probeLsh() == Seq(30L)) // membership is back
+    Aql.run(spark, idxScript(s"""[[5, "$docB"]]""", "Id, Txt",
+      s"INDEX ON Txt KEY Id METHOD LSH INTO '$lshIdx' DELETE"))
+    assert(probeLsh() == Seq(20L, 30L)) // ALL duplicated postings gone
+
+    // delete-everything: the summary row reports indexed_rows = 0
+    // instead of erroring on the empty store, and a later APPEND
+    // resurrects the artifact (meta survives deletion)
+    val gone = Aql.run(spark, idxScript(s"""[[6, "$docA"]]""", "Id, Txt",
+      s"INDEX ON Txt KEY Id METHOD LSH INTO '$lshIdx' DELETE"))
+      .outputs("BUILT").collect().head
+    assert(gone.getAs[Long]("indexed_rows") == 0L, gone.toString)
+    assert(probeLsh() == Seq(10L, 20L, 30L)) // empty index keeps all
+    val back = Aql.run(spark, idxScript(s"""[[7, "$docA"]]""", "Id, Txt",
+      s"INDEX ON Txt KEY Id METHOD LSH INTO '$lshIdx' APPEND"))
+      .outputs("BUILT").collect().head
+    assert(back.getAs[Long]("indexed_rows") == 1L, back.toString)
+    assert(probeLsh() == Seq(20L, 30L))
+
+    // TYPO: delete one of two stored strings; its ED-1 probe is kept
+    val typoIdx = dir.resolve("typo").toString
+    Aql.run(spark, idxScript("""[[1, "alpha"], [2, "beta"]]""", "Id, Txt",
+      s"INDEX ON Txt KEY Id METHOD TYPO CELLS 4 INTO '$typoIdx'"))
+    Aql.run(spark, idxScript("""[[9, "beta"]]""", "Id, Txt",
+      s"INDEX ON Txt KEY Id METHOD TYPO INTO '$typoIdx' DELETE"))
+    val keptTypo = Aql.run(spark,
+      s"""DATA 'Batch' ([[7, "alpho"], [8, "betb"]])
+         |  WITH (COLUMNS = 'Id, Txt')
+         |TRANSFORM 'Kept' FROM BLOCK Batch (
+         |  NEARDEDUP Batch AGAINST STORED '$typoIdx' ON Txt KEY Id
+         |    METHOD TYPO
+         |) INTO CONSOLE""".stripMargin)
+      .outputs("KEPT").collect().map(_.getLong(0)).toSeq
+    assert(keptTypo == Seq(8L), keptTypo.toString) // beta gone, alpha stays
+
+    // COSINE: delete the [0,1] direction; batch vectors near it are kept
+    val cosIdx = dir.resolve("cos").toString
+    val vpq = dir.resolve("vecs.parquet").toString
+    val dpq = dir.resolve("vecsDel.parquet").toString
+    val bpq = dir.resolve("vecsBatch.parquet").toString
+    Seq((1L, Array(1.0, 0.0)), (2L, Array(0.0, 1.0)))
+      .toDF("vid", "emb").write.parquet(vpq)
+    Seq((9L, Array(0.0, 1.0))).toDF("vid", "emb").write.parquet(dpq)
+    Seq((7L, Array(0.05, 1.0)), (8L, Array(1.0, 0.05)))
+      .toDF("vid", "emb").write.parquet(bpq)
+    def vecScript(pq: String, body: String) =
+      s"""CONNECTION 'V' (DRIVER = 'file', FILE = '$pq', FORMAT = 'parquet')
+         |TRANSFORM 'T' FROM CONNECTION V (
+         |  $body
+         |) INTO CONSOLE""".stripMargin
+    Aql.run(spark, vecScript(vpq,
+      s"INDEX ON emb KEY vid METHOD COSINE CELLS 4 TABLES 8 BITS 2 " +
+        s"INTO '$cosIdx'"))
+    def probeCos(): Seq[Long] = Aql.run(spark,
+      s"""CONNECTION 'B' (DRIVER = 'file', FILE = '$bpq', FORMAT = 'parquet')
+         |TRANSFORM 'Kept' FROM CONNECTION B (
+         |  NEARDEDUP B AGAINST STORED '$cosIdx' ON emb KEY vid
+         |    THRESHOLD 0.9 METHOD COSINE TABLES 8 BITS 2
+         |) INTO CONSOLE""".stripMargin)
+      .outputs("KEPT").collect().map(_.getLong(0)).sorted.toSeq
+    assert(probeCos() == Seq.empty) // 7 near [0,1], 8 near [1,0]: both drop
+    Aql.run(spark, vecScript(dpq, // content-keyed: vid 9 ≠ stored vid 2
+      s"INDEX ON emb KEY vid METHOD COSINE INTO '$cosIdx' DELETE"))
+    assert(probeCos() == Seq(7L)) // [0,1] gone; 8 still drops on [1,0]
+
+    // IVF: delete by vec_id — the appended self-copy from the append
+    // test's contract, removed again: vid 1's top neighbor falls back
+    // from the copy (cosine 1.0) to vid 2
+    val ivfIdx = dir.resolve("ivf").toString
+    val cpq = dir.resolve("ivfCorpus.parquet").toString
+    val apq = dir.resolve("ivfAppend.parquet").toString
+    Seq((1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.1)),
+        (3L, Array(0.0, 1.0)), (4L, Array(0.1, 0.9)))
+      .toDF("vid", "emb").write.parquet(cpq)
+    Seq((5L, Array(1.0, 0.0))).toDF("vid", "emb").write.parquet(apq)
+    Aql.run(spark, vecScript(cpq,
+      s"INDEX ON emb KEY vid METHOD IVF CELLS 2 INTO '$ivfIdx'"))
+    Aql.run(spark, vecScript(apq,
+      s"INDEX ON emb KEY vid METHOD IVF INTO '$ivfIdx' APPEND"))
+    def serveIvf(): Seq[(Long, Long)] = Aql.run(spark,
+      s"""CONNECTION 'V' (DRIVER = 'file', FILE = '$cpq', FORMAT = 'parquet')
+         |TRANSFORM 'K' FROM CONNECTION V (
+         |  KNN ON emb KEY vid TOP 1 METHOD IVF PROBE 2 STORED '$ivfIdx'
+         |    QUERIES vid = 1
+         |) INTO CONSOLE""".stripMargin)
+      .outputs("K").collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("neighbor_id"))).toSeq
+    assert(serveIvf() == Seq((1L, 5L))) // the appended copy dominates
+    Aql.run(spark, vecScript(apq,
+      s"INDEX ON emb KEY vid METHOD IVF INTO '$ivfIdx' DELETE"))
+    assert(serveIvf() == Seq((1L, 2L))) // copy removed, 2 is next-best
+
+    // option algebra + artifact validation, DELETE leg
+    assert(bad(idxScript("""[[1, "x"]]""", "Id, Txt",
+      s"INDEX ON Txt KEY Id METHOD LSH CELLS 8 INTO '$lshIdx' DELETE"))
+      .contains("cannot be overridden"))
+    assert(bad(idxScript("""[[1, "x"]]""", "Id, Txt",
+      s"INDEX ON Txt KEY Id METHOD LSH THRESHOLD 0.4 INTO '$lshIdx' DELETE"))
+      .contains("cannot be overridden"))
+    assert(bad(idxScript("""[[1, "x"]]""", "Id, Txt",
+      s"INDEX ON Txt KEY Id METHOD LSH INTO '${dir.resolve("nope")}' DELETE"))
+      .contains("no stored index"))
+    assert(bad(idxScript("""[[1, "x"]]""", "Id, Txt",
+      s"INDEX ON Txt KEY Id METHOD TYPO INTO '$lshIdx' DELETE"))
+      .contains("not interchangeable"))
+    // dimension drift errors on the delete batch too
+    val wpq = dir.resolve("vecsWide.parquet").toString
+    Seq((9L, Array(1.0, 0.0, 0.0))).toDF("vid", "emb").write.parquet(wpq)
+    assert(bad(vecScript(wpq,
+      s"INDEX ON emb KEY vid METHOD COSINE INTO '$cosIdx' DELETE"))
+      .contains("dimensional"))
   }
 
   test("NEARDEDUP METHOD COSINE: embedding dedup e2e; options validate") {

@@ -43,6 +43,13 @@ import org.apache.spark.sql.functions._
   *    band cells, and strictly fewer than `cells` once cells exceeds
   *    the batch's key count — the index is never scanned whole.
   *
+  * Each k also runs the full MAINTENANCE cycle as closed-form gates:
+  * APPEND the batch's unmatched docs (re-probe ⇒ everything matches),
+  * then DELETE them (re-probe ⇒ the matched set returns exactly to the
+  * pre-append set — false retention is a superset, over-deletion a
+  * subset, both fail), with both legs timed to show cost ∝ the batch's
+  * own band keys, flat across corpus growth.
+  *
   * Usage: SPARK_GRAFT_SF_DIR=… SPARK_GRAFT_REPS=1,4,16 runMain
   * graft.BandScale. REPS must start with 1 (the matched-set baseline).
   * Prints one JSON line per k plus fitted build/probe exponents.
@@ -207,6 +214,27 @@ object BandScale {
       val allBatchIds = shB.select(col("id")).collect()
         .map(_.getLong(0)).toSet
 
+      // DELETE leg (round 10): remove the docs the APPEND leg added
+      // (same shingle frame — content-keyed routing) and re-probe. Two
+      // claims, both closed-form:
+      //  - delete COST is governed by the delete batch's own band keys
+      //    (8 docs × 64 bands route to ≤ 512 of the k-scaled cells and
+      //    only those are rewritten), never corpus size — the
+      //    forget-a-terabyte-without-re-shingling-the-exabyte contract,
+      //    measured flat across the ×16 corpus;
+      //  - after the delete the matched set returns EXACTLY to the
+      //    pre-append set: a falsely retained appended entry would keep
+      //    its batch copy matched (superset ⇒ fail), an over-deleted
+      //    corpus entry would lose a true match (subset ⇒ fail).
+      val (_, deleteS) = timed {
+        NearDup.bandStoreDelete(base, appendSh)
+      }
+      val (matchedAfterDelete, reprobe2S) = timed {
+        NearDup.minhashCrossMatchesStored(spark, base, shB,
+            Threshold, NumPerm, NumBands, RowsPerBand)
+          .collect().map(_.getLong(0)).toSet
+      }
+
       val checks = Map(
         // exists, not forall: a missing baseline must FAIL (reps are
         // require'd to start at 1)
@@ -214,17 +242,21 @@ object BandScale {
         "baseline_nonempty" -> matched1.exists(_.nonEmpty),
         "cell_subset" -> (probeCells <= math.min(batchKeys, cells.toLong) &&
           (cells <= batchKeys || probeCells < cells)),
-        "append_closed_form" -> (matchedAfter == allBatchIds))
+        "append_closed_form" -> (matchedAfter == allBatchIds),
+        "delete_closed_form" -> (matchedAfterDelete == matchedK))
       val ok = checks.values.forall(identity)
       println(
         s"""{"metric":"band_scale","k":$k,"corpus":$n,"index_rows":$idxRows,""" +
         s""""cells":$cells,"probe_cells":$probeCells,""" +
         s""""matched":${matchedK.size},""" +
         s""""matched_after_append":${matchedAfter.size},""" +
+        s""""matched_after_delete":${matchedAfterDelete.size},""" +
         s""""sec":{"build":${math.round(buildS * 1000) / 1000.0},""" +
         s""""probe":${math.round(probeS * 1000) / 1000.0},""" +
         s""""append":${math.round(appendS * 1000) / 1000.0},""" +
-        s""""reprobe":${math.round(reprobeS * 1000) / 1000.0}},""" +
+        s""""reprobe":${math.round(reprobeS * 1000) / 1000.0},""" +
+        s""""delete":${math.round(deleteS * 1000) / 1000.0},""" +
+        s""""reprobe2":${math.round(reprobe2S * 1000) / 1000.0}},""" +
         s""""artifact_bytes":{"bands":$bandsBytes,""" +
         s""""shingles_hashed":$shHashedBytes,""" +
         s""""shingles_raw":$shRawBytes},""" +

@@ -127,7 +127,7 @@ object CosineScale {
 
       val (matchedK, probeS) = timed {
         VecKnn.cosineCrossMatchesStored(spark, base, batch,
-            Threshold, Tables, bits)
+            Threshold, Some(Tables), Some(bits))
           .collect().map(_.getLong(0)).toSet
       }
       // diagnostics, outside the timed probe: the cells the batch routes

@@ -1,0 +1,180 @@
+package graft
+
+import graft.queries.Similarity
+import graft.transforms.IndexGeometry
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Append-drift harness for the stored-IVF family — turns
+  * `ivfStoreAppend`'s documented caveat ("if the appended distribution
+  * drifts far from the build corpus, frozen cells partition it poorly —
+  * recall degrades gracefully until a rebuild re-trains") into numbers
+  * a user can plan around.
+  *
+  * Protocol per append fraction f ∈ {0.10, 0.25, 0.50}:
+  *  1. base corpus: n₀ pseudo-random unit-cube vectors (CosineScale's
+  *     synthVec generator); appended set: ⌈f·n₀⌉ DRIFTED vectors — a
+  *     tight cone around the first axis (component 1 ≈ 4, the rest
+  *     ~U(−0.5, 0.5)) that the base corpus never visits, the worst
+  *     realistic case for frozen centroids (a new data modality landing
+  *     in a region no centroid serves);
+  *  2. FROZEN artifact: build over the base corpus (cells = ⌈√n₀⌉, the
+  *     IndexGeometry rule), then `ivfStoreAppend` the drifted set —
+  *     production ingest, no re-train;
+  *  3. FRESH artifact: one build over the union (cells = ⌈√(n₀+f·n₀)⌉)
+  *     — the re-train the caveat says eventually pays for itself;
+  *  4. two 8-query panels, both NEW draws (near, not equal, to stored
+  *     vectors): one from the base distribution, one from the drifted
+  *     cone; both probed on both artifacts at nprobe = 2, recall@5
+  *     against one brute-force truth over the union (round-6 cosine,
+  *     (cosine DESC, id) tie-break — AnnScale's protocol).
+  *
+  * What the numbers mean: `recall_drift_frozen` is the caveat —
+  * drifted queries served from frozen centroids concentrate in the few
+  * cells nearest the cone, so nprobe=2 still finds the cone members
+  * (they all landed together) but ranking inside the now-oversized cell
+  * is exact, so correctness never breaks; the degradation shows up as
+  * the gap to `recall_drift_fresh`, whose re-trained centroids split
+  * the cone properly. `recall_base_*` pins that the ORIGINAL corpus's
+  * serving is not harmed by someone else's drift. SCALING.md records
+  * the sweep.
+  *
+  * Usage: SPARK_GRAFT_FRACS=0.1,0.25,0.5 SPARK_GRAFT_N0=8192 runMain
+  * graft.DriftScale. Prints one JSON line per fraction.
+  */
+object DriftScale {
+
+  private final val Dims = 64
+  private final val NProbe = 2
+  private final val TopK = 5
+  private final val Panel = 8
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val n0 = sys.env.getOrElse("SPARK_GRAFT_N0", "8192").toLong
+    val fracs = sys.env.getOrElse("SPARK_GRAFT_FRACS", "0.1,0.25,0.5")
+      .split(",").map(_.trim.toDouble).toSeq
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try spark.range(1000000).selectExpr("sum(id * 2)").collect()
+    catch { case _: Throwable => () }
+    import graft.functions.Vectors.{dot, l2norm}
+
+    // CosineScale's generator: components ~U(−1, 1), a pure function of
+    // (id, dim) so every run is deterministic
+    def synthVec(id: org.apache.spark.sql.Column) =
+      transform(sequence(lit(1), lit(Dims)),
+        c => xxhash64(id, c).cast("double") / lit(Long.MaxValue.toDouble))
+    // the drifted cone: component 1 ≈ 4, the rest ~U(−0.5, 0.5) — unit
+    // vectors within ~10° of the first axis, a region the base
+    // distribution (isotropic, E‖v‖ ≈ √(Dims/3) ≈ 4.6, any single
+    // component ≤ 1) essentially never concentrates in
+    def driftVec(id: org.apache.spark.sql.Column) =
+      transform(sequence(lit(1), lit(Dims)),
+        c => when(c === 1, lit(4.0))
+          .otherwise(xxhash64(id, c).cast("double")
+            / lit(Long.MaxValue.toDouble) / lit(2.0)))
+
+    def frame(ids: DataFrame, gen: org.apache.spark.sql.Column
+        => org.apache.spark.sql.Column): DataFrame = ids
+      .select(col("id").as("vec_id"), gen(col("id")).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint()
+
+    val baseCorpus = frame(spark.range(0, n0).toDF("id"), synthVec)
+    // panels: NEW draws from each distribution (ids disjoint from every
+    // corpus id range), so recall measures serving of NEIGHBORS, not
+    // self-copy lookup
+    val baseQ = frame(spark.range(20000000L, 20000000L + Panel).toDF("id"),
+        synthVec)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm")).localCheckpoint()
+    val driftQ = frame(spark.range(30000000L, 30000000L + Panel).toDF("id"),
+        driftVec)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm")).localCheckpoint()
+
+    for (f <- fracs) {
+      val m = math.ceil(n0 * f).toLong
+      val appended = frame(
+        spark.range(10000000L, 10000000L + m).toDF("id"), driftVec)
+      val union = baseCorpus.unionByName(appended).localCheckpoint()
+
+      // FROZEN: base build + drifted append (production ingest)
+      val frozenDir =
+        java.nio.file.Files.createTempDirectory("graft_drift_frozen_")
+      graft.queries.Advanced.registerTmpDir(frozenDir)
+      Similarity.ivfStoreTo(frozenDir.toString, baseCorpus,
+        IndexGeometry.ivfCells(n0))
+      val (_, appendS) = timed {
+        Similarity.ivfStoreAppend(frozenDir.toString, appended)
+      }
+      // FRESH: one re-trained build over the union
+      val freshDir =
+        java.nio.file.Files.createTempDirectory("graft_drift_fresh_")
+      graft.queries.Advanced.registerTmpDir(freshDir)
+      Similarity.ivfStoreTo(freshDir.toString, union,
+        IndexGeometry.ivfCells(n0 + m))
+
+      // one brute-force truth over the union per panel (AnnScale's
+      // rounding + tie-break)
+      def truthOf(queries: DataFrame): Map[Long, Set[Long]] = {
+        val bw = Window.partitionBy("qid")
+          .orderBy(col("cosine").desc, col("cid"))
+        union
+          .select(col("vec_id").as("cid"), col("v").as("cv"),
+            col("nrm").as("cnrm"))
+          .crossJoin(broadcast(queries))
+          .withColumn("cosine",
+            round(dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")),
+              6))
+          .withColumn("rank", row_number().over(bw))
+          .where(col("rank") <= TopK)
+          .select(col("qid"), col("cid")).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      }
+      def recallOf(dir: String, queries: DataFrame,
+          truth: Map[Long, Set[Long]]): Double = {
+        val got = Similarity
+          .ivfProbeStored(spark, dir, queries, NProbe, TopK)
+          .select(col("qid"), col("neighbor_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        truth.map { case (q, want) =>
+          got.getOrElse(q, Set.empty).intersect(want).size.toDouble /
+            want.size
+        }.sum / truth.size
+      }
+      val baseTruth = truthOf(baseQ)
+      val driftTruth = truthOf(driftQ)
+      def r4(d: Double) = math.round(d * 10000) / 10000.0
+      println(
+        s"""{"metric":"drift_scale","n0":$n0,"append_frac":$f,""" +
+        s""""appended":$m,"cells_frozen":${IndexGeometry.ivfCells(n0)},""" +
+        s""""cells_fresh":${IndexGeometry.ivfCells(n0 + m)},""" +
+        s""""append_sec":${r4(appendS)},""" +
+        s""""recall_base_frozen":${r4(recallOf(frozenDir.toString, baseQ,
+          baseTruth))},""" +
+        s""""recall_base_fresh":${r4(recallOf(freshDir.toString, baseQ,
+          baseTruth))},""" +
+        s""""recall_drift_frozen":${r4(recallOf(frozenDir.toString, driftQ,
+          driftTruth))},""" +
+        s""""recall_drift_fresh":${r4(recallOf(freshDir.toString, driftQ,
+          driftTruth))}}""")
+    }
+    spark.stop()
+  }
+}

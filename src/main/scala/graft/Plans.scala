@@ -85,6 +85,7 @@ object Plans {
     "q156_aql_index_lsh_append" -> "INDEX APPEND (two separate engine runs) -> AGAINST STORED probe over the grown artifact: q148's routed-cell left-anti shape, append-invariant",
     "q157_stream_stored_cosine_dedup" -> "streaming stored-cosine dedup: idempotent sink read-back (each microbatch runs q153's shared probe shape - see q153 for the per-batch plan; explain cannot render the in-flight streaming plan)",
     "q158_aql_index_compact" -> "build -> APPEND -> COMPACT -> probe: answers identical to q156 (compaction rewrites cells, never rows); probe plan is q148's routed-cell left-anti shape",
+    "q159_aql_index_delete" -> "build -> APPEND -> DELETE -> probe: content-keyed deletion rewrites only routed cells; probe plan is q148's routed-cell left-anti shape over the post-delete artifact",
   )
 
   def main(args: Array[String]): Unit = {

@@ -1087,6 +1087,13 @@ object AqlQ {
     // verdict's item 3). The gate shares q142's brute-force batch×corpus
     // cosine oracle, so the stored path is pinned to the in-plan
     // two-source path through the truth they both must answer.
+    // Geometry is PINNED (TABLES 32 BITS 4), not derived: this probe
+    // runs at THRESHOLD 0.45 and the test embeddings' matched pairs sit
+    // right at 0.45-0.50 (measured), where wider derived buckets could
+    // deterministically miss a boundary pair — the derived default
+    // targets DEDUP thresholds (IndexGeometry.cosineBits' contract);
+    // moderate-threshold users pin BITS exactly like this. The probe
+    // script passes NO geometry, exercising the adopt-from-meta path.
     QueryDef(
       "q153_aql_cosine_stored",
       cosineAgainstKeptOracleSql) { (s, dir) =>
@@ -1106,7 +1113,7 @@ object AqlQ {
            |
            |TRANSFORM 'Built' FROM CONNECTION C (
            |  INDEX ON embedding KEY vec_id METHOD COSINE CELLS 64
-           |    INTO '$idx'
+           |    TABLES 32 BITS 4 INTO '$idx'
            |)
            |
            |QUERY 'Summary' FROM BLOCK Built (

@@ -593,53 +593,79 @@ object NearDup {
     */
   private[graft] def deleteFromCellStore(s: org.apache.spark.sql.SparkSession,
       root: String, pcol: String, wanted: Array[Int], idCol: String,
-      dropIds: DataFrame): Unit = {
+      dropIds: DataFrame): Unit =
+    rewriteCellsInPlace(s, root, pcol, wanted.toSeq, "INDEX … DELETE",
+      "re-running the same DELETE statement completes the rest " +
+        "(deleting already-deleted ids is a no-op)") { cells =>
+      cells.join(broadcast(dropIds.select(col(idCol))), Seq(idCol),
+        "left_anti")
+    }
+
+  /** The cell-granular in-place rewrite every index-MAINTENANCE form
+    * rides (DELETE's anti-join here, COMPACT's identity rewrite of
+    * multi-file cells): read ONLY the caller's routed cells as explicit
+    * basePath paths, apply `transform`, write survivors cell-partitioned
+    * into a staging sibling, then the TWO-PHASE swap (stage out ALL
+    * touched cells live → `.old_…` first — a failure there rolls back
+    * completely and the artifact is untouched; then swap staging → live
+    * — a failure there names exactly which cells committed and rolls
+    * the unswapped tail back to its old rows, each cell individually
+    * consistent, with `recovery` telling the user how re-running the
+    * same statement completes the rest). A cell whose rows all vanish
+    * under `transform` has no staging dir and is simply removed.
+    * Untouched cells are never listed, read or rewritten. Renames are
+    * atomic per cell on HDFS/posix; a crash mid-swap leaves `.old_…`
+    * intact for the mechanical re-run recovery, and the next rewrite
+    * clears stale staging dirs before writing.
+    */
+  private[graft] def rewriteCellsInPlace(s: org.apache.spark.sql.SparkSession,
+      root: String, pcol: String, wanted: Seq[Int], what: String,
+      recovery: String)(
+      transform: org.apache.spark.sql.DataFrame
+        => org.apache.spark.sql.DataFrame): Unit = {
     import org.apache.hadoop.fs.Path
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val touched = wanted.toSeq
+    val touched = wanted
       .filter(c => fs.exists(new Path(rootPath, s"$pcol=$c")))
-    if (touched.isEmpty) return // ids occupy no existing cell — no-op
+    if (touched.isEmpty) return // nothing routed to an existing cell
     val paths = touched.map(c => new Path(rootPath, s"$pcol=$c").toString)
     val stage = new Path(rootPath.getParent,
-      s".delete_stage_${rootPath.getName}")
+      s".rewrite_stage_${rootPath.getName}")
     if (fs.exists(stage)) fs.delete(stage, true) // stale from a crash
-    s.read.option("basePath", root).parquet(paths: _*)
-      .join(broadcast(dropIds.select(col(idCol))), Seq(idCol), "left_anti")
+    transform(s.read.option("basePath", root).parquet(paths: _*))
       .repartition(col(pcol))
       .write.mode("overwrite").partitionBy(pcol).parquet(stage.toString)
     def live(c: Int) = new Path(rootPath, s"$pcol=$c")
     def old(c: Int) = new Path(rootPath, s".old_${pcol}_$c")
     // phase A: stage out ALL touched cells before swapping any in — a
-    // failure rolls back completely, so no delete is partially applied
+    // failure rolls back completely, so no rewrite is partially applied
     var stagedOut = List.empty[Int]
     for (c <- touched) {
       if (fs.exists(old(c))) fs.delete(old(c), true)
       if (!fs.rename(live(c), old(c))) {
         for (r <- stagedOut) fs.rename(old(r), live(r))
         throw new IllegalStateException(
-          s"INDEX … DELETE: cannot stage out cell ${live(c)} — the " +
-            "delete was NOT applied (all staged-out cells were rolled " +
-            "back; the artifact is unchanged)")
+          s"$what: cannot stage out cell ${live(c)} — the rewrite was " +
+            "NOT applied (all staged-out cells were rolled back; the " +
+            "artifact is unchanged)")
       }
       stagedOut ::= c
     }
     // phase B: swap rewritten cells in; on failure, roll the unswapped
-    // tail back to its old rows and name the committed cells — recovery
-    // is re-running the same DELETE (already-deleted ids are a no-op)
+    // tail back to its old rows and name the committed cells
     for ((c, i) <- touched.zipWithIndex) {
       val staged = new Path(stage, s"$pcol=$c")
-      // no staging dir ⇒ every row of the cell was deleted ⇒ removal
-      // IS the swap for this cell
+      // no staging dir ⇒ every row of the cell vanished ⇒ removal IS
+      // the swap for this cell
       if (fs.exists(staged) && !fs.rename(staged, live(c))) {
         for (r <- touched.drop(i)) fs.rename(old(r), live(r))
         throw new IllegalStateException(
-          s"INDEX … DELETE: cannot swap in rewritten cell ${live(c)}. " +
+          s"$what: cannot swap in rewritten cell ${live(c)}. " +
             s"Cells [${touched.take(i).mkString(", ")}] of $root carry " +
-            "the applied delete; the remaining touched cells were rolled " +
-            "back to their prior rows — each cell is individually " +
-            "consistent, and re-running the same DELETE statement " +
-            "completes the rest (deleting already-deleted ids is a no-op)")
+            "the applied rewrite; the remaining touched cells were " +
+            "rolled back to their prior rows — each cell is " +
+            s"individually consistent, and $recovery")
       }
     }
     for (c <- touched) fs.delete(old(c), true)

@@ -852,14 +852,19 @@ object TransformParser {
       val bKeyed = spreadForCpu(batch, batch.select(col(bKey).as("id"),
           col(bText).as("txt"), xxhash64(col(bText)).as("th")))
         .localCheckpoint(false)
-      val bReps = bKeyed.groupBy(col("th"))
-        .agg(first(col("txt")).as("txt"))
+      // exact-first collapse as a DISTINCT on (hash, text) — rows in a
+      // th-group are identical by construction, so this equals the old
+      // groupBy(th).agg(first(txt)) but stays a pure HashAggregate with
+      // map-side partial agg (first() over a string buffer disqualifies
+      // hash aggregation and forced an external sort of the corpus —
+      // the round-8 hier-IVF lesson applied to every verb-layer site)
+      val bReps = bKeyed.select(col("th"), col("txt")).distinct()
         .repartition(par) // AQE would coalesce below the CPU stage
       val shB = NearDup.shingled(bReps, "th", "txt")
       // corpus reps keyed by text hash too — the id never surfaces
       val cReps = spreadForCpu(corpus, corpus.select(
           xxhash64(col(cText)).as("cth"), col(cText).as("txt")))
-        .groupBy(col("cth")).agg(first(col("txt")).as("txt"))
+        .distinct()
         .repartition(par)
       val shC = NearDup.shingled(cReps, "cth", "txt")
       // matched rep text-hashes fan back to every batch copy
@@ -911,8 +916,10 @@ object TransformParser {
       val bKeyed = spreadForCpu(batch, batch.select(col(bKey).as("id"),
           col(bText).as("txt"), xxhash64(col(bText)).as("th")))
         .localCheckpoint(false)
-      val bReps = bKeyed.groupBy(col("th"))
-        .agg(first(col("txt")).as("txt"))
+      // distinct-on-(th, txt) = the hash-agg exact-first collapse (see
+      // buildAgainst) — the probe side of the stored index must not pay
+      // a corpus-wide external sort just to dedupe its batch
+      val bReps = bKeyed.select(col("th"), col("txt")).distinct()
         .repartition(par)
       val shB = NearDup.shingled(bReps, "th", "txt")
       val (b, r) = bandsRows.getOrElse(NearDup.autoBands(threshold))
@@ -932,9 +939,10 @@ object TransformParser {
       * recomputing corpus buckets per run. Same AGAINST semantics and
       * EXACT-FIRST batch collapse as the two-source form; the probe
       * touches only the batch's routed cell files
-      * ([[VecKnn.cosineCrossMatchesStored]]). TABLES/BITS come from the
-      * options or the defaults and are validated against the artifact's
-      * meta at probe time.
+      * ([[VecKnn.cosineCrossMatchesStored]]). Geometry comes FROM the
+      * artifact's meta (the INDEX verb derives bits from the corpus, so
+      * a probe cannot guess them); explicit TABLES/BITS are validated
+      * against meta at probe time.
       */
     private def buildAgainstStoredCosine(sources: Map[String, DataFrame],
         batchName: String, base: String): DataFrame = {
@@ -943,18 +951,20 @@ object TransformParser {
       val bKey = batch.schema.find(_.name.equalsIgnoreCase(key))
         .map(_.name).getOrElse(throw TransformError(
           s"NEARDEDUP: unknown column $key in $batchName"))
-      val (t2, b2) = tablesBits.getOrElse(CosineDefaults)
       val par = batch.sparkSession.sparkContext.defaultParallelism
       val bKeyed = spreadForCpu(batch, vecFrame(batch, batchName))
         .withColumn("vh", xxhash64(col("v")))
         .localCheckpoint(false)
-      val bReps = bKeyed.groupBy(col("vh")).agg(
-          first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+      val bReps = bKeyed.select(col("vh"), col("v"), col("nrm")).distinct()
         .select(col("vh").as("id"), col("v"), col("nrm"))
         .repartition(par)
         .localCheckpoint(false)
+      // absent TABLES/BITS adopt the ARTIFACT's geometry (meta is the
+      // source of truth — the INDEX verb derives bits from the corpus,
+      // so a probe cannot guess them); explicit values validate vs meta
       val matched = VecKnn.cosineCrossMatchesStored(batch.sparkSession,
-        base, bReps, threshold, t2, b2).toDF("vh")
+        base, bReps, threshold, tablesBits.map(_._1), tablesBits.map(_._2))
+        .toDF("vh")
       val matchedIds = bKeyed.join(matched, "vh")
         .select(col("id").as(bKey))
       batch.join(matchedIds, Seq(bKey), "left_anti")
@@ -979,9 +989,7 @@ object TransformParser {
           col(bTextName).as("txt"), xxhash64(col(bTextName)).as("th")))
         .where(col("txt").isNotNull)
         .localCheckpoint(false)
-      val bReps = bKeyed.groupBy(col("th"))
-        .agg(first(col("txt")).as("txt"))
-        .select(col("th").as("id"), col("txt"))
+      val bReps = bKeyed.select(col("th").as("id"), col("txt")).distinct()
         .repartition(par)
         .localCheckpoint(false)
       val matched = NearDup.typoCrossMatchesStored(batch.sparkSession,
@@ -1068,9 +1076,14 @@ object TransformParser {
       val par = primary.sparkSession.sparkContext.defaultParallelism
       // reps checkpoint: feeds the bucket self-join AND both rerank
       // sides of cosinePairs, plus the clique gate below
-      val reps = keyed.groupBy(col("vh")).agg(
+      // content columns ride the GROUPING KEY, not a first()-buffer —
+      // grouping keys may be any type while agg buffers must stay
+      // mutable-primitive for HashAggregate, so (vh, v, nrm) as keys +
+      // min/count buffers keeps the collapse a pure hash agg with
+      // map-side combine (vh determines v and nrm, so groups are
+      // identical to the old groupBy(vh))
+      val reps = keyed.groupBy(col("vh"), col("v"), col("nrm")).agg(
           min(col("id")).as("id"),
-          first(col("v")).as("v"), first(col("nrm")).as("nrm"),
           count(lit(1)).as("n_copies"))
         .repartition(par) // AQE would coalesce below the CPU stage
         .localCheckpoint(false)
@@ -1123,15 +1136,13 @@ object TransformParser {
       // rep checkpoints: each side feeds cosineCrossMatches' bucket
       // frame AND its rerank join (same multi-consumer rationale as
       // buildSelfCosine's reps)
-      val bReps = bKeyed.groupBy(col("vh")).agg(
-          first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+      val bReps = bKeyed.select(col("vh"), col("v"), col("nrm")).distinct()
         .select(col("vh").as("id"), col("v"), col("nrm"))
         .repartition(par)
         .localCheckpoint(false)
       val cReps = spreadForCpu(corpus, vecFrame(corpus, corpusName))
         .withColumn("vh", xxhash64(col("v")))
-        .groupBy(col("vh")).agg(
-          first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+        .select(col("vh"), col("v"), col("nrm")).distinct()
         .select(col("vh").as("id"), col("v"), col("nrm"))
         .repartition(par)
         .localCheckpoint(false)
@@ -1173,8 +1184,10 @@ object TransformParser {
           col(textName).as("txt"), xxhash64(col(textName)).as("th")))
         .where(col("txt").isNotNull)
         .localCheckpoint(false)
-      val reps = keyed.groupBy(col("th")).agg(
-          min(col("id")).as("id"), first(col("txt")).as("txt"),
+      // txt rides the grouping key (th determines it), keeping the
+      // collapse a pure HashAggregate — see buildSelfCosine's reps note
+      val reps = keyed.groupBy(col("th"), col("txt")).agg(
+          min(col("id")).as("id"),
           count(lit(1)).as("n_copies"))
         .repartition(par)
         .localCheckpoint(false)
@@ -1272,8 +1285,7 @@ object TransformParser {
           col(bTextName).as("txt"), xxhash64(col(bTextName)).as("th")))
         .where(col("txt").isNotNull)
         .localCheckpoint(false)
-      val bReps = bKeyed.groupBy(col("th"))
-        .agg(first(col("txt")).as("txt"))
+      val bReps = bKeyed.select(col("th"), col("txt")).distinct()
         .repartition(par)
         .localCheckpoint(false)
       val cReps = spreadForCpu(corpus,
@@ -1340,9 +1352,12 @@ object TransformParser {
       // repartition matters: AQE coalesces the small aggregate output to
       // ~1 partition, which would serialize the CPU-heavy shingle/hash
       // stage downstream (same rationale as `spread`).
-      val reps = keyed.groupBy(col("th")).agg(
+      // txt rides the grouping key (th determines it): min/count over
+      // longs keep the collapse a pure HashAggregate with map-side
+      // combine, where a first(txt) buffer would force SortAggregate —
+      // an external sort of the whole corpus per NEARDEDUP statement
+      val reps = keyed.groupBy(col("th"), col("txt")).agg(
           min(col("id")).as("rep_id"),
-          first(col("txt")).as("txt"),
           count(lit(1)).as("n_copies"))
         .repartition(primary.sparkSession.sparkContext.defaultParallelism)
         .localCheckpoint(false)
@@ -1633,20 +1648,27 @@ object TransformParser {
     *    verification sets are stored as hashed shingles (the q31 key).
     *  - IVF — vector cell index ([[graft.queries.Similarity]]'s
     *    ivfStoreTo, the q136/q147 artifact): KEY becomes the served
-    *    vec_id; CELLS defaults to 16 (the KNN verb's default; size
-    *    ∝ √corpus at scale — the two-level build quantizer takes over
+    *    vec_id; CELLS defaults to [[IndexGeometry.ivfCells]] = ⌈√n⌉
+    *    over the corpus rows (the two-level build quantizer takes over
     *    above 64 cells automatically).
     *  - COSINE — sign-LSH bucket index ([[VecKnn.cosineStoreTo]]):
-    *    TABLES/BITS default 32 × 4 (the NEARDEDUP COSINE defaults);
-    *    exact-duplicate vectors collapse to one entry (keyed by
-    *    xxhash64(v)).
+    *    TABLES defaults to 32; BITS defaults to
+    *    [[IndexGeometry.cosineBits]] — 2^bits ∝ distinct entries, the
+    *    sizing graft.CosineScale measured flat (a constant bit width
+    *    grows probe cost ∝ corpus). Exact-duplicate vectors collapse to
+    *    one entry (keyed by xxhash64(v)).
     *  - TYPO — delete-1 variant index ([[NearDup.typoStoreTo]]):
     *    distinct strings keyed by xxhash64(string).
     *
     * CELLS is the artifact's partition-cell count for the non-IVF
-    * methods (default [[NearDup.BandStoreCells]]) — size it ∝ corpus so
-    * a fixed probe batch's scanned fraction shrinks as the corpus grows
-    * (graft.BandScale measures the resulting flat per-batch cost).
+    * methods; it defaults to [[IndexGeometry.storeCells]] — cells ∝
+    * distinct entries (graft.BandScale's sizing), which keeps a fixed
+    * probe batch's scanned ROW count corpus-independent. Deriving needs
+    * the entry count before the write, so an un-pinned build pays one
+    * extra count job over the collapsed reps — on the build, the one
+    * corpus-sized statement of the deployment, never on probes. All
+    * derived geometry is frozen into `meta/`; probes adopt it from
+    * there (passing TABLES/BITS at probe time is only a cross-check).
     *
     * KEY must name an existing column on every method (symmetry with
     * the probe verbs); for LSH/COSINE/TYPO the stored entries are keyed
@@ -1752,11 +1774,13 @@ object TransformParser {
           s"INDEX CELLS $c must be >= 1"))
         val tb = Option(tables).map(intOption("INDEX", "TABLES", _))
           .getOrElse(CosineDefaults._1)
+        // BITS stays optional through to the build: absent means DERIVE
+        // from the corpus's distinct-entry count (IndexGeometry), so the
+        // one-line INDEX scales instead of freezing a toy bucket width
         val bi = Option(bits).map(intOption("INDEX", "BITS", _))
-          .getOrElse(CosineDefaults._2)
-        if (tb < 1 || bi < 1 || bi > 30) throw TransformError(
-          s"INDEX TABLES $tb BITS $bi invalid (need TABLES ≥ 1, " +
-            "1 ≤ BITS ≤ 30)")
+        if (tb < 1 || bi.exists(b => b < 1 || b > 30)) throw TransformError(
+          s"INDEX TABLES $tb BITS ${bi.getOrElse("")} invalid (need " +
+            "TABLES ≥ 1, 1 ≤ BITS ≤ 30)")
         IndexVerb(on, key, m, dir, threshold, br, ce, tb, bi, append,
           delete)
       case _ => throw TransformError(
@@ -1767,27 +1791,34 @@ object TransformParser {
     }
   }
 
-  /** INDEX COMPACT '<dir>' — rewrite each cell of a stored artifact
-    * back to one file per cell. Every `INDEX … APPEND` statement adds
-    * one file per touched cell directory (the repartition-then-
-    * partitionBy write), so N appends leave N files per cell and probe
-    * tasks pay N footer reads where one would do; COMPACT is the
-    * maintenance statement that caps that growth — run it on whatever
-    * cadence appends accumulate (the small-file compaction every
-    * warehouse format schedules, as an explicit language operator).
-    * Rows, cells and `meta/` are untouched — probe answers are
-    * IDENTICAL before and after (q158 pins this bit-for-bit on the
-    * oracle of the build→append→probe chain; the AqlSpec case
-    * additionally pins files_after < files_before after a double
-    * append). Each store directory is rewritten to a staging sibling
-    * and swapped in with two renames (live → .old, staging → live) —
-    * atomic per store on HDFS/posix; on object stores without atomic
+  /** INDEX COMPACT '<dir>' — rewrite MULTI-FILE cells of a stored
+    * artifact back to one file per cell. Every `INDEX … APPEND`
+    * statement adds one file per touched cell directory (the
+    * repartition-then-partitionBy write), so N appends leave N files
+    * per cell and probe tasks pay N footer reads where one would do;
+    * COMPACT is the maintenance statement that caps that growth — run
+    * it on whatever cadence appends accumulate (the small-file
+    * compaction every warehouse format schedules, as an explicit
+    * language operator). Cells already holding ≤ 1 data file are
+    * NEVER listed into the rewrite, read, or touched — so compaction
+    * cost is ∝ the cells appends actually dirtied since the last
+    * COMPACT, not the artifact size (at 100 TB a full-artifact rewrite
+    * per invocation would be a corpus-sized job; the AqlSpec case pins
+    * the skip by running COMPACT twice — the second pass rewrites
+    * nothing and every file path survives byte-identical). Rows, cells
+    * and `meta/` are untouched — probe answers are IDENTICAL before
+    * and after (q158 pins this bit-for-bit on the oracle of the
+    * build→append→probe chain; the AqlSpec case additionally pins
+    * files_after < files_before after a double append). Dirty cells
+    * are rewritten through [[NearDup.rewriteCellsInPlace]]'s staging +
+    * two-phase swap (DELETE's machinery with an identity transform) —
+    * atomic per cell on HDFS/posix; on object stores without atomic
     * rename, run it in a maintenance window exactly as every
-    * rename-committing Spark job is. A crash between the renames
-    * leaves `.old_<store>` intact for manual recovery, and the next
-    * COMPACT clears stale staging dirs before writing. The block's
-    * input frame is ignored (the artifact is the operand); output is a
-    * one-row summary (path, kind, files_before, files_after).
+    * rename-committing Spark job is. A crash mid-swap leaves `.old_…`
+    * cells intact and re-running COMPACT completes the rest. The
+    * block's input frame is ignored (the artifact is the operand);
+    * output is a one-row summary (path, kind, files_before,
+    * files_after).
     */
   final case class IndexCompactVerb(dir: String) extends Verb {
     def build(sources: Map[String, DataFrame], primary: DataFrame)
@@ -1833,27 +1864,26 @@ object TransformParser {
       }
       var before = 0L
       var after = 0L
-      for ((sub, cellCol) <- stores) {
-        val live = new Path(s"$dir/$sub")
-        if (fs.exists(live)) {
-          before += dataFiles(live)
-          val tmp = new Path(s"$dir/.compact_$sub")
-          if (fs.exists(tmp)) fs.delete(tmp, true) // stale staging
-          spark.read.parquet(live.toString)
-            .repartition(col(cellCol))
-            .write.mode("overwrite").partitionBy(cellCol)
-            .parquet(tmp.toString)
-          val old = new Path(s"$dir/.old_$sub")
-          if (fs.exists(old)) fs.delete(old, true)
-          if (!fs.rename(live, old)) throw TransformError(
-            s"INDEX COMPACT: cannot stage out $live")
-          if (!fs.rename(tmp, live)) {
-            fs.rename(old, live) // roll back so the artifact stays live
-            throw TransformError(
-              s"INDEX COMPACT: cannot swap in compacted $sub at $dir")
+      withMaintLock(spark, dir, "COMPACT") {
+        for ((sub, cellCol) <- stores) {
+          val live = new Path(s"$dir/$sub")
+          if (fs.exists(live)) {
+            before += dataFiles(live)
+            // dirty = cells with ≥ 2 data files; one directory listing
+            // per cell dir (cheap metadata ops ∝ cells, no data read)
+            val dirty = fs.listStatus(live).toSeq
+              .filter(st => st.isDirectory &&
+                st.getPath.getName.startsWith(s"$cellCol="))
+              .filter(st => dataFiles(st.getPath) > 1)
+              .map(_.getPath.getName.stripPrefix(s"$cellCol=").toInt)
+              .sorted
+            if (dirty.nonEmpty)
+              NearDup.rewriteCellsInPlace(spark, live.toString, cellCol,
+                dirty, "INDEX COMPACT",
+                "re-running COMPACT completes the rest (compacting a " +
+                  "compacted cell is a no-op)")(identity)
+            after += dataFiles(live)
           }
-          fs.delete(old, true)
-          after += dataFiles(live)
         }
       }
       import spark.implicits._
@@ -1862,9 +1892,55 @@ object TransformParser {
     }
   }
 
+  /** Single-writer mutual exclusion for stored-index MAINTENANCE
+    * (APPEND / DELETE / COMPACT): two concurrent maintenance statements
+    * interleaving their cell writes or rename swaps on one artifact is
+    * undefined, so each acquires `<dir>/.maint_lock` first — an atomic
+    * create-if-absent (HDFS/posix semantics), held for the statement
+    * and released on every exit path. Contention is a clear error
+    * naming the holder, not a corrupted artifact. The lock guards
+    * WRITERS against each other only: probes stay lock-free — each
+    * cell swap is atomic, so a probe racing maintenance sees each cell
+    * either before or after its rewrite (never half-written), but may
+    * see a MIX of old and new cells across one scan; deployments that
+    * need a fully consistent view schedule probes around maintenance
+    * windows (README's single-writer contract). A crashed maintenance
+    * job leaves the lock behind by design — the error tells the
+    * operator to verify no job is running and remove it (a TTL that
+    * silently self-expired mid-job would be worse than the ask).
+    */
+  private def withMaintLock[A](spark: org.apache.spark.sql.SparkSession,
+      dir: String, what: String)(f: => A): A = {
+    import org.apache.hadoop.fs.Path
+    val lock = new Path(s"$dir/.maint_lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out =
+      try fs.create(lock, false)
+      catch {
+        case _: java.io.IOException =>
+          val holder =
+            try {
+              val in = fs.open(lock)
+              try scala.io.Source.fromInputStream(in).mkString.trim
+              finally in.close()
+            } catch { case _: Throwable => "unknown holder" }
+          throw TransformError(
+            s"INDEX … $what: stored-index maintenance is single-writer " +
+              s"and $lock is held ($holder) — wait for the running " +
+              "APPEND/DELETE/COMPACT to finish, or if it crashed, verify " +
+              "no job is running and remove the lock file")
+      }
+    try {
+      out.write(
+        s"$what @ ${java.time.Instant.now()}\n".getBytes("UTF-8"))
+      out.close()
+      f
+    } finally fs.delete(lock, false)
+  }
+
   final case class IndexVerb(onCol: String, key: String, method: String,
       dir: String, threshold: Double, bandsRows: Option[(Int, Int)],
-      cells: Option[Int], tables: Int, bits: Int,
+      cells: Option[Int], tables: Int, bits: Option[Int],
       append: Boolean = false, delete: Boolean = false) extends Verb {
 
     def build(sources: Map[String, DataFrame], primary: DataFrame): DataFrame = {
@@ -1890,10 +1966,25 @@ object TransformParser {
               "first with INDEX … INTO)")
           Some(spark.read.parquet(s"$dir/meta").head())
         }
-      val cellCount = appendMeta.map(_.getAs[Int]("cells")).getOrElse(
-        cells.getOrElse(if (method == "IVF") 16 else NearDup.BandStoreCells))
+      // cells: meta for maintenance, the user's pin for a fresh build,
+      // else DERIVED from the corpus's distinct-entry count (the
+      // IndexGeometry rules the scale harnesses measured flat) — a
+      // constant default would hand big corpora a probe cost growing
+      // ∝ corpus. Deriving needs the entry count BEFORE the store
+      // write, so the auto path checkpoints the collapsed reps and
+      // counts them (one extra narrow job on the one corpus-sized
+      // statement of the deployment — the build — never on probes).
+      val metaCells = appendMeta.map(_.getAs[Int]("cells"))
+      def resolveCells(reps: DataFrame, derive: Long => Int)
+          : (DataFrame, Int) =
+        metaCells.orElse(cells) match {
+          case Some(c) => (reps, c)
+          case None =>
+            val r = reps.localCheckpoint(false)
+            (r, derive(r.count()))
+        }
       // the entry-count scan after each build reads parquet footers only
-      val (kind, entriesPath) = method match {
+      def writeStores(): (String, String, Int) = method match {
         case "LSH" =>
           if (onField.dataType != StringType) throw TransformError(
             s"INDEX METHOD LSH ON ${onField.name} must be string, got " +
@@ -1901,20 +1992,28 @@ object TransformParser {
           // EXACT-FIRST: one entry per distinct text (membership is all
           // an AGAINST probe asks), keyed by the text hash — the same
           // collapse the two-source AGAINST applies to its corpus side
+          // distinct on (th, txt) — a pure HashAggregate (th determines
+          // txt), not the SortAggregate a first(txt) buffer would force
+          // on every index build
           val reps = spreadForCpu(primary,
               primary.select(xxhash64(col(onField.name)).as("th"),
                 col(onField.name).as("txt")))
-            .groupBy(col("th")).agg(first(col("txt")).as("txt"))
+            .distinct()
             .repartition(par)
-          val sh = NearDup.shingled(reps, "th", "txt")
-          if (delete) NearDup.bandStoreDelete(dir, sh)
-          else if (append) NearDup.bandStoreAppend(dir, sh)
-          else {
-            val (b, r) = bandsRows.getOrElse(NearDup.autoBands(threshold))
-            NearDup.bandStoreTo(dir, sh, numPerm = b * r, numBands = b,
-              rowsPerBand = r, cells = cellCount)
-          }
-          ("lsh_text", s"$dir/shingles")
+          val sh0 = NearDup.shingled(reps, "th", "txt")
+          val cc =
+            if (delete) { NearDup.bandStoreDelete(dir, sh0); metaCells.get }
+            else if (append) {
+              NearDup.bandStoreAppend(dir, sh0); metaCells.get
+            } else {
+              // count the SHINGLED entries (short texts never store)
+              val (sh, c) = resolveCells(sh0, IndexGeometry.storeCells)
+              val (b, r) = bandsRows.getOrElse(NearDup.autoBands(threshold))
+              NearDup.bandStoreTo(dir, sh, numPerm = b * r, numBands = b,
+                rowsPerBand = r, cells = c)
+              c
+            }
+          ("lsh_text", s"$dir/shingles", cc)
         case "IVF" =>
           // mirrors the q136 store's frame prep (Similarity.ivfStore) so
           // an INDEX-built artifact serves byte-identical answers
@@ -1923,10 +2022,18 @@ object TransformParser {
                 col(onField.name).cast("array<double>").as("v")))
             .withColumn("nrm", graft.functions.Vectors.l2norm(col("v")))
             .localCheckpoint(false)
-          if (delete) graft.queries.Similarity.ivfStoreDelete(dir, e)
-          else if (append) graft.queries.Similarity.ivfStoreAppend(dir, e)
-          else graft.queries.Similarity.ivfStoreTo(dir, e, cellCount)
-          ("ivf_vec", s"$dir/index")
+          val ivfCc =
+            if (delete) {
+              graft.queries.Similarity.ivfStoreDelete(dir, e); metaCells.get
+            } else if (append) {
+              graft.queries.Similarity.ivfStoreAppend(dir, e); metaCells.get
+            } else {
+              // e is already checkpointed, so the derive-count is cheap
+              val c = cells.getOrElse(IndexGeometry.ivfCells(e.count()))
+              graft.queries.Similarity.ivfStoreTo(dir, e, c)
+              c
+            }
+          ("ivf_vec", s"$dir/index", ivfCc)
         case "COSINE" =>
           onField.dataType match {
             case ArrayType(FloatType | DoubleType, _) => ()
@@ -1944,14 +2051,27 @@ object TransformParser {
             .where(col("nrm") > 0 && !isnan(col("nrm")) &&
               col("nrm") < lit(Double.PositiveInfinity))
           val reps = vf.withColumn("vh", xxhash64(col("v")))
-            .groupBy(col("vh")).agg(
-              first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+            .select(col("vh"), col("v"), col("nrm")).distinct()
             .select(col("vh").as("id"), col("v"), col("nrm"))
             .repartition(par)
-          if (delete) VecKnn.cosineStoreDelete(dir, reps)
-          else if (append) VecKnn.cosineStoreAppend(dir, reps)
-          else VecKnn.cosineStoreTo(dir, reps, tables, bits, cellCount)
-          ("cosine_vec", s"$dir/vectors")
+          val cosCc =
+            if (delete) { VecKnn.cosineStoreDelete(dir, reps); metaCells.get }
+            else if (append) {
+              VecKnn.cosineStoreAppend(dir, reps); metaCells.get
+            } else {
+              // BITS derives with cells when absent: 2^bits ∝ entries is
+              // what CosineScale measured flat (fixed bits grew +0.36)
+              val needN = bits.isEmpty || cells.isEmpty
+              val (r2, n) =
+                if (needN) {
+                  val r = reps.localCheckpoint(false); (r, r.count())
+                } else (reps, 0L)
+              val c = cells.getOrElse(IndexGeometry.storeCells(n))
+              val bi = bits.getOrElse(IndexGeometry.cosineBits(n))
+              VecKnn.cosineStoreTo(dir, r2, tables, bi, c)
+              c
+            }
+          ("cosine_vec", s"$dir/vectors", cosCc)
         case "TYPO" =>
           if (onField.dataType != StringType) throw TransformError(
             s"INDEX METHOD TYPO ON ${onField.name} must be string, got " +
@@ -1961,13 +2081,27 @@ object TransformParser {
             .where(col("txt").isNotNull).distinct()
             .select(xxhash64(col("txt")).as("id"), col("txt"))
             .repartition(par)
-          if (delete) NearDup.typoStoreDelete(dir, reps)
-          else if (append) NearDup.typoStoreAppend(dir, reps)
-          else NearDup.typoStoreTo(dir, reps, cellCount)
-          ("typo_text", s"$dir/strings")
+          val typoCc =
+            if (delete) { NearDup.typoStoreDelete(dir, reps); metaCells.get }
+            else if (append) {
+              NearDup.typoStoreAppend(dir, reps); metaCells.get
+            } else {
+              val (r2, c) = resolveCells(reps, IndexGeometry.storeCells)
+              NearDup.typoStoreTo(dir, r2, c)
+              c
+            }
+          ("typo_text", s"$dir/strings", typoCc)
         case other => throw new IllegalStateException(
           s"INDEX METHOD $other unreachable (parser validates)")
       }
+      // maintenance serializes on the artifact's lock; fresh builds
+      // don't lock (overwrite is the statement's whole point, and two
+      // concurrent builds into one dir is the same user error as two
+      // concurrent non-index writes to one path)
+      val (kind, entriesPath, cellCount) =
+        if (append || delete) withMaintLock(spark, dir, maintWord)(
+          writeStores())
+        else writeStores()
       import spark.implicits._
       // a DELETE that removed every entry leaves no cell directories —
       // spark.read on the bare store root would throw "unable to infer

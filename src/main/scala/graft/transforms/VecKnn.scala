@@ -407,24 +407,32 @@ object VecKnn {
     *     on (t, bucket) — the corpus side never shuffles;
     *  4. exact verify: candidate ids route into `vectors/` cells, then
     *     the shared round-6 cosine predicate.
-    * The batch's dimension and the probe's (tables, bits) must equal the
-    * artifact's (validated against `meta/` — a mismatch would silently
-    * miss every true pair). `batch` columns: (id, v, nrm).
+    * The batch's dimension must equal the artifact's, and geometry
+    * comes FROM the artifact: absent (tables, bits) adopt `meta/`'s
+    * values (the stored index is the source of truth — required now
+    * that the INDEX verb derives bits from the corpus, so a probe
+    * cannot guess them), while explicitly passed values are validated
+    * against meta (a mismatch would silently miss every true pair).
+    * `batch` columns: (id, v, nrm).
     */
   def cosineCrossMatchesStored(s: org.apache.spark.sql.SparkSession,
       base: String, batch: DataFrame, threshold: Double,
-      tables: Int = 32, bits: Int = 4): DataFrame = {
+      tablesOpt: Option[Int] = None, bitsOpt: Option[Int] = None)
+      : DataFrame = {
     val meta = s.read.parquet(s"$base/meta").head()
     NearDup.requireKind(meta, base, "cosine_vec",
       "NEARDEDUP METHOD COSINE AGAINST STORED")
     val cells = meta.getAs[Int]("cells")
     val dims = meta.getAs[Int]("dims")
-    for ((want, got, what) <- Seq((tables, meta.getAs[Int]("tables"),
-        "TABLES"), (bits, meta.getAs[Int]("bits"), "BITS")))
+    for ((wantOpt, got, what) <- Seq((tablesOpt, meta.getAs[Int]("tables"),
+        "TABLES"), (bitsOpt, meta.getAs[Int]("bits"), "BITS"));
+        want <- wantOpt)
       require(want == got,
         s"stored cosine index at $base was built with $what=$got but the " +
           s"probe asked for $want — mismatched bucketing would silently " +
           "miss every true pair")
+    val tables = meta.getAs[Int]("tables")
+    val bits = meta.getAs[Int]("bits")
     val bd = probeDims(batch, "NEARDEDUP METHOD COSINE batch")
     if (bd == 0) return batch.select(col("id")).limit(0)
     if (bd != dims) throw graft.transforms.TransformParser.TransformError(

@@ -1570,6 +1570,37 @@ class AqlSpec extends AnyFunSuite {
       compacted.getAs[Long]("files_before"),
       s"expected fewer files after compaction, got $compacted")
     assert(probeLsh(grown) == keptBefore)
+    // COMPACT is INCREMENTAL: a second pass finds no multi-file cells,
+    // rewrites nothing, and every file survives at its exact path with
+    // its exact bytes — compaction cost is ∝ dirtied cells, never
+    // artifact size (the 100 TB full-rewrite fix)
+    def fileBytes(): Map[String, Array[Byte]] = {
+      val base = java.nio.file.Paths.get(grown)
+      val it = java.nio.file.Files.walk(base)
+      try it.iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          !p.getFileName.toString.startsWith("_") &&
+          !p.getFileName.toString.startsWith("."))
+        .map(p => base.relativize(p).toString ->
+          java.nio.file.Files.readAllBytes(p))
+        .toMap
+      finally it.close()
+    }
+    val afterFirst = fileBytes()
+    val again2 = Aql.run(spark,
+      s"""DATA 'One' ([[1]]) WITH (COLUMNS = 'X')
+         |TRANSFORM 'C' FROM BLOCK One (
+         |  INDEX COMPACT '$grown'
+         |) INTO CONSOLE""".stripMargin)
+      .outputs("C").collect().head
+    assert(again2.getAs[Long]("files_after") ==
+      again2.getAs[Long]("files_before"), again2.toString)
+    val afterSecond = fileBytes()
+    assert(afterSecond.keySet == afterFirst.keySet,
+      "second COMPACT must not rename or rewrite any file")
+    for ((p, b) <- afterFirst)
+      assert(java.util.Arrays.equals(b, afterSecond(p)),
+        s"second COMPACT changed bytes of $p")
     // summary row totals survive too (the shingle store is rewritten,
     // not filtered): a further APPEND still works on the compacted
     // artifact
@@ -1771,6 +1802,137 @@ class AqlSpec extends AnyFunSuite {
     assert(bad(vecScript(wpq,
       s"INDEX ON emb KEY vid METHOD COSINE INTO '$cosIdx' DELETE"))
       .contains("dimensional"))
+  }
+
+  test("INDEX maintenance lock: single-writer; probes stay lock-free") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_aqlspec_lock")
+    graft.queries.Advanced.registerTmpDir(dir)
+    val idx = dir.resolve("lsh").toString
+    def idxScript(data: String, body: String) =
+      s"""DATA 'C' ($data) WITH (COLUMNS = 'Id, Txt')
+         |TRANSFORM 'T' FROM BLOCK C (
+         |  $body
+         |) INTO CONSOLE""".stripMargin
+    Aql.run(spark, idxScript(
+      """[[1, "the quick brown fox jumps over the lazy cat"]]""",
+      s"INDEX ON Txt KEY Id METHOD LSH THRESHOLD 0.4 CELLS 8 INTO '$idx'"))
+    // a held lock excludes every maintenance form with a clear error…
+    val lock = java.nio.file.Paths.get(idx, ".maint_lock")
+    java.nio.file.Files.writeString(lock, "APPEND @ test-holder\n")
+    def locked(body: String): String =
+      intercept[Exception](Aql.run(spark,
+        idxScript("""[[2, "x"]]""", body))).getMessage
+    for (b <- Seq(
+        s"INDEX ON Txt KEY Id METHOD LSH INTO '$idx' APPEND",
+        s"INDEX ON Txt KEY Id METHOD LSH INTO '$idx' DELETE",
+        s"INDEX COMPACT '$idx'")) {
+      val m = locked(b)
+      assert(m.contains("single-writer") && m.contains("test-holder"), m)
+    }
+    // …while probes are lock-free by contract (per-cell swaps are
+    // atomic; a probe racing maintenance sees each cell before or
+    // after, never half-written)
+    val kept = Aql.run(spark,
+      s"""DATA 'B' ([[10, "the quick brown fox jumps over the lazy dog"]])
+         |  WITH (COLUMNS = 'Id, Txt')
+         |TRANSFORM 'K' FROM BLOCK B (
+         |  NEARDEDUP B AGAINST STORED '$idx' ON Txt KEY Id
+         |    THRESHOLD 0.4 METHOD LSH
+         |) INTO CONSOLE""".stripMargin)
+      .outputs("K").collect().map(_.getLong(0)).toSeq
+    assert(kept.isEmpty, kept.toString) // doc 10 matches the stored text
+    // releasing the lock unblocks maintenance, and a completed
+    // statement leaves no lock behind
+    java.nio.file.Files.delete(lock)
+    Aql.run(spark, idxScript(
+      """[[2, "entirely unrelated sentences about winter weather"]]""",
+      s"INDEX ON Txt KEY Id METHOD LSH INTO '$idx' APPEND"))
+    assert(!java.nio.file.Files.exists(lock))
+  }
+
+  test("INDEX geometry: derived from corpus size; probe adopts meta") {
+    import spark.implicits._
+    // the shared derivation itself, pinned to the harnesses' hand-sizing:
+    // CosineScale used bits = 8 + log2(k) at a 2000-vector base corpus
+    // and BandScale used 512 cells at its 2500-doc base — the verb's
+    // derived defaults must reproduce both, or SCALING.md's flat curves
+    // describe a different geometry than users actually get
+    assert(graft.transforms.IndexGeometry.cosineBits(2000) == 8)
+    assert(graft.transforms.IndexGeometry.cosineBits(2000 * 16) == 12)
+    assert(graft.transforms.IndexGeometry.cosineBits(10) == 4) // floor
+    assert(graft.transforms.IndexGeometry.storeCells(2500) == 512)
+    assert(graft.transforms.IndexGeometry.storeCells(2500 * 16) == 8192)
+    assert(graft.transforms.IndexGeometry.storeCells(1) == 64) // floor
+    assert(graft.transforms.IndexGeometry.ivfCells(400) == 20)
+    assert(graft.transforms.IndexGeometry.ivfCells(4) == 16) // floor
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_aqlspec_geoidx")
+    graft.queries.Advanced.registerTmpDir(dir)
+
+    // LSH: 1000 distinct texts, no CELLS → storeCells(1000) = 256
+    val docsPq = dir.resolve("docs.parquet").toString
+    spark.range(1000)
+      .selectExpr("id", "concat('unique document number ', id, " +
+        "' alpha beta gamma delta') AS txt")
+      .write.parquet(docsPq)
+    val lshIdx = dir.resolve("lsh").toString
+    val lshBuilt = Aql.run(spark,
+      s"""CONNECTION 'D' (DRIVER = 'file', FILE = '$docsPq',
+         |  FORMAT = 'parquet')
+         |TRANSFORM 'Built' FROM CONNECTION D (
+         |  INDEX ON txt KEY id METHOD LSH THRESHOLD 0.5 INTO '$lshIdx'
+         |) INTO CONSOLE""".stripMargin).outputs("BUILT").collect().head
+    assert(lshBuilt.getAs[Int]("cells") == 256, lshBuilt.toString)
+    assert(spark.read.parquet(s"$lshIdx/meta").head()
+      .getAs[Int]("cells") == 256)
+
+    // COSINE: 200 distinct vectors, no BITS/CELLS → bits = 5, cells = 64
+    val vecsPq = dir.resolve("vecs.parquet").toString
+    (0 until 200).map(i => (i.toLong, Array(i * 1.0, 1.0, 0.5, 0.25)))
+      .toDF("vid", "emb").write.parquet(vecsPq)
+    val cosIdx = dir.resolve("cos").toString
+    Aql.run(spark,
+      s"""CONNECTION 'V' (DRIVER = 'file', FILE = '$vecsPq',
+         |  FORMAT = 'parquet')
+         |TRANSFORM 'Built' FROM CONNECTION V (
+         |  INDEX ON emb KEY vid METHOD COSINE INTO '$cosIdx'
+         |) INTO CONSOLE""".stripMargin)
+    val cosMeta = spark.read.parquet(s"$cosIdx/meta").head()
+    assert(cosMeta.getAs[Int]("bits") == 5, cosMeta.toString)
+    assert(cosMeta.getAs[Int]("tables") == 32, cosMeta.toString)
+    assert(cosMeta.getAs[Int]("cells") == 64, cosMeta.toString)
+    // a probe WITHOUT TABLES/BITS adopts the artifact's derived
+    // geometry from meta (it cannot guess derived bits) …
+    val kept = Aql.run(spark,
+      s"""CONNECTION 'B' (DRIVER = 'file', FILE = '$vecsPq',
+         |  FORMAT = 'parquet')
+         |TRANSFORM 'Kept' FROM CONNECTION B (
+         |  NEARDEDUP B AGAINST STORED '$cosIdx' ON emb KEY vid
+         |    THRESHOLD 0.99 METHOD COSINE
+         |) INTO CONSOLE""".stripMargin)
+      .outputs("KEPT").collect()
+    // re-ingested corpus vectors match their own copies at cosine 1.0
+    assert(kept.isEmpty, s"expected all dropped, kept ${kept.length}")
+    // … while EXPLICIT mismatched geometry still errors loudly
+    val gm = intercept[Exception](Aql.run(spark,
+      s"""CONNECTION 'B' (DRIVER = 'file', FILE = '$vecsPq',
+         |  FORMAT = 'parquet')
+         |TRANSFORM 'Kept' FROM CONNECTION B (
+         |  NEARDEDUP B AGAINST STORED '$cosIdx' ON emb KEY vid
+         |    THRESHOLD 0.99 METHOD COSINE TABLES 32 BITS 4
+         |) INTO CONSOLE""".stripMargin)).getMessage
+    assert(gm.contains("BITS=5"), gm)
+
+    // IVF: 400 vectors, no CELLS → ivfCells(400) = 20
+    val ivfIdx = dir.resolve("ivf").toString
+    val ivfBuilt = Aql.run(spark,
+      s"""CONNECTION 'V' (DRIVER = 'file', FILE = '$vecsPq',
+         |  FORMAT = 'parquet')
+         |TRANSFORM 'Built' FROM CONNECTION V (
+         |  INDEX ON emb KEY vid METHOD IVF INTO '$ivfIdx'
+         |) INTO CONSOLE""".stripMargin).outputs("BUILT").collect().head
+    assert(ivfBuilt.getAs[Int]("cells") ==
+      graft.transforms.IndexGeometry.ivfCells(200), ivfBuilt.toString)
   }
 
   test("NEARDEDUP METHOD COSINE: embedding dedup e2e; options validate") {

@@ -970,6 +970,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), s"keep step must be a left-anti join:\n$p")
     assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
       s"no all-pairs anywhere in the stored-verb probe:\n$p")
+    // round-10: the exact-first batch collapse is distinct-on-(th, txt)
+    // — a pure HashAggregate. A regression to first()-over-content
+    // buffers would re-introduce the SortAggregate/Sort/Exchange
+    // sandwich (an external sort of the corpus per statement)
+    assert(!p.contains("SortAggregate"),
+      s"exact-first collapse must stay a hash aggregate:\n$p")
   }
 
   test("stored COSINE/TYPO probes keep the anti-join shape, never all-pairs") {
@@ -1012,6 +1018,10 @@ class PlanSpec extends AnyFunSuite {
     assert(pt.contains("LeftAnti"), s"typo keep must be left-anti:\n$pt")
     assert(!pt.contains("Cartesian") && !pt.contains("BroadcastNestedLoop"),
       s"no all-pairs in the stored typo probe:\n$pt")
+    // both stored probes' batch collapses are hash aggregates too (the
+    // round-10 exact-first rewrite — see the q148 pin)
+    assert(!pc.contains("SortAggregate") && !pt.contains("SortAggregate"),
+      "exact-first collapse must stay a hash aggregate")
     // and the verdicts are right (shape + semantics in one spec):
     // 10 matches (cos ≈ 0.9988 ≥ 0.9), 12 is anti-parallel and survives;
     // "alphо"→"alpha" is one substitution, "gamma" matches nothing

@@ -9,8 +9,10 @@ import org.apache.spark.sql.functions._
   * (q144's machinery, `NearDup.bandStoreFrom` /
   * `minhashCrossMatchesStored`): grows the corpus ×k with DISTINCT
   * salted documents and probes a FIXED small batch against the stored
-  * artifact at every k, with the partition-cell count scaled ∝ corpus
-  * (the IVF sizing rule applied to band cells).
+  * artifact at every k, with the partition-cell count taken from the
+  * INDEX verb's own derivation (`IndexGeometry.storeCells` over the
+  * shingled-entry count — cells ∝ corpus), so the recorded curves are
+  * the geometry a bare `INDEX … INTO` actually ships.
   *
   * Why salted replicas instead of AnnScale's exact copies: the stored
   * index is built over text SHINGLES, and the AGAINST paths collapse
@@ -56,7 +58,6 @@ import org.apache.spark.sql.functions._
   */
 object BandScale {
 
-  private final val Cells0 = 512
   private final val BatchDocs = 8
   private final val Threshold = 0.5
   // autoBands(0.5) over 128 permutations — the q128/q144 banding
@@ -115,7 +116,6 @@ object BandScale {
 
     var matched1: Option[Set[Long]] = None
     val lines = for (k <- reps) yield {
-      val cells = Cells0 * k
       // salted replicas r = 1..k-1: every token carries the replica
       // ordinal, so each replica's shingle set is disjoint from every
       // other replica's AND from the batch's — the corpus "exists"
@@ -145,6 +145,14 @@ object BandScale {
         .select(col("id"), Text.tokens(col("txt")).as("ws"))
         .where(size(col("ws")) >= 3)
         .select(col("id"), Text.shinglesFromTokens(col("ws")).as("shs"))
+        .localCheckpoint()
+
+      // cells come from the VERB'S OWN derivation (IndexGeometry over
+      // the shingled-entry count — exactly what a bare `INDEX … INTO`
+      // does), so the recorded curves describe the geometry users get
+      // from the shipped one-line statement, not a hand-sizing that
+      // merely agrees with it (round-10 verdict ask #2)
+      val cells = graft.transforms.IndexGeometry.storeCells(shC.count())
 
       val (base, buildS) = timed {
         NearDup.bandStoreFrom(shC, NumPerm, NumBands, RowsPerBand, cells)
@@ -247,7 +255,8 @@ object BandScale {
       val ok = checks.values.forall(identity)
       println(
         s"""{"metric":"band_scale","k":$k,"corpus":$n,"index_rows":$idxRows,""" +
-        s""""cells":$cells,"probe_cells":$probeCells,""" +
+        s""""cells":$cells,"cells_rule":"IndexGeometry.storeCells",""" +
+        s""""probe_cells":$probeCells,""" +
         s""""matched":${matchedK.size},""" +
         s""""matched_after_append":${matchedAfter.size},""" +
         s""""matched_after_delete":${matchedAfterDelete.size},""" +

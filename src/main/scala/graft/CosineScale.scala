@@ -42,23 +42,25 @@ import org.apache.spark.sql.functions._
   */
 object CosineScale {
 
-  private final val Cells0 = 256
   private final val BatchVecs = 8
   private final val Threshold = 0.99
   private final val Tables = 32
-  /** Bucket bits at k = 1; grows with log₂(corpus). A sign-LSH bucket
-    * is a FIXED 1/2^bits slice of the sphere, so collision (candidate)
-    * mass per batch key is ∝ corpus/2^bits — with constant bits the
-    * probe cost grows linearly in the corpus however the cells are
-    * partitioned (measured: exponent +0.36 over 16× growth at fixed
-    * 4 bits). Keeping per-bucket occupancy constant needs 2^bits ∝
-    * corpus, i.e. bits = Bits0 + log₂(k) — the bucket-space analogue
-    * of cells ∝ corpus. Recall at the dedup thresholds is unharmed:
-    * a true near-dup pair's per-bit flip probability is ∝ its (tiny)
+  /** Bucket bits and cells come from the INDEX verb's own derivation
+    * (`IndexGeometry.cosineBits`/`storeCells` over the corpus entry
+    * count), so the recorded curves describe the geometry a bare
+    * `INDEX … INTO` actually ships (round-10 verdict ask #2). Why bits
+    * must grow with log₂(corpus): a sign-LSH bucket is a FIXED
+    * 1/2^bits slice of the sphere, so collision (candidate) mass per
+    * batch key is ∝ corpus/2^bits — with constant bits the probe cost
+    * grows linearly in the corpus however the cells are partitioned
+    * (measured: exponent +0.36 over 16× growth at fixed 4 bits).
+    * Keeping per-bucket occupancy constant needs 2^bits ∝ corpus — the
+    * bucket-space analogue of cells ∝ corpus, and exactly what the
+    * derivation does. Recall at the dedup thresholds is unharmed: a
+    * true near-dup pair's per-bit flip probability is ∝ its (tiny)
     * angle, and re-ingested exact copies share every bucket at any
     * width; the exact verify keeps every step a correctness gate.
     */
-  private final val Bits0 = 8
   private final val Dims = 64
 
   private def timed[A](f: => A): (A, Double) = {
@@ -104,9 +106,9 @@ object CosineScale {
 
     var matched1: Option[Set[Long]] = None
     val lines = for (k <- reps) yield {
-      val cells = Cells0 * k
-      // 2^bits ∝ corpus — see Bits0
-      val bits = Bits0 + (math.log(k.toDouble) / math.log(2.0)).round.toInt
+      // the verb's own derivation at this corpus size (see Dims note)
+      val cells = graft.transforms.IndexGeometry.storeCells(n0 * k)
+      val bits = graft.transforms.IndexGeometry.cosineBits(n0 * k)
       // corpus ids 0..k·n0-1: the k=1 prefix is shared at every k, the
       // growth rows are new ids = new pseudo-random vectors (disjoint
       // from the batch-only ids, which live at n0·1e6+)
@@ -178,6 +180,7 @@ object CosineScale {
       println(
         s"""{"metric":"cosine_scale","k":$k,"corpus":$n,"bits":$bits,""" +
         s""""index_rows":$idxRows,"cells":$cells,""" +
+        s""""geometry_rule":"IndexGeometry.cosineBits+storeCells",""" +
         s""""probe_cells":$probeCells,"vector_cells":${vPaths.length},""" +
         s""""rows_scanned":{"buckets":$bucketRowsScanned,""" +
         s""""vectors":$vectorRowsScanned},""" +

@@ -691,6 +691,12 @@ object Aql {
       logger(level, source, message)
       slack.foreach(_(level, source, message))
     }
+    // transform-verb advisory warnings (derived-geometry contract
+    // violations, clamped cell derivations) surface through the same
+    // logger at WARNING; the hook is process-global, so the last run's
+    // wiring wins — fine under the engine's one-run-at-a-time contract
+    graft.transforms.TransformParser.Warnings.hook =
+      m => emit("warning", "transform", m)
     try {
       roots.distinct.foreach { n =>
         emit("trace", n, "executing block")

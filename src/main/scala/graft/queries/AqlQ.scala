@@ -1427,5 +1427,51 @@ object AqlQ {
            |) INTO CONNECTION Out""".stripMargin
       Aql.run(s, probeScript).outputs("FINAL")
     },
+
+    // INDEX DESCRIBE — the operability statement: build a TYPO index in
+    // one engine run (CELLS pinned so the oracle can restate them),
+    // DESCRIBE it in a second, and hash-compare the strings store's
+    // summary against the source-derived truth. The TYPO strings store
+    // holds exactly one row per distinct non-null text (the verb's
+    // exact-first collapse), so `entries` is COUNT(DISTINCT text) in
+    // SQL — a real end-to-end pin that the statement reports the
+    // artifact's actual size, not a cached or stale figure. The
+    // fs-shape columns (files, multi_file_cells, skew) are pinned in
+    // AqlSpec where the file layout is controlled.
+    QueryDef(
+      "q160_aql_index_describe",
+      """SELECT 'typo_text' AS kind, 'strings' AS store, 64 AS cells,
+        |       COUNT(DISTINCT text) AS entries
+        |FROM documents WHERE doc_id % 2 = 1 AND text IS NOT NULL
+        |""".stripMargin) { (s, dir) =>
+      val outDir = java.nio.file.Files.createTempDirectory("graft_q160")
+      Advanced.registerTmpDir(outDir)
+      val idx = outDir.resolve("typo_index").toString
+      Aql.run(s,
+        s"""CONNECTION 'Docs' (
+           |  DRIVER = 'file', FILE = '$dir/documents.parquet',
+           |  FORMAT = 'parquet'
+           |)
+           |
+           |QUERY 'Corpus' FROM CONNECTION Docs (
+           |  SELECT * FROM Docs WHERE doc_id % 2 = 1
+           |)
+           |
+           |TRANSFORM 'Built' FROM BLOCK Corpus (
+           |  INDEX ON text KEY doc_id METHOD TYPO CELLS 64 INTO '$idx'
+           |)
+           |
+           |QUERY 'Summary' FROM BLOCK Built (
+           |  SELECT * FROM Built
+           |) INTO CONSOLE""".stripMargin)
+      Aql.run(s,
+        s"""DATA 'One' ([[1]]) WITH (COLUMNS = 'X')
+           |TRANSFORM 'Described' FROM BLOCK One (
+           |  INDEX DESCRIBE '$idx'
+           |) INTO CONSOLE""".stripMargin)
+        .outputs("DESCRIBED")
+        .where(col("store") === "strings")
+        .select(col("kind"), col("store"), col("cells"), col("entries"))
+    },
   )
 }

@@ -313,7 +313,7 @@ object Similarity {
     * does not require it (pre-meta artifacts stay probe-able).
     */
   private[graft] def ivfStoreTo(base: String, e: DataFrame,
-      cells: Int): Unit = {
+      cells: Int, derived: Seq[String] = Nil): Unit = {
     val (cents, supersOpt, assigned) =
       if (cells <= IvfFlatMaxCells) {
         val (c, _, a) = ivfBuildFrom(e, cells); (c, None, a)
@@ -332,7 +332,8 @@ object Similarity {
     supersOpt.foreach(_.write.mode("overwrite").parquet(s"$base/supers"))
     val spark = e.sparkSession
     import spark.implicits._
-    Seq(("ivf_vec", cells)).toDF("kind", "cells")
+    Seq(("ivf_vec", cells, derived.mkString(",")))
+      .toDF("kind", "cells", "derived")
       .coalesce(1).write.mode("overwrite").parquet(s"$base/meta")
   }
 

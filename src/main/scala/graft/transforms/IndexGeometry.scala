@@ -22,6 +22,25 @@ package graft.transforms
   */
 object IndexGeometry {
 
+  /** The derived-bits contract boundary (see [[cosineBits]]' CONTRACT
+    * note): a stored-cosine probe at a threshold below this on an
+    * artifact whose `bits` was DERIVED warns — the derivation targets
+    * dedup-grade thresholds and recall at moderate ones may be
+    * silently low (pin BITS and size TABLES up, or serve through
+    * KNN/IVF, which reranks exactly). A warning, not an error: the
+    * pairs the probe DOES return are exact-verified either way.
+    */
+  final val derivedBitsThresholdFloor = 0.8
+
+  /** Cell-count cap shared by [[storeCells]] and [[ivfCells]]: one
+    * directory per cell bounds build file counts, so past the cap
+    * per-cell rows resume growing ∝ corpus. A derivation that HITS the
+    * cap warns at build time (the INDEX verb) — the ≫300 M-entry user
+    * should pin CELLS and shard the artifact before probes get slow.
+    */
+  final val maxCells = 65536
+
+
   /** Sign-LSH bucket width: 2^bits ∝ entries, targeting ~8 entries per
     * bucket per table (CosineScale's Bits0 = 8 at its 2000-vector base
     * corpus — this formula reproduces the harness's hand-sizing
@@ -59,9 +78,9 @@ object IndexGeometry {
     */
   def storeCells(entries: Long): Int = {
     val target = math.max(64L, entries / 5)
-    val clamped = math.min(65536L, target).toInt
+    val clamped = math.min(maxCells.toLong, target).toInt
     val hob = Integer.highestOneBit(clamped)
-    if (hob == clamped) clamped else math.min(65536, hob << 1)
+    if (hob == clamped) clamped else math.min(maxCells, hob << 1)
   }
 
   /** IVF cell count: ⌈√entries⌉ — the classical IVF sizing (probe work
@@ -73,6 +92,6 @@ object IndexGeometry {
     */
   def ivfCells(entries: Long): Int = {
     val target = math.max(16L, math.ceil(math.sqrt(entries.toDouble)).toLong)
-    math.min(65536L, target).toInt
+    math.min(maxCells.toLong, target).toInt
   }
 }

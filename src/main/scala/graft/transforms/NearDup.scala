@@ -445,16 +445,21 @@ object NearDup {
     * side to match, so mixed-scheme probing is impossible.
     */
   def bandStoreTo(base: String, shC: DataFrame, numPerm: Int, numBands: Int,
-      rowsPerBand: Int, cells: Int, hashShingles: Boolean = true): Unit = {
+      rowsPerBand: Int, cells: Int, hashShingles: Boolean = true,
+      derived: Seq[String] = Nil): Unit = {
     require(cells >= 1, s"bandStoreTo: cells $cells must be >= 1")
     bandStoreRows(base, shC, numPerm, numBands, rowsPerBand, cells,
       hashShingles, org.apache.spark.sql.SaveMode.Overwrite)
     val spark = shC.sparkSession
     import spark.implicits._
+    // `derived` records which geometry fields came from IndexGeometry's
+    // corpus-size derivation rather than a user pin ("" = all pinned) —
+    // probes read it to enforce the derivation's threshold contract,
+    // and INDEX DESCRIBE surfaces it to operators
     Seq(("lsh_text", cells, numPerm, numBands, rowsPerBand,
-        if (hashShingles) "xxhash64" else "raw"))
+        if (hashShingles) "xxhash64" else "raw", derived.mkString(",")))
       .toDF("kind", "cells", "num_perm", "num_bands", "rows_per_band",
-        "shingle_scheme")
+        "shingle_scheme", "derived")
       .coalesce(1).write.mode("overwrite").parquet(s"$base/meta")
   }
 
@@ -570,26 +575,26 @@ object NearDup {
     *     basePath paths, the probe's partition-pruning idiom),
     *     anti-joins broadcast(ids), and writes survivors cell-
     *     partitioned into a staging sibling;
-    *  3. TWO-PHASE swap across the touched cells (so a rename failure
-    *     can never leave a silently half-applied delete): phase A
-    *     stages out EVERY touched cell first (live → `.old_…`) — a
-    *     failure here rolls the already-staged cells back and the
-    *     artifact is bit-identical to before the statement; phase B
-    *     swaps the rewritten cells in (staging → live) — a failure at
-    *     cell k rolls cells k… back to their OLD rows and the error
-    *     names exactly which cells carry the applied delete, each cell
-    *     individually consistent, and re-running the SAME DELETE
-    *     completes the rest (deleting already-deleted ids is a per-cell
-    *     no-op). A cell whose rows were ALL deleted has no staging dir
-    *     and is simply removed. Untouched cells are never listed, read
-    *     or rewritten (the AqlSpec delete case pins their files
-    *     byte-identical).
+    *  3. PER-CELL swap with full-rollback bookkeeping (so a rename
+    *     failure can never leave a silently half-applied delete): each
+    *     touched cell is staged out (live → `.old_…`) and immediately
+    *     swapped in (staging → live) — a lock-free probe's window of a
+    *     cell being absent is two renames for that one cell, never the
+    *     whole touched set — and a failure at ANY cell rolls every
+    *     already-committed cell back (new rows → staging, `.old_` prior
+    *     rows → live), so the statement applies completely or not at
+    *     all; a rollback rename that itself fails is checked and named
+    *     in the error. A cell whose rows were ALL deleted has no
+    *     staging dir and is simply removed. Untouched cells are never
+    *     listed, read or rewritten (the AqlSpec delete case pins their
+    *     files byte-identical).
     * Crash safety matches COMPACT: renames are atomic per cell on
-    * HDFS/posix; a crash mid-swap leaves `.old_…` intact for the
-    * mechanical re-run recovery above, and the next delete clears
-    * stale staging dirs before writing. `dropIds` is one column named
-    * `idCol`; batches are maintenance-sized by contract (the broadcast
-    * mirrors the probe's batch side).
+    * HDFS/posix; a hard crash mid-swap leaves `.old_…` intact, and the
+    * next rewrite's sweep restores any cell whose swap did not finish
+    * (then re-running the crashed statement completes it) and reaps
+    * provably-stale `.old_` dirs and staging. `dropIds` is one column
+    * named `idCol`; batches are maintenance-sized by contract (the
+    * broadcast mirrors the probe's batch side).
     */
   private[graft] def deleteFromCellStore(s: org.apache.spark.sql.SparkSession,
       root: String, pcol: String, wanted: Array[Int], idCol: String,
@@ -605,18 +610,23 @@ object NearDup {
     * rides (DELETE's anti-join here, COMPACT's identity rewrite of
     * multi-file cells): read ONLY the caller's routed cells as explicit
     * basePath paths, apply `transform`, write survivors cell-partitioned
-    * into a staging sibling, then the TWO-PHASE swap (stage out ALL
-    * touched cells live → `.old_…` first — a failure there rolls back
-    * completely and the artifact is untouched; then swap staging → live
-    * — a failure there names exactly which cells committed and rolls
-    * the unswapped tail back to its old rows, each cell individually
-    * consistent, with `recovery` telling the user how re-running the
-    * same statement completes the rest). A cell whose rows all vanish
-    * under `transform` has no staging dir and is simply removed.
+    * into a staging sibling, then a PER-CELL swap with full-rollback
+    * bookkeeping: each cell is staged out (live → `.old_…`) and
+    * immediately swapped in (staging → live), keeping a probe's
+    * inconsistency window at two renames per cell; a failure at any
+    * cell rolls every committed cell back (new rows → staging, prior
+    * rows → live) so the statement applies completely or not at all,
+    * and rollback renames are themselves checked — a cell that could
+    * not be restored is NAMED in the error (its prior rows live in the
+    * `.old_` sibling) together with `recovery`. A cell whose rows all
+    * vanish under `transform` has no staging dir and is simply removed.
     * Untouched cells are never listed, read or rewritten. Renames are
-    * atomic per cell on HDFS/posix; a crash mid-swap leaves `.old_…`
-    * intact for the mechanical re-run recovery, and the next rewrite
-    * clears stale staging dirs before writing.
+    * atomic per cell on HDFS/posix; a hard crash mid-swap is healed by
+    * the next rewrite's sweep — an `.old_` whose live cell exists is
+    * provably stale and reaped, one whose live cell is absent is the
+    * crashed swap's only copy of the prior rows and is restored
+    * (re-running the crashed statement then completes it) — and stale
+    * staging dirs are cleared before writing.
     */
   private[graft] def rewriteCellsInPlace(s: org.apache.spark.sql.SparkSession,
       root: String, pcol: String, wanted: Seq[Int], what: String,
@@ -638,35 +648,65 @@ object NearDup {
       .write.mode("overwrite").partitionBy(pcol).parquet(stage.toString)
     def live(c: Int) = new Path(rootPath, s"$pcol=$c")
     def old(c: Int) = new Path(rootPath, s".old_${pcol}_$c")
-    // phase A: stage out ALL touched cells before swapping any in — a
-    // failure rolls back completely, so no rewrite is partially applied
-    var stagedOut = List.empty[Int]
-    for (c <- touched) {
-      if (fs.exists(old(c))) fs.delete(old(c), true)
-      if (!fs.rename(live(c), old(c))) {
-        for (r <- stagedOut) fs.rename(old(r), live(r))
-        throw new IllegalStateException(
-          s"$what: cannot stage out cell ${live(c)} — the rewrite was " +
-            "NOT applied (all staged-out cells were rolled back; the " +
-            "artifact is unchanged)")
-      }
-      stagedOut ::= c
+    // sweep provably-stale `.old_` siblings from prior statements (a
+    // hard crash after a cell's swap completed but before its cleanup
+    // leaves one behind; unreaped they'd accumulate forever). Stale ⇔
+    // the live cell exists — its swap finished. An `.old_` whose live
+    // cell is ABSENT is a crashed statement's only copy of that cell's
+    // prior rows: restore it, returning the cell to its pre-statement
+    // rows (re-running the crashed statement then completes it).
+    for (st <- fs.listStatus(rootPath)
+        if st.getPath.getName.startsWith(s".old_${pcol}_")) {
+      val cell = new Path(rootPath,
+        s"$pcol=${st.getPath.getName.stripPrefix(s".old_${pcol}_")}")
+      if (fs.exists(cell)) fs.delete(st.getPath, true)
+      else fs.rename(st.getPath, cell)
     }
-    // phase B: swap rewritten cells in; on failure, roll the unswapped
-    // tail back to its old rows and name the committed cells
-    for ((c, i) <- touched.zipWithIndex) {
+    // per-cell swap — stage out, then immediately swap in — so a
+    // lock-free probe's window of a cell being absent is TWO renames
+    // for that one cell, never the whole touched set. The committed
+    // list is rollback bookkeeping: a failure at any cell rolls EVERY
+    // committed cell back (new rows → staging, `.old_` prior rows →
+    // live), so the statement applies completely or not at all; any
+    // rollback rename that itself fails is checked and NAMED in the
+    // error instead of silently claiming a clean rollback.
+    var committed = List.empty[Int]
+    def rollback(): List[String] = {
+      var unrestored = List.empty[String]
+      for (r <- committed) {
+        val ok =
+          (!fs.exists(live(r)) ||
+            fs.rename(live(r), new Path(stage, s"$pcol=$r"))) &&
+          (!fs.exists(old(r)) || fs.rename(old(r), live(r)))
+        if (!ok) unrestored ::= live(r).toString
+      }
+      unrestored
+    }
+    def fail(cell: Path, unrestored: List[String]): Nothing = {
+      if (unrestored.isEmpty) {
+        fs.delete(stage, true)
+        throw new IllegalStateException(
+          s"$what: cannot swap cell $cell — the rewrite was NOT " +
+            "applied (every touched cell was rolled back to its prior " +
+            "rows; the artifact is unchanged)")
+      }
+      throw new IllegalStateException(
+        s"$what: cannot swap cell $cell, and rolling back failed for " +
+          s"[${unrestored.mkString(", ")}] — each of those cells has " +
+          s"its prior rows in a `.old_` sibling under $root; restore " +
+          s"them by renaming, then $recovery")
+    }
+    for (c <- touched) {
       val staged = new Path(stage, s"$pcol=$c")
+      if (!fs.rename(live(c), old(c))) fail(live(c), rollback())
       // no staging dir ⇒ every row of the cell vanished ⇒ removal IS
       // the swap for this cell
       if (fs.exists(staged) && !fs.rename(staged, live(c))) {
-        for (r <- touched.drop(i)) fs.rename(old(r), live(r))
-        throw new IllegalStateException(
-          s"$what: cannot swap in rewritten cell ${live(c)}. " +
-            s"Cells [${touched.take(i).mkString(", ")}] of $root carry " +
-            "the applied rewrite; the remaining touched cells were " +
-            "rolled back to their prior rows — each cell is " +
-            s"individually consistent, and $recovery")
+        val self = if (fs.rename(old(c), live(c))) Nil
+                   else List(live(c).toString)
+        fail(live(c), self ++ rollback())
       }
+      committed ::= c
     }
     for (c <- touched) fs.delete(old(c), true)
     fs.delete(stage, true)
@@ -819,12 +859,13 @@ object NearDup {
     * collapse exact duplicates first — membership is all a probe asks).
     */
   def typoStoreTo(base: String, reps: DataFrame,
-      cells: Int = BandStoreCells): Unit = {
+      cells: Int = BandStoreCells, derived: Seq[String] = Nil): Unit = {
     require(cells >= 1, s"typoStoreTo: cells $cells must be >= 1")
     typoStoreRows(base, reps, cells, org.apache.spark.sql.SaveMode.Overwrite)
     val spark = reps.sparkSession
     import spark.implicits._
-    Seq(("typo_text", cells)).toDF("kind", "cells")
+    Seq(("typo_text", cells, derived.mkString(",")))
+      .toDF("kind", "cells", "derived")
       .coalesce(1).write.mode("overwrite").parquet(s"$base/meta")
   }
 

@@ -20,6 +20,29 @@ object TransformParser {
   final case class TransformError(msg: String)
       extends RuntimeException(msg)
 
+  /** Advisory warnings the verbs emit at build/probe time — cases where
+    * the statement is VALID but its configuration is known to degrade
+    * at scale (a derived-bits cosine artifact probed below the
+    * derivation's threshold contract; a derived cell count clamped at
+    * the 65 536 cap). They go to stderr always, to the engine logger at
+    * WARNING level when run under Aql (the hook is installed per run),
+    * and into a bounded ring so specs can assert a warning fired
+    * without scraping logs. Errors stay errors — a warning is only for
+    * configurations that are correct today and slow tomorrow.
+    */
+  private[graft] object Warnings {
+    private val ring =
+      new java.util.concurrent.ConcurrentLinkedQueue[String]
+    @volatile private[graft] var hook: String => Unit = _ => ()
+    def emit(msg: String): Unit = {
+      ring.add(msg)
+      while (ring.size > 64) ring.poll()
+      Console.err.println(s"[graft] WARNING: $msg")
+      hook(msg)
+    }
+    def recent: Seq[String] = ring.toArray(Array.empty[String]).toSeq
+  }
+
   sealed trait Verb {
     /** Build the output DataFrame. `sources` maps UPPERCASE source alias →
       * DataFrame; `primary` is the first FROM source (used when the body
@@ -1721,9 +1744,12 @@ object TransformParser {
       raw"(?is)^INDEX\s+ON\s+([A-Za-z_]\w*)\s+KEY\s+([A-Za-z_]\w*)\s+METHOD\s+([A-Za-z]+)(?:\s+THRESHOLD\s+([0-9]*\.?[0-9]+))?(?:\s+BANDS\s+(\d+)\s+ROWS\s+(\d+))?(?:\s+CELLS\s+(\d+))?(?:\s+TABLES\s+(\d+))?(?:\s+BITS\s+(\d+))?\s+INTO\s+'([^']+)'(?:\s+(APPEND|DELETE))?\s*$$".r
     private val CompactRe =
       raw"(?is)^INDEX\s+COMPACT\s+'([^']+)'\s*$$".r
+    private val DescribeRe =
+      raw"(?is)^INDEX\s+DESCRIBE\s+'([^']+)'\s*$$".r
 
     def parse(t: String): Verb = t.trim match {
       case CompactRe(dir) => IndexCompactVerb(dir)
+      case DescribeRe(dir) => IndexDescribeVerb(dir)
       case Re(on, key, method, th, bands, rows, cells, tables, bits, dir,
           app) =>
         val m = method.toUpperCase
@@ -1787,7 +1813,126 @@ object TransformParser {
         "cannot parse INDEX (expected INDEX ON <col> KEY <keycol> " +
           "METHOD LSH|IVF|COSINE|TYPO [THRESHOLD <0-1>] " +
           "[BANDS <n> ROWS <n>] [CELLS <n>] [TABLES <n>] [BITS <n>] " +
-          "INTO '<dir>' [APPEND|DELETE], or INDEX COMPACT '<dir>')")
+          "INTO '<dir>' [APPEND|DELETE], INDEX COMPACT '<dir>', or " +
+          "INDEX DESCRIBE '<dir>')")
+    }
+  }
+
+  /** Shared artifact-layout resolution for the maintenance statements
+    * (COMPACT, DESCRIBE): meta row, artifact kind, and the kind's store
+    * sub-directories with their cell columns. Mirrors requireKind's
+    * back-compat — a pre-kind artifact (meta without the column) is
+    * inferred from its store layout instead of throwing an opaque
+    * field-not-found error. Centroids/supers/meta are single small
+    * files and never append, so they are not listed as stores.
+    */
+  private def storedIndexLayout(spark: org.apache.spark.sql.SparkSession,
+      dir: String, what: String)
+      : (org.apache.spark.sql.Row, String, Seq[(String, String)]) = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(s"$dir/meta"))) throw TransformError(
+      s"$what: no stored index at $dir")
+    val metaRow = spark.read.parquet(s"$dir/meta").head()
+    val kind =
+      if (metaRow.schema.fieldNames.contains("kind"))
+        metaRow.getAs[String]("kind")
+      else if (fs.exists(new Path(s"$dir/bands"))) "lsh_text"
+      else if (fs.exists(new Path(s"$dir/buckets"))) "cosine_vec"
+      else if (fs.exists(new Path(s"$dir/variants"))) "typo_text"
+      else if (fs.exists(new Path(s"$dir/index"))) "ivf_vec"
+      else throw TransformError(
+        s"$what: artifact at $dir predates kind metadata and " +
+          "has no recognizable store layout — rebuild it with INDEX … INTO")
+    val stores: Seq[(String, String)] = kind match {
+      case "lsh_text" => Seq("bands" -> "pc", "shingles" -> "sc")
+      case "cosine_vec" => Seq("buckets" -> "pc", "vectors" -> "sc")
+      case "typo_text" => Seq("variants" -> "pc", "strings" -> "sc")
+      case "ivf_vec" => Seq("index" -> "cluster")
+      case other => throw TransformError(
+        s"$what: unknown artifact kind '$other' at $dir")
+    }
+    (metaRow, kind, stores)
+  }
+
+  /** INDEX DESCRIBE '<dir>' — the operability statement of the
+    * maintenance story: an operator running APPEND/DELETE/COMPACT on a
+    * shared artifact needs a language-level way to inspect it. One row
+    * per store sub-directory answering the operational questions:
+    * "what is this?" (kind, geometry — with `derived` naming which
+    * fields IndexGeometry sized from the corpus vs. builder pins),
+    * "how big?" (entries = store rows; cells_present of cells), "do I
+    * need COMPACT?" (multi_file_cells, max_files_per_cell — each
+    * APPEND adds one file per touched cell) and "are my cells skewed?"
+    * (rows_min/rows_max/rows_avg per present cell). Cost: directory
+    * listings ∝ cells plus ONE narrow Spark aggregation per store that
+    * projects only the partition column (per-cell row counts come from
+    * parquet footers; no data pages are read); the per-cell collect is
+    * bounded by the cell cap (≤ 65 536 rows). Read-only — no
+    * maintenance lock taken: stats are advisory and each concurrent
+    * cell swap is atomic, so a racing DESCRIBE sees each cell before
+    * or after its rewrite, never half-written.
+    */
+  final case class IndexDescribeVerb(dir: String) extends Verb {
+    def build(sources: Map[String, DataFrame], primary: DataFrame)
+        : DataFrame = {
+      import org.apache.hadoop.fs.Path
+      val spark = primary.sparkSession
+      val fs = new Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val (metaRow, kind, stores) = storedIndexLayout(spark, dir,
+        "INDEX DESCRIBE")
+      val cells =
+        if (metaRow.schema.fieldNames.contains("cells"))
+          metaRow.getAs[Int]("cells")
+        else -1
+      val derived =
+        if (metaRow.schema.fieldNames.contains("derived"))
+          metaRow.getAs[String]("derived")
+        else "" // pre-derived-flag artifact: geometry was pinned
+      // every meta field that isn't identity/bookkeeping, rendered as
+      // one "k=v …" string so the schema stays kind-independent
+      val geometry = metaRow.schema.fieldNames.toSeq
+        .filterNot(Set("kind", "cells", "derived"))
+        .map(f => s"$f=${metaRow.getAs[Any](f)}")
+        .mkString(" ")
+      val rows = stores.flatMap { case (sub, cellCol) =>
+        val live = new Path(s"$dir/$sub")
+        if (!fs.exists(live)) None
+        else {
+          val cellDirs = fs.listStatus(live).toSeq
+            .filter(st => st.isDirectory &&
+              st.getPath.getName.startsWith(s"$cellCol="))
+          val filesPerCell = cellDirs.map { st =>
+            val it = fs.listFiles(st.getPath, true)
+            var n = 0L
+            while (it.hasNext) {
+              val nm = it.next().getPath.getName
+              if (!nm.startsWith("_") && !nm.startsWith(".")) n += 1
+            }
+            n
+          }.filter(_ > 0)
+          val rowCounts: Seq[Long] =
+            if (filesPerCell.isEmpty) Seq.empty
+            else spark.read.parquet(live.toString)
+              .groupBy(col(cellCol)).count()
+              .collect().map(_.getAs[Long]("count")).toSeq
+          val entries = rowCounts.sum
+          Some((dir, kind, sub, cells, rowCounts.size.toLong, entries,
+            filesPerCell.sum, filesPerCell.count(_ > 1).toLong,
+            if (filesPerCell.isEmpty) 0L else filesPerCell.max,
+            if (rowCounts.isEmpty) 0L else rowCounts.min,
+            if (rowCounts.isEmpty) 0L else rowCounts.max,
+            if (rowCounts.isEmpty) 0.0
+            else entries.toDouble / rowCounts.size,
+            geometry, derived))
+        }
+      }
+      import spark.implicits._
+      rows.toDF("path", "kind", "store", "cells", "cells_present",
+        "entries", "files", "multi_file_cells", "max_files_per_cell",
+        "rows_min", "rows_max", "rows_avg", "geometry", "derived")
     }
   }
 
@@ -1827,32 +1972,9 @@ object TransformParser {
       val spark = primary.sparkSession
       val fs = new Path(dir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(new Path(s"$dir/meta"))) throw TransformError(
-        s"INDEX COMPACT: no stored index at $dir")
-      val metaRow = spark.read.parquet(s"$dir/meta").head()
-      // mirror requireKind's back-compat: a pre-kind artifact (meta
-      // without the column) is inferred from its store layout instead
-      // of throwing an opaque field-not-found error
-      val kind =
-        if (metaRow.schema.fieldNames.contains("kind"))
-          metaRow.getAs[String]("kind")
-        else if (fs.exists(new Path(s"$dir/bands"))) "lsh_text"
-        else if (fs.exists(new Path(s"$dir/buckets"))) "cosine_vec"
-        else if (fs.exists(new Path(s"$dir/variants"))) "typo_text"
-        else if (fs.exists(new Path(s"$dir/index"))) "ivf_vec"
-        else throw TransformError(
-          s"INDEX COMPACT: artifact at $dir predates kind metadata and " +
-            "has no recognizable store layout — rebuild it with INDEX … INTO")
-      // store subdir → its cell column; centroids/supers/meta are
-      // single small files and never append, so they are not rewritten
-      val stores: Seq[(String, String)] = kind match {
-        case "lsh_text" => Seq("bands" -> "pc", "shingles" -> "sc")
-        case "cosine_vec" => Seq("buckets" -> "pc", "vectors" -> "sc")
-        case "typo_text" => Seq("variants" -> "pc", "strings" -> "sc")
-        case "ivf_vec" => Seq("index" -> "cluster")
-        case other => throw TransformError(
-          s"INDEX COMPACT: unknown artifact kind '$other' at $dir")
-      }
+      val (metaRow, kind, stores) = storedIndexLayout(spark, dir,
+        "INDEX COMPACT")
+      val _ = metaRow // COMPACT needs only the layout
       def dataFiles(p: Path): Long = {
         val it = fs.listFiles(p, true)
         var n = 0L
@@ -1896,7 +2018,10 @@ object TransformParser {
     * (APPEND / DELETE / COMPACT): two concurrent maintenance statements
     * interleaving their cell writes or rename swaps on one artifact is
     * undefined, so each acquires `<dir>/.maint_lock` first — an atomic
-    * create-if-absent (HDFS/posix semantics), held for the statement
+    * create-if-absent (create-exclusive on HDFS-like schemes; on local
+    * filesystems a pre-populated hard link, since Hadoop's
+    * LocalFileSystem create is exists-then-create and not atomic),
+    * held for the statement
     * and released on every exit path. Contention is a clear error
     * naming the holder, not a corrupted artifact. The lock guards
     * WRITERS against each other only: probes stay lock-free — each
@@ -1914,28 +2039,52 @@ object TransformParser {
     import org.apache.hadoop.fs.Path
     val lock = new Path(s"$dir/.maint_lock")
     val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out =
-      try fs.create(lock, false)
-      catch {
-        case _: java.io.IOException =>
-          val holder =
-            try {
-              val in = fs.open(lock)
-              try scala.io.Source.fromInputStream(in).mkString.trim
-              finally in.close()
-            } catch { case _: Throwable => "unknown holder" }
-          throw TransformError(
-            s"INDEX … $what: stored-index maintenance is single-writer " +
-              s"and $lock is held ($holder) — wait for the running " +
-              "APPEND/DELETE/COMPACT to finish, or if it crashed, verify " +
-              "no job is running and remove the lock file")
-      }
-    try {
-      out.write(
-        s"$what @ ${java.time.Instant.now()}\n".getBytes("UTF-8"))
-      out.close()
-      f
-    } finally fs.delete(lock, false)
+    val holderLine = s"$what @ ${java.time.Instant.now()}\n"
+    def contended(): Nothing = {
+      val holder =
+        try {
+          val in = fs.open(lock)
+          try scala.io.Source.fromInputStream(in).mkString.trim
+          finally in.close()
+        } catch { case _: Throwable => "unknown holder" }
+      throw TransformError(
+        s"INDEX … $what: stored-index maintenance is single-writer " +
+          s"and $lock is held ($holder) — wait for the running " +
+          "APPEND/DELETE/COMPACT to finish, or if it crashed, verify " +
+          "no job is running and remove the lock file")
+    }
+    val qlock = fs.makeQualified(lock)
+    if (qlock.toUri.getScheme == "file") {
+      // Hadoop's LocalFileSystem create(…, overwrite=false) is an
+      // exists-check-then-create — NOT atomic — so on local
+      // filesystems acquire via link(2) instead: pre-populate a unique
+      // temp file with the holder line, then hard-link it to
+      // .maint_lock. link fails with EEXIST when held (atomic in the
+      // kernel), and a won lock appears atomically WITH its holder
+      // content, so a contender can never observe an empty lock.
+      import java.nio.file.{Files, Paths, FileAlreadyExistsException}
+      val lockNio = Paths.get(qlock.toUri.getPath)
+      Files.createDirectories(lockNio.getParent)
+      val tmp = lockNio.resolveSibling(
+        s".maint_lock_tmp_${java.util.UUID.randomUUID()}")
+      Files.write(tmp, holderLine.getBytes("UTF-8"))
+      try {
+        try Files.createLink(lockNio, tmp)
+        catch { case _: FileAlreadyExistsException => contended() }
+      } finally Files.deleteIfExists(tmp)
+      try f finally Files.deleteIfExists(lockNio)
+    } else {
+      // HDFS-like schemes: create(…, overwrite=false) IS atomic. The
+      // holder line follows on the same stream (closed on every path);
+      // a contender racing the create-to-write window reads
+      // "unknown holder", which is honest.
+      val out =
+        try fs.create(lock, false)
+        catch { case _: java.io.IOException => contended() }
+      try out.write(holderLine.getBytes("UTF-8"))
+      finally out.close()
+      try f finally fs.delete(lock, false)
+    }
   }
 
   final case class IndexVerb(onCol: String, key: String, method: String,
@@ -1975,14 +2124,34 @@ object TransformParser {
       // counts them (one extra narrow job on the one corpus-sized
       // statement of the deployment — the build — never on probes).
       val metaCells = appendMeta.map(_.getAs[Int]("cells"))
+      // a derivation that HITS the cell cap has left cells ∝ corpus
+      // territory: per-cell rows resume growing with the corpus, so the
+      // probe cost the flat curves promise no longer holds — tell the
+      // user at build time, not after probes degrade
+      def capWarn(n: Long, c: Int): Int = {
+        if (c == IndexGeometry.maxCells) Warnings.emit(
+          s"INDEX INTO '$dir': derived cell count hit the " +
+            s"${IndexGeometry.maxCells} cap at $n entries — past the " +
+            "cap per-cell rows grow with the corpus and probe cost " +
+            "with them; pin CELLS explicitly and shard the artifact " +
+            "across multiple INDEX statements at this scale")
+        c
+      }
       def resolveCells(reps: DataFrame, derive: Long => Int)
           : (DataFrame, Int) =
         metaCells.orElse(cells) match {
           case Some(c) => (reps, c)
           case None =>
             val r = reps.localCheckpoint(false)
-            (r, derive(r.count()))
+            val n = r.count()
+            (r, capWarn(n, derive(n)))
         }
+      // meta's derived-vs-pinned record (ask: an operator reading an
+      // artifact must be able to tell whether its geometry was sized
+      // by IndexGeometry or pinned by the builder)
+      def derivedFields(moreDerived: (String, Boolean)*): Seq[String] =
+        (Seq("cells" -> cells.isEmpty) ++ moreDerived)
+          .collect { case (f, true) => f }
       // the entry-count scan after each build reads parquet footers only
       def writeStores(): (String, String, Int) = method match {
         case "LSH" =>
@@ -2010,7 +2179,9 @@ object TransformParser {
               val (sh, c) = resolveCells(sh0, IndexGeometry.storeCells)
               val (b, r) = bandsRows.getOrElse(NearDup.autoBands(threshold))
               NearDup.bandStoreTo(dir, sh, numPerm = b * r, numBands = b,
-                rowsPerBand = r, cells = c)
+                rowsPerBand = r, cells = c,
+                derived = derivedFields(
+                  "bands_rows" -> bandsRows.isEmpty))
               c
             }
           ("lsh_text", s"$dir/shingles", cc)
@@ -2029,8 +2200,12 @@ object TransformParser {
               graft.queries.Similarity.ivfStoreAppend(dir, e); metaCells.get
             } else {
               // e is already checkpointed, so the derive-count is cheap
-              val c = cells.getOrElse(IndexGeometry.ivfCells(e.count()))
-              graft.queries.Similarity.ivfStoreTo(dir, e, c)
+              val c = cells.getOrElse {
+                val n = e.count()
+                capWarn(n, IndexGeometry.ivfCells(n))
+              }
+              graft.queries.Similarity.ivfStoreTo(dir, e, c,
+                derived = derivedFields())
               c
             }
           ("ivf_vec", s"$dir/index", ivfCc)
@@ -2066,9 +2241,10 @@ object TransformParser {
                 if (needN) {
                   val r = reps.localCheckpoint(false); (r, r.count())
                 } else (reps, 0L)
-              val c = cells.getOrElse(IndexGeometry.storeCells(n))
+              val c = cells.getOrElse(capWarn(n, IndexGeometry.storeCells(n)))
               val bi = bits.getOrElse(IndexGeometry.cosineBits(n))
-              VecKnn.cosineStoreTo(dir, r2, tables, bi, c)
+              VecKnn.cosineStoreTo(dir, r2, tables, bi, c,
+                derived = derivedFields("bits" -> bits.isEmpty))
               c
             }
           ("cosine_vec", s"$dir/vectors", cosCc)
@@ -2087,7 +2263,7 @@ object TransformParser {
               NearDup.typoStoreAppend(dir, reps); metaCells.get
             } else {
               val (r2, c) = resolveCells(reps, IndexGeometry.storeCells)
-              NearDup.typoStoreTo(dir, r2, c)
+              NearDup.typoStoreTo(dir, r2, c, derived = derivedFields())
               c
             }
           ("typo_text", s"$dir/strings", typoCc)
@@ -2110,16 +2286,22 @@ object TransformParser {
       val entryCount: Long = {
         val ep = new org.apache.hadoop.fs.Path(entriesPath)
         val fs = ep.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // listFiles returns fully-qualified paths (file:/…), so the
+        // walk's stop test must compare against the QUALIFIED store
+        // root — a raw-string compare would never terminate at the
+        // root and would test hidden-ness on every ancestor up to /
+        // (a dot-dir anywhere above the store would hide everything)
+        val qep = fs.makeQualified(ep)
         def hasData: Boolean = {
-          if (!fs.exists(ep)) return false
-          val it = fs.listFiles(ep, true)
+          if (!fs.exists(qep)) return false
+          val it = fs.listFiles(qep, true)
           while (it.hasNext) {
             val p = it.next().getPath
             // skip hidden/meta paths the parquet reader also skips
             // (e.g. a stale .old_… cell left by a crashed maintenance)
             var cur = p
             var hidden = false
-            while (cur != null && cur.toString != ep.toString) {
+            while (cur != null && cur != qep) {
               val nm = cur.getName
               if (nm.startsWith("_") || nm.startsWith(".")) hidden = true
               cur = cur.getParent

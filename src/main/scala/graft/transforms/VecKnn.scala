@@ -305,15 +305,18 @@ object VecKnn {
     * vectors first (membership is all the AGAINST probe asks).
     */
   def cosineStoreTo(base: String, e: DataFrame, tables: Int, bits: Int,
-      cells: Int): Unit = {
+      cells: Int, derived: Seq[String] = Nil): Unit = {
     require(cells >= 1, s"cosineStoreTo: cells $cells must be >= 1")
     val dims = probeDims(e, "INDEX METHOD COSINE")
     cosineStoreRows(base, e, tables, bits, cells, dims,
       org.apache.spark.sql.SaveMode.Overwrite)
     val spark = e.sparkSession
     import spark.implicits._
-    Seq(("cosine_vec", cells, tables, bits, dims))
-      .toDF("kind", "cells", "tables", "bits", "dims")
+    // `derived` names the IndexGeometry-derived fields ("" = all
+    // pinned); a derived `bits` carries the dedup-grade threshold
+    // contract that stored probes enforce with a warning
+    Seq(("cosine_vec", cells, tables, bits, dims, derived.mkString(",")))
+      .toDF("kind", "cells", "tables", "bits", "dims", "derived")
       .coalesce(1).write.mode("overwrite").parquet(s"$base/meta")
   }
 
@@ -433,6 +436,21 @@ object VecKnn {
           "miss every true pair")
     val tables = meta.getAs[Int]("tables")
     val bits = meta.getAs[Int]("bits")
+    // derived-bits contract (IndexGeometry.cosineBits): the derivation
+    // assumes dedup-grade thresholds, so probing a derived-bits
+    // artifact at a moderate threshold can deterministically miss
+    // boundary pairs — warn (the pairs returned are exact-verified
+    // regardless; the risk is recall, not precision)
+    if (meta.schema.fieldNames.contains("derived") &&
+        meta.getAs[String]("derived").split(",").contains("bits") &&
+        threshold < graft.transforms.IndexGeometry.derivedBitsThresholdFloor)
+      graft.transforms.TransformParser.Warnings.emit(
+        s"stored cosine index at $base uses DERIVED bits=$bits, sized " +
+          s"for dedup-grade thresholds (>= " +
+          s"${graft.transforms.IndexGeometry.derivedBitsThresholdFloor}); " +
+          s"probing at THRESHOLD $threshold may silently miss boundary " +
+          "pairs — rebuild with explicit BITS (and larger TABLES), or " +
+          "serve through KNN/IVF which reranks exactly")
     val bd = probeDims(batch, "NEARDEDUP METHOD COSINE batch")
     if (bd == 0) return batch.select(col("id")).limit(0)
     if (bd != dims) throw graft.transforms.TransformParser.TransformError(

@@ -1852,11 +1852,11 @@ class AqlSpec extends AnyFunSuite {
 
   test("INDEX geometry: derived from corpus size; probe adopts meta") {
     import spark.implicits._
-    // the shared derivation itself, pinned to the harnesses' hand-sizing:
-    // CosineScale used bits = 8 + log2(k) at a 2000-vector base corpus
-    // and BandScale used 512 cells at its 2500-doc base — the verb's
-    // derived defaults must reproduce both, or SCALING.md's flat curves
-    // describe a different geometry than users actually get
+    // the shared derivation itself, pinned at the harnesses' measured
+    // corpus points (CosineScale's 2000-vector base → bits 8, BandScale's
+    // 2500-doc base → 512 cells; the harnesses now CALL IndexGeometry, so
+    // these pins keep the formulas from drifting away from the corpus
+    // sizes SCALING.md's flat curves were recorded at)
     assert(graft.transforms.IndexGeometry.cosineBits(2000) == 8)
     assert(graft.transforms.IndexGeometry.cosineBits(2000 * 16) == 12)
     assert(graft.transforms.IndexGeometry.cosineBits(10) == 4) // floor
@@ -1933,6 +1933,124 @@ class AqlSpec extends AnyFunSuite {
          |) INTO CONSOLE""".stripMargin).outputs("BUILT").collect().head
     assert(ivfBuilt.getAs[Int]("cells") ==
       graft.transforms.IndexGeometry.ivfCells(200), ivfBuilt.toString)
+  }
+
+  test("INDEX DESCRIBE: per-store stats, derived flag, COMPACT signal, " +
+      "errors") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_aqlspec_desc")
+    graft.queries.Advanced.registerTmpDir(dir)
+    val docsPq = dir.resolve("docs.parquet").toString
+    spark.range(100)
+      .selectExpr("id", "concat('document number ', id, " +
+        "' alpha beta gamma delta epsilon') AS txt")
+      .write.parquet(docsPq)
+    val idx = dir.resolve("lsh").toString
+    def run(body: String) = Aql.run(spark,
+      s"""CONNECTION 'D' (DRIVER = 'file', FILE = '$docsPq',
+         |  FORMAT = 'parquet')
+         |TRANSFORM 'T' FROM CONNECTION D (
+         |  $body
+         |) INTO CONSOLE""".stripMargin).outputs("T")
+    // build with everything derivable left to derive: CELLS and
+    // BANDS/ROWS come from IndexGeometry/autoBands and meta records it
+    run(s"INDEX ON txt KEY id METHOD LSH THRESHOLD 0.5 INTO '$idx'")
+    val d1 = run(s"INDEX DESCRIBE '$idx'").collect()
+      .map(r => r.getAs[String]("store") -> r).toMap
+    assert(d1.keySet == Set("bands", "shingles"), d1.keySet.toString)
+    for ((_, r) <- d1) {
+      assert(r.getAs[String]("kind") == "lsh_text", r.toString)
+      assert(r.getAs[Int]("cells") == 64, r.toString) // floor at 100 docs
+      assert(r.getAs[Long]("entries") > 0, r.toString)
+      assert(r.getAs[Long]("cells_present") > 0 &&
+        r.getAs[Long]("cells_present") <= 64, r.toString)
+      // fresh build writes one file per present cell — nothing to compact
+      assert(r.getAs[Long]("multi_file_cells") == 0, r.toString)
+      assert(r.getAs[Long]("max_files_per_cell") == 1, r.toString)
+      assert(r.getAs[Long]("rows_max") >= r.getAs[Long]("rows_min"),
+        r.toString)
+      assert(r.getAs[String]("geometry").contains("num_perm="), r.toString)
+      assert(r.getAs[String]("derived") == "cells,bands_rows", r.toString)
+    }
+    // an APPEND adds one file per touched cell → DESCRIBE is the "do I
+    // need COMPACT?" answer, and COMPACT resets it
+    Aql.run(spark,
+      s"""DATA 'N' ([[500, "a freshly appended sentence about winters"]])
+         |  WITH (COLUMNS = 'Id, Txt')
+         |TRANSFORM 'T' FROM BLOCK N (
+         |  INDEX ON Txt KEY Id METHOD LSH INTO '$idx' APPEND
+         |) INTO CONSOLE""".stripMargin)
+    val d2 = run(s"INDEX DESCRIBE '$idx'").collect()
+    assert(d2.exists(_.getAs[Long]("multi_file_cells") > 0),
+      d2.mkString("; "))
+    run(s"INDEX COMPACT '$idx'")
+    val d3 = run(s"INDEX DESCRIBE '$idx'").collect()
+    assert(d3.forall(_.getAs[Long]("multi_file_cells") == 0),
+      d3.mkString("; "))
+    // the appended entry is visible in the described totals
+    assert(d3.map(r => r.getAs[String]("store") -> r).toMap
+      .apply("shingles").getAs[Long]("entries") >
+      d1("shingles").getAs[Long]("entries"))
+
+    // TYPO strings store holds exactly one row per distinct text — the
+    // q160 gate's oracle-backed pin, repeated here at spec scale
+    val typoIdx = dir.resolve("typo").toString
+    run(s"INDEX ON txt KEY id METHOD TYPO CELLS 16 INTO '$typoIdx'")
+    val td = run(s"INDEX DESCRIBE '$typoIdx'").collect()
+      .map(r => r.getAs[String]("store") -> r).toMap
+    assert(td("strings").getAs[Long]("entries") == 100, td.toString)
+    // CELLS was pinned by the user → derived records nothing for it
+    assert(td("strings").getAs[String]("derived") == "", td.toString)
+
+    // errors: no artifact at the path
+    val m = intercept[Exception](
+      run(s"INDEX DESCRIBE '${dir.resolve("missing")}'")).getMessage
+    assert(m.contains("no stored index"), m)
+  }
+
+  test("INDEX derived-bits contract: stored cosine probe below the " +
+      "threshold floor warns; dedup-grade probes stay silent") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_aqlspec_warn")
+    graft.queries.Advanced.registerTmpDir(dir)
+    val vecsPq = dir.resolve("vecs.parquet").toString
+    (0 until 200).map(i => (i.toLong, Array(i * 1.0, 1.0, 0.5, 0.25)))
+      .toDF("vid", "emb").write.parquet(vecsPq)
+    val idx = dir.resolve("cos").toString
+    Aql.run(spark,
+      s"""CONNECTION 'V' (DRIVER = 'file', FILE = '$vecsPq',
+         |  FORMAT = 'parquet')
+         |TRANSFORM 'Built' FROM CONNECTION V (
+         |  INDEX ON emb KEY vid METHOD COSINE INTO '$idx'
+         |) INTO CONSOLE""".stripMargin)
+    // meta records bits (and cells) as DERIVED
+    val meta = spark.read.parquet(s"$idx/meta").head()
+    assert(meta.getAs[String]("derived") == "cells,bits", meta.toString)
+    def probe(threshold: Double, log: (String, String, String) => Unit)
+        : Unit = {
+      Aql.run(spark,
+        s"""CONNECTION 'B' (DRIVER = 'file', FILE = '$vecsPq',
+           |  FORMAT = 'parquet')
+           |TRANSFORM 'Kept' FROM CONNECTION B (
+           |  NEARDEDUP B AGAINST STORED '$idx' ON emb KEY vid
+           |    THRESHOLD $threshold METHOD COSINE
+           |) INTO CONSOLE""".stripMargin, logger = log)
+      ()
+    }
+    // a moderate-threshold probe of the derived-bits artifact warns —
+    // through the engine logger (WARNING level) and the warnings ring
+    val logged = scala.collection.mutable.ArrayBuffer.empty[String]
+    probe(0.5, (lvl, _, msg) =>
+      if (lvl.equalsIgnoreCase("warning")) logged += msg)
+    assert(logged.exists(m => m.contains("DERIVED bits") &&
+      m.contains("THRESHOLD 0.5")), logged.mkString("; "))
+    assert(graft.transforms.TransformParser.Warnings.recent
+      .exists(_.contains("DERIVED bits")))
+    // a dedup-grade probe (>= the contract floor) stays silent
+    val logged2 = scala.collection.mutable.ArrayBuffer.empty[String]
+    probe(0.99, (lvl, _, msg) =>
+      if (lvl.equalsIgnoreCase("warning")) logged2 += msg)
+    assert(logged2.isEmpty, logged2.mkString("; "))
   }
 
   test("NEARDEDUP METHOD COSINE: embedding dedup e2e; options validate") {

@@ -7,10 +7,12 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Append-drift harness for the stored-IVF family — turns
-  * `ivfStoreAppend`'s documented caveat ("if the appended distribution
-  * drifts far from the build corpus, frozen cells partition it poorly —
-  * recall degrades gracefully until a rebuild re-trains") into numbers
-  * a user can plan around.
+  * `ivfStoreAppend`'s documented caveat (appends far from the build
+  * distribution land in frozen cells that partition them poorly) into
+  * numbers a user can plan around. The round-11 sweep CORRECTED the
+  * caveat's original wording: the measured cost is probe SCAN MASS
+  * growing ∝ the drifted mass, while recall holds — see the scaladoc
+  * on `Similarity.ivfStoreAppend` and the analysis in SCALING.md.
   *
   * Protocol per append fraction f ∈ {0.10, 0.25, 0.50}:
   *  1. base corpus: n₀ pseudo-random unit-cube vectors (CosineScale's
@@ -30,15 +32,25 @@ import org.apache.spark.sql.functions._
   *     against one brute-force truth over the union (round-6 cosine,
   *     (cosine DESC, id) tie-break — AnnScale's protocol).
   *
-  * What the numbers mean: `recall_drift_frozen` is the caveat —
-  * drifted queries served from frozen centroids concentrate in the few
-  * cells nearest the cone, so nprobe=2 still finds the cone members
-  * (they all landed together) but ranking inside the now-oversized cell
-  * is exact, so correctness never breaks; the degradation shows up as
-  * the gap to `recall_drift_fresh`, whose re-trained centroids split
-  * the cone properly. `recall_base_*` pins that the ORIGINAL corpus's
-  * serving is not harmed by someone else's drift. SCALING.md records
-  * the sweep.
+  * What the numbers mean: the drift cost under frozen centroids is
+  * CONCENTRATION, and it shows up in `scanned_drift_frozen` — the rows
+  * a drifted panel's probes must scan. The appended cone lands almost
+  * entirely in the one or two frozen cells nearest the first axis, so
+  * a drifted query's nprobe cells include the now-oversized cell and
+  * its scan grows ∝ f·n₀, while the FRESH artifact's re-trained
+  * centroids split the cone back into balanced cells and
+  * `scanned_drift_fresh` stays ≈ nprobe × union/cells. Correctness
+  * never breaks either way (ranking inside probed cells is exact, and
+  * concentration actually serves cone queries' own neighbors fine —
+  * the `recall_drift_*` columns pin both, noting recall@5 of ISOTROPIC
+  * noise under IVF is low for any artifact because random vectors have
+  * no cluster structure to exploit); `recall/scanned_base_*` pin that
+  * the ORIGINAL corpus's serving is untouched by someone else's drift.
+  * So the re-train the caveat recommends buys SCAN COST back, not
+  * correctness — exactly the "recall degrades gracefully / probe more
+  * cells / rebuild re-trains" contract in ivfStoreAppend's scaladoc,
+  * restated in the currency that matters at 100 TB: rows read per
+  * probe. SCALING.md records the sweep.
   *
   * Usage: SPARK_GRAFT_FRACS=0.1,0.25,0.5 SPARK_GRAFT_N0=8192 runMain
   * graft.DriftScale. Prints one JSON line per fraction.
@@ -48,7 +60,7 @@ object DriftScale {
   private final val Dims = 64
   private final val NProbe = 2
   private final val TopK = 5
-  private final val Panel = 8
+  private final val Panel = 32
 
   private def timed[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime()
@@ -158,6 +170,18 @@ object DriftScale {
             want.size
         }.sum / truth.size
       }
+      // the drift caveat in its load-bearing currency: rows the panel's
+      // probes scan = Σ over (query, probed cell) of the cell's row
+      // count (per-cluster counts come from footers; routing reuses the
+      // serving path's own hierarchy-consistent argmax)
+      def scannedOf(dir: String, queries: DataFrame): Long = {
+        val cellRows = spark.read.parquet(s"$dir/index")
+          .groupBy(col("cluster")).count()
+        Similarity.ivfProbeCells(spark, dir, queries, NProbe)
+          .select(col("qid"), col("cluster")).distinct()
+          .join(cellRows, "cluster")
+          .agg(coalesce(sum(col("count")), lit(0L))).collect()(0).getLong(0)
+      }
       val baseTruth = truthOf(baseQ)
       val driftTruth = truthOf(driftQ)
       def r4(d: Double) = math.round(d * 10000) / 10000.0
@@ -165,6 +189,12 @@ object DriftScale {
         s"""{"metric":"drift_scale","n0":$n0,"append_frac":$f,""" +
         s""""appended":$m,"cells_frozen":${IndexGeometry.ivfCells(n0)},""" +
         s""""cells_fresh":${IndexGeometry.ivfCells(n0 + m)},""" +
+        s""""panel":$Panel,"nprobe":$NProbe,""" +
+        s""""scanned_base_frozen":${scannedOf(frozenDir.toString, baseQ)},""" +
+        s""""scanned_base_fresh":${scannedOf(freshDir.toString, baseQ)},""" +
+        s""""scanned_drift_frozen":${
+          scannedOf(frozenDir.toString, driftQ)},""" +
+        s""""scanned_drift_fresh":${scannedOf(freshDir.toString, driftQ)},""" +
         s""""append_sec":${r4(appendS)},""" +
         s""""recall_base_frozen":${r4(recallOf(frozenDir.toString, baseQ,
           baseTruth))},""" +

@@ -86,6 +86,7 @@ object Plans {
     "q157_stream_stored_cosine_dedup" -> "streaming stored-cosine dedup: idempotent sink read-back (each microbatch runs q153's shared probe shape - see q153 for the per-batch plan; explain cannot render the in-flight streaming plan)",
     "q158_aql_index_compact" -> "build -> APPEND -> COMPACT -> probe: answers identical to q156 (compaction rewrites cells, never rows); probe plan is q148's routed-cell left-anti shape",
     "q159_aql_index_delete" -> "build -> APPEND -> DELETE -> probe: content-keyed deletion rewrites only routed cells; probe plan is q148's routed-cell left-anti shape over the post-delete artifact",
+    "q160_aql_index_describe" -> "INDEX DESCRIBE (separate engine run after the build): per-store stats from directory listings + one footer-only partition-column aggregation per store",
   )
 
   def main(args: Array[String]): Unit = {

@@ -350,12 +350,18 @@ object Similarity {
     * cell the build would have assigned it, and [[ivfProbeStored]]'s
     * hierarchy-consistent routing serves it from its own cell first
     * (the self-copy-dominance contract extends to appended rows, which
-    * the AqlSpec append case pins at cosine 1.0). The quality caveat is
-    * the standard one: if the appended distribution drifts far from the
-    * build corpus, frozen cells partition it poorly — recall degrades
-    * gracefully (probe more cells) until a rebuild re-trains; the
-    * artifact stays correct either way because serving reranks with
-    * exact cosine. Centroids, supers and `meta/` are untouched; new
+    * the AqlSpec append case pins at cosine 1.0). The drift caveat,
+    * MEASURED (graft.DriftScale sweep, recorded in SCALING.md): if the
+    * appended distribution drifts far from the build corpus, the
+    * drifted rows concentrate into the few frozen cells nearest them,
+    * and the cost is SCAN MASS, not correctness — probes of drifted
+    * queries read rows ∝ the accumulated drifted mass (4.6× at a 50 %
+    * drifted append) until a rebuild re-trains and re-balances, while
+    * recall holds (ranking inside probed cells is exact, and
+    * concentration serves the drifted queries' own neighbors first).
+    * Monitor per-cell skew with INDEX DESCRIBE and rebuild when the
+    * hot cell crosses the probe budget. Centroids, supers and `meta/`
+    * are untouched; new
     * rows land as extra files in existing `cluster=` directories.
     * Both argmax hops use the slim project-array-away shape + merge-
     * hinted rejoins (the build's own scale lessons) on BOTH paths —
@@ -464,9 +470,15 @@ object Similarity {
     * invariance of the union of outputs is exactly what q139's shared
     * oracle checks.
     */
-  private[graft] def ivfProbeStored(s: SparkSession, base: String,
-      queries: DataFrame, nprobe: Int = StoredProbes,
-      topK: Int = K): DataFrame = {
+  /** The cell-routing step of [[ivfProbeStored]], exposed separately so
+    * harnesses (graft.DriftScale) can measure the SCAN MASS a panel's
+    * routing implies without duplicating the hierarchy-consistent
+    * argmax: returns (qid, qv, qnrm, cluster) — one row per (query,
+    * probed cell), checkpointed (it feeds both the candidate join and
+    * driver-side cell routing).
+    */
+  private[graft] def ivfProbeCells(s: SparkSession, base: String,
+      queries: DataFrame, nprobe: Int): DataFrame = {
     val dcents = s.read.parquet(s"$base/centroids")
     // A flat-built artifact ranks cells by plain centroid score. A
     // hierarchically-built one (marked by the `super` column +
@@ -502,12 +514,18 @@ object Similarity {
           round(dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")), 6))
         .withColumn("pr", row_number().over(pw))
     }
-    val probes = ranked
+    ranked
       .where(col("pr") <= nprobe)
       .select(col("qid"), col("qv"), col("qnrm"), col("cluster"))
       // materialized once: the probe frame feeds the candidate join's
       // build side AND the driver-side cell routing below
       .localCheckpoint(false)
+  }
+
+  private[graft] def ivfProbeStored(s: SparkSession, base: String,
+      queries: DataFrame, nprobe: Int = StoredProbes,
+      topK: Int = K): DataFrame = {
+    val probes = ivfProbeCells(s, base, queries, nprobe)
     val cells = probes.select("cluster").distinct().collect()
       .map(_.getInt(0)).sorted
     // Routed cells are read as EXPLICIT directory paths (basePath keeps

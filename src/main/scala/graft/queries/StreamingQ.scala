@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import graft.engine.Aql
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -754,6 +755,98 @@ object StreamingQ {
           .start()
       }
       s.read.parquet(resDir).select(col("vec_id"))
+    },
+
+    // Streaming INDEX APPEND — the WRITE side of the streaming triangle
+    // (q137/q139/q149/q157 consume stored indexes from streams; this
+    // gate PRODUCES one): q156's exact protocol — build doc_id%4==1 via
+    // the engine's INDEX statement, add doc_id%4==3, probe the evens —
+    // but the appended slice arrives as 4 REAL microbatches, each
+    // ingested into the durable artifact by foreachBatch running the
+    // SAME family step the INDEX … APPEND verb drives
+    // (NearDup.bandStoreAppend after the verb's own exact-first
+    // collapse), with geometry from the artifact's meta/ as always.
+    // Batch-boundary invariance IS the gate: 4 streamed appends must
+    // answer the shared brute-force oracle exactly like one engine-run
+    // append (q156) and like one full build (q151) — a batch boundary
+    // that dropped, re-keyed or re-banded an entry fails the hash.
+    // Replay safety is CONTENT-KEYED rather than batchId-keyed: entries
+    // are one per distinct text (id = xxhash64(text)), so an
+    // at-least-once redelivery re-appends postings that are duplicates
+    // of themselves — probe answers are invariant (candidates distinct,
+    // verify per-pair; the wasted bytes are COMPACT's job), which is
+    // why an append sink needs no idempotent-overwrite dance. The
+    // microbatch engine serializes batches, so the single-writer
+    // contract holds within the stream; cross-JOB writers still take
+    // the artifact lock via the verb.
+    QueryDef(
+      "q161_stream_index_append",
+      Dedup.againstKeptOracleSql) { (s, dir) =>
+      import graft.transforms.NearDup
+      val qBase = java.nio.file.Files
+        .createTempDirectory("graft_q161_")
+      Advanced.registerTmpDir(qBase)
+      val idx = s"$qBase/band_index"
+      val inDir = s"$qBase/in"
+      val out = s"$qBase/kept"
+      // run A: the engine builds the base artifact (q156's geometry)
+      Aql.run(s,
+        s"""CONNECTION 'Docs' (
+           |  DRIVER = 'file', FILE = '$dir/documents.parquet',
+           |  FORMAT = 'parquet'
+           |)
+           |QUERY 'Corpus' FROM CONNECTION Docs (
+           |  SELECT * FROM Docs WHERE doc_id % 4 = 1
+           |)
+           |TRANSFORM 'Built' FROM BLOCK Corpus (
+           |  INDEX ON text KEY doc_id METHOD LSH THRESHOLD 0.5 CELLS 64
+           |    INTO '$idx'
+           |) INTO CONSOLE""".stripMargin)
+      // the %4==3 slice arrives as a stream: 4 files ⇒ 4 microbatches
+      Tables.load(s, dir, "documents")
+        .where(col("doc_id") % 4 === 3)
+        .select(col("doc_id"), col("text"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(inDir)
+      val schema = s.read.parquet(inDir).schema
+      drainAvailableNow(s, "q161_index_append", noDataBatch = false) {
+        ckpt =>
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir)
+          .writeStream
+          .outputMode("append")
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            // the INDEX verb's own exact-first collapse + shingle prep
+            val reps = batch
+              .select(xxhash64(col("text")).as("th"),
+                col("text").as("txt"))
+              .distinct()
+            NearDup.bandStoreAppend(idx, NearDup.shingled(reps, "th", "txt"))
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      // run B: a separate engine invocation probes the streamed-into
+      // artifact — q156's probe script verbatim
+      Aql.run(s,
+        s"""CONNECTION 'Docs' (
+           |  DRIVER = 'file', FILE = '$dir/documents.parquet',
+           |  FORMAT = 'parquet'
+           |)
+           |CONNECTION 'Out' (
+           |  DRIVER = 'file', FILE = '$out', FORMAT = 'parquet'
+           |)
+           |QUERY 'Batch' FROM CONNECTION Docs (
+           |  SELECT * FROM Docs WHERE doc_id % 2 = 0
+           |)
+           |TRANSFORM 'Kept' FROM BLOCK Batch (
+           |  NEARDEDUP Batch AGAINST STORED '$idx' ON text KEY doc_id
+           |    THRESHOLD 0.5 METHOD LSH
+           |)
+           |QUERY 'Final' FROM BLOCK Kept (
+           |  SELECT doc_id, lang, source, n_chars FROM Kept
+           |) INTO CONNECTION Out""".stripMargin).outputs("FINAL")
     },
   )
 

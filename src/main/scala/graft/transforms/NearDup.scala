@@ -636,6 +636,26 @@ object NearDup {
     import org.apache.hadoop.fs.Path
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def live(c: Int) = new Path(rootPath, s"$pcol=$c")
+    def old(c: Int) = new Path(rootPath, s".old_${pcol}_$c")
+    // FIRST, sweep `.old_` siblings left by prior statements (a hard
+    // crash between a cell's two renames, or after its swap completed
+    // but before cleanup; unreaped they'd accumulate forever). Stale ⇔
+    // the live cell exists — its swap finished, reap it. An `.old_`
+    // whose live cell is ABSENT is a crashed statement's only copy of
+    // that cell's prior rows: restore it, returning the cell to its
+    // pre-statement rows. The sweep must precede the touched-cell
+    // computation so a just-restored cell PARTICIPATES in this rewrite
+    // — swept after, this statement would silently skip the restored
+    // cell's rows and apply half a delete.
+    if (fs.exists(rootPath))
+      for (st <- fs.listStatus(rootPath)
+          if st.getPath.getName.startsWith(s".old_${pcol}_")) {
+        val cell = new Path(rootPath,
+          s"$pcol=${st.getPath.getName.stripPrefix(s".old_${pcol}_")}")
+        if (fs.exists(cell)) fs.delete(st.getPath, true)
+        else fs.rename(st.getPath, cell)
+      }
     val touched = wanted
       .filter(c => fs.exists(new Path(rootPath, s"$pcol=$c")))
     if (touched.isEmpty) return // nothing routed to an existing cell
@@ -646,22 +666,6 @@ object NearDup {
     transform(s.read.option("basePath", root).parquet(paths: _*))
       .repartition(col(pcol))
       .write.mode("overwrite").partitionBy(pcol).parquet(stage.toString)
-    def live(c: Int) = new Path(rootPath, s"$pcol=$c")
-    def old(c: Int) = new Path(rootPath, s".old_${pcol}_$c")
-    // sweep provably-stale `.old_` siblings from prior statements (a
-    // hard crash after a cell's swap completed but before its cleanup
-    // leaves one behind; unreaped they'd accumulate forever). Stale ⇔
-    // the live cell exists — its swap finished. An `.old_` whose live
-    // cell is ABSENT is a crashed statement's only copy of that cell's
-    // prior rows: restore it, returning the cell to its pre-statement
-    // rows (re-running the crashed statement then completes it).
-    for (st <- fs.listStatus(rootPath)
-        if st.getPath.getName.startsWith(s".old_${pcol}_")) {
-      val cell = new Path(rootPath,
-        s"$pcol=${st.getPath.getName.stripPrefix(s".old_${pcol}_")}")
-      if (fs.exists(cell)) fs.delete(st.getPath, true)
-      else fs.rename(st.getPath, cell)
-    }
     // per-cell swap — stage out, then immediately swap in — so a
     // lock-free probe's window of a cell being absent is TWO renames
     // for that one cell, never the whole touched set. The committed

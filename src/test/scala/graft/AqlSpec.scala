@@ -2008,6 +2008,91 @@ class AqlSpec extends AnyFunSuite {
     assert(m.contains("no stored index"), m)
   }
 
+  test("INDEX maintenance crash recovery: the rewrite sweep restores a " +
+      "crashed cell's prior rows and reaps stale .old_ dirs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_aqlspec_crash")
+    graft.queries.Advanced.registerTmpDir(dir)
+    val docsPq = dir.resolve("docs.parquet").toString
+    spark.range(40)
+      .selectExpr("id", "concat('crash recovery document ', id, " +
+        "' alpha beta gamma delta epsilon zeta') AS txt")
+      .write.parquet(docsPq)
+    val idx = dir.resolve("lsh").toString
+    Aql.run(spark,
+      s"""CONNECTION 'D' (DRIVER = 'file', FILE = '$docsPq',
+         |  FORMAT = 'parquet')
+         |TRANSFORM 'T' FROM CONNECTION D (
+         |  INDEX ON txt KEY id METHOD LSH THRESHOLD 0.5 CELLS 8 INTO '$idx'
+         |) INTO CONSOLE""".stripMargin)
+    // simulate a swap that crashed between its two renames: one live
+    // cell staged out (live ABSENT, .old_ holds the only copy of its
+    // rows) — plus a stale .old_ whose swap completed (live present)
+    val bands = java.nio.file.Paths.get(idx, "bands")
+    val cells = java.nio.file.Files.list(bands).iterator()
+    val live = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    while (cells.hasNext) {
+      val p = cells.next()
+      if (p.getFileName.toString.startsWith("pc=")) live += p
+    }
+    assert(live.size >= 2, s"need >= 2 cells, got ${live.size}")
+    val crashed = live.head
+    val crashedCell = crashed.getFileName.toString.stripPrefix("pc=")
+    java.nio.file.Files.move(crashed,
+      bands.resolve(s".old_pc_$crashedCell")) // crash: live gone
+    val staleCell = live(1).getFileName.toString.stripPrefix("pc=")
+    val stale = bands.resolve(s".old_pc_$staleCell")
+    java.nio.file.Files.createDirectory(stale) // stale: live present
+    java.nio.file.Files.writeString(stale.resolve("junk"), "x")
+    // any rewrite of the store runs the sweep first: DELETE one doc
+    Aql.run(spark,
+      s"""DATA 'One' ([[0, "crash recovery document 0 alpha beta gamma delta epsilon zeta"]])
+         |  WITH (COLUMNS = 'Id, Txt')
+         |TRANSFORM 'T' FROM BLOCK One (
+         |  INDEX ON Txt KEY Id METHOD LSH INTO '$idx' DELETE
+         |) INTO CONSOLE""".stripMargin)
+    // the crashed cell is restored (live back, .old_ consumed), the
+    // stale .old_ reaped, and probe answers are whole again: every
+    // surviving doc matches its own stored copy, doc 0 does not
+    assert(java.nio.file.Files.exists(crashed), "crashed cell not restored")
+    assert(!java.nio.file.Files.exists(
+      bands.resolve(s".old_pc_$crashedCell")))
+    assert(!java.nio.file.Files.exists(stale), "stale .old_ not reaped")
+    val kept = Aql.run(spark,
+      s"""CONNECTION 'D' (DRIVER = 'file', FILE = '$docsPq',
+         |  FORMAT = 'parquet')
+         |TRANSFORM 'K' FROM CONNECTION D (
+         |  NEARDEDUP D AGAINST STORED '$idx' ON txt KEY id
+         |    THRESHOLD 0.5 METHOD LSH
+         |) INTO CONSOLE""".stripMargin)
+      .outputs("K").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L), s"expected only doc 0 kept, got $kept")
+  }
+
+  test("INDEX under a dot-dir ancestor: indexed_rows counts the real " +
+      "entries (qualified-path hidden test)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_aqlspec_dotanc")
+    graft.queries.Advanced.registerTmpDir(dir)
+    val docsPq = dir.resolve("docs.parquet").toString
+    spark.range(20)
+      .selectExpr("id", "concat('dot ancestor document ', id, " +
+        "' alpha beta gamma delta') AS txt")
+      .write.parquet(docsPq)
+    // an artifact under ~/.cache-style hidden ancestors must still
+    // report its entry count — only components BELOW the store root
+    // mark a file hidden (the walk compares qualified paths; a raw
+    // string compare would walk past the root and see the dot-dir)
+    val idx = dir.resolve(".cache").resolve("sub").resolve("typo").toString
+    val built = Aql.run(spark,
+      s"""CONNECTION 'D' (DRIVER = 'file', FILE = '$docsPq',
+         |  FORMAT = 'parquet')
+         |TRANSFORM 'T' FROM CONNECTION D (
+         |  INDEX ON txt KEY id METHOD TYPO CELLS 8 INTO '$idx'
+         |) INTO CONSOLE""".stripMargin).outputs("T").collect().head
+    assert(built.getAs[Long]("indexed_rows") == 20, built.toString)
+  }
+
   test("INDEX derived-bits contract: stored cosine probe below the " +
       "threshold floor warns; dedup-grade probes stay silent") {
     import spark.implicits._

@@ -1864,8 +1864,11 @@ object TransformParser {
     * fields IndexGeometry sized from the corpus vs. builder pins),
     * "how big?" (entries = store rows; cells_present of cells), "do I
     * need COMPACT?" (multi_file_cells, max_files_per_cell — each
-    * APPEND adds one file per touched cell) and "are my cells skewed?"
-    * (rows_min/rows_max/rows_avg per present cell). Cost: directory
+    * APPEND adds one file per touched cell), "are my cells skewed?"
+    * (rows_min/rows_max/rows_avg per present cell) and "is maintenance
+    * running?" (lock_holder — the `.maint_lock` holder line, "" when
+    * free; a crashed job's leftover lock shows up here before the
+    * operator removes it). Cost: directory
     * listings ∝ cells plus ONE narrow Spark aggregation per store that
     * projects only the partition column (per-cell row counts come from
     * parquet footers; no data pages are read); the per-cell collect is
@@ -1883,6 +1886,19 @@ object TransformParser {
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val (metaRow, kind, stores) = storedIndexLayout(spark, dir,
         "INDEX DESCRIBE")
+      // the "is maintenance running?" answer: the lock file's holder
+      // line, or "" when free (a crashed job's leftover lock is exactly
+      // what an operator needs DESCRIBE to show before removing it)
+      val lockHolder = {
+        val lock = new Path(s"$dir/.maint_lock")
+        if (!fs.exists(lock)) ""
+        else
+          try {
+            val in = fs.open(lock)
+            try scala.io.Source.fromInputStream(in).mkString.trim
+            finally in.close()
+          } catch { case _: Throwable => "unknown holder" }
+      }
       val cells =
         if (metaRow.schema.fieldNames.contains("cells"))
           metaRow.getAs[Int]("cells")
@@ -1926,13 +1942,14 @@ object TransformParser {
             if (rowCounts.isEmpty) 0L else rowCounts.max,
             if (rowCounts.isEmpty) 0.0
             else entries.toDouble / rowCounts.size,
-            geometry, derived))
+            geometry, derived, lockHolder))
         }
       }
       import spark.implicits._
       rows.toDF("path", "kind", "store", "cells", "cells_present",
         "entries", "files", "multi_file_cells", "max_files_per_cell",
-        "rows_min", "rows_max", "rows_avg", "geometry", "derived")
+        "rows_min", "rows_max", "rows_avg", "geometry", "derived",
+        "lock_holder")
     }
   }
 

@@ -1865,6 +1865,12 @@ class AqlSpec extends AnyFunSuite {
     assert(graft.transforms.IndexGeometry.storeCells(1) == 64) // floor
     assert(graft.transforms.IndexGeometry.ivfCells(400) == 20)
     assert(graft.transforms.IndexGeometry.ivfCells(4) == 16) // floor
+    // the 65 536 cap — the derivation returning exactly maxCells is
+    // what triggers the build-time "pin CELLS and shard" warning
+    assert(graft.transforms.IndexGeometry.storeCells(400000L) ==
+      graft.transforms.IndexGeometry.maxCells)
+    assert(graft.transforms.IndexGeometry.ivfCells(5000000000L) ==
+      graft.transforms.IndexGeometry.maxCells)
 
     val dir = java.nio.file.Files.createTempDirectory("graft_aqlspec_geoidx")
     graft.queries.Advanced.registerTmpDir(dir)
@@ -1971,7 +1977,14 @@ class AqlSpec extends AnyFunSuite {
         r.toString)
       assert(r.getAs[String]("geometry").contains("num_perm="), r.toString)
       assert(r.getAs[String]("derived") == "cells,bands_rows", r.toString)
+      assert(r.getAs[String]("lock_holder") == "", r.toString)
     }
+    // a held maintenance lock is visible to the operator via DESCRIBE
+    val lock = java.nio.file.Paths.get(idx, ".maint_lock")
+    java.nio.file.Files.writeString(lock, "APPEND @ descr-holder\n")
+    assert(run(s"INDEX DESCRIBE '$idx'").collect()
+      .forall(_.getAs[String]("lock_holder") == "APPEND @ descr-holder"))
+    java.nio.file.Files.delete(lock)
     // an APPEND adds one file per touched cell → DESCRIBE is the "do I
     // need COMPACT?" answer, and COMPACT resets it
     Aql.run(spark,

@@ -2015,6 +2015,34 @@ class AqlSpec extends AnyFunSuite {
     // CELLS was pinned by the user → derived records nothing for it
     assert(td("strings").getAs[String]("derived") == "", td.toString)
 
+    // the vector families: COSINE (buckets + vectors stores) and IVF
+    // (single index store with its own cell column) describe too
+    val vecsPq = dir.resolve("vecs.parquet").toString
+    (0 until 60).map(i => (i.toLong, Array(i * 1.0, 1.0, 0.5)))
+      .toDF("vid", "emb").write.parquet(vecsPq)
+    def runV(body: String) = Aql.run(spark,
+      s"""CONNECTION 'V' (DRIVER = 'file', FILE = '$vecsPq',
+         |  FORMAT = 'parquet')
+         |TRANSFORM 'T' FROM CONNECTION V (
+         |  $body
+         |) INTO CONSOLE""".stripMargin).outputs("T")
+    val cosIdx = dir.resolve("cos").toString
+    runV(s"INDEX ON emb KEY vid METHOD COSINE CELLS 8 TABLES 4 BITS 3 " +
+      s"INTO '$cosIdx'")
+    val cd = runV(s"INDEX DESCRIBE '$cosIdx'").collect()
+      .map(r => r.getAs[String]("store") -> r).toMap
+    assert(cd.keySet == Set("buckets", "vectors"), cd.keySet.toString)
+    assert(cd("vectors").getAs[Long]("entries") == 60, cd.toString)
+    assert(cd("buckets").getAs[Long]("entries") == 60L * 4, cd.toString)
+    assert(cd("buckets").getAs[String]("geometry").contains("bits=3"))
+    val ivfIdx = dir.resolve("ivf").toString
+    runV(s"INDEX ON emb KEY vid METHOD IVF CELLS 4 INTO '$ivfIdx'")
+    val id = runV(s"INDEX DESCRIBE '$ivfIdx'").collect()
+    assert(id.map(_.getAs[String]("store")).toSeq == Seq("index"),
+      id.mkString("; "))
+    assert(id.head.getAs[String]("kind") == "ivf_vec")
+    assert(id.head.getAs[Long]("entries") == 60, id.head.toString)
+
     // errors: no artifact at the path
     val m = intercept[Exception](
       run(s"INDEX DESCRIBE '${dir.resolve("missing")}'")).getMessage

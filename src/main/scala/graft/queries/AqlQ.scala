@@ -1428,6 +1428,63 @@ object AqlQ {
       Aql.run(s, probeScript).outputs("FINAL")
     },
 
+    // INDEX REBUILD — the re-derive/re-train maintenance statement:
+    // q156's chain (build %4==1, append %4==3) with the build's CELLS
+    // left DERIVED and a REBUILD between append and probe, sharing the
+    // same brute-force oracle. The rebuild re-derives the cell count
+    // for the doubled entry set and re-partitions every store — and
+    // must change NOTHING about answers: a rebuild that dropped,
+    // duplicated or re-keyed an entry, or whose new meta mis-routed
+    // probes, fails hash-exactly. (The geometry re-derivation itself —
+    // cells_before vs cells_after — is pinned in AqlSpec, where the
+    // corpus sizes are controlled.)
+    QueryDef(
+      "q162_aql_index_rebuild",
+      Dedup.againstKeptOracleSql) { (s, dir) =>
+      val outDir = java.nio.file.Files.createTempDirectory("graft_q162")
+      Advanced.registerTmpDir(outDir)
+      val idx = outDir.resolve("band_index").toString
+      val out = outDir.resolve("kept").toString
+      def corpusScript(slice: Int, appendKw: String) =
+        s"""CONNECTION 'Docs' (
+           |  DRIVER = 'file', FILE = '$dir/documents.parquet',
+           |  FORMAT = 'parquet'
+           |)
+           |QUERY 'Corpus' FROM CONNECTION Docs (
+           |  SELECT * FROM Docs WHERE doc_id % 4 = $slice
+           |)
+           |TRANSFORM 'Built' FROM BLOCK Corpus (
+           |  INDEX ON text KEY doc_id METHOD LSH${
+             if (appendKw.isEmpty) " THRESHOLD 0.5" else ""}
+           |    INTO '$idx'$appendKw
+           |) INTO CONSOLE""".stripMargin
+      Aql.run(s, corpusScript(1, ""))
+      Aql.run(s, corpusScript(3, " APPEND"))
+      Aql.run(s,
+        s"""DATA 'One' ([[1]]) WITH (COLUMNS = 'X')
+           |TRANSFORM 'Rebuilt' FROM BLOCK One (
+           |  INDEX REBUILD '$idx'
+           |) INTO CONSOLE""".stripMargin)
+      Aql.run(s,
+        s"""CONNECTION 'Docs' (
+           |  DRIVER = 'file', FILE = '$dir/documents.parquet',
+           |  FORMAT = 'parquet'
+           |)
+           |CONNECTION 'Out' (
+           |  DRIVER = 'file', FILE = '$out', FORMAT = 'parquet'
+           |)
+           |QUERY 'Batch' FROM CONNECTION Docs (
+           |  SELECT * FROM Docs WHERE doc_id % 2 = 0
+           |)
+           |TRANSFORM 'Kept' FROM BLOCK Batch (
+           |  NEARDEDUP Batch AGAINST STORED '$idx' ON text KEY doc_id
+           |    THRESHOLD 0.5 METHOD LSH
+           |)
+           |QUERY 'Final' FROM BLOCK Kept (
+           |  SELECT doc_id, lang, source, n_chars FROM Kept
+           |) INTO CONNECTION Out""".stripMargin).outputs("FINAL")
+    },
+
     // INDEX DESCRIBE — the operability statement: build a TYPO index in
     // one engine run (CELLS pinned so the oracle can restate them),
     // DESCRIBE it in a second, and hash-compare the strings store's

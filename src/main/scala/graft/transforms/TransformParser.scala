@@ -1746,10 +1746,13 @@ object TransformParser {
       raw"(?is)^INDEX\s+COMPACT\s+'([^']+)'\s*$$".r
     private val DescribeRe =
       raw"(?is)^INDEX\s+DESCRIBE\s+'([^']+)'\s*$$".r
+    private val RebuildRe =
+      raw"(?is)^INDEX\s+REBUILD\s+'([^']+)'\s*$$".r
 
     def parse(t: String): Verb = t.trim match {
       case CompactRe(dir) => IndexCompactVerb(dir)
       case DescribeRe(dir) => IndexDescribeVerb(dir)
+      case RebuildRe(dir) => IndexRebuildVerb(dir)
       case Re(on, key, method, th, bands, rows, cells, tables, bits, dir,
           app) =>
         val m = method.toUpperCase
@@ -1813,8 +1816,8 @@ object TransformParser {
         "cannot parse INDEX (expected INDEX ON <col> KEY <keycol> " +
           "METHOD LSH|IVF|COSINE|TYPO [THRESHOLD <0-1>] " +
           "[BANDS <n> ROWS <n>] [CELLS <n>] [TABLES <n>] [BITS <n>] " +
-          "INTO '<dir>' [APPEND|DELETE], INDEX COMPACT '<dir>', or " +
-          "INDEX DESCRIBE '<dir>')")
+          "INTO '<dir>' [APPEND|DELETE], INDEX COMPACT '<dir>', " +
+          "INDEX DESCRIBE '<dir>', or INDEX REBUILD '<dir>')")
     }
   }
 
@@ -1950,6 +1953,175 @@ object TransformParser {
         "entries", "files", "multi_file_cells", "max_files_per_cell",
         "rows_min", "rows_max", "rows_avg", "geometry", "derived",
         "lock_holder")
+    }
+  }
+
+  /** INDEX REBUILD '<dir>' — re-derive the artifact's geometry for its
+    * CURRENT size and rebuild it from its own stores, the remedy the
+    * two measured maintenance limits call for (SCALING.md round 11):
+    * appends outgrow a derived cell count (per-cell rows — probe cost —
+    * grow until re-cell'd; `INDEX DESCRIBE`'s rows_avg is the monitor),
+    * and drifted IVF appends concentrate into frozen cells (scan mass
+    * ∝ drifted fraction until centroids re-train). Per family:
+    *  - lsh_text / typo_text: re-CELL — entries are re-partitioned into
+    *    a freshly derived cell count (banding / variant algebra is
+    *    threshold-shaped, corpus-independent, and for LSH the original
+    *    strings are hashed away by design, so band keys are never
+    *    recomputed — rows move, content doesn't);
+    *  - cosine_vec: full re-bucket from the vectors store (raw vectors
+    *    are stored), re-deriving bits AND cells;
+    *  - ivf_vec: full re-TRAIN from the index store's vectors — fresh
+    *    centroids over the union, the drift remedy itself.
+    * Only fields the artifact's `meta/` marks as DERIVED are re-derived
+    * (a builder's pinned CELLS/BITS stay pinned — rebuilding still
+    * rebalances files and, for IVF, re-trains centroids). Rebuild is
+    * CONTENT-PRESERVING: probe answers before == after (the q162 gate
+    * pins it against the shared brute-force oracle across the
+    * build → append → rebuild → probe chain).
+    *
+    * Swap: the new artifact is staged COMPLETE as a sibling
+    * (`.rebuild_stage_<name>`), then swapped in with two directory
+    * renames (live → `.rebuild_old_<name>`, stage → live). Geometry
+    * spans every store plus meta, so unlike DELETE/COMPACT there is no
+    * per-cell consistency to offer mid-swap — instead the artifact is
+    * ABSENT between the two renames and a racing probe fails loudly
+    * ("no stored index") rather than silently mis-routing against
+    * half-swapped geometry. A crash between the renames self-heals: the
+    * next REBUILD restores `.rebuild_old_` before starting (and any
+    * maintenance statement in the window reports the artifact missing,
+    * pointing at the leftover directories). Runs under the single-writer
+    * `.maint_lock` like every maintenance form.
+    */
+  final case class IndexRebuildVerb(dir: String) extends Verb {
+    def build(sources: Map[String, DataFrame], primary: DataFrame)
+        : DataFrame = {
+      import org.apache.hadoop.fs.Path
+      val spark = primary.sparkSession
+      val dirPath = new Path(dir)
+      val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val parent = dirPath.getParent
+      val stage = new Path(parent, s".rebuild_stage_${dirPath.getName}")
+      val oldP = new Path(parent, s".rebuild_old_${dirPath.getName}")
+      // self-heal a crashed swap: live absent + old present ⇒ the crash
+      // hit between the two renames — restore the prior artifact first;
+      // live present + old present ⇒ crash after swap-in, reap the old
+      if (!fs.exists(dirPath) && fs.exists(oldP)) {
+        if (!fs.rename(oldP, dirPath)) throw new IllegalStateException(
+          s"INDEX REBUILD: cannot restore crashed-rebuild artifact " +
+            s"$oldP to $dir — restore it manually, then re-run")
+      } else if (fs.exists(oldP)) fs.delete(oldP, true)
+      if (fs.exists(stage)) fs.delete(stage, true)
+      val (metaRow, kind, _) = storedIndexLayout(spark, dir,
+        "INDEX REBUILD")
+      if (!metaRow.schema.fieldNames.contains("cells")) throw TransformError(
+        s"INDEX REBUILD: artifact at $dir predates cells metadata — " +
+          "rebuild it from source with INDEX … INTO")
+      val cellsBefore = metaRow.getAs[Int]("cells")
+      val derivedSeq =
+        if (metaRow.schema.fieldNames.contains("derived"))
+          metaRow.getAs[String]("derived").split(",")
+            .filter(_.nonEmpty).toSeq
+        else Seq.empty
+      def reDerive(field: String, old: Int, rule: Long => Int, n: Long)
+          : Int = if (derivedSeq.contains(field)) rule(n) else old
+      def requireData(sub: String): Unit = {
+        val p = new Path(s"$dir/$sub")
+        var found = false
+        if (fs.exists(p)) {
+          val it = fs.listFiles(p, true)
+          while (!found && it.hasNext) {
+            val nm = it.next().getPath.getName
+            if (!nm.startsWith("_") && !nm.startsWith(".")) found = true
+          }
+        }
+        if (!found) throw TransformError(
+          s"INDEX REBUILD: artifact at $dir has no entries ($sub is " +
+            "empty) — APPEND entries first, or rebuild from source " +
+            "with INDEX … INTO")
+      }
+      val (cellsAfter, entries) =
+        withMaintLock(spark, dir, "REBUILD") {
+          val res: (Int, Long) = kind match {
+            case "lsh_text" =>
+              requireData("shingles")
+              val sh = spark.read.parquet(s"$dir/shingles")
+                .select(col("id"), col("shs")).localCheckpoint(false)
+              val n = sh.count()
+              val c = reDerive("cells", cellsBefore,
+                IndexGeometry.storeCells, n)
+              spark.read.parquet(s"$dir/bands")
+                .select(col("id"), col("band"), col("bh"))
+                .withColumn("pc", pmod(xxhash64(col("band"), col("bh")),
+                  lit(c.toLong)).cast("int"))
+                .repartition(col("pc"))
+                .write.partitionBy("pc").parquet(s"$stage/bands")
+              sh.withColumn("sc",
+                  pmod(xxhash64(col("id")), lit(c.toLong)).cast("int"))
+                .repartition(col("sc"))
+                .write.partitionBy("sc").parquet(s"$stage/shingles")
+              spark.read.parquet(s"$dir/meta")
+                .withColumn("cells", lit(c))
+                .coalesce(1).write.parquet(s"$stage/meta")
+              (c, n)
+            case "typo_text" =>
+              requireData("strings")
+              val strs = spark.read.parquet(s"$dir/strings")
+                .select(col("id"), col("txt")).localCheckpoint(false)
+              val n = strs.count()
+              val c = reDerive("cells", cellsBefore,
+                IndexGeometry.storeCells, n)
+              NearDup.typoStoreTo(stage.toString, strs, c,
+                derived = derivedSeq)
+              (c, n)
+            case "cosine_vec" =>
+              requireData("vectors")
+              val vecs = spark.read.parquet(s"$dir/vectors")
+                .select(col("id"), col("v"), col("nrm"))
+                .localCheckpoint(false)
+              val n = vecs.count()
+              val c = reDerive("cells", cellsBefore,
+                IndexGeometry.storeCells, n)
+              val bi = reDerive("bits", metaRow.getAs[Int]("bits"),
+                IndexGeometry.cosineBits, n)
+              VecKnn.cosineStoreTo(stage.toString, vecs,
+                metaRow.getAs[Int]("tables"), bi, c, derived = derivedSeq)
+              (c, n)
+            case "ivf_vec" =>
+              requireData("index")
+              val e = spark.read.parquet(s"$dir/index")
+                .select(col("vec_id"), col("v"), col("nrm"))
+                .localCheckpoint(false)
+              val n = e.count()
+              val c = reDerive("cells", cellsBefore,
+                IndexGeometry.ivfCells, n)
+              graft.queries.Similarity.ivfStoreTo(stage.toString, e, c,
+                derived = derivedSeq)
+              (c, n)
+            case other => throw TransformError(
+              s"INDEX REBUILD: unknown artifact kind '$other' at $dir")
+          }
+          // two renames; between them the artifact is absent and a
+          // racing probe fails loudly instead of mis-routing
+          if (!fs.rename(dirPath, oldP)) throw new IllegalStateException(
+            s"INDEX REBUILD: cannot stage out $dir — the rebuild was " +
+              s"NOT applied (the staged artifact remains at $stage)")
+          if (!fs.rename(stage, dirPath)) {
+            val restored = fs.rename(oldP, dirPath)
+            throw new IllegalStateException(
+              s"INDEX REBUILD: cannot swap the rebuilt artifact into " +
+                s"$dir — " + (if (restored)
+                  "the prior artifact was restored unchanged"
+                else s"and restoring failed: the prior artifact is at " +
+                  s"$oldP; restore it manually") +
+                s" (the rebuilt artifact remains at $stage)")
+          }
+          fs.delete(oldP, true)
+          res
+        }
+      import spark.implicits._
+      Seq((dir, kind, cellsBefore, cellsAfter, entries))
+        .toDF("path", "kind", "cells_before", "cells_after",
+          "indexed_rows")
     }
   }
 

@@ -1825,7 +1825,8 @@ class AqlSpec extends AnyFunSuite {
     for (b <- Seq(
         s"INDEX ON Txt KEY Id METHOD LSH INTO '$idx' APPEND",
         s"INDEX ON Txt KEY Id METHOD LSH INTO '$idx' DELETE",
-        s"INDEX COMPACT '$idx'")) {
+        s"INDEX COMPACT '$idx'",
+        s"INDEX REBUILD '$idx'")) {
       val m = locked(b)
       assert(m.contains("single-writer") && m.contains("test-holder"), m)
     }
@@ -2132,6 +2133,115 @@ class AqlSpec extends AnyFunSuite {
          |  INDEX ON txt KEY id METHOD TYPO CELLS 8 INTO '$idx'
          |) INTO CONSOLE""".stripMargin).outputs("T").collect().head
     assert(built.getAs[Long]("indexed_rows") == 20, built.toString)
+  }
+
+  test("INDEX REBUILD: re-derives geometry for the grown artifact, " +
+      "preserves answers, keeps pinned fields pinned, self-heals") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_aqlspec_rb")
+    graft.queries.Advanced.registerTmpDir(dir)
+    // base corpus small enough that derived cells sit at the 64 floor;
+    // the appended batch grows entries past the next derivation point
+    val basePq = dir.resolve("base.parquet").toString
+    val morePq = dir.resolve("more.parquet").toString
+    spark.range(200)
+      .selectExpr("id", "concat('rebuild base document ', id, " +
+        "' alpha beta gamma delta') AS txt")
+      .write.parquet(basePq)
+    spark.range(1000, 3400)
+      .selectExpr("id", "concat('rebuild grown document ', id, " +
+        "' epsilon zeta eta theta') AS txt")
+      .write.parquet(morePq)
+    val idx = dir.resolve("lsh").toString
+    def run(pq: String, body: String) = Aql.run(spark,
+      s"""CONNECTION 'D' (DRIVER = 'file', FILE = '$pq',
+         |  FORMAT = 'parquet')
+         |TRANSFORM 'T' FROM CONNECTION D (
+         |  $body
+         |) INTO CONSOLE""".stripMargin).outputs("T")
+    run(basePq, s"INDEX ON txt KEY id METHOD LSH THRESHOLD 0.5 INTO '$idx'")
+    assert(spark.read.parquet(s"$idx/meta").head()
+      .getAs[Int]("cells") == 64) // floor at 200 entries
+    run(morePq, s"INDEX ON txt KEY id METHOD LSH INTO '$idx' APPEND")
+    def kept(): Set[Long] = run(basePq,
+      s"NEARDEDUP D AGAINST STORED '$idx' ON txt KEY id " +
+        "THRESHOLD 0.5 METHOD LSH")
+      .collect().map(_.getLong(0)).toSet
+    val keptBefore = kept()
+    assert(keptBefore.isEmpty) // every base doc matches its own copy
+    val rb = run(basePq, s"INDEX REBUILD '$idx'").collect().head
+    // 2600 entries -> storeCells = next pow2 of 520 = 1024
+    assert(rb.getAs[Int]("cells_before") == 64, rb.toString)
+    assert(rb.getAs[Int]("cells_after") == 1024, rb.toString)
+    assert(rb.getAs[Long]("indexed_rows") == 2600, rb.toString)
+    assert(spark.read.parquet(s"$idx/meta").head()
+      .getAs[Int]("cells") == 1024)
+    // content-preserving: answers identical after the re-cell; the
+    // appended entries are still served (grown docs match themselves)
+    assert(kept() == keptBefore)
+    assert(run(morePq,
+      s"NEARDEDUP D AGAINST STORED '$idx' ON txt KEY id " +
+        "THRESHOLD 0.5 METHOD LSH").collect().isEmpty)
+
+    // a PINNED cell count stays pinned (rebuild rebalances files only)
+    val pinned = dir.resolve("pinned").toString
+    run(basePq,
+      s"INDEX ON txt KEY id METHOD LSH THRESHOLD 0.5 CELLS 8 INTO '$pinned'")
+    run(morePq, s"INDEX ON txt KEY id METHOD LSH INTO '$pinned' APPEND")
+    val rbp = run(basePq, s"INDEX REBUILD '$pinned'").collect().head
+    assert(rbp.getAs[Int]("cells_after") == 8, rbp.toString)
+    // ...and the rebuild compacted the append's extra files away: one
+    // file per cell, like a fresh build
+    val bands = java.nio.file.Paths.get(pinned, "bands")
+    val multi = java.nio.file.Files.list(bands).iterator()
+    while (multi.hasNext) {
+      val cell = multi.next()
+      if (cell.getFileName.toString.startsWith("pc=")) {
+        val files = java.nio.file.Files.list(cell).iterator()
+        var n = 0
+        while (files.hasNext) {
+          val f = files.next().getFileName.toString
+          if (!f.startsWith("_") && !f.startsWith(".")) n += 1
+        }
+        assert(n == 1, s"cell $cell has $n files after REBUILD")
+      }
+    }
+
+    // IVF: rebuild re-trains centroids over the grown corpus and
+    // re-derives cells = ceil(sqrt(n))
+    val vecsPq = dir.resolve("vecs.parquet").toString
+    val moreVecsPq = dir.resolve("morevecs.parquet").toString
+    def vframe(from: Int, until: Int) = (from until until).map(i =>
+        (i.toLong, Array(i * 1.0, (i % 7).toDouble, 0.5)))
+      .toDF("vid", "emb")
+    vframe(0, 300).write.parquet(vecsPq)
+    vframe(1000, 1700).write.parquet(moreVecsPq)
+    val ivfIdx = dir.resolve("ivf").toString
+    run(vecsPq, s"INDEX ON emb KEY vid METHOD IVF INTO '$ivfIdx'")
+    assert(spark.read.parquet(s"$ivfIdx/meta").head()
+      .getAs[Int]("cells") ==
+      graft.transforms.IndexGeometry.ivfCells(300))
+    run(moreVecsPq, s"INDEX ON emb KEY vid METHOD IVF INTO '$ivfIdx' APPEND")
+    val rbi = run(vecsPq, s"INDEX REBUILD '$ivfIdx'").collect().head
+    assert(rbi.getAs[Int]("cells_after") ==
+      graft.transforms.IndexGeometry.ivfCells(1000), rbi.toString)
+    assert(rbi.getAs[Long]("indexed_rows") == 1000, rbi.toString)
+    // served from fresh centroids: the probe answers from the artifact
+    val knn = run(vecsPq,
+      s"KNN ON emb KEY vid TOP 1 METHOD IVF PROBE 2 STORED '$ivfIdx'")
+      .collect()
+    assert(knn.nonEmpty)
+
+    // errors + self-heal: a crashed swap (live renamed away) restores
+    val m = intercept[Exception](run(basePq,
+      s"INDEX REBUILD '${dir.resolve("missing")}'")).getMessage
+    assert(m.contains("no stored index"), m)
+    val oldSib = dir.resolve(".rebuild_old_pinned")
+    java.nio.file.Files.move(java.nio.file.Paths.get(pinned), oldSib)
+    val rbh = run(basePq, s"INDEX REBUILD '$pinned'").collect().head
+    assert(rbh.getAs[Int]("cells_after") == 8, rbh.toString)
+    assert(!java.nio.file.Files.exists(oldSib))
+    assert(kept() == keptBefore) // unrelated artifact untouched
   }
 
   test("INDEX derived-bits contract: stored cosine probe below the " +

@@ -87,6 +87,7 @@ object Plans {
     "q158_aql_index_compact" -> "build -> APPEND -> COMPACT -> probe: answers identical to q156 (compaction rewrites cells, never rows); probe plan is q148's routed-cell left-anti shape",
     "q159_aql_index_delete" -> "build -> APPEND -> DELETE -> probe: content-keyed deletion rewrites only routed cells; probe plan is q148's routed-cell left-anti shape over the post-delete artifact",
     "q160_aql_index_describe" -> "INDEX DESCRIBE (separate engine run after the build): per-store stats from directory listings + one footer-only partition-column aggregation per store",
+    "q161_stream_index_append" -> "streaming INDEX APPEND: 4 microbatches ingest into the stored band index via the verb's append step (explain cannot render the in-flight streaming plan; the probe run is q148's routed-cell left-anti shape)",
     "q162_aql_index_rebuild" -> "build -> APPEND -> REBUILD -> probe: re-derived cells re-partition every store (content-preserving); probe plan is q148's routed-cell left-anti shape over the rebuilt artifact",
   )
 

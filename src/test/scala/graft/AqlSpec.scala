@@ -2232,6 +2232,43 @@ class AqlSpec extends AnyFunSuite {
       .collect()
     assert(knn.nonEmpty)
 
+    // COSINE: rebuild re-buckets from the stored vectors, re-deriving
+    // BITS alongside cells (both meta-flagged derived)
+    val cosVecs = dir.resolve("cosvecs.parquet").toString
+    val cosMore = dir.resolve("cosmore.parquet").toString
+    vframe(0, 200).write.parquet(cosVecs)
+    vframe(2000, 3000).write.parquet(cosMore)
+    val cosIdx = dir.resolve("cos").toString
+    run(cosVecs, s"INDEX ON emb KEY vid METHOD COSINE INTO '$cosIdx'")
+    val cm0 = spark.read.parquet(s"$cosIdx/meta").head()
+    assert(cm0.getAs[Int]("bits") ==
+      graft.transforms.IndexGeometry.cosineBits(200))
+    run(cosMore, s"INDEX ON emb KEY vid METHOD COSINE INTO '$cosIdx' APPEND")
+    val rbc = run(cosVecs, s"INDEX REBUILD '$cosIdx'").collect().head
+    assert(rbc.getAs[Long]("indexed_rows") == 1200, rbc.toString)
+    val cm1 = spark.read.parquet(s"$cosIdx/meta").head()
+    assert(cm1.getAs[Int]("bits") ==
+      graft.transforms.IndexGeometry.cosineBits(1200), cm1.toString)
+    assert(cm1.getAs[Int]("cells") ==
+      graft.transforms.IndexGeometry.storeCells(1200), cm1.toString)
+    // re-ingested copies still match themselves through the rebuilt
+    // (re-bucketed) artifact
+    assert(run(cosVecs,
+      s"NEARDEDUP D AGAINST STORED '$cosIdx' ON emb KEY vid " +
+        "THRESHOLD 0.99 METHOD COSINE").collect().isEmpty)
+
+    // TYPO: re-cell from the strings store
+    val typoIdx = dir.resolve("typo").toString
+    run(basePq, s"INDEX ON txt KEY id METHOD TYPO INTO '$typoIdx'")
+    run(morePq, s"INDEX ON txt KEY id METHOD TYPO INTO '$typoIdx' APPEND")
+    val rbt = run(basePq, s"INDEX REBUILD '$typoIdx'").collect().head
+    assert(rbt.getAs[Long]("indexed_rows") == 2600, rbt.toString)
+    assert(rbt.getAs[Int]("cells_after") ==
+      graft.transforms.IndexGeometry.storeCells(2600), rbt.toString)
+    assert(run(basePq,
+      s"NEARDEDUP D AGAINST STORED '$typoIdx' ON txt KEY id METHOD TYPO")
+      .collect().isEmpty) // exact copies are ED-0 matches
+
     // errors + self-heal: a crashed swap (live renamed away) restores
     val m = intercept[Exception](run(basePq,
       s"INDEX REBUILD '${dir.resolve("missing")}'")).getMessage

@@ -1429,15 +1429,17 @@ object AqlQ {
     },
 
     // INDEX REBUILD — the re-derive/re-train maintenance statement:
-    // q156's chain (build %4==1, append %4==3) with the build's CELLS
-    // left DERIVED and a REBUILD between append and probe, sharing the
-    // same brute-force oracle. The rebuild re-derives the cell count
-    // for the doubled entry set and re-partitions every store — and
-    // must change NOTHING about answers: a rebuild that dropped,
+    // q156's exact chain (build %4==1 at CELLS 64, append %4==3) with
+    // a REBUILD between append and probe, sharing the same brute-force
+    // oracle. The rebuild re-partitions every store and rewrites meta —
+    // and must change NOTHING about answers: a rebuild that dropped,
     // duplicated or re-keyed an entry, or whose new meta mis-routed
-    // probes, fails hash-exactly. (The geometry re-derivation itself —
-    // cells_before vs cells_after — is pinned in AqlSpec, where the
-    // corpus sizes are controlled.)
+    // probes, fails hash-exactly. CELLS is pinned here like q156/q158
+    // (a derived build at sf0.1 writes 512 cells × 2 stores × 4 engine
+    // runs of toy-sized files — pure small-file amplification in the
+    // gate's wall-clock); the DERIVED re-derivation legs —
+    // cells_before→cells_after, bits re-derive, IVF re-train — are
+    // pinned in AqlSpec, where the corpus sizes are controlled.
     QueryDef(
       "q162_aql_index_rebuild",
       Dedup.againstKeptOracleSql) { (s, dir) =>
@@ -1455,7 +1457,7 @@ object AqlQ {
            |)
            |TRANSFORM 'Built' FROM BLOCK Corpus (
            |  INDEX ON text KEY doc_id METHOD LSH${
-             if (appendKw.isEmpty) " THRESHOLD 0.5" else ""}
+             if (appendKw.isEmpty) " THRESHOLD 0.5 CELLS 64" else ""}
            |    INTO '$idx'$appendKw
            |) INTO CONSOLE""".stripMargin
       Aql.run(s, corpusScript(1, ""))

@@ -88,7 +88,7 @@ object Plans {
     "q159_aql_index_delete" -> "build -> APPEND -> DELETE -> probe: content-keyed deletion rewrites only routed cells; probe plan is q148's routed-cell left-anti shape over the post-delete artifact",
     "q160_aql_index_describe" -> "INDEX DESCRIBE (separate engine run after the build): per-store stats from directory listings + one footer-only partition-column aggregation per store",
     "q161_stream_index_append" -> "streaming INDEX APPEND: 4 microbatches ingest into the stored band index via the verb's append step (explain cannot render the in-flight streaming plan; the probe run is q148's routed-cell left-anti shape)",
-    "q162_aql_index_rebuild" -> "build -> APPEND -> REBUILD -> probe: re-derived cells re-partition every store (content-preserving); probe plan is q148's routed-cell left-anti shape over the rebuilt artifact",
+    "q162_aql_index_rebuild" -> "build -> APPEND -> REBUILD -> probe: the rebuild re-partitions every store and rewrites meta (content-preserving; derivation legs spec-pinned); probe plan is q148's routed-cell left-anti shape over the rebuilt artifact",
   )
 
   def main(args: Array[String]): Unit = {

@@ -54,6 +54,19 @@ object Similarity {
   private[queries] val StoredQueries = 8
   private[queries] val StoredProbes = 2
 
+  /** q163 stored IVF-PQ gate shape: 8 subspaces × 8 dims over the
+    * 64-dim embeddings, 16 codes per subspace (pinned — the derived
+    * default is 256, clamped by IndexGeometry.pqCodes), ADC shortlist
+    * 20 before the exact rerank. Shortlist 20 sits BELOW the typical
+    * routed-candidate count (≈ 60 at sf0.01, ≈ 625 at sf0.1), so the
+    * gate's final answer genuinely depends on the ADC ranking — the
+    * oracle replays the whole quantize-encode-LUT-sum chain, not just
+    * the rerank.
+    */
+  private[queries] val StoredPqM = 8
+  private[queries] val StoredPqCodes = 16
+  private[queries] val StoredPqShortlist = 20
+
   /** Portable-IVF oracle parameterized on the probe panel — ONE SQL text
     * for q129/q136 so a future change to the scoring/tie-break algebra
     * cannot desynchronize the two gates' oracles.
@@ -313,7 +326,8 @@ object Similarity {
     * does not require it (pre-meta artifacts stay probe-able).
     */
   private[graft] def ivfStoreTo(base: String, e: DataFrame,
-      cells: Int, derived: Seq[String] = Nil): Unit = {
+      cells: Int, derived: Seq[String] = Nil,
+      pq: Option[(Int, Int)] = None): Unit = {
     val (cents, supersOpt, assigned) =
       if (cells <= IvfFlatMaxCells) {
         val (c, _, a) = ivfBuildFrom(e, cells); (c, None, a)
@@ -332,9 +346,37 @@ object Similarity {
     supersOpt.foreach(_.write.mode("overwrite").parquet(s"$base/supers"))
     val spark = e.sparkSession
     import spark.implicits._
-    Seq(("ivf_vec", cells, derived.mkString(",")))
-      .toDF("kind", "cells", "derived")
-      .coalesce(1).write.mode("overwrite").parquet(s"$base/meta")
+    pq match {
+      case Some((pm, pk)) =>
+        // PQ codes ride the SAME cell layout as the full vectors, so the
+        // ADC probe's candidate scan prunes to the routed cells exactly
+        // like the full-vector probe — it just reads pm smallints per
+        // candidate instead of dim doubles
+        val dim = e.select(size(col("v")).as("d")).limit(1).collect()
+          .headOption.map(_.getInt(0)).getOrElse(
+            throw new IllegalArgumentException(
+              "INDEX … PQ: cannot derive the subspace width from an " +
+                "empty corpus"))
+        require(dim % pm == 0,
+          s"INDEX PQ $pm must divide the vector dimension $dim")
+        val subDim = dim / pm
+        val subs = pqSubsOf(e.select(col("vec_id"), col("v")), pm, subDim)
+          .localCheckpoint(false)
+        val cb = pqCodebookOf(subs, pm, pk).localCheckpoint(false)
+        pqEncodeFrom(subs, cb)
+          .join(assigned.select(col("vec_id"), col("cluster")), "vec_id")
+          .repartition(col("cluster"))
+          .write.mode("overwrite").partitionBy("cluster")
+          .parquet(s"$base/codes")
+        cb.coalesce(1).write.mode("overwrite").parquet(s"$base/codebook")
+        Seq(("ivf_vec", cells, derived.mkString(","), pm, subDim, pk))
+          .toDF("kind", "cells", "derived", "pq_m", "pq_subdim", "pq_codes")
+          .coalesce(1).write.mode("overwrite").parquet(s"$base/meta")
+      case None =>
+        Seq(("ivf_vec", cells, derived.mkString(",")))
+          .toDF("kind", "cells", "derived")
+          .coalesce(1).write.mode("overwrite").parquet(s"$base/meta")
+    }
   }
 
   /** Append new vectors to an existing [[ivfStoreTo]] artifact against
@@ -373,11 +415,32 @@ object Similarity {
     val meta = s.read.parquet(s"$base/meta").head()
     graft.transforms.NearDup.requireKind(meta, base, "ivf_vec",
       "INDEX … APPEND")
-    val ids = assignToStored(base, e)
+    val hasPq = meta.schema.fieldNames.contains("pq_m")
+    // two consumers when PQ codes ride along (index rows + code rows) —
+    // materialize the frozen-centroid assignment once
+    val ids0 = assignToStored(base, e)
+    val ids = if (hasPq) ids0.localCheckpoint(false) else ids0
     e.join(ids.hint("merge"), "vec_id")
       .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
       .repartition(col("cluster"))
       .write.mode("append").partitionBy("cluster").parquet(s"$base/index")
+    if (hasPq) {
+      // encode the batch against the FROZEN codebook — the PQ analogue
+      // of the frozen-centroid assignment (FAISS `add` after `train`):
+      // codebooks are a corpus sample, so re-picking them on append
+      // would re-code the whole artifact; drifted appends degrade
+      // shortlist quality, not correctness (the rerank is exact), and
+      // INDEX REBUILD re-picks codebooks exactly as it re-trains
+      // centroids
+      val pm = meta.getAs[Int]("pq_m")
+      val subDim = meta.getAs[Int]("pq_subdim")
+      val cb = s.read.parquet(s"$base/codebook")
+      pqEncodeFrom(pqSubsOf(e.select(col("vec_id"), col("v")), pm, subDim),
+          cb)
+        .join(ids.hint("merge"), "vec_id")
+        .repartition(col("cluster"))
+        .write.mode("append").partitionBy("cluster").parquet(s"$base/codes")
+    }
   }
 
   /** The frozen-centroid assignment (vec_id, cluster) of a batch
@@ -443,7 +506,249 @@ object Similarity {
       .distinct().collect().map(_.getInt(0)).sorted
     graft.transforms.NearDup.deleteFromCellStore(s, s"$base/index",
       "cluster", touched, "vec_id", ids.select(col("vec_id")))
+    // PQ codes mirror the index cells (same assignment routed them), so
+    // the SAME touched set and anti-join key delete the codes — a
+    // deleted vector can never resurface through an ADC shortlist
+    if (meta.schema.fieldNames.contains("pq_m"))
+      graft.transforms.NearDup.deleteFromCellStore(s, s"$base/codes",
+        "cluster", touched, "vec_id", ids.select(col("vec_id")))
   }
+
+  // --------------------------------------------------------- stored IVF-PQ
+
+  /** (vec_id, m, sub) — each vector split into `pm` contiguous
+    * subvectors of `subDim` dims: the PQ subspace explode shared by
+    * codebook pick, encoding and the probe-time LUT (q132's `subs`
+    * frame generalized to stored geometry). A pure codegen'd
+    * slice-transform projection — no UDF.
+    */
+  private[graft] def pqSubsOf(e: DataFrame, pm: Int, subDim: Int)
+      : DataFrame =
+    e.select(col("vec_id"), posexplode(expr(
+      s"transform(sequence(0, ${pm - 1}), " +
+        s"mm -> slice(v, mm * $subDim + 1, $subDim))"))
+      .as(Seq("m", "sub")))
+
+  /** Deterministic per-subspace PQ codebooks: for each subspace m, the
+    * `pk` corpus subvectors with the smallest md5(vec_id:m), code id =
+    * rank in that order. q132's engine-portable pick upgraded from its
+    * shared codebook to the per-subspace codebooks real PQ trains —
+    * each subspace's codes come from that subspace's own distribution.
+    * One distributed TakeOrdered per subspace (map-side top-pk, driver
+    * merge of pk rows — never a corpus-wide sort or window); the pm
+    * passes run over the caller's checkpointed subs frame.
+    */
+  private[graft] def pqCodebookOf(subs: DataFrame, pm: Int, pk: Int)
+      : DataFrame = {
+    val keyed = subs.withColumn("mk", md5(concat_ws(":",
+      col("vec_id").cast("string"), col("m").cast("string"))))
+    (0 until pm).map { mm =>
+      keyed.where(col("m") === mm)
+        .orderBy(col("mk")).limit(pk)
+        .withColumn("code", // post-limit: the window ranks ≤ pk rows
+          row_number().over(Window.orderBy(col("mk"))) - 1)
+        .select(col("m"), col("code"), col("sub").as("cent"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Encode every vector against the codebooks: per (vector, subspace)
+    * the argmin round-6 squared-L2 code (tie → smallest code — a
+    * lexicographic struct-min, pure HashAggregate), collapsed to ONE
+    * row per vector carrying its code array ordered by subspace. The
+    * array form is the 100 TB layout: one narrow row per vector (pm
+    * smallints, dictionary-packed by parquet) instead of pm rows, so
+    * an ADC candidate scan reads ~(2·pm)/(8·dim) of the bytes the
+    * full-vector cells hold — 1/32nd at 64 dims × 8 subspaces.
+    */
+  private[graft] def pqEncodeFrom(subs: DataFrame, cb: DataFrame)
+      : DataFrame =
+    subs.join(broadcast(cb), "m")
+      .withColumn("diff", zip_with(col("sub"), col("cent"), (x, y) => x - y))
+      .withColumn("d2", round(dot(col("diff"), col("diff")), 6))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d2"), col("code"))).as("mn"))
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("m"),
+        col("mn.code").as("code")))).as("mc"))
+      .select(col("vec_id"),
+        expr("transform(mc, x -> CAST(x.code AS SMALLINT))").as("codes"))
+
+  /** FAISS-IVFADC-style serving from a PQ-coded stored artifact: cell
+    * routing identical to [[ivfProbeStored]] (the same hierarchy-
+    * consistent argmax over `centroids`), then the candidate scan reads
+    * the routed cells of the CODES store — pm smallints per candidate
+    * instead of dim doubles — ranks candidates by an asymmetric-
+    * distance (ADC) inner product, and touches full vectors ONLY for
+    * the per-query top-`shortlist` candidates, which are exact-reranked
+    * to the final top-k. The ADC sum rides q132's exactness trick:
+    * per-subspace partial dots (query subvector × codebook entry) are
+    * DECIMAL(28,12)-quantized BEFORE the per-pair sum, so the shortlist
+    * ranking key is exact and order-independent — a double sum over pm
+    * subspaces would depend on aggregation order and diverge across
+    * partitionings (and from the DuckDB oracle).
+    *
+    * 100 TB shape: bytes scanned per probe batch ∝ the routed cells'
+    * CODE rows (~1/32nd of the full-vector bytes at 64 dims × 8
+    * subspaces) + full vectors for |queries| × shortlist rerank rows;
+    * the LUT is |queries| × pm × pq_codes broadcast rows. This is what
+    * makes IVF serving survive vectors that no longer fit the probe
+    * budget as raw floats: at 10⁹ × 768-dim the full-vector cells are
+    * ~3 TB while the 96-subspace code cells are ~96 GB.
+    */
+  private[graft] def ivfProbeStoredAdc(s: SparkSession, base: String,
+      queries: DataFrame, nprobe: Int = StoredProbes,
+      shortlist: Int = StoredPqShortlist, topK: Int = K): DataFrame = {
+    val meta = s.read.parquet(s"$base/meta").head()
+    graft.transforms.NearDup.requireKind(meta, base, "ivf_vec",
+      "KNN … STORED ADC")
+    require(meta.schema.fieldNames.contains("pq_m"),
+      s"stored index at $base carries no PQ codes — build it with " +
+        "INDEX … PQ <m>, or probe without ADC")
+    val pm = meta.getAs[Int]("pq_m")
+    val subDim = meta.getAs[Int]("pq_subdim")
+    val probes = ivfProbeCells(s, base, queries, nprobe)
+    val cells = probes.select("cluster").distinct().collect()
+      .map(_.getInt(0)).sorted
+    // routed cells as EXPLICIT paths — the ivfProbeStored rationale
+    // applied to both stores (codes for ADC, index for the rerank)
+    def cellRead(store: String): DataFrame = {
+      val root = new org.apache.hadoop.fs.Path(s"$base/$store")
+      val fsys = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val paths = cells.toSeq
+        .map(c => new org.apache.hadoop.fs.Path(root, s"cluster=$c"))
+        .filter(fsys.exists).map(_.toString)
+      if (paths.isEmpty) s.read.parquet(s"$base/$store").where(lit(false))
+      else s.read.option("basePath", s"$base/$store").parquet(paths: _*)
+    }
+    val cb = s.read.parquet(s"$base/codebook")
+    val qsubs = queries.select(col("qid"), posexplode(expr(
+      s"transform(sequence(0, ${pm - 1}), " +
+        s"mm -> slice(qv, mm * $subDim + 1, $subDim))"))
+      .as(Seq("m", "qsub")))
+    val lut = qsubs.join(cb, "m") // queries × codebook: both tiny
+      .select(col("qid"), col("m"), col("code"),
+        dot(col("qsub"), col("cent")).cast("decimal(28,12)").as("pdot"))
+    val adc = cellRead("codes")
+      .select(col("vec_id").as("cid"), col("codes"), col("cluster"))
+      .join(broadcast(probes.select(col("qid"), col("cluster"))),
+        Seq("cluster"))
+      .where(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        posexplode(col("codes")).as(Seq("m", "code")))
+      .join(broadcast(lut), Seq("qid", "m", "code"))
+      .groupBy(col("qid"), col("cid"))
+      .agg(sum(col("pdot")).as("adc"))
+    val ws = Window.partitionBy("qid").orderBy(col("adc").desc, col("cid"))
+    val short = adc.withColumn("srank", row_number().over(ws))
+      .where(col("srank") <= shortlist)
+      .select(col("qid"), col("cid"))
+    val fullv = cellRead("index")
+      .select(col("vec_id").as("cid"), col("v").as("cv"),
+        col("nrm").as("cnrm"))
+    val w2 = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
+    fullv.join(broadcast(short), "cid")
+      .join(broadcast(queries.select(col("qid"), col("qv"), col("qnrm"))),
+        "qid")
+      .withColumn("cosine",
+        round(dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")), 6))
+      .withColumn("rank", row_number().over(w2))
+      .where(col("rank") <= topK)
+      .select(col("qid"), col("cid").as("neighbor_id"), col("cosine"),
+        col("rank"))
+  }
+
+  /** q163's DuckDB oracle: the ENTIRE stored IVF-PQ serving path —
+    * deterministic centroid pick, flat cell assignment, probe routing,
+    * per-subspace md5-sampled codebooks, argmin encoding, DECIMAL-exact
+    * ADC, shortlist, exact rerank — restated in ANSI SQL
+    * ([[ivfOracleSql]]'s routing CTEs × q132's PQ algebra, joined on
+    * the probed cells). Every stage is a deterministic function of the
+    * table, so the gate is hash-exact, not rows-only.
+    */
+  private def ivfPqOracleSql(numQueries: Int, numProbes: Int, pm: Int,
+      subDim: Int, pk: Int, shortlist: Int): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v,
+       |  sqrt(list_reduce(list_prepend(0.0, [x*x for x in v]), (a,b) -> a+b)) AS nrm
+       |  FROM e),
+       |cent AS (
+       |  SELECT cluster, cv, cnrm FROM (
+       |    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+       |        AS cluster,
+       |      v AS cv, nrm AS cnrm
+       |    FROM n) WHERE cluster < $IvfCells),
+       |scored AS (
+       |  SELECT q.vec_id, q.v, q.nrm, c.cluster,
+       |    round(list_reduce(list_prepend(0.0,
+       |        [q.v[i] * c.cv[i] for i in range(1, len(q.v)+1)]), (a,b) -> a+b)
+       |      / (q.nrm * c.cnrm), 6) AS score
+       |  FROM n q, cent c),
+       |assigned AS (
+       |  SELECT vec_id, cluster FROM scored
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY score DESC, cluster) = 1),
+       |probes AS (
+       |  SELECT vec_id AS qid, cluster FROM scored
+       |  WHERE vec_id < $numQueries
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY score DESC, cluster) <= $numProbes),
+       |subs AS (
+       |  SELECT vec_id, m, list_slice(v, m * $subDim + 1, m * $subDim + $subDim) AS sub
+       |  FROM e, unnest(range(0, $pm)) AS t(m)),
+       |cb AS (
+       |  SELECT m, code, cent FROM (
+       |    SELECT m, row_number() OVER (PARTITION BY m ORDER BY
+       |        md5(CAST(vec_id AS VARCHAR) || ':' || CAST(m AS VARCHAR))) - 1
+       |        AS code,
+       |      sub AS cent
+       |    FROM subs) WHERE code < $pk),
+       |enc AS (
+       |  SELECT vec_id AS cid, m, code FROM (
+       |    SELECT s.vec_id, s.m, c.code,
+       |      round(list_reduce(list_prepend(0.0,
+       |          [(s.sub[i] - c.cent[i]) * (s.sub[i] - c.cent[i])
+       |           for i in range(1, len(s.sub)+1)]), (a,b) -> a+b), 6) AS d2
+       |    FROM subs s JOIN cb c ON c.m = s.m) d
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, m
+       |    ORDER BY d2, code) = 1),
+       |lut AS (
+       |  SELECT s.vec_id AS qid, s.m, c.code,
+       |    CAST(list_reduce(list_prepend(0.0,
+       |        [s.sub[i] * c.cent[i] for i in range(1, len(s.sub)+1)]),
+       |        (a,b) -> a+b) AS DECIMAL(28,12)) AS pdot
+       |  FROM subs s JOIN cb c ON c.m = s.m WHERE s.vec_id < $numQueries),
+       |cand AS (
+       |  SELECT p.qid, a.vec_id AS cid FROM probes p
+       |  JOIN assigned a ON a.cluster = p.cluster AND a.vec_id <> p.qid),
+       |adc AS (
+       |  SELECT ca.qid, ca.cid, sum(l.pdot) AS adc FROM cand ca
+       |  JOIN enc en ON en.cid = ca.cid
+       |  JOIN lut l ON l.qid = ca.qid AND l.m = en.m AND l.code = en.code
+       |  GROUP BY 1, 2),
+       |short AS (
+       |  SELECT qid, cid FROM adc
+       |  QUALIFY row_number() OVER (PARTITION BY qid
+       |    ORDER BY adc DESC, cid) <= $shortlist),
+       |s2 AS (
+       |  SELECT sh.qid, sh.cid AS neighbor_id,
+       |    round(list_reduce(list_prepend(0.0,
+       |        [q.v[i] * c.v[i] for i in range(1, len(q.v)+1)]),
+       |        (x, y) -> x + y)
+       |      / (q.nrm * c.nrm), 6) AS cosine
+       |  FROM short sh
+       |  JOIN n q ON q.vec_id = sh.qid
+       |  JOIN n c ON c.vec_id = sh.cid)
+       |SELECT qid, neighbor_id, cosine, rank FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY qid ORDER BY cosine DESC, neighbor_id) AS rank FROM s2)
+       |WHERE rank <= $K""".stripMargin
+
+  /** q163's oracle at the gate constants (8 queries × 2 probed cells of
+    * 16, PQ 8 × 8 dims × 16 codes, shortlist 20).
+    */
+  private[queries] def storedIvfPqOracleSql: String =
+    ivfPqOracleSql(StoredQueries, StoredProbes, StoredPqM,
+      64 / StoredPqM, StoredPqCodes, StoredPqShortlist)
 
   /** One stored artifact per corpus dir per JVM — that IS the deployment
     * model (the index-build job runs once; every probe batch, streaming

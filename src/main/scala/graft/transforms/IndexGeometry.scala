@@ -94,4 +94,19 @@ object IndexGeometry {
     val target = math.max(16L, math.ceil(math.sqrt(entries.toDouble)).toLong)
     math.min(maxCells.toLong, target).toInt
   }
+
+  /** PQ codebook size (codes per subspace) for `INDEX … PQ <m>` when
+    * PQCODES is not pinned: 256 — the industry-standard byte-code width
+    * (FAISS IVFADC's k* = 2^8; each code is one byte per subspace) —
+    * clamped to the corpus's own entry count (a codebook cannot hold
+    * more distinct centroids than there are training subvectors) and
+    * floored at 16 so toy corpora keep a non-degenerate quantizer.
+    * Unlike cells/bits this default does NOT grow with the corpus:
+    * ADC probe cost is ∝ candidates in the routed cells (governed by
+    * [[ivfCells]]), and codebook width buys shortlist QUALITY at a
+    * constant per-candidate cost, so a constant is the scale-correct
+    * choice here.
+    */
+  def pqCodes(entries: Long): Int =
+    math.max(16L, math.min(256L, entries)).toInt
 }

@@ -1482,11 +1482,11 @@ object TransformParser {
     */
   private object KnnParser {
     private val Re =
-      raw"(?is)^KNN(?:\s+(\w+)\s+WITH\s+(\w+))?\s+ON\s+([A-Za-z_]\w*)\s+KEY\s+([A-Za-z_]\w*)(?:\s+TOP\s+(\d+))?(?:\s+METHOD\s+([A-Za-z]+))?(?:\s+TABLES\s+(\d+))?(?:\s+BITS\s+(\d+))?(?:\s+CELLS\s+(\d+))?(?:\s+PROBE\s+(\d+))?(?:\s+STORED\s+'([^']+)')?(?:\s+QUERIES\s+(.+?))?\s*$$".r
+      raw"(?is)^KNN(?:\s+(\w+)\s+WITH\s+(\w+))?\s+ON\s+([A-Za-z_]\w*)\s+KEY\s+([A-Za-z_]\w*)(?:\s+TOP\s+(\d+))?(?:\s+METHOD\s+([A-Za-z]+))?(?:\s+TABLES\s+(\d+))?(?:\s+BITS\s+(\d+))?(?:\s+CELLS\s+(\d+))?(?:\s+PROBE\s+(\d+))?(?:\s+STORED\s+'([^']+)')?(\s+ADC)?(?:\s+SHORTLIST\s+(\d+))?(?:\s+QUERIES\s+(.+?))?\s*$$".r
 
     def parse(t: String): Verb = t.trim match {
       case Re(qsrc, csrc, vec, key, top, method, tables, bits, cells,
-          probe, storedPath, queries) =>
+          probe, storedPath, adcFlag, shortlist, queries) =>
         val k = Option(top).map(intOption("KNN", "TOP", _)).getOrElse(5)
         if (k < 1) throw TransformError(s"KNN TOP $k must be >= 1")
         val m = Option(method).map(_.toUpperCase).getOrElse("EXACT")
@@ -1530,17 +1530,30 @@ object TransformParser {
         if (m == "IVF" && st.isEmpty && pr.getOrElse(8) > ce.getOrElse(16))
           throw TransformError(
             s"KNN PROBE ${pr.getOrElse(8)} exceeds CELLS ${ce.getOrElse(16)}")
+        val adc = adcFlag != null
+        if (adc && st.isEmpty) throw TransformError(
+          "KNN ADC only applies with STORED (the PQ codes live in the " +
+            "stored artifact — build it with INDEX … PQ <m>)")
+        val sl = Option(shortlist).map(intOption("KNN", "SHORTLIST", _))
+        sl.foreach { n =>
+          if (!adc) throw TransformError(
+            "KNN SHORTLIST only applies with ADC (it sizes the ADC " +
+              "candidate list the exact rerank reads full vectors for)")
+          if (n < k) throw TransformError(
+            s"KNN SHORTLIST $n must be >= TOP $k (the rerank can only " +
+              "return shortlisted candidates)")
+        }
         KnnVerb(vec, key, k, m, tb, bi, ce, pr,
           Option(queries).map(_.trim),
           (Option(qsrc), Option(csrc)) match {
             case (Some(q), Some(c)) => Some((q, c))
             case _ => None // regex captures both or neither
-          }, st)
+          }, st, adc, sl)
       case _ => throw TransformError(
         "cannot parse KNN (expected KNN [<Queries> WITH <Corpus>] " +
           "ON <veccol> KEY <keycol> [TOP <k>] [METHOD EXACT|LSH|IVF] " +
           "[TABLES <t>] [BITS <b>] [CELLS <c>] [PROBE <p>] " +
-          "[STORED '<index-dir>'] [QUERIES <expr>])")
+          "[STORED '<index-dir>'] [ADC] [SHORTLIST <n>] [QUERIES <expr>])")
     }
   }
 
@@ -1549,7 +1562,8 @@ object TransformParser {
       cells: Option[Int], nprobe: Option[Int],
       queries: Option[String],
       twoSource: Option[(String, String)] = None,
-      stored: Option[String] = None) extends Verb {
+      stored: Option[String] = None,
+      adc: Boolean = false, shortlist: Option[Int] = None) extends Verb {
 
     /** (id, v, nrm) from `df`, QUERIES-flagged, spread across cores (see
       * spreadForCpu), and MATERIALIZED once: every method consumes the
@@ -1611,12 +1625,25 @@ object TransformParser {
       // or corpus scan.
       stored match {
         case Some(base) =>
+          val spark = primary.sparkSession
           val q = prep(primary, withFlag = true, materialize = false)
-          graft.queries.Similarity.ivfProbeStored(
-            primary.sparkSession, base,
-            q.where(col("__isq")).select(col("id").as("qid"),
-              col("v").as("qv"), col("nrm").as("qnrm")),
-            nprobe.getOrElse(8), k)
+          val qf = q.where(col("__isq")).select(col("id").as("qid"),
+            col("v").as("qv"), col("nrm").as("qnrm"))
+          if (adc) {
+            // ADC pre-flight: a clear statement-level error beats the
+            // engine's require() after the routing work has run
+            val codesPath = new org.apache.hadoop.fs.Path(s"$base/codes")
+            val cfs = codesPath.getFileSystem(
+              spark.sparkContext.hadoopConfiguration)
+            if (!cfs.exists(codesPath)) throw TransformError(
+              s"KNN … STORED ADC: the artifact at $base carries no PQ " +
+                "codes — build it with INDEX … METHOD IVF … PQ <m> " +
+                "INTO, or drop ADC to probe full vectors")
+            graft.queries.Similarity.ivfProbeStoredAdc(spark, base, qf,
+              nprobe.getOrElse(8), shortlist.getOrElse(100), k)
+          } else
+            graft.queries.Similarity.ivfProbeStored(spark, base, qf,
+              nprobe.getOrElse(8), k)
         case None =>
           val (corpus, queriesF) = twoSource match {
             case Some((qn, cn)) =>
@@ -1741,7 +1768,7 @@ object TransformParser {
     */
   private object IndexParser {
     private val Re =
-      raw"(?is)^INDEX\s+ON\s+([A-Za-z_]\w*)\s+KEY\s+([A-Za-z_]\w*)\s+METHOD\s+([A-Za-z]+)(?:\s+THRESHOLD\s+([0-9]*\.?[0-9]+))?(?:\s+BANDS\s+(\d+)\s+ROWS\s+(\d+))?(?:\s+CELLS\s+(\d+))?(?:\s+TABLES\s+(\d+))?(?:\s+BITS\s+(\d+))?\s+INTO\s+'([^']+)'(?:\s+(APPEND|DELETE))?\s*$$".r
+      raw"(?is)^INDEX\s+ON\s+([A-Za-z_]\w*)\s+KEY\s+([A-Za-z_]\w*)\s+METHOD\s+([A-Za-z]+)(?:\s+THRESHOLD\s+([0-9]*\.?[0-9]+))?(?:\s+BANDS\s+(\d+)\s+ROWS\s+(\d+))?(?:\s+CELLS\s+(\d+))?(?:\s+TABLES\s+(\d+))?(?:\s+BITS\s+(\d+))?(?:\s+PQ\s+(\d+))?(?:\s+PQCODES\s+(\d+))?\s+INTO\s+'([^']+)'(?:\s+(APPEND|DELETE))?\s*$$".r
     private val CompactRe =
       raw"(?is)^INDEX\s+COMPACT\s+'([^']+)'\s*$$".r
     private val DescribeRe =
@@ -1753,8 +1780,8 @@ object TransformParser {
       case CompactRe(dir) => IndexCompactVerb(dir)
       case DescribeRe(dir) => IndexDescribeVerb(dir)
       case RebuildRe(dir) => IndexRebuildVerb(dir)
-      case Re(on, key, method, th, bands, rows, cells, tables, bits, dir,
-          app) =>
+      case Re(on, key, method, th, bands, rows, cells, tables, bits, pq,
+          pqCodes, dir, app) =>
         val m = method.toUpperCase
         if (!Set("LSH", "IVF", "COSINE", "TYPO").contains(m))
           throw TransformError(
@@ -1768,7 +1795,8 @@ object TransformParser {
           // built (and a DELETE that accepted different geometry would
           // route to the wrong cells and silently delete nothing)
           for ((v, what) <- Seq((th, "THRESHOLD"), (bands, "BANDS/ROWS"),
-              (cells, "CELLS"), (tables, "TABLES"), (bits, "BITS")))
+              (cells, "CELLS"), (tables, "TABLES"), (bits, "BITS"),
+              (pq, "PQ"), (pqCodes, "PQCODES")))
             if (v != null) throw TransformError(
               s"INDEX … ${maint.get}: $what comes from the stored " +
                 "artifact's meta and cannot be overridden (drop the option)")
@@ -1779,6 +1807,10 @@ object TransformParser {
         rejectUnless("LSH", "BANDS/ROWS", bands)
         rejectUnless("COSINE", "TABLES", tables)
         rejectUnless("COSINE", "BITS", bits)
+        rejectUnless("IVF", "PQ", pq)
+        if (pqCodes != null && pq == null) throw TransformError(
+          "INDEX PQCODES requires PQ <m> (the codebook width without " +
+            "subspaces sizes nothing)")
         val threshold = Option(th).map(_.toDouble).getOrElse(0.5)
         if (threshold <= 0 || threshold > 1) throw TransformError(
           s"INDEX THRESHOLD $threshold out of range (0, 1]")
@@ -1810,8 +1842,16 @@ object TransformParser {
         if (tb < 1 || bi.exists(b => b < 1 || b > 30)) throw TransformError(
           s"INDEX TABLES $tb BITS ${bi.getOrElse("")} invalid (need " +
             "TABLES ≥ 1, 1 ≤ BITS ≤ 30)")
+        val pqM = Option(pq).map(intOption("INDEX", "PQ", _))
+        pqM.foreach(p => if (p < 1 || p > 512) throw TransformError(
+          s"INDEX PQ $p must be in [1, 512] subspaces"))
+        // PQCODES stays optional through to the build: absent means
+        // DERIVE (IndexGeometry.pqCodes — 256 clamped to the corpus)
+        val pqK = Option(pqCodes).map(intOption("INDEX", "PQCODES", _))
+        pqK.foreach(k => if (k < 2 || k > 65536) throw TransformError(
+          s"INDEX PQCODES $k must be in [2, 65536]"))
         IndexVerb(on, key, m, dir, threshold, br, ce, tb, bi, append,
-          delete)
+          delete, pqM, pqK)
       case _ => throw TransformError(
         "cannot parse INDEX (expected INDEX ON <col> KEY <keycol> " +
           "METHOD LSH|IVF|COSINE|TYPO [THRESHOLD <0-1>] " +
@@ -1852,7 +1892,7 @@ object TransformParser {
       case "lsh_text" => Seq("bands" -> "pc", "shingles" -> "sc")
       case "cosine_vec" => Seq("buckets" -> "pc", "vectors" -> "sc")
       case "typo_text" => Seq("variants" -> "pc", "strings" -> "sc")
-      case "ivf_vec" => Seq("index" -> "cluster")
+      case "ivf_vec" => Seq("index" -> "cluster", "codes" -> "cluster")
       case other => throw TransformError(
         s"$what: unknown artifact kind '$other' at $dir")
     }
@@ -2094,8 +2134,18 @@ object TransformParser {
               val n = e.count()
               val c = reDerive("cells", cellsBefore,
                 IndexGeometry.ivfCells, n)
+              // PQ rides the rebuild: codebooks are re-PICKED from the
+              // current corpus exactly as centroids re-train (the
+              // frozen-codebook drift remedy), with pq_codes re-derived
+              // only if the build derived it
+              val pqOpt =
+                if (metaRow.schema.fieldNames.contains("pq_m"))
+                  Some((metaRow.getAs[Int]("pq_m"),
+                    reDerive("pq_codes", metaRow.getAs[Int]("pq_codes"),
+                      IndexGeometry.pqCodes, n)))
+                else None
               graft.queries.Similarity.ivfStoreTo(stage.toString, e, c,
-                derived = derivedSeq)
+                derived = derivedSeq, pq = pqOpt)
               (c, n)
             case other => throw TransformError(
               s"INDEX REBUILD: unknown artifact kind '$other' at $dir")
@@ -2279,7 +2329,8 @@ object TransformParser {
   final case class IndexVerb(onCol: String, key: String, method: String,
       dir: String, threshold: Double, bandsRows: Option[(Int, Int)],
       cells: Option[Int], tables: Int, bits: Option[Int],
-      append: Boolean = false, delete: Boolean = false) extends Verb {
+      append: Boolean = false, delete: Boolean = false,
+      pqM: Option[Int] = None, pqCodes: Option[Int] = None) extends Verb {
 
     def build(sources: Map[String, DataFrame], primary: DataFrame): DataFrame = {
       def named(n: String): StructField =
@@ -2389,12 +2440,28 @@ object TransformParser {
               graft.queries.Similarity.ivfStoreAppend(dir, e); metaCells.get
             } else {
               // e is already checkpointed, so the derive-count is cheap
-              val c = cells.getOrElse {
-                val n = e.count()
-                capWarn(n, IndexGeometry.ivfCells(n))
+              val needN = cells.isEmpty ||
+                (pqM.isDefined && pqCodes.isEmpty)
+              val n = if (needN) e.count() else 0L
+              val c = cells.getOrElse(capWarn(n, IndexGeometry.ivfCells(n)))
+              // PQ pre-flight: a clear parse-adjacent error beats the
+              // engine's require() mid-write. The subspace count must
+              // divide the corpus's vector dimension.
+              val pqOpt = pqM.map { pm =>
+                val dim = e.select(size(col("v")).as("d")).limit(1)
+                  .collect().headOption.map(_.getInt(0)).getOrElse(
+                    throw TransformError(
+                      "INDEX … PQ: cannot derive the subspace width " +
+                        "from an empty corpus"))
+                if (dim % pm != 0) throw TransformError(
+                  s"INDEX PQ $pm must divide the vector dimension $dim " +
+                    s"(got remainder ${dim % pm})")
+                (pm, pqCodes.getOrElse(IndexGeometry.pqCodes(n)))
               }
               graft.queries.Similarity.ivfStoreTo(dir, e, c,
-                derived = derivedFields())
+                derived = derivedFields(
+                  "pq_codes" -> (pqM.isDefined && pqCodes.isEmpty)),
+                pq = pqOpt)
               c
             }
           ("ivf_vec", s"$dir/index", ivfCc)

@@ -243,6 +243,24 @@ object BandScale {
           .collect().map(_.getLong(0)).toSet
       }
 
+      // DESCRIBE leg (round 12): the statement recommended as the
+      // skew/COMPACT monitor must carry its own price tag at the cell
+      // counts the derivation actually ships — cost model is directory
+      // listings ∝ cells plus ONE footer-only aggregation per store,
+      // so the curve should grow with CELLS (⇒ with the corpus until
+      // the 65 536 cap), never with probe or batch size. The entries
+      // figure doubles as a closed-form check: after append-then-delete
+      // of the same content, the bands store must hold EXACTLY the
+      // original row count.
+      val (descEntries, describeS) = timed {
+        graft.transforms.TransformParser
+          .parse(s"INDEX DESCRIBE '$base'")
+          .build(Map.empty, shB)
+          .collect()
+          .find(_.getAs[String]("store") == "bands")
+          .map(_.getAs[Long]("entries")).getOrElse(-1L)
+      }
+
       val checks = Map(
         // exists, not forall: a missing baseline must FAIL (reps are
         // require'd to start at 1)
@@ -251,7 +269,8 @@ object BandScale {
         "cell_subset" -> (probeCells <= math.min(batchKeys, cells.toLong) &&
           (cells <= batchKeys || probeCells < cells)),
         "append_closed_form" -> (matchedAfter == allBatchIds),
-        "delete_closed_form" -> (matchedAfterDelete == matchedK))
+        "delete_closed_form" -> (matchedAfterDelete == matchedK),
+        "describe_entries" -> (descEntries == idxRows))
       val ok = checks.values.forall(identity)
       println(
         s"""{"metric":"band_scale","k":$k,"corpus":$n,"index_rows":$idxRows,""" +
@@ -265,7 +284,8 @@ object BandScale {
         s""""append":${math.round(appendS * 1000) / 1000.0},""" +
         s""""reprobe":${math.round(reprobeS * 1000) / 1000.0},""" +
         s""""delete":${math.round(deleteS * 1000) / 1000.0},""" +
-        s""""reprobe2":${math.round(reprobe2S * 1000) / 1000.0}},""" +
+        s""""reprobe2":${math.round(reprobe2S * 1000) / 1000.0},""" +
+        s""""describe":${math.round(describeS * 1000) / 1000.0}},""" +
         s""""artifact_bytes":{"bands":$bandsBytes,""" +
         s""""shingles_hashed":$shHashedBytes,""" +
         s""""shingles_raw":$shRawBytes},""" +

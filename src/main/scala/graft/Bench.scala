@@ -155,6 +155,15 @@ object Bench {
       java.nio.file.Paths.get("BENCH_LATEST.json"),
       (json + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
+    // The full line above has outgrown tail-capture windows (~2 KB):
+    // every per-round artifact since the query count passed ~60 records
+    // "parsed": null because the window holds only a fragment of it.
+    // Print a COMPACT summary LAST — same headline numbers, family
+    // split, failure list, and a pointer to the committed full map —
+    // so a tail capture always ends with one complete JSON object.
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":$passes,"agg":"min","queries_n":${results.size},"failed":$failedJson,"lifecycle_sec":$lifecycleSec,"lifecycle_n":$lifecycleN,"query_sec":$querySec,"query_n":${results.size - lifecycleN},"full_map":"BENCH_LATEST.json"}"""
+    println(compact)
     spark.stop()
   }
 }

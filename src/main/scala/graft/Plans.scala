@@ -89,6 +89,9 @@ object Plans {
     "q160_aql_index_describe" -> "INDEX DESCRIBE (separate engine run after the build): per-store stats from directory listings + one footer-only partition-column aggregation per store",
     "q161_stream_index_append" -> "streaming INDEX APPEND: 4 microbatches ingest into the stored band index via the verb's append step (explain cannot render the in-flight streaming plan; the probe run is q148's routed-cell left-anti shape)",
     "q162_aql_index_rebuild" -> "build -> APPEND -> REBUILD -> probe: the rebuild re-partitions every store and rewrites meta (content-preserving; derivation legs spec-pinned); probe plan is q148's routed-cell left-anti shape over the rebuilt artifact",
+    "q163_aql_index_ivf_pq" -> "INDEX PQ build (separate engine run) -> KNN STORED ADC: routed CODE cells scan (pm smallints/candidate), broadcast (qid,m,code) LUT join, DECIMAL-exact partial+final ADC agg, WindowGroupLimit shortlist, full vectors only under the broadcast rerank join",
+    "q164_aql_knn_cosine_stored" -> "INDEX COSINE (separate engine run) -> KNN LSH STORED: routed bucket cells, broadcast query-bucket collision join, content self-exclusion, exact rerank with WindowGroupLimit top-k",
+    "q165_aql_index_rebuild_threshold" -> "build at 0.5 -> REBUILD THRESHOLD 0.9 (re-bands from the stored hashed shingles) -> probe at 0.9: q148's routed-cell left-anti shape over the re-banded artifact",
   )
 
   def main(args: Array[String]): Unit = {

@@ -1532,5 +1532,167 @@ object AqlQ {
         .where(col("store") === "strings")
         .select(col("kind"), col("store"), col("cells"), col("entries"))
     },
+
+    // INDEX … PQ → KNN … STORED ADC: the stored IVF-PQ serving path,
+    // build and serve in separate engine runs. Run A builds the q152
+    // artifact PLUS per-subspace PQ codebooks and a SMALLINT code array
+    // per vector (8 subspaces × 8 dims, 16 codes — pinned: the derived
+    // default is 256 clamped to the corpus); run B routes cells exactly
+    // like q147/q152, ranks the routed candidates by DECIMAL-exact ADC
+    // over the codes store, reads full vectors ONLY for the top-20
+    // shortlist, and exact-reranks those to the final top-5. Shortlist
+    // 20 sits BELOW the routed-candidate count (≈ 60 at sf0.01), so the
+    // gate's answer genuinely depends on the ADC ranking — the oracle
+    // replays the whole quantize-encode-LUT-sum chain in SQL, and a
+    // wrong codebook pick, encoding, LUT join or ADC sum fails
+    // hash-exactly, not just a wrong rerank.
+    QueryDef(
+      "q163_aql_index_ivf_pq",
+      Similarity.storedIvfPqOracleSql) { (s, dir) =>
+      val outDir = java.nio.file.Files.createTempDirectory("graft_q163")
+      Advanced.registerTmpDir(outDir)
+      val idx = outDir.resolve("ivf_pq_index").toString
+      val out = outDir.resolve("knn").toString
+      val buildScript =
+        s"""CONNECTION 'Emb' (
+           |  DRIVER = 'file', FILE = '$dir/embeddings.parquet',
+           |  FORMAT = 'parquet'
+           |)
+           |
+           |TRANSFORM 'Built' FROM CONNECTION Emb (
+           |  INDEX ON embedding KEY vec_id METHOD IVF CELLS 16
+           |    PQ 8 PQCODES 16 INTO '$idx'
+           |)
+           |
+           |QUERY 'Summary' FROM BLOCK Built (
+           |  SELECT * FROM Built
+           |) INTO CONSOLE""".stripMargin
+      Aql.run(s, buildScript)
+      val probeScript =
+        s"""CONNECTION 'Emb' (
+           |  DRIVER = 'file', FILE = '$dir/embeddings.parquet',
+           |  FORMAT = 'parquet'
+           |)
+           |CONNECTION 'Out' (
+           |  DRIVER = 'file', FILE = '$out', FORMAT = 'parquet'
+           |)
+           |
+           |TRANSFORM 'Knn' FROM CONNECTION Emb (
+           |  KNN ON embedding KEY vec_id TOP 5 METHOD IVF PROBE 2
+           |    STORED '$idx' ADC SHORTLIST 20 QUERIES vec_id < 8
+           |) INTO CONNECTION Out""".stripMargin
+      Aql.run(s, probeScript).outputs("KNN")
+    },
+
+    // INDEX METHOD COSINE → KNN METHOD LSH STORED: top-k serving from
+    // the sign-LSH bucket artifact, closing the one stored-artifact
+    // asymmetry (a COSINE artifact served NEARDEDUP AGAINST but not
+    // KNN). Build in run A, serve in run B; the gate compares
+    // (qid, cosine, rank) — tie-invariant and portable, see
+    // storedCosineKnnOracleSql for why neighbor_id (a content hash)
+    // stays out of the hash — against the brute-force top-5 over
+    // DISTINCT corpus vectors with content self-exclusion. Geometry is
+    // PINNED at TABLES 32 BITS 2: recall must be exactly 1.0 for the
+    // hash to match (collision probability per orthogonal pair
+    // ≥ 1 − 1e-8 at 32 tables × 2 bits), which is the gate's point —
+    // LSH candidates can only be missed, and at this geometry nothing
+    // is missed, so the serving path's routing/rerank algebra is pinned
+    // end-to-end.
+    QueryDef(
+      "q164_aql_knn_cosine_stored",
+      Similarity.storedCosineKnnOracleSql) { (s, dir) =>
+      val outDir = java.nio.file.Files.createTempDirectory("graft_q164")
+      Advanced.registerTmpDir(outDir)
+      val idx = outDir.resolve("cosine_index").toString
+      val out = outDir.resolve("knn").toString
+      val buildScript =
+        s"""CONNECTION 'Emb' (
+           |  DRIVER = 'file', FILE = '$dir/embeddings.parquet',
+           |  FORMAT = 'parquet'
+           |)
+           |
+           |TRANSFORM 'Built' FROM CONNECTION Emb (
+           |  INDEX ON embedding KEY vec_id METHOD COSINE
+           |    CELLS 16 TABLES 32 BITS 2 INTO '$idx'
+           |)
+           |
+           |QUERY 'Summary' FROM BLOCK Built (
+           |  SELECT * FROM Built
+           |) INTO CONSOLE""".stripMargin
+      Aql.run(s, buildScript)
+      val probeScript =
+        s"""CONNECTION 'Emb' (
+           |  DRIVER = 'file', FILE = '$dir/embeddings.parquet',
+           |  FORMAT = 'parquet'
+           |)
+           |CONNECTION 'Out' (
+           |  DRIVER = 'file', FILE = '$out', FORMAT = 'parquet'
+           |)
+           |
+           |TRANSFORM 'Knn' FROM CONNECTION Emb (
+           |  KNN ON embedding KEY vec_id TOP 5 METHOD LSH
+           |    STORED '$idx' QUERIES vec_id < 8
+           |)
+           |
+           |QUERY 'Final' FROM BLOCK Knn (
+           |  SELECT qid, cosine, rank FROM Knn
+           |) INTO CONNECTION Out""".stripMargin
+      Aql.run(s, probeScript).outputs("FINAL")
+    },
+
+    // INDEX REBUILD … THRESHOLD — the re-banding rebuild: the artifact
+    // is built at THRESHOLD 0.5 (64 bands × 2 rows), re-banded to 0.9
+    // (32 × 4) FROM ITS OWN SHINGLE STORE in a second engine run — the
+    // source frame is never touched again — and probed at 0.9 in a
+    // third. The oracle is the shared brute-force AGAINST statement AT
+    // the new threshold, so a re-band that recomputed signatures from
+    // re-hashed hashes (banding nonsense), dropped entries, or left the
+    // old banding in meta (the probe would then error or miss pairs)
+    // fails hash-exactly. Probing the PRE-rebuild artifact at 0.9
+    // errors on the banding mismatch — that closed gap is exactly what
+    // this statement exists for (AqlSpec pins the error text).
+    QueryDef(
+      "q165_aql_index_rebuild_threshold",
+      Dedup.againstKeptOracleSqlAt(0.9)) { (s, dir) =>
+      val outDir = java.nio.file.Files.createTempDirectory("graft_q165")
+      Advanced.registerTmpDir(outDir)
+      val idx = outDir.resolve("band_index").toString
+      val out = outDir.resolve("kept").toString
+      Aql.run(s,
+        s"""CONNECTION 'Docs' (
+           |  DRIVER = 'file', FILE = '$dir/documents.parquet',
+           |  FORMAT = 'parquet'
+           |)
+           |QUERY 'Corpus' FROM CONNECTION Docs (
+           |  SELECT * FROM Docs WHERE doc_id % 2 = 1
+           |)
+           |TRANSFORM 'Built' FROM BLOCK Corpus (
+           |  INDEX ON text KEY doc_id METHOD LSH THRESHOLD 0.5 CELLS 64
+           |    INTO '$idx'
+           |) INTO CONSOLE""".stripMargin)
+      Aql.run(s,
+        s"""DATA 'One' ([[1]]) WITH (COLUMNS = 'X')
+           |TRANSFORM 'Rebanded' FROM BLOCK One (
+           |  INDEX REBUILD '$idx' THRESHOLD 0.9
+           |) INTO CONSOLE""".stripMargin)
+      Aql.run(s,
+        s"""CONNECTION 'Docs' (
+           |  DRIVER = 'file', FILE = '$dir/documents.parquet',
+           |  FORMAT = 'parquet'
+           |)
+           |CONNECTION 'Out' (
+           |  DRIVER = 'file', FILE = '$out', FORMAT = 'parquet'
+           |)
+           |QUERY 'Batch' FROM CONNECTION Docs (
+           |  SELECT * FROM Docs WHERE doc_id % 2 = 0
+           |)
+           |TRANSFORM 'Kept' FROM BLOCK Batch (
+           |  NEARDEDUP Batch AGAINST STORED '$idx' ON text KEY doc_id
+           |    THRESHOLD 0.9 METHOD LSH
+           |)
+           |QUERY 'Final' FROM BLOCK Kept (
+           |  SELECT doc_id, lang, source, n_chars FROM Kept
+           |) INTO CONNECTION Out""".stripMargin).outputs("FINAL")
+    },
   )
 }

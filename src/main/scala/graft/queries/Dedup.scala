@@ -75,15 +75,16 @@ object Dedup {
        |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= $threshold""".stripMargin
 
-  /** ONE oracle text for the AGAINST-at-0.5 family — the verb gate
-    * (q128, in-plan banded cross-index) and the stored-artifact gate
-    * (q144, probe of the persisted band index) both answer it, so the
-    * two candidate paths can never desynchronize from each other or
-    * from the brute-force batch×corpus Jaccard truth (the ivfOracleSql
-    * pattern from Similarity.scala).
+  /** The AGAINST-kept oracle at an arbitrary threshold — ONE text
+    * shape for the whole family so no gate's truth can desynchronize
+    * from the brute-force batch×corpus Jaccard statement (the
+    * ivfOracleSql pattern from Similarity.scala). At 0.5 it serves the
+    * verb gate (q128), the stored-artifact gates (q144/q148/q151) and
+    * the maintenance chains (q156/q158/q162); q165 takes it at the
+    * REBUILD THRESHOLD gate's 0.9.
     */
-  private[queries] val againstKeptOracleSql: String =
-    """WITH w AS (
+  private[queries] def againstKeptOracleSqlAt(threshold: Double): String =
+    s"""WITH w AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ws
       |  FROM documents),
       |s AS (
@@ -96,9 +97,12 @@ object Dedup {
       |m AS (
       |  SELECT DISTINCT b.doc_id
       |  FROM b JOIN c ON round(CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE)
-      |      / (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh))), 6) >= 0.5)
+      |      / (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh))), 6) >= $threshold)
       |SELECT doc_id, lang, source, n_chars FROM documents
       |WHERE doc_id % 2 = 0 AND doc_id NOT IN (SELECT doc_id FROM m)""".stripMargin
+
+  private[queries] val againstKeptOracleSql: String =
+    againstKeptOracleSqlAt(0.5)
 
   /** q159's oracle — [[againstKeptOracleSql]] with the corpus restated
     * under CONTENT-KEYED deletion: after `build(odds) → append(evens) →

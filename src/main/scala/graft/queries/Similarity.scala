@@ -750,6 +750,43 @@ object Similarity {
     ivfPqOracleSql(StoredQueries, StoredProbes, StoredPqM,
       64 / StoredPqM, StoredPqCodes, StoredPqShortlist)
 
+  /** q164's DuckDB oracle: top-[[K]] cosine from the DISTINCT corpus
+    * vectors (the COSINE store's exact-first collapse), each query's own
+    * vector excluded by CONTENT (`c.v <> q.qv` — the SQL statement of
+    * the store's content-hash self-exclusion). The gate projects
+    * (qid, cosine, rank), not neighbor_id: stored entries are keyed by
+    * an engine-side content hash no portable SQL can restate, while the
+    * (qid, cosine, rank) multiset is both portable and tie-invariant —
+    * two neighbors tied at round-6 cosine produce identical output rows
+    * whichever one takes the lower rank, so no engine-specific
+    * tie-break can leak into the hash. Hash-exactness then rests on the
+    * probe's RECALL being 1.0 at the gate geometry (TABLES 32 BITS 2:
+    * a miss needs all 32 tables to split the pair, ≤ (1−p²)³² with
+    * per-hyperplane agreement p = 1 − θ/π — ~1e-8 even for orthogonal
+    * pairs), the q153 argument applied to top-k serving: LSH candidates
+    * can only be missed, never mis-ranked, and at this geometry nothing
+    * is missed on the panel.
+    */
+  private[queries] def storedCosineKnnOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v,
+       |  sqrt(list_reduce(list_prepend(0.0, [x*x for x in v]), (a,b) -> a+b)) AS nrm
+       |  FROM e),
+       |c AS (SELECT DISTINCT v, nrm FROM n),
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n
+       |  WHERE vec_id < $StoredQueries),
+       |s AS (
+       |  SELECT q.qid,
+       |    round(list_reduce(list_prepend(0.0,
+       |        [q.qv[i] * c.v[i] for i in range(1, len(q.qv)+1)]),
+       |        (x, y) -> x + y)
+       |      / (q.qnrm * c.nrm), 6) AS cosine
+       |  FROM q JOIN c ON c.v <> q.qv)
+       |SELECT qid, cosine, rank FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY qid ORDER BY cosine DESC) AS rank FROM s)
+       |WHERE rank <= $K""".stripMargin
+
   /** One stored artifact per corpus dir per JVM — that IS the deployment
     * model (the index-build job runs once; every probe batch, streaming
     * or not, consumes the same files), and it keeps q136+q139 from each
@@ -830,6 +867,12 @@ object Similarity {
   private[graft] def ivfProbeStored(s: SparkSession, base: String,
       queries: DataFrame, nprobe: Int = StoredProbes,
       topK: Int = K): DataFrame = {
+    // kind check BEFORE touching the stores: probing (say) a cosine
+    // bucket artifact here would otherwise fail with an opaque
+    // missing-centroids path error instead of naming both kinds
+    graft.transforms.NearDup.requireKind(
+      s.read.parquet(s"$base/meta").head(), base, "ivf_vec",
+      "KNN … STORED")
     val probes = ivfProbeCells(s, base, queries, nprobe)
     val cells = probes.select("cluster").distinct().collect()
       .map(_.getInt(0)).sorted

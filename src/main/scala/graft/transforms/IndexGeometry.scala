@@ -98,15 +98,16 @@ object IndexGeometry {
   /** PQ codebook size (codes per subspace) for `INDEX … PQ <m>` when
     * PQCODES is not pinned: 256 — the industry-standard byte-code width
     * (FAISS IVFADC's k* = 2^8; each code is one byte per subspace) —
-    * clamped to the corpus's own entry count (a codebook cannot hold
-    * more distinct centroids than there are training subvectors) and
-    * floored at 16 so toy corpora keep a non-degenerate quantizer.
-    * Unlike cells/bits this default does NOT grow with the corpus:
-    * ADC probe cost is ∝ candidates in the routed cells (governed by
-    * [[ivfCells]]), and codebook width buys shortlist QUALITY at a
-    * constant per-candidate cost, so a constant is the scale-correct
-    * choice here.
+    * clamped to the corpus's own entry count LAST (a codebook cannot
+    * hold more distinct centroids than there are training subvectors,
+    * so a 3-vector corpus gets 3 codes, not a 16-row promise the
+    * codebook pick cannot honor) and floored at 2 (one code per
+    * subspace quantizes nothing). Unlike cells/bits this default does
+    * NOT grow with the corpus: ADC probe cost is ∝ candidates in the
+    * routed cells (governed by [[ivfCells]]), and codebook width buys
+    * shortlist QUALITY at a constant per-candidate cost, so a constant
+    * is the scale-correct choice here.
     */
   def pqCodes(entries: Long): Int =
-    math.max(16L, math.min(256L, entries)).toInt
+    math.max(2L, math.min(256L, entries)).toInt
 }

@@ -176,6 +176,32 @@ object NearDup {
         col("bk.bh").as("bh")) ++ carried: _*)
   }
 
+  /** [[bandKeys]] recomputed from a STORED shingle frame — the
+    * `INDEX REBUILD … THRESHOLD` step: the shingle store persists each
+    * entry's full shingle set, already xxhash64'd under the default
+    * scheme, and MinHash signatures are a pure function of those hashes
+    * ([[bandKeysWith]] computes sig = minhashSigFromHashes(
+    * hashedShingles(raw))), so a stored `shs` that IS the hashed array
+    * feeds the signature directly — re-hashing hashes would band
+    * nonsense that matches no probe. Raw-scheme stores take the full
+    * chain, identical to the build's. Same output contract as
+    * [[bandKeys]]: (id, band, bh).
+    */
+  private[graft] def bandKeysFromStored(sh: DataFrame, scheme: String,
+      numPerm: Int, numBands: Int, rowsPerBand: Int): DataFrame = {
+    val hashes = scheme match {
+      case "xxhash64" => col("shs")
+      case "raw" => Text.hashedShingles(col("shs"))
+      case other => throw new IllegalArgumentException(
+        s"unknown shingle scheme '$other'")
+    }
+    sh.select(col("id"),
+        Text.minhashSigFromHashes(hashes, numPerm).as("sig"))
+      .select(col("id"),
+        explode(Text.lshBands(col("sig"), numBands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+  }
+
   /** Per-band-bucket document frequencies ≥ `minF` — the heavy-hitter
     * diagnostic for the banded pipeline (q87's sketch shape applied to
     * band keys). Near-identical FAMILIES that exact-first collapse

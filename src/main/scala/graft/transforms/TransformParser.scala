@@ -41,6 +41,34 @@ object TransformParser {
       hook(msg)
     }
     def recent: Seq[String] = ring.toArray(Array.empty[String]).toSeq
+
+    /** Best-effort persistence of a STORED-ARTIFACT warning into the
+      * artifact itself (`<base>/.probe_warnings/`), so "this artifact
+      * has been probed below its contract" is discoverable from INDEX
+      * DESCRIBE afterwards — the in-memory ring dies with the probing
+      * process, which is never the process that runs DESCRIBE. One
+      * tiny uniquely-named file per event (no renames — safe to race
+      * on any store), capped at 64 by deleting oldest; every failure
+      * is swallowed, because telemetry must never fail a probe (the
+      * probe itself stays read-only in effect: a read-only-mounted
+      * artifact simply records nothing). The dot-name keeps the dir
+      * invisible to parquet readers and the maintenance walks.
+      */
+    def persist(conf: org.apache.hadoop.conf.Configuration, base: String,
+        msg: String): Unit = try {
+      import org.apache.hadoop.fs.Path
+      val d = new Path(s"$base/.probe_warnings")
+      val fs = d.getFileSystem(conf)
+      fs.mkdirs(d)
+      val f = new Path(d, s"w_${System.currentTimeMillis()}_" +
+        java.util.UUID.randomUUID().toString.take(8))
+      val out = fs.create(f, false)
+      try out.write(msg.getBytes("UTF-8")) finally out.close()
+      val all = fs.listStatus(d).map(_.getPath).sortBy(_.getName)
+      if (all.length > 64) all.take(all.length - 64)
+        .foreach(p => try fs.delete(p, false)
+          catch { case _: Throwable => () })
+    } catch { case _: Throwable => () }
   }
 
   sealed trait Verb {
@@ -1448,7 +1476,19 @@ object TransformParser {
     * build over the same corpus (gate q147 hash-matches q136's oracle
     * from the same stored index). CELLS is fixed by the artifact;
     * PROBE picks the cells per query. This is the serving shape the
-    * AnnScale curve measures flat to 2 M vectors.
+    * AnnScale curve measures flat to 2 M vectors. With a PQ-carrying
+    * artifact (INDEX … PQ <m>), `ADC [SHORTLIST <n>]` ranks the routed
+    * candidates by asymmetric distance over the narrow codes store and
+    * reads full vectors only for the top-n shortlist (gate q163).
+    *
+    * `METHOD LSH STORED '<dir>'` serves top-k from a COSINE sign-LSH
+    * bucket artifact (INDEX … METHOD COSINE INTO — the q153/q157
+    * store): candidates are bucket collisions in any table, exact-
+    * reranked (gate q164). Geometry (TABLES/BITS/CELLS) is frozen in
+    * the artifact's meta and cannot be passed here. The store is
+    * content-keyed, so neighbor_id is the stored entry's content hash
+    * (exact-duplicate vectors collapse to one entry) and a query's own
+    * indexed vector excludes itself by content, not by key.
     *
     * Beyond-parity verb (SURVEY §7.3): similarity search as a language
     * operator, riding the q34/q35/q46 machinery ([[VecKnn]]). For every
@@ -1513,12 +1553,20 @@ object TransformParser {
         val pr = only("PROBE", Option(probe), "IVF")
         val st = Option(storedPath)
         st.foreach { _ =>
-          if (m != "IVF") throw TransformError(
-            "KNN STORED only applies to METHOD IVF (the stored artifact " +
-              "is an IVF index)")
+          if (m == "EXACT") throw TransformError(
+            "KNN STORED applies to METHOD IVF (an IVF artifact) or " +
+              "METHOD LSH (a COSINE sign-LSH artifact) — METHOD EXACT " +
+              "scans the source, there is nothing stored to serve from")
           if (ce.isDefined) throw TransformError(
             "KNN CELLS does not apply with STORED (the artifact fixes " +
               "the cell count at index-build time)")
+          // the same meta-is-truth algebra as CELLS: the artifact's
+          // bucketing is frozen at build time, and accepting a knob the
+          // store overrides would silently lie about what serves
+          if (m == "LSH" && (tb.isDefined || bi.isDefined))
+            throw TransformError(
+              "KNN TABLES/BITS do not apply with STORED (the bucket " +
+                "geometry comes from the artifact's meta)")
           if (qsrc != null || csrc != null) throw TransformError(
             "KNN STORED replaces the corpus side — use the one-source " +
               "form (the source provides only the queries)")
@@ -1534,6 +1582,9 @@ object TransformParser {
         if (adc && st.isEmpty) throw TransformError(
           "KNN ADC only applies with STORED (the PQ codes live in the " +
             "stored artifact — build it with INDEX … PQ <m>)")
+        if (adc && m != "IVF") throw TransformError(
+          "KNN ADC only applies to METHOD IVF STORED (PQ codes ride " +
+            "the IVF artifact; the sign-LSH store has none)")
         val sl = Option(shortlist).map(intOption("KNN", "SHORTLIST", _))
         sl.foreach { n =>
           if (!adc) throw TransformError(
@@ -1629,7 +1680,12 @@ object TransformParser {
           val q = prep(primary, withFlag = true, materialize = false)
           val qf = q.where(col("__isq")).select(col("id").as("qid"),
             col("v").as("qv"), col("nrm").as("qnrm"))
-          if (adc) {
+          if (method == "LSH")
+            // COSINE-family serving (VecKnn.cosineKnnStored — the q164
+            // machinery): candidates from the stored sign-LSH buckets,
+            // exact rerank; neighbor_id is the store's content hash
+            VecKnn.cosineKnnStored(spark, base, qf, k)
+          else if (adc) {
             // ADC pre-flight: a clear statement-level error beats the
             // engine's require() after the routing work has run
             val codesPath = new org.apache.hadoop.fs.Path(s"$base/codes")
@@ -1639,8 +1695,11 @@ object TransformParser {
               s"KNN … STORED ADC: the artifact at $base carries no PQ " +
                 "codes — build it with INDEX … METHOD IVF … PQ <m> " +
                 "INTO, or drop ADC to probe full vectors")
+            // implicit shortlist: max(100, k) — a bare `ADC TOP 200`
+            // must not silently cap the answer at 100 ranks (the same
+            // n >= k contract the explicit-SHORTLIST parse check makes)
             graft.queries.Similarity.ivfProbeStoredAdc(spark, base, qf,
-              nprobe.getOrElse(8), shortlist.getOrElse(100), k)
+              nprobe.getOrElse(8), shortlist.getOrElse(math.max(100, k)), k)
           } else
             graft.queries.Similarity.ivfProbeStored(spark, base, qf,
               nprobe.getOrElse(8), k)
@@ -1774,12 +1833,16 @@ object TransformParser {
     private val DescribeRe =
       raw"(?is)^INDEX\s+DESCRIBE\s+'([^']+)'\s*$$".r
     private val RebuildRe =
-      raw"(?is)^INDEX\s+REBUILD\s+'([^']+)'\s*$$".r
+      raw"(?is)^INDEX\s+REBUILD\s+'([^']+)'(?:\s+THRESHOLD\s+([0-9]*\.?[0-9]+))?\s*$$".r
 
     def parse(t: String): Verb = t.trim match {
       case CompactRe(dir) => IndexCompactVerb(dir)
       case DescribeRe(dir) => IndexDescribeVerb(dir)
-      case RebuildRe(dir) => IndexRebuildVerb(dir)
+      case RebuildRe(dir, th) =>
+        val t = Option(th).map(_.toDouble)
+        t.foreach(v => if (v <= 0 || v > 1) throw TransformError(
+          s"INDEX REBUILD THRESHOLD $v out of range (0, 1]"))
+        IndexRebuildVerb(dir, t)
       case Re(on, key, method, th, bands, rows, cells, tables, bits, pq,
           pqCodes, dir, app) =>
         val m = method.toUpperCase
@@ -1847,17 +1910,25 @@ object TransformParser {
           s"INDEX PQ $p must be in [1, 512] subspaces"))
         // PQCODES stays optional through to the build: absent means
         // DERIVE (IndexGeometry.pqCodes — 256 clamped to the corpus)
+        // 32 768, not 65 536: code ids are persisted as SMALLINT (one
+        // narrow column per candidate is the whole point of PQ), so ids
+        // ≥ 32 768 would wrap negative and the probe-time LUT equi-join
+        // would silently skip those subspaces — partial ADC sums, wrong
+        // shortlists, no error
         val pqK = Option(pqCodes).map(intOption("INDEX", "PQCODES", _))
-        pqK.foreach(k => if (k < 2 || k > 65536) throw TransformError(
-          s"INDEX PQCODES $k must be in [2, 65536]"))
+        pqK.foreach(k => if (k < 2 || k > 32768) throw TransformError(
+          s"INDEX PQCODES $k must be in [2, 32768] (code ids are " +
+            "stored as SMALLINT)"))
         IndexVerb(on, key, m, dir, threshold, br, ce, tb, bi, append,
           delete, pqM, pqK)
       case _ => throw TransformError(
         "cannot parse INDEX (expected INDEX ON <col> KEY <keycol> " +
           "METHOD LSH|IVF|COSINE|TYPO [THRESHOLD <0-1>] " +
           "[BANDS <n> ROWS <n>] [CELLS <n>] [TABLES <n>] [BITS <n>] " +
+          "[PQ <m>] [PQCODES <n>] " +
           "INTO '<dir>' [APPEND|DELETE], INDEX COMPACT '<dir>', " +
-          "INDEX DESCRIBE '<dir>', or INDEX REBUILD '<dir>')")
+          "INDEX DESCRIBE '<dir>', or INDEX REBUILD '<dir>' " +
+          "[THRESHOLD <0-1>])")
     }
   }
 
@@ -1908,10 +1979,14 @@ object TransformParser {
     * "how big?" (entries = store rows; cells_present of cells), "do I
     * need COMPACT?" (multi_file_cells, max_files_per_cell — each
     * APPEND adds one file per touched cell), "are my cells skewed?"
-    * (rows_min/rows_max/rows_avg per present cell) and "is maintenance
+    * (rows_min/rows_max/rows_avg per present cell), "is maintenance
     * running?" (lock_holder — the `.maint_lock` holder line, "" when
     * free; a crashed job's leftover lock shows up here before the
-    * operator removes it). Cost: directory
+    * operator removes it) and "has anything probed this artifact
+    * below its contract?" (probe_warnings count + last_warning — the
+    * [[Warnings.persist]] events, e.g. a below-derived-bits cosine
+    * probe; the ring a spec asserts dies with the probing process, so
+    * the artifact carries its own telemetry). Cost: directory
     * listings ∝ cells plus ONE narrow Spark aggregation per store that
     * projects only the partition column (per-cell row counts come from
     * parquet footers; no data pages are read); the per-cell collect is
@@ -1938,9 +2013,33 @@ object TransformParser {
         else
           try {
             val in = fs.open(lock)
-            try scala.io.Source.fromInputStream(in).mkString.trim
+            try scala.io.Source.fromInputStream(in)(
+              scala.io.Codec.UTF8).mkString.trim
             finally in.close()
           } catch { case _: Throwable => "unknown holder" }
+      }
+      // "has anything probed this artifact below its contract?" — the
+      // persisted Warnings.persist events (count + most recent), so a
+      // below-derived-bits probe run last week is operationally visible
+      // today; REBUILD stages a fresh sibling, so rebuilding clears them
+      val (probeWarnings, lastWarning) = {
+        val wd = new Path(s"$dir/.probe_warnings")
+        if (!fs.exists(wd)) (0L, "")
+        else {
+          val files = fs.listStatus(wd).toSeq.map(_.getPath)
+            .sortBy(_.getName)
+          val last = files.lastOption.map { p =>
+            try {
+              val in = fs.open(p)
+              // explicit UTF-8: persist writes UTF-8 and the platform
+              // default here may be ASCII (MalformedInputException)
+              try scala.io.Source.fromInputStream(in)(
+                scala.io.Codec.UTF8).mkString.trim
+              finally in.close()
+            } catch { case _: Throwable => "" }
+          }.getOrElse("")
+          (files.size.toLong, last)
+        }
       }
       val cells =
         if (metaRow.schema.fieldNames.contains("cells"))
@@ -1985,14 +2084,14 @@ object TransformParser {
             if (rowCounts.isEmpty) 0L else rowCounts.max,
             if (rowCounts.isEmpty) 0.0
             else entries.toDouble / rowCounts.size,
-            geometry, derived, lockHolder))
+            geometry, derived, lockHolder, probeWarnings, lastWarning))
         }
       }
       import spark.implicits._
       rows.toDF("path", "kind", "store", "cells", "cells_present",
         "entries", "files", "multi_file_cells", "max_files_per_cell",
         "rows_min", "rows_max", "rows_avg", "geometry", "derived",
-        "lock_holder")
+        "lock_holder", "probe_warnings", "last_warning")
     }
   }
 
@@ -2019,6 +2118,23 @@ object TransformParser {
     * pins it against the shared brute-force oracle across the
     * build → append → rebuild → probe chain).
     *
+    * `INDEX REBUILD '<dir>' THRESHOLD <t>` (lsh_text only) additionally
+    * RE-BANDS the artifact for the new threshold — the one
+    * content-CHANGING rebuild form, and the escape hatch the write-once
+    * corpus story needs: banding is threshold-shaped, so without this a
+    * threshold change forces a rebuild FROM SOURCE, which may no longer
+    * exist as a frame. It works because the shingle store persists each
+    * entry's full (hashed) shingle set, from which MinHash signatures
+    * and band keys are pure recomputations ([[NearDup.bandKeysFromStored]]
+    * — applying the signature directly to the stored hashes; re-hashing
+    * hashes would band nonsense). New banding = NearDup.autoBands(t)
+    * over the artifact's own num_perm; `meta/` records it (probes at
+    * the NEW threshold adopt it, probes at the old one now error on the
+    * banding mismatch instead of silently missing pairs — q165 pins the
+    * re-thresholded artifact against the brute-force oracle AT the new
+    * threshold). Non-LSH kinds reject THRESHOLD: their stores are not
+    * threshold-shaped.
+    *
     * Swap: the new artifact is staged COMPLETE as a sibling
     * (`.rebuild_stage_<name>`), then swapped in with two directory
     * renames (live → `.rebuild_old_<name>`, stage → live). Geometry
@@ -2032,10 +2148,12 @@ object TransformParser {
     * pointing at the leftover directories). Runs under the single-writer
     * `.maint_lock` like every maintenance form.
     */
-  final case class IndexRebuildVerb(dir: String) extends Verb {
+  final case class IndexRebuildVerb(dir: String,
+      reThreshold: Option[Double] = None) extends Verb {
     def build(sources: Map[String, DataFrame], primary: DataFrame)
         : DataFrame = {
       import org.apache.hadoop.fs.Path
+      requireAtomicRenameFs(dir, "INDEX REBUILD")
       val spark = primary.sparkSession
       val dirPath = new Path(dir)
       val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -2056,6 +2174,10 @@ object TransformParser {
       if (!metaRow.schema.fieldNames.contains("cells")) throw TransformError(
         s"INDEX REBUILD: artifact at $dir predates cells metadata — " +
           "rebuild it from source with INDEX … INTO")
+      if (reThreshold.isDefined && kind != "lsh_text") throw TransformError(
+        s"INDEX REBUILD THRESHOLD only applies to lsh_text artifacts " +
+          s"(banding is threshold-shaped; the '$kind' store at $dir is " +
+          "not) — drop THRESHOLD to rebuild geometry only")
       val cellsBefore = metaRow.getAs[Int]("cells")
       val derivedSeq =
         if (metaRow.schema.fieldNames.contains("derived"))
@@ -2089,19 +2211,55 @@ object TransformParser {
               val n = sh.count()
               val c = reDerive("cells", cellsBefore,
                 IndexGeometry.storeCells, n)
-              spark.read.parquet(s"$dir/bands")
-                .select(col("id"), col("band"), col("bh"))
-                .withColumn("pc", pmod(xxhash64(col("band"), col("bh")),
-                  lit(c.toLong)).cast("int"))
-                .repartition(col("pc"))
-                .write.partitionBy("pc").parquet(s"$stage/bands")
+              reThreshold match {
+                case Some(t) =>
+                  // RE-BAND: signatures + band keys are pure functions
+                  // of the persisted shingle sets, so a new threshold's
+                  // banding recomputes from the artifact alone — the
+                  // bands store is REPLACED, not moved
+                  val numPerm = metaRow.getAs[Int]("num_perm")
+                  val (b, r) =
+                    try NearDup.autoBands(t, numPerm)
+                    catch { case e: IllegalArgumentException =>
+                      throw TransformError(
+                        s"INDEX REBUILD THRESHOLD: ${e.getMessage}")
+                    }
+                  val scheme =
+                    if (metaRow.schema.fieldNames
+                        .contains("shingle_scheme"))
+                      metaRow.getAs[String]("shingle_scheme")
+                    else "raw"
+                  NearDup.bandKeysFromStored(sh, scheme, numPerm, b, r)
+                    .withColumn("pc", pmod(xxhash64(col("band"),
+                      col("bh")), lit(c.toLong)).cast("int"))
+                    .repartition(col("pc"))
+                    .write.partitionBy("pc").parquet(s"$stage/bands")
+                  // banding is auto-chosen from the given threshold —
+                  // exactly a fresh `INDEX … THRESHOLD t` build's
+                  // derivation, so meta marks bands_rows derived
+                  val derivedAfter = (derivedSeq :+ "bands_rows")
+                    .distinct.mkString(",")
+                  spark.read.parquet(s"$dir/meta")
+                    .withColumn("cells", lit(c))
+                    .withColumn("num_bands", lit(b))
+                    .withColumn("rows_per_band", lit(r))
+                    .withColumn("derived", lit(derivedAfter))
+                    .coalesce(1).write.parquet(s"$stage/meta")
+                case None =>
+                  spark.read.parquet(s"$dir/bands")
+                    .select(col("id"), col("band"), col("bh"))
+                    .withColumn("pc", pmod(xxhash64(col("band"),
+                      col("bh")), lit(c.toLong)).cast("int"))
+                    .repartition(col("pc"))
+                    .write.partitionBy("pc").parquet(s"$stage/bands")
+                  spark.read.parquet(s"$dir/meta")
+                    .withColumn("cells", lit(c))
+                    .coalesce(1).write.parquet(s"$stage/meta")
+              }
               sh.withColumn("sc",
                   pmod(xxhash64(col("id")), lit(c.toLong)).cast("int"))
                 .repartition(col("sc"))
                 .write.partitionBy("sc").parquet(s"$stage/shingles")
-              spark.read.parquet(s"$dir/meta")
-                .withColumn("cells", lit(c))
-                .coalesce(1).write.parquet(s"$stage/meta")
               (c, n)
             case "typo_text" =>
               requireData("strings")
@@ -2196,9 +2354,9 @@ object TransformParser {
     * files_after < files_before after a double append). Dirty cells
     * are rewritten through [[NearDup.rewriteCellsInPlace]]'s staging +
     * two-phase swap (DELETE's machinery with an identity transform) —
-    * atomic per cell on HDFS/posix; on object stores without atomic
-    * rename, run it in a maintenance window exactly as every
-    * rename-committing Spark job is. A crash mid-swap leaves `.old_…`
+    * atomic per cell on HDFS/posix; object-store schemes without
+    * atomic rename are REFUSED up front ([[requireAtomicRenameFs]]).
+    * A crash mid-swap leaves `.old_…`
     * cells intact and re-running COMPACT completes the rest. The
     * block's input frame is ignored (the artifact is the operand);
     * output is a one-row summary (path, kind, files_before,
@@ -2208,6 +2366,7 @@ object TransformParser {
     def build(sources: Map[String, DataFrame], primary: DataFrame)
         : DataFrame = {
       import org.apache.hadoop.fs.Path
+      requireAtomicRenameFs(dir, "INDEX COMPACT")
       val spark = primary.sparkSession
       val fs = new Path(dir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -2259,8 +2418,9 @@ object TransformParser {
     * undefined, so each acquires `<dir>/.maint_lock` first — an atomic
     * create-if-absent (create-exclusive on HDFS-like schemes; on local
     * filesystems a pre-populated hard link, since Hadoop's
-    * LocalFileSystem create is exists-then-create and not atomic),
-    * held for the statement
+    * LocalFileSystem create is exists-then-create and not atomic;
+    * object-store schemes with NEITHER primitive are refused before
+    * any work — [[requireAtomicRenameFs]]), held for the statement
     * and released on every exit path. Contention is a clear error
     * naming the holder, not a corrupted artifact. The lock guards
     * WRITERS against each other only: probes stay lock-free — each
@@ -2273,8 +2433,39 @@ object TransformParser {
     * operator to verify no job is running and remove it (a TTL that
     * silently self-expired mid-job would be worse than the ask).
     */
+  /** Schemes with no atomic rename / create-exclusive contract. The
+    * maintenance statements' correctness rests on BOTH: the
+    * single-writer `.maint_lock` is an atomic create (or hard link),
+    * and every cell/artifact swap is a rename that a racing probe sees
+    * entirely or not at all. On S3-style stores neither holds —
+    * "rename" is copy+delete and create is last-writer-wins — so two
+    * concurrent writers could silently interleave and a probe could
+    * read a half-copied cell. Refusing with a clear contract statement
+    * beats undefined behavior a user only discovers as corruption.
+    * Probes and DESCRIBE stay scheme-agnostic: they are read-only.
+    */
+  private val nonAtomicRenameSchemes = Set(
+    "s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs", "oss",
+    "cos", "swift")
+
+  private[graft] def requireAtomicRenameFs(dir: String, what: String)
+      : Unit = {
+    val scheme = scala.util.Try(
+      Option(new java.net.URI(dir).getScheme)).toOption.flatten
+      .map(_.toLowerCase).getOrElse("file")
+    if (nonAtomicRenameSchemes(scheme)) throw TransformError(
+      s"$what: stored-index MAINTENANCE requires atomic-rename storage " +
+        s"(HDFS/posix) and $dir is on '$scheme', where rename is " +
+        "copy+delete and create is last-writer-wins — the single-writer " +
+        "lock and the per-cell swap cannot hold. Keep maintained " +
+        "artifacts on HDFS-like storage, or rebuild from source with " +
+        "INDEX … INTO (a plain overwrite) in a scheduled maintenance " +
+        "window and copy the finished artifact out")
+  }
+
   private def withMaintLock[A](spark: org.apache.spark.sql.SparkSession,
       dir: String, what: String)(f: => A): A = {
+    requireAtomicRenameFs(dir, s"INDEX … $what")
     import org.apache.hadoop.fs.Path
     val lock = new Path(s"$dir/.maint_lock")
     val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -2283,7 +2474,8 @@ object TransformParser {
       val holder =
         try {
           val in = fs.open(lock)
-          try scala.io.Source.fromInputStream(in).mkString.trim
+          try scala.io.Source.fromInputStream(in)(
+              scala.io.Codec.UTF8).mkString.trim
           finally in.close()
         } catch { case _: Throwable => "unknown holder" }
       throw TransformError(
@@ -2348,6 +2540,10 @@ object TransformParser {
       val appendMeta: Option[org.apache.spark.sql.Row] =
         if (!append && !delete) None
         else {
+          // scheme check FIRST: on an object store the meta read below
+          // might work fine and the statement would only fall over (or
+          // worse, silently interleave) at the lock/swap
+          requireAtomicRenameFs(dir, s"INDEX … $maintWord")
           val mp = new org.apache.hadoop.fs.Path(s"$dir/meta")
           val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
           if (!fs.exists(mp)) throw TransformError(

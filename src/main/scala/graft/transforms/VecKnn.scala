@@ -443,14 +443,20 @@ object VecKnn {
     // regardless; the risk is recall, not precision)
     if (meta.schema.fieldNames.contains("derived") &&
         meta.getAs[String]("derived").split(",").contains("bits") &&
-        threshold < graft.transforms.IndexGeometry.derivedBitsThresholdFloor)
-      graft.transforms.TransformParser.Warnings.emit(
+        threshold < graft.transforms.IndexGeometry.derivedBitsThresholdFloor) {
+      val msg =
         s"stored cosine index at $base uses DERIVED bits=$bits, sized " +
           s"for dedup-grade thresholds (>= " +
           s"${graft.transforms.IndexGeometry.derivedBitsThresholdFloor}); " +
           s"probing at THRESHOLD $threshold may silently miss boundary " +
           "pairs — rebuild with explicit BITS (and larger TABLES), or " +
-          "serve through KNN/IVF which reranks exactly")
+          "serve through KNN/IVF which reranks exactly"
+      graft.transforms.TransformParser.Warnings.emit(msg)
+      // also into the artifact: the operator who runs INDEX DESCRIBE
+      // tomorrow is not the process that probed below contract today
+      graft.transforms.TransformParser.Warnings.persist(
+        s.sparkContext.hadoopConfiguration, base, msg)
+    }
     val bd = probeDims(batch, "NEARDEDUP METHOD COSINE batch")
     if (bd == 0) return batch.select(col("id")).limit(0)
     if (bd != dims) throw graft.transforms.TransformParser.TransformError(
@@ -489,6 +495,94 @@ object VecKnn {
       .join(cVec, "c_id"),
       col("bv"), col("cv"), col("bnrm"), col("cnrm"), threshold)
       .select(col("b_id")).distinct()
+  }
+
+  /** Top-k cosine serving from a [[cosineStoreTo]] artifact — the KNN
+    * verb's STORED form for the sign-LSH family, closing the one
+    * stored-artifact asymmetry (all four families probe via NEARDEDUP
+    * AGAINST STORED, but before this only IVF served KNN): a user who
+    * built `INDEX … METHOD COSINE INTO` can now ask top-k from the same
+    * files. Shape mirrors [[cosineCrossMatchesStored]] steps 1–3 —
+    * query bucket fan-out, driver-side cell routing read as EXPLICIT
+    * cell paths, candidates = stored buckets ⋈ broadcast(query buckets)
+    * on (t, bucket) — then diverges at the consumer: instead of a
+    * threshold keep/drop, candidates are exact-reranked to the top-k
+    * (cosine DESC, neighbor id) per query. Candidates can only be
+    * MISSED, never mis-ranked (the rerank reads true vectors), so
+    * LSH serving inherits q35's contract: recall is governed by
+    * tables × bits, precision is exact.
+    *
+    * The store is content-keyed (id = xxhash64(v)), so `neighbor_id` is
+    * the stored entry's content hash, and a query whose own vector is
+    * indexed excludes ITSELF by content (c_id = xxhash64(qv)), not by
+    * user key — the gate's oracle states the same as `c.v <> q.v`.
+    *
+    * 100 TB shape: the per-batch cost is the routed bucket cells + the
+    * candidates' vector cells — the corpus never shuffles and nothing
+    * outside the batch's own cells is listed or read (q148's pattern).
+    * `queries` columns: (qid, qv: array<double>, qnrm).
+    */
+  def cosineKnnStored(s: org.apache.spark.sql.SparkSession, base: String,
+      queries: DataFrame, k: Int): DataFrame = {
+    val meta = s.read.parquet(s"$base/meta").head()
+    NearDup.requireKind(meta, base, "cosine_vec", "KNN … METHOD LSH STORED")
+    val cells = meta.getAs[Int]("cells")
+    val dims = meta.getAs[Int]("dims")
+    val tables = meta.getAs[Int]("tables")
+    val bits = meta.getAs[Int]("bits")
+    val q = queries.select(col("qid").as("id"), col("qv").as("v"),
+      col("qnrm").as("nrm"))
+    val qd = probeDims(q, "KNN … METHOD LSH STORED queries")
+    def empty = queries.select(col("qid"),
+        xxhash64(col("qv")).as("neighbor_id"),
+        col("qnrm").cast("double").as("cosine"), lit(0).as("rank"))
+      .limit(0)
+    if (qd == 0) return empty
+    if (qd != dims) throw graft.transforms.TransformParser.TransformError(
+      s"KNN … METHOD LSH STORED: query vectors are $qd-dimensional but " +
+        s"the stored index at $base holds $dims-dimensional vectors")
+    // checkpoint: feeds the routing collect AND the candidate join
+    val qb = bucketFrame(q, tables, bits, dims)
+      .toDF("qid", "t", "bucket")
+      .localCheckpoint(false)
+    val probeCells = qb
+      .select(pmod(xxhash64(col("t"), col("bucket")), lit(cells.toLong))
+        .cast("int").as("pc"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val bPaths = NearDup.existingCellPaths(s, s"$base/buckets", "pc",
+      probeCells)
+    if (bPaths.isEmpty) return empty
+    val stored = s.read.option("basePath", s"$base/buckets")
+      .parquet(bPaths: _*)
+      .select(col("id").as("c_id"), col("t"), col("bucket"))
+    // self-exclusion is by CONTENT, matching the store's key: the
+    // query's own indexed vector must not be its nearest neighbor
+    val qh = queries.select(col("qid"), xxhash64(col("qv")).as("qvh"))
+    // checkpoint: feeds the vector-cell routing AND the rerank join
+    val cand = stored.join(broadcast(qb), Seq("t", "bucket"))
+      .join(broadcast(qh), "qid")
+      .where(col("c_id") =!= col("qvh"))
+      .select(col("qid"), col("c_id")).distinct()
+      .localCheckpoint(false)
+    val vCells = cand
+      .select(pmod(xxhash64(col("c_id")), lit(cells.toLong))
+        .cast("int").as("sc"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val vPaths = NearDup.existingCellPaths(s, s"$base/vectors", "sc", vCells)
+    if (vPaths.isEmpty) return empty
+    val cVec = s.read.option("basePath", s"$base/vectors")
+      .parquet(vPaths: _*)
+      .select(col("id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cosine").desc, col("c_id"))
+    cVec.join(broadcast(cand), "c_id")
+      .join(broadcast(queries), "qid")
+      .withColumn("cosine",
+        round(dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("c_id").as("neighbor_id"), col("cosine"),
+        col("rank"))
   }
 
   /** Vector dimension of an (id, v, nrm) frame — 0 when empty, a

@@ -2281,6 +2281,280 @@ class AqlSpec extends AnyFunSuite {
     assert(kept() == keptBefore) // unrelated artifact untouched
   }
 
+  test("INDEX PQ / KNN STORED ADC: lifecycle equivalence + option algebra") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_aqlspec_pq")
+    graft.queries.Advanced.registerTmpDir(dir)
+    // 12 four-dim vectors in 2 cells; PQ 2 → two 2-dim subspaces with a
+    // 4-code codebook each. Deterministic, spread directions so top-k
+    // is stable.
+    def vframe(from: Int, until: Int) = (from until until).map { i =>
+      val a = i * 0.7
+      (i.toLong, Array(math.cos(a), math.sin(a),
+        math.cos(a * 1.3) * 0.5, math.sin(a * 1.3) * 0.5))
+    }.toDF("vid", "emb")
+    val basePq = dir.resolve("base.parquet").toString
+    val morePq = dir.resolve("more.parquet").toString
+    vframe(0, 12).write.parquet(basePq)
+    vframe(100, 106).write.parquet(morePq)
+    val idx = dir.resolve("ivfpq").toString
+    def run(pq: String, body: String) = Aql.run(spark,
+      s"""CONNECTION 'D' (DRIVER = 'file', FILE = '$pq',
+         |  FORMAT = 'parquet')
+         |TRANSFORM 'T' FROM CONNECTION D (
+         |  $body
+         |) INTO CONSOLE""".stripMargin).outputs("T")
+    run(basePq,
+      s"INDEX ON emb KEY vid METHOD IVF CELLS 2 PQ 2 PQCODES 4 INTO '$idx'")
+    // the artifact carries codes + codebook stores and PQ meta
+    for (sub <- Seq("codes", "codebook"))
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(idx, sub)), sub)
+    val meta = spark.read.parquet(s"$idx/meta").head()
+    assert(meta.getAs[Int]("pq_m") == 2 && meta.getAs[Int]("pq_subdim") == 2
+      && meta.getAs[Int]("pq_codes") == 4, meta.toString)
+
+    // the lifecycle invariant: with SHORTLIST ≥ all routed candidates the
+    // ADC pass shortlists EVERYTHING, so the exact rerank must answer
+    // byte-identically to the full-vector STORED probe — any defect in
+    // encode/codebook/LUT/candidate routing surfaces as a diff here
+    // (candidates lost from the codes store never reach the rerank)
+    def served(adc: Boolean): Seq[(Long, Long, Double, Int)] =
+      run(basePq,
+        s"KNN ON emb KEY vid TOP 3 METHOD IVF PROBE 2 STORED '$idx'" +
+          (if (adc) " ADC SHORTLIST 100" else "") + " QUERIES vid < 4")
+        .collect().map(r => (r.getAs[Long]("qid"),
+          r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"),
+          r.getAs[Int]("rank"))).toSeq.sorted
+    assert(served(adc = true) == served(adc = false))
+
+    // APPEND encodes the batch against the FROZEN codebook — appended
+    // vectors must be ADC-rankable (missing code rows would drop them
+    // from the shortlist and the equivalence would fail)
+    run(morePq, s"INDEX ON emb KEY vid METHOD IVF INTO '$idx' APPEND")
+    assert(served(adc = true) == served(adc = false))
+    // DELETE routes code rows with the index rows — a deleted vector
+    // must never resurface through an ADC shortlist
+    run(morePq, s"INDEX ON emb KEY vid METHOD IVF INTO '$idx' DELETE")
+    val afterDelete = served(adc = true)
+    assert(afterDelete == served(adc = false))
+    assert(!afterDelete.exists(_._2 >= 100L), afterDelete.toString)
+    // REBUILD re-picks the codebook from the current corpus exactly as
+    // centroids re-train; the rebuilt artifact still serves ADC
+    run(basePq, s"INDEX REBUILD '$idx'")
+    val metaRb = spark.read.parquet(s"$idx/meta").head()
+    assert(metaRb.getAs[Int]("pq_m") == 2, metaRb.toString)
+    assert(served(adc = true) == served(adc = false))
+
+    // implicit SHORTLIST is max(100, TOP): a bare ADC TOP 120 over a
+    // single cell of 150 vectors must return 120 ranks, not silently
+    // cap at the old fixed default of 100
+    val bigPq = dir.resolve("big.parquet").toString
+    vframe(0, 150).write.parquet(bigPq)
+    val bigIdx = dir.resolve("big").toString
+    run(bigPq,
+      s"INDEX ON emb KEY vid METHOD IVF CELLS 1 PQ 2 INTO '$bigIdx'")
+    val ranks = run(bigPq,
+      s"KNN ON emb KEY vid TOP 120 METHOD IVF PROBE 1 STORED '$bigIdx' " +
+        "ADC QUERIES vid = 0")
+      .collect().map(_.getAs[Int]("rank"))
+    assert(ranks.length == 120 && ranks.max == 120,
+      s"${ranks.length} ranks, max ${if (ranks.isEmpty) -1 else ranks.max}")
+    // derived PQCODES clamps to the corpus (150 entries < 256 target)
+    assert(spark.read.parquet(s"$bigIdx/meta").head()
+      .getAs[Int]("pq_codes") == 150)
+
+    // derived PQCODES on a tiny corpus is the entry count, not a
+    // 16-row promise the codebook pick cannot honor
+    val tinyPq = dir.resolve("tiny.parquet").toString
+    vframe(0, 3).write.parquet(tinyPq)
+    val tinyIdx = dir.resolve("tiny").toString
+    run(tinyPq, s"INDEX ON emb KEY vid METHOD IVF CELLS 1 PQ 2 INTO '$tinyIdx'")
+    assert(spark.read.parquet(s"$tinyIdx/meta").head()
+      .getAs[Int]("pq_codes") == 3)
+    assert(spark.read.parquet(s"$tinyIdx/codebook")
+      .where(org.apache.spark.sql.functions.col("m") === 0).count() == 3)
+
+    // option algebra
+    def bad(pq: String, body: String): String =
+      intercept[Exception](run(pq, body)).getMessage
+    assert(bad(basePq, s"INDEX ON emb KEY vid METHOD COSINE PQ 2 INTO '$idx'")
+      .contains("PQ only applies to METHOD IVF"))
+    assert(bad(basePq, s"INDEX ON emb KEY vid METHOD IVF PQCODES 4 INTO '$idx'")
+      .contains("PQCODES requires PQ"))
+    assert(bad(basePq,
+      s"INDEX ON emb KEY vid METHOD IVF PQ 3 INTO '${dir.resolve("x")}'")
+      .contains("must divide the vector dimension 4"))
+    assert(bad(basePq,
+      s"INDEX ON emb KEY vid METHOD IVF PQ 513 INTO '$idx'")
+      .contains("must be in [1, 512]"))
+    // SMALLINT persistence bounds the codebook width — a 40 000-code
+    // book would wrap ids negative and silently break the LUT join
+    assert(bad(basePq,
+      s"INDEX ON emb KEY vid METHOD IVF PQ 2 PQCODES 40000 INTO '$idx'")
+      .contains("[2, 32768]"))
+    assert(bad(basePq,
+      s"INDEX ON emb KEY vid METHOD IVF PQ 2 INTO '$idx' APPEND")
+      .contains("comes from the stored artifact"))
+    assert(bad(basePq,
+      "KNN ON emb KEY vid TOP 3 METHOD IVF ADC")
+      .contains("ADC only applies with STORED"))
+    assert(bad(basePq,
+      s"KNN ON emb KEY vid TOP 3 METHOD IVF STORED '$idx' SHORTLIST 50")
+      .contains("SHORTLIST only applies with ADC"))
+    assert(bad(basePq,
+      s"KNN ON emb KEY vid TOP 30 METHOD IVF STORED '$idx' ADC SHORTLIST 5")
+      .contains("must be >= TOP"))
+    // ADC against an artifact with no codes store: a clear pre-flight
+    // error naming the fix, not a mid-job path failure
+    val plainIdx = dir.resolve("plain").toString
+    run(basePq, s"INDEX ON emb KEY vid METHOD IVF CELLS 2 INTO '$plainIdx'")
+    assert(bad(basePq,
+      s"KNN ON emb KEY vid TOP 3 METHOD IVF STORED '$plainIdx' ADC")
+      .contains("carries no PQ codes"))
+  }
+
+  test("INDEX maintenance refuses non-atomic-rename object stores " +
+      "up front") {
+    // the single-writer lock and every cell/artifact swap assume atomic
+    // create/rename; on s3-style schemes neither exists, so the
+    // statement must refuse with the contract spelled out BEFORE any
+    // filesystem work (no s3 connector is present here — reaching the
+    // FS layer would throw an opaque class-not-found instead)
+    def bad(body: String): String =
+      intercept[Exception](Aql.run(spark,
+        s"""DATA 'C' ([[1, "some text here"]]) WITH (COLUMNS = 'Id, Txt')
+           |TRANSFORM 'K' FROM BLOCK C (
+           |  $body
+           |) INTO CONSOLE""".stripMargin)).getMessage
+    for (scheme <- Seq("s3a", "gs", "abfss", "wasb"))
+      assert(bad(s"INDEX COMPACT '$scheme://bucket/idx'")
+        .contains("atomic-rename"), scheme)
+    assert(bad("INDEX REBUILD 's3a://bucket/idx'")
+      .contains("atomic-rename"))
+    assert(bad(
+      "INDEX ON Txt KEY Id METHOD LSH INTO 's3a://bucket/idx' APPEND")
+      .contains("atomic-rename"))
+    assert(bad(
+      "INDEX ON Txt KEY Id METHOD LSH INTO 'gs://bucket/idx' DELETE")
+      .contains("atomic-rename"))
+  }
+
+  test("INDEX REBUILD THRESHOLD: re-bands from the shingle store; " +
+      "old-threshold probes error; non-LSH kinds reject") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_aqlspec_rbth")
+    graft.queries.Advanced.registerTmpDir(dir)
+    val corpusPq = dir.resolve("corpus.parquet").toString
+    val batchPq = dir.resolve("batch.parquet").toString
+    Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("id", "txt").write.parquet(corpusPq)
+    // 10 = exact copy (jaccard 1.0 — dropped at every threshold);
+    // 20 = 5 of 7 union shingles shared (jaccard 0.714286 — dropped at
+    // 0.5, KEPT at 0.9); 30 = unrelated (kept at both)
+    Seq((10L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (20L, "alpha beta gamma delta epsilon zeta eta iota"),
+        (30L, "completely different words about nothing shared at all"))
+      .toDF("id", "txt").write.parquet(batchPq)
+    val idx = dir.resolve("lsh").toString
+    def run(pq: String, body: String) = Aql.run(spark,
+      s"""CONNECTION 'D' (DRIVER = 'file', FILE = '$pq',
+         |  FORMAT = 'parquet')
+         |TRANSFORM 'T' FROM CONNECTION D (
+         |  $body
+         |) INTO CONSOLE""".stripMargin).outputs("T")
+    def kept(threshold: Double): Set[Long] = run(batchPq,
+      s"NEARDEDUP D AGAINST STORED '$idx' ON txt KEY id " +
+        s"THRESHOLD $threshold METHOD LSH")
+      .collect().map(_.getLong(0)).toSet
+    run(corpusPq,
+      s"INDEX ON txt KEY id METHOD LSH THRESHOLD 0.5 CELLS 8 INTO '$idx'")
+    // the gap the statement closes: a 0.9 probe of the 0.5-banded
+    // artifact errors on the banding mismatch (it cannot silently
+    // miss pairs), so before re-banding the 0.9 question is unaskable
+    val mm = intercept[Exception](kept(0.9)).getMessage
+    assert(mm.contains("was built with"), mm)
+    assert(kept(0.5) == Set(30L))
+    val rb = run(batchPq, s"INDEX REBUILD '$idx' THRESHOLD 0.9")
+      .collect().head
+    assert(rb.getAs[Long]("indexed_rows") == 1L, rb.toString)
+    val meta = spark.read.parquet(s"$idx/meta").head()
+    assert(meta.getAs[Int]("num_bands") == 32
+      && meta.getAs[Int]("rows_per_band") == 4, meta.toString)
+    assert(meta.getAs[String]("derived").split(",").contains("bands_rows"),
+      meta.toString)
+    // re-banded: the 0.9 probe now answers — 20 (0.714 < 0.9) is kept,
+    // the exact copy still drops; and the OLD threshold now errors
+    assert(kept(0.9) == Set(20L, 30L))
+    val mo = intercept[Exception](kept(0.5)).getMessage
+    assert(mo.contains("was built with"), mo)
+
+    // option algebra: non-LSH kinds reject THRESHOLD; an unreachable
+    // banding and an out-of-range threshold error at the right layer
+    val typoIdx = dir.resolve("typo").toString
+    run(corpusPq, s"INDEX ON txt KEY id METHOD TYPO CELLS 4 INTO '$typoIdx'")
+    def bad(body: String): String =
+      intercept[Exception](run(batchPq, body)).getMessage
+    assert(bad(s"INDEX REBUILD '$typoIdx' THRESHOLD 0.9")
+      .contains("only applies to lsh_text"))
+    assert(bad(s"INDEX REBUILD '$idx' THRESHOLD 0.05")
+      .contains("REBUILD THRESHOLD"))
+    assert(bad(s"INDEX REBUILD '$idx' THRESHOLD 1.5")
+      .contains("out of range"))
+  }
+
+  test("KNN METHOD LSH STORED: top-k from the cosine artifact, " +
+      "content self-exclusion, option algebra") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_aqlspec_klsh")
+    graft.queries.Advanced.registerTmpDir(dir)
+    val pq = dir.resolve("vecs.parquet").toString
+    // vid 5 duplicates vid 1's CONTENT — the store collapses them to one
+    // entry, and a query on vid 1 must exclude that entry by content
+    // (not key), so cosine 1.0 never appears in its answer
+    Seq((1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.1)),
+        (3L, Array(0.0, 1.0)), (4L, Array(0.1, 0.9)),
+        (5L, Array(1.0, 0.0)))
+      .toDF("vid", "emb").write.parquet(pq)
+    val idx = dir.resolve("cos").toString
+    def run(body: String) = Aql.run(spark,
+      s"""CONNECTION 'V' (DRIVER = 'file', FILE = '$pq',
+         |  FORMAT = 'parquet')
+         |TRANSFORM 'T' FROM CONNECTION V (
+         |  $body
+         |) INTO CONSOLE""".stripMargin).outputs("T")
+    run("INDEX ON emb KEY vid METHOD COSINE CELLS 4 TABLES 16 BITS 1 " +
+      s"INTO '$idx'")
+    val served = run(
+      s"KNN ON emb KEY vid TOP 2 METHOD LSH STORED '$idx' QUERIES vid = 1")
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Double]("cosine"),
+        r.getAs[Int]("rank"))).toSeq.sortBy(_._3)
+    // [0.9, 0.1] at cosine ≈ 0.993884, then [0.1, 0.9] at ≈ 0.110432;
+    // the duplicated [1, 0] entry is self-excluded, [0, 1] is rank 3
+    assert(served.map(_._3) == Seq(1, 2), served.toString)
+    assert(served.forall(_._1 == 1L), served.toString)
+    assert(math.abs(served.head._2 - 0.993884) < 1e-6, served.toString)
+    assert(math.abs(served(1)._2 - 0.110432) < 1e-6, served.toString)
+    assert(!served.exists(_._2 >= 0.999999), served.toString)
+
+    // geometry comes from meta — passing it is an error, as is serving
+    // the wrong family or asking for codes the store cannot hold
+    def bad(body: String): String =
+      intercept[Exception](run(body)).getMessage
+    assert(bad(s"KNN ON emb KEY vid METHOD LSH TABLES 8 STORED '$idx'")
+      .contains("TABLES/BITS do not apply with STORED"))
+    assert(bad(s"KNN ON emb KEY vid METHOD EXACT STORED '$idx'")
+      .contains("METHOD EXACT scans the source"))
+    assert(bad(s"KNN ON emb KEY vid METHOD LSH STORED '$idx' ADC")
+      .contains("ADC only applies to METHOD IVF STORED"))
+    val ivfIdx = dir.resolve("ivf").toString
+    run(s"INDEX ON emb KEY vid METHOD IVF CELLS 2 INTO '$ivfIdx'")
+    assert(bad(s"KNN ON emb KEY vid METHOD LSH STORED '$ivfIdx'")
+      .contains("not interchangeable"))
+    assert(bad(s"KNN ON emb KEY vid METHOD IVF STORED '$idx'")
+      .contains("not interchangeable"))
+  }
+
   test("INDEX derived-bits contract: stored cosine probe below the " +
       "threshold floor warns; dedup-grade probes stay silent") {
     import spark.implicits._
@@ -2324,6 +2598,21 @@ class AqlSpec extends AnyFunSuite {
     probe(0.99, (lvl, _, msg) =>
       if (lvl.equalsIgnoreCase("warning")) logged2 += msg)
     assert(logged2.isEmpty, logged2.mkString("; "))
+
+    // the warning PERSISTS into the artifact and INDEX DESCRIBE
+    // surfaces it — the ring above dies with this JVM, but the
+    // operator who asks "has anything probed this below contract?"
+    // tomorrow is a different process
+    probe(0.5, (_, _, _) => ())
+    val desc = Aql.run(spark,
+      s"""DATA 'One' ([[1]]) WITH (COLUMNS = 'X')
+         |TRANSFORM 'D' FROM BLOCK One (
+         |  INDEX DESCRIBE '$idx'
+         |) INTO CONSOLE""".stripMargin).outputs("D").collect()
+    assert(desc.forall(_.getAs[Long]("probe_warnings") >= 2L),
+      desc.mkString("; ")) // both below-floor probes recorded
+    assert(desc.forall(_.getAs[String]("last_warning")
+      .contains("DERIVED bits")), desc.mkString("; "))
   }
 
   test("NEARDEDUP METHOD COSINE: embedding dedup e2e; options validate") {
@@ -2556,10 +2845,14 @@ class AqlSpec extends AnyFunSuite {
       == want)
     assert(run(s"KNN ON emb KEY vid TOP 1 METHOD IVF PROBE 2 " +
       s"STORED '$base' QUERIES vid <= 2") == Seq((1L, 2L), (2L, 1L)))
-    // STORED option pairing: IVF-only, CELLS fixed by the artifact,
-    // one-source only
+    // STORED option pairing: EXACT has nothing stored to serve from;
+    // METHOD LSH now serves the COSINE family, so pointing it at an
+    // IVF artifact is a kind mismatch, not a parse error; CELLS fixed
+    // by the artifact; one-source only
+    assert(bad(s"KNN ON emb KEY vid METHOD EXACT STORED '$base'")
+      .contains("METHOD EXACT scans the source"))
     assert(bad(s"KNN ON emb KEY vid METHOD LSH STORED '$base'")
-      .contains("STORED only applies to METHOD IVF"))
+      .contains("not interchangeable"))
     assert(bad(s"KNN ON emb KEY vid METHOD IVF CELLS 2 STORED '$base'")
       .contains("CELLS does not apply with STORED"))
     val tw = intercept[Exception](Aql.run(spark,

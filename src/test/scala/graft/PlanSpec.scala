@@ -1030,4 +1030,62 @@ class PlanSpec extends AnyFunSuite {
     assert(typoKept.select("id").collect().map(_.getLong(0)).toSet ==
       Set(2L))
   }
+
+  test("q163: stored ADC probe — broadcast LUT join, partial agg, " +
+      "explicit code-cell roots, no SortAggregate") {
+    // the IVF-PQ serving contract at 100 TB: the candidate scan reads
+    // the routed cells of the CODES store as explicit cluster= paths
+    // (pm smallints per candidate, never the full vectors), the
+    // query-side LUT joins broadcast on (qid, m, code), ADC sums are
+    // partial+final hash aggregates, and both the shortlist and final
+    // top-k windows push group limits. Full vectors appear only under
+    // the broadcast shortlist join (the exact rerank).
+    import spark.implicits._
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_planspec_pq")
+    graft.queries.Advanced.registerTmpDir(idxDir)
+    val base = idxDir.resolve("ivfpq").toString
+    val corpus = (0 until 24).map { i =>
+      val a = i * 0.5
+      (i.toLong, Array(math.cos(a), math.sin(a),
+        math.cos(a * 1.7) * 0.5, math.sin(a * 1.7) * 0.5))
+    }.toDF("vid", "embedding")
+    graft.transforms.TransformParser
+      .parse(s"INDEX ON embedding KEY vid METHOD IVF CELLS 4 PQ 2 " +
+        s"PQCODES 8 INTO '$base'")
+      .build(Map.empty, corpus).collect()
+    val served = graft.transforms.TransformParser
+      .parse(s"KNN ON embedding KEY vid TOP 3 METHOD IVF PROBE 2 " +
+        s"STORED '$base' ADC SHORTLIST 10 QUERIES vid < 3")
+      .build(Map.empty, corpus)
+    val p = served.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"LUT/rerank joins must be broadcast hash joins:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"no pair space anywhere in the ADC probe:\n$p")
+    assert(!p.contains("SortAggregate"),
+      s"ADC sum must stay a hash aggregate:\n$p")
+    val hashAggs = "HashAggregate".r.findAllIn(p).size
+    assert(hashAggs >= 2, s"ADC sum must be partial+final:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"shortlist/top-k must push group limits:\n$p")
+    // routed-cell pruning is the explicit-path form on BOTH stores:
+    // every file scan rooted in the artifact must BE a cluster= dir
+    // (a regression to basePath-wide reads would re-pay listing ∝ index)
+    assert(served.collect().nonEmpty)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(pl: SparkPlan): Seq[FileSourceScanExec] = pl match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val artScans = scans(served.queryExecution.executedPlan)
+      .flatMap(_.relation.location.rootPaths.map(_.toString))
+      .filter(r => r.contains("ivfpq/codes") || r.contains("ivfpq/index"))
+    assert(artScans.nonEmpty && artScans.forall(_.contains("/cluster=")),
+      s"codes/index scans must root at explicit cell dirs, got:\n" +
+        artScans.mkString("\n"))
+  }
 }

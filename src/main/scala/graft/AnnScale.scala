@@ -48,6 +48,11 @@ object AnnScale {
   private final val NProbe = 2
   private final val TopK = 5
   private final val Panel = 8
+  // ADC leg (round 12): the q163 gate's PQ shape — 8 subspaces over
+  // the 64-dim embeddings, 16 codes per subspace, serving shortlist 20
+  private final val PqM = 8
+  private final val PqCodes = 16
+  private final val Shortlist = 20
 
   private def timed[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime()
@@ -151,6 +156,44 @@ object AnnScale {
       val cellsOk = answeredCells <= Panel.toLong * NProbe &&
         (cells <= Panel * NProbe || answeredCells < cells)
 
+      // ---- ADC leg (round 12): the PQ-coded serving path at the same
+      // corpus points. A second artifact is built WITH codebooks (the
+      // build is deterministic, so its centroids/assignment are
+      // identical to idxBase's), the panel is served through the ADC
+      // probe at the q163 gate's shortlist, and the leg carries its
+      // own closed form: with a SATURATING shortlist the ADC pass
+      // shortlists every routed candidate, so the exact rerank must
+      // reproduce the full-vector probe row-for-row at every k — a
+      // wrong codebook pick, encoding, LUT join or ADC sum breaks the
+      // equality. codes_bytes vs index_bytes quantifies WHY the path
+      // exists: the candidate scan reads pm smallints per row instead
+      // of dim doubles.
+      val pqDir = java.nio.file.Files.createTempDirectory("graft_annpq_")
+      graft.queries.Advanced.registerTmpDir(pqDir)
+      val (_, buildPqS) = timed {
+        Similarity.ivfStoreTo(pqDir.toString, corpus, cells,
+          pq = Some((PqM, PqCodes)))
+      }
+      def collectServe(df: org.apache.spark.sql.DataFrame)
+          : Seq[(Long, Long, Double, Int)] = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSeq.sorted
+      val (adcRows, probeAdcS) = timed {
+        collectServe(Similarity.ivfProbeStoredAdc(spark, pqDir.toString,
+          queries, NProbe, Shortlist, TopK))
+      }
+      val adcSat = collectServe(Similarity.ivfProbeStoredAdc(spark,
+        pqDir.toString, queries, NProbe, Int.MaxValue, TopK))
+      val fullOnPq = collectServe(Similarity.ivfProbeStored(spark,
+        pqDir.toString, queries, NProbe, TopK))
+      def storeBytes(sub: String): Long = {
+        val p = new org.apache.hadoop.fs.Path(s"$pqDir/$sub")
+        val pfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (pfs.exists(p)) pfs.getContentSummary(p).getLength else 0L
+      }
+      val codesBytes = storeBytes("codes")
+      val indexBytes = storeBytes("index")
+
       // brute-force truth over the SAME replicated corpus, same rounding
       // and tie-break — recall is measured against it per query
       val bw = Window.partitionBy("qid")
@@ -200,7 +243,11 @@ object AnnScale {
         // top-TopK is the query's own copies, which share its argmax
         // cell — probed first by construction. At k ≤ TopK recall is
         // plain nprobe-2 IVF quality: reported, not gated.
-        "recall_floor" -> (k <= TopK || recall >= 0.8))
+        "recall_floor" -> (k <= TopK || recall >= 0.8),
+        // ADC with a saturating shortlist shortlists every routed
+        // candidate, so the exact rerank must equal the full-vector
+        // probe row-for-row (both served from the PQ artifact)
+        "adc_saturating_equals_full" -> (adcSat == fullOnPq))
       val ok = checks.values.forall(identity)
       println(
         s"""{"metric":"ann_scale","k":$k,"corpus":$n,"cells":$cells,""" +
@@ -211,24 +258,28 @@ object AnnScale {
         buildRepeatS.fold("")(r =>
           s""""build_repeat":${math.round(r * 1000) / 1000.0},""") +
         s""""probe":${math.round(probeS * 1000) / 1000.0},""" +
+        s""""build_pq":${math.round(buildPqS * 1000) / 1000.0},""" +
+        s""""probe_adc":${math.round(probeAdcS * 1000) / 1000.0},""" +
         s""""dedup":${math.round(dedupS * 1000) / 1000.0}},""" +
+        s""""adc_rows":${adcRows.size},""" +
+        s""""codes_bytes":$codesBytes,"index_bytes":$indexBytes,""" +
         s""""invariants_ok":$ok,""" +
         s""""failed":[${checks.filterNot(_._2).keys.map("\"" + _ + "\"")
           .mkString(",")}]}""")
       require(ok, s"ann scale invariants failed at k=$k: " +
         checks.filterNot(_._2).keys.mkString(", "))
-      (k, buildS, probeS, dedupS)
+      (k, buildS, probeS, dedupS, probeAdcS)
     }
 
     for {
-      (1, b1, p1, d1) <- lines.find(_._1 == 1).toSeq
-      (k, bk, pk, dk) <- lines if k > 1
+      (1, b1, p1, d1, a1) <- lines.find(_._1 == 1).toSeq
+      (k, bk, pk, dk, ak) <- lines if k > 1
     } {
       def exp(t: Double, t0: Double) =
         math.round(math.log(t / t0) / math.log(k.toDouble) * 1000) / 1000.0
       println(s"""{"metric":"ann_scale_exponent","k":$k,""" +
         s""""build":${exp(bk, b1)},"probe":${exp(pk, p1)},""" +
-        s""""dedup":${exp(dk, d1)}}""")
+        s""""dedup":${exp(dk, d1)},"probe_adc":${exp(ak, a1)}}""")
     }
     spark.stop()
   }

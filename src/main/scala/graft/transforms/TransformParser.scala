@@ -1986,11 +1986,14 @@ object TransformParser {
     * below its contract?" (probe_warnings count + last_warning — the
     * [[Warnings.persist]] events, e.g. a below-derived-bits cosine
     * probe; the ring a spec asserts dies with the probing process, so
-    * the artifact carries its own telemetry). Cost: directory
-    * listings ∝ cells plus ONE narrow Spark aggregation per store that
-    * projects only the partition column (per-cell row counts come from
-    * parquet footers; no data pages are read); the per-cell collect is
-    * bounded by the cell cap (≤ 65 536 rows). Read-only — no
+    * the artifact carries its own telemetry). Cost: ONE recursive
+    * listing per store (a single streaming enumeration, never a
+    * round-trip per cell) plus one footer-only Spark aggregation per
+    * store (the scan projects only the partition column — no data
+    * pages); measured ∝ cells in SCALING.md round 12 (≈ 5 min at half
+    * the cell cap on local[32]) — a MAINTENANCE-cadence statement,
+    * never a per-probe one. The per-cell collect is bounded by the
+    * 65 536-cell cap. Read-only — no
     * maintenance lock taken: stats are advisory and each concurrent
     * cell swap is atomic, so a racing DESCRIBE sees each cell before
     * or after its rewrite, never half-written.
@@ -2055,24 +2058,57 @@ object TransformParser {
         .filterNot(Set("kind", "cells", "derived"))
         .map(f => s"$f=${metaRow.getAs[Any](f)}")
         .mkString(" ")
+      // Round-12 DESCRIBE cost lesson (SCALING.md): the first
+      // implementation issued one listFiles call PER CELL DIRECTORY —
+      // serial, driver-side, 32 768 round-trips at half the cell cap.
+      // File counts now come from ONE recursive listing per store (a
+      // single streaming enumeration of every file). The row counts
+      // deliberately STAY a Spark aggregation — see the note at the
+      // rowCounts binding for the measured result that killed the
+      // "driver-side parallel footer reads" alternative.
       val rows = stores.flatMap { case (sub, cellCol) =>
         val live = new Path(s"$dir/$sub")
         if (!fs.exists(live)) None
         else {
-          val cellDirs = fs.listStatus(live).toSeq
-            .filter(st => st.isDirectory &&
-              st.getPath.getName.startsWith(s"$cellCol="))
-          val filesPerCell = cellDirs.map { st =>
-            val it = fs.listFiles(st.getPath, true)
-            var n = 0L
+          val qlive = fs.makeQualified(live)
+          val prefix = s"$cellCol="
+          // one recursive enumeration; keep (cell, file) for data files
+          // directly under a cell directory, skipping hidden paths
+          val cellFiles = {
+            val buf = scala.collection.mutable.ArrayBuffer
+              .empty[(String, Path)]
+            val it = fs.listFiles(qlive, true)
             while (it.hasNext) {
-              val nm = it.next().getPath.getName
-              if (!nm.startsWith("_") && !nm.startsWith(".")) n += 1
+              val p = it.next().getPath
+              val nm = p.getName
+              if (!nm.startsWith("_") && !nm.startsWith(".")) {
+                var cell: String = null
+                var cur = p.getParent
+                var hidden = false
+                while (cur != null && cur != qlive) {
+                  val cn = cur.getName
+                  if (cn.startsWith(prefix)) cell = cn
+                  else if (cn.startsWith("_") || cn.startsWith("."))
+                    hidden = true
+                  cur = cur.getParent
+                }
+                if (cell != null && !hidden) buf += ((cell, p))
+              }
             }
-            n
-          }.filter(_ > 0)
+            buf.toSeq
+          }
+          val filesPerCell = cellFiles.groupBy(_._1)
+            .map { case (_, fsq) => fsq.size.toLong }.toSeq
+          // per-cell rows via ONE footer-only Spark aggregation (the
+          // scan projects only the partition column, so tasks read
+          // parquet footers, never data pages). A driver-side
+          // parallel-pool footer read was tried and MEASURED SLOWER —
+          // 617 s vs 280 s at the 32 768-cell BandScale point — the
+          // distributed job spreads the per-file open/parse cost over
+          // executors with none of the driver's per-open filesystem
+          // overhead, and on a real cluster the gap only widens
           val rowCounts: Seq[Long] =
-            if (filesPerCell.isEmpty) Seq.empty
+            if (cellFiles.isEmpty) Seq.empty
             else spark.read.parquet(live.toString)
               .groupBy(col(cellCol)).count()
               .collect().map(_.getAs[Long]("count")).toSeq

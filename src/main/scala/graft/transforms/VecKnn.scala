@@ -530,6 +530,27 @@ object VecKnn {
     val dims = meta.getAs[Int]("dims")
     val tables = meta.getAs[Int]("tables")
     val bits = meta.getAs[Int]("bits")
+    // the derived-bits contract, stated for SERVING: the derivation
+    // sizes buckets for dedup-grade similarity (~8 entries/bucket), so
+    // a top-k ask against a derived-bits artifact can miss MODERATE-
+    // similarity neighbors entirely (candidates can only be missed,
+    // never mis-ranked — the rerank is exact). Unlike the AGAINST
+    // probe there is no threshold to gate on, so the warning fires on
+    // every derived-bits serve: pin BITS (and size TABLES up) at build
+    // time, or serve through KNN IVF, which routes by distance and
+    // reranks exactly.
+    if (meta.schema.fieldNames.contains("derived") &&
+        meta.getAs[String]("derived").split(",").contains("bits")) {
+      val msg =
+        s"stored cosine index at $base uses DERIVED bits=$bits, sized " +
+          "for dedup-grade similarity; KNN top-k served from it can " +
+          "miss moderate-similarity neighbors (candidates are bucket " +
+          "collisions) — pin BITS (and larger TABLES) at build time, " +
+          "or serve through KNN METHOD IVF STORED, which reranks exactly"
+      graft.transforms.TransformParser.Warnings.emit(msg)
+      graft.transforms.TransformParser.Warnings.persist(
+        s.sparkContext.hadoopConfiguration, base, msg)
+    }
     val q = queries.select(col("qid").as("id"), col("qv").as("v"),
       col("qnrm").as("nrm"))
     val qd = probeDims(q, "KNN … METHOD LSH STORED queries")

@@ -2553,6 +2553,23 @@ class AqlSpec extends AnyFunSuite {
       .contains("not interchangeable"))
     assert(bad(s"KNN ON emb KEY vid METHOD IVF STORED '$idx'")
       .contains("not interchangeable"))
+
+    // serving from a DERIVED-bits artifact warns (the dedup-grade
+    // geometry contract applied to top-k, where there is no threshold
+    // to gate on) and the warning persists for DESCRIBE; the pinned
+    // artifact above served silently
+    val derivedIdx = dir.resolve("cos_derived").toString
+    run(s"INDEX ON emb KEY vid METHOD COSINE CELLS 4 INTO '$derivedIdx'")
+    run(s"KNN ON emb KEY vid TOP 2 METHOD LSH STORED '$derivedIdx' " +
+      "QUERIES vid = 1").collect()
+    assert(graft.transforms.TransformParser.Warnings.recent
+      .exists(_.contains("KNN top-k served")))
+    val desc = run(s"INDEX DESCRIBE '$derivedIdx'").collect()
+    assert(desc.forall(_.getAs[Long]("probe_warnings") >= 1L),
+      desc.mkString("; "))
+    val descPinned = run(s"INDEX DESCRIBE '$idx'").collect()
+    assert(descPinned.forall(_.getAs[Long]("probe_warnings") == 0L),
+      descPinned.mkString("; "))
   }
 
   test("INDEX derived-bits contract: stored cosine probe below the " +

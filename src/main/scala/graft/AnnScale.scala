@@ -186,13 +186,8 @@ object AnnScale {
         pqDir.toString, queries, NProbe, Int.MaxValue, TopK))
       val fullOnPq = collectServe(Similarity.ivfProbeStored(spark,
         pqDir.toString, queries, NProbe, TopK))
-      def storeBytes(sub: String): Long = {
-        val p = new org.apache.hadoop.fs.Path(s"$pqDir/$sub")
-        val pfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (pfs.exists(p)) pfs.getContentSummary(p).getLength else 0L
-      }
-      val codesBytes = storeBytes("codes")
-      val indexBytes = storeBytes("index")
+      val codesBytes = Tables.dirBytes(spark, s"$pqDir/codes")
+      val indexBytes = Tables.dirBytes(spark, s"$pqDir/index")
 
       // brute-force truth over the SAME replicated corpus, same rounding
       // and tie-break — recall is measured against it per query

@@ -165,11 +165,7 @@ object BandScale {
       // written here purely to measure what the artifact WOULD cost
       // without the hashing (same partitioning/write shape), then
       // deleted. Diagnostic, outside the timed sections.
-      def dirBytes(path: String): Long = {
-        val p = new org.apache.hadoop.fs.Path(path)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
-      }
+      def dirBytes(path: String): Long = Tables.dirBytes(spark, path)
       val rawDir = java.nio.file.Files.createTempDirectory("graft_rawsh_")
       shC.withColumn("sc",
           pmod(xxhash64(col("id")), lit(cells.toLong)).cast("int"))

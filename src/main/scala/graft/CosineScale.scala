@@ -132,6 +132,30 @@ object CosineScale {
             Threshold, Some(Tables), Some(bits))
           .collect().map(_.getLong(0)).toSet
       }
+      // ---- KNN serving leg (round 12, q164's path): top-k from the
+      // SAME stored artifact. Queries are 2× the first 8 corpus
+      // vectors — content-DISTINCT (so the store's self-exclusion does
+      // not fire) yet sign-IDENTICAL (positive scaling preserves every
+      // hyperplane sign), so each query collides with its original in
+      // EVERY table at ANY bit width, and doubling is exact in IEEE
+      // arithmetic, so the closed form holds bit-for-bit at every k:
+      // rank 1 must be the original at round-6 cosine 1.0. Expected
+      // flat: per-query candidate mass ≈ tables × corpus/2^bits,
+      // constant under the derived 2^bits ∝ corpus.
+      val knnQueries = spark.range(0, BatchVecs)
+        .select(col("id").as("qid"),
+          transform(synthVec(col("id")), x => x * 2).as("qv"))
+        .withColumn("qnrm", l2norm(col("qv")))
+        .localCheckpoint()
+      val (knnRows, knnS) = timed {
+        VecKnn.cosineKnnStored(spark, base, knnQueries, 5)
+          .collect()
+          .map(r => (r.getLong(0), r.getDouble(2), r.getInt(3))).toSeq
+      }
+      val knnRank1 = knnRows.filter(_._3 == 1)
+      val knnRank1Self = knnRank1.length == BatchVecs &&
+        knnRank1.forall(_._2 == 1.0)
+
       // diagnostics, outside the timed probe: the cells the batch routes
       // to, and the ROWS those routed cells actually hold — wall-clock at
       // this toy scale carries a per-FILE constant (footer read + task)
@@ -175,7 +199,8 @@ object CosineScale {
         "matched_closed_form" -> (k == 1 || matched1.exists(_ == matchedK)),
         "baseline_nonempty" -> matched1.exists(_.nonEmpty),
         "cell_subset" -> (probeCells <= math.min(batchKeys, cells.toLong) &&
-          (cells <= batchKeys || probeCells < cells)))
+          (cells <= batchKeys || probeCells < cells)),
+        "knn_rank1_self" -> knnRank1Self)
       val ok = checks.values.forall(identity)
       println(
         s"""{"metric":"cosine_scale","k":$k,"corpus":$n,"bits":$bits,""" +
@@ -186,23 +211,26 @@ object CosineScale {
         s""""vectors":$vectorRowsScanned},""" +
         s""""matched":${matchedK.size},""" +
         s""""sec":{"build":${math.round(buildS * 1000) / 1000.0},""" +
-        s""""probe":${math.round(probeS * 1000) / 1000.0}},""" +
+        s""""probe":${math.round(probeS * 1000) / 1000.0},""" +
+        s""""knn":${math.round(knnS * 1000) / 1000.0}},""" +
+        s""""knn_rows":${knnRows.size},""" +
         s""""invariants_ok":$ok,""" +
         s""""failed":[${checks.filterNot(_._2).keys.map("\"" + _ + "\"")
           .mkString(",")}]}""")
       require(ok, s"cosine scale invariants failed at k=$k: " +
         checks.filterNot(_._2).keys.mkString(", "))
-      (k, buildS, probeS)
+      (k, buildS, probeS, knnS)
     }
 
     for {
-      (1, b1, p1) <- lines.find(_._1 == 1).toSeq
-      (k, bk, pk) <- lines if k > 1
+      (1, b1, p1, kn1) <- lines.find(_._1 == 1).toSeq
+      (k, bk, pk, knk) <- lines if k > 1
     } {
       def exp(t: Double, t0: Double) =
         math.round(math.log(t / t0) / math.log(k.toDouble) * 1000) / 1000.0
       println(s"""{"metric":"cosine_scale_exponent","k":$k,""" +
-        s""""build":${exp(bk, b1)},"probe":${exp(pk, p1)}}""")
+        s""""build":${exp(bk, b1)},"probe":${exp(pk, p1)},""" +
+        s""""knn":${exp(knk, kn1)}}""")
     }
     spark.stop()
   }

@@ -92,6 +92,7 @@ object Plans {
     "q163_aql_index_ivf_pq" -> "INDEX PQ build (separate engine run) -> KNN STORED ADC: routed CODE cells scan (pm smallints/candidate), broadcast (qid,m,code) LUT join, DECIMAL-exact partial+final ADC agg, WindowGroupLimit shortlist, full vectors only under the broadcast rerank join",
     "q164_aql_knn_cosine_stored" -> "INDEX COSINE (separate engine run) -> KNN LSH STORED: routed bucket cells, broadcast query-bucket collision join, content self-exclusion, exact rerank with WindowGroupLimit top-k",
     "q165_aql_index_rebuild_threshold" -> "build at 0.5 -> REBUILD THRESHOLD 0.9 (re-bands from the stored hashed shingles) -> probe at 0.9: q148's routed-cell left-anti shape over the re-banded artifact",
+    "q166_stream_knn_adc" -> "streaming ADC serving: 4 microbatches each answered from the PQ codes store (explain cannot render the in-flight streaming plan; the per-batch plan is q163's broadcast-LUT ADC shape)",
   )
 
   def main(args: Array[String]): Unit = {

@@ -57,4 +57,14 @@ object Tables {
 
   /** Exact decimal sum surfaced as double (stable column type for the oracle). */
   def dsum(c: Column): Column = sum(dec2(c)).cast("double")
+
+  /** Total bytes under a path (0 when absent) — the artifact-size audit
+    * the scale harnesses (BandScale, AnnScale) report; one definition so
+    * a fix applies everywhere.
+    */
+  def dirBytes(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+  }
 }

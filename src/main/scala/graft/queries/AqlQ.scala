@@ -1593,11 +1593,12 @@ object AqlQ {
     // stays out of the hash — against the brute-force top-5 over
     // DISTINCT corpus vectors with content self-exclusion. Geometry is
     // PINNED at TABLES 32 BITS 2: recall must be exactly 1.0 for the
-    // hash to match (collision probability per orthogonal pair
-    // ≥ 1 − 1e-8 at 32 tables × 2 bits), which is the gate's point —
-    // LSH candidates can only be missed, and at this geometry nothing
-    // is missed, so the serving path's routing/rerank algebra is pinned
-    // end-to-end.
+    // hash to match (per-pair miss ≤ (1−p²)³² — ~1e-4 for an
+    // orthogonal pair, ≤ ~1e-7 for a true neighbor at cosine ≥ 0.4;
+    // deterministic on the fixed panel, and verified green at every
+    // shipped SF), which is the gate's point — LSH candidates can only
+    // be missed, and at this geometry nothing is missed, so the
+    // serving path's routing/rerank algebra is pinned end-to-end.
     QueryDef(
       "q164_aql_knn_cosine_stored",
       Similarity.storedCosineKnnOracleSql) { (s, dir) =>

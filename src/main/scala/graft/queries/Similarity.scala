@@ -184,6 +184,25 @@ object Similarity {
       ivfStoreFrom(e, IvfCells)
     })
 
+  /** One PQ-carrying stored artifact per corpus dir per JVM — the
+    * [[storedIvf]] memo for the ADC family (q163's artifact shape:
+    * same centroids/cells plus per-subspace codebooks + code arrays),
+    * shared by the streaming gate so q166 never re-pays the build.
+    */
+  private val storedIvfPq =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[queries] def ivfPqStore(s: SparkSession, dir: String): String =
+    storedIvfPq.getOrElseUpdate(dir, {
+      val e = emb(s, dir).withColumn("nrm", l2norm(col("v")))
+        .localCheckpoint(false)
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_ivfpq_")
+      Advanced.registerTmpDir(idxDir)
+      ivfStoreTo(idxDir.toString, e, IvfCells,
+        pq = Some((StoredPqM, StoredPqCodes)))
+      idxDir.toString
+    })
+
   /** Above this cell count the stored-index build switches from flat
     * argmax assignment (O(N·cells) score rows — the stage SCALING.md
     * measured super-linear: 385 s at 1.02 M vectors × 362 cells) to the
@@ -761,11 +780,16 @@ object Similarity {
     * whichever one takes the lower rank, so no engine-specific
     * tie-break can leak into the hash. Hash-exactness then rests on the
     * probe's RECALL being 1.0 at the gate geometry (TABLES 32 BITS 2:
-    * a miss needs all 32 tables to split the pair, ≤ (1−p²)³² with
-    * per-hyperplane agreement p = 1 − θ/π — ~1e-8 even for orthogonal
-    * pairs), the q153 argument applied to top-k serving: LSH candidates
-    * can only be missed, never mis-ranked, and at this geometry nothing
-    * is missed on the panel.
+    * a miss needs all 32 tables to split the pair — ≤ (1−p²)³² with
+    * per-hyperplane agreement p = 1 − θ/π, i.e. ~1e-4 for a fully
+    * ORTHOGONAL pair and ≤ ~1e-7 for a true top-5 neighbor at
+    * cosine ≥ 0.4, where p² ≥ 0.398), the q153 argument applied to
+    * top-k serving: LSH candidates can only be missed, never
+    * mis-ranked. The margin is thin in expectation but the GATE is
+    * deterministic — seeded hyperplanes over fixed test data — and
+    * verified green at every shipped SF; a future corpus change that
+    * lands on a deterministic miss fails loudly at gate time, not
+    * silently in production.
     */
   private[queries] def storedCosineKnnOracleSql: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -864,15 +888,34 @@ object Similarity {
       .localCheckpoint(false)
   }
 
+  /** Artifact dirs whose kind this JVM already validated — the kind of
+    * a directory is immutable (REBUILD preserves it), so the probe hot
+    * path pays the meta existence-check + read ONCE per artifact, not
+    * once per query batch / streaming microbatch. A validation that
+    * THROWS is not cached (getOrElseUpdate aborts), so a mis-kinded
+    * path keeps erroring.
+    */
+  private val kindValidated =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
   private[graft] def ivfProbeStored(s: SparkSession, base: String,
       queries: DataFrame, nprobe: Int = StoredProbes,
       topK: Int = K): DataFrame = {
     // kind check BEFORE touching the stores: probing (say) a cosine
     // bucket artifact here would otherwise fail with an opaque
-    // missing-centroids path error instead of naming both kinds
-    graft.transforms.NearDup.requireKind(
-      s.read.parquet(s"$base/meta").head(), base, "ivf_vec",
-      "KNN … STORED")
+    // missing-centroids path error instead of naming both kinds.
+    // Pre-meta artifacts (no meta/ at all) stay probe-able, matching
+    // requireKind's own back-compat contract — the check is skipped,
+    // not failed.
+    kindValidated.getOrElseUpdate(base, {
+      val mp = new org.apache.hadoop.fs.Path(s"$base/meta")
+      val mfs = mp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (mfs.exists(mp))
+        graft.transforms.NearDup.requireKind(
+          s.read.parquet(s"$base/meta").head(), base, "ivf_vec",
+          "KNN … STORED")
+      true
+    })
     val probes = ivfProbeCells(s, base, queries, nprobe)
     val cells = probes.select("cluster").distinct().collect()
       .map(_.getInt(0)).sorted

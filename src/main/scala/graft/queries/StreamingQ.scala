@@ -628,6 +628,52 @@ object StreamingQ {
         .select(col("qid"), col("neighbor_id"), col("cosine"), col("rank"))
     },
 
+    // Streaming ADC serving from the stored IVF-PQ artifact — q139's
+    // shape over the round-12 serving path: the query panel arrives as
+    // 4 real microbatches and each is answered ENTIRELY from the
+    // PQ-coded files (routed CODE cells → broadcast LUT → DECIMAL-exact
+    // ADC → shortlist → full vectors only for the rerank — the q163
+    // machinery, byte-identical because it IS the same
+    // ivfProbeStoredAdc). Every ADC stage is per-query independent
+    // (per-qid LUT, per-qid shortlist window, per-qid rerank), so the
+    // union of per-batch answers must equal the one-shot panel — the
+    // gate shares q163's oracle, hash-exact. batchId-keyed idempotent
+    // sink, per-batch cost ∝ the batch's own routed cells.
+    QueryDef(
+      "q166_stream_knn_adc",
+      Similarity.storedIvfPqOracleSql) { (s, dir) =>
+      import graft.functions.Vectors.l2norm
+      val base = Similarity.ivfPqStore(s, dir)
+      val qBase = java.nio.file.Files.createTempDirectory("graft_adcstream_")
+      Advanced.registerTmpDir(qBase)
+      val inDir = s"$qBase/in"
+      val resDir = s"$qBase/out"
+      Similarity.emb(s, dir)
+        .where(col("vec_id") < Similarity.StoredQueries)
+        .repartition(4)
+        .write.mode("overwrite").parquet(inDir)
+      val schema = s.read.parquet(inDir).schema
+      drainAvailableNow(s, "q166_stream_knn_adc", noDataBatch = false) { ckpt =>
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir)
+          .writeStream
+          .outputMode("append")
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val sp = batch.sparkSession
+            val queries = batch.select(col("vec_id").as("qid"),
+              col("v").as("qv"), l2norm(col("v")).as("qnrm"))
+            Similarity.ivfProbeStoredAdc(sp, base, queries,
+                Similarity.StoredProbes, Similarity.StoredPqShortlist)
+              .write.mode("overwrite").parquet(s"$resDir/batch=$batchId")
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      s.read.parquet(resDir)
+        .select(col("qid"), col("neighbor_id"), col("cosine"), col("rank"))
+    },
+
     // Streaming incremental dedup from the STORED band index — the
     // continuous-ingestion consumer of q144's artifact, completing the
     // triangle q139 drew for ANN (one write-once index; q144 = batch

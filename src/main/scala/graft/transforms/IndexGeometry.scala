@@ -100,14 +100,15 @@ object IndexGeometry {
     * (FAISS IVFADC's k* = 2^8; each code is one byte per subspace) —
     * clamped to the corpus's own entry count LAST (a codebook cannot
     * hold more distinct centroids than there are training subvectors,
-    * so a 3-vector corpus gets 3 codes, not a 16-row promise the
-    * codebook pick cannot honor) and floored at 2 (one code per
-    * subspace quantizes nothing). Unlike cells/bits this default does
+    * so a 3-vector corpus gets 3 codes — and a 1-vector corpus 1 code,
+    * degenerate but honest: a floor above the entry count would put a
+    * promise in meta the codebook pick cannot honor).
+    * Unlike cells/bits this default does
     * NOT grow with the corpus: ADC probe cost is ∝ candidates in the
     * routed cells (governed by [[ivfCells]]), and codebook width buys
     * shortlist QUALITY at a constant per-candidate cost, so a constant
     * is the scale-correct choice here.
     */
   def pqCodes(entries: Long): Int =
-    math.max(2L, math.min(256L, entries)).toInt
+    math.max(1L, math.min(256L, entries)).toInt
 }

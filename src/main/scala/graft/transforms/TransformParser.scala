@@ -42,33 +42,53 @@ object TransformParser {
     }
     def recent: Seq[String] = ring.toArray(Array.empty[String]).toSeq
 
-    /** Best-effort persistence of a STORED-ARTIFACT warning into the
-      * artifact itself (`<base>/.probe_warnings/`), so "this artifact
-      * has been probed below its contract" is discoverable from INDEX
-      * DESCRIBE afterwards — the in-memory ring dies with the probing
-      * process, which is never the process that runs DESCRIBE. One
+    /** Best-effort persistence of a STORED-ARTIFACT warning, so "this
+      * artifact has been probed below its contract" is discoverable
+      * from INDEX DESCRIBE afterwards — the in-memory ring dies with
+      * the probing process, which is never the process that runs
+      * DESCRIBE. Written to a SIBLING directory of the artifact
+      * ([[probeWarningsDir]]), NOT inside it: probes are lock-free BY
+      * CONTRACT, and a write inside the artifact would break the
+      * maintenance swaps' safety argument — mkdirs on
+      * `<dir>/.probe_warnings` auto-creates `<dir>` itself, so a probe
+      * racing INDEX REBUILD's two-rename window could resurrect the
+      * live path as a junk directory and the swap-in rename would then
+      * move the staged artifact INTO it (Hadoop rename-onto-existing-
+      * dir semantics), losing the store. The sibling keeps the
+      * artifact byte-read-only to probes (a rebuild also preserves the
+      * history — "probed below contract last week" stays visible). One
       * tiny uniquely-named file per event (no renames — safe to race
       * on any store), capped at 64 by deleting oldest; every failure
-      * is swallowed, because telemetry must never fail a probe (the
-      * probe itself stays read-only in effect: a read-only-mounted
-      * artifact simply records nothing). The dot-name keeps the dir
-      * invisible to parquet readers and the maintenance walks.
+      * is swallowed, because telemetry must never fail a probe.
       */
     def persist(conf: org.apache.hadoop.conf.Configuration, base: String,
         msg: String): Unit = try {
-      import org.apache.hadoop.fs.Path
-      val d = new Path(s"$base/.probe_warnings")
-      val fs = d.getFileSystem(conf)
-      fs.mkdirs(d)
-      val f = new Path(d, s"w_${System.currentTimeMillis()}_" +
-        java.util.UUID.randomUUID().toString.take(8))
-      val out = fs.create(f, false)
-      try out.write(msg.getBytes("UTF-8")) finally out.close()
-      val all = fs.listStatus(d).map(_.getPath).sortBy(_.getName)
-      if (all.length > 64) all.take(all.length - 64)
-        .foreach(p => try fs.delete(p, false)
-          catch { case _: Throwable => () })
+      probeWarningsDir(base).foreach { d =>
+        val fs = d.getFileSystem(conf)
+        fs.mkdirs(d)
+        val f = new org.apache.hadoop.fs.Path(d,
+          s"w_${System.currentTimeMillis()}_" +
+            java.util.UUID.randomUUID().toString.take(8))
+        val out = fs.create(f, false)
+        try out.write(msg.getBytes("UTF-8")) finally out.close()
+        val all = fs.listStatus(d).map(_.getPath).sortBy(_.getName)
+        if (all.length > 64) all.take(all.length - 64)
+          .foreach(p => try fs.delete(p, false)
+            catch { case _: Throwable => () })
+      }
     } catch { case _: Throwable => () }
+
+    /** `<parent>/.probe_warnings_<name>` for an artifact at
+      * `<parent>/<name>` — None for a filesystem-root artifact (no
+      * parent to write a sibling into; telemetry is skipped).
+      */
+    def probeWarningsDir(base: String)
+        : Option[org.apache.hadoop.fs.Path] = {
+      val b = new org.apache.hadoop.fs.Path(base)
+      Option(b.getParent)
+        .map(p => new org.apache.hadoop.fs.Path(p,
+          s".probe_warnings_${b.getName}"))
+    }
   }
 
   sealed trait Verb {
@@ -2022,12 +2042,15 @@ object TransformParser {
           } catch { case _: Throwable => "unknown holder" }
       }
       // "has anything probed this artifact below its contract?" — the
-      // persisted Warnings.persist events (count + most recent), so a
-      // below-derived-bits probe run last week is operationally visible
-      // today; REBUILD stages a fresh sibling, so rebuilding clears them
+      // persisted Warnings.persist events (count + most recent), read
+      // from the artifact's SIBLING warnings dir (probes never write
+      // inside the artifact — see Warnings.persist), so a
+      // below-derived-bits probe run last week is operationally
+      // visible today, and survives a REBUILD
       val (probeWarnings, lastWarning) = {
-        val wd = new Path(s"$dir/.probe_warnings")
-        if (!fs.exists(wd)) (0L, "")
+        val wdOpt = Warnings.probeWarningsDir(dir)
+        val wd = wdOpt.orNull
+        if (wd == null || !fs.exists(wd)) (0L, "")
         else {
           val files = fs.listStatus(wd).toSeq.map(_.getPath)
             .sortBy(_.getName)
@@ -2349,6 +2372,18 @@ object TransformParser {
           if (!fs.rename(dirPath, oldP)) throw new IllegalStateException(
             s"INDEX REBUILD: cannot stage out $dir — the rebuild was " +
               s"NOT applied (the staged artifact remains at $stage)")
+          // defensive: nothing internal writes into the live path
+          // between the two renames (probe warnings go to a SIBLING
+          // for exactly this reason — Warnings.persist), so a
+          // resurrected live dir means external interference; renaming
+          // onto an existing directory would move the staged artifact
+          // INTO it (Hadoop semantics) and silently lose the store —
+          // fail loudly instead, with both recovery paths named
+          if (fs.exists(dirPath)) throw new IllegalStateException(
+            s"INDEX REBUILD: $dir reappeared between the swap renames " +
+              s"(external writer?) — the prior artifact is at $oldP " +
+              s"and the rebuilt one at $stage; remove the junk $dir " +
+              "and restore one of them manually")
           if (!fs.rename(stage, dirPath)) {
             val restored = fs.rename(oldP, dirPath)
             throw new IllegalStateException(

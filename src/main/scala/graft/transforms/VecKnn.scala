@@ -452,7 +452,8 @@ object VecKnn {
           "pairs — rebuild with explicit BITS (and larger TABLES), or " +
           "serve through KNN/IVF which reranks exactly"
       graft.transforms.TransformParser.Warnings.emit(msg)
-      // also into the artifact: the operator who runs INDEX DESCRIBE
+      // also persisted (to the artifact's SIBLING warnings dir — see
+      // Warnings.persist): the operator who runs INDEX DESCRIBE
       // tomorrow is not the process that probed below contract today
       graft.transforms.TransformParser.Warnings.persist(
         s.sparkContext.hadoopConfiguration, base, msg)
@@ -551,10 +552,16 @@ object VecKnn {
       graft.transforms.TransformParser.Warnings.persist(
         s.sparkContext.hadoopConfiguration, base, msg)
     }
-    val q = queries.select(col("qid").as("id"), col("qv").as("v"),
+    // materialize the panel once: it feeds the bucket fan-out, the
+    // content-hash exclusion frame AND the rerank broadcast join —
+    // unmaterialized (the verb's prep passes materialize = false for
+    // stored serving) each consumer would re-run the full source
+    // scan + cast + norm pipeline just to extract the tiny panel
+    val qs = queries.localCheckpoint(false)
+    val q = qs.select(col("qid").as("id"), col("qv").as("v"),
       col("qnrm").as("nrm"))
     val qd = probeDims(q, "KNN … METHOD LSH STORED queries")
-    def empty = queries.select(col("qid"),
+    def empty = qs.select(col("qid"),
         xxhash64(col("qv")).as("neighbor_id"),
         col("qnrm").cast("double").as("cosine"), lit(0).as("rank"))
       .limit(0)
@@ -578,7 +585,7 @@ object VecKnn {
       .select(col("id").as("c_id"), col("t"), col("bucket"))
     // self-exclusion is by CONTENT, matching the store's key: the
     // query's own indexed vector must not be its nearest neighbor
-    val qh = queries.select(col("qid"), xxhash64(col("qv")).as("qvh"))
+    val qh = qs.select(col("qid"), xxhash64(col("qv")).as("qvh"))
     // checkpoint: feeds the vector-cell routing AND the rerank join
     val cand = stored.join(broadcast(qb), Seq("t", "bucket"))
       .join(broadcast(qh), "qid")
@@ -597,7 +604,7 @@ object VecKnn {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cosine").desc, col("c_id"))
     cVec.join(broadcast(cand), "c_id")
-      .join(broadcast(queries), "qid")
+      .join(broadcast(qs), "qid")
       .withColumn("cosine",
         round(dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")), 6))
       .withColumn("rank", row_number().over(w))

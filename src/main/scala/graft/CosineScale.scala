@@ -142,11 +142,13 @@ object CosineScale {
       // rank 1 must be the original at round-6 cosine 1.0. Expected
       // flat: per-query candidate mass ≈ tables × corpus/2^bits,
       // constant under the derived 2^bits ∝ corpus.
+      // no harness-side checkpoint: cosineKnnStored materializes its
+      // panel internally (its multi-consumer contract), and a second
+      // checkpoint here would land inside the timed section
       val knnQueries = spark.range(0, BatchVecs)
         .select(col("id").as("qid"),
           transform(synthVec(col("id")), x => x * 2).as("qv"))
         .withColumn("qnrm", l2norm(col("qv")))
-        .localCheckpoint()
       val (knnRows, knnS) = timed {
         VecKnn.cosineKnnStored(spark, base, knnQueries, 5)
           .collect()

@@ -893,7 +893,13 @@ object Similarity {
     * path pays the meta existence-check + read ONCE per artifact, not
     * once per query batch / streaming microbatch. A validation that
     * THROWS is not cached (getOrElseUpdate aborts), so a mis-kinded
-    * path keeps erroring.
+    * path keeps erroring. Known tradeoff, error QUALITY only: if an
+    * artifact is deleted and a different-kind one is built at the SAME
+    * path within one JVM, the skipped re-check degrades the clear
+    * "not interchangeable" message to the engine's own missing-store
+    * path error — the probe still fails loudly, never silently
+    * mis-serves. Cleared at 4096 entries (harness runs mint temp-dir
+    * artifacts; the memo must not grow with them).
     */
   private val kindValidated =
     scala.collection.concurrent.TrieMap.empty[String, Boolean]
@@ -907,6 +913,7 @@ object Similarity {
     // Pre-meta artifacts (no meta/ at all) stay probe-able, matching
     // requireKind's own back-compat contract — the check is skipped,
     // not failed.
+    if (kindValidated.size > 4096) kindValidated.clear()
     kindValidated.getOrElseUpdate(base, {
       val mp = new org.apache.hadoop.fs.Path(s"$base/meta")
       val mfs = mp.getFileSystem(s.sparkContext.hadoopConfiguration)

@@ -126,6 +126,50 @@ object StreamingQ {
     }
   }
 
+  /** The shared streaming-serving scaffold of the two stored-ANN gates
+    * (q139 full-vector, q166 ADC): the 8-query panel arrives as 4 real
+    * microbatches (maxFilesPerTrigger = 1 over a 4-file panel write)
+    * and each batch is answered ENTIRELY from the stored artifact by
+    * `probe`, landing in a batchId-keyed idempotent sink — a
+    * re-executed microbatch OVERWRITES its own directory instead of
+    * appending a duplicate answer set (the standard deterministic-path
+    * pattern a transactional MERGE-on-batchId sink generalizes); the
+    * union is read back as the gate's answer. ONE copy of the
+    * in/out/foreachBatch/read-back machinery so the serving gates can
+    * never drift on the sink or drain pattern.
+    */
+  private def streamPanelServe(s: SparkSession, dir: String, label: String,
+      probe: (SparkSession, DataFrame) => DataFrame): DataFrame = {
+    import graft.functions.Vectors.l2norm
+    val qBase = java.nio.file.Files.createTempDirectory(s"graft_${label}_")
+    Advanced.registerTmpDir(qBase)
+    val inDir = s"$qBase/in"
+    val resDir = s"$qBase/out"
+    Similarity.emb(s, dir)
+      .where(col("vec_id") < Similarity.StoredQueries)
+      .repartition(4)
+      .write.mode("overwrite").parquet(inDir)
+    val schema = s.read.parquet(inDir).schema
+    drainAvailableNow(s, label, noDataBatch = false) { ckpt =>
+      s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+        .writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val sp = batch.sparkSession
+          val queries = batch.select(col("vec_id").as("qid"),
+            col("v").as("qv"), l2norm(col("v")).as("qnrm"))
+          probe(sp, queries)
+            .write.mode("overwrite").parquet(s"$resDir/batch=$batchId")
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    s.read.parquet(resDir)
+      .select(col("qid"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   val entries: Seq[QueryDef] = Seq(
 
     // Tumbling 6h event-time windows over the events stream; complete-mode
@@ -589,43 +633,10 @@ object StreamingQ {
     QueryDef(
       "q139_stream_knn",
       Similarity.storedIvfOracleSql) { (s, dir) =>
-      import graft.functions.Vectors.l2norm
       // once-per-corpus: the SHARED index build (identical to q136's)
       val base = Similarity.ivfStore(s, dir)
-      val qBase = java.nio.file.Files.createTempDirectory("graft_knnstream_")
-      Advanced.registerTmpDir(qBase)
-      val inDir = s"$qBase/in"
-      val resDir = s"$qBase/out"
-      // the query panel arrives as a stream: pre-split into 4 files so
-      // maxFilesPerTrigger=1 yields 4 real microbatches of ~2 queries
-      Similarity.emb(s, dir)
-        .where(col("vec_id") < Similarity.StoredQueries)
-        .repartition(4)
-        .write.mode("overwrite").parquet(inDir)
-      val schema = s.read.parquet(inDir).schema
-      drainAvailableNow(s, "q139_stream_knn", noDataBatch = false) { ckpt =>
-        s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(inDir)
-          .writeStream
-          .outputMode("append")
-          .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            val sp = batch.sparkSession
-            val queries = batch.select(col("vec_id").as("qid"),
-              col("v").as("qv"), l2norm(col("v")).as("qnrm"))
-            // idempotent under foreachBatch's at-least-once contract: a
-            // re-executed microbatch OVERWRITES its own batchId-keyed
-            // directory instead of appending a duplicate answer set —
-            // the standard deterministic-path pattern a transactional
-            // sink (MERGE on batchId) generalizes
-            Similarity.ivfProbeStored(sp, base, queries)
-              .write.mode("overwrite").parquet(s"$resDir/batch=$batchId")
-          }
-          .option("checkpointLocation", ckpt)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-      }
-      s.read.parquet(resDir)
-        .select(col("qid"), col("neighbor_id"), col("cosine"), col("rank"))
+      streamPanelServe(s, dir, "q139_stream_knn",
+        (sp, queries) => Similarity.ivfProbeStored(sp, base, queries))
     },
 
     // Streaming ADC serving from the stored IVF-PQ artifact — q139's
@@ -642,36 +653,10 @@ object StreamingQ {
     QueryDef(
       "q166_stream_knn_adc",
       Similarity.storedIvfPqOracleSql) { (s, dir) =>
-      import graft.functions.Vectors.l2norm
       val base = Similarity.ivfPqStore(s, dir)
-      val qBase = java.nio.file.Files.createTempDirectory("graft_adcstream_")
-      Advanced.registerTmpDir(qBase)
-      val inDir = s"$qBase/in"
-      val resDir = s"$qBase/out"
-      Similarity.emb(s, dir)
-        .where(col("vec_id") < Similarity.StoredQueries)
-        .repartition(4)
-        .write.mode("overwrite").parquet(inDir)
-      val schema = s.read.parquet(inDir).schema
-      drainAvailableNow(s, "q166_stream_knn_adc", noDataBatch = false) { ckpt =>
-        s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(inDir)
-          .writeStream
-          .outputMode("append")
-          .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            val sp = batch.sparkSession
-            val queries = batch.select(col("vec_id").as("qid"),
-              col("v").as("qv"), l2norm(col("v")).as("qnrm"))
-            Similarity.ivfProbeStoredAdc(sp, base, queries,
-                Similarity.StoredProbes, Similarity.StoredPqShortlist)
-              .write.mode("overwrite").parquet(s"$resDir/batch=$batchId")
-          }
-          .option("checkpointLocation", ckpt)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-      }
-      s.read.parquet(resDir)
-        .select(col("qid"), col("neighbor_id"), col("cosine"), col("rank"))
+      streamPanelServe(s, dir, "q166_stream_knn_adc",
+        (sp, queries) => Similarity.ivfProbeStoredAdc(sp, base, queries,
+          Similarity.StoredProbes, Similarity.StoredPqShortlist))
     },
 
     // Streaming incremental dedup from the STORED band index — the

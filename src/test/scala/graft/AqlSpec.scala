@@ -2616,18 +2616,20 @@ class AqlSpec extends AnyFunSuite {
       if (lvl.equalsIgnoreCase("warning")) logged2 += msg)
     assert(logged2.isEmpty, logged2.mkString("; "))
 
-    // the warning PERSISTS into the artifact and INDEX DESCRIBE
-    // surfaces it — the ring above dies with this JVM, but the
-    // operator who asks "has anything probed this below contract?"
-    // tomorrow is a different process
+    // the warning PERSISTS (to the artifact's sibling warnings dir)
+    // and INDEX DESCRIBE surfaces it — the ring above dies with this
+    // JVM, but the operator who asks "has anything probed this below
+    // contract?" tomorrow is a different process. Identical messages
+    // persist once per process (the serve-path cost contract), so two
+    // below-floor probes in this JVM record ≥ 1 event, not 2
     probe(0.5, (_, _, _) => ())
     val desc = Aql.run(spark,
       s"""DATA 'One' ([[1]]) WITH (COLUMNS = 'X')
          |TRANSFORM 'D' FROM BLOCK One (
          |  INDEX DESCRIBE '$idx'
          |) INTO CONSOLE""".stripMargin).outputs("D").collect()
-    assert(desc.forall(_.getAs[Long]("probe_warnings") >= 2L),
-      desc.mkString("; ")) // both below-floor probes recorded
+    assert(desc.forall(_.getAs[Long]("probe_warnings") >= 1L),
+      desc.mkString("; "))
     assert(desc.forall(_.getAs[String]("last_warning")
       .contains("DERIVED bits")), desc.mkString("; "))
   }

@@ -2489,6 +2489,27 @@ class AqlSpec extends AnyFunSuite {
     val mo = intercept[Exception](kept(0.5)).getMessage
     assert(mo.contains("was built with"), mo)
 
+    // a RAW-scheme store (shingles persisted as strings — the Scala
+    // API's hashShingles = false form; the verb always hashes) re-bands
+    // through the full hash chain, the bandKeysFromStored branch the
+    // default scheme never exercises; answers must match the hashed
+    // store's
+    val rawIdx = dir.resolve("raw").toString
+    val shC = graft.transforms.NearDup.shingled(
+      spark.read.parquet(corpusPq), "id", "txt")
+    graft.transforms.NearDup.bandStoreTo(rawIdx, shC,
+      numPerm = 128, numBands = 64, rowsPerBand = 2, cells = 8,
+      hashShingles = false)
+    run(batchPq, s"INDEX REBUILD '$rawIdx' THRESHOLD 0.9")
+    val rawMeta = spark.read.parquet(s"$rawIdx/meta").head()
+    assert(rawMeta.getAs[Int]("num_bands") == 32
+      && rawMeta.getAs[String]("shingle_scheme") == "raw", rawMeta.toString)
+    val keptRaw = run(batchPq,
+      s"NEARDEDUP D AGAINST STORED '$rawIdx' ON txt KEY id " +
+        "THRESHOLD 0.9 METHOD LSH")
+      .collect().map(_.getLong(0)).toSet
+    assert(keptRaw == Set(20L, 30L), keptRaw.toString)
+
     // option algebra: non-LSH kinds reject THRESHOLD; an unreachable
     // banding and an out-of-range threshold error at the right layer
     val typoIdx = dir.resolve("typo").toString

@@ -695,7 +695,7 @@ object Aql {
     // violations, clamped cell derivations) surface through the same
     // logger at WARNING; the hook is process-global, so the last run's
     // wiring wins — fine under the engine's one-run-at-a-time contract
-    graft.transforms.TransformParser.Warnings.hook =
+    graft.transforms.IndexMaintenance.Warnings.hook =
       m => emit("warning", "transform", m)
     try {
       roots.distinct.foreach { n =>

@@ -1,0 +1,1190 @@
+package graft.transforms
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import TransformParser.{TransformError, Verb, intOption, spreadForCpu, CosineDefaults}
+
+/** Stored-index build + maintenance surface, extracted from
+  * [[TransformParser]] (round 13, mechanical move — zero behavior
+  * change): the INDEX verb family (build/APPEND/DELETE/COMPACT/
+  * REBUILD[/THRESHOLD]/DESCRIBE), the single-writer maintenance lock,
+  * the atomic-rename storage contract, and the advisory [[Warnings]]
+  * channel the stored-artifact probes share. The reference has no
+  * stored indexes; this whole surface is the 100 TB-scale extension
+  * documented in SURVEY.md §8.
+  */
+private[graft] object IndexMaintenance {
+  /** Advisory warnings the verbs emit at build/probe time — cases where
+    * the statement is VALID but its configuration is known to degrade
+    * at scale (a derived-bits cosine artifact probed below the
+    * derivation's threshold contract; a derived cell count clamped at
+    * the 65 536 cap). They go to stderr always, to the engine logger at
+    * WARNING level when run under Aql (the hook is installed per run),
+    * and into a bounded ring so specs can assert a warning fired
+    * without scraping logs. Errors stay errors — a warning is only for
+    * configurations that are correct today and slow tomorrow.
+    */
+  private[graft] object Warnings {
+    private val ring =
+      new java.util.concurrent.ConcurrentLinkedQueue[String]
+    @volatile private[graft] var hook: String => Unit = _ => ()
+    def emit(msg: String): Unit = {
+      ring.add(msg)
+      while (ring.size > 64) ring.poll()
+      Console.err.println(s"[graft] WARNING: $msg")
+      hook(msg)
+    }
+    def recent: Seq[String] = ring.toArray(Array.empty[String]).toSeq
+
+    /** Best-effort persistence of a STORED-ARTIFACT warning, so "this
+      * artifact has been probed below its contract" is discoverable
+      * from INDEX DESCRIBE afterwards — the in-memory ring dies with
+      * the probing process, which is never the process that runs
+      * DESCRIBE. Written to a SIBLING directory of the artifact
+      * ([[probeWarningsDir]]), NOT inside it: probes are lock-free BY
+      * CONTRACT, and a write inside the artifact would break the
+      * maintenance swaps' safety argument — mkdirs on
+      * `<dir>/.probe_warnings` auto-creates `<dir>` itself, so a probe
+      * racing INDEX REBUILD's two-rename window could resurrect the
+      * live path as a junk directory and the swap-in rename would then
+      * move the staged artifact INTO it (Hadoop rename-onto-existing-
+      * dir semantics), losing the store. The sibling keeps the
+      * artifact byte-read-only to probes (a rebuild also preserves the
+      * history — "probed below contract last week" stays visible). One
+      * tiny uniquely-named file per event (no renames — safe to race
+      * on any store), capped at 64 by deleting oldest; every failure
+      * is swallowed, because telemetry must never fail a probe. Each
+      * distinct (artifact, message) persists ONCE per process: the
+      * messages are configuration statements ("this artifact's derived
+      * bits don't fit this ask"), so a streaming job serving thousands
+      * of batches records the fact once instead of paying mkdirs +
+      * create + listStatus + cap-eviction per batch on the serving hot
+      * path — the in-memory [[emit]] still fires per occurrence for
+      * specs and logs.
+      */
+    private val persisted =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+    def persist(conf: org.apache.hadoop.conf.Configuration, base: String,
+        msg: String): Unit = try {
+      if (!persisted.add(base + "\u0000" + msg)) return
+      probeWarningsDir(base).foreach { d =>
+        val fs = d.getFileSystem(conf)
+        fs.mkdirs(d)
+        val f = new org.apache.hadoop.fs.Path(d,
+          s"w_${System.currentTimeMillis()}_" +
+            java.util.UUID.randomUUID().toString.take(8))
+        val out = fs.create(f, false)
+        try out.write(msg.getBytes("UTF-8")) finally out.close()
+        val all = fs.listStatus(d).map(_.getPath).sortBy(_.getName)
+        if (all.length > 64) all.take(all.length - 64)
+          .foreach(p => try fs.delete(p, false)
+            catch { case _: Throwable => () })
+      }
+    } catch { case _: Throwable => () }
+
+    /** `<parent>/.probe_warnings_<name>` for an artifact at
+      * `<parent>/<name>` — None for a filesystem-root artifact (no
+      * parent to write a sibling into; telemetry is skipped).
+      */
+    def probeWarningsDir(base: String)
+        : Option[org.apache.hadoop.fs.Path] = {
+      val b = new org.apache.hadoop.fs.Path(base)
+      Option(b.getParent)
+        .map(p => new org.apache.hadoop.fs.Path(p,
+          s".probe_warnings_${b.getName}"))
+    }
+  }
+  // ----------------------------------------------------------------- INDEX
+
+  /** INDEX ON <col> KEY <keycol> METHOD LSH|IVF|COSINE|TYPO
+    *       [THRESHOLD <0-1>] [BANDS <b> ROWS <r>] [CELLS <c>]
+    *       [TABLES <t>] [BITS <b>] INTO '<dir>' [APPEND|DELETE]
+    *
+    * The durable index BUILD step — the language-reachable producer for
+    * every stored artifact the probe forms consume (`NEARDEDUP …
+    * AGAINST STORED` for LSH/COSINE/TYPO, `KNN … STORED` for IVF).
+    * Writes the artifact to the USER-CHOSEN directory `<dir>` — not a
+    * self-deleting temp path — so "write once, probe forever" holds
+    * across jobs and JVMs: one AQL script builds the corpus index, every
+    * later script (batch or streaming) probes the files without ever
+    * scanning, shingling, bucketing or assigning the corpus again.
+    *
+    * Method → artifact (each is the exact layout its probe validates
+    * against, shared code with the gate machinery so the verb can never
+    * diverge):
+    *  - LSH — banded MinHash text index ([[NearDup.bandStoreTo]]):
+    *    banding from BANDS/ROWS or auto-chosen from THRESHOLD (default
+    *    0.5, the [[NearDup.autoBands]] recall bound); the probe's
+    *    banding must match (validated via `meta/`). Corpus texts are
+    *    EXACT-FIRST collapsed (one entry per distinct text, keyed by
+    *    xxhash64(text)) — membership is all the AGAINST probe asks, and
+    *    verification sets are stored as hashed shingles (the q31 key).
+    *  - IVF — vector cell index ([[graft.queries.Similarity]]'s
+    *    ivfStoreTo, the q136/q147 artifact): KEY becomes the served
+    *    vec_id; CELLS defaults to [[IndexGeometry.ivfCells]] = ⌈√n⌉
+    *    over the corpus rows (the two-level build quantizer takes over
+    *    above 64 cells automatically).
+    *  - COSINE — sign-LSH bucket index ([[VecKnn.cosineStoreTo]]):
+    *    TABLES defaults to 32; BITS defaults to
+    *    [[IndexGeometry.cosineBits]] — 2^bits ∝ distinct entries, the
+    *    sizing graft.CosineScale measured flat (a constant bit width
+    *    grows probe cost ∝ corpus). Exact-duplicate vectors collapse to
+    *    one entry (keyed by xxhash64(v)).
+    *  - TYPO — delete-1 variant index ([[NearDup.typoStoreTo]]):
+    *    distinct strings keyed by xxhash64(string).
+    *
+    * CELLS is the artifact's partition-cell count for the non-IVF
+    * methods; it defaults to [[IndexGeometry.storeCells]] — cells ∝
+    * distinct entries (graft.BandScale's sizing), which keeps a fixed
+    * probe batch's scanned ROW count corpus-independent. Deriving needs
+    * the entry count before the write, so an un-pinned build pays one
+    * extra count job over the collapsed reps — on the build, the one
+    * corpus-sized statement of the deployment, never on probes. All
+    * derived geometry is frozen into `meta/`; probes adopt it from
+    * there (passing TABLES/BITS at probe time is only a cross-check).
+    *
+    * KEY must name an existing column on every method (symmetry with
+    * the probe verbs); for LSH/COSINE/TYPO the stored entries are keyed
+    * by content hash (ids never surface from an AGAINST probe), while
+    * IVF stores the key itself (KNN returns it as neighbor_id).
+    *
+    * The build is EAGER (the writes run when the block builds) and the
+    * block's output is a one-row summary (path, kind, cells,
+    * indexed_rows — the artifact's TOTAL entries after this statement)
+    * — pipe it to a console/param destination for logging, or ignore
+    * it.
+    *
+    * `INTO '<dir>' APPEND` is the index-MAINTENANCE form: the block's
+    * rows are ADDED to an existing artifact instead of rebuilding it —
+    * the growing-corpus story at 100 TB, where re-shingling yesterday's
+    * exabyte to ingest today's terabyte is not an option. All geometry
+    * (banding, cells, tables/bits, IVF centroids) comes from the
+    * artifact's `meta/`, so every geometry option is REJECTED with
+    * APPEND (the same algebra as KNN STORED rejecting CELLS), and
+    * appending METHOD X onto a kind-Y artifact errors. For LSH, COSINE
+    * and TYPO an entry's index rows are pure functions of its own
+    * content, so build-then-append is EXACTLY a full build of the union
+    * (q156 pins this bit-for-bit against the full-build oracle); IVF
+    * appends against the FROZEN centroids (how production IVF ingests —
+    * see Similarity.ivfStoreAppend for the drift caveat). Appended rows
+    * land as new files in existing cell directories; probe routing is
+    * unchanged.
+    *
+    * `INTO '<dir>' DELETE` completes the maintenance triple: the
+    * block's rows are REMOVED from the artifact — the contaminated/
+    * opted-out/re-ingested-document path a 100 TB deployment cannot
+    * run without (re-shingling the exabyte to forget a terabyte is
+    * not an option). Routing reuses each family's own content math
+    * (band keys / bucket keys / variant hashes / frozen-centroid
+    * assignment — geometry from `meta/`, same option algebra as
+    * APPEND), so ONLY the batch's routed cell directories are
+    * rewritten (NearDup.deleteFromCellStore's staging + two-rename
+    * swap; untouched cells are never listed or read) and the cost is
+    * governed by the batch, never the index. LSH/COSINE/TYPO deletes
+    * are CONTENT-KEYED like their stores — deleting a text/vector
+    * removes its membership however many rows or appends carried it
+    * (q159 pins the semantics against an oracle that says the same in
+    * SQL); IVF deletes by the user's vec_id within the routed cells
+    * (FAISS remove_ids semantics — supply the stored vector so the
+    * frozen assignment routes to its cell). Centroids, supers and
+    * `meta/` are untouched on every family.
+    */
+  private[transforms] object IndexParser {
+    private val Re =
+      raw"(?is)^INDEX\s+ON\s+([A-Za-z_]\w*)\s+KEY\s+([A-Za-z_]\w*)\s+METHOD\s+([A-Za-z]+)(?:\s+THRESHOLD\s+([0-9]*\.?[0-9]+))?(?:\s+BANDS\s+(\d+)\s+ROWS\s+(\d+))?(?:\s+CELLS\s+(\d+))?(?:\s+TABLES\s+(\d+))?(?:\s+BITS\s+(\d+))?(?:\s+PQ\s+(\d+))?(?:\s+PQCODES\s+(\d+))?\s+INTO\s+'([^']+)'(?:\s+(APPEND|DELETE))?\s*$$".r
+    private val CompactRe =
+      raw"(?is)^INDEX\s+COMPACT\s+'([^']+)'\s*$$".r
+    private val DescribeRe =
+      raw"(?is)^INDEX\s+DESCRIBE\s+'([^']+)'\s*$$".r
+    private val RebuildRe =
+      raw"(?is)^INDEX\s+REBUILD\s+'([^']+)'(?:\s+THRESHOLD\s+([0-9]*\.?[0-9]+))?\s*$$".r
+
+    def parse(t: String): Verb = t.trim match {
+      case CompactRe(dir) => IndexCompactVerb(dir)
+      case DescribeRe(dir) => IndexDescribeVerb(dir)
+      case RebuildRe(dir, th) =>
+        val t = Option(th).map(_.toDouble)
+        t.foreach(v => if (v <= 0 || v > 1) throw TransformError(
+          s"INDEX REBUILD THRESHOLD $v out of range (0, 1]"))
+        IndexRebuildVerb(dir, t)
+      case Re(on, key, method, th, bands, rows, cells, tables, bits, pq,
+          pqCodes, dir, app) =>
+        val m = method.toUpperCase
+        if (!Set("LSH", "IVF", "COSINE", "TYPO").contains(m))
+          throw TransformError(
+            s"INDEX METHOD $m unknown (expected LSH, IVF, COSINE or TYPO)")
+        val maint = Option(app).map(_.toUpperCase) // APPEND | DELETE
+        val append = maint.contains("APPEND")
+        val delete = maint.contains("DELETE")
+        if (append || delete) // the artifact fixes ALL geometry — the
+          // same option algebra as KNN STORED rejecting CELLS: accepting
+          // a knob the store overrides would silently lie about what was
+          // built (and a DELETE that accepted different geometry would
+          // route to the wrong cells and silently delete nothing)
+          for ((v, what) <- Seq((th, "THRESHOLD"), (bands, "BANDS/ROWS"),
+              (cells, "CELLS"), (tables, "TABLES"), (bits, "BITS"),
+              (pq, "PQ"), (pqCodes, "PQCODES")))
+            if (v != null) throw TransformError(
+              s"INDEX … ${maint.get}: $what comes from the stored " +
+                "artifact's meta and cannot be overridden (drop the option)")
+        def rejectUnless(meth: String, what: String, v: String): Unit =
+          if (v != null && m != meth) throw TransformError(
+            s"INDEX $what only applies to METHOD $meth")
+        rejectUnless("LSH", "THRESHOLD", th)
+        rejectUnless("LSH", "BANDS/ROWS", bands)
+        rejectUnless("COSINE", "TABLES", tables)
+        rejectUnless("COSINE", "BITS", bits)
+        rejectUnless("IVF", "PQ", pq)
+        if (pqCodes != null && pq == null) throw TransformError(
+          "INDEX PQCODES requires PQ <m> (the codebook width without " +
+            "subspaces sizes nothing)")
+        val threshold = Option(th).map(_.toDouble).getOrElse(0.5)
+        if (threshold <= 0 || threshold > 1) throw TransformError(
+          s"INDEX THRESHOLD $threshold out of range (0, 1]")
+        val br = (Option(bands), Option(rows)) match {
+          case (Some(b), Some(r)) => Some((intOption("INDEX", "BANDS", b),
+            intOption("INDEX", "ROWS", r)))
+          case _ => None // regex captures BANDS+ROWS together or not at all
+        }
+        br.foreach { case (b, r) =>
+          if (b < 1 || r < 1 || b * r > 128) throw TransformError(
+            s"INDEX BANDS $b ROWS $r invalid (need BANDS ≥ 1, ROWS ≥ 1, " +
+              "BANDS × ROWS ≤ 128 signature permutations)")
+        }
+        if (m == "LSH" && br.isEmpty && maint.isEmpty)
+          try NearDup.autoBands(threshold)
+          catch { // surface the no-config case at parse time, not mid-job
+            case e: IllegalArgumentException => throw TransformError(
+              s"INDEX METHOD LSH: ${e.getMessage}")
+          }
+        val ce = Option(cells).map(intOption("INDEX", "CELLS", _))
+        ce.foreach(c => if (c < 1) throw TransformError(
+          s"INDEX CELLS $c must be >= 1"))
+        val tb = Option(tables).map(intOption("INDEX", "TABLES", _))
+          .getOrElse(CosineDefaults._1)
+        // BITS stays optional through to the build: absent means DERIVE
+        // from the corpus's distinct-entry count (IndexGeometry), so the
+        // one-line INDEX scales instead of freezing a toy bucket width
+        val bi = Option(bits).map(intOption("INDEX", "BITS", _))
+        if (tb < 1 || bi.exists(b => b < 1 || b > 30)) throw TransformError(
+          s"INDEX TABLES $tb BITS ${bi.getOrElse("")} invalid (need " +
+            "TABLES ≥ 1, 1 ≤ BITS ≤ 30)")
+        val pqM = Option(pq).map(intOption("INDEX", "PQ", _))
+        pqM.foreach(p => if (p < 1 || p > 512) throw TransformError(
+          s"INDEX PQ $p must be in [1, 512] subspaces"))
+        // PQCODES stays optional through to the build: absent means
+        // DERIVE (IndexGeometry.pqCodes — 256 clamped to the corpus)
+        // 32 768, not 65 536: code ids are persisted as SMALLINT (one
+        // narrow column per candidate is the whole point of PQ), so ids
+        // ≥ 32 768 would wrap negative and the probe-time LUT equi-join
+        // would silently skip those subspaces — partial ADC sums, wrong
+        // shortlists, no error
+        val pqK = Option(pqCodes).map(intOption("INDEX", "PQCODES", _))
+        pqK.foreach(k => if (k < 2 || k > 32768) throw TransformError(
+          s"INDEX PQCODES $k must be in [2, 32768] (code ids are " +
+            "stored as SMALLINT)"))
+        IndexVerb(on, key, m, dir, threshold, br, ce, tb, bi, append,
+          delete, pqM, pqK)
+      case _ => throw TransformError(
+        "cannot parse INDEX (expected INDEX ON <col> KEY <keycol> " +
+          "METHOD LSH|IVF|COSINE|TYPO [THRESHOLD <0-1>] " +
+          "[BANDS <n> ROWS <n>] [CELLS <n>] [TABLES <n>] [BITS <n>] " +
+          "[PQ <m>] [PQCODES <n>] " +
+          "INTO '<dir>' [APPEND|DELETE], INDEX COMPACT '<dir>', " +
+          "INDEX DESCRIBE '<dir>', or INDEX REBUILD '<dir>' " +
+          "[THRESHOLD <0-1>])")
+    }
+  }
+
+  /** Shared artifact-layout resolution for the maintenance statements
+    * (COMPACT, DESCRIBE): meta row, artifact kind, and the kind's store
+    * sub-directories with their cell columns. Mirrors requireKind's
+    * back-compat — a pre-kind artifact (meta without the column) is
+    * inferred from its store layout instead of throwing an opaque
+    * field-not-found error. Centroids/supers/meta are single small
+    * files and never append, so they are not listed as stores.
+    */
+  private def storedIndexLayout(spark: org.apache.spark.sql.SparkSession,
+      dir: String, what: String)
+      : (org.apache.spark.sql.Row, String, Seq[(String, String)]) = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(s"$dir/meta"))) throw TransformError(
+      s"$what: no stored index at $dir")
+    val metaRow = spark.read.parquet(s"$dir/meta").head()
+    val kind =
+      if (metaRow.schema.fieldNames.contains("kind"))
+        metaRow.getAs[String]("kind")
+      else if (fs.exists(new Path(s"$dir/bands"))) "lsh_text"
+      else if (fs.exists(new Path(s"$dir/buckets"))) "cosine_vec"
+      else if (fs.exists(new Path(s"$dir/variants"))) "typo_text"
+      else if (fs.exists(new Path(s"$dir/index"))) "ivf_vec"
+      else throw TransformError(
+        s"$what: artifact at $dir predates kind metadata and " +
+          "has no recognizable store layout — rebuild it with INDEX … INTO")
+    val stores: Seq[(String, String)] = kind match {
+      case "lsh_text" => Seq("bands" -> "pc", "shingles" -> "sc")
+      case "cosine_vec" => Seq("buckets" -> "pc", "vectors" -> "sc")
+      case "typo_text" => Seq("variants" -> "pc", "strings" -> "sc")
+      case "ivf_vec" => Seq("index" -> "cluster", "codes" -> "cluster")
+      case other => throw TransformError(
+        s"$what: unknown artifact kind '$other' at $dir")
+    }
+    (metaRow, kind, stores)
+  }
+
+  /** INDEX DESCRIBE '<dir>' — the operability statement of the
+    * maintenance story: an operator running APPEND/DELETE/COMPACT on a
+    * shared artifact needs a language-level way to inspect it. One row
+    * per store sub-directory answering the operational questions:
+    * "what is this?" (kind, geometry — with `derived` naming which
+    * fields IndexGeometry sized from the corpus vs. builder pins),
+    * "how big?" (entries = store rows; cells_present of cells), "do I
+    * need COMPACT?" (multi_file_cells, max_files_per_cell — each
+    * APPEND adds one file per touched cell), "are my cells skewed?"
+    * (rows_min/rows_max/rows_avg per present cell), "is maintenance
+    * running?" (lock_holder — the `.maint_lock` holder line, "" when
+    * free; a crashed job's leftover lock shows up here before the
+    * operator removes it) and "has anything probed this artifact
+    * below its contract?" (probe_warnings count + last_warning — the
+    * [[Warnings.persist]] events, e.g. a below-derived-bits cosine
+    * probe; the ring a spec asserts dies with the probing process, so
+    * the artifact carries its own telemetry). Cost: ONE recursive
+    * listing per store (a single streaming enumeration, never a
+    * round-trip per cell) plus one footer-only Spark aggregation per
+    * store (the scan projects only the partition column — no data
+    * pages); measured ∝ cells in SCALING.md round 12 (≈ 5 min at half
+    * the cell cap on local[32]) — a MAINTENANCE-cadence statement,
+    * never a per-probe one. The per-cell collect is bounded by the
+    * 65 536-cell cap. Read-only — no
+    * maintenance lock taken: stats are advisory and each concurrent
+    * cell swap is atomic, so a racing DESCRIBE sees each cell before
+    * or after its rewrite, never half-written.
+    */
+  final case class IndexDescribeVerb(dir: String) extends Verb {
+    def build(sources: Map[String, DataFrame], primary: DataFrame)
+        : DataFrame = {
+      import org.apache.hadoop.fs.Path
+      val spark = primary.sparkSession
+      val fs = new Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val (metaRow, kind, stores) = storedIndexLayout(spark, dir,
+        "INDEX DESCRIBE")
+      // the "is maintenance running?" answer: the lock file's holder
+      // line, or "" when free (a crashed job's leftover lock is exactly
+      // what an operator needs DESCRIBE to show before removing it)
+      val lockHolder = {
+        val lock = new Path(s"$dir/.maint_lock")
+        if (!fs.exists(lock)) ""
+        else
+          try {
+            val in = fs.open(lock)
+            try scala.io.Source.fromInputStream(in)(
+              scala.io.Codec.UTF8).mkString.trim
+            finally in.close()
+          } catch { case _: Throwable => "unknown holder" }
+      }
+      // "has anything probed this artifact below its contract?" — the
+      // persisted Warnings.persist events (count + most recent), read
+      // from the artifact's SIBLING warnings dir (probes never write
+      // inside the artifact — see Warnings.persist), so a
+      // below-derived-bits probe run last week is operationally
+      // visible today, and survives a REBUILD
+      val (probeWarnings, lastWarning) = {
+        val wdOpt = Warnings.probeWarningsDir(dir)
+        val wd = wdOpt.orNull
+        if (wd == null || !fs.exists(wd)) (0L, "")
+        else {
+          val files = fs.listStatus(wd).toSeq.map(_.getPath)
+            .sortBy(_.getName)
+          val last = files.lastOption.map { p =>
+            try {
+              val in = fs.open(p)
+              // explicit UTF-8: persist writes UTF-8 and the platform
+              // default here may be ASCII (MalformedInputException)
+              try scala.io.Source.fromInputStream(in)(
+                scala.io.Codec.UTF8).mkString.trim
+              finally in.close()
+            } catch { case _: Throwable => "" }
+          }.getOrElse("")
+          (files.size.toLong, last)
+        }
+      }
+      val cells =
+        if (metaRow.schema.fieldNames.contains("cells"))
+          metaRow.getAs[Int]("cells")
+        else -1
+      val derived =
+        if (metaRow.schema.fieldNames.contains("derived"))
+          metaRow.getAs[String]("derived")
+        else "" // pre-derived-flag artifact: geometry was pinned
+      // every meta field that isn't identity/bookkeeping, rendered as
+      // one "k=v …" string so the schema stays kind-independent
+      val geometry = metaRow.schema.fieldNames.toSeq
+        .filterNot(Set("kind", "cells", "derived"))
+        .map(f => s"$f=${metaRow.getAs[Any](f)}")
+        .mkString(" ")
+      // Round-12 DESCRIBE cost lesson (SCALING.md): the first
+      // implementation issued one listFiles call PER CELL DIRECTORY —
+      // serial, driver-side, 32 768 round-trips at half the cell cap.
+      // File counts now come from ONE recursive listing per store (a
+      // single streaming enumeration of every file). The row counts
+      // deliberately STAY a Spark aggregation — see the note at the
+      // rowCounts binding for the measured result that killed the
+      // "driver-side parallel footer reads" alternative.
+      val rows = stores.flatMap { case (sub, cellCol) =>
+        val live = new Path(s"$dir/$sub")
+        if (!fs.exists(live)) None
+        else {
+          val qlive = fs.makeQualified(live)
+          val prefix = s"$cellCol="
+          // one recursive enumeration; keep (cell, file) for data files
+          // directly under a cell directory, skipping hidden paths
+          val cellFiles = {
+            val buf = scala.collection.mutable.ArrayBuffer
+              .empty[(String, Path)]
+            val it = fs.listFiles(qlive, true)
+            while (it.hasNext) {
+              val p = it.next().getPath
+              val nm = p.getName
+              if (!nm.startsWith("_") && !nm.startsWith(".")) {
+                var cell: String = null
+                var cur = p.getParent
+                var hidden = false
+                while (cur != null && cur != qlive) {
+                  val cn = cur.getName
+                  if (cn.startsWith(prefix)) cell = cn
+                  else if (cn.startsWith("_") || cn.startsWith("."))
+                    hidden = true
+                  cur = cur.getParent
+                }
+                if (cell != null && !hidden) buf += ((cell, p))
+              }
+            }
+            buf.toSeq
+          }
+          val filesPerCell = cellFiles.groupBy(_._1)
+            .map { case (_, fsq) => fsq.size.toLong }.toSeq
+          // per-cell rows via ONE footer-only Spark aggregation (the
+          // scan projects only the partition column, so tasks read
+          // parquet footers, never data pages). A driver-side
+          // parallel-pool footer read was tried and MEASURED SLOWER —
+          // 617 s vs 280 s at the 32 768-cell BandScale point — the
+          // distributed job spreads the per-file open/parse cost over
+          // executors with none of the driver's per-open filesystem
+          // overhead, and on a real cluster the gap only widens
+          val rowCounts: Seq[Long] =
+            if (cellFiles.isEmpty) Seq.empty
+            else spark.read.parquet(live.toString)
+              .groupBy(col(cellCol)).count()
+              .collect().map(_.getAs[Long]("count")).toSeq
+          val entries = rowCounts.sum
+          Some((dir, kind, sub, cells, rowCounts.size.toLong, entries,
+            filesPerCell.sum, filesPerCell.count(_ > 1).toLong,
+            if (filesPerCell.isEmpty) 0L else filesPerCell.max,
+            if (rowCounts.isEmpty) 0L else rowCounts.min,
+            if (rowCounts.isEmpty) 0L else rowCounts.max,
+            if (rowCounts.isEmpty) 0.0
+            else entries.toDouble / rowCounts.size,
+            geometry, derived, lockHolder, probeWarnings, lastWarning))
+        }
+      }
+      import spark.implicits._
+      rows.toDF("path", "kind", "store", "cells", "cells_present",
+        "entries", "files", "multi_file_cells", "max_files_per_cell",
+        "rows_min", "rows_max", "rows_avg", "geometry", "derived",
+        "lock_holder", "probe_warnings", "last_warning")
+    }
+  }
+
+  /** INDEX REBUILD '<dir>' — re-derive the artifact's geometry for its
+    * CURRENT size and rebuild it from its own stores, the remedy the
+    * two measured maintenance limits call for (SCALING.md round 11):
+    * appends outgrow a derived cell count (per-cell rows — probe cost —
+    * grow until re-cell'd; `INDEX DESCRIBE`'s rows_avg is the monitor),
+    * and drifted IVF appends concentrate into frozen cells (scan mass
+    * ∝ drifted fraction until centroids re-train). Per family:
+    *  - lsh_text / typo_text: re-CELL — entries are re-partitioned into
+    *    a freshly derived cell count (banding / variant algebra is
+    *    threshold-shaped, corpus-independent, and for LSH the original
+    *    strings are hashed away by design, so band keys are never
+    *    recomputed — rows move, content doesn't);
+    *  - cosine_vec: full re-bucket from the vectors store (raw vectors
+    *    are stored), re-deriving bits AND cells;
+    *  - ivf_vec: full re-TRAIN from the index store's vectors — fresh
+    *    centroids over the union, the drift remedy itself.
+    * Only fields the artifact's `meta/` marks as DERIVED are re-derived
+    * (a builder's pinned CELLS/BITS stay pinned — rebuilding still
+    * rebalances files and, for IVF, re-trains centroids). Rebuild is
+    * CONTENT-PRESERVING: probe answers before == after (the q162 gate
+    * pins it against the shared brute-force oracle across the
+    * build → append → rebuild → probe chain).
+    *
+    * `INDEX REBUILD '<dir>' THRESHOLD <t>` (lsh_text only) additionally
+    * RE-BANDS the artifact for the new threshold — the one
+    * content-CHANGING rebuild form, and the escape hatch the write-once
+    * corpus story needs: banding is threshold-shaped, so without this a
+    * threshold change forces a rebuild FROM SOURCE, which may no longer
+    * exist as a frame. It works because the shingle store persists each
+    * entry's full (hashed) shingle set, from which MinHash signatures
+    * and band keys are pure recomputations ([[NearDup.bandKeysFromStored]]
+    * — applying the signature directly to the stored hashes; re-hashing
+    * hashes would band nonsense). New banding = NearDup.autoBands(t)
+    * over the artifact's own num_perm; `meta/` records it (probes at
+    * the NEW threshold adopt it, probes at the old one now error on the
+    * banding mismatch instead of silently missing pairs — q165 pins the
+    * re-thresholded artifact against the brute-force oracle AT the new
+    * threshold). Non-LSH kinds reject THRESHOLD: their stores are not
+    * threshold-shaped.
+    *
+    * Swap: the new artifact is staged COMPLETE as a sibling
+    * (`.rebuild_stage_<name>`), then swapped in with two directory
+    * renames (live → `.rebuild_old_<name>`, stage → live). Geometry
+    * spans every store plus meta, so unlike DELETE/COMPACT there is no
+    * per-cell consistency to offer mid-swap — instead the artifact is
+    * ABSENT between the two renames and a racing probe fails loudly
+    * ("no stored index") rather than silently mis-routing against
+    * half-swapped geometry. A crash between the renames self-heals: the
+    * next REBUILD restores `.rebuild_old_` before starting (and any
+    * maintenance statement in the window reports the artifact missing,
+    * pointing at the leftover directories). Runs under the single-writer
+    * `.maint_lock` like every maintenance form.
+    */
+  final case class IndexRebuildVerb(dir: String,
+      reThreshold: Option[Double] = None) extends Verb {
+    def build(sources: Map[String, DataFrame], primary: DataFrame)
+        : DataFrame = {
+      import org.apache.hadoop.fs.Path
+      requireAtomicRenameFs(dir, "INDEX REBUILD")
+      val spark = primary.sparkSession
+      val dirPath = new Path(dir)
+      val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val parent = dirPath.getParent
+      val stage = new Path(parent, s".rebuild_stage_${dirPath.getName}")
+      val oldP = new Path(parent, s".rebuild_old_${dirPath.getName}")
+      // self-heal a crashed swap: live absent + old present ⇒ the crash
+      // hit between the two renames — restore the prior artifact first;
+      // live present + old present ⇒ crash after swap-in, reap the old
+      if (!fs.exists(dirPath) && fs.exists(oldP)) {
+        if (!fs.rename(oldP, dirPath)) throw new IllegalStateException(
+          s"INDEX REBUILD: cannot restore crashed-rebuild artifact " +
+            s"$oldP to $dir — restore it manually, then re-run")
+      } else if (fs.exists(oldP)) fs.delete(oldP, true)
+      if (fs.exists(stage)) fs.delete(stage, true)
+      val (metaRow, kind, _) = storedIndexLayout(spark, dir,
+        "INDEX REBUILD")
+      if (!metaRow.schema.fieldNames.contains("cells")) throw TransformError(
+        s"INDEX REBUILD: artifact at $dir predates cells metadata — " +
+          "rebuild it from source with INDEX … INTO")
+      if (reThreshold.isDefined && kind != "lsh_text") throw TransformError(
+        s"INDEX REBUILD THRESHOLD only applies to lsh_text artifacts " +
+          s"(banding is threshold-shaped; the '$kind' store at $dir is " +
+          "not) — drop THRESHOLD to rebuild geometry only")
+      val cellsBefore = metaRow.getAs[Int]("cells")
+      val derivedSeq =
+        if (metaRow.schema.fieldNames.contains("derived"))
+          metaRow.getAs[String]("derived").split(",")
+            .filter(_.nonEmpty).toSeq
+        else Seq.empty
+      def reDerive(field: String, old: Int, rule: Long => Int, n: Long)
+          : Int = if (derivedSeq.contains(field)) rule(n) else old
+      def requireData(sub: String): Unit = {
+        val p = new Path(s"$dir/$sub")
+        var found = false
+        if (fs.exists(p)) {
+          val it = fs.listFiles(p, true)
+          while (!found && it.hasNext) {
+            val nm = it.next().getPath.getName
+            if (!nm.startsWith("_") && !nm.startsWith(".")) found = true
+          }
+        }
+        if (!found) throw TransformError(
+          s"INDEX REBUILD: artifact at $dir has no entries ($sub is " +
+            "empty) — APPEND entries first, or rebuild from source " +
+            "with INDEX … INTO")
+      }
+      val (cellsAfter, entries) =
+        withMaintLock(spark, dir, "REBUILD") {
+          val res: (Int, Long) = kind match {
+            case "lsh_text" =>
+              requireData("shingles")
+              val sh = spark.read.parquet(s"$dir/shingles")
+                .select(col("id"), col("shs")).localCheckpoint(false)
+              val n = sh.count()
+              val c = reDerive("cells", cellsBefore,
+                IndexGeometry.storeCells, n)
+              reThreshold match {
+                case Some(t) =>
+                  // RE-BAND: signatures + band keys are pure functions
+                  // of the persisted shingle sets, so a new threshold's
+                  // banding recomputes from the artifact alone — the
+                  // bands store is REPLACED, not moved
+                  val numPerm = metaRow.getAs[Int]("num_perm")
+                  val (b, r) =
+                    try NearDup.autoBands(t, numPerm)
+                    catch { case e: IllegalArgumentException =>
+                      throw TransformError(
+                        s"INDEX REBUILD THRESHOLD: ${e.getMessage}")
+                    }
+                  val scheme =
+                    if (metaRow.schema.fieldNames
+                        .contains("shingle_scheme"))
+                      metaRow.getAs[String]("shingle_scheme")
+                    else "raw"
+                  NearDup.bandKeysFromStored(sh, scheme, numPerm, b, r)
+                    .withColumn("pc", pmod(xxhash64(col("band"),
+                      col("bh")), lit(c.toLong)).cast("int"))
+                    .repartition(col("pc"))
+                    .write.partitionBy("pc").parquet(s"$stage/bands")
+                  // banding is auto-chosen from the given threshold —
+                  // exactly a fresh `INDEX … THRESHOLD t` build's
+                  // derivation, so meta marks bands_rows derived
+                  val derivedAfter = (derivedSeq :+ "bands_rows")
+                    .distinct.mkString(",")
+                  spark.read.parquet(s"$dir/meta")
+                    .withColumn("cells", lit(c))
+                    .withColumn("num_bands", lit(b))
+                    .withColumn("rows_per_band", lit(r))
+                    .withColumn("derived", lit(derivedAfter))
+                    .coalesce(1).write.parquet(s"$stage/meta")
+                case None =>
+                  spark.read.parquet(s"$dir/bands")
+                    .select(col("id"), col("band"), col("bh"))
+                    .withColumn("pc", pmod(xxhash64(col("band"),
+                      col("bh")), lit(c.toLong)).cast("int"))
+                    .repartition(col("pc"))
+                    .write.partitionBy("pc").parquet(s"$stage/bands")
+                  spark.read.parquet(s"$dir/meta")
+                    .withColumn("cells", lit(c))
+                    .coalesce(1).write.parquet(s"$stage/meta")
+              }
+              sh.withColumn("sc",
+                  pmod(xxhash64(col("id")), lit(c.toLong)).cast("int"))
+                .repartition(col("sc"))
+                .write.partitionBy("sc").parquet(s"$stage/shingles")
+              (c, n)
+            case "typo_text" =>
+              requireData("strings")
+              val strs = spark.read.parquet(s"$dir/strings")
+                .select(col("id"), col("txt")).localCheckpoint(false)
+              val n = strs.count()
+              val c = reDerive("cells", cellsBefore,
+                IndexGeometry.storeCells, n)
+              NearDup.typoStoreTo(stage.toString, strs, c,
+                derived = derivedSeq)
+              (c, n)
+            case "cosine_vec" =>
+              requireData("vectors")
+              val vecs = spark.read.parquet(s"$dir/vectors")
+                .select(col("id"), col("v"), col("nrm"))
+                .localCheckpoint(false)
+              val n = vecs.count()
+              val c = reDerive("cells", cellsBefore,
+                IndexGeometry.storeCells, n)
+              val bi = reDerive("bits", metaRow.getAs[Int]("bits"),
+                IndexGeometry.cosineBits, n)
+              VecKnn.cosineStoreTo(stage.toString, vecs,
+                metaRow.getAs[Int]("tables"), bi, c, derived = derivedSeq)
+              (c, n)
+            case "ivf_vec" =>
+              requireData("index")
+              val e = spark.read.parquet(s"$dir/index")
+                .select(col("vec_id"), col("v"), col("nrm"))
+                .localCheckpoint(false)
+              val n = e.count()
+              val c = reDerive("cells", cellsBefore,
+                IndexGeometry.ivfCells, n)
+              // PQ rides the rebuild: codebooks are re-PICKED from the
+              // current corpus exactly as centroids re-train (the
+              // frozen-codebook drift remedy), with pq_codes re-derived
+              // only if the build derived it
+              val pqOpt =
+                if (metaRow.schema.fieldNames.contains("pq_m"))
+                  Some((metaRow.getAs[Int]("pq_m"),
+                    reDerive("pq_codes", metaRow.getAs[Int]("pq_codes"),
+                      IndexGeometry.pqCodes, n)))
+                else None
+              graft.queries.Similarity.ivfStoreTo(stage.toString, e, c,
+                derived = derivedSeq, pq = pqOpt)
+              (c, n)
+            case other => throw TransformError(
+              s"INDEX REBUILD: unknown artifact kind '$other' at $dir")
+          }
+          // two renames; between them the artifact is absent and a
+          // racing probe fails loudly instead of mis-routing
+          if (!fs.rename(dirPath, oldP)) throw new IllegalStateException(
+            s"INDEX REBUILD: cannot stage out $dir — the rebuild was " +
+              s"NOT applied (the staged artifact remains at $stage)")
+          // defensive: nothing internal writes into the live path
+          // between the two renames (probe warnings go to a SIBLING
+          // for exactly this reason — Warnings.persist), so a
+          // resurrected live dir means external interference; renaming
+          // onto an existing directory would move the staged artifact
+          // INTO it (Hadoop semantics) and silently lose the store —
+          // fail loudly instead, with both recovery paths named
+          if (fs.exists(dirPath)) throw new IllegalStateException(
+            s"INDEX REBUILD: $dir reappeared between the swap renames " +
+              s"(external writer?) — the prior artifact is at $oldP " +
+              s"and the rebuilt one at $stage; remove the junk $dir " +
+              "and restore one of them manually")
+          if (!fs.rename(stage, dirPath)) {
+            val restored = fs.rename(oldP, dirPath)
+            throw new IllegalStateException(
+              s"INDEX REBUILD: cannot swap the rebuilt artifact into " +
+                s"$dir — " + (if (restored)
+                  "the prior artifact was restored unchanged"
+                else s"and restoring failed: the prior artifact is at " +
+                  s"$oldP; restore it manually") +
+                s" (the rebuilt artifact remains at $stage)")
+          }
+          fs.delete(oldP, true)
+          res
+        }
+      import spark.implicits._
+      Seq((dir, kind, cellsBefore, cellsAfter, entries))
+        .toDF("path", "kind", "cells_before", "cells_after",
+          "indexed_rows")
+    }
+  }
+
+  /** INDEX COMPACT '<dir>' — rewrite MULTI-FILE cells of a stored
+    * artifact back to one file per cell. Every `INDEX … APPEND`
+    * statement adds one file per touched cell directory (the
+    * repartition-then-partitionBy write), so N appends leave N files
+    * per cell and probe tasks pay N footer reads where one would do;
+    * COMPACT is the maintenance statement that caps that growth — run
+    * it on whatever cadence appends accumulate (the small-file
+    * compaction every warehouse format schedules, as an explicit
+    * language operator). Cells already holding ≤ 1 data file are
+    * NEVER listed into the rewrite, read, or touched — so compaction
+    * cost is ∝ the cells appends actually dirtied since the last
+    * COMPACT, not the artifact size (at 100 TB a full-artifact rewrite
+    * per invocation would be a corpus-sized job; the AqlSpec case pins
+    * the skip by running COMPACT twice — the second pass rewrites
+    * nothing and every file path survives byte-identical). Rows, cells
+    * and `meta/` are untouched — probe answers are IDENTICAL before
+    * and after (q158 pins this bit-for-bit on the oracle of the
+    * build→append→probe chain; the AqlSpec case additionally pins
+    * files_after < files_before after a double append). Dirty cells
+    * are rewritten through [[NearDup.rewriteCellsInPlace]]'s staging +
+    * two-phase swap (DELETE's machinery with an identity transform) —
+    * atomic per cell on HDFS/posix; object-store schemes without
+    * atomic rename are REFUSED up front ([[requireAtomicRenameFs]]).
+    * A crash mid-swap leaves `.old_…`
+    * cells intact and re-running COMPACT completes the rest. The
+    * block's input frame is ignored (the artifact is the operand);
+    * output is a one-row summary (path, kind, files_before,
+    * files_after).
+    */
+  final case class IndexCompactVerb(dir: String) extends Verb {
+    def build(sources: Map[String, DataFrame], primary: DataFrame)
+        : DataFrame = {
+      import org.apache.hadoop.fs.Path
+      requireAtomicRenameFs(dir, "INDEX COMPACT")
+      val spark = primary.sparkSession
+      val fs = new Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val (metaRow, kind, stores) = storedIndexLayout(spark, dir,
+        "INDEX COMPACT")
+      val _ = metaRow // COMPACT needs only the layout
+      def dataFiles(p: Path): Long = {
+        val it = fs.listFiles(p, true)
+        var n = 0L
+        while (it.hasNext) {
+          val nm = it.next().getPath.getName
+          if (!nm.startsWith("_") && !nm.startsWith(".")) n += 1
+        }
+        n
+      }
+      var before = 0L
+      var after = 0L
+      withMaintLock(spark, dir, "COMPACT") {
+        for ((sub, cellCol) <- stores) {
+          val live = new Path(s"$dir/$sub")
+          if (fs.exists(live)) {
+            before += dataFiles(live)
+            // dirty = cells with ≥ 2 data files; one directory listing
+            // per cell dir (cheap metadata ops ∝ cells, no data read)
+            val dirty = fs.listStatus(live).toSeq
+              .filter(st => st.isDirectory &&
+                st.getPath.getName.startsWith(s"$cellCol="))
+              .filter(st => dataFiles(st.getPath) > 1)
+              .map(_.getPath.getName.stripPrefix(s"$cellCol=").toInt)
+              .sorted
+            if (dirty.nonEmpty)
+              NearDup.rewriteCellsInPlace(spark, live.toString, cellCol,
+                dirty, "INDEX COMPACT",
+                "re-running COMPACT completes the rest (compacting a " +
+                  "compacted cell is a no-op)")(identity)
+            after += dataFiles(live)
+          }
+        }
+      }
+      import spark.implicits._
+      Seq((dir, kind, before, after))
+        .toDF("path", "kind", "files_before", "files_after")
+    }
+  }
+
+  /** Single-writer mutual exclusion for stored-index MAINTENANCE
+    * (APPEND / DELETE / COMPACT): two concurrent maintenance statements
+    * interleaving their cell writes or rename swaps on one artifact is
+    * undefined, so each acquires `<dir>/.maint_lock` first — an atomic
+    * create-if-absent (create-exclusive on HDFS-like schemes; on local
+    * filesystems a pre-populated hard link, since Hadoop's
+    * LocalFileSystem create is exists-then-create and not atomic;
+    * object-store schemes with NEITHER primitive are refused before
+    * any work — [[requireAtomicRenameFs]]), held for the statement
+    * and released on every exit path. Contention is a clear error
+    * naming the holder, not a corrupted artifact. The lock guards
+    * WRITERS against each other only: probes stay lock-free — each
+    * cell swap is atomic, so a probe racing maintenance sees each cell
+    * either before or after its rewrite (never half-written), but may
+    * see a MIX of old and new cells across one scan; deployments that
+    * need a fully consistent view schedule probes around maintenance
+    * windows (README's single-writer contract). A crashed maintenance
+    * job leaves the lock behind by design — the error tells the
+    * operator to verify no job is running and remove it (a TTL that
+    * silently self-expired mid-job would be worse than the ask).
+    */
+  /** Schemes with no atomic rename / create-exclusive contract. The
+    * maintenance statements' correctness rests on BOTH: the
+    * single-writer `.maint_lock` is an atomic create (or hard link),
+    * and every cell/artifact swap is a rename that a racing probe sees
+    * entirely or not at all. On S3-style stores neither holds —
+    * "rename" is copy+delete and create is last-writer-wins — so two
+    * concurrent writers could silently interleave and a probe could
+    * read a half-copied cell. Refusing with a clear contract statement
+    * beats undefined behavior a user only discovers as corruption.
+    * Probes and DESCRIBE stay scheme-agnostic: they are read-only.
+    */
+  private val nonAtomicRenameSchemes = Set(
+    "s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs", "oss",
+    "cos", "swift")
+
+  private[graft] def requireAtomicRenameFs(dir: String, what: String)
+      : Unit = {
+    val scheme = scala.util.Try(
+      Option(new java.net.URI(dir).getScheme)).toOption.flatten
+      .map(_.toLowerCase).getOrElse("file")
+    if (nonAtomicRenameSchemes(scheme)) throw TransformError(
+      s"$what: stored-index MAINTENANCE requires atomic-rename storage " +
+        s"(HDFS/posix) and $dir is on '$scheme', where rename is " +
+        "copy+delete and create is last-writer-wins — the single-writer " +
+        "lock and the per-cell swap cannot hold. Keep maintained " +
+        "artifacts on HDFS-like storage, or rebuild from source with " +
+        "INDEX … INTO (a plain overwrite) in a scheduled maintenance " +
+        "window and copy the finished artifact out")
+  }
+
+  private def withMaintLock[A](spark: org.apache.spark.sql.SparkSession,
+      dir: String, what: String)(f: => A): A = {
+    requireAtomicRenameFs(dir, s"INDEX … $what")
+    import org.apache.hadoop.fs.Path
+    val lock = new Path(s"$dir/.maint_lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val holderLine = s"$what @ ${java.time.Instant.now()}\n"
+    def contended(): Nothing = {
+      val holder =
+        try {
+          val in = fs.open(lock)
+          try scala.io.Source.fromInputStream(in)(
+              scala.io.Codec.UTF8).mkString.trim
+          finally in.close()
+        } catch { case _: Throwable => "unknown holder" }
+      throw TransformError(
+        s"INDEX … $what: stored-index maintenance is single-writer " +
+          s"and $lock is held ($holder) — wait for the running " +
+          "APPEND/DELETE/COMPACT to finish, or if it crashed, verify " +
+          "no job is running and remove the lock file")
+    }
+    val qlock = fs.makeQualified(lock)
+    if (qlock.toUri.getScheme == "file") {
+      // Hadoop's LocalFileSystem create(…, overwrite=false) is an
+      // exists-check-then-create — NOT atomic — so on local
+      // filesystems acquire via link(2) instead: pre-populate a unique
+      // temp file with the holder line, then hard-link it to
+      // .maint_lock. link fails with EEXIST when held (atomic in the
+      // kernel), and a won lock appears atomically WITH its holder
+      // content, so a contender can never observe an empty lock.
+      import java.nio.file.{Files, Paths, FileAlreadyExistsException}
+      val lockNio = Paths.get(qlock.toUri.getPath)
+      Files.createDirectories(lockNio.getParent)
+      val tmp = lockNio.resolveSibling(
+        s".maint_lock_tmp_${java.util.UUID.randomUUID()}")
+      Files.write(tmp, holderLine.getBytes("UTF-8"))
+      try {
+        try Files.createLink(lockNio, tmp)
+        catch { case _: FileAlreadyExistsException => contended() }
+      } finally Files.deleteIfExists(tmp)
+      try f finally Files.deleteIfExists(lockNio)
+    } else {
+      // HDFS-like schemes: create(…, overwrite=false) IS atomic. The
+      // holder line follows on the same stream (closed on every path);
+      // a contender racing the create-to-write window reads
+      // "unknown holder", which is honest.
+      val out =
+        try fs.create(lock, false)
+        catch { case _: java.io.IOException => contended() }
+      try out.write(holderLine.getBytes("UTF-8"))
+      finally out.close()
+      try f finally fs.delete(lock, false)
+    }
+  }
+
+  final case class IndexVerb(onCol: String, key: String, method: String,
+      dir: String, threshold: Double, bandsRows: Option[(Int, Int)],
+      cells: Option[Int], tables: Int, bits: Option[Int],
+      append: Boolean = false, delete: Boolean = false,
+      pqM: Option[Int] = None, pqCodes: Option[Int] = None) extends Verb {
+
+    def build(sources: Map[String, DataFrame], primary: DataFrame): DataFrame = {
+      def named(n: String): StructField =
+        primary.schema.find(_.name.equalsIgnoreCase(n)).getOrElse(
+          throw TransformError(s"INDEX: unknown column $n"))
+      named(key) // must exist on every method (see scaladoc)
+      val onField = named(onCol)
+      val spark = primary.sparkSession
+      val par = spark.sparkContext.defaultParallelism
+      val maintWord = if (append) "APPEND" else "DELETE"
+      // APPEND/DELETE pre-flight: a clear error beats Spark's "path does
+      // not exist" mid-job — and the artifact's meta supplies the cell
+      // count for the summary row (the maintenance writers re-read it
+      // for their own geometry + kind validation)
+      val appendMeta: Option[org.apache.spark.sql.Row] =
+        if (!append && !delete) None
+        else {
+          // scheme check FIRST: on an object store the meta read below
+          // might work fine and the statement would only fall over (or
+          // worse, silently interleave) at the lock/swap
+          requireAtomicRenameFs(dir, s"INDEX … $maintWord")
+          val mp = new org.apache.hadoop.fs.Path(s"$dir/meta")
+          val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(mp)) throw TransformError(
+            s"INDEX … $maintWord: no stored index at $dir (build one " +
+              "first with INDEX … INTO)")
+          Some(spark.read.parquet(s"$dir/meta").head())
+        }
+      // cells: meta for maintenance, the user's pin for a fresh build,
+      // else DERIVED from the corpus's distinct-entry count (the
+      // IndexGeometry rules the scale harnesses measured flat) — a
+      // constant default would hand big corpora a probe cost growing
+      // ∝ corpus. Deriving needs the entry count BEFORE the store
+      // write, so the auto path checkpoints the collapsed reps and
+      // counts them (one extra narrow job on the one corpus-sized
+      // statement of the deployment — the build — never on probes).
+      val metaCells = appendMeta.map(_.getAs[Int]("cells"))
+      // a derivation that HITS the cell cap has left cells ∝ corpus
+      // territory: per-cell rows resume growing with the corpus, so the
+      // probe cost the flat curves promise no longer holds — tell the
+      // user at build time, not after probes degrade
+      def capWarn(n: Long, c: Int): Int = {
+        if (c == IndexGeometry.maxCells) Warnings.emit(
+          s"INDEX INTO '$dir': derived cell count hit the " +
+            s"${IndexGeometry.maxCells} cap at $n entries — past the " +
+            "cap per-cell rows grow with the corpus and probe cost " +
+            "with them; pin CELLS explicitly and shard the artifact " +
+            "across multiple INDEX statements at this scale")
+        c
+      }
+      def resolveCells(reps: DataFrame, derive: Long => Int)
+          : (DataFrame, Int) =
+        metaCells.orElse(cells) match {
+          case Some(c) => (reps, c)
+          case None =>
+            val r = reps.localCheckpoint(false)
+            val n = r.count()
+            (r, capWarn(n, derive(n)))
+        }
+      // meta's derived-vs-pinned record (ask: an operator reading an
+      // artifact must be able to tell whether its geometry was sized
+      // by IndexGeometry or pinned by the builder)
+      def derivedFields(moreDerived: (String, Boolean)*): Seq[String] =
+        (Seq("cells" -> cells.isEmpty) ++ moreDerived)
+          .collect { case (f, true) => f }
+      // the entry-count scan after each build reads parquet footers only
+      def writeStores(): (String, String, Int) = method match {
+        case "LSH" =>
+          if (onField.dataType != StringType) throw TransformError(
+            s"INDEX METHOD LSH ON ${onField.name} must be string, got " +
+              onField.dataType.simpleString)
+          // EXACT-FIRST: one entry per distinct text (membership is all
+          // an AGAINST probe asks), keyed by the text hash — the same
+          // collapse the two-source AGAINST applies to its corpus side
+          // distinct on (th, txt) — a pure HashAggregate (th determines
+          // txt), not the SortAggregate a first(txt) buffer would force
+          // on every index build
+          val reps = spreadForCpu(primary,
+              primary.select(xxhash64(col(onField.name)).as("th"),
+                col(onField.name).as("txt")))
+            .distinct()
+            .repartition(par)
+          val sh0 = NearDup.shingled(reps, "th", "txt")
+          val cc =
+            if (delete) { NearDup.bandStoreDelete(dir, sh0); metaCells.get }
+            else if (append) {
+              NearDup.bandStoreAppend(dir, sh0); metaCells.get
+            } else {
+              // count the SHINGLED entries (short texts never store)
+              val (sh, c) = resolveCells(sh0, IndexGeometry.storeCells)
+              val (b, r) = bandsRows.getOrElse(NearDup.autoBands(threshold))
+              NearDup.bandStoreTo(dir, sh, numPerm = b * r, numBands = b,
+                rowsPerBand = r, cells = c,
+                derived = derivedFields(
+                  "bands_rows" -> bandsRows.isEmpty))
+              c
+            }
+          ("lsh_text", s"$dir/shingles", cc)
+        case "IVF" =>
+          // mirrors the q136 store's frame prep (Similarity.ivfStore) so
+          // an INDEX-built artifact serves byte-identical answers
+          val e = spreadForCpu(primary,
+              primary.select(col(named(key).name).as("vec_id"),
+                col(onField.name).cast("array<double>").as("v")))
+            .withColumn("nrm", graft.functions.Vectors.l2norm(col("v")))
+            .localCheckpoint(false)
+          val ivfCc =
+            if (delete) {
+              graft.queries.Similarity.ivfStoreDelete(dir, e); metaCells.get
+            } else if (append) {
+              graft.queries.Similarity.ivfStoreAppend(dir, e); metaCells.get
+            } else {
+              // e is already checkpointed, so the derive-count is cheap
+              val needN = cells.isEmpty ||
+                (pqM.isDefined && pqCodes.isEmpty)
+              val n = if (needN) e.count() else 0L
+              val c = cells.getOrElse(capWarn(n, IndexGeometry.ivfCells(n)))
+              // PQ pre-flight: a clear parse-adjacent error beats the
+              // engine's require() mid-write. The subspace count must
+              // divide the corpus's vector dimension.
+              val pqOpt = pqM.map { pm =>
+                val dim = e.select(size(col("v")).as("d")).limit(1)
+                  .collect().headOption.map(_.getInt(0)).getOrElse(
+                    throw TransformError(
+                      "INDEX … PQ: cannot derive the subspace width " +
+                        "from an empty corpus"))
+                if (dim % pm != 0) throw TransformError(
+                  s"INDEX PQ $pm must divide the vector dimension $dim " +
+                    s"(got remainder ${dim % pm})")
+                (pm, pqCodes.getOrElse(IndexGeometry.pqCodes(n)))
+              }
+              graft.queries.Similarity.ivfStoreTo(dir, e, c,
+                derived = derivedFields(
+                  "pq_codes" -> (pqM.isDefined && pqCodes.isEmpty)),
+                pq = pqOpt)
+              c
+            }
+          ("ivf_vec", s"$dir/index", ivfCc)
+        case "COSINE" =>
+          onField.dataType match {
+            case ArrayType(FloatType | DoubleType, _) => ()
+            case other => throw TransformError(
+              s"INDEX METHOD COSINE ON ${onField.name} must be " +
+                s"array<float|double>, got ${other.simpleString}")
+          }
+          // degenerate vectors (null/empty/zero/NaN/Inf norm) leave the
+          // index exactly as they leave every cosine probe side — they
+          // can never verify, so storing them would only add dead bytes
+          val vf = spreadForCpu(primary,
+              primary.select(col(onField.name).cast("array<double>").as("v")))
+            .where(col("v").isNotNull && size(col("v")) > 0)
+            .withColumn("nrm", graft.functions.Vectors.l2norm(col("v")))
+            .where(col("nrm") > 0 && !isnan(col("nrm")) &&
+              col("nrm") < lit(Double.PositiveInfinity))
+          val reps = vf.withColumn("vh", xxhash64(col("v")))
+            .select(col("vh"), col("v"), col("nrm")).distinct()
+            .select(col("vh").as("id"), col("v"), col("nrm"))
+            .repartition(par)
+          val cosCc =
+            if (delete) { VecKnn.cosineStoreDelete(dir, reps); metaCells.get }
+            else if (append) {
+              VecKnn.cosineStoreAppend(dir, reps); metaCells.get
+            } else {
+              // BITS derives with cells when absent: 2^bits ∝ entries is
+              // what CosineScale measured flat (fixed bits grew +0.36)
+              val needN = bits.isEmpty || cells.isEmpty
+              val (r2, n) =
+                if (needN) {
+                  val r = reps.localCheckpoint(false); (r, r.count())
+                } else (reps, 0L)
+              val c = cells.getOrElse(capWarn(n, IndexGeometry.storeCells(n)))
+              val bi = bits.getOrElse(IndexGeometry.cosineBits(n))
+              VecKnn.cosineStoreTo(dir, r2, tables, bi, c,
+                derived = derivedFields("bits" -> bits.isEmpty))
+              c
+            }
+          ("cosine_vec", s"$dir/vectors", cosCc)
+        case "TYPO" =>
+          if (onField.dataType != StringType) throw TransformError(
+            s"INDEX METHOD TYPO ON ${onField.name} must be string, got " +
+              onField.dataType.simpleString)
+          val reps = spreadForCpu(primary,
+              primary.select(col(onField.name).as("txt")))
+            .where(col("txt").isNotNull).distinct()
+            .select(xxhash64(col("txt")).as("id"), col("txt"))
+            .repartition(par)
+          val typoCc =
+            if (delete) { NearDup.typoStoreDelete(dir, reps); metaCells.get }
+            else if (append) {
+              NearDup.typoStoreAppend(dir, reps); metaCells.get
+            } else {
+              val (r2, c) = resolveCells(reps, IndexGeometry.storeCells)
+              NearDup.typoStoreTo(dir, r2, c, derived = derivedFields())
+              c
+            }
+          ("typo_text", s"$dir/strings", typoCc)
+        case other => throw new IllegalStateException(
+          s"INDEX METHOD $other unreachable (parser validates)")
+      }
+      // maintenance serializes on the artifact's lock; fresh builds
+      // don't lock (overwrite is the statement's whole point, and two
+      // concurrent builds into one dir is the same user error as two
+      // concurrent non-index writes to one path)
+      val (kind, entriesPath, cellCount) =
+        if (append || delete) withMaintLock(spark, dir, maintWord)(
+          writeStores())
+        else writeStores()
+      import spark.implicits._
+      // a DELETE that removed every entry leaves no cell directories —
+      // spark.read on the bare store root would throw "unable to infer
+      // schema" even though the delete itself succeeded, so probe for
+      // data files first and report 0 (the honest total) instead
+      val entryCount: Long = {
+        val ep = new org.apache.hadoop.fs.Path(entriesPath)
+        val fs = ep.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // listFiles returns fully-qualified paths (file:/…), so the
+        // walk's stop test must compare against the QUALIFIED store
+        // root — a raw-string compare would never terminate at the
+        // root and would test hidden-ness on every ancestor up to /
+        // (a dot-dir anywhere above the store would hide everything)
+        val qep = fs.makeQualified(ep)
+        def hasData: Boolean = {
+          if (!fs.exists(qep)) return false
+          val it = fs.listFiles(qep, true)
+          while (it.hasNext) {
+            val p = it.next().getPath
+            // skip hidden/meta paths the parquet reader also skips
+            // (e.g. a stale .old_… cell left by a crashed maintenance)
+            var cur = p
+            var hidden = false
+            while (cur != null && cur != qep) {
+              val nm = cur.getName
+              if (nm.startsWith("_") || nm.startsWith(".")) hidden = true
+              cur = cur.getParent
+            }
+            if (!hidden) return true
+          }
+          false
+        }
+        if (hasData) spark.read.parquet(entriesPath).count() else 0L
+      }
+      Seq((dir, kind, cellCount, entryCount))
+        .toDF("path", "kind", "cells", "indexed_rows")
+    }
+  }
+
+}

@@ -451,11 +451,11 @@ object VecKnn {
           s"probing at THRESHOLD $threshold may silently miss boundary " +
           "pairs — rebuild with explicit BITS (and larger TABLES), or " +
           "serve through KNN/IVF which reranks exactly"
-      graft.transforms.TransformParser.Warnings.emit(msg)
+      graft.transforms.IndexMaintenance.Warnings.emit(msg)
       // also persisted (to the artifact's SIBLING warnings dir — see
       // Warnings.persist): the operator who runs INDEX DESCRIBE
       // tomorrow is not the process that probed below contract today
-      graft.transforms.TransformParser.Warnings.persist(
+      graft.transforms.IndexMaintenance.Warnings.persist(
         s.sparkContext.hadoopConfiguration, base, msg)
     }
     val bd = probeDims(batch, "NEARDEDUP METHOD COSINE batch")
@@ -548,8 +548,8 @@ object VecKnn {
           "miss moderate-similarity neighbors (candidates are bucket " +
           "collisions) — pin BITS (and larger TABLES) at build time, " +
           "or serve through KNN METHOD IVF STORED, which reranks exactly"
-      graft.transforms.TransformParser.Warnings.emit(msg)
-      graft.transforms.TransformParser.Warnings.persist(
+      graft.transforms.IndexMaintenance.Warnings.emit(msg)
+      graft.transforms.IndexMaintenance.Warnings.persist(
         s.sparkContext.hadoopConfiguration, base, msg)
     }
     // materialize the panel once: it feeds the bucket fan-out, the

@@ -2583,7 +2583,7 @@ class AqlSpec extends AnyFunSuite {
     run(s"INDEX ON emb KEY vid METHOD COSINE CELLS 4 INTO '$derivedIdx'")
     run(s"KNN ON emb KEY vid TOP 2 METHOD LSH STORED '$derivedIdx' " +
       "QUERIES vid = 1").collect()
-    assert(graft.transforms.TransformParser.Warnings.recent
+    assert(graft.transforms.IndexMaintenance.Warnings.recent
       .exists(_.contains("KNN top-k served")))
     val desc = run(s"INDEX DESCRIBE '$derivedIdx'").collect()
     assert(desc.forall(_.getAs[Long]("probe_warnings") >= 1L),
@@ -2629,7 +2629,7 @@ class AqlSpec extends AnyFunSuite {
       if (lvl.equalsIgnoreCase("warning")) logged += msg)
     assert(logged.exists(m => m.contains("DERIVED bits") &&
       m.contains("THRESHOLD 0.5")), logged.mkString("; "))
-    assert(graft.transforms.TransformParser.Warnings.recent
+    assert(graft.transforms.IndexMaintenance.Warnings.recent
       .exists(_.contains("DERIVED bits")))
     // a dedup-grade probe (>= the contract floor) stays silent
     val logged2 = scala.collection.mutable.ArrayBuffer.empty[String]

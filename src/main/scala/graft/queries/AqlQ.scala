@@ -1695,5 +1695,108 @@ object AqlQ {
            |  SELECT doc_id, lang, source, n_chars FROM Kept
            |) INTO CONNECTION Out""".stripMargin).outputs("FINAL")
     },
+
+    // INDEX REBUILD … TABLES/BITS — the cosine-family re-bucket: the
+    // artifact is built with DERIVED bits (a one-line INDEX, the
+    // geometry every derived-bits serving warning complains about),
+    // re-bucketed to EXPLICIT TABLES 32 BITS 2 from its own vectors
+    // store in a second engine run — the source frame is never touched
+    // again — and KNN-served in a third. Geometry lands exactly where
+    // q164 PINS it at build time, so the same oracle applies with the
+    // same recall-1.0-by-construction argument; a rebuild that dropped
+    // vectors, re-bucketed at the wrong hyperplanes, or left bits
+    // marked derived in meta (the serving warning would then still
+    // fire — AqlSpec pins that it does NOT) fails hash-exactly. This
+    // is the statement the derived-bits warning's remedy text names —
+    // q165's write-once story for the cosine family.
+    QueryDef(
+      "q167_aql_index_rebuild_geometry",
+      Similarity.storedCosineKnnOracleSql) { (s, dir) =>
+      val outDir = java.nio.file.Files.createTempDirectory("graft_q167")
+      Advanced.registerTmpDir(outDir)
+      val idx = outDir.resolve("cosine_index").toString
+      val out = outDir.resolve("knn").toString
+      Aql.run(s,
+        s"""CONNECTION 'Emb' (
+           |  DRIVER = 'file', FILE = '$dir/embeddings.parquet',
+           |  FORMAT = 'parquet'
+           |)
+           |TRANSFORM 'Built' FROM CONNECTION Emb (
+           |  INDEX ON embedding KEY vec_id METHOD COSINE
+           |    CELLS 16 TABLES 32 INTO '$idx'
+           |) INTO CONSOLE""".stripMargin)
+      Aql.run(s,
+        s"""DATA 'One' ([[1]]) WITH (COLUMNS = 'X')
+           |TRANSFORM 'Rebucketed' FROM BLOCK One (
+           |  INDEX REBUILD '$idx' TABLES 32 BITS 2
+           |) INTO CONSOLE""".stripMargin)
+      Aql.run(s,
+        s"""CONNECTION 'Emb' (
+           |  DRIVER = 'file', FILE = '$dir/embeddings.parquet',
+           |  FORMAT = 'parquet'
+           |)
+           |CONNECTION 'Out' (
+           |  DRIVER = 'file', FILE = '$out', FORMAT = 'parquet'
+           |)
+           |TRANSFORM 'Knn' FROM CONNECTION Emb (
+           |  KNN ON embedding KEY vec_id TOP 5 METHOD LSH
+           |    STORED '$idx' QUERIES vec_id < 8
+           |)
+           |QUERY 'Final' FROM BLOCK Knn (
+           |  SELECT qid, cosine, rank FROM Knn
+           |) INTO CONNECTION Out""".stripMargin).outputs("FINAL")
+    },
+
+    // KNN METHOD JACCARD STORED — top-k Jaccard retrieval from the
+    // lsh_text band artifact: the investigation step of a dedup
+    // pipeline ("show me the 10 most-similar stored docs"), where
+    // AGAINST only answers membership. Build on the odd docs in run A
+    // (the q165 corpus split), serve the even docs in run B: bands
+    // route candidates exactly like NEARDEDUP AGAINST STORED (shared
+    // code — storedVerifiedPairs), the shingle store reranks by exact
+    // Jaccard, and the answer is top-10 at the 0.5 banding grade. The
+    // oracle replays the whole exact-Jaccard ranking brute-force in
+    // SQL, so a routing miss (a true >= 0.5 pair whose bands never
+    // collided), a wrong Jaccard, or an unstable rank all fail
+    // hash-exactly. Projection (qid, jaccard, rank) is tie-invariant —
+    // q164's pattern.
+    QueryDef(
+      "q168_aql_knn_jaccard_stored",
+      Dedup.jaccardKnnOracleSql) { (s, dir) =>
+      val outDir = java.nio.file.Files.createTempDirectory("graft_q168")
+      Advanced.registerTmpDir(outDir)
+      val idx = outDir.resolve("band_index").toString
+      val out = outDir.resolve("knn").toString
+      Aql.run(s,
+        s"""CONNECTION 'Docs' (
+           |  DRIVER = 'file', FILE = '$dir/documents.parquet',
+           |  FORMAT = 'parquet'
+           |)
+           |QUERY 'Corpus' FROM CONNECTION Docs (
+           |  SELECT * FROM Docs WHERE doc_id % 2 = 1
+           |)
+           |TRANSFORM 'Built' FROM BLOCK Corpus (
+           |  INDEX ON text KEY doc_id METHOD LSH THRESHOLD 0.5 CELLS 64
+           |    INTO '$idx'
+           |) INTO CONSOLE""".stripMargin)
+      Aql.run(s,
+        s"""CONNECTION 'Docs' (
+           |  DRIVER = 'file', FILE = '$dir/documents.parquet',
+           |  FORMAT = 'parquet'
+           |)
+           |CONNECTION 'Out' (
+           |  DRIVER = 'file', FILE = '$out', FORMAT = 'parquet'
+           |)
+           |QUERY 'Batch' FROM CONNECTION Docs (
+           |  SELECT * FROM Docs WHERE doc_id % 2 = 0
+           |)
+           |TRANSFORM 'Knn' FROM BLOCK Batch (
+           |  KNN ON text KEY doc_id TOP 10 METHOD JACCARD THRESHOLD 0.5
+           |    STORED '$idx'
+           |)
+           |QUERY 'Final' FROM BLOCK Knn (
+           |  SELECT qid, jaccard, rank FROM Knn
+           |) INTO CONNECTION Out""".stripMargin).outputs("FINAL")
+    },
   )
 }

@@ -104,6 +104,39 @@ object Dedup {
   private[queries] val againstKeptOracleSql: String =
     againstKeptOracleSqlAt(0.5)
 
+  /** q168's oracle — brute-force top-10 Jaccard retrieval at grade 0.5:
+    * every (even query, odd corpus) pair's exact round-6 Jaccard,
+    * floored at the banding threshold (the artifact only promises
+    * recall there — the verb's documented grade contract), ranked
+    * (jaccard DESC, neighbor_id ASC) per query. The projection is
+    * (qid, jaccard, rank) — neighbor ids are portable here (user keys,
+    * not content hashes), but the tie-invariant projection keeps the
+    * gate's claim exactly "the scores and their ranking", matching
+    * q164's shape for the vector family.
+    */
+  private[queries] val jaccardKnnOracleSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ws
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |                   for i in range(1, len(ws) - 1)]) AS sh
+      |  FROM w WHERE len(ws) >= 3),
+      |b AS (SELECT * FROM s WHERE doc_id % 2 = 0),
+      |c AS (SELECT * FROM s WHERE doc_id % 2 = 1),
+      |j AS (
+      |  SELECT b.doc_id AS qid, c.doc_id AS neighbor_id,
+      |    round(CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE)
+      |      / (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh))), 6)
+      |      AS jaccard
+      |  FROM b JOIN c ON b.doc_id <> c.doc_id),
+      |r AS (
+      |  SELECT qid, jaccard, row_number() OVER (
+      |    PARTITION BY qid ORDER BY jaccard DESC, neighbor_id ASC) AS rank
+      |  FROM j WHERE jaccard >= 0.5)
+      |SELECT qid, jaccard, rank FROM r WHERE rank <= 10""".stripMargin
+
   /** q159's oracle — [[againstKeptOracleSql]] with the corpus restated
     * under CONTENT-KEYED deletion: after `build(odds) → append(evens) →
     * delete(evens)`, the artifact's entries are the odd texts that are

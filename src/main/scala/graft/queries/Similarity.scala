@@ -347,6 +347,9 @@ object Similarity {
   private[graft] def ivfStoreTo(base: String, e: DataFrame,
       cells: Int, derived: Seq[String] = Nil,
       pq: Option[(Int, Int)] = None): Unit = {
+    // invalidate-before-mutate — see graft.transforms.IndexMaintenance.Stats
+    graft.transforms.IndexMaintenance.Stats.invalidate(
+      e.sparkSession.sparkContext.hadoopConfiguration, base)
     val (cents, supersOpt, assigned) =
       if (cells <= IvfFlatMaxCells) {
         val (c, _, a) = ivfBuildFrom(e, cells); (c, None, a)
@@ -430,6 +433,9 @@ object Similarity {
     * path must not ride first()-over-array either.
     */
   private[graft] def ivfStoreAppend(base: String, e: DataFrame): Unit = {
+    // invalidate-before-mutate — see graft.transforms.IndexMaintenance.Stats
+    graft.transforms.IndexMaintenance.Stats.invalidate(
+      e.sparkSession.sparkContext.hadoopConfiguration, base)
     val s = e.sparkSession
     val meta = s.read.parquet(s"$base/meta").head()
     graft.transforms.NearDup.requireKind(meta, base, "ivf_vec",

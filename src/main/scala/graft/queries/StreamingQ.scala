@@ -659,6 +659,71 @@ object StreamingQ {
           Similarity.StoredProbes, Similarity.StoredPqShortlist))
     },
 
+    // Streaming TYPO dedup from the STORED delete-1 variant index —
+    // the last stored family to gain a streaming consumer (text q149,
+    // cosine q157, IVF q139, ADC q166, TYPO here): dirty strings
+    // arrive as 4 real microbatches and each is answered ENTIRELY from
+    // q154's artifact shape via foreachBatch running the SAME probe
+    // step (NearDup.typoCrossMatchesStored — routed variant cells read
+    // as explicit paths, broadcast batch variants, length-capped
+    // levenshtein verify against the pruned string store). Per-batch
+    // work ∝ the batch's own variant keys, never corpus size; no
+    // streaming state (a string's verdict depends only on itself and
+    // the frozen index); batchId-keyed idempotent sink. Batch-boundary
+    // invariance IS the gate: the union of per-batch kept sets must
+    // equal the one-shot q154 answer — shared brute-force oracle,
+    // hash-exact.
+    QueryDef(
+      "q169_stream_stored_typo_dedup",
+      AqlQ.typoAgainstKeptOracleSql) { (s, dir) =>
+      import graft.transforms.NearDup
+      val qBase = java.nio.file.Files
+        .createTempDirectory("graft_typostream_")
+      Advanced.registerTmpDir(qBase)
+      val base = s"$qBase/typo_index"
+      val cust = Tables.load(s, dir, "customer")
+        .where(col("c_custkey") < 300)
+        .select(col("c_custkey"), col("c_name"))
+      // the write-once artifact, q154's corpus cut (odd keys < 100),
+      // stored with the INDEX verb's own exact-first collapse: entries
+      // are distinct texts keyed by content hash
+      val corpusReps = cust
+        .where(col("c_custkey") % 2 === 1 && col("c_custkey") < 100)
+        .select(col("c_name").as("txt"))
+        .where(col("txt").isNotNull).distinct()
+        .select(xxhash64(col("txt")).as("id"), col("txt"))
+      NearDup.typoStoreTo(base, corpusReps, cells = 32)
+      val inDir = s"$qBase/in"
+      val resDir = s"$qBase/out"
+      cust.where(col("c_custkey") % 2 === 0)
+        .repartition(4)
+        .write.mode("overwrite").parquet(inDir)
+      val schema = s.read.parquet(inDir).schema
+      drainAvailableNow(s, "q169_stored_typo", noDataBatch = false) {
+        ckpt =>
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir)
+          .writeStream
+          .outputMode("append")
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val sp = batch.sparkSession
+            val bReps = batch
+              .select(col("c_custkey").as("id"), col("c_name").as("txt"))
+              .where(col("txt").isNotNull)
+            val matched = NearDup.typoCrossMatchesStored(sp, base, bReps)
+              .toDF("c_custkey")
+            // idempotent under at-least-once: batchId-keyed overwrite
+            batch.select(col("c_custkey"))
+              .join(matched, Seq("c_custkey"), "left_anti")
+              .write.mode("overwrite").parquet(s"$resDir/batch=$batchId")
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      s.read.parquet(resDir).select(col("c_custkey"))
+    },
+
     // Streaming incremental dedup from the STORED band index — the
     // continuous-ingestion consumer of q144's artifact, completing the
     // triangle q139 drew for ANN (one write-once index; q144 = batch

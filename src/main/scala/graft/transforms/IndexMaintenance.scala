@@ -97,6 +97,146 @@ private[graft] object IndexMaintenance {
           s".probe_warnings_${b.getName}"))
     }
   }
+
+  /** Incremental DESCRIBE counters — `<dir>/stats`, a tiny parquet of
+    * per-cell (store, cell, files, rows) refreshed as the LAST step of
+    * every language-level mutating statement (INDEX build / APPEND /
+    * DELETE / COMPACT / REBUILD, all under the single-writer lock or
+    * the build's overwrite), so `INDEX DESCRIBE` answers from one
+    * small read instead of re-walking the store — the round-12
+    * measured cost (∝ cells, exponent 0.93–0.96, 280 s at half the
+    * cell cap) now paid once per MUTATION, which already pays a
+    * footer-order pass for its own summary row, instead of once per
+    * DESCRIBE.
+    *
+    * Honesty protocol: the Scala-API writers (bandStoreRows /
+    * typoStoreRows / cosineStoreRows / ivfStore* — the streaming
+    * ingestion hot path, where a per-batch full recount would break
+    * the cost-∝-batch contract) and the shared cell-rewrite
+    * ([[NearDup.rewriteCellsInPlace]]) INVALIDATE stats as their first
+    * step instead of maintaining them: a statement that dies mid-write
+    * or an API append outside the verb leaves stats ABSENT, never
+    * stale, and `INDEX DESCRIBE` falls back to the full recompute
+    * (also reachable on demand as `INDEX DESCRIBE '<dir>' VERIFY` —
+    * the ground-truth path specs and BandScale cross-check against).
+    * The next verb statement self-heals the fast path by rewriting
+    * stats.
+    */
+  private[graft] object Stats {
+
+    /** (cell, files, rows) per present cell of `<dir>/<sub>` — ONE
+      * recursive listing (files) plus ONE footer-only Spark
+      * aggregation (rows; the scan projects only the partition column,
+      * so tasks read parquet footers, never data pages). This IS the
+      * measured DESCRIBE cost body, factored so the fallback path and
+      * the refresh path can never disagree. Empty when the store is
+      * absent or has no data files.
+      */
+    def storeCells(spark: org.apache.spark.sql.SparkSession,
+        dir: String, sub: String, cellCol: String)
+        : Seq[(Int, Long, Long)] = {
+      import org.apache.hadoop.fs.Path
+      val live = new Path(s"$dir/$sub")
+      val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(live)) return Seq.empty
+      val qlive = fs.makeQualified(live)
+      val prefix = s"$cellCol="
+      // one recursive enumeration; keep (cell, file) for data files
+      // directly under a cell directory, skipping hidden paths
+      val cellFiles = {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Path)]
+        val it = fs.listFiles(qlive, true)
+        while (it.hasNext) {
+          val p = it.next().getPath
+          val nm = p.getName
+          if (!nm.startsWith("_") && !nm.startsWith(".")) {
+            var cell: String = null
+            var cur = p.getParent
+            var hidden = false
+            while (cur != null && cur != qlive) {
+              val cn = cur.getName
+              if (cn.startsWith(prefix)) cell = cn
+              else if (cn.startsWith("_") || cn.startsWith("."))
+                hidden = true
+              cur = cur.getParent
+            }
+            if (cell != null && !hidden)
+              buf += ((cell.stripPrefix(prefix).toInt, p))
+          }
+        }
+        buf.toSeq
+      }
+      if (cellFiles.isEmpty) return Seq.empty
+      val filesPerCell: Map[Int, Long] = cellFiles.groupBy(_._1)
+        .map { case (c, fsq) => c -> fsq.size.toLong }
+      // per-cell rows via ONE footer-only Spark aggregation (a
+      // driver-side parallel-pool footer read was tried in round 12
+      // and MEASURED SLOWER — 617 s vs 280 s at the 32 768-cell
+      // BandScale point; the distributed job spreads the per-file
+      // open/parse cost over executors)
+      val rowsPerCell: Map[Int, Long] = spark.read
+        .parquet(s"$dir/$sub")
+        .groupBy(col(cellCol)).count()
+        .collect().map(r => r.getAs[Int](cellCol) -> r.getAs[Long]("count"))
+        .toMap
+      (filesPerCell.keySet ++ rowsPerCell.keySet).toSeq.sorted.map { c =>
+        (c, filesPerCell.getOrElse(c, 0L), rowsPerCell.getOrElse(c, 0L))
+      }
+    }
+
+    /** Recompute per-cell stats for every store of the artifact and
+      * (atomically, via the parquet committer's rename) overwrite
+      * `<dir>/stats`. Returns the computed map so the calling
+      * statement's summary row reuses it instead of re-counting.
+      */
+    def write(spark: org.apache.spark.sql.SparkSession, dir: String,
+        stores: Seq[(String, String)])
+        : Map[String, Seq[(Int, Long, Long)]] = {
+      val computed = stores.map { case (sub, cellCol) =>
+        sub -> storeCells(spark, dir, sub, cellCol)
+      }.toMap
+      import spark.implicits._
+      computed.toSeq
+        .flatMap { case (sub, cs) =>
+          cs.map { case (cell, files, rows) => (sub, cell, files, rows) } }
+        .toDF("store", "cell", "files", "rows")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+      computed
+    }
+
+    /** Drop `<dir>/stats` — the first step of every NON-verb mutation
+      * (Scala-API appends, cell rewrites), so stats can be absent but
+      * never stale. Deliberately NOT swallowed: failing to invalidate
+      * before mutating would leave a lying stats store, which is worse
+      * than failing the mutation.
+      */
+    def invalidate(conf: org.apache.hadoop.conf.Configuration,
+        dir: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/stats")
+      val fs = p.getFileSystem(conf)
+      fs.delete(p, true)
+      ()
+    }
+
+    /** The persisted per-cell stats, or None when absent/unreadable
+      * (→ the caller takes the full-recompute path). A read racing an
+      * invalidation resolves to None, never an error.
+      */
+    def read(spark: org.apache.spark.sql.SparkSession, dir: String)
+        : Option[Map[String, Seq[(Int, Long, Long)]]] = try {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/stats")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) return None
+      Some(spark.read.parquet(s"$dir/stats")
+        .select(col("store"), col("cell"), col("files"), col("rows"))
+        .collect()
+        .map(r => (r.getAs[String]("store"), r.getAs[Int]("cell"),
+          r.getAs[Long]("files"), r.getAs[Long]("rows")))
+        .groupBy(_._1)
+        .map { case (sub, rows) =>
+          sub -> rows.map(t => (t._2, t._3, t._4)).toSeq.sortBy(_._1) })
+    } catch { case _: Throwable => None }
+  }
   // ----------------------------------------------------------------- INDEX
 
   /** INDEX ON <col> KEY <keycol> METHOD LSH|IVF|COSINE|TYPO
@@ -198,18 +338,32 @@ private[graft] object IndexMaintenance {
     private val CompactRe =
       raw"(?is)^INDEX\s+COMPACT\s+'([^']+)'\s*$$".r
     private val DescribeRe =
-      raw"(?is)^INDEX\s+DESCRIBE\s+'([^']+)'\s*$$".r
+      raw"(?is)^INDEX\s+DESCRIBE\s+'([^']+)'(?:\s+(VERIFY))?\s*$$".r
     private val RebuildRe =
-      raw"(?is)^INDEX\s+REBUILD\s+'([^']+)'(?:\s+THRESHOLD\s+([0-9]*\.?[0-9]+))?\s*$$".r
+      raw"(?is)^INDEX\s+REBUILD\s+'([^']+)'(?:\s+THRESHOLD\s+([0-9]*\.?[0-9]+))?(?:\s+TABLES\s+(\d+))?(?:\s+BITS\s+(\d+))?\s*$$".r
 
     def parse(t: String): Verb = t.trim match {
       case CompactRe(dir) => IndexCompactVerb(dir)
-      case DescribeRe(dir) => IndexDescribeVerb(dir)
-      case RebuildRe(dir, th) =>
+      case DescribeRe(dir, v) => IndexDescribeVerb(dir, v != null)
+      case RebuildRe(dir, th, tb, bi) =>
         val t = Option(th).map(_.toDouble)
         t.foreach(v => if (v <= 0 || v > 1) throw TransformError(
           s"INDEX REBUILD THRESHOLD $v out of range (0, 1]"))
-        IndexRebuildVerb(dir, t)
+        val tables = Option(tb).map(intOption("INDEX REBUILD", "TABLES", _))
+        val bits = Option(bi).map(intOption("INDEX REBUILD", "BITS", _))
+        tables.foreach(v => if (v < 1) throw TransformError(
+          s"INDEX REBUILD TABLES $v must be >= 1"))
+        bits.foreach(v => if (v < 1 || v > 30) throw TransformError(
+          s"INDEX REBUILD BITS $v out of range [1, 30]"))
+        // one statement, one family: THRESHOLD re-bands lsh_text,
+        // TABLES/BITS re-buckets cosine_vec — a statement carrying both
+        // could not mean anything against either artifact kind
+        if (t.isDefined && (tables.isDefined || bits.isDefined))
+          throw TransformError(
+            "INDEX REBUILD THRESHOLD (lsh_text re-banding) and " +
+              "TABLES/BITS (cosine_vec re-bucketing) are mutually " +
+              "exclusive — pick the form matching the artifact kind")
+        IndexRebuildVerb(dir, t, tables, bits)
       case Re(on, key, method, th, bands, rows, cells, tables, bits, pq,
           pqCodes, dir, app) =>
         val m = method.toUpperCase
@@ -294,8 +448,8 @@ private[graft] object IndexMaintenance {
           "[BANDS <n> ROWS <n>] [CELLS <n>] [TABLES <n>] [BITS <n>] " +
           "[PQ <m>] [PQCODES <n>] " +
           "INTO '<dir>' [APPEND|DELETE], INDEX COMPACT '<dir>', " +
-          "INDEX DESCRIBE '<dir>', or INDEX REBUILD '<dir>' " +
-          "[THRESHOLD <0-1>])")
+          "INDEX DESCRIBE '<dir>' [VERIFY], or INDEX REBUILD '<dir>' " +
+          "[THRESHOLD <0-1> | TABLES <n> BITS <n>])")
     }
   }
 
@@ -326,15 +480,22 @@ private[graft] object IndexMaintenance {
       else throw TransformError(
         s"$what: artifact at $dir predates kind metadata and " +
           "has no recognizable store layout — rebuild it with INDEX … INTO")
-    val stores: Seq[(String, String)] = kind match {
-      case "lsh_text" => Seq("bands" -> "pc", "shingles" -> "sc")
-      case "cosine_vec" => Seq("buckets" -> "pc", "vectors" -> "sc")
-      case "typo_text" => Seq("variants" -> "pc", "strings" -> "sc")
-      case "ivf_vec" => Seq("index" -> "cluster", "codes" -> "cluster")
-      case other => throw TransformError(
-        s"$what: unknown artifact kind '$other' at $dir")
-    }
-    (metaRow, kind, stores)
+    (metaRow, kind, storesFor(kind, s"$what: at $dir"))
+  }
+
+  /** The (store sub-directory, cell column) pairs of an artifact kind —
+    * ONE mapping shared by DESCRIBE/COMPACT/REBUILD's layout resolution
+    * and the stats refresh, so they can never disagree on what a kind's
+    * stores are.
+    */
+  private[graft] def storesFor(kind: String, ctx: String)
+      : Seq[(String, String)] = kind match {
+    case "lsh_text" => Seq("bands" -> "pc", "shingles" -> "sc")
+    case "cosine_vec" => Seq("buckets" -> "pc", "vectors" -> "sc")
+    case "typo_text" => Seq("variants" -> "pc", "strings" -> "sc")
+    case "ivf_vec" => Seq("index" -> "cluster", "codes" -> "cluster")
+    case other => throw TransformError(
+      s"$ctx: unknown artifact kind '$other'")
   }
 
   /** INDEX DESCRIBE '<dir>' — the operability statement of the
@@ -353,19 +514,24 @@ private[graft] object IndexMaintenance {
     * below its contract?" (probe_warnings count + last_warning — the
     * [[Warnings.persist]] events, e.g. a below-derived-bits cosine
     * probe; the ring a spec asserts dies with the probing process, so
-    * the artifact carries its own telemetry). Cost: ONE recursive
-    * listing per store (a single streaming enumeration, never a
-    * round-trip per cell) plus one footer-only Spark aggregation per
-    * store (the scan projects only the partition column — no data
-    * pages); measured ∝ cells in SCALING.md round 12 (≈ 5 min at half
-    * the cell cap on local[32]) — a MAINTENANCE-cadence statement,
-    * never a per-probe one. The per-cell collect is bounded by the
-    * 65 536-cell cap. Read-only — no
+    * the artifact carries its own telemetry). Cost (round 13): a
+    * routine DESCRIBE reads the per-cell counters in `<dir>/stats`
+    * ([[Stats]] — refreshed by every mutating statement as its last
+    * step, invalidated by non-verb mutations) — one small parquet
+    * read regardless of cell count. When stats are absent, or under
+    * `INDEX DESCRIBE '<dir>' VERIFY`, the full recompute runs: ONE
+    * recursive listing per store plus one footer-only Spark
+    * aggregation per store, measured ∝ cells in SCALING.md round 12
+    * (≈ 5 min at half the cell cap on local[32] — the cost the stats
+    * path exists to amortize into the mutations, which already pay a
+    * footer-order pass for their own summary rows). The per-cell
+    * collect is bounded by the 65 536-cell cap. Read-only — no
     * maintenance lock taken: stats are advisory and each concurrent
     * cell swap is atomic, so a racing DESCRIBE sees each cell before
     * or after its rewrite, never half-written.
     */
-  final case class IndexDescribeVerb(dir: String) extends Verb {
+  final case class IndexDescribeVerb(dir: String,
+      verify: Boolean = false) extends Verb {
     def build(sources: Map[String, DataFrame], primary: DataFrame)
         : DataFrame = {
       import org.apache.hadoop.fs.Path
@@ -428,62 +594,29 @@ private[graft] object IndexMaintenance {
         .filterNot(Set("kind", "cells", "derived"))
         .map(f => s"$f=${metaRow.getAs[Any](f)}")
         .mkString(" ")
-      // Round-12 DESCRIBE cost lesson (SCALING.md): the first
-      // implementation issued one listFiles call PER CELL DIRECTORY —
-      // serial, driver-side, 32 768 round-trips at half the cell cap.
-      // File counts now come from ONE recursive listing per store (a
-      // single streaming enumeration of every file). The row counts
-      // deliberately STAY a Spark aggregation — see the note at the
-      // rowCounts binding for the measured result that killed the
-      // "driver-side parallel footer reads" alternative.
+      // Round-12 DESCRIBE cost lesson (SCALING.md): one recursive
+      // listing + one footer-only aggregation per store, measured
+      // ∝ cells (exponent 0.93–0.96) — that body now lives in
+      // Stats.storeCells and runs here only as the FALLBACK/VERIFY
+      // path. The default serves from `<dir>/stats`, the per-cell
+      // counters every mutating statement refreshes as its last step
+      // (and every non-verb mutation invalidates — absent means
+      // recompute, never lie), so a routine DESCRIBE is one small
+      // parquet read regardless of cell count.
+      val statsOpt: Option[Map[String, Seq[(Int, Long, Long)]]] =
+        if (verify) None else Stats.read(spark, dir)
       val rows = stores.flatMap { case (sub, cellCol) =>
         val live = new Path(s"$dir/$sub")
         if (!fs.exists(live)) None
         else {
-          val qlive = fs.makeQualified(live)
-          val prefix = s"$cellCol="
-          // one recursive enumeration; keep (cell, file) for data files
-          // directly under a cell directory, skipping hidden paths
-          val cellFiles = {
-            val buf = scala.collection.mutable.ArrayBuffer
-              .empty[(String, Path)]
-            val it = fs.listFiles(qlive, true)
-            while (it.hasNext) {
-              val p = it.next().getPath
-              val nm = p.getName
-              if (!nm.startsWith("_") && !nm.startsWith(".")) {
-                var cell: String = null
-                var cur = p.getParent
-                var hidden = false
-                while (cur != null && cur != qlive) {
-                  val cn = cur.getName
-                  if (cn.startsWith(prefix)) cell = cn
-                  else if (cn.startsWith("_") || cn.startsWith("."))
-                    hidden = true
-                  cur = cur.getParent
-                }
-                if (cell != null && !hidden) buf += ((cell, p))
-              }
-            }
-            buf.toSeq
+          val per: Seq[(Int, Long, Long)] = statsOpt match {
+            case Some(m) => m.getOrElse(sub, Seq.empty)
+            case None => Stats.storeCells(spark, dir, sub, cellCol)
           }
-          val filesPerCell = cellFiles.groupBy(_._1)
-            .map { case (_, fsq) => fsq.size.toLong }.toSeq
-          // per-cell rows via ONE footer-only Spark aggregation (the
-          // scan projects only the partition column, so tasks read
-          // parquet footers, never data pages). A driver-side
-          // parallel-pool footer read was tried and MEASURED SLOWER —
-          // 617 s vs 280 s at the 32 768-cell BandScale point — the
-          // distributed job spreads the per-file open/parse cost over
-          // executors with none of the driver's per-open filesystem
-          // overhead, and on a real cluster the gap only widens
-          val rowCounts: Seq[Long] =
-            if (cellFiles.isEmpty) Seq.empty
-            else spark.read.parquet(live.toString)
-              .groupBy(col(cellCol)).count()
-              .collect().map(_.getAs[Long]("count")).toSeq
+          val filesPerCell = per.map(_._2)
+          val rowCounts = per.map(_._3)
           val entries = rowCounts.sum
-          Some((dir, kind, sub, cells, rowCounts.size.toLong, entries,
+          Some((dir, kind, sub, cells, per.size.toLong, entries,
             filesPerCell.sum, filesPerCell.count(_ > 1).toLong,
             if (filesPerCell.isEmpty) 0L else filesPerCell.max,
             if (rowCounts.isEmpty) 0L else rowCounts.min,
@@ -541,6 +674,23 @@ private[graft] object IndexMaintenance {
     * threshold). Non-LSH kinds reject THRESHOLD: their stores are not
     * threshold-shaped.
     *
+    * `INDEX REBUILD '<dir>' [TABLES <t>] [BITS <b>]` (cosine_vec only)
+    * re-buckets the artifact at EXPLICIT sign-LSH geometry — the
+    * cosine analogue of the THRESHOLD re-band, and the statement the
+    * derived-bits serving warning points at: a one-line
+    * `INDEX … METHOD COSINE` derives bits for dedup-grade similarity
+    * (~8 entries/bucket), which a later KNN top-k serve warns about on
+    * every probe because moderate-similarity neighbors can be missed.
+    * The `vectors/` store persists raw (id, v, nrm), so buckets at ANY
+    * geometry are pure recomputations from the artifact alone — no
+    * source corpus needed (the write-once story, q165's shape). Fields
+    * given are PINNED in `meta/` (they leave the `derived` list, so
+    * the serving warning stops firing); fields omitted keep their
+    * current value and derivation status. Old-geometry probes keep
+    * working because probes always adopt geometry from meta.
+    * THRESHOLD and TABLES/BITS are mutually exclusive (one statement,
+    * one artifact family); non-cosine kinds reject TABLES/BITS.
+    *
     * Swap: the new artifact is staged COMPLETE as a sibling
     * (`.rebuild_stage_<name>`), then swapped in with two directory
     * renames (live → `.rebuild_old_<name>`, stage → live). Geometry
@@ -555,7 +705,9 @@ private[graft] object IndexMaintenance {
     * `.maint_lock` like every maintenance form.
     */
   final case class IndexRebuildVerb(dir: String,
-      reThreshold: Option[Double] = None) extends Verb {
+      reThreshold: Option[Double] = None,
+      reTables: Option[Int] = None,
+      reBits: Option[Int] = None) extends Verb {
     def build(sources: Map[String, DataFrame], primary: DataFrame)
         : DataFrame = {
       import org.apache.hadoop.fs.Path
@@ -584,6 +736,12 @@ private[graft] object IndexMaintenance {
         s"INDEX REBUILD THRESHOLD only applies to lsh_text artifacts " +
           s"(banding is threshold-shaped; the '$kind' store at $dir is " +
           "not) — drop THRESHOLD to rebuild geometry only")
+      if ((reTables.isDefined || reBits.isDefined) && kind != "cosine_vec")
+        throw TransformError(
+          s"INDEX REBUILD TABLES/BITS only applies to cosine_vec " +
+            s"artifacts (sign-LSH bucket geometry; the '$kind' store " +
+            s"at $dir has none) — drop TABLES/BITS to rebuild geometry " +
+            "only")
       val cellsBefore = metaRow.getAs[Int]("cells")
       val derivedSeq =
         if (metaRow.schema.fieldNames.contains("derived"))
@@ -685,10 +843,22 @@ private[graft] object IndexMaintenance {
               val n = vecs.count()
               val c = reDerive("cells", cellsBefore,
                 IndexGeometry.storeCells, n)
-              val bi = reDerive("bits", metaRow.getAs[Int]("bits"),
-                IndexGeometry.cosineBits, n)
+              // TABLES/BITS given ⇒ re-bucket at EXPLICIT geometry and
+              // PIN it in meta (the field leaves the derived list, so
+              // the derived-bits serving warning stops firing — this is
+              // the statement that warning's remedy text names). The
+              // vectors store holds raw (id, v, nrm), so any geometry
+              // is a pure recomputation from the artifact alone —
+              // q165's re-band story for the cosine family.
+              val bi = reBits.getOrElse(
+                reDerive("bits", metaRow.getAs[Int]("bits"),
+                  IndexGeometry.cosineBits, n))
+              val tb = reTables.getOrElse(metaRow.getAs[Int]("tables"))
+              val derivedAfter = derivedSeq.filterNot(f =>
+                (reBits.isDefined && f == "bits") ||
+                  (reTables.isDefined && f == "tables"))
               VecKnn.cosineStoreTo(stage.toString, vecs,
-                metaRow.getAs[Int]("tables"), bi, c, derived = derivedSeq)
+                tb, bi, c, derived = derivedAfter)
               (c, n)
             case "ivf_vec" =>
               requireData("index")
@@ -714,6 +884,11 @@ private[graft] object IndexMaintenance {
             case other => throw TransformError(
               s"INDEX REBUILD: unknown artifact kind '$other' at $dir")
           }
+          // the staged artifact swaps in COMPLETE, fresh stats
+          // included — a crash before the swap leaves the live
+          // artifact (and its stats) untouched
+          Stats.write(spark, stage.toString,
+            storesFor(kind, "INDEX REBUILD"))
           // two renames; between them the artifact is absent and a
           // racing probe fails loudly instead of mis-routing
           if (!fs.rename(dirPath, oldP)) throw new IllegalStateException(
@@ -802,6 +977,7 @@ private[graft] object IndexMaintenance {
       }
       var before = 0L
       var after = 0L
+      var rewrote = false
       withMaintLock(spark, dir, "COMPACT") {
         for ((sub, cellCol) <- stores) {
           val live = new Path(s"$dir/$sub")
@@ -815,14 +991,26 @@ private[graft] object IndexMaintenance {
               .filter(st => dataFiles(st.getPath) > 1)
               .map(_.getPath.getName.stripPrefix(s"$cellCol=").toInt)
               .sorted
-            if (dirty.nonEmpty)
+            if (dirty.nonEmpty) {
               NearDup.rewriteCellsInPlace(spark, live.toString, cellCol,
                 dirty, "INDEX COMPACT",
                 "re-running COMPACT completes the rest (compacting a " +
                   "compacted cell is a no-op)")(identity)
+              rewrote = true
+            }
             after += dataFiles(live)
           }
         }
+        // refresh stats LAST (still under the lock): the compacted
+        // per-cell file counts are exactly what the next DESCRIBE
+        // asks. Skipped when nothing was rewritten AND stats are
+        // already present — an idempotent re-COMPACT must stay a
+        // byte-stable no-op (the q158 contract); when no cell was
+        // dirty but stats are ABSENT (a prior API mutation
+        // invalidated them), the statement still self-heals the fast
+        // path
+        val statsPresent = fs.exists(new Path(s"$dir/stats"))
+        if (rewrote || !statsPresent) Stats.write(spark, dir, stores)
       }
       import spark.implicits._
       Seq((dir, kind, before, after))
@@ -1144,44 +1332,25 @@ private[graft] object IndexMaintenance {
       // don't lock (overwrite is the statement's whole point, and two
       // concurrent builds into one dir is the same user error as two
       // concurrent non-index writes to one path)
-      val (kind, entriesPath, cellCount) =
-        if (append || delete) withMaintLock(spark, dir, maintWord)(
-          writeStores())
-        else writeStores()
-      import spark.implicits._
-      // a DELETE that removed every entry leaves no cell directories —
-      // spark.read on the bare store root would throw "unable to infer
-      // schema" even though the delete itself succeeded, so probe for
-      // data files first and report 0 (the honest total) instead
-      val entryCount: Long = {
-        val ep = new org.apache.hadoop.fs.Path(entriesPath)
-        val fs = ep.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        // listFiles returns fully-qualified paths (file:/…), so the
-        // walk's stop test must compare against the QUALIFIED store
-        // root — a raw-string compare would never terminate at the
-        // root and would test hidden-ness on every ancestor up to /
-        // (a dot-dir anywhere above the store would hide everything)
-        val qep = fs.makeQualified(ep)
-        def hasData: Boolean = {
-          if (!fs.exists(qep)) return false
-          val it = fs.listFiles(qep, true)
-          while (it.hasNext) {
-            val p = it.next().getPath
-            // skip hidden/meta paths the parquet reader also skips
-            // (e.g. a stale .old_… cell left by a crashed maintenance)
-            var cur = p
-            var hidden = false
-            while (cur != null && cur != qep) {
-              val nm = cur.getName
-              if (nm.startsWith("_") || nm.startsWith(".")) hidden = true
-              cur = cur.getParent
-            }
-            if (!hidden) return true
-          }
-          false
-        }
-        if (hasData) spark.read.parquet(entriesPath).count() else 0L
+      // stats refresh is the statement's LAST step (under the same
+      // lock for maintenance): the summary row's entry count is read
+      // from the refreshed per-cell stats instead of a separate full
+      // count, so the statement pays ONE footer pass and DESCRIBE
+      // afterwards pays none
+      def writeAndCount(): (String, Int, Long) = {
+        val (kind, entriesPath, cellCount) = writeStores()
+        val st = Stats.write(spark, dir,
+          storesFor(kind, s"INDEX INTO '$dir'"))
+        val entriesSub =
+          new org.apache.hadoop.fs.Path(entriesPath).getName
+        val n = st.getOrElse(entriesSub, Seq.empty).map(_._3).sum
+        (kind, cellCount, n)
       }
+      val (kind, cellCount, entryCount) =
+        if (append || delete) withMaintLock(spark, dir, maintWord)(
+          writeAndCount())
+        else writeAndCount()
+      import spark.implicits._
       Seq((dir, kind, cellCount, entryCount))
         .toDF("path", "kind", "cells", "indexed_rows")
     }

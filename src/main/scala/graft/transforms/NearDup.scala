@@ -528,6 +528,11 @@ object NearDup {
   private def bandStoreRows(base: String, shC: DataFrame, numPerm: Int,
       numBands: Int, rowsPerBand: Int, cells: Int, hashShingles: Boolean,
       mode: org.apache.spark.sql.SaveMode): Unit = {
+    // invalidate-before-mutate: stats can be absent, never stale (the
+    // language verb rewrites them after; a direct API append leaves
+    // DESCRIBE on its honest full-recompute path)
+    IndexMaintenance.Stats.invalidate(
+      shC.sparkSession.sparkContext.hadoopConfiguration, base)
     val sh = shC.localCheckpoint(false) // feeds band keys AND the shingle store
     bandKeys(sh, numPerm, numBands, rowsPerBand)
       .withColumn("pc",
@@ -662,6 +667,12 @@ object NearDup {
     import org.apache.hadoop.fs.Path
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // invalidate-before-mutate (root is `<dir>/<store>`; stats live at
+    // `<dir>/stats`): the verb statements riding this rewrite (DELETE,
+    // COMPACT) refresh stats as their own last step
+    Option(rootPath.getParent).foreach(par =>
+      IndexMaintenance.Stats.invalidate(
+        s.sparkContext.hadoopConfiguration, par.toString))
     def live(c: Int) = new Path(rootPath, s"$pcol=$c")
     def old(c: Int) = new Path(rootPath, s".old_${pcol}_$c")
     // FIRST, sweep `.old_` siblings left by prior statements (a hard
@@ -766,9 +777,60 @@ object NearDup {
   def minhashCrossMatchesStored(s: org.apache.spark.sql.SparkSession,
       base: String, shB: DataFrame, threshold: Double,
       numPerm: Int = 128, numBands: Int = 32,
+      rowsPerBand: Int = 4): DataFrame =
+    storedVerifiedPairs(s, base, shB, threshold, numPerm, numBands,
+      rowsPerBand, "NEARDEDUP … AGAINST STORED")
+      .select(col("doc_a").as("b_id")).distinct()
+
+  /** Top-k most-similar stored docs per query doc, served from a
+    * [[bandStoreTo]] artifact — the RETRIEVAL statement of the dedup
+    * pipeline's investigation step ("show me the 10 docs most similar
+    * to this one"), where AGAINST only answers membership. Candidates
+    * route exactly like the AGAINST probe (band collisions — SHARED
+    * code, [[storedVerifiedPairs]], so the two serving paths can never
+    * diverge), the rerank is exact Jaccard over the shingle store, and
+    * the answer is the top `k` at `threshold` GRADE: banding only
+    * surfaces pairs the artifact's threshold contract promises, so the
+    * statement returns "the k most similar docs with jaccard ≥ t" —
+    * possibly fewer than k rows, never a silently-unranked distant doc
+    * (the same candidates-only-missed honesty as the cosine serve,
+    * with the threshold floor making the answer set exact). A query
+    * doc is not its own neighbor (key-based exclusion; an exact-dup
+    * TEXT under a different id legitimately surfaces at jaccard 1.0 —
+    * that is the investigation's whole point). Rank is
+    * (jaccard DESC, neighbor_id ASC) per qid — a deterministic total
+    * order, so (qid, jaccard, rank) is engine-portable even at ties.
+    * Returns (qid, neighbor_id, jaccard, rank). `shB`: (id, shs) per
+    * [[shingled]].
+    */
+  def jaccardKnnStored(s: org.apache.spark.sql.SparkSession,
+      base: String, shB: DataFrame, threshold: Double, k: Int,
+      numPerm: Int = 128, numBands: Int = 32,
       rowsPerBand: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = storedVerifiedPairs(s, base, shB, threshold, numPerm,
+      numBands, rowsPerBand, "KNN … METHOD JACCARD STORED")
+      .where(col("doc_a") =!= col("doc_b"))
+    val w = Window.partitionBy(col("doc_a"))
+      .orderBy(col("jaccard").desc, col("doc_b").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_a").as("qid"), col("doc_b").as("neighbor_id"),
+        col("jaccard"), col("rank"))
+  }
+
+  /** The shared probe body of [[minhashCrossMatchesStored]] and
+    * [[jaccardKnnStored]]: batch band keys → driver-side cell routing →
+    * candidates from the batch's own band cells → exact Jaccard over
+    * the routed shingle cells. Returns verified (doc_a, doc_b, jaccard)
+    * pairs at ≥ `threshold` (doc_a = batch id, doc_b = stored id).
+    */
+  private def storedVerifiedPairs(s: org.apache.spark.sql.SparkSession,
+      base: String, shB: DataFrame, threshold: Double,
+      numPerm: Int, numBands: Int, rowsPerBand: Int,
+      what: String): DataFrame = {
     val meta = s.read.parquet(s"$base/meta").head()
-    requireKind(meta, base, "lsh_text", "NEARDEDUP … AGAINST STORED")
+    requireKind(meta, base, "lsh_text", what)
     val cells = meta.getAs[Int]("cells")
     for ((want, got, what) <- Seq(
         (numPerm, meta.getAs[Int]("num_perm"), "numPerm"),
@@ -815,7 +877,8 @@ object NearDup {
     // java.io.File would silently report every hdfs://… or s3a://…
     // cell absent and the probe would return zero matches on exactly
     // the distributed deployments the artifact exists for.
-    def emptyMatches = shB.select(col("id").as("b_id")).limit(0)
+    def emptyMatches = shB.select(col("id").as("doc_a"),
+      col("id").as("doc_b"), lit(0.0).as("jaccard")).limit(0)
     val bandPaths = existingCellPaths(s, s"$base/bands", "pc", probeCells)
     if (bandPaths.isEmpty) return emptyMatches
     val stored = s.read.option("basePath", s"$base/bands")
@@ -835,7 +898,6 @@ object NearDup {
       .parquet(shPaths: _*)
       .select(col("id"), col("shs"))
     verifyPairsAcross(cand, shBVerify, shStored, threshold)
-      .select(col("doc_a").as("b_id")).distinct()
   }
 
   /** Resolve the subset of `wanted` partition cells that exist under
@@ -943,6 +1005,8 @@ object NearDup {
   /** Shared row-writing step of [[typoStoreTo]] / [[typoStoreAppend]]. */
   private def typoStoreRows(base: String, reps: DataFrame, cells: Int,
       mode: org.apache.spark.sql.SaveMode): Unit = {
+    IndexMaintenance.Stats.invalidate(
+      reps.sparkSession.sparkContext.hadoopConfiguration, base)
     val r = reps.select(col("id"), col("txt")).localCheckpoint(false)
     delete1Variants(r, "txt")
       .select(col("id"), col("vh"))

@@ -1472,16 +1472,30 @@ object TransformParser {
     */
   private object KnnParser {
     private val Re =
-      raw"(?is)^KNN(?:\s+(\w+)\s+WITH\s+(\w+))?\s+ON\s+([A-Za-z_]\w*)\s+KEY\s+([A-Za-z_]\w*)(?:\s+TOP\s+(\d+))?(?:\s+METHOD\s+([A-Za-z]+))?(?:\s+TABLES\s+(\d+))?(?:\s+BITS\s+(\d+))?(?:\s+CELLS\s+(\d+))?(?:\s+PROBE\s+(\d+))?(?:\s+STORED\s+'([^']+)')?(\s+ADC)?(?:\s+SHORTLIST\s+(\d+))?(?:\s+QUERIES\s+(.+?))?\s*$$".r
+      raw"(?is)^KNN(?:\s+(\w+)\s+WITH\s+(\w+))?\s+ON\s+([A-Za-z_]\w*)\s+KEY\s+([A-Za-z_]\w*)(?:\s+TOP\s+(\d+))?(?:\s+METHOD\s+([A-Za-z]+))?(?:\s+THRESHOLD\s+([0-9]*\.?[0-9]+))?(?:\s+TABLES\s+(\d+))?(?:\s+BITS\s+(\d+))?(?:\s+CELLS\s+(\d+))?(?:\s+PROBE\s+(\d+))?(?:\s+STORED\s+'([^']+)')?(\s+ADC)?(?:\s+SHORTLIST\s+(\d+))?(?:\s+QUERIES\s+(.+?))?\s*$$".r
 
     def parse(t: String): Verb = t.trim match {
-      case Re(qsrc, csrc, vec, key, top, method, tables, bits, cells,
+      case Re(qsrc, csrc, vec, key, top, method, thr, tables, bits, cells,
           probe, storedPath, adcFlag, shortlist, queries) =>
         val k = Option(top).map(intOption("KNN", "TOP", _)).getOrElse(5)
         if (k < 1) throw TransformError(s"KNN TOP $k must be >= 1")
         val m = Option(method).map(_.toUpperCase).getOrElse("EXACT")
-        if (!Set("EXACT", "LSH", "IVF").contains(m)) throw TransformError(
-          s"KNN METHOD $m unknown (expected EXACT, LSH or IVF)")
+        if (!Set("EXACT", "LSH", "IVF", "JACCARD").contains(m))
+          throw TransformError(
+            s"KNN METHOD $m unknown (expected EXACT, LSH, IVF or JACCARD)")
+        // THRESHOLD is JACCARD's grade floor (the banded artifact only
+        // promises recall at >= its banding threshold, so the statement
+        // states the grade it serves at); distance methods rank without
+        // a floor and reject it
+        val th = Option(thr).map(_.toDouble)
+        th.foreach { v =>
+          if (m != "JACCARD") throw TransformError(
+            "KNN THRESHOLD only applies to METHOD JACCARD (the banded " +
+              "text artifact serves at threshold grade; vector methods " +
+              "rank without a floor)")
+          if (v <= 0 || v > 1) throw TransformError(
+            s"KNN THRESHOLD $v out of range (0, 1]")
+        }
         def only(name: String, v: Option[String], meth: String): Option[Int] = {
           v.foreach(_ => if (m != meth) throw TransformError(
             s"KNN $name only applies to METHOD $meth"))
@@ -1502,10 +1516,16 @@ object TransformParser {
         val ce = only("CELLS", Option(cells), "IVF")
         val pr = only("PROBE", Option(probe), "IVF")
         val st = Option(storedPath)
+        if (m == "JACCARD" && st.isEmpty) throw TransformError(
+          "KNN METHOD JACCARD serves from a stored lsh_text artifact " +
+            "(build one with INDEX … METHOD LSH … INTO) — add " +
+            "STORED '<dir>'; for in-plan text similarity use the " +
+            "NEARDEDUP family")
         st.foreach { _ =>
           if (m == "EXACT") throw TransformError(
-            "KNN STORED applies to METHOD IVF (an IVF artifact) or " +
-              "METHOD LSH (a COSINE sign-LSH artifact) — METHOD EXACT " +
+            "KNN STORED applies to METHOD IVF (an IVF artifact), " +
+              "METHOD LSH (a COSINE sign-LSH artifact) or METHOD " +
+              "JACCARD (an lsh_text band artifact) — METHOD EXACT " +
               "scans the source, there is nothing stored to serve from")
           if (ce.isDefined) throw TransformError(
             "KNN CELLS does not apply with STORED (the artifact fixes " +
@@ -1549,10 +1569,11 @@ object TransformParser {
           (Option(qsrc), Option(csrc)) match {
             case (Some(q), Some(c)) => Some((q, c))
             case _ => None // regex captures both or neither
-          }, st, adc, sl)
+          }, st, adc, sl, th)
       case _ => throw TransformError(
         "cannot parse KNN (expected KNN [<Queries> WITH <Corpus>] " +
-          "ON <veccol> KEY <keycol> [TOP <k>] [METHOD EXACT|LSH|IVF] " +
+          "ON <veccol> KEY <keycol> [TOP <k>] " +
+          "[METHOD EXACT|LSH|IVF|JACCARD] [THRESHOLD <0-1>] " +
           "[TABLES <t>] [BITS <b>] [CELLS <c>] [PROBE <p>] " +
           "[STORED '<index-dir>'] [ADC] [SHORTLIST <n>] [QUERIES <expr>])")
     }
@@ -1564,7 +1585,8 @@ object TransformParser {
       queries: Option[String],
       twoSource: Option[(String, String)] = None,
       stored: Option[String] = None,
-      adc: Boolean = false, shortlist: Option[Int] = None) extends Verb {
+      adc: Boolean = false, shortlist: Option[Int] = None,
+      threshold: Option[Double] = None) extends Verb {
 
     /** (id, v, nrm) from `df`, QUERIES-flagged, spread across cores (see
       * spreadForCpu), and MATERIALIZED once: every method consumes the
@@ -1625,6 +1647,48 @@ object TransformParser {
       // per-batch cost is the probed cells' files, never an index-build
       // or corpus scan.
       stored match {
+        case Some(base) if method == "JACCARD" =>
+          // text serving (NearDup.jaccardKnnStored — the q168
+          // machinery): the banded lsh_text artifact routes candidates
+          // exactly like NEARDEDUP AGAINST STORED, the shingle store
+          // reranks by exact Jaccard, and the answer is top-k at the
+          // statement's threshold grade. Banding = the threshold's
+          // auto-banding, validated against the artifact's meta — a
+          // mismatched-threshold serve errors instead of silently
+          // missing pairs (the q165 contract).
+          val spark = primary.sparkSession
+          def namedT(n: String): StructField =
+            primary.schema.find(_.name.equalsIgnoreCase(n)).getOrElse(
+              throw TransformError(s"KNN: unknown column $n"))
+          val keyName = namedT(key).name
+          val tName = namedT(vecCol).name
+          namedT(vecCol).dataType match {
+            case StringType => ()
+            case other => throw TransformError(
+              s"KNN METHOD JACCARD ON $tName must be string, got " +
+                other.simpleString)
+          }
+          val flaggedT = queries match {
+            case Some(qx) =>
+              val pq = try expr(qx)
+                catch { case e: Exception => throw TransformError(
+                  s"KNN QUERIES: cannot parse '$qx': ${e.getMessage}") }
+              primary.withColumn("__isq", coalesce(pq, lit(false)))
+            case None => primary.withColumn("__isq", lit(true))
+          }
+          // checkpoint: the query panel feeds band-key generation AND
+          // the exact-verify join — panels are microbatch-sized by the
+          // serving contract, so this is tiny
+          val qdf = flaggedT.where(col("__isq"))
+            .select(col(keyName).as("id"), col(tName).as("txt"))
+            .localCheckpoint(false)
+          val shQ = NearDup.shingled(qdf, "id", "txt")
+          val tGrade = threshold.getOrElse(0.5)
+          val (bB, bR) = try NearDup.autoBands(tGrade)
+            catch { case e: IllegalArgumentException => throw TransformError(
+              s"KNN METHOD JACCARD: ${e.getMessage}") }
+          NearDup.jaccardKnnStored(spark, base, shQ, tGrade, k,
+            numPerm = bB * bR, numBands = bB, rowsPerBand = bR)
         case Some(base) =>
           val spark = primary.sparkSession
           val q = prep(primary, withFlag = true, materialize = false)

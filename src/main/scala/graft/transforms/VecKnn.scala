@@ -347,6 +347,9 @@ object VecKnn {
   private def cosineStoreRows(base: String, e: DataFrame, tables: Int,
       bits: Int, cells: Int, dims: Int,
       mode: org.apache.spark.sql.SaveMode): Unit = {
+    // invalidate-before-mutate — see IndexMaintenance.Stats
+    graft.transforms.IndexMaintenance.Stats.invalidate(
+      e.sparkSession.sparkContext.hadoopConfiguration, base)
     val ee = e.select(col("id"), col("v"), col("nrm")).localCheckpoint(false)
     bucketFrame(ee, tables, bits, dims)
       .withColumn("pc",
@@ -449,8 +452,9 @@ object VecKnn {
           s"for dedup-grade thresholds (>= " +
           s"${graft.transforms.IndexGeometry.derivedBitsThresholdFloor}); " +
           s"probing at THRESHOLD $threshold may silently miss boundary " +
-          "pairs — rebuild with explicit BITS (and larger TABLES), or " +
-          "serve through KNN/IVF which reranks exactly"
+          "pairs — re-bucket with INDEX REBUILD '" + base +
+          "' TABLES <t> BITS <b> (explicit geometry, no source corpus " +
+          "needed), or serve through KNN/IVF which reranks exactly"
       graft.transforms.IndexMaintenance.Warnings.emit(msg)
       // also persisted (to the artifact's SIBLING warnings dir — see
       // Warnings.persist): the operator who runs INDEX DESCRIBE
@@ -546,8 +550,10 @@ object VecKnn {
         s"stored cosine index at $base uses DERIVED bits=$bits, sized " +
           "for dedup-grade similarity; KNN top-k served from it can " +
           "miss moderate-similarity neighbors (candidates are bucket " +
-          "collisions) — pin BITS (and larger TABLES) at build time, " +
-          "or serve through KNN METHOD IVF STORED, which reranks exactly"
+          "collisions) — re-bucket with INDEX REBUILD '" + base +
+          "' TABLES <t> BITS <b> (explicit geometry, no source corpus " +
+          "needed), or serve through KNN METHOD IVF STORED, which " +
+          "reranks exactly"
       graft.transforms.IndexMaintenance.Warnings.emit(msg)
       graft.transforms.IndexMaintenance.Warnings.persist(
         s.sparkContext.hadoopConfiguration, base, msg)

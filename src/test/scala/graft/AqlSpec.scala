@@ -2522,6 +2522,155 @@ class AqlSpec extends AnyFunSuite {
       .contains("REBUILD THRESHOLD"))
     assert(bad(s"INDEX REBUILD '$idx' THRESHOLD 1.5")
       .contains("out of range"))
+    // TABLES/BITS is the cosine form — an lsh_text artifact rejects it
+    assert(bad(s"INDEX REBUILD '$idx' TABLES 8 BITS 2")
+      .contains("only applies to cosine_vec"))
+  }
+
+  test("INDEX REBUILD TABLES/BITS: re-buckets the cosine artifact at " +
+      "explicit geometry from its own vectors store; meta pins the " +
+      "fields; the derived-bits serving warning stops; option algebra") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_aqlspec_rbgeo")
+    graft.queries.Advanced.registerTmpDir(dir)
+    val pq = dir.resolve("vecs.parquet").toString
+    // same fixture as the KNN LSH STORED spec: vid 5 duplicates vid 1's
+    // content, so the serve must self-exclude it by content after the
+    // re-bucket exactly as before
+    Seq((1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.1)),
+        (3L, Array(0.0, 1.0)), (4L, Array(0.1, 0.9)),
+        (5L, Array(1.0, 0.0)))
+      .toDF("vid", "emb").write.parquet(pq)
+    val idx = dir.resolve("cos").toString
+    def run(body: String,
+        log: (String, String, String) => Unit = (_, _, _) => ()) =
+      Aql.run(spark,
+        s"""CONNECTION 'V' (DRIVER = 'file', FILE = '$pq',
+           |  FORMAT = 'parquet')
+           |TRANSFORM 'T' FROM CONNECTION V (
+           |  $body
+           |) INTO CONSOLE""".stripMargin, logger = log).outputs("T")
+    // build with DERIVED bits AND cells — the one-line geometry the
+    // serving warning is for (cells derive to the 64-cell floor here)
+    run(s"INDEX ON emb KEY vid METHOD COSINE INTO '$idx'")
+    val metaBefore = spark.read.parquet(s"$idx/meta").head()
+    assert(metaBefore.getAs[String]("derived").split(",").contains("bits"),
+      metaBefore.toString)
+    // re-bucket at the explicit geometry the sibling KNN spec pins —
+    // the answers below are that spec's, so the re-bucket is content-
+    // preserving by the same deterministic-recall argument
+    val rb = run(s"INDEX REBUILD '$idx' TABLES 16 BITS 1")
+      .collect().head
+    assert(rb.getAs[String]("kind") == "cosine_vec", rb.toString)
+    assert(rb.getAs[Long]("indexed_rows") == 4L, rb.toString) // distinct
+    val meta = spark.read.parquet(s"$idx/meta").head()
+    assert(meta.getAs[Int]("tables") == 16 && meta.getAs[Int]("bits") == 1,
+      meta.toString)
+    assert(!meta.getAs[String]("derived").split(",").contains("bits"),
+      meta.toString)
+    assert(meta.getAs[String]("derived").split(",").contains("cells"),
+      meta.toString) // cells stays derived — only given fields pin
+    // the serve is silent now (no derived-bits warning through the
+    // engine logger) and the answers are the pinned-geometry spec's
+    val logged = scala.collection.mutable.ArrayBuffer.empty[String]
+    val served = run(
+      s"KNN ON emb KEY vid TOP 2 METHOD LSH STORED '$idx' QUERIES vid = 1",
+      (lvl, _, msg) =>
+        if (lvl.equalsIgnoreCase("warning")) logged += msg)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Double]("cosine"),
+        r.getAs[Int]("rank"))).toSeq.sortBy(_._3)
+    assert(logged.isEmpty, logged.mkString("; "))
+    assert(served.map(_._3) == Seq(1, 2), served.toString)
+    assert(math.abs(served.head._2 - 0.993884) < 1e-6, served.toString)
+    assert(math.abs(served(1)._2 - 0.110432) < 1e-6, served.toString)
+    assert(!served.exists(_._2 >= 0.999999), served.toString)
+
+    // partial form: BITS alone pins bits, keeps tables from meta
+    val idx2 = dir.resolve("cos2").toString
+    run(s"INDEX ON emb KEY vid METHOD COSINE CELLS 4 TABLES 8 INTO '$idx2'")
+    run(s"INDEX REBUILD '$idx2' BITS 2")
+    val meta2 = spark.read.parquet(s"$idx2/meta").head()
+    assert(meta2.getAs[Int]("tables") == 8 && meta2.getAs[Int]("bits") == 2,
+      meta2.toString)
+    assert(!meta2.getAs[String]("derived").split(",").contains("bits"),
+      meta2.toString)
+
+    // option algebra: THRESHOLD and TABLES/BITS never meet; values are
+    // range-checked at parse time; non-cosine kinds reject
+    def bad(body: String): String =
+      intercept[Exception](run(body)).getMessage
+    assert(bad(s"INDEX REBUILD '$idx' THRESHOLD 0.9 BITS 2")
+      .contains("mutually exclusive"))
+    assert(bad(s"INDEX REBUILD '$idx' TABLES 0")
+      .contains("must be >= 1"))
+    assert(bad(s"INDEX REBUILD '$idx' BITS 40")
+      .contains("out of range"))
+    val ivfIdx = dir.resolve("ivf").toString
+    run(s"INDEX ON emb KEY vid METHOD IVF CELLS 2 INTO '$ivfIdx'")
+    assert(bad(s"INDEX REBUILD '$ivfIdx' TABLES 8 BITS 2")
+      .contains("only applies to cosine_vec"))
+  }
+
+  test("INDEX DESCRIBE: serves from the stats maintained by mutating " +
+      "statements, VERIFY recomputes, non-verb mutations invalidate " +
+      "to the honest fallback") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_aqlspec_st")
+    graft.queries.Advanced.registerTmpDir(dir)
+    val aPq = dir.resolve("a.parquet").toString
+    val bPq = dir.resolve("b.parquet").toString
+    Seq((1L, "alpha beta gamma delta epsilon"),
+        (2L, "completely different words about nothing"))
+      .toDF("id", "txt").write.parquet(aPq)
+    Seq((3L, "yet another sentence with many tokens"),
+        (4L, "the final corpus text for appending here"))
+      .toDF("id", "txt").write.parquet(bPq)
+    val idx = dir.resolve("lsh").toString
+    val statsPath = java.nio.file.Paths.get(idx, "stats")
+    def run(pq: String, body: String) = Aql.run(spark,
+      s"""CONNECTION 'D' (DRIVER = 'file', FILE = '$pq',
+         |  FORMAT = 'parquet')
+         |TRANSFORM 'T' FROM CONNECTION D (
+         |  $body
+         |) INTO CONSOLE""".stripMargin).outputs("T")
+    def describe(verify: Boolean): Seq[String] =
+      run(aPq, s"INDEX DESCRIBE '$idx'" + (if (verify) " VERIFY" else ""))
+        .collect().map(_.toString).sorted.toSeq
+    def entries(sub: String): Long =
+      run(aPq, s"INDEX DESCRIBE '$idx'").collect()
+        .find(_.getAs[String]("store") == sub).get.getAs[Long]("entries")
+    // build writes stats; the served DESCRIBE equals the ground truth
+    run(aPq, s"INDEX ON txt KEY id METHOD LSH THRESHOLD 0.5 CELLS 8 " +
+      s"INTO '$idx'")
+    assert(java.nio.file.Files.exists(statsPath))
+    assert(describe(false) == describe(true))
+    assert(entries("shingles") == 2L)
+    // verb APPEND refreshes stats (same lock, last step)
+    run(bPq, s"INDEX ON txt KEY id METHOD LSH INTO '$idx' APPEND")
+    assert(java.nio.file.Files.exists(statsPath))
+    assert(describe(false) == describe(true))
+    assert(entries("shingles") == 4L)
+    // a DIRECT API append (the streaming ingestion path) must not pay
+    // a full recount — it invalidates instead, and DESCRIBE falls back
+    // to the full recompute, which sees the appended entry
+    val sh = graft.transforms.NearDup.shingled(
+      Seq((99L, "totally novel words for the api append path"))
+        .toDF("id", "txt"), "id", "txt")
+    graft.transforms.NearDup.bandStoreAppend(idx, sh)
+    assert(!java.nio.file.Files.exists(statsPath))
+    assert(entries("shingles") == 5L)
+    // the next verb statement self-heals the fast path
+    run(bPq, s"INDEX ON txt KEY id METHOD LSH INTO '$idx' DELETE")
+    assert(java.nio.file.Files.exists(statsPath))
+    assert(describe(false) == describe(true))
+    assert(entries("shingles") == 3L) // bPq's 2 texts deleted
+    // COMPACT's rewrite also lands in stats (multi-file cells → 1)
+    run(aPq, s"INDEX COMPACT '$idx'")
+    assert(java.nio.file.Files.exists(statsPath))
+    assert(describe(false) == describe(true))
+    val desc = run(aPq, s"INDEX DESCRIBE '$idx'").collect()
+    assert(desc.forall(_.getAs[Long]("multi_file_cells") == 0L),
+      desc.mkString("; "))
   }
 
   test("KNN METHOD LSH STORED: top-k from the cosine artifact, " +

@@ -105,35 +105,39 @@ object Dedup {
     againstKeptOracleSqlAt(0.5)
 
   /** q168's oracle — brute-force top-10 Jaccard retrieval at grade 0.5:
-    * every (even query, odd corpus) pair's exact round-6 Jaccard,
-    * floored at the banding threshold (the artifact only promises
-    * recall there — the verb's documented grade contract), ranked
-    * (jaccard DESC, neighbor_id ASC) per query. The projection is
-    * (qid, jaccard, rank) — neighbor ids are portable here (user keys,
-    * not content hashes), but the tie-invariant projection keeps the
-    * gate's claim exactly "the scores and their ranking", matching
-    * q164's shape for the vector family.
+    * every even query doc's exact round-6 Jaccard against the DISTINCT
+    * odd corpus TEXTS (the stored artifact collapses to one entry per
+    * distinct text, so the brute force must rank the same candidate
+    * set — q164's `DISTINCT v` move for the text family), floored at
+    * the banding threshold (the artifact only promises recall there —
+    * the verb's documented grade contract), with CONTENT
+    * self-exclusion (`c.text <> b.text` — the serve keys both sides by
+    * xxhash64(text)). The projection is (qid, jaccard, rank):
+    * neighbor ids are the store's content hashes and stay out of the
+    * hash exactly as q164's do; equal-jaccard ties make the projection
+    * multiset-identical under any tie order.
     */
   private[queries] val jaccardKnnOracleSql: String =
     """WITH w AS (
-      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ws
+      |  SELECT doc_id, text,
+      |    list_filter(string_split(text, ' '), t -> t <> '') AS ws
       |  FROM documents),
       |s AS (
-      |  SELECT doc_id,
+      |  SELECT doc_id, text,
       |    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
       |                   for i in range(1, len(ws) - 1)]) AS sh
       |  FROM w WHERE len(ws) >= 3),
-      |b AS (SELECT * FROM s WHERE doc_id % 2 = 0),
-      |c AS (SELECT * FROM s WHERE doc_id % 2 = 1),
+      |b AS (SELECT doc_id, text, sh FROM s WHERE doc_id % 2 = 0),
+      |c AS (SELECT DISTINCT text, sh FROM s WHERE doc_id % 2 = 1),
       |j AS (
-      |  SELECT b.doc_id AS qid, c.doc_id AS neighbor_id,
+      |  SELECT b.doc_id AS qid,
       |    round(CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE)
       |      / (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh))), 6)
       |      AS jaccard
-      |  FROM b JOIN c ON b.doc_id <> c.doc_id),
+      |  FROM b JOIN c ON c.text <> b.text),
       |r AS (
       |  SELECT qid, jaccard, row_number() OVER (
-      |    PARTITION BY qid ORDER BY jaccard DESC, neighbor_id ASC) AS rank
+      |    PARTITION BY qid ORDER BY jaccard DESC) AS rank
       |  FROM j WHERE jaccard >= 0.5)
       |SELECT qid, jaccard, rank FROM r WHERE rank <= 10""".stripMargin
 

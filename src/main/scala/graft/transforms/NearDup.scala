@@ -794,12 +794,17 @@ object NearDup {
     * statement returns "the k most similar docs with jaccard ≥ t" —
     * possibly fewer than k rows, never a silently-unranked distant doc
     * (the same candidates-only-missed honesty as the cosine serve,
-    * with the threshold floor making the answer set exact). A query
-    * doc is not its own neighbor (key-based exclusion; an exact-dup
-    * TEXT under a different id legitimately surfaces at jaccard 1.0 —
-    * that is the investigation's whole point). Rank is
-    * (jaccard DESC, neighbor_id ASC) per qid — a deterministic total
-    * order, so (qid, jaccard, rank) is engine-portable even at ties.
+    * with the threshold floor making the answer set exact).
+    * Self-exclusion is by ID EQUALITY — the KNN verb keys BOTH sides
+    * by xxhash64(text) (the store's own exact-first collapse), so for
+    * the language layer this IS content exclusion: a query's own
+    * indexed text is never its neighbor, while an exact-dup text
+    * under a different id legitimately surfaces at jaccard 1.0 — the
+    * investigation's whole point (the cosine serve's semantics,
+    * q164). Scala-API stores keyed by user ids get plain key
+    * exclusion. Rank is (jaccard DESC, neighbor_id ASC) per qid — a
+    * deterministic total order, so (qid, jaccard, rank) is
+    * engine-portable even at ties.
     * Returns (qid, neighbor_id, jaccard, rank). `shB`: (id, shs) per
     * [[shingled]].
     */

@@ -1676,19 +1676,35 @@ object TransformParser {
               primary.withColumn("__isq", coalesce(pq, lit(false)))
             case None => primary.withColumn("__isq", lit(true))
           }
-          // checkpoint: the query panel feeds band-key generation AND
-          // the exact-verify join — panels are microbatch-sized by the
-          // serving contract, so this is tiny
-          val qdf = flaggedT.where(col("__isq"))
-            .select(col(keyName).as("id"), col(tName).as("txt"))
+          // the query side keys by CONTENT HASH — the same exact-first
+          // collapse the AGAINST probe and the INDEX build use (store
+          // entries are one per distinct text, keyed xxhash64(text)),
+          // so jaccardKnnStored's id-inequality becomes content
+          // self-exclusion (a query's own indexed text is never its
+          // neighbor; an exact-dup text under another id surfaces at
+          // 1.0 on purpose) and duplicate query texts pay ONE probe.
+          // checkpoint: the panel feeds band-key generation, the
+          // exact-verify join AND the qid fan-back — panels are
+          // microbatch-sized by the serving contract, so this is tiny
+          val qKeyed = flaggedT.where(col("__isq"))
+            .select(col(keyName).as("qid"), col(tName).as("txt"),
+              xxhash64(col(tName)).as("th"))
             .localCheckpoint(false)
-          val shQ = NearDup.shingled(qdf, "id", "txt")
+          val qReps = qKeyed.select(col("th"), col("txt")).distinct()
+          val shQ = NearDup.shingled(qReps, "th", "txt")
           val tGrade = threshold.getOrElse(0.5)
           val (bB, bR) = try NearDup.autoBands(tGrade)
             catch { case e: IllegalArgumentException => throw TransformError(
               s"KNN METHOD JACCARD: ${e.getMessage}") }
-          NearDup.jaccardKnnStored(spark, base, shQ, tGrade, k,
-            numPerm = bB * bR, numBands = bB, rowsPerBand = bR)
+          val perRep = NearDup.jaccardKnnStored(spark, base, shQ, tGrade,
+              k, numPerm = bB * bR, numBands = bB, rowsPerBand = bR)
+            .toDF("th", "neighbor_id", "jaccard", "rank")
+          // fan each distinct text's answer back to every query row
+          // carrying it (the verdict fan-back shape of AGAINST STORED)
+          qKeyed.select(col("qid"), col("th"))
+            .join(perRep, "th")
+            .select(col("qid"), col("neighbor_id"), col("jaccard"),
+              col("rank"))
         case Some(base) =>
           val spark = primary.sparkSession
           val q = prep(primary, withFlag = true, materialize = false)

@@ -2673,6 +2673,95 @@ class AqlSpec extends AnyFunSuite {
       desc.mkString("; "))
   }
 
+  test("KNN METHOD JACCARD STORED: top-k text retrieval from the band " +
+      "artifact — threshold grade, key self-exclusion, option algebra") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_aqlspec_kjac")
+    graft.queries.Advanced.registerTmpDir(dir)
+    val corpusPq = dir.resolve("corpus.parquet").toString
+    val batchPq = dir.resolve("batch.parquet").toString
+    // 1 = qid 10's exact text (content-excluded from 10's answer);
+    // 2 = shares 5 of 7 union shingles with 1 (jaccard 0.714286);
+    // 3 = unrelated (0, below grade)
+    Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+        (3L, "completely different words about nothing shared at all"))
+      .toDF("id", "txt").write.parquet(corpusPq)
+    Seq((10L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (20L, "alpha beta gamma delta epsilon zeta eta iota"))
+      .toDF("id", "txt").write.parquet(batchPq)
+    val idx = dir.resolve("lsh").toString
+    def run(pq: String, body: String) = Aql.run(spark,
+      s"""CONNECTION 'D' (DRIVER = 'file', FILE = '$pq',
+         |  FORMAT = 'parquet')
+         |TRANSFORM 'T' FROM CONNECTION D (
+         |  $body
+         |) INTO CONSOLE""".stripMargin).outputs("T")
+    run(corpusPq,
+      s"INDEX ON txt KEY id METHOD LSH THRESHOLD 0.5 CELLS 8 INTO '$idx'")
+    // neighbor ids are the store's CONTENT hashes (the exact-first
+    // collapse keys entries by xxhash64(text) — q164's semantics for
+    // the text family)
+    val hashOf = Seq("alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta eta iota")
+      .toDF("t").select(org.apache.spark.sql.functions.xxhash64(
+        org.apache.spark.sql.functions.col("t")))
+      .collect().map(_.getLong(0))
+    // the query's OWN text is content-excluded, so for qid 10 (a NEW
+    // key carrying doc 1's exact text) the stored copy of that text is
+    // NOT its neighbor — doc 2's text is, at 0.714286; doc 3 is below
+    // the 0.5 grade and never appears (the answer is "top k with
+    // jaccard >= t", possibly fewer than k rows)
+    val served = run(batchPq,
+      s"KNN ON txt KEY id TOP 2 METHOD JACCARD THRESHOLD 0.5 " +
+        s"STORED '$idx' QUERIES id = 10")
+      .collect().map(r => (r.getAs[Long]("qid"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("jaccard"),
+        r.getAs[Int]("rank"))).toSeq.sortBy(_._4)
+    assert(served == Seq((10L, hashOf(1), 0.714286, 1)), served.toString)
+    // a query with a DIFFERENT text sees doc 1's text at 1.0 only if
+    // its own text differs — qid 20 carries doc 2's text, so doc 1's
+    // text surfaces at 0.714286 and its own is excluded
+    val self = run(batchPq,
+      s"KNN ON txt KEY id TOP 2 METHOD JACCARD THRESHOLD 0.5 " +
+        s"STORED '$idx' QUERIES id = 20")
+      .collect().map(r => (r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("jaccard"), r.getAs[Int]("rank")))
+      .toSeq.sortBy(_._3)
+    assert(self == Seq((hashOf(0), 0.714286, 1)), self.toString)
+    assert(!self.exists(_._2 >= 0.999999), self.toString)
+
+    // option algebra: JACCARD requires STORED; THRESHOLD belongs to
+    // JACCARD alone; vector knobs reject; kinds don't interchange;
+    // the probe's banding must match the artifact's (grade = build
+    // threshold) — a mismatched-threshold serve errors instead of
+    // silently missing pairs
+    def bad(body: String): String =
+      intercept[Exception](run(batchPq, body)).getMessage
+    assert(bad("KNN ON txt KEY id METHOD JACCARD THRESHOLD 0.5")
+      .contains("serves from a stored lsh_text artifact"))
+    assert(bad(s"KNN ON txt KEY id METHOD LSH THRESHOLD 0.5 STORED '$idx'")
+      .contains("THRESHOLD only applies to METHOD JACCARD"))
+    assert(bad(s"KNN ON txt KEY id METHOD JACCARD TABLES 8 STORED '$idx'")
+      .contains("only applies to METHOD LSH"))
+    assert(bad(s"KNN ON txt KEY id METHOD JACCARD STORED '$idx' ADC")
+      .contains("ADC only applies to METHOD IVF"))
+    assert(bad(s"KNN ON txt KEY id METHOD JACCARD THRESHOLD 0.9 " +
+      s"STORED '$idx'").contains("was built with"))
+    assert(bad(s"KNN ON txt KEY id METHOD JACCARD THRESHOLD 1.5 " +
+      s"STORED '$idx'").contains("out of range"))
+    val typoIdx = dir.resolve("typo").toString
+    run(corpusPq, s"INDEX ON txt KEY id METHOD TYPO CELLS 4 INTO '$typoIdx'")
+    assert(bad(s"KNN ON txt KEY id METHOD JACCARD STORED '$typoIdx'")
+      .contains("not interchangeable"))
+    // and the text method rejects a numeric column up front
+    val numPq = dir.resolve("nums.parquet").toString
+    Seq((1L, Array(1.0, 0.0))).toDF("id", "txt").write.parquet(numPq)
+    val numErr = intercept[Exception](run(numPq,
+      s"KNN ON txt KEY id METHOD JACCARD STORED '$idx'")).getMessage
+    assert(numErr.contains("must be string"), numErr)
+  }
+
   test("KNN METHOD LSH STORED: top-k from the cosine artifact, " +
       "content self-exclusion, option algebra") {
     import spark.implicits._

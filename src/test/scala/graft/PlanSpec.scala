@@ -1031,6 +1031,51 @@ class PlanSpec extends AnyFunSuite {
       Set(2L))
   }
 
+  test("q168: stored JACCARD top-k keeps the routed-candidate shape, " +
+      "never all-pairs") {
+    // the text-retrieval serve (KNN METHOD JACCARD STORED) rides the
+    // SAME storedVerifiedPairs body as the AGAINST probe, so its plan
+    // must keep the same contract: candidates come from the band-key
+    // equi-join over the batch's ROUTED cells (explicit pc= paths —
+    // never a full-store scan or listing), the rerank joins shingle
+    // arrays only onto the candidate frame, and nothing degenerates to
+    // a batch×corpus pair space. The top-k itself must be a bounded
+    // per-qid window, not a global sort.
+    import spark.implicits._
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_plan_jac")
+    graft.queries.Advanced.registerTmpDir(idxDir)
+    val base = idxDir.resolve("lsh").toString
+    val corpus = Seq(
+        (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+        (3L, "completely different words about nothing shared at all"))
+      .toDF("id", "txt")
+    val shC = graft.transforms.NearDup.shingled(corpus, "id", "txt")
+    graft.transforms.NearDup.bandStoreTo(base, shC,
+      numPerm = 128, numBands = 64, rowsPerBand = 2, cells = 8)
+    val batch = Seq((10L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("id", "txt")
+    val served = graft.transforms.TransformParser
+      .parse(s"KNN ON txt KEY id TOP 2 METHOD JACCARD THRESHOLD 0.5 " +
+        s"STORED '$base'")
+      .build(Map("D" -> batch), batch)
+    val p = served.queryExecution.executedPlan.toString
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+      s"no all-pairs anywhere in the stored JACCARD serve:\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      s"top-k must be a per-qid window:\n$p")
+    assert(!p.contains("SortAggregate"),
+      s"no external-sort aggregate in the serve path:\n$p")
+    // (explicit-path cell routing itself is pinned by the AqlSpec
+    // banding-mismatch error and measured flat in BandScale — plan
+    // toString elides scan locations, so the pc= marker isn't
+    // assertable here; the q148 pin has the same scope)
+    // and the answer is right (shape + semantics in one spec)
+    val rows = served.collect().map(r => (r.getAs[Long]("neighbor_id"),
+      r.getAs[Double]("jaccard"), r.getAs[Int]("rank"))).toSeq.sortBy(_._3)
+    assert(rows == Seq((1L, 1.0, 1), (2L, 0.714286, 2)), rows.toString)
+  }
+
   test("q163: stored ADC probe — broadcast LUT join, partial agg, " +
       "explicit code-cell roots, no SortAggregate") {
     // the IVF-PQ serving contract at 100 TB: the candidate scan reads

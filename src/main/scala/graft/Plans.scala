@@ -93,6 +93,9 @@ object Plans {
     "q164_aql_knn_cosine_stored" -> "INDEX COSINE (separate engine run) -> KNN LSH STORED: routed bucket cells, broadcast query-bucket collision join, content self-exclusion, exact rerank with WindowGroupLimit top-k",
     "q165_aql_index_rebuild_threshold" -> "build at 0.5 -> REBUILD THRESHOLD 0.9 (re-bands from the stored hashed shingles) -> probe at 0.9: q148's routed-cell left-anti shape over the re-banded artifact",
     "q166_stream_knn_adc" -> "streaming ADC serving: 4 microbatches each answered from the PQ codes store (explain cannot render the in-flight streaming plan; the per-batch plan is q163's broadcast-LUT ADC shape)",
+    "q167_aql_index_rebuild_geometry" -> "INDEX REBUILD TABLES/BITS: derived-bits build re-bucketed to explicit 32x2 from the artifact's own vectors store, then KNN-served — the serve leg is q164's routed-bucket broadcast rerank shape, now warning-free (bits pinned in meta)",
+    "q168_aql_knn_jaccard_stored" -> "KNN METHOD JACCARD STORED: top-10 Jaccard retrieval from the band artifact — routed band cells, broadcast batch bands, exact-Jaccard rerank over routed shingle cells, bounded per-qid window (shares storedVerifiedPairs with the AGAINST probe)",
+    "q169_stream_stored_typo_dedup" -> "streaming TYPO dedup from the stored variant index: 4 microbatches each answered via q154's probe step (explain cannot render the in-flight streaming plan; the per-batch plan is the routed variant-cell broadcast left-anti shape)",
   )
 
   def main(args: Array[String]): Unit = {

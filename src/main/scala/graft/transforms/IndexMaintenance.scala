@@ -125,12 +125,21 @@ private[graft] object IndexMaintenance {
   private[graft] object Stats {
 
     /** (cell, files, rows) per present cell of `<dir>/<sub>` — ONE
-      * recursive listing (files) plus ONE footer-only Spark
-      * aggregation (rows; the scan projects only the partition column,
-      * so tasks read parquet footers, never data pages). This IS the
-      * measured DESCRIBE cost body, factored so the fallback path and
-      * the refresh path can never disagree. Empty when the store is
-      * absent or has no data files.
+      * footer-only Spark job per store: the scan projects only the
+      * partition column (row counts come from parquet row-group
+      * metadata, never data pages) and per-cell FILE counts ride the
+      * same scan as countDistinct(input_file_name()) — scan metadata,
+      * not a driver-side enumeration. This is the round-12 negative
+      * result applied once more: the distributed footer pass beat
+      * driver-side parallel footer reads (617 vs 280 s at the
+      * 32 768-cell point), and round 13 removes the remaining
+      * driver-side RECURSIVE LISTING the same way (on a local fs that
+      * listing shell-execs a permission probe per file; on an object
+      * store it is a round-trip storm). This IS the DESCRIBE
+      * fallback/VERIFY cost body, shared with the stats refresh so the
+      * two paths can never disagree. Empty when the store is absent or
+      * holds no data files (hidden/staged paths are skipped by the
+      * reader exactly as the old listing skipped them).
       */
     def storeCells(spark: org.apache.spark.sql.SparkSession,
         dir: String, sub: String, cellCol: String)
@@ -139,49 +148,28 @@ private[graft] object IndexMaintenance {
       val live = new Path(s"$dir/$sub")
       val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(live)) return Seq.empty
-      val qlive = fs.makeQualified(live)
-      val prefix = s"$cellCol="
-      // one recursive enumeration; keep (cell, file) for data files
-      // directly under a cell directory, skipping hidden paths
-      val cellFiles = {
-        val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Path)]
-        val it = fs.listFiles(qlive, true)
-        while (it.hasNext) {
-          val p = it.next().getPath
-          val nm = p.getName
-          if (!nm.startsWith("_") && !nm.startsWith(".")) {
-            var cell: String = null
-            var cur = p.getParent
-            var hidden = false
-            while (cur != null && cur != qlive) {
-              val cn = cur.getName
-              if (cn.startsWith(prefix)) cell = cn
-              else if (cn.startsWith("_") || cn.startsWith("."))
-                hidden = true
-              cur = cur.getParent
-            }
-            if (cell != null && !hidden)
-              buf += ((cell.stripPrefix(prefix).toInt, p))
-          }
+      val collected =
+        try spark.read.parquet(s"$dir/$sub")
+          // input_file_name is per-row scan metadata — project it
+          // BEFORE the aggregate (non-deterministic expressions may
+          // not appear inside aggregate arguments)
+          .select(col(cellCol), input_file_name().as("__f"))
+          .groupBy(col(cellCol))
+          .agg(count(lit(1)).as("rows"),
+            countDistinct(col("__f")).as("files"))
+          .collect()
+        catch {
+          // a store root whose every cell was deleted has no data files
+          // and no inferable schema — that IS the empty store. The
+          // catch is NARROW on purpose: swallowing any analysis error
+          // would zero the stats of a live store
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
+                e.getMessage.contains("Unable to infer schema") =>
+            return Seq.empty
         }
-        buf.toSeq
-      }
-      if (cellFiles.isEmpty) return Seq.empty
-      val filesPerCell: Map[Int, Long] = cellFiles.groupBy(_._1)
-        .map { case (c, fsq) => c -> fsq.size.toLong }
-      // per-cell rows via ONE footer-only Spark aggregation (a
-      // driver-side parallel-pool footer read was tried in round 12
-      // and MEASURED SLOWER — 617 s vs 280 s at the 32 768-cell
-      // BandScale point; the distributed job spreads the per-file
-      // open/parse cost over executors)
-      val rowsPerCell: Map[Int, Long] = spark.read
-        .parquet(s"$dir/$sub")
-        .groupBy(col(cellCol)).count()
-        .collect().map(r => r.getAs[Int](cellCol) -> r.getAs[Long]("count"))
-        .toMap
-      (filesPerCell.keySet ++ rowsPerCell.keySet).toSeq.sorted.map { c =>
-        (c, filesPerCell.getOrElse(c, 0L), rowsPerCell.getOrElse(c, 0L))
-      }
+      collected.map(r => (r.getAs[Int](cellCol), r.getAs[Long]("files"),
+        r.getAs[Long]("rows"))).toSeq.sortBy(_._1)
     }
 
     /** Recompute per-cell stats for every store of the artifact and
@@ -192,9 +180,15 @@ private[graft] object IndexMaintenance {
     def write(spark: org.apache.spark.sql.SparkSession, dir: String,
         stores: Seq[(String, String)])
         : Map[String, Seq[(Int, Long, Long)]] = {
-      val computed = stores.map { case (sub, cellCol) =>
-        sub -> storeCells(spark, dir, sub, cellCol)
-      }.toMap
+      // the per-store jobs are independent Spark actions — run them
+      // concurrently so the statement's refresh wall-clock is the
+      // slowest store, not the sum (2 stores per kind)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val computed = Await.result(
+        Future.sequence(stores.map { case (sub, cellCol) =>
+          Future(sub -> storeCells(spark, dir, sub, cellCol))
+        }), scala.concurrent.duration.Duration.Inf).toMap
       import spark.implicits._
       computed.toSeq
         .flatMap { case (sub, cs) =>

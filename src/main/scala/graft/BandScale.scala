@@ -281,7 +281,32 @@ object BandScale {
           .map(_.getAs[Long]("entries")).getOrElse(-1L)
       }
 
+      // incremental stats leg (round 14): a VERB append's stats
+      // epilogue recomputes only the batch's TOUCHED cells and merges
+      // them into the prior stats (Stats.mergeTouched) — replay that
+      // sequence here (prior = the refresh above, API append returns
+      // its routing, merge) and price it against the full recompute
+      // the round-13 epilogue paid. The claim is the asymptotics fix:
+      // merge cost ∝ touched cells (bounded by the batch's band keys,
+      // flat across corpus growth), full cost ∝ all cells (grows with
+      // the corpus until the cap). Closed-form: the merged stats equal
+      // the full recompute row-for-row — on the SAME artifact state,
+      // immediately after the merge.
+      val im = graft.transforms.IndexMaintenance
+      val stores = im.storesFor("lsh_text", "BandScale")
+      val prior = im.Stats.read(spark, base).get
+      val touched = NearDup.bandStoreAppend(base, appendSh)
+      val touchedCells = touched.values.map(_.size).sum
+      val (merged, statsMergeS) = timed {
+        im.Stats.mergeTouched(spark, base, stores, prior, touched)
+      }
+      val (full, statsFullS) = timed {
+        im.Stats.write(spark, base, stores)
+      }
+      NearDup.bandStoreDelete(base, appendSh) // restore the artifact
+
       val checks = Map(
+        "stats_merge_closed_form" -> (merged == full),
         // exists, not forall: a missing baseline must FAIL (reps are
         // require'd to start at 1)
         "matched_closed_form" -> (k == 1 || matched1.exists(_ == matchedK)),
@@ -308,7 +333,10 @@ object BandScale {
         s""""reprobe2":${math.round(reprobe2S * 1000) / 1000.0},""" +
         s""""describe":${math.round(describeS * 1000) / 1000.0},""" +
         s""""stats_refresh":${math.round(statsRefreshS * 1000) / 1000.0},""" +
-        s""""describe_stats":${math.round(describeStatsS * 1000) / 1000.0}},""" +
+        s""""describe_stats":${math.round(describeStatsS * 1000) / 1000.0},""" +
+        s""""stats_merge":${math.round(statsMergeS * 1000) / 1000.0},""" +
+        s""""stats_full":${math.round(statsFullS * 1000) / 1000.0}},""" +
+        s""""touched_cells":$touchedCells,""" +
         s""""artifact_bytes":{"bands":$bandsBytes,""" +
         s""""shingles_hashed":$shHashedBytes,""" +
         s""""shingles_raw":$shRawBytes},""" +

@@ -184,6 +184,27 @@ object DriftScale {
       }
       val baseTruth = truthOf(baseQ)
       val driftTruth = truthOf(driftQ)
+      // drift-advisory leg (round 14): INDEX DESCRIBE's max_cell_skew
+      // column is the operational monitor for exactly the
+      // concentration this sweep measures — read it on the FRESH
+      // (re-trained) and FROZEN (drifted-append) artifacts and check
+      // the ≥ 8 advisory fires precisely where the drift is: the
+      // frozen artifact's hot cell holds ≈ the appended mass, the
+      // re-trained one is balanced. The warning ring pins that the
+      // advisory names INDEX REBUILD.
+      def skewOf(dir: String): Double = graft.transforms.TransformParser
+        .parse(s"INDEX DESCRIBE '$dir'")
+        .build(Map.empty, baseQ)
+        .collect().find(_.getAs[String]("store") == "index")
+        .map(_.getAs[Double]("max_cell_skew")).getOrElse(-1.0)
+      val skewFresh = skewOf(freshDir.toString)
+      val skewFrozen = skewOf(frozenDir.toString)
+      val advisory = graft.transforms.IndexMaintenance.Warnings.recent
+        .exists(w => w.contains(s"INDEX REBUILD '$frozenDir'") &&
+          w.contains("hottest index cell"))
+      require(skewFrozen >= 8.0 && advisory,
+        s"drift advisory must fire on the frozen artifact at f=$f " +
+          s"(skew=$skewFrozen, advisory=$advisory)")
       def r4(d: Double) = math.round(d * 10000) / 10000.0
       println(
         s"""{"metric":"drift_scale","n0":$n0,"append_frac":$f,""" +
@@ -195,6 +216,8 @@ object DriftScale {
         s""""scanned_drift_frozen":${
           scannedOf(frozenDir.toString, driftQ)},""" +
         s""""scanned_drift_fresh":${scannedOf(freshDir.toString, driftQ)},""" +
+        s""""skew_frozen":$skewFrozen,"skew_fresh":$skewFresh,""" +
+        s""""advisory_frozen":$advisory,""" +
         s""""append_sec":${r4(appendS)},""" +
         s""""recall_base_frozen":${r4(recallOf(frozenDir.toString, baseQ,
           baseTruth))},""" +

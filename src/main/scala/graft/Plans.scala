@@ -96,6 +96,8 @@ object Plans {
     "q167_aql_index_rebuild_geometry" -> "INDEX REBUILD TABLES/BITS: derived-bits build re-bucketed to explicit 32x2 from the artifact's own vectors store, then KNN-served — the serve leg is q164's routed-bucket broadcast rerank shape, now warning-free (bits pinned in meta)",
     "q168_aql_knn_jaccard_stored" -> "KNN METHOD JACCARD STORED: top-10 Jaccard retrieval from the band artifact — routed band cells, broadcast batch bands, exact-Jaccard rerank over routed shingle cells, bounded per-qid window (shares storedVerifiedPairs with the AGAINST probe)",
     "q169_stream_stored_typo_dedup" -> "streaming TYPO dedup from the stored variant index: 4 microbatches each answered via q154's probe step (explain cannot render the in-flight streaming plan; the per-batch plan is the routed variant-cell broadcast left-anti shape)",
+    "q170_aql_knn_jaccard_inplan" -> "KNN METHOD JACCARD in-plan (no artifact): banded candidates between the two frames' own MinHash band keys (never all-pairs), exact-Jaccard rerank over the in-plan shingle frames, bounded per-qid window — shared bodies with the q168 stored serve",
+    "q171_aql_index_rebuild_cells" -> "build -> APPEND -> REBUILD CELLS 32 -> probe: explicit re-cell pinned in meta (cells leaves the derived list); probe plan is q148's routed-cell left-anti shape over the 32-cell artifact",
   )
 
   def main(args: Array[String]): Unit = {

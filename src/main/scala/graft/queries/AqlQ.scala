@@ -1798,5 +1798,102 @@ object AqlQ {
            |  SELECT qid, jaccard, rank FROM Knn
            |) INTO CONNECTION Out""".stripMargin).outputs("FINAL")
     },
+
+    // KNN METHOD JACCARD, IN-PLAN (round 14) — q168's retrieval
+    // without the artifact: the text-retrieval symmetry with cosine
+    // KNN's in-plan EXACT/LSH/IVF forms, for the panel-vs-frame case
+    // where persisting an index first is pure overhead. One engine
+    // run, two sources: banded candidates between the batch's and
+    // corpus's own MinHash band keys (no all-pairs join ever forms —
+    // the PlanSpec pin), exact-Jaccard rerank over the in-plan shingle
+    // frames, top-10 at the 0.5 grade. Shares q168's brute-force
+    // oracle verbatim (same corpus split, same tie-invariant
+    // projection), so in-plan and stored serving are pinned to the
+    // same ranking by the same SQL truth.
+    QueryDef(
+      "q170_aql_knn_jaccard_inplan",
+      Dedup.jaccardKnnOracleSql) { (s, dir) =>
+      val outDir = java.nio.file.Files.createTempDirectory("graft_q170")
+      Advanced.registerTmpDir(outDir)
+      val out = outDir.resolve("knn").toString
+      Aql.run(s,
+        s"""CONNECTION 'Docs' (
+           |  DRIVER = 'file', FILE = '$dir/documents.parquet',
+           |  FORMAT = 'parquet'
+           |)
+           |CONNECTION 'Out' (
+           |  DRIVER = 'file', FILE = '$out', FORMAT = 'parquet'
+           |)
+           |QUERY 'Batch' FROM CONNECTION Docs (
+           |  SELECT * FROM Docs WHERE doc_id % 2 = 0
+           |)
+           |QUERY 'Corpus' FROM CONNECTION Docs (
+           |  SELECT * FROM Docs WHERE doc_id % 2 = 1
+           |)
+           |TRANSFORM 'Knn' FROM BLOCK Batch, BLOCK Corpus (
+           |  KNN Batch WITH Corpus ON text KEY doc_id TOP 10
+           |    METHOD JACCARD THRESHOLD 0.5
+           |)
+           |QUERY 'Final' FROM BLOCK Knn (
+           |  SELECT qid, jaccard, rank FROM Knn
+           |) INTO CONNECTION Out""".stripMargin).outputs("FINAL")
+    },
+
+    // INDEX REBUILD … CELLS — the explicit re-cell statement (round
+    // 14): q162's exact chain (build %4==1 at CELLS 64, append %4==3,
+    // rebuild, probe, same brute-force oracle) with the rebuild
+    // re-celling the artifact to an EXPLICIT 32 — the
+    // right-size-ahead-of-growth form the cell-cap warning's remedy
+    // names. Cell count is pure layout, so a rebuild that dropped or
+    // re-keyed an entry while re-partitioning, or whose new meta
+    // mis-routed probes at 32 cells, fails hash-exactly; the meta pin
+    // (cells leaves `derived`) is asserted in AqlSpec where meta is
+    // inspectable.
+    QueryDef(
+      "q171_aql_index_rebuild_cells",
+      Dedup.againstKeptOracleSql) { (s, dir) =>
+      val outDir = java.nio.file.Files.createTempDirectory("graft_q171")
+      Advanced.registerTmpDir(outDir)
+      val idx = outDir.resolve("band_index").toString
+      val out = outDir.resolve("kept").toString
+      def corpusScript(slice: Int, appendKw: String) =
+        s"""CONNECTION 'Docs' (
+           |  DRIVER = 'file', FILE = '$dir/documents.parquet',
+           |  FORMAT = 'parquet'
+           |)
+           |QUERY 'Corpus' FROM CONNECTION Docs (
+           |  SELECT * FROM Docs WHERE doc_id % 4 = $slice
+           |)
+           |TRANSFORM 'Built' FROM BLOCK Corpus (
+           |  INDEX ON text KEY doc_id METHOD LSH${
+             if (appendKw.isEmpty) " THRESHOLD 0.5 CELLS 64" else ""}
+           |    INTO '$idx'$appendKw
+           |) INTO CONSOLE""".stripMargin
+      Aql.run(s, corpusScript(1, ""))
+      Aql.run(s, corpusScript(3, " APPEND"))
+      Aql.run(s,
+        s"""DATA 'One' ([[1]]) WITH (COLUMNS = 'X')
+           |TRANSFORM 'Rebuilt' FROM BLOCK One (
+           |  INDEX REBUILD '$idx' CELLS 32
+           |) INTO CONSOLE""".stripMargin)
+      Aql.run(s,
+        s"""CONNECTION 'Docs' (
+           |  DRIVER = 'file', FILE = '$dir/documents.parquet',
+           |  FORMAT = 'parquet'
+           |)
+           |CONNECTION 'Out' (
+           |  DRIVER = 'file', FILE = '$out', FORMAT = 'parquet'
+           |)
+           |QUERY 'Batch' FROM CONNECTION Docs (
+           |  SELECT * FROM Docs WHERE doc_id % 2 = 0
+           |)
+           |TRANSFORM 'Kept' FROM BLOCK Batch (
+           |  NEARDEDUP Batch AGAINST STORED '$idx' ON text KEY doc_id
+           |    THRESHOLD 0.5 METHOD LSH
+           |)
+           |QUERY 'Final' FROM BLOCK Kept (
+           |  SELECT doc_id, lang, source, n_chars FROM Kept
+           |) INTO CONNECTION Out""".stripMargin).outputs("FINAL")
+    },
   )
 }

@@ -432,7 +432,10 @@ object Similarity {
     * an append batch can be corpus-sized (a backfill), so the flat
     * path must not ride first()-over-array either.
     */
-  private[graft] def ivfStoreAppend(base: String, e: DataFrame): Unit = {
+  private[graft] def ivfStoreAppend(base: String, e: DataFrame)
+      : Map[String, Seq[Int]] =
+      graft.transforms.IndexMaintenance.withMaintLock(
+        e.sparkSession, base, "APPEND") {
     // invalidate-before-mutate — see graft.transforms.IndexMaintenance.Stats
     graft.transforms.IndexMaintenance.Stats.invalidate(
       e.sparkSession.sparkContext.hadoopConfiguration, base)
@@ -441,10 +444,10 @@ object Similarity {
     graft.transforms.NearDup.requireKind(meta, base, "ivf_vec",
       "INDEX … APPEND")
     val hasPq = meta.schema.fieldNames.contains("pq_m")
-    // two consumers when PQ codes ride along (index rows + code rows) —
-    // materialize the frozen-centroid assignment once
-    val ids0 = assignToStored(base, e)
-    val ids = if (hasPq) ids0.localCheckpoint(false) else ids0
+    // the frozen-centroid assignment feeds ≥ 2 consumers (index rows,
+    // the touched-cells routing, and code rows under PQ) —
+    // materialize it once
+    val ids = assignToStored(base, e).localCheckpoint(false)
     e.join(ids.hint("merge"), "vec_id")
       .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
       .repartition(col("cluster"))
@@ -466,6 +469,12 @@ object Similarity {
         .repartition(col("cluster"))
         .write.mode("append").partitionBy("cluster").parquet(s"$base/codes")
     }
+    // the batch's routed cells (codes mirror the index assignment) —
+    // the verb's incremental stats merge recomputes exactly these
+    val touched = ids.select(col("cluster").cast("int"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    if (hasPq) Map("index" -> touched, "codes" -> touched)
+    else Map("index" -> touched)
   }
 
   /** The frozen-centroid assignment (vec_id, cluster) of a batch
@@ -521,7 +530,10 @@ object Similarity {
     * hollow out the corpus, a rebuild re-trains exactly as with
     * append drift. `e` columns: (vec_id, v, nrm).
     */
-  private[graft] def ivfStoreDelete(base: String, e: DataFrame): Unit = {
+  private[graft] def ivfStoreDelete(base: String, e: DataFrame)
+      : Map[String, Seq[Int]] =
+      graft.transforms.IndexMaintenance.withMaintLock(
+        e.sparkSession, base, "DELETE") {
     val s = e.sparkSession
     val meta = s.read.parquet(s"$base/meta").head()
     graft.transforms.NearDup.requireKind(meta, base, "ivf_vec",
@@ -534,9 +546,12 @@ object Similarity {
     // PQ codes mirror the index cells (same assignment routed them), so
     // the SAME touched set and anti-join key delete the codes — a
     // deleted vector can never resurface through an ADC shortlist
-    if (meta.schema.fieldNames.contains("pq_m"))
+    val hasPq = meta.schema.fieldNames.contains("pq_m")
+    if (hasPq)
       graft.transforms.NearDup.deleteFromCellStore(s, s"$base/codes",
         "cluster", touched, "vec_id", ids.select(col("vec_id")))
+    if (hasPq) Map("index" -> touched.toSeq, "codes" -> touched.toSeq)
+    else Map("index" -> touched.toSeq)
   }
 
   // --------------------------------------------------------- stored IVF-PQ

@@ -918,6 +918,8 @@ object StreamingQ {
                 col("text").as("txt"))
               .distinct()
             NearDup.bandStoreAppend(idx, NearDup.shingled(reps, "th", "txt"))
+            () // foreachBatch wants Unit; the touched-cells map is the
+               // verb statement's concern, not the ingest sink's
           }
           .option("checkpointLocation", ckpt)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

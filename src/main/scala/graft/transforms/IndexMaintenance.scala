@@ -7,13 +7,14 @@ import org.apache.spark.sql.types._
 import TransformParser.{TransformError, Verb, intOption, spreadForCpu, CosineDefaults}
 
 /** Stored-index build + maintenance surface, extracted from
-  * [[TransformParser]] (round 13, mechanical move — zero behavior
-  * change): the INDEX verb family (build/APPEND/DELETE/COMPACT/
-  * REBUILD[/THRESHOLD]/DESCRIBE), the single-writer maintenance lock,
-  * the atomic-rename storage contract, and the advisory [[Warnings]]
-  * channel the stored-artifact probes share. The reference has no
-  * stored indexes; this whole surface is the 100 TB-scale extension
-  * documented in SURVEY.md §8.
+  * [[TransformParser]] in round 13: the INDEX verb family
+  * (build/APPEND/DELETE/COMPACT/REBUILD[/THRESHOLD]/DESCRIBE), the
+  * single-writer maintenance lock, the atomic-rename storage contract,
+  * and the advisory [[Warnings]] channel the stored-artifact probes
+  * share. (The round-13 move also changed DESCRIBE's recompute body —
+  * see [[Stats.storeCells]] for the file-count semantics.) The
+  * reference has no stored indexes; this whole surface is the
+  * 100 TB-scale extension documented in SURVEY.md §8.
   */
 private[graft] object IndexMaintenance {
   /** Advisory warnings the verbs emit at build/probe time — cases where
@@ -139,7 +140,13 @@ private[graft] object IndexMaintenance {
       * fallback/VERIFY cost body, shared with the stats refresh so the
       * two paths can never disagree. Empty when the store is absent or
       * holds no data files (hidden/staged paths are skipped by the
-      * reader exactly as the old listing skipped them).
+      * reader exactly as the old listing skipped them). File counts
+      * are FILES WITH ≥ 1 ROW (input_file_name only surfaces for files
+      * that yield rows) — a zero-row data file, which the pre-round-13
+      * recursive listing counted, is invisible here. That is the
+      * semantics DESCRIBE documents: such files carry no entries and
+      * no probe cost; only COMPACT's own dirty-cell listing, which
+      * must see every physical file, still lists directories.
       */
     def storeCells(spark: org.apache.spark.sql.SparkSession,
         dir: String, sub: String, cellCol: String)
@@ -148,33 +155,60 @@ private[graft] object IndexMaintenance {
       val live = new Path(s"$dir/$sub")
       val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(live)) return Seq.empty
-      val collected =
-        try spark.read.parquet(s"$dir/$sub")
-          // input_file_name is per-row scan metadata — project it
-          // BEFORE the aggregate (non-deterministic expressions may
-          // not appear inside aggregate arguments)
-          .select(col(cellCol), input_file_name().as("__f"))
-          .groupBy(col(cellCol))
-          .agg(count(lit(1)).as("rows"),
-            countDistinct(col("__f")).as("files"))
-          .collect()
-        catch {
-          // a store root whose every cell was deleted has no data files
-          // and no inferable schema — that IS the empty store. The
-          // catch is NARROW on purpose: swallowing any analysis error
-          // would zero the stats of a live store
-          case e: org.apache.spark.sql.AnalysisException
-              if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
-                e.getMessage.contains("Unable to infer schema") =>
-            return Seq.empty
-        }
-      collected.map(r => (r.getAs[Int](cellCol), r.getAs[Long]("files"),
-        r.getAs[Long]("rows"))).toSeq.sortBy(_._1)
+      try cellAgg(spark.read.parquet(s"$dir/$sub"), cellCol)
+      catch {
+        // a store root whose every cell was deleted has no data files
+        // and no inferable schema — that IS the empty store. The
+        // catch is NARROW on purpose: swallowing any analysis error
+        // would zero the stats of a live store
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
+              e.getMessage.contains("Unable to infer schema") =>
+          Seq.empty
+      }
     }
 
+    /** [[storeCells]] restricted to the given cells, read as EXPLICIT
+      * cell paths (the probes' partition-pruning idiom — never a
+      * listing of the whole store): the cost body of the round-14
+      * incremental refresh, ∝ the touched cells' files. Cells with no
+      * directory (never occupied, or fully deleted by the statement)
+      * contribute no rows — which is exactly their post-statement
+      * truth.
+      */
+    def storeCellsAt(spark: org.apache.spark.sql.SparkSession,
+        dir: String, sub: String, cellCol: String, cells: Seq[Int])
+        : Seq[(Int, Long, Long)] = {
+      val paths = NearDup.existingCellPaths(spark, s"$dir/$sub", cellCol,
+        cells.distinct.sorted.toArray)
+      if (paths.isEmpty) Seq.empty
+      else cellAgg(
+        spark.read.option("basePath", s"$dir/$sub").parquet(paths: _*),
+        cellCol)
+    }
+
+    /** The ONE per-cell aggregation body of [[storeCells]] /
+      * [[storeCellsAt]] — footer-only row counts, file counts as
+      * countDistinct over the scan's own input_file_name (shared so
+      * the full and incremental paths can never disagree on the
+      * semantics).
+      */
+    private def cellAgg(df: DataFrame, cellCol: String)
+        : Seq[(Int, Long, Long)] =
+      df
+        // input_file_name is per-row scan metadata — project it
+        // BEFORE the aggregate (non-deterministic expressions may
+        // not appear inside aggregate arguments)
+        .select(col(cellCol), input_file_name().as("__f"))
+        .groupBy(col(cellCol))
+        .agg(count(lit(1)).as("rows"),
+          countDistinct(col("__f")).as("files"))
+        .collect()
+        .map(r => (r.getAs[Int](cellCol), r.getAs[Long]("files"),
+          r.getAs[Long]("rows"))).toSeq.sortBy(_._1)
+
     /** Recompute per-cell stats for every store of the artifact and
-      * (atomically, via the parquet committer's rename) overwrite
-      * `<dir>/stats`. Returns the computed map so the calling
+      * replace `<dir>/stats`. Returns the computed map so the calling
       * statement's summary row reuses it instead of re-counting.
       */
     def write(spark: org.apache.spark.sql.SparkSession, dir: String,
@@ -182,20 +216,97 @@ private[graft] object IndexMaintenance {
         : Map[String, Seq[(Int, Long, Long)]] = {
       // the per-store jobs are independent Spark actions — run them
       // concurrently so the statement's refresh wall-clock is the
-      // slowest store, not the sum (2 stores per kind)
-      import scala.concurrent.{Await, Future}
+      // slowest store, not the sum (2 stores per kind). blocking{}:
+      // each future BLOCKS on Spark job completion, so without the
+      // marker they would pin threads of the CPU-bounded global pool
+      // that concurrent statements on a busy driver share
+      import scala.concurrent.{Await, Future, blocking}
       import scala.concurrent.ExecutionContext.Implicits.global
       val computed = Await.result(
         Future.sequence(stores.map { case (sub, cellCol) =>
-          Future(sub -> storeCells(spark, dir, sub, cellCol))
+          Future(blocking { sub -> storeCells(spark, dir, sub, cellCol) })
         }), scala.concurrent.duration.Duration.Inf).toMap
+      writeRows(spark, dir, computed)
+      computed
+    }
+
+    /** APPEND/DELETE's INCREMENTAL refresh (round 14): recompute ONLY
+      * the cells the statement's own routing touched and merge them
+      * into the prior stats — untouched cells' rows carry over
+      * unchanged, because the mutation provably never opened their
+      * files (the routed-cells contract every maintenance writer
+      * already rests on). This restores the mutation-cost asymptotics:
+      * the statement's stats epilogue is ∝ its batch's routed cells,
+      * not ∝ artifact files (the round-13 full-recompute epilogue was
+      * measured at 64 s at 32 768 cells and paid per APPEND even when
+      * the batch routed to a handful of cells — at 10⁹-doc artifacts
+      * it would dominate the append). COMPACT and REBUILD keep the
+      * full [[write]]: they touch every dirty/all cell anyway.
+      * Correctness rests on three invariants, the first two
+      * maintained, the third checked closed-form in AqlSpec and
+      * BandScale (merged ≡ the full recompute / DESCRIBE … VERIFY):
+      * prior stats are exact whenever present (absent-never-stale —
+      * any writer that dies before its refresh leaves them
+      * invalidated, including restored-crashed-cell sweeps, which only
+      * run inside statements that invalidated first); the caller holds
+      * the single-writer lock across prior-read → mutation → merge;
+      * and `touched` covers every cell the statement's writers opened
+      * (each writer returns its own routing — the same arrays its
+      * cell rewrites used).
+      */
+    def mergeTouched(spark: org.apache.spark.sql.SparkSession,
+        dir: String, stores: Seq[(String, String)],
+        prior: Map[String, Seq[(Int, Long, Long)]],
+        touched: Map[String, Seq[Int]])
+        : Map[String, Seq[(Int, Long, Long)]] = {
+      import scala.concurrent.{Await, Future, blocking}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val computed = Await.result(
+        Future.sequence(stores.map { case (sub, cellCol) =>
+          Future(blocking {
+            val t = touched.getOrElse(sub, Seq.empty).distinct
+            val tSet = t.toSet
+            val recomputed = storeCellsAt(spark, dir, sub, cellCol, t)
+            val kept = prior.getOrElse(sub, Seq.empty)
+              .filterNot(r => tSet(r._1))
+            sub -> (kept ++ recomputed).sortBy(_._1)
+          })
+        }), scala.concurrent.duration.Duration.Inf).toMap
+      writeRows(spark, dir, computed)
+      computed
+    }
+
+    /** Stage-and-swap `computed` into `<dir>/stats`: rows are written
+      * COMPLETE to `<dir>/.stats_stage`, then the old stats dir is
+      * deleted and the stage renamed in. NOT one atomic swap — the
+      * delete + rename pair leaves an absent window of two metadata
+      * ops (vs. the full write duration a plain mode("overwrite")
+      * would leave, which deletes the target first and then writes
+      * into it) — and a lock-free DESCRIBE racing the refresh sees old
+      * stats, no stats (→ the honest recompute), or new stats;
+      * [[Stats.read]]'s catch-all → None is the load-bearing backstop
+      * for a reader landing mid-swap. A crash leaves either the old
+      * stats intact or stats absent, never a half-truth; a stale
+      * `.stats_stage` from a crash is overwritten on the next refresh.
+      */
+    private def writeRows(spark: org.apache.spark.sql.SparkSession,
+        dir: String, computed: Map[String, Seq[(Int, Long, Long)]])
+        : Unit = {
       import spark.implicits._
+      val stage = new org.apache.hadoop.fs.Path(s"$dir/.stats_stage")
+      val live = new org.apache.hadoop.fs.Path(s"$dir/stats")
+      val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
       computed.toSeq
         .flatMap { case (sub, cs) =>
           cs.map { case (cell, files, rows) => (sub, cell, files, rows) } }
         .toDF("store", "cell", "files", "rows")
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
-      computed
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      fs.delete(live, true)
+      if (!fs.rename(stage, live)) throw new IllegalStateException(
+        s"stats refresh: cannot swap $stage into $live — stats are " +
+          "absent (DESCRIBE will take the honest full recompute until " +
+          "the next mutating statement rewrites them)")
+      ()
     }
 
     /** Drop `<dir>/stats` — the first step of every NON-verb mutation
@@ -334,15 +445,18 @@ private[graft] object IndexMaintenance {
     private val DescribeRe =
       raw"(?is)^INDEX\s+DESCRIBE\s+'([^']+)'(?:\s+(VERIFY))?\s*$$".r
     private val RebuildRe =
-      raw"(?is)^INDEX\s+REBUILD\s+'([^']+)'(?:\s+THRESHOLD\s+([0-9]*\.?[0-9]+))?(?:\s+TABLES\s+(\d+))?(?:\s+BITS\s+(\d+))?\s*$$".r
+      raw"(?is)^INDEX\s+REBUILD\s+'([^']+)'(?:\s+THRESHOLD\s+([0-9]*\.?[0-9]+))?(?:\s+CELLS\s+(\d+))?(?:\s+TABLES\s+(\d+))?(?:\s+BITS\s+(\d+))?\s*$$".r
 
     def parse(t: String): Verb = t.trim match {
       case CompactRe(dir) => IndexCompactVerb(dir)
       case DescribeRe(dir, v) => IndexDescribeVerb(dir, v != null)
-      case RebuildRe(dir, th, tb, bi) =>
+      case RebuildRe(dir, th, ce, tb, bi) =>
         val t = Option(th).map(_.toDouble)
         t.foreach(v => if (v <= 0 || v > 1) throw TransformError(
           s"INDEX REBUILD THRESHOLD $v out of range (0, 1]"))
+        val cells = Option(ce).map(intOption("INDEX REBUILD", "CELLS", _))
+        cells.foreach(v => if (v < 1) throw TransformError(
+          s"INDEX REBUILD CELLS $v must be >= 1"))
         val tables = Option(tb).map(intOption("INDEX REBUILD", "TABLES", _))
         val bits = Option(bi).map(intOption("INDEX REBUILD", "BITS", _))
         tables.foreach(v => if (v < 1) throw TransformError(
@@ -351,13 +465,15 @@ private[graft] object IndexMaintenance {
           s"INDEX REBUILD BITS $v out of range [1, 30]"))
         // one statement, one family: THRESHOLD re-bands lsh_text,
         // TABLES/BITS re-buckets cosine_vec — a statement carrying both
-        // could not mean anything against either artifact kind
+        // could not mean anything against either artifact kind. CELLS
+        // is kind-INDEPENDENT (every store is cell-partitioned) and
+        // composes with either form.
         if (t.isDefined && (tables.isDefined || bits.isDefined))
           throw TransformError(
             "INDEX REBUILD THRESHOLD (lsh_text re-banding) and " +
               "TABLES/BITS (cosine_vec re-bucketing) are mutually " +
               "exclusive — pick the form matching the artifact kind")
-        IndexRebuildVerb(dir, t, tables, bits)
+        IndexRebuildVerb(dir, t, tables, bits, cells)
       case Re(on, key, method, th, bands, rows, cells, tables, bits, pq,
           pqCodes, dir, app) =>
         val m = method.toUpperCase
@@ -443,7 +559,7 @@ private[graft] object IndexMaintenance {
           "[PQ <m>] [PQCODES <n>] " +
           "INTO '<dir>' [APPEND|DELETE], INDEX COMPACT '<dir>', " +
           "INDEX DESCRIBE '<dir>' [VERIFY], or INDEX REBUILD '<dir>' " +
-          "[THRESHOLD <0-1> | TABLES <n> BITS <n>])")
+          "[THRESHOLD <0-1> | TABLES <n> BITS <n>] [CELLS <n>])")
     }
   }
 
@@ -501,7 +617,12 @@ private[graft] object IndexMaintenance {
     * "how big?" (entries = store rows; cells_present of cells), "do I
     * need COMPACT?" (multi_file_cells, max_files_per_cell — each
     * APPEND adds one file per touched cell), "are my cells skewed?"
-    * (rows_min/rows_max/rows_avg per present cell), "is maintenance
+    * (rows_min/rows_max/rows_avg per present cell, plus max_cell_skew
+    * = rows_max/rows_avg — the factor by which the hottest cell
+    * exceeds the balanced share; for ivf_vec index stores a skew ≥ 8
+    * additionally WARNS naming `INDEX REBUILD` as the remedy, the
+    * DriftScale-measured drift signature made operational), "is
+    * maintenance
     * running?" (lock_holder — the `.maint_lock` holder line, "" when
     * free; a crashed job's leftover lock shows up here before the
     * operator removes it) and "has anything probed this artifact
@@ -536,18 +657,11 @@ private[graft] object IndexMaintenance {
         "INDEX DESCRIBE")
       // the "is maintenance running?" answer: the lock file's holder
       // line, or "" when free (a crashed job's leftover lock is exactly
-      // what an operator needs DESCRIBE to show before removing it)
-      val lockHolder = {
-        val lock = new Path(s"$dir/.maint_lock")
-        if (!fs.exists(lock)) ""
-        else
-          try {
-            val in = fs.open(lock)
-            try scala.io.Source.fromInputStream(in)(
-              scala.io.Codec.UTF8).mkString.trim
-            finally in.close()
-          } catch { case _: Throwable => "unknown holder" }
-      }
+      // what an operator needs DESCRIBE to show before removing it) —
+      // the SIBLING lock since round 14, with the legacy in-artifact
+      // location still read so a pre-upgrade crash stays visible
+      val lockHolder = maintLockHolder(
+        spark.sparkContext.hadoopConfiguration, dir)
       // "has anything probed this artifact below its contract?" — the
       // persisted Warnings.persist events (count + most recent), read
       // from the artifact's SIBLING warnings dir (probes never write
@@ -610,21 +724,52 @@ private[graft] object IndexMaintenance {
           val filesPerCell = per.map(_._2)
           val rowCounts = per.map(_._3)
           val entries = rowCounts.sum
+          val rowsAvg =
+            if (rowCounts.isEmpty) 0.0
+            else entries.toDouble / rowCounts.size
+          val rowsMax = if (rowCounts.isEmpty) 0L else rowCounts.max
+          // the drift monitor (round 14): the hottest cell's share of
+          // the store vs the balanced expectation 1/cells_present —
+          // i.e. rows_max/rows_avg, the factor by which a probe routed
+          // to that cell scans MORE than the flat-curve promise.
+          // Bounded above by cells_present, so a high value always
+          // means real concentration, never small-store noise.
+          val skew =
+            if (rowsAvg <= 0) 0.0
+            else math.round(rowsMax / rowsAvg * 100) / 100.0
           Some((dir, kind, sub, cells, per.size.toLong, entries,
             filesPerCell.sum, filesPerCell.count(_ > 1).toLong,
             if (filesPerCell.isEmpty) 0L else filesPerCell.max,
             if (rowCounts.isEmpty) 0L else rowCounts.min,
-            if (rowCounts.isEmpty) 0L else rowCounts.max,
-            if (rowCounts.isEmpty) 0.0
-            else entries.toDouble / rowCounts.size,
+            rowsMax, rowsAvg, skew,
             geometry, derived, lockHolder, probeWarnings, lastWarning))
         }
       }
+      // the drift ADVISORY (round 14, the DriftScale-measured failure
+      // mode made operational): drifted IVF appends concentrate into
+      // the few frozen cells nearest them, and the cost is probe SCAN
+      // MASS ∝ the accumulated drifted fraction until centroids
+      // re-train. When the index store's hottest cell crosses 8× the
+      // balanced share (DriftScale: a 10% drifted append already
+      // reads ≈9×; the isotropic no-drift baseline sits well below),
+      // WARN naming the remedy statement — the same
+      // warning-names-a-real-statement discipline as the derived-bits
+      // serving warning. IVF-only: the hash-partitioned text/cosine
+      // stores are balanced by construction, so a warning there would
+      // be noise.
+      if (kind == "ivf_vec")
+        for (r <- rows if r._3 == "index" && r._13 >= 8.0)
+          Warnings.emit(
+            s"INDEX DESCRIBE '$dir': the hottest index cell holds " +
+              s"${r._13}x the balanced per-cell share (rows_max=${r._11} " +
+              s"over ${r._5} present cells) — drifted appends are " +
+              "concentrating probe scan mass into frozen cells; run " +
+              s"INDEX REBUILD '$dir' to re-train centroids and re-balance")
       import spark.implicits._
       rows.toDF("path", "kind", "store", "cells", "cells_present",
         "entries", "files", "multi_file_cells", "max_files_per_cell",
-        "rows_min", "rows_max", "rows_avg", "geometry", "derived",
-        "lock_holder", "probe_warnings", "last_warning")
+        "rows_min", "rows_max", "rows_avg", "max_cell_skew", "geometry",
+        "derived", "lock_holder", "probe_warnings", "last_warning")
     }
   }
 
@@ -685,6 +830,19 @@ private[graft] object IndexMaintenance {
     * THRESHOLD and TABLES/BITS are mutually exclusive (one statement,
     * one artifact family); non-cosine kinds reject TABLES/BITS.
     *
+    * `INDEX REBUILD '<dir>' … CELLS <n>` (any kind, round 14 —
+    * completing the geometry-pinning symmetry) re-cells the artifact
+    * at an EXPLICIT cell count and PINS it: the
+    * right-size-ahead-of-growth statement the 65 536-cell-cap build
+    * warning's remedy names, for the operator who knows tomorrow's
+    * corpus today. `cells` leaves the `derived` list (so later
+    * derived-geometry rebuilds keep the pin), every store re-partitions
+    * at the new count, and answers are pinned unchanged (cell count is
+    * pure layout — q171 rides q162's chain + oracle with the explicit
+    * count). Composes with THRESHOLD (lsh re-band at a pinned count)
+    * and TABLES/BITS (cosine re-bucket likewise); kind-independent
+    * because every store is cell-partitioned.
+    *
     * Swap: the new artifact is staged COMPLETE as a sibling
     * (`.rebuild_stage_<name>`), then swapped in with two directory
     * renames (live → `.rebuild_old_<name>`, stage → live). Geometry
@@ -696,12 +854,18 @@ private[graft] object IndexMaintenance {
     * next REBUILD restores `.rebuild_old_` before starting (and any
     * maintenance statement in the window reports the artifact missing,
     * pointing at the leftover directories). Runs under the single-writer
-    * `.maint_lock` like every maintenance form.
+    * maintenance lock like every maintenance form — the lock is a
+    * SIBLING of the artifact ([[maintLockPath]]), so it survives both
+    * renames: the swapped-in artifact stays locked for the statement's
+    * tail (a racing streaming append fails fast instead of writing
+    * into the doomed `.rebuild_old_`), and a crash between the renames
+    * cannot resurrect a stale lock through self-heal.
     */
   final case class IndexRebuildVerb(dir: String,
       reThreshold: Option[Double] = None,
       reTables: Option[Int] = None,
-      reBits: Option[Int] = None) extends Verb {
+      reBits: Option[Int] = None,
+      reCells: Option[Int] = None) extends Verb {
     def build(sources: Map[String, DataFrame], primary: DataFrame)
         : DataFrame = {
       import org.apache.hadoop.fs.Path
@@ -744,6 +908,17 @@ private[graft] object IndexMaintenance {
         else Seq.empty
       def reDerive(field: String, old: Int, rule: Long => Int, n: Long)
           : Int = if (derivedSeq.contains(field)) rule(n) else old
+      // CELLS given ⇒ re-cell at the EXPLICIT count and PIN it (the
+      // field leaves the derived list, exactly as TABLES/BITS pin the
+      // cosine geometry) — the right-size-ahead-of-growth statement
+      // the 65 536-cell-cap warning's remedy names, kind-independent
+      // because every store is cell-partitioned; omitted ⇒ a DERIVED
+      // cell count re-derives for the current size, a pinned one stays
+      def resolveCells(rule: Long => Int, n: Long): Int =
+        reCells.getOrElse(reDerive("cells", cellsBefore, rule, n))
+      val derivedMinusCells =
+        if (reCells.isDefined) derivedSeq.filterNot(_ == "cells")
+        else derivedSeq
       def requireData(sub: String): Unit = {
         val p = new Path(s"$dir/$sub")
         var found = false
@@ -767,8 +942,7 @@ private[graft] object IndexMaintenance {
               val sh = spark.read.parquet(s"$dir/shingles")
                 .select(col("id"), col("shs")).localCheckpoint(false)
               val n = sh.count()
-              val c = reDerive("cells", cellsBefore,
-                IndexGeometry.storeCells, n)
+              val c = resolveCells(IndexGeometry.storeCells, n)
               reThreshold match {
                 case Some(t) =>
                   // RE-BAND: signatures + band keys are pure functions
@@ -795,7 +969,7 @@ private[graft] object IndexMaintenance {
                   // banding is auto-chosen from the given threshold —
                   // exactly a fresh `INDEX … THRESHOLD t` build's
                   // derivation, so meta marks bands_rows derived
-                  val derivedAfter = (derivedSeq :+ "bands_rows")
+                  val derivedAfter = (derivedMinusCells :+ "bands_rows")
                     .distinct.mkString(",")
                   spark.read.parquet(s"$dir/meta")
                     .withColumn("cells", lit(c))
@@ -810,8 +984,15 @@ private[graft] object IndexMaintenance {
                       col("bh")), lit(c.toLong)).cast("int"))
                     .repartition(col("pc"))
                     .write.partitionBy("pc").parquet(s"$stage/bands")
-                  spark.read.parquet(s"$dir/meta")
+                  val metaBase = spark.read.parquet(s"$dir/meta")
                     .withColumn("cells", lit(c))
+                  // a pinned CELLS leaves the derived list; legacy
+                  // pre-derived-flag metas are left schema-unchanged
+                  // unless the pin demands the column
+                  (if (reCells.isDefined)
+                     metaBase.withColumn("derived",
+                       lit(derivedMinusCells.mkString(",")))
+                   else metaBase)
                     .coalesce(1).write.parquet(s"$stage/meta")
               }
               sh.withColumn("sc",
@@ -824,10 +1005,9 @@ private[graft] object IndexMaintenance {
               val strs = spark.read.parquet(s"$dir/strings")
                 .select(col("id"), col("txt")).localCheckpoint(false)
               val n = strs.count()
-              val c = reDerive("cells", cellsBefore,
-                IndexGeometry.storeCells, n)
+              val c = resolveCells(IndexGeometry.storeCells, n)
               NearDup.typoStoreTo(stage.toString, strs, c,
-                derived = derivedSeq)
+                derived = derivedMinusCells)
               (c, n)
             case "cosine_vec" =>
               requireData("vectors")
@@ -835,8 +1015,7 @@ private[graft] object IndexMaintenance {
                 .select(col("id"), col("v"), col("nrm"))
                 .localCheckpoint(false)
               val n = vecs.count()
-              val c = reDerive("cells", cellsBefore,
-                IndexGeometry.storeCells, n)
+              val c = resolveCells(IndexGeometry.storeCells, n)
               // TABLES/BITS given ⇒ re-bucket at EXPLICIT geometry and
               // PIN it in meta (the field leaves the derived list, so
               // the derived-bits serving warning stops firing — this is
@@ -848,7 +1027,7 @@ private[graft] object IndexMaintenance {
                 reDerive("bits", metaRow.getAs[Int]("bits"),
                   IndexGeometry.cosineBits, n))
               val tb = reTables.getOrElse(metaRow.getAs[Int]("tables"))
-              val derivedAfter = derivedSeq.filterNot(f =>
+              val derivedAfter = derivedMinusCells.filterNot(f =>
                 (reBits.isDefined && f == "bits") ||
                   (reTables.isDefined && f == "tables"))
               VecKnn.cosineStoreTo(stage.toString, vecs,
@@ -860,8 +1039,7 @@ private[graft] object IndexMaintenance {
                 .select(col("vec_id"), col("v"), col("nrm"))
                 .localCheckpoint(false)
               val n = e.count()
-              val c = reDerive("cells", cellsBefore,
-                IndexGeometry.ivfCells, n)
+              val c = resolveCells(IndexGeometry.ivfCells, n)
               // PQ rides the rebuild: codebooks are re-PICKED from the
               // current corpus exactly as centroids re-train (the
               // frozen-codebook drift remedy), with pq_codes re-derived
@@ -873,7 +1051,7 @@ private[graft] object IndexMaintenance {
                       IndexGeometry.pqCodes, n)))
                 else None
               graft.queries.Similarity.ivfStoreTo(stage.toString, e, c,
-                derived = derivedSeq, pq = pqOpt)
+                derived = derivedMinusCells, pq = pqOpt)
               (c, n)
             case other => throw TransformError(
               s"INDEX REBUILD: unknown artifact kind '$other' at $dir")
@@ -1012,26 +1190,38 @@ private[graft] object IndexMaintenance {
     }
   }
 
-  /** Single-writer mutual exclusion for stored-index MAINTENANCE
-    * (APPEND / DELETE / COMPACT): two concurrent maintenance statements
-    * interleaving their cell writes or rename swaps on one artifact is
-    * undefined, so each acquires `<dir>/.maint_lock` first — an atomic
-    * create-if-absent (create-exclusive on HDFS-like schemes; on local
-    * filesystems a pre-populated hard link, since Hadoop's
-    * LocalFileSystem create is exists-then-create and not atomic;
-    * object-store schemes with NEITHER primitive are refused before
-    * any work — [[requireAtomicRenameFs]]), held for the statement
-    * and released on every exit path. Contention is a clear error
-    * naming the holder, not a corrupted artifact. The lock guards
-    * WRITERS against each other only: probes stay lock-free — each
-    * cell swap is atomic, so a probe racing maintenance sees each cell
-    * either before or after its rewrite (never half-written), but may
-    * see a MIX of old and new cells across one scan; deployments that
-    * need a fully consistent view schedule probes around maintenance
-    * windows (README's single-writer contract). A crashed maintenance
-    * job leaves the lock behind by design — the error tells the
-    * operator to verify no job is running and remove it (a TTL that
-    * silently self-expired mid-job would be worse than the ask).
+  /** Single-writer mutual exclusion for stored-index MAINTENANCE —
+    * every mutation of an existing artifact, whether issued as a verb
+    * statement (APPEND / DELETE / COMPACT / REBUILD) or through the
+    * Scala-API writers the streaming ingest path calls per microbatch
+    * (NearDup.bandStoreAppend/Delete, typoStoreAppend/Delete, VecKnn's
+    * cosine append/delete, Similarity's IVF append/delete — each
+    * acquires this lock itself since round 14, so the README's
+    * single-writer contract is MECHANICALLY held rather than left to
+    * operator discipline; before that, a streaming appender racing
+    * REBUILD's two-rename swap could land a microbatch in the doomed
+    * `.rebuild_old_` directory and silently lose it). Two concurrent
+    * writers interleaving their cell writes or rename swaps on one
+    * artifact is undefined, so each acquires the artifact's lock
+    * first — an atomic create-if-absent (create-exclusive on HDFS-like
+    * schemes; on local filesystems a pre-populated hard link, since
+    * Hadoop's LocalFileSystem create is exists-then-create and not
+    * atomic; object-store schemes with NEITHER primitive are refused
+    * before any work — [[requireAtomicRenameFs]]), held for the
+    * statement and released on every exit path. Acquisition is
+    * RE-ENTRANT per thread (the verb statement holds the lock when its
+    * inner API writer re-acquires — one file create per statement, or
+    * per microbatch on the streaming path). Contention is a clear
+    * error naming the holder, not a corrupted artifact. The lock
+    * guards WRITERS against each other only: probes stay lock-free —
+    * each cell swap is atomic, so a probe racing maintenance sees each
+    * cell either before or after its rewrite (never half-written), but
+    * may see a MIX of old and new cells across one scan; deployments
+    * that need a fully consistent view schedule probes around
+    * maintenance windows. A crashed maintenance job leaves the lock
+    * behind by design — the error tells the operator to verify no job
+    * is running and remove it (a TTL that silently self-expired
+    * mid-job would be worse than the ask).
     */
   /** Schemes with no atomic rename / create-exclusive contract. The
     * maintenance statements' correctness rests on BOTH: the
@@ -1063,26 +1253,98 @@ private[graft] object IndexMaintenance {
         "window and copy the finished artifact out")
   }
 
-  private def withMaintLock[A](spark: org.apache.spark.sql.SparkSession,
+  /** The artifact's maintenance-lock path: `<parent>/.maint_lock_<name>`
+    * for an artifact at `<parent>/<name>` — a SIBLING of the artifact,
+    * not a file inside it (round 14, mirroring
+    * [[Warnings.probeWarningsDir]]): the lock must survive INDEX
+    * REBUILD's two-rename swap. A lock INSIDE the directory rides the
+    * live → `.rebuild_old_` rename, leaving the swapped-in artifact
+    * unlocked for the statement's tail, and a crash between the
+    * renames would have self-heal restore a STALE lock that then
+    * blocks the healing rebuild. A filesystem-root artifact has no
+    * parent to hold a sibling; the lock degrades to
+    * `<dir>/.maint_lock` there (such an artifact cannot be REBUILT
+    * anyway — the swap needs the parent for its stage/old siblings).
+    */
+  private[graft] def maintLockPath(dir: String)
+      : org.apache.hadoop.fs.Path = {
+    val b = new org.apache.hadoop.fs.Path(dir)
+    Option(b.getParent)
+      .map(p => new org.apache.hadoop.fs.Path(p,
+        s".maint_lock_${b.getName}"))
+      .getOrElse(new org.apache.hadoop.fs.Path(b, ".maint_lock"))
+  }
+
+  /** The current lock holder's line, or "" when the artifact is
+    * unlocked — DESCRIBE's "is maintenance running?" answer, shared
+    * with [[withMaintLock]]'s contention error so the two can never
+    * report different holders. Checks the sibling lock first, then the
+    * legacy in-artifact `<dir>/.maint_lock` (pre-round-14 layout — a
+    * crashed old-version job's leftover lock must stay visible, and
+    * held, until the operator removes it).
+    */
+  private[graft] def maintLockHolder(
+      conf: org.apache.hadoop.conf.Configuration, dir: String): String = {
+    def holderOf(p: org.apache.hadoop.fs.Path): Option[String] = {
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) None
+      else Some(
+        try {
+          val in = fs.open(p)
+          try scala.io.Source.fromInputStream(in)(
+            scala.io.Codec.UTF8).mkString.trim
+          finally in.close()
+        } catch { case _: Throwable => "unknown holder" })
+    }
+    holderOf(maintLockPath(dir))
+      .orElse(holderOf(new org.apache.hadoop.fs.Path(s"$dir/.maint_lock")))
+      .getOrElse("")
+  }
+
+  /** Lock paths held by the CURRENT thread — [[withMaintLock]]'s
+    * re-entrancy record, so a verb statement's inner API writer call
+    * re-enters instead of self-deadlocking on the statement's own
+    * lock. Thread-confined by construction: every maintenance
+    * statement runs its writers on the thread that acquired (Spark
+    * actions inside fan out to executors, but the DRIVER-side writer
+    * sequence is one thread).
+    */
+  private val heldLocks = new ThreadLocal[Set[String]] {
+    override def initialValue(): Set[String] = Set.empty
+  }
+
+  private[graft] def withMaintLock[A](
+      spark: org.apache.spark.sql.SparkSession,
       dir: String, what: String)(f: => A): A = {
     requireAtomicRenameFs(dir, s"INDEX … $what")
     import org.apache.hadoop.fs.Path
-    val lock = new Path(s"$dir/.maint_lock")
+    val lock = maintLockPath(dir)
     val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val reentryKey = fs.makeQualified(lock).toString
+    if (heldLocks.get.contains(reentryKey)) return f
     val holderLine = s"$what @ ${java.time.Instant.now()}\n"
-    def contended(): Nothing = {
-      val holder =
-        try {
-          val in = fs.open(lock)
-          try scala.io.Source.fromInputStream(in)(
-              scala.io.Codec.UTF8).mkString.trim
-          finally in.close()
-        } catch { case _: Throwable => "unknown holder" }
+    def contended(at: Path): Nothing = {
+      val holder = {
+        val h = maintLockHolder(
+          spark.sparkContext.hadoopConfiguration, dir)
+        if (h.isEmpty) "unknown holder" else h
+      }
       throw TransformError(
         s"INDEX … $what: stored-index maintenance is single-writer " +
-          s"and $lock is held ($holder) — wait for the running " +
-          "APPEND/DELETE/COMPACT to finish, or if it crashed, verify " +
-          "no job is running and remove the lock file")
+          s"and $at is held ($holder) — wait for the running " +
+          "APPEND/DELETE/COMPACT/REBUILD (or streaming ingest batch) " +
+          "to finish, or if it crashed, verify no job is running and " +
+          "remove the lock file")
+    }
+    def contendedHere(): Nothing = contended(lock)
+    // legacy in-artifact lock (pre-round-14 layout): never written by
+    // this version, but a crashed old-version job's leftover lock must
+    // still exclude new writers until the operator removes it
+    val legacy = new Path(s"$dir/.maint_lock")
+    if (fs.exists(legacy)) contended(legacy)
+    def withHeld(body: => A): A = {
+      heldLocks.set(heldLocks.get + reentryKey)
+      try body finally heldLocks.set(heldLocks.get - reentryKey)
     }
     val qlock = fs.makeQualified(lock)
     if (qlock.toUri.getScheme == "file") {
@@ -1101,9 +1363,9 @@ private[graft] object IndexMaintenance {
       Files.write(tmp, holderLine.getBytes("UTF-8"))
       try {
         try Files.createLink(lockNio, tmp)
-        catch { case _: FileAlreadyExistsException => contended() }
+        catch { case _: FileAlreadyExistsException => contendedHere() }
       } finally Files.deleteIfExists(tmp)
-      try f finally Files.deleteIfExists(lockNio)
+      withHeld(try f finally Files.deleteIfExists(lockNio))
     } else {
       // HDFS-like schemes: create(…, overwrite=false) IS atomic. The
       // holder line follows on the same stream (closed on every path);
@@ -1111,10 +1373,10 @@ private[graft] object IndexMaintenance {
       // "unknown holder", which is honest.
       val out =
         try fs.create(lock, false)
-        catch { case _: java.io.IOException => contended() }
+        catch { case _: java.io.IOException => contendedHere() }
       try out.write(holderLine.getBytes("UTF-8"))
       finally out.close()
-      try f finally fs.delete(lock, false)
+      withHeld(try f finally fs.delete(lock, false))
     }
   }
 
@@ -1188,8 +1450,13 @@ private[graft] object IndexMaintenance {
       def derivedFields(moreDerived: (String, Boolean)*): Seq[String] =
         (Seq("cells" -> cells.isEmpty) ++ moreDerived)
           .collect { case (f, true) => f }
-      // the entry-count scan after each build reads parquet footers only
-      def writeStores(): (String, String, Int) = method match {
+      // the entry-count scan after each build reads parquet footers only.
+      // Returns (kind, entries store path, cell count, touched cells):
+      // APPEND/DELETE writers hand back their own routing so the stats
+      // epilogue can recompute ONLY those cells (Stats.mergeTouched);
+      // builds return empty and take the full refresh
+      def writeStores(): (String, String, Int, Map[String, Seq[Int]]) =
+        method match {
         case "LSH" =>
           if (onField.dataType != StringType) throw TransformError(
             s"INDEX METHOD LSH ON ${onField.name} must be string, got " +
@@ -1206,11 +1473,10 @@ private[graft] object IndexMaintenance {
             .distinct()
             .repartition(par)
           val sh0 = NearDup.shingled(reps, "th", "txt")
-          val cc =
-            if (delete) { NearDup.bandStoreDelete(dir, sh0); metaCells.get }
-            else if (append) {
-              NearDup.bandStoreAppend(dir, sh0); metaCells.get
-            } else {
+          val (cc, tch) =
+            if (delete) (metaCells.get, NearDup.bandStoreDelete(dir, sh0))
+            else if (append) (metaCells.get, NearDup.bandStoreAppend(dir, sh0))
+            else {
               // count the SHINGLED entries (short texts never store)
               val (sh, c) = resolveCells(sh0, IndexGeometry.storeCells)
               val (b, r) = bandsRows.getOrElse(NearDup.autoBands(threshold))
@@ -1218,9 +1484,9 @@ private[graft] object IndexMaintenance {
                 rowsPerBand = r, cells = c,
                 derived = derivedFields(
                   "bands_rows" -> bandsRows.isEmpty))
-              c
+              (c, Map.empty[String, Seq[Int]])
             }
-          ("lsh_text", s"$dir/shingles", cc)
+          ("lsh_text", s"$dir/shingles", cc, tch)
         case "IVF" =>
           // mirrors the q136 store's frame prep (Similarity.ivfStore) so
           // an INDEX-built artifact serves byte-identical answers
@@ -1229,12 +1495,12 @@ private[graft] object IndexMaintenance {
                 col(onField.name).cast("array<double>").as("v")))
             .withColumn("nrm", graft.functions.Vectors.l2norm(col("v")))
             .localCheckpoint(false)
-          val ivfCc =
-            if (delete) {
-              graft.queries.Similarity.ivfStoreDelete(dir, e); metaCells.get
-            } else if (append) {
-              graft.queries.Similarity.ivfStoreAppend(dir, e); metaCells.get
-            } else {
+          val (ivfCc, ivfTch) =
+            if (delete)
+              (metaCells.get, graft.queries.Similarity.ivfStoreDelete(dir, e))
+            else if (append)
+              (metaCells.get, graft.queries.Similarity.ivfStoreAppend(dir, e))
+            else {
               // e is already checkpointed, so the derive-count is cheap
               val needN = cells.isEmpty ||
                 (pqM.isDefined && pqCodes.isEmpty)
@@ -1258,9 +1524,9 @@ private[graft] object IndexMaintenance {
                 derived = derivedFields(
                   "pq_codes" -> (pqM.isDefined && pqCodes.isEmpty)),
                 pq = pqOpt)
-              c
+              (c, Map.empty[String, Seq[Int]])
             }
-          ("ivf_vec", s"$dir/index", ivfCc)
+          ("ivf_vec", s"$dir/index", ivfCc, ivfTch)
         case "COSINE" =>
           onField.dataType match {
             case ArrayType(FloatType | DoubleType, _) => ()
@@ -1281,11 +1547,11 @@ private[graft] object IndexMaintenance {
             .select(col("vh"), col("v"), col("nrm")).distinct()
             .select(col("vh").as("id"), col("v"), col("nrm"))
             .repartition(par)
-          val cosCc =
-            if (delete) { VecKnn.cosineStoreDelete(dir, reps); metaCells.get }
-            else if (append) {
-              VecKnn.cosineStoreAppend(dir, reps); metaCells.get
-            } else {
+          val (cosCc, cosTch) =
+            if (delete) (metaCells.get, VecKnn.cosineStoreDelete(dir, reps))
+            else if (append)
+              (metaCells.get, VecKnn.cosineStoreAppend(dir, reps))
+            else {
               // BITS derives with cells when absent: 2^bits ∝ entries is
               // what CosineScale measured flat (fixed bits grew +0.36)
               val needN = bits.isEmpty || cells.isEmpty
@@ -1297,9 +1563,9 @@ private[graft] object IndexMaintenance {
               val bi = bits.getOrElse(IndexGeometry.cosineBits(n))
               VecKnn.cosineStoreTo(dir, r2, tables, bi, c,
                 derived = derivedFields("bits" -> bits.isEmpty))
-              c
+              (c, Map.empty[String, Seq[Int]])
             }
-          ("cosine_vec", s"$dir/vectors", cosCc)
+          ("cosine_vec", s"$dir/vectors", cosCc, cosTch)
         case "TYPO" =>
           if (onField.dataType != StringType) throw TransformError(
             s"INDEX METHOD TYPO ON ${onField.name} must be string, got " +
@@ -1309,16 +1575,16 @@ private[graft] object IndexMaintenance {
             .where(col("txt").isNotNull).distinct()
             .select(xxhash64(col("txt")).as("id"), col("txt"))
             .repartition(par)
-          val typoCc =
-            if (delete) { NearDup.typoStoreDelete(dir, reps); metaCells.get }
-            else if (append) {
-              NearDup.typoStoreAppend(dir, reps); metaCells.get
-            } else {
+          val (typoCc, typoTch) =
+            if (delete) (metaCells.get, NearDup.typoStoreDelete(dir, reps))
+            else if (append)
+              (metaCells.get, NearDup.typoStoreAppend(dir, reps))
+            else {
               val (r2, c) = resolveCells(reps, IndexGeometry.storeCells)
               NearDup.typoStoreTo(dir, r2, c, derived = derivedFields())
-              c
+              (c, Map.empty[String, Seq[Int]])
             }
-          ("typo_text", s"$dir/strings", typoCc)
+          ("typo_text", s"$dir/strings", typoCc, typoTch)
         case other => throw new IllegalStateException(
           s"INDEX METHOD $other unreachable (parser validates)")
       }
@@ -1329,12 +1595,24 @@ private[graft] object IndexMaintenance {
       // stats refresh is the statement's LAST step (under the same
       // lock for maintenance): the summary row's entry count is read
       // from the refreshed per-cell stats instead of a separate full
-      // count, so the statement pays ONE footer pass and DESCRIBE
-      // afterwards pays none
+      // count. A build pays ONE full footer pass (it rewrote every
+      // cell); APPEND/DELETE with prior stats present merge recomputed
+      // rows for their TOUCHED cells only (Stats.mergeTouched — the
+      // epilogue is ∝ the batch's routed cells, not artifact files),
+      // falling back to the full pass when stats are absent (a prior
+      // API mutation invalidated them — this statement self-heals the
+      // fast path). The prior read happens UNDER the statement's lock,
+      // before the writers invalidate, so it is exact-when-present.
       def writeAndCount(): (String, Int, Long) = {
-        val (kind, entriesPath, cellCount) = writeStores()
-        val st = Stats.write(spark, dir,
-          storesFor(kind, s"INDEX INTO '$dir'"))
+        val prior =
+          if (append || delete) Stats.read(spark, dir) else None
+        val (kind, entriesPath, cellCount, touched) = writeStores()
+        val stores = storesFor(kind, s"INDEX INTO '$dir'")
+        val st = prior match {
+          case Some(p) if append || delete =>
+            Stats.mergeTouched(spark, dir, stores, p, touched)
+          case _ => Stats.write(spark, dir, stores)
+        }
         val entriesSub =
           new org.apache.hadoop.fs.Path(entriesPath).getName
         val n = st.getOrElse(entriesSub, Seq.empty).map(_._3).sum

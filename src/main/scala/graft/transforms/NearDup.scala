@@ -507,36 +507,58 @@ object NearDup {
     * (candidates are distinct-ed and the verify is per-pair) but wasted
     * bytes — callers collapse to distinct texts first, as the INDEX
     * verb does.
+    *
+    * Runs under the artifact's single-writer maintenance lock
+    * ([[IndexMaintenance.withMaintLock]] — re-entrant when the INDEX
+    * verb already holds it), as do all the API append/delete writers:
+    * this is the path a streaming ingest job calls per microbatch, and
+    * an unlocked microbatch racing INDEX REBUILD's two-rename swap
+    * would land its rows in the doomed `.rebuild_old_` directory and
+    * silently lose them. A held lock fails the call fast, naming the
+    * holder.
     */
-  def bandStoreAppend(base: String, shC: DataFrame): Unit = {
-    val meta = shC.sparkSession.read.parquet(s"$base/meta").head()
-    requireKind(meta, base, "lsh_text", "INDEX … APPEND")
-    val scheme =
-      if (meta.schema.fieldNames.contains("shingle_scheme"))
-        meta.getAs[String]("shingle_scheme")
-      else "raw"
-    bandStoreRows(base, shC, meta.getAs[Int]("num_perm"),
-      meta.getAs[Int]("num_bands"), meta.getAs[Int]("rows_per_band"),
-      meta.getAs[Int]("cells"), scheme == "xxhash64",
-      org.apache.spark.sql.SaveMode.Append)
-  }
+  def bandStoreAppend(base: String, shC: DataFrame)
+      : Map[String, Seq[Int]] =
+    IndexMaintenance.withMaintLock(shC.sparkSession, base, "APPEND") {
+      val meta = shC.sparkSession.read.parquet(s"$base/meta").head()
+      requireKind(meta, base, "lsh_text", "INDEX … APPEND")
+      val scheme =
+        if (meta.schema.fieldNames.contains("shingle_scheme"))
+          meta.getAs[String]("shingle_scheme")
+        else "raw"
+      bandStoreRows(base, shC, meta.getAs[Int]("num_perm"),
+        meta.getAs[Int]("num_bands"), meta.getAs[Int]("rows_per_band"),
+        meta.getAs[Int]("cells"), scheme == "xxhash64",
+        org.apache.spark.sql.SaveMode.Append)
+    }
 
   /** The shared row-writing step of [[bandStoreTo]] / [[bandStoreAppend]]
     * — identical frames and partitioning either way; only the save mode
     * differs (append adds files inside the existing cell directories).
+    * Returns the store → touched-cells routing of an APPEND (the cells
+    * the batch's own band keys and id hashes land in — what the verb's
+    * incremental stats merge recomputes); empty for a build, whose
+    * statement recomputes every cell anyway. Collecting it checkpoints
+    * the batch's keyed band frame so the distinct-cells pass reads the
+    * materialization instead of re-running the signature chain — a
+    * batch-sized cost (∝ batch × numBands rows), the same bound as the
+    * write itself.
     */
   private def bandStoreRows(base: String, shC: DataFrame, numPerm: Int,
       numBands: Int, rowsPerBand: Int, cells: Int, hashShingles: Boolean,
-      mode: org.apache.spark.sql.SaveMode): Unit = {
+      mode: org.apache.spark.sql.SaveMode): Map[String, Seq[Int]] = {
     // invalidate-before-mutate: stats can be absent, never stale (the
     // language verb rewrites them after; a direct API append leaves
     // DESCRIBE on its honest full-recompute path)
     IndexMaintenance.Stats.invalidate(
       shC.sparkSession.sparkContext.hadoopConfiguration, base)
+    val append = mode == org.apache.spark.sql.SaveMode.Append
     val sh = shC.localCheckpoint(false) // feeds band keys AND the shingle store
-    bandKeys(sh, numPerm, numBands, rowsPerBand)
+    val keyed0 = bandKeys(sh, numPerm, numBands, rowsPerBand)
       .withColumn("pc",
         pmod(xxhash64(col("band"), col("bh")), lit(cells.toLong)).cast("int"))
+    val keyed = if (append) keyed0.localCheckpoint(false) else keyed0
+    keyed
       .repartition(col("pc"))
       .write.mode(mode).partitionBy("pc").parquet(s"$base/bands")
     val shStore =
@@ -547,6 +569,16 @@ object NearDup {
         pmod(xxhash64(col("id")), lit(cells.toLong)).cast("int"))
       .repartition(col("sc"))
       .write.mode(mode).partitionBy("sc").parquet(s"$base/shingles")
+    if (!append) Map.empty
+    else Map(
+      "bands" -> keyed.select(col("pc")).distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted,
+      // the shingle store routes by id hash alone — no shingle work
+      // needed for its touched set
+      "shingles" -> sh
+        .select(pmod(xxhash64(col("id")), lit(cells.toLong))
+          .cast("int").as("sc"))
+        .distinct().collect().map(_.getInt(0)).toSeq.sorted)
   }
 
   /** Remove docs from an existing [[bandStoreTo]] artifact — the
@@ -574,7 +606,9 @@ object NearDup {
     * `shC` columns: (id, shs) per [[shingled]] — the same frame shape
     * the build and append take, because routing NEEDS the content.
     */
-  def bandStoreDelete(base: String, shC: DataFrame): Unit = {
+  def bandStoreDelete(base: String, shC: DataFrame)
+      : Map[String, Seq[Int]] =
+      IndexMaintenance.withMaintLock(shC.sparkSession, base, "DELETE") {
     val s = shC.sparkSession
     val meta = s.read.parquet(s"$base/meta").head()
     requireKind(meta, base, "lsh_text", "INDEX … DELETE")
@@ -592,6 +626,9 @@ object NearDup {
         .cast("int").as("sc"))
       .distinct().collect().map(_.getInt(0)).sorted
     deleteFromCellStore(s, s"$base/shingles", "sc", shCells, "id", ids)
+    // the statement's own routing — the verb's incremental stats merge
+    // recomputes exactly these cells
+    Map("bands" -> bandCells.toSeq, "shingles" -> shCells.toSeq)
   }
 
   /** The shared cell-rewrite step of every stored-index DELETE
@@ -811,11 +848,52 @@ object NearDup {
   def jaccardKnnStored(s: org.apache.spark.sql.SparkSession,
       base: String, shB: DataFrame, threshold: Double, k: Int,
       numPerm: Int = 128, numBands: Int = 32,
-      rowsPerBand: Int = 4): DataFrame = {
+      rowsPerBand: Int = 4): DataFrame =
+    topKByJaccard(
+      storedVerifiedPairs(s, base, shB, threshold, numPerm,
+        numBands, rowsPerBand, "KNN … METHOD JACCARD STORED")
+        .where(col("doc_a") =!= col("doc_b")), k)
+
+  /** [[jaccardKnnStored]]'s retrieval semantics computed IN-PLAN — the
+    * KNN verb's `METHOD JACCARD` form without STORED (round 14, the
+    * text-retrieval symmetry with cosine KNN's EXACT/LSH/IVF in-plan
+    * forms): candidates are band collisions between the two frames'
+    * own MinHash band keys ([[minhashCrossMatches]]'s no-all-pairs
+    * machinery — the banded join is the only corpus-sized contact),
+    * the rerank is exact Jaccard over the in-plan shingle frames
+    * ([[verifyPairsAcross]]), and the answer is the top `k` at
+    * `threshold` GRADE with self-pairs (same id — content hash at the
+    * verb layer, so content self-exclusion) removed. Because banding,
+    * verification and the rank window are the STORED path's own
+    * bodies, `INDEX … METHOD LSH THRESHOLD t INTO d` + `KNN … STORED
+    * d` answers IDENTICALLY to this form over the same corpus (the
+    * AqlSpec symmetry pin). Returns (qid, neighbor_id, jaccard, rank);
+    * `shB` (queries) and `shC` (corpus): (id, shs) per [[shingled]].
+    */
+  def jaccardKnnAcross(shB: DataFrame, shC: DataFrame,
+      threshold: Double, k: Int, numPerm: Int, numBands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val bb = bandKeys(shB, numPerm, numBands, rowsPerBand)
+      .toDF("doc_a", "band", "bh")
+    val bc = bandKeys(shC, numPerm, numBands, rowsPerBand)
+      .toDF("doc_b", "band", "bh")
+    val cand = bb.join(bc, Seq("band", "bh"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    topKByJaccard(
+      verifyPairsAcross(cand, shB, shC, threshold)
+        .where(col("doc_a") =!= col("doc_b")), k)
+  }
+
+  /** The shared rank step of [[jaccardKnnStored]] /
+    * [[jaccardKnnAcross]]: per-query top-k over verified (doc_a,
+    * doc_b, jaccard) pairs by (jaccard DESC, neighbor ASC) — a
+    * deterministic total order, so (qid, jaccard, rank) is
+    * engine-portable even at ties; the window partitions by qid
+    * (bounded per-key state, WindowGroupLimit pushdown — the PlanSpec
+    * pin).
+    */
+  private def topKByJaccard(pairs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = storedVerifiedPairs(s, base, shB, threshold, numPerm,
-      numBands, rowsPerBand, "KNN … METHOD JACCARD STORED")
-      .where(col("doc_a") =!= col("doc_b"))
     val w = Window.partitionBy(col("doc_a"))
       .orderBy(col("jaccard").desc, col("doc_b").asc)
     pairs.withColumn("rank", row_number().over(w))
@@ -972,12 +1050,14 @@ object NearDup {
     * variant set is a pure function of the string itself,
     * build-then-append ≡ one full build of the union.
     */
-  def typoStoreAppend(base: String, reps: DataFrame): Unit = {
-    val meta = reps.sparkSession.read.parquet(s"$base/meta").head()
-    requireKind(meta, base, "typo_text", "INDEX … APPEND")
-    typoStoreRows(base, reps, meta.getAs[Int]("cells"),
-      org.apache.spark.sql.SaveMode.Append)
-  }
+  def typoStoreAppend(base: String, reps: DataFrame)
+      : Map[String, Seq[Int]] =
+    IndexMaintenance.withMaintLock(reps.sparkSession, base, "APPEND") {
+      val meta = reps.sparkSession.read.parquet(s"$base/meta").head()
+      requireKind(meta, base, "typo_text", "INDEX … APPEND")
+      typoStoreRows(base, reps, meta.getAs[Int]("cells"),
+        org.apache.spark.sql.SaveMode.Append)
+    }
 
   /** Remove strings from an existing [[typoStoreTo]] artifact —
     * [[bandStoreDelete]]'s contract for the delete-1 family: a
@@ -989,7 +1069,9 @@ object NearDup {
     * matter how many rows or appends carried it. `reps` columns:
     * (id, txt), the build/append frame shape.
     */
-  def typoStoreDelete(base: String, reps: DataFrame): Unit = {
+  def typoStoreDelete(base: String, reps: DataFrame)
+      : Map[String, Seq[Int]] =
+      IndexMaintenance.withMaintLock(reps.sparkSession, base, "DELETE") {
     val s = reps.sparkSession
     val meta = s.read.parquet(s"$base/meta").head()
     requireKind(meta, base, "typo_text", "INDEX … DELETE")
@@ -1005,23 +1087,38 @@ object NearDup {
         .cast("int").as("sc"))
       .distinct().collect().map(_.getInt(0)).sorted
     deleteFromCellStore(s, s"$base/strings", "sc", sCells, "id", ids)
+    Map("variants" -> vCells.toSeq, "strings" -> sCells.toSeq)
   }
 
-  /** Shared row-writing step of [[typoStoreTo]] / [[typoStoreAppend]]. */
+  /** Shared row-writing step of [[typoStoreTo]] / [[typoStoreAppend]] —
+    * returns an APPEND's store → touched-cells routing
+    * ([[bandStoreRows]]'s contract; empty for a build).
+    */
   private def typoStoreRows(base: String, reps: DataFrame, cells: Int,
-      mode: org.apache.spark.sql.SaveMode): Unit = {
+      mode: org.apache.spark.sql.SaveMode): Map[String, Seq[Int]] = {
     IndexMaintenance.Stats.invalidate(
       reps.sparkSession.sparkContext.hadoopConfiguration, base)
+    val append = mode == org.apache.spark.sql.SaveMode.Append
     val r = reps.select(col("id"), col("txt")).localCheckpoint(false)
-    delete1Variants(r, "txt")
+    val keyed0 = delete1Variants(r, "txt")
       .select(col("id"), col("vh"))
       .withColumn("pc", pmod(col("vh"), lit(cells.toLong)).cast("int"))
+    val keyed = if (append) keyed0.localCheckpoint(false) else keyed0
+    keyed
       .repartition(col("pc"))
       .write.mode(mode).partitionBy("pc").parquet(s"$base/variants")
     r.withColumn("sc",
         pmod(xxhash64(col("id")), lit(cells.toLong)).cast("int"))
       .repartition(col("sc"))
       .write.mode(mode).partitionBy("sc").parquet(s"$base/strings")
+    if (!append) Map.empty
+    else Map(
+      "variants" -> keyed.select(col("pc")).distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted,
+      "strings" -> r
+        .select(pmod(xxhash64(col("id")), lit(cells.toLong))
+          .cast("int").as("sc"))
+        .distinct().collect().map(_.getInt(0)).toSeq.sorted)
   }
 
   /** Batch-vs-corpus edit-distance-≤1 matches against a [[typoStoreTo]]

@@ -1516,11 +1516,16 @@ object TransformParser {
         val ce = only("CELLS", Option(cells), "IVF")
         val pr = only("PROBE", Option(probe), "IVF")
         val st = Option(storedPath)
-        if (m == "JACCARD" && st.isEmpty) throw TransformError(
-          "KNN METHOD JACCARD serves from a stored lsh_text artifact " +
-            "(build one with INDEX … METHOD LSH … INTO) — add " +
-            "STORED '<dir>'; for in-plan text similarity use the " +
-            "NEARDEDUP family")
+        // in-plan JACCARD has no artifact to inherit a grade from: the
+        // threshold both shapes the banding and states the grade the
+        // answer serves at, so it must be explicit. The STORED form may
+        // omit it (defaults 0.5, validated against the artifact's meta
+        // — a mismatched grade errors rather than silently missing
+        // pairs).
+        if (m == "JACCARD" && st.isEmpty && th.isEmpty) throw TransformError(
+          "KNN METHOD JACCARD requires THRESHOLD for the in-plan form " +
+            "(no stored artifact fixes the banding — the threshold " +
+            "shapes it and states the grade served at)")
         st.foreach { _ =>
           if (m == "EXACT") throw TransformError(
             "KNN STORED applies to METHOD IVF (an IVF artifact), " +
@@ -1734,10 +1739,82 @@ object TransformParser {
             graft.queries.Similarity.ivfProbeStored(spark, base, qf,
               nprobe.getOrElse(8), k)
         case None =>
+          def src(n: String): DataFrame = sources.getOrElse(n.toUpperCase,
+            throw TransformError(s"unknown KNN source $n"))
+          if (method == "JACCARD") {
+            // IN-PLAN text retrieval (round 14 — the symmetry with
+            // cosine KNN's in-plan EXACT/LSH/IVF forms): the corpus is
+            // the source frame itself (or <Corpus> in the two-source
+            // form), collapsed to DISTINCT texts keyed by content hash
+            // exactly as the INDEX build collapses its corpus, so this
+            // statement answers IDENTICALLY to building an artifact at
+            // this threshold and serving `KNN … STORED` from it —
+            // banding, exact-Jaccard verify and the rank window are
+            // the stored path's own bodies
+            // (NearDup.jaccardKnnAcross / topKByJaccard). Content
+            // keying means content self-exclusion (a query's own text
+            // is never its neighbor; an exact-dup text under another
+            // id surfaces at 1.0 on purpose) and duplicate query texts
+            // pay ONE candidate set. THRESHOLD is required by the
+            // parser: it shapes the banding AND states the grade —
+            // the answer is "top k with jaccard >= t", possibly fewer
+            // than k rows, never a silently-unranked distant doc.
+            val (qDf, cDf) = twoSource match {
+              case Some((qn, cn)) => (src(qn), src(cn))
+              case None => (primary, primary)
+            }
+            def textCol(df: DataFrame, side: String): (String, String) = {
+              def named(n: String): StructField =
+                df.schema.find(_.name.equalsIgnoreCase(n)).getOrElse(
+                  throw TransformError(s"KNN: unknown column $n ($side)"))
+              val t = named(vecCol)
+              if (t.dataType != StringType) throw TransformError(
+                s"KNN METHOD JACCARD ON ${t.name} must be string, got " +
+                  s"${t.dataType.simpleString} ($side)")
+              (named(key).name, t.name)
+            }
+            val (qKey, qTxt) = textCol(qDf, "queries")
+            val (_, cTxt) = textCol(cDf, "corpus")
+            val flaggedT = queries match {
+              case Some(qx) =>
+                val pq = try expr(qx)
+                  catch { case e: Exception => throw TransformError(
+                    s"KNN QUERIES: cannot parse '$qx': ${e.getMessage}") }
+                qDf.withColumn("__isq", coalesce(pq, lit(false)))
+              case None => qDf.withColumn("__isq", lit(true))
+            }
+            // checkpoint: the panel feeds band keys, the verify join
+            // AND the qid fan-back — query panels are small by the
+            // retrieval contract
+            val qKeyed = flaggedT.where(col("__isq"))
+              .select(col(qKey).as("qid"), col(qTxt).as("txt"),
+                xxhash64(col(qTxt)).as("th"))
+              .localCheckpoint(false)
+            val shQ = NearDup.shingled(
+              qKeyed.select(col("th"), col("txt")).distinct(), "th", "txt")
+            // the corpus side: the INDEX build's own exact-first
+            // collapse (distinct on (th, txt) — th determines txt, a
+            // pure HashAggregate)
+            val shC = NearDup.shingled(
+              spreadForCpu(cDf,
+                cDf.select(xxhash64(col(cTxt)).as("th"),
+                  col(cTxt).as("txt")))
+                .distinct(), "th", "txt")
+            val tGrade = threshold.getOrElse(0.5) // parser requires it
+            val (bB, bR) = try NearDup.autoBands(tGrade)
+              catch { case e: IllegalArgumentException =>
+                throw TransformError(s"KNN METHOD JACCARD: ${e.getMessage}")
+              }
+            val perRep = NearDup.jaccardKnnAcross(shQ, shC, tGrade, k,
+                numPerm = bB * bR, numBands = bB, rowsPerBand = bR)
+              .toDF("th", "neighbor_id", "jaccard", "rank")
+            qKeyed.select(col("qid"), col("th"))
+              .join(perRep, "th")
+              .select(col("qid"), col("neighbor_id"), col("jaccard"),
+                col("rank"))
+          } else {
           val (corpus, queriesF) = twoSource match {
             case Some((qn, cn)) =>
-              def src(n: String): DataFrame = sources.getOrElse(n.toUpperCase,
-                throw TransformError(s"unknown KNN source $n"))
               val q = prep(src(qn), withFlag = true)
               val c = prep(src(cn), withFlag = false)
               (c.select(col("id"), col("v"), col("nrm")),
@@ -1755,6 +1832,7 @@ object TransformParser {
             case "IVF" => VecKnn.ivf(corpus, queriesF, k,
               cells.getOrElse(16), nprobe.getOrElse(8))
             case _ => VecKnn.exact(corpus, queriesF, k)
+          }
           }
       }
     }

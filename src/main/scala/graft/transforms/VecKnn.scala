@@ -329,37 +329,56 @@ object VecKnn {
     * of a different dimension errors (the hyperplane geometry is pinned
     * to `dims`; mixed dims would bucket nonsense).
     */
-  def cosineStoreAppend(base: String, e: DataFrame): Unit = {
+  def cosineStoreAppend(base: String, e: DataFrame)
+      : Map[String, Seq[Int]] =
+      graft.transforms.IndexMaintenance.withMaintLock(
+        e.sparkSession, base, "APPEND") {
     val meta = e.sparkSession.read.parquet(s"$base/meta").head()
     NearDup.requireKind(meta, base, "cosine_vec", "INDEX … APPEND")
     val dims = meta.getAs[Int]("dims")
     val ad = probeDims(e, "INDEX … APPEND METHOD COSINE")
-    if (ad == 0) return // nothing indexable in the append batch
-    if (ad != dims) throw graft.transforms.TransformParser.TransformError(
-      s"INDEX … APPEND: appended vectors are $ad-dimensional but the " +
-        s"stored index at $base holds $dims-dimensional vectors")
-    cosineStoreRows(base, e, meta.getAs[Int]("tables"),
-      meta.getAs[Int]("bits"), meta.getAs[Int]("cells"), dims,
-      org.apache.spark.sql.SaveMode.Append)
+    if (ad == 0) Map.empty // nothing indexable in the append batch
+    else {
+      if (ad != dims) throw graft.transforms.TransformParser.TransformError(
+        s"INDEX … APPEND: appended vectors are $ad-dimensional but the " +
+          s"stored index at $base holds $dims-dimensional vectors")
+      cosineStoreRows(base, e, meta.getAs[Int]("tables"),
+        meta.getAs[Int]("bits"), meta.getAs[Int]("cells"), dims,
+        org.apache.spark.sql.SaveMode.Append)
+    }
   }
 
-  /** Shared row-writing step of [[cosineStoreTo]] / [[cosineStoreAppend]]. */
+  /** Shared row-writing step of [[cosineStoreTo]] / [[cosineStoreAppend]]
+    * — returns an APPEND's store → touched-cells routing
+    * (NearDup.bandStoreRows's contract; empty for a build).
+    */
   private def cosineStoreRows(base: String, e: DataFrame, tables: Int,
       bits: Int, cells: Int, dims: Int,
-      mode: org.apache.spark.sql.SaveMode): Unit = {
+      mode: org.apache.spark.sql.SaveMode): Map[String, Seq[Int]] = {
     // invalidate-before-mutate — see IndexMaintenance.Stats
     graft.transforms.IndexMaintenance.Stats.invalidate(
       e.sparkSession.sparkContext.hadoopConfiguration, base)
+    val append = mode == org.apache.spark.sql.SaveMode.Append
     val ee = e.select(col("id"), col("v"), col("nrm")).localCheckpoint(false)
-    bucketFrame(ee, tables, bits, dims)
+    val keyed0 = bucketFrame(ee, tables, bits, dims)
       .withColumn("pc",
         pmod(xxhash64(col("t"), col("bucket")), lit(cells.toLong)).cast("int"))
+    val keyed = if (append) keyed0.localCheckpoint(false) else keyed0
+    keyed
       .repartition(col("pc"))
       .write.mode(mode).partitionBy("pc").parquet(s"$base/buckets")
     ee.withColumn("sc",
         pmod(xxhash64(col("id")), lit(cells.toLong)).cast("int"))
       .repartition(col("sc"))
       .write.mode(mode).partitionBy("sc").parquet(s"$base/vectors")
+    if (!append) Map.empty
+    else Map(
+      "buckets" -> keyed.select(col("pc")).distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted,
+      "vectors" -> ee
+        .select(pmod(xxhash64(col("id")), lit(cells.toLong))
+          .cast("int").as("sc"))
+        .distinct().collect().map(_.getInt(0)).toSeq.sorted)
   }
 
   /** Remove vectors from an existing [[cosineStoreTo]] artifact —
@@ -375,30 +394,38 @@ object VecKnn {
     * apply the same filter before routing. `e` columns: (id, v, nrm),
     * the build/append frame shape.
     */
-  def cosineStoreDelete(base: String, e: DataFrame): Unit = {
+  def cosineStoreDelete(base: String, e: DataFrame)
+      : Map[String, Seq[Int]] =
+      graft.transforms.IndexMaintenance.withMaintLock(
+        e.sparkSession, base, "DELETE") {
     val s = e.sparkSession
     val meta = s.read.parquet(s"$base/meta").head()
     NearDup.requireKind(meta, base, "cosine_vec", "INDEX … DELETE")
     val dims = meta.getAs[Int]("dims")
     val ad = probeDims(e, "INDEX … DELETE METHOD COSINE")
-    if (ad == 0) return // nothing deletable in the batch
-    if (ad != dims) throw graft.transforms.TransformParser.TransformError(
-      s"INDEX … DELETE: batch vectors are $ad-dimensional but the " +
-        s"stored index at $base holds $dims-dimensional vectors")
-    val cells = meta.getAs[Int]("cells")
-    val ee = e.select(col("id"), col("v"), col("nrm")).localCheckpoint(false)
-    val ids = ee.select(col("id")).distinct().localCheckpoint(false)
-    val bCells = bucketFrame(ee, meta.getAs[Int]("tables"),
-        meta.getAs[Int]("bits"), dims)
-      .select(pmod(xxhash64(col("t"), col("bucket")), lit(cells.toLong))
-        .cast("int").as("pc"))
-      .distinct().collect().map(_.getInt(0)).sorted
-    NearDup.deleteFromCellStore(s, s"$base/buckets", "pc", bCells, "id", ids)
-    val vCells = ids
-      .select(pmod(xxhash64(col("id")), lit(cells.toLong))
-        .cast("int").as("sc"))
-      .distinct().collect().map(_.getInt(0)).sorted
-    NearDup.deleteFromCellStore(s, s"$base/vectors", "sc", vCells, "id", ids)
+    if (ad == 0) Map.empty // nothing deletable in the batch
+    else {
+      if (ad != dims) throw graft.transforms.TransformParser.TransformError(
+        s"INDEX … DELETE: batch vectors are $ad-dimensional but the " +
+          s"stored index at $base holds $dims-dimensional vectors")
+      val cells = meta.getAs[Int]("cells")
+      val ee = e.select(col("id"), col("v"), col("nrm")).localCheckpoint(false)
+      val ids = ee.select(col("id")).distinct().localCheckpoint(false)
+      val bCells = bucketFrame(ee, meta.getAs[Int]("tables"),
+          meta.getAs[Int]("bits"), dims)
+        .select(pmod(xxhash64(col("t"), col("bucket")), lit(cells.toLong))
+          .cast("int").as("pc"))
+        .distinct().collect().map(_.getInt(0)).sorted
+      NearDup.deleteFromCellStore(s, s"$base/buckets", "pc", bCells, "id",
+        ids)
+      val vCells = ids
+        .select(pmod(xxhash64(col("id")), lit(cells.toLong))
+          .cast("int").as("sc"))
+        .distinct().collect().map(_.getInt(0)).sorted
+      NearDup.deleteFromCellStore(s, s"$base/vectors", "sc", vCells, "id",
+        ids)
+      Map("buckets" -> bCells.toSeq, "vectors" -> vCells.toSeq)
+    }
   }
 
   /** [[cosineCrossMatches]] against a [[cosineStoreTo]] artifact: batch

@@ -1843,12 +1843,61 @@ class AqlSpec extends AnyFunSuite {
       .outputs("K").collect().map(_.getLong(0)).toSeq
     assert(kept.isEmpty, kept.toString) // doc 10 matches the stored text
     // releasing the lock unblocks maintenance, and a completed
-    // statement leaves no lock behind
+    // statement leaves no lock behind — neither at the legacy
+    // in-artifact location nor at the round-14 sibling the statement
+    // actually acquires
     java.nio.file.Files.delete(lock)
+    val sibling = java.nio.file.Paths.get(
+      graft.transforms.IndexMaintenance.maintLockPath(idx).toUri.getPath)
     Aql.run(spark, idxScript(
       """[[2, "entirely unrelated sentences about winter weather"]]""",
       s"INDEX ON Txt KEY Id METHOD LSH INTO '$idx' APPEND"))
     assert(!java.nio.file.Files.exists(lock))
+    assert(!java.nio.file.Files.exists(sibling))
+
+    // the SIBLING lock (the location maintenance actually acquires —
+    // it must survive REBUILD's directory swap, so it lives NEXT TO
+    // the artifact, not inside it) excludes the verb forms AND the
+    // Scala-API writers — the path a streaming ingest job calls per
+    // microbatch, where an unlocked append racing REBUILD's swap
+    // would silently lose the batch (round-13 verdict item 1)
+    import spark.implicits._
+    java.nio.file.Files.writeString(sibling, "REBUILD @ sibling-holder\n")
+    val vm = locked(s"INDEX ON Txt KEY Id METHOD LSH INTO '$idx' APPEND")
+    assert(vm.contains("single-writer") && vm.contains("sibling-holder"), vm)
+    // …and vice versa: REBUILD is blocked while a stream batch's API
+    // append (which acquires this same sibling lock) is mid-write
+    val rm = locked(s"INDEX REBUILD '$idx'")
+    assert(rm.contains("single-writer") && rm.contains("sibling-holder"), rm)
+    val batchSh = graft.transforms.NearDup.shingled(
+      Seq((77L, "a brand new sentence about maintenance locking rules"))
+        .toDF("id", "txt"), "id", "txt")
+    val am = intercept[Exception](
+      graft.transforms.NearDup.bandStoreAppend(idx, batchSh)).getMessage
+    assert(am.contains("single-writer") && am.contains("sibling-holder"), am)
+    val dm = intercept[Exception](
+      graft.transforms.NearDup.bandStoreDelete(idx, batchSh)).getMessage
+    assert(dm.contains("single-writer") && dm.contains("sibling-holder"), dm)
+    // DESCRIBE reports the sibling holder (read-only, never blocked)
+    assert(Aql.run(spark,
+      s"""DATA 'One' ([[1]]) WITH (COLUMNS = 'X')
+         |TRANSFORM 'D' FROM BLOCK One (
+         |  INDEX DESCRIBE '$idx'
+         |) INTO CONSOLE""".stripMargin).outputs("D").collect()
+      .forall(_.getAs[String]("lock_holder") == "REBUILD @ sibling-holder"))
+    // released → the API writer acquires, appends, and releases
+    java.nio.file.Files.delete(sibling)
+    graft.transforms.NearDup.bandStoreAppend(idx, batchSh)
+    assert(!java.nio.file.Files.exists(sibling))
+    val probed = Aql.run(spark,
+      s"""DATA 'B' ([[11, "a brand new sentence about maintenance locking rules"]])
+         |  WITH (COLUMNS = 'Id, Txt')
+         |TRANSFORM 'K' FROM BLOCK B (
+         |  NEARDEDUP B AGAINST STORED '$idx' ON Txt KEY Id
+         |    THRESHOLD 0.4 METHOD LSH
+         |) INTO CONSOLE""".stripMargin)
+      .outputs("K").collect()
+    assert(probed.isEmpty, probed.mkString(";")) // the API append landed
   }
 
   test("INDEX geometry: derived from corpus size; probe adopts meta") {
@@ -2206,6 +2255,33 @@ class AqlSpec extends AnyFunSuite {
         assert(n == 1, s"cell $cell has $n files after REBUILD")
       }
     }
+
+    // round 14 — REBUILD … CELLS pins an EXPLICIT count: the
+    // right-size-ahead-of-growth statement the cell-cap warning's
+    // remedy names. meta adopts it, the field leaves `derived` (so a
+    // later derived-geometry REBUILD keeps the pin), and answers are
+    // unchanged — cell count is pure layout
+    val rbCe = run(basePq, s"INDEX REBUILD '$idx' CELLS 32").collect().head
+    assert(rbCe.getAs[Int]("cells_before") == 1024, rbCe.toString)
+    assert(rbCe.getAs[Int]("cells_after") == 32, rbCe.toString)
+    val metaC = spark.read.parquet(s"$idx/meta").head()
+    assert(metaC.getAs[Int]("cells") == 32, metaC.toString)
+    assert(!metaC.getAs[String]("derived").split(",").contains("cells"),
+      metaC.toString)
+    assert(kept() == keptBefore)
+    val rbCe2 = run(basePq, s"INDEX REBUILD '$idx'").collect().head
+    assert(rbCe2.getAs[Int]("cells_after") == 32, rbCe2.toString)
+    // CELLS composes with THRESHOLD (one statement re-bands AND
+    // re-cells an lsh artifact); mutual exclusion and bounds unchanged
+    val rbThCe = run(basePq, s"INDEX REBUILD '$idx' THRESHOLD 0.5 CELLS 16")
+      .collect().head
+    assert(rbThCe.getAs[Int]("cells_after") == 16, rbThCe.toString)
+    assert(kept() == keptBefore)
+    def badRb(body: String): String =
+      intercept[Exception](run(basePq, body)).getMessage
+    assert(badRb(s"INDEX REBUILD '$idx' CELLS 0").contains("must be >= 1"))
+    assert(badRb(s"INDEX REBUILD '$idx' THRESHOLD 0.5 TABLES 8")
+      .contains("mutually exclusive"))
 
     // IVF: rebuild re-trains centroids over the grown corpus and
     // re-derives cells = ceil(sqrt(n))
@@ -2671,6 +2747,79 @@ class AqlSpec extends AnyFunSuite {
     val desc = run(aPq, s"INDEX DESCRIBE '$idx'").collect()
     assert(desc.forall(_.getAs[Long]("multi_file_cells") == 0L),
       desc.mkString("; "))
+    // round-14 incremental refresh, closed-form: with stats PRESENT,
+    // verb APPEND and verb DELETE take the merge path (recompute only
+    // their own routed cells, carry the rest over) — after a full
+    // append-then-delete cycle the served stats must equal the
+    // DESCRIBE … VERIFY ground truth row-for-row, and a cell emptied
+    // by the delete must leave the stats entirely (merge drops it,
+    // not just zeroes it)
+    run(bPq, s"INDEX ON txt KEY id METHOD LSH INTO '$idx' APPEND")
+    assert(describe(false) == describe(true))
+    assert(entries("shingles") == 5L)
+    run(bPq, s"INDEX ON txt KEY id METHOD LSH INTO '$idx' DELETE")
+    assert(describe(false) == describe(true))
+    assert(entries("shingles") == 3L)
+    val statRows = spark.read.parquet(statsPath.toString)
+    val verifyRows = Seq("bands", "shingles").flatMap { sub =>
+      graft.transforms.IndexMaintenance.Stats.storeCells(spark, idx, sub,
+        if (sub == "bands") "pc" else "sc")
+        .map { case (c, f, r) => (sub, c, f, r) }
+    }.toSet
+    assert(statRows.collect().map(r => (r.getAs[String]("store"),
+      r.getAs[Int]("cell"), r.getAs[Long]("files"),
+      r.getAs[Long]("rows"))).toSet == verifyRows)
+  }
+
+  test("INDEX DESCRIBE drift advisory: max_cell_skew reports the " +
+      "hottest cell's share; an IVF skew >= 8 warns naming REBUILD; " +
+      "the rebuild re-balances and the advisory stops") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_aqlspec_drift")
+    graft.queries.Advanced.registerTmpDir(dir)
+    // base: 64 unit vectors spread around the circle; drifted append:
+    // 1000 vectors in a tight cone at angle ~0 — the DriftScale
+    // protocol at spec scale (frozen centroids concentrate the cone
+    // into the one nearest cell)
+    val basePq = dir.resolve("base.parquet").toString
+    val conePq = dir.resolve("cone.parquet").toString
+    (0 until 64).map { i =>
+      val a = 2 * math.Pi * i / 64
+      (i.toLong, Array(math.cos(a), math.sin(a)))
+    }.toDF("vid", "emb").write.parquet(basePq)
+    (0 until 1000).map { i =>
+      val a = 0.01 * (i % 7)
+      (10000L + i, Array(math.cos(a), math.sin(a)))
+    }.toDF("vid", "emb").write.parquet(conePq)
+    val idx = dir.resolve("ivf").toString
+    def run(pq: String, body: String) = Aql.run(spark,
+      s"""CONNECTION 'D' (DRIVER = 'file', FILE = '$pq',
+         |  FORMAT = 'parquet')
+         |TRANSFORM 'T' FROM CONNECTION D (
+         |  $body
+         |) INTO CONSOLE""".stripMargin).outputs("T")
+    def indexRow() = run(basePq, s"INDEX DESCRIBE '$idx'").collect()
+      .find(_.getAs[String]("store") == "index").get
+    run(basePq, s"INDEX ON emb KEY vid METHOD IVF CELLS 16 INTO '$idx'")
+    val before = indexRow()
+    // balanced-ish base: the skew column is bounded by cells_present
+    // and sits well under the advisory line
+    assert(before.getAs[Double]("max_cell_skew") < 8.0, before.toString)
+    val warnsBefore = graft.transforms.IndexMaintenance.Warnings.recent
+      .count(_.contains("hottest index cell"))
+    run(conePq, s"INDEX ON emb KEY vid METHOD IVF INTO '$idx' APPEND")
+    val after = indexRow()
+    assert(after.getAs[Double]("max_cell_skew") >= 8.0, after.toString)
+    val fired = graft.transforms.IndexMaintenance.Warnings.recent
+      .filter(_.contains("hottest index cell"))
+    assert(fired.size > warnsBefore, fired.toString)
+    // the advisory names the remedy statement for THIS artifact
+    assert(fired.last.contains(s"INDEX REBUILD '$idx'"), fired.last)
+    // …and running it re-trains centroids over the union, splitting
+    // the cone across cells — the advisory line is no longer crossed
+    run(basePq, s"INDEX REBUILD '$idx'")
+    val rebuilt = indexRow()
+    assert(rebuilt.getAs[Double]("max_cell_skew") < 8.0, rebuilt.toString)
   }
 
   test("KNN METHOD JACCARD STORED: top-k text retrieval from the band " +
@@ -2731,15 +2880,16 @@ class AqlSpec extends AnyFunSuite {
     assert(self == Seq((hashOf(0), 0.714286, 1)), self.toString)
     assert(!self.exists(_._2 >= 0.999999), self.toString)
 
-    // option algebra: JACCARD requires STORED; THRESHOLD belongs to
-    // JACCARD alone; vector knobs reject; kinds don't interchange;
-    // the probe's banding must match the artifact's (grade = build
-    // threshold) — a mismatched-threshold serve errors instead of
-    // silently missing pairs
+    // option algebra: in-plan JACCARD requires an explicit THRESHOLD
+    // (no artifact fixes the banding — round 14's in-plan form);
+    // THRESHOLD belongs to JACCARD alone; vector knobs reject; kinds
+    // don't interchange; the probe's banding must match the
+    // artifact's (grade = build threshold) — a mismatched-threshold
+    // serve errors instead of silently missing pairs
     def bad(body: String): String =
       intercept[Exception](run(batchPq, body)).getMessage
-    assert(bad("KNN ON txt KEY id METHOD JACCARD THRESHOLD 0.5")
-      .contains("serves from a stored lsh_text artifact"))
+    assert(bad("KNN ON txt KEY id METHOD JACCARD")
+      .contains("requires THRESHOLD"))
     assert(bad(s"KNN ON txt KEY id METHOD LSH THRESHOLD 0.5 STORED '$idx'")
       .contains("THRESHOLD only applies to METHOD JACCARD"))
     assert(bad(s"KNN ON txt KEY id METHOD JACCARD TABLES 8 STORED '$idx'")
@@ -2760,6 +2910,97 @@ class AqlSpec extends AnyFunSuite {
     val numErr = intercept[Exception](run(numPq,
       s"KNN ON txt KEY id METHOD JACCARD STORED '$idx'")).getMessage
     assert(numErr.contains("must be string"), numErr)
+  }
+
+  test("KNN METHOD JACCARD in-plan: top-k text retrieval without an " +
+      "artifact — content self-exclusion, stored-serve symmetry") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_aqlspec_kjip")
+    graft.queries.Advanced.registerTmpDir(dir)
+    val corpusPq = dir.resolve("corpus.parquet").toString
+    val batchPq = dir.resolve("batch.parquet").toString
+    // same panel as the STORED test: 2 shares 5 of 7 union shingles
+    // with 1 (jaccard 0.714286); 3 is unrelated; 4 duplicates 1's
+    // CONTENT under a different key (content collapse → one entry)
+    Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+        (3L, "completely different words about nothing shared at all"),
+        (4L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("id", "txt").write.parquet(corpusPq)
+    Seq((10L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (20L, "completely different words about nothing shared at all"))
+      .toDF("id", "txt").write.parquet(batchPq)
+    def run(script: String) = Aql.run(spark, script)
+    val hashOf = Seq("alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta eta iota")
+      .toDF("t").select(org.apache.spark.sql.functions.xxhash64(
+        org.apache.spark.sql.functions.col("t")))
+      .collect().map(_.getLong(0))
+    // ONE-SOURCE self-retrieval: each query's own content is excluded,
+    // so doc 1 (and its exact-dup 4) see only doc 2's text at
+    // 0.714286; doc 3 is below grade everywhere and emits no rows
+    val selfServed = run(
+      s"""CONNECTION 'D' (DRIVER = 'file', FILE = '$corpusPq',
+         |  FORMAT = 'parquet')
+         |TRANSFORM 'T' FROM CONNECTION D (
+         |  KNN ON txt KEY id TOP 3 METHOD JACCARD THRESHOLD 0.5
+         |) INTO CONSOLE""".stripMargin).outputs("T")
+      .collect().map(r => (r.getAs[Long]("qid"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("jaccard"),
+        r.getAs[Int]("rank"))).toSeq.sortBy(t => (t._1, t._4))
+    assert(selfServed == Seq(
+      (1L, hashOf(1), 0.714286, 1),
+      (2L, hashOf(0), 0.714286, 1),
+      (4L, hashOf(1), 0.714286, 1)), selfServed.toString)
+    // TWO-SOURCE form ≡ the STORED serve over the same corpus at the
+    // same grade — banding, verify and rank are shared bodies, so the
+    // in-plan statement and the build+serve pair must answer
+    // IDENTICALLY row-for-row (the write-once story's check: the
+    // artifact adds persistence, never answers)
+    def twoSourceScript(body: String) =
+      s"""CONNECTION 'B' (DRIVER = 'file', FILE = '$batchPq',
+         |  FORMAT = 'parquet')
+         |CONNECTION 'C' (DRIVER = 'file', FILE = '$corpusPq',
+         |  FORMAT = 'parquet')
+         |TRANSFORM 'T' FROM CONNECTION B, CONNECTION C (
+         |  $body
+         |) INTO CONSOLE""".stripMargin
+    val inPlan = run(twoSourceScript(
+      "KNN B WITH C ON txt KEY id TOP 2 METHOD JACCARD THRESHOLD 0.5"))
+      .outputs("T").collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("jaccard"), r.getAs[Int]("rank")))
+      .toSeq.sorted
+    val idx = dir.resolve("lsh").toString
+    run(
+      s"""CONNECTION 'C' (DRIVER = 'file', FILE = '$corpusPq',
+         |  FORMAT = 'parquet')
+         |TRANSFORM 'T' FROM CONNECTION C (
+         |  INDEX ON txt KEY id METHOD LSH THRESHOLD 0.5 CELLS 8
+         |    INTO '$idx'
+         |) INTO CONSOLE""".stripMargin)
+    val served = run(
+      s"""CONNECTION 'B' (DRIVER = 'file', FILE = '$batchPq',
+         |  FORMAT = 'parquet')
+         |TRANSFORM 'T' FROM CONNECTION B (
+         |  KNN ON txt KEY id TOP 2 METHOD JACCARD THRESHOLD 0.5
+         |    STORED '$idx'
+         |) INTO CONSOLE""".stripMargin).outputs("T").collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("jaccard"), r.getAs[Int]("rank")))
+      .toSeq.sorted
+    assert(inPlan == served, s"in-plan $inPlan vs stored $served")
+    assert(inPlan.nonEmpty) // the symmetry pin must not pass vacuously
+    // option algebra: the in-plan form rejects the vector knobs and a
+    // numeric column exactly as the stored form does
+    def bad(body: String): String =
+      intercept[Exception](run(twoSourceScript(body))).getMessage
+    assert(bad("KNN B WITH C ON txt KEY id METHOD JACCARD THRESHOLD 0.5 " +
+      "TABLES 8").contains("only applies to METHOD LSH"))
+    assert(bad("KNN B WITH C ON txt KEY id METHOD JACCARD THRESHOLD 1.5")
+      .contains("out of range"))
+    assert(bad("KNN B WITH C ON txt KEY id METHOD JACCARD")
+      .contains("requires THRESHOLD"))
   }
 
   test("KNN METHOD LSH STORED: top-k from the cosine artifact, " +

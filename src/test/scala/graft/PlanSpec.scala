@@ -1076,6 +1076,47 @@ class PlanSpec extends AnyFunSuite {
     assert(rows == Seq((1L, 1.0, 1), (2L, 0.714286, 2)), rows.toString)
   }
 
+  test("q170: in-plan JACCARD top-k — banded candidates, never " +
+      "all-pairs") {
+    // the in-plan text retrieval (KNN METHOD JACCARD without STORED)
+    // must keep the banded-candidate contract even with no artifact to
+    // route through: candidates come from the band-key equi-join
+    // between the two frames' own MinHash bands (minhashCrossMatches's
+    // machinery), the exact-Jaccard rerank joins shingle arrays only
+    // onto the candidate frame, and nothing degenerates to a
+    // batch×corpus pair space; the top-k is a bounded per-qid window.
+    import spark.implicits._
+    val corpus = Seq(
+        (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+        (3L, "completely different words about nothing shared at all"))
+      .toDF("id", "txt")
+    val batch = Seq((10L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("id", "txt")
+    val served = graft.transforms.TransformParser
+      .parse("KNN B WITH C ON txt KEY id TOP 2 METHOD JACCARD " +
+        "THRESHOLD 0.5")
+      .build(Map("B" -> batch, "C" -> corpus), batch)
+    val p = served.queryExecution.executedPlan.toString
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+      s"no all-pairs anywhere in the in-plan JACCARD serve:\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      s"top-k must be a per-qid window:\n$p")
+    assert(!p.contains("SortAggregate"),
+      s"no external-sort aggregate in the serve path:\n$p")
+    // verb-layer semantics: content keying — qid 10 carries doc 1's
+    // exact text, so the corpus copy of that text is content-excluded
+    // and doc 2's text is the one neighbor at 0.714286
+    val h2 = Seq("alpha beta gamma delta epsilon zeta eta iota").toDF("t")
+      .select(org.apache.spark.sql.functions.xxhash64(
+        org.apache.spark.sql.functions.col("t")))
+      .collect().head.getLong(0)
+    val rows = served.collect().map(r => (r.getAs[Long]("qid"),
+      r.getAs[Long]("neighbor_id"), r.getAs[Double]("jaccard"),
+      r.getAs[Int]("rank"))).toSeq
+    assert(rows == Seq((10L, h2, 0.714286, 1)), rows.toString)
+  }
+
   test("q163: stored ADC probe — broadcast LUT join, partial agg, " +
       "explicit code-cell roots, no SortAggregate") {
     // the IVF-PQ serving contract at 100 TB: the candidate scan reads

@@ -4,7 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import TransformParser.{TransformError, Verb, intOption, spreadForCpu, CosineDefaults}
+import TransformParser.TransformError
+import VerbSupport.{intOption, spreadForCpu, CosineDefaults}
 
 /** Stored-index build + maintenance surface, extracted from
   * [[TransformParser]] in round 13: the INDEX verb family

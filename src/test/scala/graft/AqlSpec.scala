@@ -2307,6 +2307,18 @@ class AqlSpec extends AnyFunSuite {
       s"KNN ON emb KEY vid TOP 1 METHOD IVF PROBE 2 STORED '$ivfIdx'")
       .collect()
     assert(knn.nonEmpty)
+    // CELLS is kind-independent (round 14): an IVF re-cell at an
+    // explicit count re-trains at that count and pins it
+    val rbiC = run(vecsPq, s"INDEX REBUILD '$ivfIdx' CELLS 12")
+      .collect().head
+    assert(rbiC.getAs[Int]("cells_after") == 12, rbiC.toString)
+    val im1 = spark.read.parquet(s"$ivfIdx/meta").head()
+    assert(im1.getAs[Int]("cells") == 12, im1.toString)
+    assert(!im1.getAs[String]("derived").split(",").contains("cells"),
+      im1.toString)
+    assert(run(vecsPq,
+      s"KNN ON emb KEY vid TOP 1 METHOD IVF PROBE 2 STORED '$ivfIdx'")
+      .collect().nonEmpty)
 
     // COSINE: rebuild re-buckets from the stored vectors, re-deriving
     // BITS alongside cells (both meta-flagged derived)
@@ -2329,6 +2341,19 @@ class AqlSpec extends AnyFunSuite {
       graft.transforms.IndexGeometry.storeCells(1200), cm1.toString)
     // re-ingested copies still match themselves through the rebuilt
     // (re-bucketed) artifact
+    assert(run(cosVecs,
+      s"NEARDEDUP D AGAINST STORED '$cosIdx' ON emb KEY vid " +
+        "THRESHOLD 0.99 METHOD COSINE").collect().isEmpty)
+    // CELLS composes with the cosine TABLES/BITS form (round 14): one
+    // statement re-buckets at explicit geometry AND re-cells, pinning
+    // all three fields
+    val rbcC = run(cosVecs,
+      s"INDEX REBUILD '$cosIdx' CELLS 8 TABLES 16 BITS 3").collect().head
+    assert(rbcC.getAs[Int]("cells_after") == 8, rbcC.toString)
+    val cm2 = spark.read.parquet(s"$cosIdx/meta").head()
+    assert(cm2.getAs[Int]("cells") == 8 && cm2.getAs[Int]("tables") == 16
+      && cm2.getAs[Int]("bits") == 3, cm2.toString)
+    assert(cm2.getAs[String]("derived") == "", cm2.toString)
     assert(run(cosVecs,
       s"NEARDEDUP D AGAINST STORED '$cosIdx' ON emb KEY vid " +
         "THRESHOLD 0.99 METHOD COSINE").collect().isEmpty)

@@ -241,8 +241,10 @@ private[graft] object IndexMaintenance {
       * not ∝ artifact files (the round-13 full-recompute epilogue was
       * measured at 64 s at 32 768 cells and paid per APPEND even when
       * the batch routed to a handful of cells — at 10⁹-doc artifacts
-      * it would dominate the append). COMPACT and REBUILD keep the
-      * full [[write]]: they touch every dirty/all cell anyway.
+      * it would dominate the append). COMPACT merges too (its dirty
+      * set IS its touched set); REBUILD keeps the full [[write]] — it
+      * rewrites every cell by definition, into a stage whose stats
+      * are computed before the swap.
       * Correctness rests on three invariants, the first two
       * maintained, the third checked closed-form in AqlSpec and
       * BandScale (merged ≡ the full recompute / DESCRIBE … VERIFY):
@@ -1122,6 +1124,11 @@ private[graft] object IndexMaintenance {
     * two-phase swap (DELETE's machinery with an identity transform) —
     * atomic per cell on HDFS/posix; object-store schemes without
     * atomic rename are REFUSED up front ([[requireAtomicRenameFs]]).
+    * The stats epilogue is incremental like APPEND/DELETE's (round
+    * 14): the dirty set IS the touched set, so with prior stats
+    * present only the rewritten cells are recomputed
+    * ([[Stats.mergeTouched]]) and the whole statement — listing,
+    * rewrite, AND refresh — is ∝ the cells appends dirtied.
     * A crash mid-swap leaves `.old_…`
     * cells intact and re-running COMPACT completes the rest. The
     * block's input frame is ignored (the artifact is the operand);
@@ -1151,7 +1158,14 @@ private[graft] object IndexMaintenance {
       var before = 0L
       var after = 0L
       var rewrote = false
+      var touched = Map.empty[String, Seq[Int]]
       withMaintLock(spark, dir, "COMPACT") {
+        // prior stats read UNDER the lock, before any rewrite
+        // invalidates them — the incremental-refresh input (round 14:
+        // COMPACT's cost contract is ∝ the cells appends dirtied, and
+        // its stats epilogue now matches — the dirty set IS the
+        // touched set)
+        val prior = Stats.read(spark, dir)
         for ((sub, cellCol) <- stores) {
           val live = new Path(s"$dir/$sub")
           if (fs.exists(live)) {
@@ -1170,20 +1184,29 @@ private[graft] object IndexMaintenance {
                 "re-running COMPACT completes the rest (compacting a " +
                   "compacted cell is a no-op)")(identity)
               rewrote = true
+              touched += sub -> dirty
             }
             after += dataFiles(live)
           }
         }
         // refresh stats LAST (still under the lock): the compacted
         // per-cell file counts are exactly what the next DESCRIBE
-        // asks. Skipped when nothing was rewritten AND stats are
-        // already present — an idempotent re-COMPACT must stay a
-        // byte-stable no-op (the q158 contract); when no cell was
-        // dirty but stats are ABSENT (a prior API mutation
+        // asks. With prior stats present the refresh merges recomputed
+        // rows for the DIRTY cells only (rows never change under
+        // COMPACT's identity rewrite, but file counts do — and only
+        // there), keeping the epilogue ∝ dirtied cells like the
+        // rewrite itself. Skipped when nothing was rewritten AND
+        // stats are already present — an idempotent re-COMPACT must
+        // stay a byte-stable no-op (the q158 contract); when no cell
+        // was dirty but stats are ABSENT (a prior API mutation
         // invalidated them), the statement still self-heals the fast
         // path
         val statsPresent = fs.exists(new Path(s"$dir/stats"))
-        if (rewrote || !statsPresent) Stats.write(spark, dir, stores)
+        if (rewrote || !statsPresent) prior match {
+          case Some(p) if rewrote =>
+            Stats.mergeTouched(spark, dir, stores, p, touched)
+          case _ => Stats.write(spark, dir, stores)
+        }
       }
       import spark.implicits._
       Seq((dir, kind, before, after))

@@ -202,7 +202,14 @@ object DriftScale {
       val advisory = graft.transforms.IndexMaintenance.Warnings.recent
         .exists(w => w.contains(s"INDEX REBUILD '$frozenDir'") &&
           w.contains("hottest index cell"))
-      require(skewFrozen >= 8.0 && advisory,
+      // closed-form only on the DEFAULT protocol (the regime the 8×
+      // advisory line was calibrated against — skew scales with
+      // appended-mass/cells, so a custom small-n0 or tiny-fraction
+      // sweep can legitimately sit under the line and must still
+      // RECORD its numbers rather than abort the run)
+      val defaultRun = sys.env.get("SPARK_GRAFT_N0").isEmpty &&
+        sys.env.get("SPARK_GRAFT_FRACS").isEmpty
+      if (defaultRun) require(skewFrozen >= 8.0 && advisory,
         s"drift advisory must fire on the frozen artifact at f=$f " +
           s"(skew=$skewFrozen, advisory=$advisory)")
       def r4(d: Double) = math.round(d * 10000) / 10000.0

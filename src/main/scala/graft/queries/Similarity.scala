@@ -444,6 +444,14 @@ object Similarity {
     graft.transforms.NearDup.requireKind(meta, base, "ivf_vec",
       "INDEX … APPEND")
     val hasPq = meta.schema.fieldNames.contains("pq_m")
+    // restore crashed cells before appending — see
+    // graft.transforms.NearDup.bandStoreRows
+    val idxRest = graft.transforms.NearDup.sweepOldCells(s,
+      s"$base/index", "cluster")
+    val codesRest =
+      if (hasPq) graft.transforms.NearDup.sweepOldCells(s,
+        s"$base/codes", "cluster")
+      else Seq.empty[Int]
     // the frozen-centroid assignment feeds ≥ 2 consumers (index rows,
     // the touched-cells routing, and code rows under PQ) —
     // materialize it once
@@ -469,12 +477,14 @@ object Similarity {
         .repartition(col("cluster"))
         .write.mode("append").partitionBy("cluster").parquet(s"$base/codes")
     }
-    // the batch's routed cells (codes mirror the index assignment) —
-    // the verb's incremental stats merge recomputes exactly these
+    // the batch's routed cells (codes mirror the index assignment)
+    // plus any crash-swept restored cells — the verb's incremental
+    // stats merge recomputes exactly these
     val touched = ids.select(col("cluster").cast("int"))
-      .distinct().collect().map(_.getInt(0)).toSeq.sorted
-    if (hasPq) Map("index" -> touched, "codes" -> touched)
-    else Map("index" -> touched)
+      .distinct().collect().map(_.getInt(0)).toSeq
+    if (hasPq) Map("index" -> (touched ++ idxRest).distinct.sorted,
+      "codes" -> (touched ++ codesRest).distinct.sorted)
+    else Map("index" -> (touched ++ idxRest).distinct.sorted)
   }
 
   /** The frozen-centroid assignment (vec_id, cluster) of a batch
@@ -541,17 +551,21 @@ object Similarity {
     val ids = assignToStored(base, e).localCheckpoint(false)
     val touched = ids.select(col("cluster").cast("int"))
       .distinct().collect().map(_.getInt(0)).sorted
-    graft.transforms.NearDup.deleteFromCellStore(s, s"$base/index",
-      "cluster", touched, "vec_id", ids.select(col("vec_id")))
+    val idxRest = graft.transforms.NearDup.deleteFromCellStore(s,
+      s"$base/index", "cluster", touched, "vec_id",
+      ids.select(col("vec_id")))
     // PQ codes mirror the index cells (same assignment routed them), so
     // the SAME touched set and anti-join key delete the codes — a
     // deleted vector can never resurface through an ADC shortlist
     val hasPq = meta.schema.fieldNames.contains("pq_m")
-    if (hasPq)
-      graft.transforms.NearDup.deleteFromCellStore(s, s"$base/codes",
-        "cluster", touched, "vec_id", ids.select(col("vec_id")))
-    if (hasPq) Map("index" -> touched.toSeq, "codes" -> touched.toSeq)
-    else Map("index" -> touched.toSeq)
+    val codesRest =
+      if (hasPq)
+        graft.transforms.NearDup.deleteFromCellStore(s, s"$base/codes",
+          "cluster", touched, "vec_id", ids.select(col("vec_id")))
+      else Seq.empty[Int]
+    if (hasPq) Map("index" -> (touched.toSeq ++ idxRest).distinct,
+      "codes" -> (touched.toSeq ++ codesRest).distinct)
+    else Map("index" -> (touched.toSeq ++ idxRest).distinct)
   }
 
   // --------------------------------------------------------- stored IVF-PQ

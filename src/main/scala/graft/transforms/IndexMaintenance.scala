@@ -1169,6 +1169,15 @@ private[graft] object IndexMaintenance {
         for ((sub, cellCol) <- stores) {
           val live = new Path(s"$dir/$sub")
           if (fs.exists(live)) {
+            // sweep crashed `.old_` cells FIRST (round 14 — COMPACT is
+            // the maintenance-cadence statement, so it heals
+            // unconditionally, not only when some cell happens to be
+            // dirty): a restored cell participates in this COMPACT's
+            // own dirty listing below, and joins the touched set so
+            // the incremental stats merge recomputes it
+            val restored = NearDup.sweepOldCells(spark, live.toString,
+              cellCol)
+            if (restored.nonEmpty) rewrote = true
             before += dataFiles(live)
             // dirty = cells with ≥ 2 data files; one directory listing
             // per cell dir (cheap metadata ops ∝ cells, no data read)
@@ -1184,8 +1193,9 @@ private[graft] object IndexMaintenance {
                 "re-running COMPACT completes the rest (compacting a " +
                   "compacted cell is a no-op)")(identity)
               rewrote = true
-              touched += sub -> dirty
             }
+            val t = (dirty ++ restored).distinct.sorted
+            if (t.nonEmpty) touched += sub -> t
             after += dataFiles(live)
           }
         }

@@ -553,6 +553,16 @@ object NearDup {
     IndexMaintenance.Stats.invalidate(
       shC.sparkSession.sparkContext.hadoopConfiguration, base)
     val append = mode == org.apache.spark.sql.SaveMode.Append
+    val spark = shC.sparkSession
+    // restore crashed cells BEFORE appending ([[sweepOldCells]] — an
+    // append that re-created a downed cell's live dir with only the
+    // batch's rows would make the next sweep reap the `.old_` prior
+    // rows as provably-stale); builds overwrite the whole store, old
+    // siblings included
+    val (bandsRest, shRest) =
+      if (append) (sweepOldCells(spark, s"$base/bands", "pc"),
+        sweepOldCells(spark, s"$base/shingles", "sc"))
+      else (Seq.empty[Int], Seq.empty[Int])
     val sh = shC.localCheckpoint(false) // feeds band keys AND the shingle store
     val keyed0 = bandKeys(sh, numPerm, numBands, rowsPerBand)
       .withColumn("pc",
@@ -571,14 +581,15 @@ object NearDup {
       .write.mode(mode).partitionBy("sc").parquet(s"$base/shingles")
     if (!append) Map.empty
     else Map(
-      "bands" -> keyed.select(col("pc")).distinct()
-        .collect().map(_.getInt(0)).toSeq.sorted,
+      "bands" -> (keyed.select(col("pc")).distinct()
+        .collect().map(_.getInt(0)).toSeq ++ bandsRest).distinct.sorted,
       // the shingle store routes by id hash alone — no shingle work
       // needed for its touched set
-      "shingles" -> sh
+      "shingles" -> (sh
         .select(pmod(xxhash64(col("id")), lit(cells.toLong))
           .cast("int").as("sc"))
-        .distinct().collect().map(_.getInt(0)).toSeq.sorted)
+        .distinct().collect().map(_.getInt(0)).toSeq ++ shRest)
+        .distinct.sorted)
   }
 
   /** Remove docs from an existing [[bandStoreTo]] artifact — the
@@ -620,15 +631,18 @@ object NearDup {
       .select(pmod(xxhash64(col("band"), col("bh")), lit(cells.toLong))
         .cast("int").as("pc"))
       .distinct().collect().map(_.getInt(0)).sorted
-    deleteFromCellStore(s, s"$base/bands", "pc", bandCells, "id", ids)
+    val bRest = deleteFromCellStore(s, s"$base/bands", "pc", bandCells,
+      "id", ids)
     val shCells = ids
       .select(pmod(xxhash64(col("id")), lit(cells.toLong))
         .cast("int").as("sc"))
       .distinct().collect().map(_.getInt(0)).sorted
-    deleteFromCellStore(s, s"$base/shingles", "sc", shCells, "id", ids)
-    // the statement's own routing — the verb's incremental stats merge
-    // recomputes exactly these cells
-    Map("bands" -> bandCells.toSeq, "shingles" -> shCells.toSeq)
+    val sRest = deleteFromCellStore(s, s"$base/shingles", "sc", shCells,
+      "id", ids)
+    // the statement's own routing PLUS any crash-swept restored cells
+    // — the verb's incremental stats merge recomputes exactly these
+    Map("bands" -> (bandCells.toSeq ++ bRest).distinct,
+      "shingles" -> (shCells.toSeq ++ sRest).distinct)
   }
 
   /** The shared cell-rewrite step of every stored-index DELETE
@@ -666,7 +680,7 @@ object NearDup {
     */
   private[graft] def deleteFromCellStore(s: org.apache.spark.sql.SparkSession,
       root: String, pcol: String, wanted: Array[Int], idCol: String,
-      dropIds: DataFrame): Unit =
+      dropIds: DataFrame): Seq[Int] =
     rewriteCellsInPlace(s, root, pcol, wanted.toSeq, "INDEX … DELETE",
       "re-running the same DELETE statement completes the rest " +
         "(deleting already-deleted ids is a no-op)") { cells =>
@@ -696,11 +710,49 @@ object NearDup {
     * (re-running the crashed statement then completes it) — and stale
     * staging dirs are cleared before writing.
     */
+  /** Sweep a store root's `.old_<pcol>_*` siblings left by a prior
+    * statement's crash (between a cell's two renames, or after its
+    * swap but before cleanup; unreaped they'd accumulate forever).
+    * Stale ⇔ the live cell exists — its swap finished, reap it. An
+    * `.old_` whose live cell is ABSENT is the crashed statement's only
+    * copy of that cell's prior rows: restore it, returning the cell to
+    * its pre-statement rows. Returns the RESTORED cell ids — callers
+    * that maintain stats incrementally must union them into their
+    * touched set, because the restored rows were provably absent from
+    * any stats written while the cell was down (round-14 review
+    * finding: a merge that carried the prior forward would otherwise
+    * be present-but-stale, the one combination the stats invariant
+    * forbids). Runs under the artifact's maintenance lock in every
+    * caller: the REWRITE path ([[rewriteCellsInPlace]]) and — since
+    * the same review — the APPEND row-writers, which previously could
+    * re-create a crashed cell's live directory with only the batch's
+    * rows and thereby make the next sweep reap the `.old_` sibling
+    * (the prior rows' only copy) as provably-stale: appends now
+    * restore first, so the appended files land NEXT TO the restored
+    * prior rows exactly as they would have pre-crash.
+    */
+  private[graft] def sweepOldCells(s: org.apache.spark.sql.SparkSession,
+      root: String, pcol: String): Seq[Int] = {
+    import org.apache.hadoop.fs.Path
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val restored = Seq.newBuilder[Int]
+    if (fs.exists(rootPath))
+      for (st <- fs.listStatus(rootPath)
+          if st.getPath.getName.startsWith(s".old_${pcol}_")) {
+        val id = st.getPath.getName.stripPrefix(s".old_${pcol}_")
+        val cell = new Path(rootPath, s"$pcol=$id")
+        if (fs.exists(cell)) fs.delete(st.getPath, true)
+        else if (fs.rename(st.getPath, cell)) restored += id.toInt
+      }
+    restored.result()
+  }
+
   private[graft] def rewriteCellsInPlace(s: org.apache.spark.sql.SparkSession,
       root: String, pcol: String, wanted: Seq[Int], what: String,
       recovery: String)(
       transform: org.apache.spark.sql.DataFrame
-        => org.apache.spark.sql.DataFrame): Unit = {
+        => org.apache.spark.sql.DataFrame): Seq[Int] = {
     import org.apache.hadoop.fs.Path
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -712,27 +764,17 @@ object NearDup {
         s.sparkContext.hadoopConfiguration, par.toString))
     def live(c: Int) = new Path(rootPath, s"$pcol=$c")
     def old(c: Int) = new Path(rootPath, s".old_${pcol}_$c")
-    // FIRST, sweep `.old_` siblings left by prior statements (a hard
-    // crash between a cell's two renames, or after its swap completed
-    // but before cleanup; unreaped they'd accumulate forever). Stale ⇔
-    // the live cell exists — its swap finished, reap it. An `.old_`
-    // whose live cell is ABSENT is a crashed statement's only copy of
-    // that cell's prior rows: restore it, returning the cell to its
-    // pre-statement rows. The sweep must precede the touched-cell
-    // computation so a just-restored cell PARTICIPATES in this rewrite
-    // — swept after, this statement would silently skip the restored
-    // cell's rows and apply half a delete.
-    if (fs.exists(rootPath))
-      for (st <- fs.listStatus(rootPath)
-          if st.getPath.getName.startsWith(s".old_${pcol}_")) {
-        val cell = new Path(rootPath,
-          s"$pcol=${st.getPath.getName.stripPrefix(s".old_${pcol}_")}")
-        if (fs.exists(cell)) fs.delete(st.getPath, true)
-        else fs.rename(st.getPath, cell)
-      }
+    // FIRST, sweep `.old_` siblings ([[sweepOldCells]]). The sweep
+    // must precede the touched-cell computation so a just-restored
+    // cell PARTICIPATES in this rewrite — swept after, this statement
+    // would silently skip the restored cell's rows and apply half a
+    // delete. Restored cells are RETURNED so the calling verb's
+    // incremental stats merge recomputes them even when they are
+    // outside the statement's own routing.
+    val restored = sweepOldCells(s, root, pcol)
     val touched = wanted
       .filter(c => fs.exists(new Path(rootPath, s"$pcol=$c")))
-    if (touched.isEmpty) return // nothing routed to an existing cell
+    if (touched.isEmpty) return restored // nothing routed to an existing cell
     val paths = touched.map(c => new Path(rootPath, s"$pcol=$c").toString)
     val stage = new Path(rootPath.getParent,
       s".rewrite_stage_${rootPath.getName}")
@@ -788,6 +830,7 @@ object NearDup {
     }
     for (c <- touched) fs.delete(old(c), true)
     fs.delete(stage, true)
+    restored
   }
 
   /** [[minhashCrossMatches]] against a [[bandStoreFrom]] artifact: the
@@ -1081,13 +1124,16 @@ object NearDup {
     val vCells = delete1Variants(r, "txt")
       .select(pmod(col("vh"), lit(cells.toLong)).cast("int").as("pc"))
       .distinct().collect().map(_.getInt(0)).sorted
-    deleteFromCellStore(s, s"$base/variants", "pc", vCells, "id", ids)
+    val vRest = deleteFromCellStore(s, s"$base/variants", "pc", vCells,
+      "id", ids)
     val sCells = ids
       .select(pmod(xxhash64(col("id")), lit(cells.toLong))
         .cast("int").as("sc"))
       .distinct().collect().map(_.getInt(0)).sorted
-    deleteFromCellStore(s, s"$base/strings", "sc", sCells, "id", ids)
-    Map("variants" -> vCells.toSeq, "strings" -> sCells.toSeq)
+    val sRest = deleteFromCellStore(s, s"$base/strings", "sc", sCells,
+      "id", ids)
+    Map("variants" -> (vCells.toSeq ++ vRest).distinct,
+      "strings" -> (sCells.toSeq ++ sRest).distinct)
   }
 
   /** Shared row-writing step of [[typoStoreTo]] / [[typoStoreAppend]] —
@@ -1099,6 +1145,11 @@ object NearDup {
     IndexMaintenance.Stats.invalidate(
       reps.sparkSession.sparkContext.hadoopConfiguration, base)
     val append = mode == org.apache.spark.sql.SaveMode.Append
+    // restore crashed cells before appending — see bandStoreRows
+    val (vRest, sRest) =
+      if (append) (sweepOldCells(reps.sparkSession, s"$base/variants", "pc"),
+        sweepOldCells(reps.sparkSession, s"$base/strings", "sc"))
+      else (Seq.empty[Int], Seq.empty[Int])
     val r = reps.select(col("id"), col("txt")).localCheckpoint(false)
     val keyed0 = delete1Variants(r, "txt")
       .select(col("id"), col("vh"))
@@ -1113,12 +1164,13 @@ object NearDup {
       .write.mode(mode).partitionBy("sc").parquet(s"$base/strings")
     if (!append) Map.empty
     else Map(
-      "variants" -> keyed.select(col("pc")).distinct()
-        .collect().map(_.getInt(0)).toSeq.sorted,
-      "strings" -> r
+      "variants" -> (keyed.select(col("pc")).distinct()
+        .collect().map(_.getInt(0)).toSeq ++ vRest).distinct.sorted,
+      "strings" -> (r
         .select(pmod(xxhash64(col("id")), lit(cells.toLong))
           .cast("int").as("sc"))
-        .distinct().collect().map(_.getInt(0)).toSeq.sorted)
+        .distinct().collect().map(_.getInt(0)).toSeq ++ sRest)
+        .distinct.sorted)
   }
 
   /** Batch-vs-corpus edit-distance-≤1 matches against a [[typoStoreTo]]

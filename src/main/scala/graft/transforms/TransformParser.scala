@@ -1538,6 +1538,59 @@ object TransformParser {
       if (materialize) p.localCheckpoint(false) else p
     }
 
+    /** The shared panel-prep + fan-back glue of BOTH JACCARD serving
+      * forms (STORED and in-plan — round-14 review extraction, so the
+      * two branches cannot drift on the grade/self-exclusion
+      * contract): resolve the query frame's key/text columns, apply
+      * QUERIES, key the panel by CONTENT HASH (the store families'
+      * exact-first collapse — duplicate query texts pay ONE probe, and
+      * the id-inequality downstream IS content self-exclusion: a
+      * query's own indexed text is never its neighbor, an exact-dup
+      * text under another id surfaces at 1.0 on purpose), hand the
+      * distinct shingled panel plus the grade's auto-banding to
+      * `perRepOf` (the stored or in-plan pairs body), and fan each
+      * distinct text's top-k back to every query row carrying it.
+      * The panel is checkpointed once: it feeds band-key generation,
+      * the exact-verify join AND the qid fan-back, and panels are
+      * small by the retrieval contract.
+      */
+    private def jaccardServe(qDf: DataFrame,
+        perRepOf: (DataFrame, Double, Int, Int, Int) => DataFrame)
+        : DataFrame = {
+      def namedQ(n: String): StructField =
+        qDf.schema.find(_.name.equalsIgnoreCase(n)).getOrElse(
+          throw TransformError(s"KNN: unknown column $n"))
+      val keyName = namedQ(key).name
+      val tField = namedQ(vecCol)
+      if (tField.dataType != StringType) throw TransformError(
+        s"KNN METHOD JACCARD ON ${tField.name} must be string, got " +
+          tField.dataType.simpleString)
+      val flaggedT = queries match {
+        case Some(qx) =>
+          val pq = try expr(qx)
+            catch { case e: Exception => throw TransformError(
+              s"KNN QUERIES: cannot parse '$qx': ${e.getMessage}") }
+          qDf.withColumn("__isq", coalesce(pq, lit(false)))
+        case None => qDf.withColumn("__isq", lit(true))
+      }
+      val qKeyed = flaggedT.where(col("__isq"))
+        .select(col(keyName).as("qid"), col(tField.name).as("txt"),
+          xxhash64(col(tField.name)).as("th"))
+        .localCheckpoint(false)
+      val shQ = NearDup.shingled(
+        qKeyed.select(col("th"), col("txt")).distinct(), "th", "txt")
+      val tGrade = threshold.getOrElse(0.5) // in-plan: parser requires it
+      val (bB, bR) = try NearDup.autoBands(tGrade)
+        catch { case e: IllegalArgumentException => throw TransformError(
+          s"KNN METHOD JACCARD: ${e.getMessage}") }
+      val perRep = perRepOf(shQ, tGrade, bB * bR, bB, bR)
+        .toDF("th", "neighbor_id", "jaccard", "rank")
+      qKeyed.select(col("qid"), col("th"))
+        .join(perRep, "th")
+        .select(col("qid"), col("neighbor_id"), col("jaccard"),
+          col("rank"))
+    }
+
     def build(sources: Map[String, DataFrame], primary: DataFrame): DataFrame = {
       // STORED serving: the corpus IS the persisted IVF artifact
       // (Similarity.ivfStoreFrom's layout — the q136/q139 machinery,
@@ -1556,55 +1609,12 @@ object TransformParser {
           // auto-banding, validated against the artifact's meta — a
           // mismatched-threshold serve errors instead of silently
           // missing pairs (the q165 contract).
+          // panel prep, content keying and fan-back are the SHARED
+          // [[jaccardServe]] body (the in-plan form rides the same)
           val spark = primary.sparkSession
-          def namedT(n: String): StructField =
-            primary.schema.find(_.name.equalsIgnoreCase(n)).getOrElse(
-              throw TransformError(s"KNN: unknown column $n"))
-          val keyName = namedT(key).name
-          val tName = namedT(vecCol).name
-          namedT(vecCol).dataType match {
-            case StringType => ()
-            case other => throw TransformError(
-              s"KNN METHOD JACCARD ON $tName must be string, got " +
-                other.simpleString)
-          }
-          val flaggedT = queries match {
-            case Some(qx) =>
-              val pq = try expr(qx)
-                catch { case e: Exception => throw TransformError(
-                  s"KNN QUERIES: cannot parse '$qx': ${e.getMessage}") }
-              primary.withColumn("__isq", coalesce(pq, lit(false)))
-            case None => primary.withColumn("__isq", lit(true))
-          }
-          // the query side keys by CONTENT HASH — the same exact-first
-          // collapse the AGAINST probe and the INDEX build use (store
-          // entries are one per distinct text, keyed xxhash64(text)),
-          // so jaccardKnnStored's id-inequality becomes content
-          // self-exclusion (a query's own indexed text is never its
-          // neighbor; an exact-dup text under another id surfaces at
-          // 1.0 on purpose) and duplicate query texts pay ONE probe.
-          // checkpoint: the panel feeds band-key generation, the
-          // exact-verify join AND the qid fan-back — panels are
-          // microbatch-sized by the serving contract, so this is tiny
-          val qKeyed = flaggedT.where(col("__isq"))
-            .select(col(keyName).as("qid"), col(tName).as("txt"),
-              xxhash64(col(tName)).as("th"))
-            .localCheckpoint(false)
-          val qReps = qKeyed.select(col("th"), col("txt")).distinct()
-          val shQ = NearDup.shingled(qReps, "th", "txt")
-          val tGrade = threshold.getOrElse(0.5)
-          val (bB, bR) = try NearDup.autoBands(tGrade)
-            catch { case e: IllegalArgumentException => throw TransformError(
-              s"KNN METHOD JACCARD: ${e.getMessage}") }
-          val perRep = NearDup.jaccardKnnStored(spark, base, shQ, tGrade,
-              k, numPerm = bB * bR, numBands = bB, rowsPerBand = bR)
-            .toDF("th", "neighbor_id", "jaccard", "rank")
-          // fan each distinct text's answer back to every query row
-          // carrying it (the verdict fan-back shape of AGAINST STORED)
-          qKeyed.select(col("qid"), col("th"))
-            .join(perRep, "th")
-            .select(col("qid"), col("neighbor_id"), col("jaccard"),
-              col("rank"))
+          jaccardServe(primary, (shQ, tGrade, np, nb, rp) =>
+            NearDup.jaccardKnnStored(spark, base, shQ, tGrade, k,
+              numPerm = np, numBands = nb, rowsPerBand = rp))
         case Some(base) =>
           val spark = primary.sparkSession
           val q = prep(primary, withFlag = true, materialize = false)
@@ -1658,55 +1668,32 @@ object TransformParser {
               case Some((qn, cn)) => (src(qn), src(cn))
               case None => (primary, primary)
             }
-            def textCol(df: DataFrame, side: String): (String, String) = {
-              def named(n: String): StructField =
-                df.schema.find(_.name.equalsIgnoreCase(n)).getOrElse(
-                  throw TransformError(s"KNN: unknown column $n ($side)"))
-              val t = named(vecCol)
-              if (t.dataType != StringType) throw TransformError(
-                s"KNN METHOD JACCARD ON ${t.name} must be string, got " +
-                  s"${t.dataType.simpleString} ($side)")
-              (named(key).name, t.name)
-            }
-            val (qKey, qTxt) = textCol(qDf, "queries")
-            val (_, cTxt) = textCol(cDf, "corpus")
-            val flaggedT = queries match {
-              case Some(qx) =>
-                val pq = try expr(qx)
-                  catch { case e: Exception => throw TransformError(
-                    s"KNN QUERIES: cannot parse '$qx': ${e.getMessage}") }
-                qDf.withColumn("__isq", coalesce(pq, lit(false)))
-              case None => qDf.withColumn("__isq", lit(true))
-            }
-            // checkpoint: the panel feeds band keys, the verify join
-            // AND the qid fan-back — query panels are small by the
-            // retrieval contract
-            val qKeyed = flaggedT.where(col("__isq"))
-              .select(col(qKey).as("qid"), col(qTxt).as("txt"),
-                xxhash64(col(qTxt)).as("th"))
-              .localCheckpoint(false)
-            val shQ = NearDup.shingled(
-              qKeyed.select(col("th"), col("txt")).distinct(), "th", "txt")
+            // KEY is resolved on the QUERY side only (inside
+            // jaccardServe): corpus entries are keyed by content hash
+            // (the STORED path's exact-first collapse), so a corpus
+            // frame without the key column is a valid heterogeneous
+            // two-source retrieval. Only the corpus TEXT column is
+            // validated here.
+            val cField = cDf.schema
+              .find(_.name.equalsIgnoreCase(vecCol)).getOrElse(
+                throw TransformError(
+                  s"KNN: unknown column $vecCol (corpus)"))
+            if (cField.dataType != StringType) throw TransformError(
+              s"KNN METHOD JACCARD ON ${cField.name} must be string, " +
+                s"got ${cField.dataType.simpleString} (corpus)")
             // the corpus side: the INDEX build's own exact-first
             // collapse (distinct on (th, txt) — th determines txt, a
             // pure HashAggregate)
             val shC = NearDup.shingled(
               spreadForCpu(cDf,
-                cDf.select(xxhash64(col(cTxt)).as("th"),
-                  col(cTxt).as("txt")))
+                cDf.select(xxhash64(col(cField.name)).as("th"),
+                  col(cField.name).as("txt")))
                 .distinct(), "th", "txt")
-            val tGrade = threshold.getOrElse(0.5) // parser requires it
-            val (bB, bR) = try NearDup.autoBands(tGrade)
-              catch { case e: IllegalArgumentException =>
-                throw TransformError(s"KNN METHOD JACCARD: ${e.getMessage}")
-              }
-            val perRep = NearDup.jaccardKnnAcross(shQ, shC, tGrade, k,
-                numPerm = bB * bR, numBands = bB, rowsPerBand = bR)
-              .toDF("th", "neighbor_id", "jaccard", "rank")
-            qKeyed.select(col("qid"), col("th"))
-              .join(perRep, "th")
-              .select(col("qid"), col("neighbor_id"), col("jaccard"),
-                col("rank"))
+            // panel prep, content keying and fan-back are the SHARED
+            // [[jaccardServe]] body (the STORED form rides the same)
+            jaccardServe(qDf, (shQ, tGrade, np, nb, rp) =>
+              NearDup.jaccardKnnAcross(shQ, shC, tGrade, k,
+                numPerm = np, numBands = nb, rowsPerBand = rp))
           } else {
           val (corpus, queriesF) = twoSource match {
             case Some((qn, cn)) =>

@@ -359,6 +359,12 @@ object VecKnn {
     graft.transforms.IndexMaintenance.Stats.invalidate(
       e.sparkSession.sparkContext.hadoopConfiguration, base)
     val append = mode == org.apache.spark.sql.SaveMode.Append
+    // restore crashed cells before appending — see NearDup.bandStoreRows
+    val (bRest, vRest) =
+      if (append) (
+        NearDup.sweepOldCells(e.sparkSession, s"$base/buckets", "pc"),
+        NearDup.sweepOldCells(e.sparkSession, s"$base/vectors", "sc"))
+      else (Seq.empty[Int], Seq.empty[Int])
     val ee = e.select(col("id"), col("v"), col("nrm")).localCheckpoint(false)
     val keyed0 = bucketFrame(ee, tables, bits, dims)
       .withColumn("pc",
@@ -373,12 +379,13 @@ object VecKnn {
       .write.mode(mode).partitionBy("sc").parquet(s"$base/vectors")
     if (!append) Map.empty
     else Map(
-      "buckets" -> keyed.select(col("pc")).distinct()
-        .collect().map(_.getInt(0)).toSeq.sorted,
-      "vectors" -> ee
+      "buckets" -> (keyed.select(col("pc")).distinct()
+        .collect().map(_.getInt(0)).toSeq ++ bRest).distinct.sorted,
+      "vectors" -> (ee
         .select(pmod(xxhash64(col("id")), lit(cells.toLong))
           .cast("int").as("sc"))
-        .distinct().collect().map(_.getInt(0)).toSeq.sorted)
+        .distinct().collect().map(_.getInt(0)).toSeq ++ vRest)
+        .distinct.sorted)
   }
 
   /** Remove vectors from an existing [[cosineStoreTo]] artifact —
@@ -416,15 +423,16 @@ object VecKnn {
         .select(pmod(xxhash64(col("t"), col("bucket")), lit(cells.toLong))
           .cast("int").as("pc"))
         .distinct().collect().map(_.getInt(0)).sorted
-      NearDup.deleteFromCellStore(s, s"$base/buckets", "pc", bCells, "id",
-        ids)
+      val bRest = NearDup.deleteFromCellStore(s, s"$base/buckets", "pc",
+        bCells, "id", ids)
       val vCells = ids
         .select(pmod(xxhash64(col("id")), lit(cells.toLong))
           .cast("int").as("sc"))
         .distinct().collect().map(_.getInt(0)).sorted
-      NearDup.deleteFromCellStore(s, s"$base/vectors", "sc", vCells, "id",
-        ids)
-      Map("buckets" -> bCells.toSeq, "vectors" -> vCells.toSeq)
+      val vRest = NearDup.deleteFromCellStore(s, s"$base/vectors", "sc",
+        vCells, "id", ids)
+      Map("buckets" -> (bCells.toSeq ++ bRest).distinct,
+        "vectors" -> (vCells.toSeq ++ vRest).distinct)
     }
   }
 

@@ -2126,7 +2126,7 @@ class AqlSpec extends AnyFunSuite {
       val p = cells.next()
       if (p.getFileName.toString.startsWith("pc=")) live += p
     }
-    assert(live.size >= 2, s"need >= 2 cells, got ${live.size}")
+    assert(live.size >= 3, s"need >= 3 cells, got ${live.size}")
     val crashed = live.head
     val crashedCell = crashed.getFileName.toString.stripPrefix("pc=")
     java.nio.file.Files.move(crashed,
@@ -2158,6 +2158,59 @@ class AqlSpec extends AnyFunSuite {
          |) INTO CONSOLE""".stripMargin)
       .outputs("K").collect().map(_.getLong(0)).toSet
     assert(kept == Set(0L), s"expected only doc 0 kept, got $kept")
+
+    // round 14 — the APPEND path sweeps too: an append must RESTORE a
+    // downed cell before writing (re-creating the live dir with only
+    // the batch's rows would make the next sweep reap the `.old_`
+    // prior rows as provably-stale — silent data loss), and the
+    // incremental stats merge must recompute restored cells, so the
+    // served DESCRIBE equals the VERIFY ground truth afterwards (a
+    // merge that carried the prior forward past a restore would be
+    // present-but-stale, the one combination the invariant forbids)
+    def describeRows(verify: Boolean): Seq[String] = Aql.run(spark,
+      s"""DATA 'One' ([[1]]) WITH (COLUMNS = 'X')
+         |TRANSFORM 'D' FROM BLOCK One (
+         |  INDEX DESCRIBE '$idx'${if (verify) " VERIFY" else ""}
+         |) INTO CONSOLE""".stripMargin).outputs("D")
+      .collect().map(_.toString).sorted.toSeq
+    val crash2 = live(1)
+    val crash2Cell = crash2.getFileName.toString.stripPrefix("pc=")
+    java.nio.file.Files.move(crash2, bands.resolve(s".old_pc_$crash2Cell"))
+    Aql.run(spark,
+      s"""DATA 'N' ([[900, "a freshly appended sentence about crash sweeps"]])
+         |  WITH (COLUMNS = 'Id, Txt')
+         |TRANSFORM 'T' FROM BLOCK N (
+         |  INDEX ON Txt KEY Id METHOD LSH INTO '$idx' APPEND
+         |) INTO CONSOLE""".stripMargin)
+    assert(java.nio.file.Files.exists(crash2),
+      "append did not restore the crashed cell")
+    assert(!java.nio.file.Files.exists(bands.resolve(s".old_pc_$crash2Cell")))
+    assert(describeRows(false) == describeRows(true),
+      "stats stale after append-path restore")
+    // …and COMPACT heals unconditionally (even when no cell is dirty
+    // in that store), merging the restored cell into the stats
+    val crash3 = live(2)
+    val crash3Cell = crash3.getFileName.toString.stripPrefix("pc=")
+    java.nio.file.Files.move(crash3, bands.resolve(s".old_pc_$crash3Cell"))
+    Aql.run(spark,
+      s"""DATA 'One' ([[1]]) WITH (COLUMNS = 'X')
+         |TRANSFORM 'T' FROM BLOCK One (
+         |  INDEX COMPACT '$idx'
+         |) INTO CONSOLE""".stripMargin)
+    assert(java.nio.file.Files.exists(crash3),
+      "COMPACT did not restore the crashed cell")
+    assert(describeRows(false) == describeRows(true),
+      "stats stale after COMPACT restore")
+    // probe answers are whole again after both restores
+    val kept2 = Aql.run(spark,
+      s"""CONNECTION 'D' (DRIVER = 'file', FILE = '$docsPq',
+         |  FORMAT = 'parquet')
+         |TRANSFORM 'K' FROM CONNECTION D (
+         |  NEARDEDUP D AGAINST STORED '$idx' ON txt KEY id
+         |    THRESHOLD 0.5 METHOD LSH
+         |) INTO CONSOLE""".stripMargin)
+      .outputs("K").collect().map(_.getLong(0)).toSet
+    assert(kept2 == Set(0L), s"expected only doc 0 kept, got $kept2")
   }
 
   test("INDEX under a dot-dir ancestor: indexed_rows counts the real " +
@@ -3016,6 +3069,24 @@ class AqlSpec extends AnyFunSuite {
       .toSeq.sorted
     assert(inPlan == served, s"in-plan $inPlan vs stored $served")
     assert(inPlan.nonEmpty) // the symmetry pin must not pass vacuously
+    // the corpus side is content-keyed, so a corpus frame WITHOUT the
+    // key column is a valid heterogeneous two-source retrieval (KEY is
+    // resolved on the query side only) and answers identically
+    val corpusNoKeyPq = dir.resolve("corpus_nokey.parquet").toString
+    spark.read.parquet(corpusPq).select(org.apache.spark.sql.functions
+      .col("txt")).write.parquet(corpusNoKeyPq)
+    val noKey = run(
+      s"""CONNECTION 'B' (DRIVER = 'file', FILE = '$batchPq',
+         |  FORMAT = 'parquet')
+         |CONNECTION 'C' (DRIVER = 'file', FILE = '$corpusNoKeyPq',
+         |  FORMAT = 'parquet')
+         |TRANSFORM 'T' FROM CONNECTION B, CONNECTION C (
+         |  KNN B WITH C ON txt KEY id TOP 2 METHOD JACCARD THRESHOLD 0.5
+         |) INTO CONSOLE""".stripMargin).outputs("T").collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("jaccard"), r.getAs[Int]("rank")))
+      .toSeq.sorted
+    assert(noKey == inPlan, s"no-key corpus $noKey vs $inPlan")
     // option algebra: the in-plan form rejects the vector knobs and a
     // numeric column exactly as the stored form does
     def bad(body: String): String =

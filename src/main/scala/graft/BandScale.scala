@@ -257,16 +257,17 @@ object BandScale {
           .map(_.getAs[Long]("entries")).getOrElse(-1L)
       }
 
-      // stats-served DESCRIBE leg (round 13): the verb's mutating
-      // statements maintain <dir>/stats as their last step, and a
-      // routine DESCRIBE then reads one small parquet instead of
-      // walking the store. The API append/delete above INVALIDATED
-      // stats (by design — the streaming path must not pay a full
-      // recount per batch), so the describe above measured the honest
-      // FALLBACK at this k — the closed-form check against the full
-      // recompute the round-12 curve demands. Refresh stats once
-      // (pricing what a verb statement absorbs) and measure the
-      // served path, closed-form checked against the same truth.
+      // stats-served DESCRIBE leg (round 13): every mutating writer
+      // maintains <dir>/stats, and a routine DESCRIBE then reads one
+      // small parquet instead of walking the store. The artifact here
+      // was built via the API (bandStoreFrom), which writes no stats,
+      // and a batch-sized mutation never pays the artifact-sized
+      // first recount — so the append/delete above ran with stats
+      // ABSENT and the describe above measured the honest FALLBACK at
+      // this k, the closed-form check against the full recompute the
+      // round-12 curve demands. Refresh stats once (pricing what a
+      // build statement absorbs) and measure the served path,
+      // closed-form checked against the same truth.
       val (_, statsRefreshS) = timed {
         graft.transforms.IndexMaintenance.Stats.write(spark, base,
           graft.transforms.IndexMaintenance.storesFor("lsh_text",
@@ -281,16 +282,18 @@ object BandScale {
           .map(_.getAs[Long]("entries")).getOrElse(-1L)
       }
 
-      // incremental stats leg (round 14): a VERB append's stats
+      // incremental stats leg (round 14): every append's stats
       // epilogue recomputes only the batch's TOUCHED cells and merges
-      // them into the prior stats (Stats.mergeTouched) — replay that
-      // sequence here (prior = the refresh above, API append returns
-      // its routing, merge) and price it against the full recompute
-      // the round-13 epilogue paid. The claim is the asymptotics fix:
-      // merge cost ∝ touched cells (bounded by the batch's band keys,
-      // flat across corpus growth), full cost ∝ all cells (grows with
-      // the corpus until the cap). Closed-form: the merged stats equal
-      // the full recompute row-for-row — on the SAME artifact state,
+      // them into the prior stats (Stats.mergeTouched — the API
+      // append below runs it internally now that stats are present;
+      // the explicitly timed merge is a REPLAY of that exact op
+      // against the pre-append prior, isolating its cost) and is
+      // priced against the full recompute the round-13 epilogue paid.
+      // The claim is the asymptotics fix: merge cost ∝ touched cells
+      // (bounded by the batch's band keys, flat across corpus
+      // growth), full cost ∝ all cells (grows with the corpus until
+      // the cap). Closed-form: the merged stats equal the full
+      // recompute row-for-row — on the SAME artifact state,
       // immediately after the merge.
       val im = graft.transforms.IndexMaintenance
       val stores = im.storesFor("lsh_text", "BandScale")

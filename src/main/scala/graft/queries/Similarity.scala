@@ -436,13 +436,15 @@ object Similarity {
       : Map[String, Seq[Int]] =
       graft.transforms.IndexMaintenance.withMaintLock(
         e.sparkSession, base, "APPEND") {
-    // invalidate-before-mutate — see graft.transforms.IndexMaintenance.Stats
-    graft.transforms.IndexMaintenance.Stats.invalidate(
-      e.sparkSession.sparkContext.hadoopConfiguration, base)
     val s = e.sparkSession
     val meta = s.read.parquet(s"$base/meta").head()
     graft.transforms.NearDup.requireKind(meta, base, "ivf_vec",
       "INDEX … APPEND")
+    graft.transforms.IndexMaintenance.Stats.mergeForWriter(
+        s, base, "ivf_vec") {
+    // invalidate-before-mutate — see graft.transforms.IndexMaintenance.Stats
+    graft.transforms.IndexMaintenance.Stats.invalidate(
+      e.sparkSession.sparkContext.hadoopConfiguration, base)
     val hasPq = meta.schema.fieldNames.contains("pq_m")
     // restore crashed cells before appending — see
     // graft.transforms.NearDup.bandStoreRows
@@ -478,13 +480,14 @@ object Similarity {
         .write.mode("append").partitionBy("cluster").parquet(s"$base/codes")
     }
     // the batch's routed cells (codes mirror the index assignment)
-    // plus any crash-swept restored cells — the verb's incremental
-    // stats merge recomputes exactly these
+    // plus any crash-swept restored cells — the incremental stats
+    // merge recomputes exactly these
     val touched = ids.select(col("cluster").cast("int"))
       .distinct().collect().map(_.getInt(0)).toSeq
     if (hasPq) Map("index" -> (touched ++ idxRest).distinct.sorted,
       "codes" -> (touched ++ codesRest).distinct.sorted)
     else Map("index" -> (touched ++ idxRest).distinct.sorted)
+    }
   }
 
   /** The frozen-centroid assignment (vec_id, cluster) of a batch
@@ -548,6 +551,8 @@ object Similarity {
     val meta = s.read.parquet(s"$base/meta").head()
     graft.transforms.NearDup.requireKind(meta, base, "ivf_vec",
       "INDEX … DELETE")
+    graft.transforms.IndexMaintenance.Stats.mergeForWriter(
+        s, base, "ivf_vec") {
     val ids = assignToStored(base, e).localCheckpoint(false)
     val touched = ids.select(col("cluster").cast("int"))
       .distinct().collect().map(_.getInt(0)).sorted
@@ -566,6 +571,7 @@ object Similarity {
     if (hasPq) Map("index" -> (touched.toSeq ++ idxRest).distinct,
       "codes" -> (touched.toSeq ++ codesRest).distinct)
     else Map("index" -> (touched.toSeq ++ idxRest).distinct)
+    }
   }
 
   // --------------------------------------------------------- stored IVF-PQ

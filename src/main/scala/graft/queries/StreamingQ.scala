@@ -918,8 +918,10 @@ object StreamingQ {
                 col("text").as("txt"))
               .distinct()
             NearDup.bandStoreAppend(idx, NearDup.shingled(reps, "th", "txt"))
-            () // foreachBatch wants Unit; the touched-cells map is the
-               // verb statement's concern, not the ingest sink's
+            () // foreachBatch wants Unit. The append maintains the
+               // artifact's per-cell stats itself (mergeForWriter,
+               // ∝ this batch's routed cells), so INDEX DESCRIBE
+               // stays stats-served across the whole streaming window
           }
           .option("checkpointLocation", ckpt)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -927,6 +929,101 @@ object StreamingQ {
       }
       // run B: a separate engine invocation probes the streamed-into
       // artifact — q156's probe script verbatim
+      Aql.run(s,
+        s"""CONNECTION 'Docs' (
+           |  DRIVER = 'file', FILE = '$dir/documents.parquet',
+           |  FORMAT = 'parquet'
+           |)
+           |CONNECTION 'Out' (
+           |  DRIVER = 'file', FILE = '$out', FORMAT = 'parquet'
+           |)
+           |QUERY 'Batch' FROM CONNECTION Docs (
+           |  SELECT * FROM Docs WHERE doc_id % 2 = 0
+           |)
+           |TRANSFORM 'Kept' FROM BLOCK Batch (
+           |  NEARDEDUP Batch AGAINST STORED '$idx' ON text KEY doc_id
+           |    THRESHOLD 0.5 METHOD LSH
+           |)
+           |QUERY 'Final' FROM BLOCK Kept (
+           |  SELECT doc_id, lang, source, n_chars FROM Kept
+           |) INTO CONNECTION Out""".stripMargin).outputs("FINAL")
+    },
+
+    // Streaming INDEX DELETE — the FORGET side of the streaming story
+    // (q161 streams ingest IN; this gate streams entries OUT):
+    // right-to-forget requests arrive continuously in a real
+    // deployment, and re-building the index per request is exactly
+    // the cost DELETE exists to avoid. q159's protocol — build the
+    // odd corpus, APPEND the evens in a second engine run, DELETE the
+    // evens, probe the evens — with the DELETE leg arriving as 4 REAL
+    // microbatches, each removed from the durable artifact by
+    // foreachBatch running the SAME family step the INDEX … DELETE
+    // verb drives (NearDup.bandStoreDelete after the verb's
+    // exact-first collapse), geometry from the artifact's meta/ as
+    // always. Batch-boundary invariance IS the gate: 4 streamed
+    // deletes must answer q159's oracle exactly like one engine-run
+    // delete — a boundary that left a posting behind matches its own
+    // batch doc back (false retention), one that took a neighbor with
+    // it un-drops near-matching batch docs (over-deletion); both fail
+    // the hash. Replay safety is CONTENT-KEYED like the append side:
+    // deleting already-deleted ids is a no-op (the delete's own
+    // recovery contract), so at-least-once redelivery cannot change
+    // the artifact. Each microbatch takes the artifact's maintenance
+    // lock and maintains the per-cell stats (mergeForWriter) — the
+    // production forget-stream leaves DESCRIBE stats-served too.
+    QueryDef(
+      "q172_stream_index_delete",
+      Dedup.deleteKeptOracleSql) { (s, dir) =>
+      import graft.transforms.NearDup
+      val qBase = java.nio.file.Files
+        .createTempDirectory("graft_q172_")
+      Advanced.registerTmpDir(qBase)
+      val idx = s"$qBase/band_index"
+      val inDir = s"$qBase/in"
+      val out = s"$qBase/kept"
+      def maintScript(parity: Int, opts: String, maintKw: String) =
+        s"""CONNECTION 'Docs' (
+           |  DRIVER = 'file', FILE = '$dir/documents.parquet',
+           |  FORMAT = 'parquet'
+           |)
+           |QUERY 'Corpus' FROM CONNECTION Docs (
+           |  SELECT * FROM Docs WHERE doc_id % 2 = $parity
+           |)
+           |TRANSFORM 'Built' FROM BLOCK Corpus (
+           |  INDEX ON text KEY doc_id METHOD LSH$opts
+           |    INTO '$idx'$maintKw
+           |) INTO CONSOLE""".stripMargin
+      // runs A+B: the engine builds odds, appends evens (q159's setup)
+      Aql.run(s, maintScript(1, " THRESHOLD 0.5 CELLS 64", ""))
+      Aql.run(s, maintScript(0, "", " APPEND"))
+      // the evens arrive as a forget-stream: 4 files ⇒ 4 microbatches
+      Tables.load(s, dir, "documents")
+        .where(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(inDir)
+      val schema = s.read.parquet(inDir).schema
+      drainAvailableNow(s, "q172_index_delete", noDataBatch = false) {
+        ckpt =>
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir)
+          .writeStream
+          .outputMode("append")
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            // the INDEX verb's own exact-first collapse + shingle prep
+            val reps = batch
+              .select(xxhash64(col("text")).as("th"),
+                col("text").as("txt"))
+              .distinct()
+            NearDup.bandStoreDelete(idx,
+              NearDup.shingled(reps, "th", "txt"))
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      // final engine run: q159's probe script verbatim
       Aql.run(s,
         s"""CONNECTION 'Docs' (
            |  DRIVER = 'file', FILE = '$dir/documents.parquet',

@@ -18,6 +18,16 @@ import VerbSupport.{intOption, spreadForCpu, CosineDefaults}
   * 100 TB-scale extension documented in SURVEY.md §8.
   */
 private[graft] object IndexMaintenance {
+  /** DESCRIBE's file-growth advisory threshold: a cell whose file
+    * count reaches this makes probes pay that many parquet footer
+    * reads for the same rows, and the advisory names `INDEX COMPACT`
+    * as the remedy. 16 ≈ two weeks of daily appends (each append adds
+    * ≤ 1 file per touched cell) — well past the point where footer
+    * opens dominate small-cell reads, well before a pathological
+    * thousand-file cell.
+    */
+  private[graft] val CompactAdvisoryFiles = 16L
+
   /** Advisory warnings the verbs emit at build/probe time — cases where
     * the statement is VALID but its configuration is known to degrade
     * at scale (a derived-bits cosine artifact probed below the
@@ -279,6 +289,39 @@ private[graft] object IndexMaintenance {
       computed
     }
 
+    /** The mutating writers' stats epilogue, wrapped around the
+      * mutation itself (round 14, second wave): read the prior
+      * per-cell stats BEFORE the mutation invalidates them, run the
+      * mutation, and — when a prior existed — merge the mutation's
+      * touched-cell recomputes back in ([[mergeTouched]]). Every API
+      * append/delete wrapper (band/typo/cosine/ivf) runs its mutating
+      * body through this, which is what keeps `<dir>/stats` SERVED
+      * under continuous DIRECT-API ingest — the streaming foreachBatch
+      * path (gate q161), previously the one writer whose batches left
+      * DESCRIBE on the full-recompute fallback for the whole streaming
+      * window. The epilogue is ∝ the batch's routed cells, like the
+      * mutation itself; a batch-sized call never pays an artifact-
+      * sized recount, so with NO prior (stats were already absent) the
+      * mutation leaves them absent and the next corpus-shaped
+      * statement (build/REBUILD, or a verb APPEND/DELETE's self-heal)
+      * or DESCRIBE pays the one full pass. Callers hold the artifact's
+      * maintenance lock — every API wrapper acquires it (re-entrantly
+      * under a verb) — so the prior is exact-when-present and the
+      * read → mutate → merge sequence cannot interleave with another
+      * writer. Returns the mutation's touched map unchanged.
+      */
+    def mergeForWriter(spark: org.apache.spark.sql.SparkSession,
+        dir: String, kind: String)(
+        mutate: => Map[String, Seq[Int]]): Map[String, Seq[Int]] = {
+      val prior = read(spark, dir)
+      val touched = mutate
+      prior.foreach { p =>
+        mergeTouched(spark, dir,
+          storesFor(kind, s"stats refresh at '$dir'"), p, touched)
+      }
+      touched
+    }
+
     /** Stage-and-swap `computed` into `<dir>/stats`: rows are written
       * COMPLETE to `<dir>/.stats_stage`, then the old stats dir is
       * deleted and the stage renamed in. NOT one atomic swap — the
@@ -312,11 +355,15 @@ private[graft] object IndexMaintenance {
       ()
     }
 
-    /** Drop `<dir>/stats` — the first step of every NON-verb mutation
-      * (Scala-API appends, cell rewrites), so stats can be absent but
-      * never stale. Deliberately NOT swallowed: failing to invalidate
-      * before mutating would leave a lying stats store, which is worse
-      * than failing the mutation.
+    /** Drop `<dir>/stats` — the first step of every row-writing
+      * mutation step (append row writes, cell rewrites), so stats can
+      * be absent but never stale: a writer that dies mid-mutation
+      * leaves them invalidated, and the surviving reads are the honest
+      * recompute. The wrapping [[mergeForWriter]] epilogue restores
+      * them from the pre-read prior plus the touched-cell recomputes
+      * as the mutation's last step. Deliberately NOT swallowed:
+      * failing to invalidate before mutating would leave a lying
+      * stats store, which is worse than failing the mutation.
       */
     def invalidate(conf: org.apache.hadoop.conf.Configuration,
         dir: String): Unit = {
@@ -619,7 +666,9 @@ private[graft] object IndexMaintenance {
     * fields IndexGeometry sized from the corpus vs. builder pins),
     * "how big?" (entries = store rows; cells_present of cells), "do I
     * need COMPACT?" (multi_file_cells, max_files_per_cell — each
-    * APPEND adds one file per touched cell), "are my cells skewed?"
+    * APPEND adds one file per touched cell, and a cell reaching
+    * [[CompactAdvisoryFiles]] files WARNS naming `INDEX COMPACT` as
+    * the remedy), "are my cells skewed?"
     * (rows_min/rows_max/rows_avg per present cell, plus max_cell_skew
     * = rows_max/rows_avg — the factor by which the hottest cell
     * exceeds the balanced share; for ivf_vec index stores a skew ≥ 8
@@ -768,6 +817,19 @@ private[graft] object IndexMaintenance {
               s"over ${r._5} present cells) — drifted appends are " +
               "concentrating probe scan mass into frozen cells; run " +
               s"INDEX REBUILD '$dir' to re-train centroids and re-balance")
+      // the file-growth ADVISORY (same discipline, any kind): every
+      // APPEND adds one file per touched cell and a probe pays a
+      // parquet footer read PER FILE of each routed cell — the same
+      // rows cost max_files_per_cell× the opens until compacted. At
+      // 16 (≈ two weeks of daily appends, or 16 streamed microbatches
+      // landing in one hot cell) the footer overhead is an order of
+      // magnitude over the compacted baseline, so name the remedy.
+      for (r <- rows if r._9 >= CompactAdvisoryFiles)
+        Warnings.emit(
+          s"INDEX DESCRIBE '$dir': store '${r._3}' has a cell with " +
+            s"${r._9} files (${r._8} cells hold more than one) — " +
+            "probes pay a footer read per file for the same rows; run " +
+            s"INDEX COMPACT '$dir' to rewrite multi-file cells")
       import spark.implicits._
       rows.toDF("path", "kind", "store", "cells", "cells_present",
         "entries", "files", "multi_file_cells", "max_files_per_cell",
@@ -1486,9 +1548,10 @@ private[graft] object IndexMaintenance {
           .collect { case (f, true) => f }
       // the entry-count scan after each build reads parquet footers only.
       // Returns (kind, entries store path, cell count, touched cells):
-      // APPEND/DELETE writers hand back their own routing so the stats
-      // epilogue can recompute ONLY those cells (Stats.mergeTouched);
-      // builds return empty and take the full refresh
+      // APPEND/DELETE writers hand back their own routing — and have
+      // already merged it into the stats via their own
+      // Stats.mergeForWriter epilogue (under this statement's
+      // re-entrant lock); builds return empty and take the full refresh
       def writeStores(): (String, String, Int, Map[String, Seq[Int]]) =
         method match {
         case "LSH" =>
@@ -1630,23 +1693,22 @@ private[graft] object IndexMaintenance {
       // lock for maintenance): the summary row's entry count is read
       // from the refreshed per-cell stats instead of a separate full
       // count. A build pays ONE full footer pass (it rewrote every
-      // cell); APPEND/DELETE with prior stats present merge recomputed
-      // rows for their TOUCHED cells only (Stats.mergeTouched — the
-      // epilogue is ∝ the batch's routed cells, not artifact files),
-      // falling back to the full pass when stats are absent (a prior
-      // API mutation invalidated them — this statement self-heals the
-      // fast path). The prior read happens UNDER the statement's lock,
-      // before the writers invalidate, so it is exact-when-present.
+      // cell); APPEND/DELETE ride the API writers' own
+      // Stats.mergeForWriter epilogue (prior read under this
+      // statement's re-entrant lock, recompute ∝ the batch's routed
+      // cells, merge — one stats body for verb and direct-API
+      // callers), so here the refreshed stats are simply READ BACK,
+      // falling back to the full pass when they are absent (stats
+      // were already absent before the mutation — this statement
+      // self-heals the fast path).
       def writeAndCount(): (String, Int, Long) = {
-        val prior =
-          if (append || delete) Stats.read(spark, dir) else None
-        val (kind, entriesPath, cellCount, touched) = writeStores()
+        val (kind, entriesPath, cellCount, _) = writeStores()
         val stores = storesFor(kind, s"INDEX INTO '$dir'")
-        val st = prior match {
-          case Some(p) if append || delete =>
-            Stats.mergeTouched(spark, dir, stores, p, touched)
-          case _ => Stats.write(spark, dir, stores)
-        }
+        val st =
+          if (append || delete)
+            Stats.read(spark, dir)
+              .getOrElse(Stats.write(spark, dir, stores))
+          else Stats.write(spark, dir, stores)
         val entriesSub =
           new org.apache.hadoop.fs.Path(entriesPath).getName
         val n = st.getOrElse(entriesSub, Seq.empty).map(_._3).sum

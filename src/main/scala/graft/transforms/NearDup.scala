@@ -515,7 +515,11 @@ object NearDup {
     * an unlocked microbatch racing INDEX REBUILD's two-rename swap
     * would land its rows in the doomed `.rebuild_old_` directory and
     * silently lose them. A held lock fails the call fast, naming the
-    * holder.
+    * holder. The per-cell stats ride along
+    * ([[IndexMaintenance.Stats.mergeForWriter]] — prior read, mutate,
+    * merge the batch's routed cells back in), so `INDEX DESCRIBE`
+    * stays stats-served under continuous direct-API ingest too; the
+    * epilogue is batch-shaped like the append itself.
     */
   def bandStoreAppend(base: String, shC: DataFrame)
       : Map[String, Seq[Int]] =
@@ -526,10 +530,13 @@ object NearDup {
         if (meta.schema.fieldNames.contains("shingle_scheme"))
           meta.getAs[String]("shingle_scheme")
         else "raw"
+      IndexMaintenance.Stats.mergeForWriter(
+        shC.sparkSession, base, "lsh_text") {
       bandStoreRows(base, shC, meta.getAs[Int]("num_perm"),
         meta.getAs[Int]("num_bands"), meta.getAs[Int]("rows_per_band"),
         meta.getAs[Int]("cells"), scheme == "xxhash64",
         org.apache.spark.sql.SaveMode.Append)
+      }
     }
 
   /** The shared row-writing step of [[bandStoreTo]] / [[bandStoreAppend]]
@@ -548,8 +555,8 @@ object NearDup {
       numBands: Int, rowsPerBand: Int, cells: Int, hashShingles: Boolean,
       mode: org.apache.spark.sql.SaveMode): Map[String, Seq[Int]] = {
     // invalidate-before-mutate: stats can be absent, never stale (the
-    // language verb rewrites them after; a direct API append leaves
-    // DESCRIBE on its honest full-recompute path)
+    // wrapping Stats.mergeForWriter epilogue restores them from the
+    // pre-read prior + this mutation's touched-cell recomputes)
     IndexMaintenance.Stats.invalidate(
       shC.sparkSession.sparkContext.hadoopConfiguration, base)
     val append = mode == org.apache.spark.sql.SaveMode.Append
@@ -623,6 +630,7 @@ object NearDup {
     val s = shC.sparkSession
     val meta = s.read.parquet(s"$base/meta").head()
     requireKind(meta, base, "lsh_text", "INDEX … DELETE")
+    IndexMaintenance.Stats.mergeForWriter(s, base, "lsh_text") {
     val cells = meta.getAs[Int]("cells")
     val sh = shC.localCheckpoint(false) // feeds band routing AND the id set
     val ids = sh.select(col("id")).distinct().localCheckpoint(false)
@@ -640,9 +648,10 @@ object NearDup {
     val sRest = deleteFromCellStore(s, s"$base/shingles", "sc", shCells,
       "id", ids)
     // the statement's own routing PLUS any crash-swept restored cells
-    // — the verb's incremental stats merge recomputes exactly these
+    // — the incremental stats merge recomputes exactly these
     Map("bands" -> (bandCells.toSeq ++ bRest).distinct,
       "shingles" -> (shCells.toSeq ++ sRest).distinct)
+    }
   }
 
   /** The shared cell-rewrite step of every stored-index DELETE
@@ -1098,8 +1107,11 @@ object NearDup {
     IndexMaintenance.withMaintLock(reps.sparkSession, base, "APPEND") {
       val meta = reps.sparkSession.read.parquet(s"$base/meta").head()
       requireKind(meta, base, "typo_text", "INDEX … APPEND")
-      typoStoreRows(base, reps, meta.getAs[Int]("cells"),
-        org.apache.spark.sql.SaveMode.Append)
+      IndexMaintenance.Stats.mergeForWriter(
+        reps.sparkSession, base, "typo_text") {
+        typoStoreRows(base, reps, meta.getAs[Int]("cells"),
+          org.apache.spark.sql.SaveMode.Append)
+      }
     }
 
   /** Remove strings from an existing [[typoStoreTo]] artifact —
@@ -1118,6 +1130,7 @@ object NearDup {
     val s = reps.sparkSession
     val meta = s.read.parquet(s"$base/meta").head()
     requireKind(meta, base, "typo_text", "INDEX … DELETE")
+    IndexMaintenance.Stats.mergeForWriter(s, base, "typo_text") {
     val cells = meta.getAs[Int]("cells")
     val r = reps.select(col("id"), col("txt")).localCheckpoint(false)
     val ids = r.select(col("id")).distinct().localCheckpoint(false)
@@ -1134,6 +1147,7 @@ object NearDup {
       "id", ids)
     Map("variants" -> (vCells.toSeq ++ vRest).distinct,
       "strings" -> (sCells.toSeq ++ sRest).distinct)
+    }
   }
 
   /** Shared row-writing step of [[typoStoreTo]] / [[typoStoreAppend]] —

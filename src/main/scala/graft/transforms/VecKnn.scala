@@ -342,9 +342,12 @@ object VecKnn {
       if (ad != dims) throw graft.transforms.TransformParser.TransformError(
         s"INDEX … APPEND: appended vectors are $ad-dimensional but the " +
           s"stored index at $base holds $dims-dimensional vectors")
-      cosineStoreRows(base, e, meta.getAs[Int]("tables"),
-        meta.getAs[Int]("bits"), meta.getAs[Int]("cells"), dims,
-        org.apache.spark.sql.SaveMode.Append)
+      graft.transforms.IndexMaintenance.Stats.mergeForWriter(
+        e.sparkSession, base, "cosine_vec") {
+        cosineStoreRows(base, e, meta.getAs[Int]("tables"),
+          meta.getAs[Int]("bits"), meta.getAs[Int]("cells"), dims,
+          org.apache.spark.sql.SaveMode.Append)
+      }
     }
   }
 
@@ -415,6 +418,8 @@ object VecKnn {
       if (ad != dims) throw graft.transforms.TransformParser.TransformError(
         s"INDEX … DELETE: batch vectors are $ad-dimensional but the " +
           s"stored index at $base holds $dims-dimensional vectors")
+      graft.transforms.IndexMaintenance.Stats.mergeForWriter(
+        s, base, "cosine_vec") {
       val cells = meta.getAs[Int]("cells")
       val ee = e.select(col("id"), col("v"), col("nrm")).localCheckpoint(false)
       val ids = ee.select(col("id")).distinct().localCheckpoint(false)
@@ -433,6 +438,7 @@ object VecKnn {
         vCells, "id", ids)
       Map("buckets" -> (bCells.toSeq ++ bRest).distinct,
         "vectors" -> (vCells.toSeq ++ vRest).distinct)
+      }
     }
   }
 

@@ -2093,6 +2093,45 @@ class AqlSpec extends AnyFunSuite {
     assert(id.head.getAs[String]("kind") == "ivf_vec")
     assert(id.head.getAs[Long]("entries") == 60, id.head.toString)
 
+    // round-14 second wave: DIRECT API appends maintain stats for
+    // every family — the mergeForWriter kind wiring is per-wrapper,
+    // so pin served == VERIFY (and the appended entry visible in the
+    // SERVED figures) after each family's API append
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    def statsAt(ix: String) =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(ix, "stats"))
+    def servedVsVerify(ix: String,
+        runner: String => org.apache.spark.sql.DataFrame): Unit = {
+      assert(statsAt(ix), s"$ix: stats absent after API append")
+      val s0 = runner(s"INDEX DESCRIBE '$ix'")
+        .collect().map(_.toString).sorted.toSeq
+      val s1 = runner(s"INDEX DESCRIBE '$ix' VERIFY")
+        .collect().map(_.toString).sorted.toSeq
+      assert(s0 == s1, s"$ix: served stats diverge from VERIFY")
+    }
+    val typoBatch = Seq("zz-novel-string-for-api-append").toDF("txt")
+      .select(xxhash64(col("txt")).as("id"), col("txt"))
+    graft.transforms.NearDup.typoStoreAppend(typoIdx, typoBatch)
+    servedVsVerify(typoIdx, run)
+    assert(run(s"INDEX DESCRIBE '$typoIdx'").collect()
+      .find(_.getAs[String]("store") == "strings").get
+      .getAs[Long]("entries") == 101)
+    val cosBatch = Seq(Tuple1(Array(9.0, 9.0, 9.0))).toDF("v")
+      .withColumn("nrm", graft.functions.Vectors.l2norm(col("v")))
+      .select(xxhash64(col("v")).as("id"), col("v"), col("nrm"))
+    graft.transforms.VecKnn.cosineStoreAppend(cosIdx, cosBatch)
+    servedVsVerify(cosIdx, runV)
+    assert(runV(s"INDEX DESCRIBE '$cosIdx'").collect()
+      .find(_.getAs[String]("store") == "vectors").get
+      .getAs[Long]("entries") == 61)
+    val ivfBatch = Seq((999L, Array(9.0, 9.0, 9.0))).toDF("vec_id", "v")
+      .withColumn("nrm", graft.functions.Vectors.l2norm(col("v")))
+    graft.queries.Similarity.ivfStoreAppend(ivfIdx, ivfBatch)
+    servedVsVerify(ivfIdx, runV)
+    assert(runV(s"INDEX DESCRIBE '$ivfIdx'").collect()
+      .find(_.getAs[String]("store") == "index").get
+      .getAs[Long]("entries") == 61)
+
     // errors: no artifact at the path
     val m = intercept[Exception](
       run(s"INDEX DESCRIBE '${dir.resolve("missing")}'")).getMessage
@@ -2765,9 +2804,9 @@ class AqlSpec extends AnyFunSuite {
       .contains("only applies to cosine_vec"))
   }
 
-  test("INDEX DESCRIBE: serves from the stats maintained by mutating " +
-      "statements, VERIFY recomputes, non-verb mutations invalidate " +
-      "to the honest fallback") {
+  test("INDEX DESCRIBE: serves from the stats maintained by every " +
+      "mutating writer (verb AND direct API), VERIFY recomputes, " +
+      "absent stats stay absent under batch-sized API mutations") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_aqlspec_st")
     graft.queries.Advanced.registerTmpDir(dir)
@@ -2804,20 +2843,33 @@ class AqlSpec extends AnyFunSuite {
     assert(java.nio.file.Files.exists(statsPath))
     assert(describe(false) == describe(true))
     assert(entries("shingles") == 4L)
-    // a DIRECT API append (the streaming ingestion path) must not pay
-    // a full recount — it invalidates instead, and DESCRIBE falls back
-    // to the full recompute, which sees the appended entry
+    // a DIRECT API append (the streaming ingestion path) maintains
+    // stats itself (Stats.mergeForWriter: prior read → mutate → merge
+    // the batch's routed cells), so DESCRIBE stays SERVED under
+    // continuous direct-API ingest — and the served rows must equal
+    // the VERIFY ground truth, which proves the merged carry-over
+    // rows are not stale
     val sh = graft.transforms.NearDup.shingled(
       Seq((99L, "totally novel words for the api append path"))
         .toDF("id", "txt"), "id", "txt")
     graft.transforms.NearDup.bandStoreAppend(idx, sh)
-    assert(!java.nio.file.Files.exists(statsPath))
+    assert(java.nio.file.Files.exists(statsPath))
+    assert(describe(false) == describe(true))
     assert(entries("shingles") == 5L)
+    // with stats ABSENT, a batch-sized API mutation must NOT pay the
+    // artifact-sized recount: it leaves them absent (DESCRIBE takes
+    // the honest fallback, which sees the deletion) and the next
+    // corpus-shaped statement self-heals
+    graft.transforms.IndexMaintenance.Stats.invalidate(
+      spark.sparkContext.hadoopConfiguration, idx)
+    graft.transforms.NearDup.bandStoreDelete(idx, sh)
+    assert(!java.nio.file.Files.exists(statsPath))
+    assert(entries("shingles") == 4L)
     // the next verb statement self-heals the fast path
     run(bPq, s"INDEX ON txt KEY id METHOD LSH INTO '$idx' DELETE")
     assert(java.nio.file.Files.exists(statsPath))
     assert(describe(false) == describe(true))
-    assert(entries("shingles") == 3L) // bPq's 2 texts deleted
+    assert(entries("shingles") == 2L) // bPq's 2 texts deleted
     // COMPACT's rewrite also lands in stats (multi-file cells → 1)
     run(aPq, s"INDEX COMPACT '$idx'")
     assert(java.nio.file.Files.exists(statsPath))
@@ -2834,10 +2886,10 @@ class AqlSpec extends AnyFunSuite {
     // not just zeroes it)
     run(bPq, s"INDEX ON txt KEY id METHOD LSH INTO '$idx' APPEND")
     assert(describe(false) == describe(true))
-    assert(entries("shingles") == 5L)
+    assert(entries("shingles") == 4L)
     run(bPq, s"INDEX ON txt KEY id METHOD LSH INTO '$idx' DELETE")
     assert(describe(false) == describe(true))
-    assert(entries("shingles") == 3L)
+    assert(entries("shingles") == 2L)
     val statRows = spark.read.parquet(statsPath.toString)
     val verifyRows = Seq("bands", "shingles").flatMap { sub =>
       graft.transforms.IndexMaintenance.Stats.storeCells(spark, idx, sub,
@@ -2898,6 +2950,55 @@ class AqlSpec extends AnyFunSuite {
     run(basePq, s"INDEX REBUILD '$idx'")
     val rebuilt = indexRow()
     assert(rebuilt.getAs[Double]("max_cell_skew") < 8.0, rebuilt.toString)
+  }
+
+  test("INDEX DESCRIBE file-growth advisory: a cell crossing 16 files " +
+      "warns naming INDEX COMPACT; compaction clears it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_aqlspec_fga")
+    graft.queries.Advanced.registerTmpDir(dir)
+    val pq = dir.resolve("doc.parquet").toString
+    val text = "one steady sentence appended again and again until " +
+      "its cells hold too many files"
+    Seq((1L, text)).toDF("id", "txt").write.parquet(pq)
+    val idx = dir.resolve("lsh").toString
+    def run(body: String) = Aql.run(spark,
+      s"""CONNECTION 'D' (DRIVER = 'file', FILE = '$pq',
+         |  FORMAT = 'parquet')
+         |TRANSFORM 'T' FROM CONNECTION D (
+         |  $body
+         |) INTO CONSOLE""".stripMargin).outputs("T")
+    def maxFiles() = run(s"INDEX DESCRIBE '$idx'").collect()
+      .map(_.getAs[Long]("max_files_per_cell")).max
+    def compactWarns() = graft.transforms.IndexMaintenance.Warnings.recent
+      .count(_.contains("INDEX COMPACT"))
+    run(s"INDEX ON txt KEY id METHOD LSH THRESHOLD 0.5 CELLS 2 INTO '$idx'")
+    // below the line: a fresh build is one file per cell — silent
+    val w0 = compactWarns()
+    assert(maxFiles() == 1L)
+    assert(compactWarns() == w0)
+    // the streaming-cadence failure mode: repeated appends of content
+    // routing to the SAME cells add one file each (duplicated postings
+    // are legal — "the wasted bytes are COMPACT's job"); at the 16th
+    // file in one cell the advisory fires naming the remedy
+    val sh = graft.transforms.NearDup.shingled(
+      Seq(text).toDF("txt").select(
+        org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.col("txt")).as("th"),
+        org.apache.spark.sql.functions.col("txt")),
+      "th", "txt")
+    for (_ <- 0 until 15)
+      graft.transforms.NearDup.bandStoreAppend(idx, sh)
+    assert(maxFiles() >= 16L)
+    val fired = graft.transforms.IndexMaintenance.Warnings.recent
+      .filter(_.contains("INDEX COMPACT"))
+    assert(fired.size > w0, fired.toString)
+    assert(fired.last.contains(s"INDEX COMPACT '$idx'"), fired.last)
+    // the named remedy works and the advisory stops
+    run(s"INDEX COMPACT '$idx'")
+    val w1 = compactWarns()
+    assert(maxFiles() == 1L)
+    assert(compactWarns() == w1)
   }
 
   test("KNN METHOD JACCARD STORED: top-k text retrieval from the band " +

@@ -284,11 +284,11 @@ object BandScale {
 
       // incremental stats leg (round 14): every append's stats
       // epilogue recomputes only the batch's TOUCHED cells and merges
-      // them into the prior stats (Stats.mergeTouched — the API
-      // append below runs it internally now that stats are present;
-      // the explicitly timed merge is a REPLAY of that exact op
-      // against the pre-append prior, isolating its cost) and is
-      // priced against the full recompute the round-13 epilogue paid.
+      // them into the prior stats (Stats.mergeTouched — run and timed
+      // HERE in isolation, with the wrapper's internal merge
+      // suppressed via a pre-invalidate, so the figure is a cold
+      // first-touch of the appended cells' footers) and is priced
+      // against the full recompute the round-13 epilogue paid.
       // The claim is the asymptotics fix: merge cost ∝ touched cells
       // (bounded by the batch's band keys, flat across corpus
       // growth), full cost ∝ all cells (grows with the corpus until
@@ -298,6 +298,12 @@ object BandScale {
       val im = graft.transforms.IndexMaintenance
       val stores = im.storesFor("lsh_text", "BandScale")
       val prior = im.Stats.read(spark, base).get
+      // invalidate BEFORE the append so the wrapper's own internal
+      // merge is skipped (no prior present): the timed merge below is
+      // then a COLD first-touch of the appended cells' footers — the
+      // production op itself, not a page-cache-warm replay of a merge
+      // the append already ran
+      im.Stats.invalidate(spark.sparkContext.hadoopConfiguration, base)
       val touched = NearDup.bandStoreAppend(base, appendSh)
       val touchedCells = touched.values.map(_.size).sum
       val (merged, statsMergeS) = timed {

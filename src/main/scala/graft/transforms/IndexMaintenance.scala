@@ -1700,7 +1700,10 @@ private[graft] object IndexMaintenance {
       // callers), so here the refreshed stats are simply READ BACK,
       // falling back to the full pass when they are absent (stats
       // were already absent before the mutation — this statement
-      // self-heals the fast path).
+      // self-heals the fast path). The read-back is one small
+      // driver-side parquet read bounded by the 65 536-cell cap — a
+      // deliberate trade against widening every wrapper's public
+      // return type to carry the merged map out.
       def writeAndCount(): (String, Int, Long) = {
         val (kind, entriesPath, cellCount, _) = writeStores()
         val stores = storesFor(kind, s"INDEX INTO '$dir'")

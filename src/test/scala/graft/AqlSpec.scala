@@ -2109,28 +2109,37 @@ class AqlSpec extends AnyFunSuite {
         .collect().map(_.toString).sorted.toSeq
       assert(s0 == s1, s"$ix: served stats diverge from VERIFY")
     }
+    def entriesAt(ix: String, sub: String,
+        runner: String => org.apache.spark.sql.DataFrame): Long =
+      runner(s"INDEX DESCRIBE '$ix'").collect()
+        .find(_.getAs[String]("store") == sub).get.getAs[Long]("entries")
     val typoBatch = Seq("zz-novel-string-for-api-append").toDF("txt")
       .select(xxhash64(col("txt")).as("id"), col("txt"))
     graft.transforms.NearDup.typoStoreAppend(typoIdx, typoBatch)
     servedVsVerify(typoIdx, run)
-    assert(run(s"INDEX DESCRIBE '$typoIdx'").collect()
-      .find(_.getAs[String]("store") == "strings").get
-      .getAs[Long]("entries") == 101)
+    assert(entriesAt(typoIdx, "strings", run) == 101)
+    // …and the API DELETE maintains them the same way (one mergeForWriter
+    // body per wrapper — the delete side's wiring gets its own pin)
+    graft.transforms.NearDup.typoStoreDelete(typoIdx, typoBatch)
+    servedVsVerify(typoIdx, run)
+    assert(entriesAt(typoIdx, "strings", run) == 100)
     val cosBatch = Seq(Tuple1(Array(9.0, 9.0, 9.0))).toDF("v")
       .withColumn("nrm", graft.functions.Vectors.l2norm(col("v")))
       .select(xxhash64(col("v")).as("id"), col("v"), col("nrm"))
     graft.transforms.VecKnn.cosineStoreAppend(cosIdx, cosBatch)
     servedVsVerify(cosIdx, runV)
-    assert(runV(s"INDEX DESCRIBE '$cosIdx'").collect()
-      .find(_.getAs[String]("store") == "vectors").get
-      .getAs[Long]("entries") == 61)
+    assert(entriesAt(cosIdx, "vectors", runV) == 61)
+    graft.transforms.VecKnn.cosineStoreDelete(cosIdx, cosBatch)
+    servedVsVerify(cosIdx, runV)
+    assert(entriesAt(cosIdx, "vectors", runV) == 60)
     val ivfBatch = Seq((999L, Array(9.0, 9.0, 9.0))).toDF("vec_id", "v")
       .withColumn("nrm", graft.functions.Vectors.l2norm(col("v")))
     graft.queries.Similarity.ivfStoreAppend(ivfIdx, ivfBatch)
     servedVsVerify(ivfIdx, runV)
-    assert(runV(s"INDEX DESCRIBE '$ivfIdx'").collect()
-      .find(_.getAs[String]("store") == "index").get
-      .getAs[Long]("entries") == 61)
+    assert(entriesAt(ivfIdx, "index", runV) == 61)
+    graft.queries.Similarity.ivfStoreDelete(ivfIdx, ivfBatch)
+    servedVsVerify(ivfIdx, runV)
+    assert(entriesAt(ivfIdx, "index", runV) == 60)
 
     // errors: no artifact at the path
     val m = intercept[Exception](

@@ -1043,6 +1043,71 @@ object StreamingQ {
            |  SELECT doc_id, lang, source, n_chars FROM Kept
            |) INTO CONNECTION Out""".stripMargin).outputs("FINAL")
     },
+
+    // Streaming JACCARD retrieval from the stored band artifact — the
+    // last SERVING form to gain a streaming consumer (IVF q139, ADC
+    // q166 for vectors; this is the text analogue of those two over
+    // q168's machinery): query docs arrive as 4 real microbatches and
+    // each is answered ENTIRELY from the lsh_text artifact by
+    // foreachBatch running the KNN verb's OWN statement
+    // (TransformParser.parse — panel prep, content keying, banded
+    // candidate routing, exact-Jaccard rerank and per-qid fan-back are
+    // the verb's single jaccardServe body, so the streamed serve can
+    // never drift from q168's). Every stage is per-query independent
+    // (per-qid candidates, per-qid rank window), so the union of
+    // per-batch answers must equal the one-shot panel — shared with
+    // q168's brute-force oracle, hash-exact on the tie-invariant
+    // (qid, jaccard, rank) projection. batchId-keyed idempotent sink;
+    // per-batch cost ∝ the batch's own band keys, never corpus size.
+    QueryDef(
+      "q173_stream_knn_jaccard",
+      Dedup.jaccardKnnOracleSql) { (s, dir) =>
+      val qBase = java.nio.file.Files
+        .createTempDirectory("graft_q173_")
+      Advanced.registerTmpDir(qBase)
+      val idx = s"$qBase/band_index"
+      val inDir = s"$qBase/in"
+      val resDir = s"$qBase/out"
+      // run A: the engine builds q168's artifact (odd docs)
+      Aql.run(s,
+        s"""CONNECTION 'Docs' (
+           |  DRIVER = 'file', FILE = '$dir/documents.parquet',
+           |  FORMAT = 'parquet'
+           |)
+           |QUERY 'Corpus' FROM CONNECTION Docs (
+           |  SELECT * FROM Docs WHERE doc_id % 2 = 1
+           |)
+           |TRANSFORM 'Built' FROM BLOCK Corpus (
+           |  INDEX ON text KEY doc_id METHOD LSH THRESHOLD 0.5 CELLS 64
+           |    INTO '$idx'
+           |) INTO CONSOLE""".stripMargin)
+      // the even docs arrive as a query stream: 4 files ⇒ 4 microbatches
+      Tables.load(s, dir, "documents")
+        .where(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(inDir)
+      val schema = s.read.parquet(inDir).schema
+      drainAvailableNow(s, "q173_knn_jaccard", noDataBatch = false) {
+        ckpt =>
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir)
+          .writeStream
+          .outputMode("append")
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            graft.transforms.TransformParser
+              .parse(s"KNN ON text KEY doc_id TOP 10 METHOD JACCARD " +
+                s"THRESHOLD 0.5 STORED '$idx'")
+              .build(Map.empty, batch)
+              .write.mode("overwrite").parquet(s"$resDir/batch=$batchId")
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      s.read.parquet(resDir)
+        .select(col("qid"), col("jaccard"), col("rank"))
+    },
   )
 
   /** Exact-decimal ZOH fold over sorted points (the reference reducer's

@@ -138,17 +138,22 @@ object StreamingQ {
     * in/out/foreachBatch/read-back machinery so the serving gates can
     * never drift on the sink or drain pattern.
     */
-  private def streamPanelServe(s: SparkSession, dir: String, label: String,
-      probe: (SparkSession, DataFrame) => DataFrame): DataFrame = {
-    import graft.functions.Vectors.l2norm
+  /** The generalized stream-serving scaffold all KNN serving gates
+    * share (q139 IVF, q166 ADC, q173 JACCARD): write the query panel
+    * as 4 files ⇒ 4 microbatches, answer each via `probe` inside
+    * foreachBatch, land results in a batchId-keyed idempotent parquet
+    * store, read the union back projected to `outCols`. ONE copy of
+    * the in/out/foreachBatch/read-back machinery so the serving gates
+    * can never drift on the sink or drain pattern.
+    */
+  private def streamServe(s: SparkSession, label: String,
+      panel: DataFrame, outCols: Seq[String])(
+      probe: DataFrame => DataFrame): DataFrame = {
     val qBase = java.nio.file.Files.createTempDirectory(s"graft_${label}_")
     Advanced.registerTmpDir(qBase)
     val inDir = s"$qBase/in"
     val resDir = s"$qBase/out"
-    Similarity.emb(s, dir)
-      .where(col("vec_id") < Similarity.StoredQueries)
-      .repartition(4)
-      .write.mode("overwrite").parquet(inDir)
+    panel.repartition(4).write.mode("overwrite").parquet(inDir)
     val schema = s.read.parquet(inDir).schema
     drainAvailableNow(s, label, noDataBatch = false) { ckpt =>
       s.readStream.schema(schema)
@@ -156,18 +161,27 @@ object StreamingQ {
         .writeStream
         .outputMode("append")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val sp = batch.sparkSession
-          val queries = batch.select(col("vec_id").as("qid"),
-            col("v").as("qv"), l2norm(col("v")).as("qnrm"))
-          probe(sp, queries)
+          probe(batch)
             .write.mode("overwrite").parquet(s"$resDir/batch=$batchId")
         }
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
     }
-    s.read.parquet(resDir)
-      .select(col("qid"), col("neighbor_id"), col("cosine"), col("rank"))
+    s.read.parquet(resDir).select(outCols.map(col): _*)
+  }
+
+  private def streamPanelServe(s: SparkSession, dir: String, label: String,
+      probe: (SparkSession, DataFrame) => DataFrame): DataFrame = {
+    import graft.functions.Vectors.l2norm
+    streamServe(s, label,
+      Similarity.emb(s, dir)
+        .where(col("vec_id") < Similarity.StoredQueries),
+      Seq("qid", "neighbor_id", "cosine", "rank")) { batch =>
+      probe(batch.sparkSession,
+        batch.select(col("vec_id").as("qid"),
+          col("v").as("qv"), l2norm(col("v")).as("qnrm")))
+    }
   }
 
   val entries: Seq[QueryDef] = Seq(
@@ -1066,8 +1080,6 @@ object StreamingQ {
         .createTempDirectory("graft_q173_")
       Advanced.registerTmpDir(qBase)
       val idx = s"$qBase/band_index"
-      val inDir = s"$qBase/in"
-      val resDir = s"$qBase/out"
       // run A: the engine builds q168's artifact (odd docs)
       Aql.run(s,
         s"""CONNECTION 'Docs' (
@@ -1081,32 +1093,20 @@ object StreamingQ {
            |  INDEX ON text KEY doc_id METHOD LSH THRESHOLD 0.5 CELLS 64
            |    INTO '$idx'
            |) INTO CONSOLE""".stripMargin)
+      // the verb's statement, parsed ONCE at stream definition (a
+      // parse error surfaces here, not inside the first microbatch);
+      // build(…) binds each batch's frame at call time
+      val knn = graft.transforms.TransformParser
+        .parse(s"KNN ON text KEY doc_id TOP 10 METHOD JACCARD " +
+          s"THRESHOLD 0.5 STORED '$idx'")
       // the even docs arrive as a query stream: 4 files ⇒ 4 microbatches
-      Tables.load(s, dir, "documents")
-        .where(col("doc_id") % 2 === 0)
-        .select(col("doc_id"), col("text"))
-        .repartition(4)
-        .write.mode("overwrite").parquet(inDir)
-      val schema = s.read.parquet(inDir).schema
-      drainAvailableNow(s, "q173_knn_jaccard", noDataBatch = false) {
-        ckpt =>
-        s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(inDir)
-          .writeStream
-          .outputMode("append")
-          .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            graft.transforms.TransformParser
-              .parse(s"KNN ON text KEY doc_id TOP 10 METHOD JACCARD " +
-                s"THRESHOLD 0.5 STORED '$idx'")
-              .build(Map.empty, batch)
-              .write.mode("overwrite").parquet(s"$resDir/batch=$batchId")
-          }
-          .option("checkpointLocation", ckpt)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
+      streamServe(s, "q173_knn_jaccard",
+        Tables.load(s, dir, "documents")
+          .where(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("text")),
+        Seq("qid", "jaccard", "rank")) { batch =>
+        knn.build(Map.empty, batch)
       }
-      s.read.parquet(resDir)
-        .select(col("qid"), col("jaccard"), col("rank"))
     },
   )
 

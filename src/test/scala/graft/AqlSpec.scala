@@ -2102,7 +2102,7 @@ class AqlSpec extends AnyFunSuite {
       java.nio.file.Files.exists(java.nio.file.Paths.get(ix, "stats"))
     def servedVsVerify(ix: String,
         runner: String => org.apache.spark.sql.DataFrame): Unit = {
-      assert(statsAt(ix), s"$ix: stats absent after API append")
+      assert(statsAt(ix), s"$ix: stats absent after API mutation")
       val s0 = runner(s"INDEX DESCRIBE '$ix'")
         .collect().map(_.toString).sorted.toSeq
       val s1 = runner(s"INDEX DESCRIBE '$ix' VERIFY")

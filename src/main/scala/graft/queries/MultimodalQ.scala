@@ -2,71 +2,103 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.multimodal.Multimodal
-import org.apache.spark.sql.functions._
 
 /** Multimodal coverage entries — see [[graft.multimodal.Multimodal]].
-  * The decode is a deterministic stub (no codecs in the container), so
-  * the DuckDB oracle reproduces its arithmetic from the source text: the
-  * documents are ASCII, hence byte values == character codes.
+  * The codec is REAL (`javax.imageio`, round 15): each query generates
+  * deterministic synthetic PNGs in-plan, runs them through the actual
+  * decode / Graphics2D-resize / re-encode paths, and emits decoded
+  * features. The DuckDB oracle replays the generator's closed-form pixel
+  * model (fixed bytes in → fixed ints out), so a hash match certifies
+  * the full encode→decode round trip, not just the plumbing. Video has
+  * no JDK codec and stays out of scope — its access pattern is covered
+  * by [[Multimodal.sampleFrames]] byte-range slicing (MultimodalSpec).
+  *
+  * Shared closed form (all BIGINT arithmetic; id = doc_id):
+  *   w  = 16 + 2·(id % 24)        h_frame = 16 + 2·((7·id) % 24)
+  *   r(x) = (5x + id) % 256       g(y) = (11y) % 256     b = id % 256
+  *   checksum = Σ pixels (r+g+b)  — separable: h·Σr + w·Σg + w·h·b
   */
 object MultimodalQ {
 
   val entries: Seq[QueryDef] = Seq(
 
+    // REAL ImageIO decode of an in-plan PNG: width/height/pixel checksum
+    // come from the decoded raster; the oracle computes them from the
+    // generator's closed form. PNG is lossless, so any codec defect
+    // breaks the hash.
     QueryDef(
       "q40_multimodal_decode",
-      """SELECT doc_id AS media_id,
-        |  'image/fake-' || source AS media_type,
-        |  CAST(length(text) AS BIGINT) AS n_bytes,
-        |  CAST(16 + length(text) % 240 AS INT) AS width,
-        |  CAST(16 + (7 * length(text)) % 240 AS INT) AS height,
-        |  CAST(list_sum(list_transform(range(1, length(text) + 1),
-        |                               j -> CAST(ascii(text[j]) AS BIGINT)))
-        |       % 997 AS BIGINT) AS checksum
-        |FROM documents""".stripMargin) { (s, dir) =>
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, doc_id AS id,
+        |         16 + 2*(doc_id % 24) AS w,
+        |         16 + 2*((7*doc_id) % 24) AS h,
+        |         doc_id % 256 AS b
+        |  FROM documents)
+        |SELECT media_id, 'image/png' AS media_type,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(h * list_sum(list_transform(range(0, w),
+        |                                   x -> (5*x + id) % 256))
+        |     + w * list_sum(list_transform(range(0, h),
+        |                                   y -> (11*y) % 256))
+        |     + w * h * b AS BIGINT) AS checksum
+        |FROM m""".stripMargin) { (s, dir) =>
       Multimodal.decode(
         Multimodal.mediaFromDocs(Tables.load(s, dir, "documents"))).toDF()
     },
 
-    // Resize plumbing: stride-resample stub (every 2nd byte) + re-decoded
-    // feature metadata; ASCII documents ⇒ the oracle reproduces the byte
-    // arithmetic from the text (1-indexed odd positions).
+    // REAL resize: decode → Graphics2D NEAREST_NEIGHBOR half-scale →
+    // re-encode PNG → decode AGAIN; features come from the second
+    // decode, witnessing both codec directions. The JDK's nearest pass
+    // maps destination (x, y) to source (2x+1, 2y+1) — floor((x+0.5)·2)
+    // per axis — pinned in MultimodalSpec; the oracle replays that
+    // mapping in closed form.
     QueryDef(
       "q41_multimodal_resize",
-      """SELECT doc_id AS media_id,
-        |  CAST(length(text) AS BIGINT) AS n_bytes,
-        |  CAST((length(text) + 1) // 2 AS BIGINT) AS n_bytes_resized,
-        |  CAST(16 + ((length(text) + 1) // 2) % 240 AS INT) AS width_r,
-        |  CAST(16 + (7 * ((length(text) + 1) // 2)) % 240 AS INT) AS height_r,
-        |  CAST(list_sum(list_transform(range(1, length(text) + 1, 2),
-        |                               j -> CAST(ascii(text[j]) AS BIGINT)))
-        |       % 997 AS BIGINT) AS checksum_r
-        |FROM documents""".stripMargin) { (s, dir) =>
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, doc_id AS id,
+        |         16 + 2*(doc_id % 24) AS w,
+        |         16 + 2*((7*doc_id) % 24) AS h,
+        |         doc_id % 256 AS b
+        |  FROM documents)
+        |SELECT media_id,
+        |  CAST(w // 2 AS INT) AS width_r,
+        |  CAST(h // 2 AS INT) AS height_r,
+        |  CAST((h // 2) * list_sum(list_transform(range(0, w // 2),
+        |                             x -> (5*(2*x+1) + id) % 256))
+        |     + (w // 2) * list_sum(list_transform(range(0, h // 2),
+        |                             y -> (11*(2*y+1)) % 256))
+        |     + (w // 2) * (h // 2) * b AS BIGINT) AS checksum_r
+        |FROM m""".stripMargin) { (s, dir) =>
       Multimodal.resize(
-        Multimodal.mediaFromDocs(Tables.load(s, dir, "documents")),
-        factor = 2).toDF()
+        Multimodal.mediaFromDocs(Tables.load(s, dir, "documents"))).toDF()
     },
 
-    // Frame sampling plumbing: byte-range arithmetic only (the payload
-    // stays opaque). frameSize=32, stride=2 ⇒ a 32-byte frame every 64
-    // bytes; the last frame may be short. Oracle recomputes counts and
-    // total sampled bytes from the same arithmetic.
+    // REAL frame sampling: a 1+(id%4)-frame vertical strip (frame height
+    // rides the row as typed metadata), decoded ONCE, then every 2nd
+    // frame checksummed via getSubimage views. Oracle: per sampled frame
+    // k = 0,2,…, the frame checksum in closed form, summed.
     QueryDef(
       "q42_multimodal_frames",
-      """SELECT doc_id AS media_id,
-        |  CAST((length(text) - 1) // 64 + 1 AS BIGINT) AS n_frames,
-        |  CAST(list_sum([least(32, length(text) - i * 64)
-        |                 for i in range(0, (length(text) - 1) // 64 + 1)])
-        |       AS BIGINT) AS sampled_bytes
-        |FROM documents""".stripMargin) { (s, dir) =>
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").as("media_id"),
-          encode(col("text"), "UTF-8").as("payload"))
-        .withColumn("frames", Multimodal.sampleFrames("payload", 32, 2))
-        .select(col("media_id"),
-          size(col("frames")).cast("bigint").as("n_frames"),
-          aggregate(transform(col("frames"), f => length(f).cast("bigint")),
-            lit(0L), (a, x) => a + x).as("sampled_bytes"))
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, doc_id AS id,
+        |         16 + 2*(doc_id % 24) AS w,
+        |         16 + 2*((7*doc_id) % 24) AS hf,
+        |         1 + doc_id % 4 AS nf,
+        |         doc_id % 256 AS b
+        |  FROM documents)
+        |SELECT media_id,
+        |  CAST(nf AS INT) AS n_frames,
+        |  CAST((nf + 1) // 2 AS INT) AS n_frames_sampled,
+        |  CAST(list_sum(list_transform(range(0, (nf + 1) // 2), ki ->
+        |      hf * list_sum(list_transform(range(0, w),
+        |                                   x -> (5*x + id) % 256))
+        |    + w * list_sum(list_transform(range(2*ki*hf, (2*ki+1)*hf),
+        |                                  y -> (11*y) % 256))
+        |    + w * hf * b)) AS BIGINT) AS sampled_checksum
+        |FROM m""".stripMargin) { (s, dir) =>
+      Multimodal.sampleFrameChecksums(
+        Multimodal.frameMediaFromDocs(Tables.load(s, dir, "documents")),
+        stride = 2).toDF()
     },
   )
 }

@@ -171,6 +171,38 @@ object StreamingQ {
     s.read.parquet(resDir).select(outCols.map(col): _*)
   }
 
+  /** The mutation-sink variant of [[streamServe]] (round 15): the SAME
+    * in/drain scaffolding — 4-file feed write ⇒ 4 real microbatches,
+    * schema read-back, maxFilesPerTrigger = 1, AvailableNow drain — but
+    * each batch runs a maintenance SIDE EFFECT against a durable
+    * artifact instead of landing rows in a result sink, so there is no
+    * batchId-keyed store or read-back (replay safety comes from the
+    * maintenance steps being content-keyed idempotent: re-appending or
+    * re-deleting the same content cannot change the artifact). q161
+    * (streamed ingest) and q172 (streamed forget) ride this one copy,
+    * so the two streaming-mutation gates cannot drift from each other —
+    * or from the serving gates — on the drain pattern.
+    */
+  private def streamMutate(s: SparkSession, label: String,
+      feed: DataFrame)(action: DataFrame => Unit): Unit = {
+    val inBase = java.nio.file.Files
+      .createTempDirectory(s"graft_${label}_in_")
+    Advanced.registerTmpDir(inBase)
+    val inDir = s"$inBase/in"
+    feed.repartition(4).write.mode("overwrite").parquet(inDir)
+    val schema = s.read.parquet(inDir).schema
+    drainAvailableNow(s, label, noDataBatch = false) { ckpt =>
+      s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+        .writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) => action(batch) }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+  }
+
   private def streamPanelServe(s: SparkSession, dir: String, label: String,
       probe: (SparkSession, DataFrame) => DataFrame): DataFrame = {
     import graft.functions.Vectors.l2norm
@@ -897,7 +929,6 @@ object StreamingQ {
         .createTempDirectory("graft_q161_")
       Advanced.registerTmpDir(qBase)
       val idx = s"$qBase/band_index"
-      val inDir = s"$qBase/in"
       val out = s"$qBase/kept"
       // run A: the engine builds the base artifact (q156's geometry)
       Aql.run(s,
@@ -913,33 +944,20 @@ object StreamingQ {
            |    INTO '$idx'
            |) INTO CONSOLE""".stripMargin)
       // the %4==3 slice arrives as a stream: 4 files ⇒ 4 microbatches
-      Tables.load(s, dir, "documents")
-        .where(col("doc_id") % 4 === 3)
-        .select(col("doc_id"), col("text"))
-        .repartition(4)
-        .write.mode("overwrite").parquet(inDir)
-      val schema = s.read.parquet(inDir).schema
-      drainAvailableNow(s, "q161_index_append", noDataBatch = false) {
-        ckpt =>
-        s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(inDir)
-          .writeStream
-          .outputMode("append")
-          .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            // the INDEX verb's own exact-first collapse + shingle prep
-            val reps = batch
-              .select(xxhash64(col("text")).as("th"),
-                col("text").as("txt"))
-              .distinct()
-            NearDup.bandStoreAppend(idx, NearDup.shingled(reps, "th", "txt"))
-            () // foreachBatch wants Unit. The append maintains the
-               // artifact's per-cell stats itself (mergeForWriter,
-               // ∝ this batch's routed cells), so INDEX DESCRIBE
-               // stays stats-served across the whole streaming window
-          }
-          .option("checkpointLocation", ckpt)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
+      // (streamMutate's shared scaffold). Each append maintains the
+      // artifact's per-cell stats itself (mergeForWriter, ∝ this
+      // batch's routed cells), so INDEX DESCRIBE stays stats-served
+      // across the whole streaming window.
+      streamMutate(s, "q161_index_append",
+        Tables.load(s, dir, "documents")
+          .where(col("doc_id") % 4 === 3)
+          .select(col("doc_id"), col("text"))) { batch =>
+        // the INDEX verb's own exact-first collapse + shingle prep
+        val reps = batch
+          .select(xxhash64(col("text")).as("th"), col("text").as("txt"))
+          .distinct()
+        NearDup.bandStoreAppend(idx, NearDup.shingled(reps, "th", "txt"))
+        ()
       }
       // run B: a separate engine invocation probes the streamed-into
       // artifact — q156's probe script verbatim
@@ -993,7 +1011,6 @@ object StreamingQ {
         .createTempDirectory("graft_q172_")
       Advanced.registerTmpDir(qBase)
       val idx = s"$qBase/band_index"
-      val inDir = s"$qBase/in"
       val out = s"$qBase/kept"
       def maintScript(parity: Int, opts: String, maintKw: String) =
         s"""CONNECTION 'Docs' (
@@ -1011,31 +1028,17 @@ object StreamingQ {
       Aql.run(s, maintScript(1, " THRESHOLD 0.5 CELLS 64", ""))
       Aql.run(s, maintScript(0, "", " APPEND"))
       // the evens arrive as a forget-stream: 4 files ⇒ 4 microbatches
-      Tables.load(s, dir, "documents")
-        .where(col("doc_id") % 2 === 0)
-        .select(col("doc_id"), col("text"))
-        .repartition(4)
-        .write.mode("overwrite").parquet(inDir)
-      val schema = s.read.parquet(inDir).schema
-      drainAvailableNow(s, "q172_index_delete", noDataBatch = false) {
-        ckpt =>
-        s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(inDir)
-          .writeStream
-          .outputMode("append")
-          .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            // the INDEX verb's own exact-first collapse + shingle prep
-            val reps = batch
-              .select(xxhash64(col("text")).as("th"),
-                col("text").as("txt"))
-              .distinct()
-            NearDup.bandStoreDelete(idx,
-              NearDup.shingled(reps, "th", "txt"))
-            ()
-          }
-          .option("checkpointLocation", ckpt)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
+      // (streamMutate — the same scaffold the ingest gate rides)
+      streamMutate(s, "q172_index_delete",
+        Tables.load(s, dir, "documents")
+          .where(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("text"))) { batch =>
+        // the INDEX verb's own exact-first collapse + shingle prep
+        val reps = batch
+          .select(xxhash64(col("text")).as("th"), col("text").as("txt"))
+          .distinct()
+        NearDup.bandStoreDelete(idx, NearDup.shingled(reps, "th", "txt"))
+        ()
       }
       // final engine run: q159's probe script verbatim
       Aql.run(s,

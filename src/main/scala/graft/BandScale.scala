@@ -314,7 +314,34 @@ object BandScale {
       }
       NearDup.bandStoreDelete(base, appendSh) // restore the artifact
 
+      // manifest leg (round 15): the writer re-publication of a
+      // committed file manifest must price like the stats merge —
+      // ∝ the batch's touched cells (carry the rest over from the
+      // prior, re-list only touched cell dirs) — against the full
+      // publish, which lists every cell of every store (∝ artifact
+      // files). Same isolation trick as the stats leg: commit + read
+      // the prior, drop the manifest so the append's wrapper skips its
+      // own internal re-publication, then time republishTouched COLD
+      // on the appended artifact. Closed-form: the incrementally
+      // re-published file list equals a fresh full snapshot of the
+      // same live layout, store-for-store, cell-for-cell.
+      val mf = graft.transforms.IndexManifest
+      val (_, publishS) = timed { mf.publish(spark, base, stores) }
+      val (mfPriorV, mfPrior) = mf.readVersioned(spark, base).get
+      mf.invalidate(spark.sparkContext.hadoopConfiguration, base)
+      val touchedMf = NearDup.bandStoreAppend(base, appendSh)
+      val (_, republishS) = timed {
+        mf.republishTouched(spark, base, stores, mfPriorV, mfPrior,
+          touchedMf)
+      }
+      val incremental = mf.readVersioned(spark, base).get._2
+      val (_, publish2S) = timed { mf.publish(spark, base, stores) }
+      val fullSnapshot = mf.readVersioned(spark, base).get._2
+      NearDup.bandStoreDelete(base, appendSh) // restore the artifact
+      mf.invalidate(spark.sparkContext.hadoopConfiguration, base)
+
       val checks = Map(
+        "manifest_merge_closed_form" -> (incremental == fullSnapshot),
         "stats_merge_closed_form" -> (merged == full),
         // exists, not forall: a missing baseline must FAIL (reps are
         // require'd to start at 1)
@@ -344,7 +371,12 @@ object BandScale {
         s""""stats_refresh":${math.round(statsRefreshS * 1000) / 1000.0},""" +
         s""""describe_stats":${math.round(describeStatsS * 1000) / 1000.0},""" +
         s""""stats_merge":${math.round(statsMergeS * 1000) / 1000.0},""" +
-        s""""stats_full":${math.round(statsFullS * 1000) / 1000.0}},""" +
+        s""""stats_full":${math.round(statsFullS * 1000) / 1000.0},""" +
+        s""""manifest_publish":${math.round(publishS * 1000) / 1000.0},""" +
+        s""""manifest_republish":${
+          math.round(republishS * 1000) / 1000.0},""" +
+        s""""manifest_publish2":${
+          math.round(publish2S * 1000) / 1000.0}},""" +
         s""""touched_cells":$touchedCells,""" +
         s""""artifact_bytes":{"bands":$bandsBytes,""" +
         s""""shingles_hashed":$shHashedBytes,""" +

@@ -1895,5 +1895,72 @@ object AqlQ {
            |  SELECT doc_id, lang, source, n_chars FROM Kept
            |) INTO CONNECTION Out""".stripMargin).outputs("FINAL")
     },
+
+    // INDEX MANIFEST → writer re-publication → manifest-served probe
+    // (round 15): q156's build→append shape with a manifest COMMIT
+    // between build and append, sharing q151's brute-force oracle. The
+    // half-corpus build commits v1; the verb APPEND of the other half
+    // then re-publishes the manifest ITSELF (the maintained-when-
+    // present contract — IndexManifest.republishTouched carries the
+    // untouched cells over and re-lists only the append's routed
+    // cells), so the final probe run resolves its routed cells from a
+    // WRITER-committed manifest's explicit file list (ONE small read —
+    // no per-cell existence RPCs, no footer-discovery listing, no
+    // mixed-cells window). A re-publication that dropped a carried
+    // file, missed an appended one, or mis-parsed a cell id changes
+    // the candidate set and fails hash-exactly against the live-layout
+    // truth. This is the object-store maintenance design's commit
+    // primitive working end to end on the rename path (SCALING.md
+    // round 15); AqlSpec pins the mechanics (version bumping, writer
+    // re-publication incl. COMPACT/REBUILD, the opt-in discipline,
+    // malformed-manifest error, lock exclusion).
+    QueryDef(
+      "q174_aql_index_manifest_probe",
+      Dedup.againstKeptOracleSql) { (s, dir) =>
+      val outDir = java.nio.file.Files.createTempDirectory("graft_q174")
+      Advanced.registerTmpDir(outDir)
+      val idx = outDir.resolve("band_index").toString
+      val out = outDir.resolve("kept").toString
+      def corpusScript(parity: Int, appendKw: String) =
+        s"""CONNECTION 'Docs' (
+           |  DRIVER = 'file', FILE = '$dir/documents.parquet',
+           |  FORMAT = 'parquet'
+           |)
+           |QUERY 'Corpus' FROM CONNECTION Docs (
+           |  SELECT * FROM Docs WHERE doc_id % 4 = $parity
+           |)
+           |TRANSFORM 'Built' FROM BLOCK Corpus (
+           |  INDEX ON text KEY doc_id METHOD LSH${
+             if (appendKw.isEmpty) " THRESHOLD 0.5 CELLS 64" else ""}
+           |    INTO '$idx'$appendKw
+           |) INTO CONSOLE""".stripMargin
+      Aql.run(s, corpusScript(1, "")) // half the odds build the artifact
+      Aql.run(s,
+        s"""DATA 'One' ([[1]]) WITH (COLUMNS = 'X')
+           |TRANSFORM 'Committed' FROM BLOCK One (
+           |  INDEX MANIFEST '$idx'
+           |) INTO CONSOLE""".stripMargin)
+      // the other half arrives as maintenance: the verb APPEND
+      // re-publishes the committed manifest as its own last step
+      Aql.run(s, corpusScript(3, " APPEND"))
+      Aql.run(s,
+        s"""CONNECTION 'Docs' (
+           |  DRIVER = 'file', FILE = '$dir/documents.parquet',
+           |  FORMAT = 'parquet'
+           |)
+           |CONNECTION 'Out' (
+           |  DRIVER = 'file', FILE = '$out', FORMAT = 'parquet'
+           |)
+           |QUERY 'Batch' FROM CONNECTION Docs (
+           |  SELECT * FROM Docs WHERE doc_id % 2 = 0
+           |)
+           |TRANSFORM 'Kept' FROM BLOCK Batch (
+           |  NEARDEDUP Batch AGAINST STORED '$idx' ON text KEY doc_id
+           |    THRESHOLD 0.5 METHOD LSH
+           |)
+           |QUERY 'Final' FROM BLOCK Kept (
+           |  SELECT doc_id, lang, source, n_chars FROM Kept
+           |) INTO CONNECTION Out""".stripMargin).outputs("FINAL")
+    },
   )
 }

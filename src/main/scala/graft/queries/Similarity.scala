@@ -670,13 +670,11 @@ object Similarity {
     val cells = probes.select("cluster").distinct().collect()
       .map(_.getInt(0)).sorted
     // routed cells as EXPLICIT paths — the ivfProbeStored rationale
-    // applied to both stores (codes for ADC, index for the rerank)
+    // applied to both stores (codes for ADC, index for the rerank);
+    // shared resolver, so a committed manifest serves both stores too
     def cellRead(store: String): DataFrame = {
-      val root = new org.apache.hadoop.fs.Path(s"$base/$store")
-      val fsys = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val paths = cells.toSeq
-        .map(c => new org.apache.hadoop.fs.Path(root, s"cluster=$c"))
-        .filter(fsys.exists).map(_.toString)
+      val paths = graft.transforms.NearDup.existingCellPaths(
+        s, s"$base/$store", "cluster", cells)
       if (paths.isEmpty) s.read.parquet(s"$base/$store").where(lit(false))
       else s.read.option("basePath", s"$base/$store").parquet(paths: _*)
     }
@@ -975,13 +973,13 @@ object Similarity {
     // 16× index under listing, flat after the explicit-path form). At
     // this family's cell counts (∝ √corpus) the listing is small, but
     // the probe is THE serving hot path and the catalog-scale form
-    // costs nothing here. Existence goes through the path's Hadoop
-    // FileSystem so hdfs/s3a artifacts don't read as absent.
-    val idxRoot = new org.apache.hadoop.fs.Path(s"$base/index")
-    val idxFs = idxRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val cellPaths = cells.toSeq
-      .map(c => new org.apache.hadoop.fs.Path(idxRoot, s"cluster=$c"))
-      .filter(idxFs.exists).map(_.toString)
+    // costs nothing here. Resolution is the shared
+    // NearDup.existingCellPaths: a committed manifest (round 15) serves
+    // explicit file paths from one small read; otherwise per-cell
+    // existence goes through the path's Hadoop FileSystem so hdfs/s3a
+    // artifacts don't read as absent.
+    val cellPaths = graft.transforms.NearDup.existingCellPaths(
+      s, s"$base/index", "cluster", cells)
     val idx = (if (cellPaths.isEmpty)
         s.read.parquet(s"$base/index").where(lit(false))
       else s.read.option("basePath", s"$base/index")

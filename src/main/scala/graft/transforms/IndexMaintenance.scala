@@ -299,9 +299,16 @@ private[graft] object IndexMaintenance {
       * under continuous DIRECT-API ingest — the streaming foreachBatch
       * path (gate q161), previously the one writer whose batches left
       * DESCRIBE on the full-recompute fallback for the whole streaming
-      * window. The epilogue is ∝ the batch's routed cells, like the
-      * mutation itself; a batch-sized call never pays an artifact-
-      * sized recount, so with NO prior (stats were already absent) the
+      * window. The epilogue's DATA work (per-cell recount) is ∝ the
+      * batch's routed cells, like the mutation itself — a batch-sized
+      * call never pays an artifact-sized reCOUNT. Two bookkeeping legs
+      * are ∝ cells PRESENT, not cells touched: the prior read (one
+      * driver collect of the stats rows) and [[mergeTouched]]'s
+      * [[writeRows]] (the full stats-file rewrite) — both bounded by
+      * the 65 536-cell cap and metadata-row-sized (a few MB at the
+      * cap), but a fixed per-statement driver cost that can dominate a
+      * 1-row streamed append on a max-cell artifact. With NO prior
+      * (stats were already absent) the
       * mutation leaves them absent and the next corpus-shaped
       * statement (build/REBUILD, or a verb APPEND/DELETE's self-heal)
       * or DESCRIBE pays the one full pass. Callers hold the artifact's
@@ -313,11 +320,22 @@ private[graft] object IndexMaintenance {
     def mergeForWriter(spark: org.apache.spark.sql.SparkSession,
         dir: String, kind: String)(
         mutate: => Map[String, Seq[Int]]): Map[String, Seq[Int]] = {
+      // both priors read BEFORE the mutation's invalidate drops them;
+      // a malformed manifest throws here (external tampering stops
+      // the writer loudly — the message names the re-publish remedy —
+      // rather than being silently healed or silently dropped)
+      val manifestPrior = IndexManifest.readVersioned(spark, dir)
       val prior = read(spark, dir)
       val touched = mutate
-      prior.foreach { p =>
-        mergeTouched(spark, dir,
-          storesFor(kind, s"stats refresh at '$dir'"), p, touched)
+      val stores = storesFor(kind, s"stats refresh at '$dir'")
+      prior.foreach { p => mergeTouched(spark, dir, stores, p, touched) }
+      // manifest maintained-when-present (round 15): re-publish from
+      // the prior + this mutation's touched cells, so probes stay
+      // manifest-served across API/streaming maintenance — ∝ the
+      // batch's routed cells like the stats merge above; an artifact
+      // never published pays nothing here (one absent-check)
+      manifestPrior.foreach { case (v, pm) =>
+        IndexManifest.republishTouched(spark, dir, stores, v, pm, touched)
       }
       touched
     }
@@ -355,27 +373,46 @@ private[graft] object IndexMaintenance {
       ()
     }
 
-    /** Drop `<dir>/stats` — the first step of every row-writing
-      * mutation step (append row writes, cell rewrites), so stats can
-      * be absent but never stale: a writer that dies mid-mutation
-      * leaves them invalidated, and the surviving reads are the honest
-      * recompute. The wrapping [[mergeForWriter]] epilogue restores
-      * them from the pre-read prior plus the touched-cell recomputes
-      * as the mutation's last step. Deliberately NOT swallowed:
+    /** Drop `<dir>/stats` AND the committed file manifest — the first
+      * step of every row-writing mutation step (append row writes,
+      * cell rewrites), so both derived layout snapshots can be absent
+      * but never stale: a writer that dies mid-mutation leaves them
+      * invalidated, and the surviving reads are the honest recompute /
+      * live-directory resolution. The wrapping [[mergeForWriter]]
+      * epilogue restores stats from the pre-read prior plus the
+      * touched-cell recomputes as the mutation's last step, and
+      * re-publishes a previously-committed manifest the same way
+      * ([[IndexManifest.republishTouched]] — touched cells re-listed,
+      * the rest carried over), so both snapshots are MAINTAINED when
+      * present and the absent window spans one statement, not operator
+      * reaction time. One choke point on purpose: every writer
+      * already runs this, so the two snapshots cannot drift apart in
+      * which mutations invalidate them. Deliberately NOT swallowed:
       * failing to invalidate before mutating would leave a lying
-      * stats store, which is worse than failing the mutation.
+      * stats store or a stale file list, which is worse than failing
+      * the mutation.
       */
     def invalidate(conf: org.apache.hadoop.conf.Configuration,
         dir: String): Unit = {
       val p = new org.apache.hadoop.fs.Path(s"$dir/stats")
       val fs = p.getFileSystem(conf)
       fs.delete(p, true)
+      IndexManifest.invalidate(conf, dir)
       ()
     }
 
     /** The persisted per-cell stats, or None when absent/unreadable
       * (→ the caller takes the full-recompute path). A read racing an
-      * invalidation resolves to None, never an error.
+      * invalidation resolves to None, never an error — but the two
+      * None causes are DISTINGUISHED (round 15): absent is silent (the
+      * expected invalidated state), present-but-unreadable logs a
+      * warning to stderr, because on the mutation path
+      * ([[mergeForWriter]]) an unreadable prior silently drops the
+      * served DESCRIBE path until the next corpus-shaped refresh, and
+      * that degradation should be visible, not indistinguishable from
+      * "absent". Catches [[scala.util.control.NonFatal]] only — the
+      * former catch-all also swallowed OOM/interrupts, converting a
+      * dying JVM's symptom into a silent full recompute.
       */
     def read(spark: org.apache.spark.sql.SparkSession, dir: String)
         : Option[Map[String, Seq[(Int, Long, Long)]]] = try {
@@ -390,7 +427,20 @@ private[graft] object IndexMaintenance {
         .groupBy(_._1)
         .map { case (sub, rows) =>
           sub -> rows.map(t => (t._2, t._3, t._4)).toSeq.sortBy(_._1) })
-    } catch { case _: Throwable => None }
+    } catch { case scala.util.control.NonFatal(e) =>
+      // a reader racing the invalidate → stage → swap window lands
+      // here (expected, harmless: stats vanish between the exists check
+      // and the parquet read); so does a genuinely corrupt/unreadable
+      // stats file (not expected) — log so the degraded served path is
+      // visible either way, and let the caller recompute honestly
+      System.err.println(
+        s"[graft] stats at '$dir/stats' present but unreadable " +
+          s"(${e.getClass.getSimpleName}: ${e.getMessage}) — treating " +
+          "as absent; DESCRIBE falls back to the full recompute until " +
+          "the next maintenance statement (e.g. INDEX COMPACT) " +
+          "rewrites them")
+      None
+    }
   }
   // ----------------------------------------------------------------- INDEX
 
@@ -494,12 +544,15 @@ private[graft] object IndexMaintenance {
       raw"(?is)^INDEX\s+COMPACT\s+'([^']+)'\s*$$".r
     private val DescribeRe =
       raw"(?is)^INDEX\s+DESCRIBE\s+'([^']+)'(?:\s+(VERIFY))?\s*$$".r
+    private val ManifestRe =
+      raw"(?is)^INDEX\s+MANIFEST\s+'([^']+)'\s*$$".r
     private val RebuildRe =
       raw"(?is)^INDEX\s+REBUILD\s+'([^']+)'(?:\s+THRESHOLD\s+([0-9]*\.?[0-9]+))?(?:\s+CELLS\s+(\d+))?(?:\s+TABLES\s+(\d+))?(?:\s+BITS\s+(\d+))?\s*$$".r
 
     def parse(t: String): Verb = t.trim match {
       case CompactRe(dir) => IndexCompactVerb(dir)
       case DescribeRe(dir, v) => IndexDescribeVerb(dir, v != null)
+      case ManifestRe(dir) => IndexManifestVerb(dir)
       case RebuildRe(dir, th, ce, tb, bi) =>
         val t = Option(th).map(_.toDouble)
         t.foreach(v => if (v <= 0 || v > 1) throw TransformError(
@@ -608,7 +661,8 @@ private[graft] object IndexMaintenance {
           "[BANDS <n> ROWS <n>] [CELLS <n>] [TABLES <n>] [BITS <n>] " +
           "[PQ <m>] [PQCODES <n>] " +
           "INTO '<dir>' [APPEND|DELETE], INDEX COMPACT '<dir>', " +
-          "INDEX DESCRIBE '<dir>' [VERIFY], or INDEX REBUILD '<dir>' " +
+          "INDEX DESCRIBE '<dir>' [VERIFY], INDEX MANIFEST '<dir>', " +
+          "or INDEX REBUILD '<dir>' " +
           "[THRESHOLD <0-1> | TABLES <n> BITS <n>] [CELLS <n>])")
     }
   }
@@ -673,8 +727,14 @@ private[graft] object IndexMaintenance {
     * = rows_max/rows_avg — the factor by which the hottest cell
     * exceeds the balanced share; for ivf_vec index stores a skew ≥ 8
     * additionally WARNS naming `INDEX REBUILD` as the remedy, the
-    * DriftScale-measured drift signature made operational), "is
-    * maintenance
+    * DriftScale-measured drift signature made operational), "did this
+    * answer come cheap?" (stats_served — true when the row was read
+    * from `<dir>/stats`, false when this DESCRIBE paid the ∝-cells
+    * full recompute; absent stats additionally WARN naming
+    * `INDEX COMPACT` as the statement that restores the served path),
+    * "are probes manifest-served?" (manifest_version — the committed
+    * [[IndexManifest]] version probes resolve cells from, 0 when none),
+    * "is maintenance
     * running?" (lock_holder — the `.maint_lock` holder line, "" when
     * free; a crashed job's leftover lock shows up here before the
     * operator removes it) and "has anything probed this artifact
@@ -714,6 +774,11 @@ private[graft] object IndexMaintenance {
       // location still read so a pre-upgrade crash stays visible
       val lockHolder = maintLockHolder(
         spark.sparkContext.hadoopConfiguration, dir)
+      // "are probes manifest-served?" — the committed IndexManifest
+      // version (0 when none: probes resolve cells from the live
+      // directory layout, today's default)
+      val manifestVersion =
+        IndexManifest.version(spark, dir).getOrElse(0L)
       // "has anything probed this artifact below its contract?" — the
       // persisted Warnings.persist events (count + most recent), read
       // from the artifact's SIBLING warnings dir (probes never write
@@ -765,6 +830,25 @@ private[graft] object IndexMaintenance {
       // parquet read regardless of cell count.
       val statsOpt: Option[Map[String, Seq[(Int, Long, Long)]]] =
         if (verify) None else Stats.read(spark, dir)
+      // "did this DESCRIBE answer from <dir>/stats, or pay the full
+      // footer recompute?" (round 15) — until now only wall-clock told
+      // an operator apart the ~0.3 s served read from the ∝-cells full
+      // pass (64 s at half the cell cap). Surfaced as a column, and
+      // WARNed with the healing statement when stats are absent —
+      // completing the advisory discipline (every warning names a real
+      // remedy): INDEX COMPACT self-heals absent stats even when no
+      // cell is dirty (the `!statsPresent` branch of its epilogue), so
+      // it is the cheapest statement that restores the served path.
+      // Under VERIFY the column is false and no warning fires — the
+      // recompute was the explicit ask, not a degradation.
+      val statsServed = statsOpt.isDefined
+      if (!verify && statsOpt.isEmpty)
+        Warnings.emit(
+          s"INDEX DESCRIBE '$dir': per-cell stats are absent — this " +
+            "DESCRIBE paid the full footer recompute (one listing + " +
+            "one footer aggregation per store, ∝ cells); run " +
+            s"INDEX COMPACT '$dir' to rewrite <dir>/stats and restore " +
+            "the served path (a no-op rewrite when no cell is dirty)")
       val rows = stores.flatMap { case (sub, cellCol) =>
         val live = new Path(s"$dir/$sub")
         if (!fs.exists(live)) None
@@ -793,7 +877,7 @@ private[graft] object IndexMaintenance {
             filesPerCell.sum, filesPerCell.count(_ > 1).toLong,
             if (filesPerCell.isEmpty) 0L else filesPerCell.max,
             if (rowCounts.isEmpty) 0L else rowCounts.min,
-            rowsMax, rowsAvg, skew,
+            rowsMax, rowsAvg, skew, statsServed, manifestVersion,
             geometry, derived, lockHolder, probeWarnings, lastWarning))
         }
       }
@@ -833,8 +917,47 @@ private[graft] object IndexMaintenance {
       import spark.implicits._
       rows.toDF("path", "kind", "store", "cells", "cells_present",
         "entries", "files", "multi_file_cells", "max_files_per_cell",
-        "rows_min", "rows_max", "rows_avg", "max_cell_skew", "geometry",
-        "derived", "lock_holder", "probe_warnings", "last_warning")
+        "rows_min", "rows_max", "rows_avg", "max_cell_skew",
+        "stats_served", "manifest_version", "geometry", "derived",
+        "lock_holder", "probe_warnings", "last_warning")
+    }
+  }
+
+  /** INDEX MANIFEST '<dir>' — commit a versioned file manifest of the
+    * artifact's current live layout ([[IndexManifest]]): after this,
+    * every stored probe resolves its routed cells from ONE small
+    * manifest read (explicit data-file paths — no per-cell existence
+    * RPCs, no footer-discovery directory listing, no mixed-cells window
+    * while maintenance runs elsewhere), falling back to the live layout
+    * automatically once any mutation invalidates the manifest
+    * (absent-never-stale, the stats discipline — see
+    * [[Stats.invalidate]]). Runs under the single-writer maintenance
+    * lock so the snapshot cannot interleave with a writer's cell swap;
+    * answers are pinned unchanged (q174 gates manifest-served probe ≡
+    * live-layout probe hash-exact, across a writer re-publication).
+    * Once committed, the WRITERS maintain it: API/streaming
+    * append+delete and COMPACT re-publish incrementally
+    * ([[IndexManifest.republishTouched]]), REBUILD re-snapshots after
+    * its swap — so this statement is the one-time opt-in (and the
+    * recovery statement after a crash left the manifest absent). This
+    * is the foundation of the object-store maintenance design
+    * (SCALING.md round 15): on S3-style stores — where the per-cell
+    * rename swap cannot hold — a one-object manifest commit is the
+    * scale-safe write primitive; round 16 swaps the rename commit for
+    * a conditional put.
+    */
+  final case class IndexManifestVerb(dir: String) extends Verb {
+    def build(sources: Map[String, DataFrame], primary: DataFrame)
+        : DataFrame = {
+      val spark = primary.sparkSession
+      val (_, kind, stores) = storedIndexLayout(spark, dir,
+        "INDEX MANIFEST")
+      val (version, files) = withMaintLock(spark, dir, "MANIFEST") {
+        IndexManifest.publish(spark, dir, stores)
+      }
+      import spark.implicits._
+      Seq((dir, kind, version, files))
+        .toDF("path", "kind", "version", "files")
     }
   }
 
@@ -916,7 +1039,10 @@ private[graft] object IndexMaintenance {
     * ABSENT between the two renames and a racing probe fails loudly
     * ("no stored index") rather than silently mis-routing against
     * half-swapped geometry. A crash between the renames self-heals: the
-    * next REBUILD restores `.rebuild_old_` before starting (and any
+    * next REBUILD restores `.rebuild_old_` before starting — UNDER the
+    * lock (round 15), so the sweep cannot race a live statement's swap
+    * and "restore" the doomed old artifact mid-rename; a contender
+    * errors naming the holder without touching `.rebuild_old_` (and any
     * maintenance statement in the window reports the artifact missing,
     * pointing at the leftover directories). Runs under the single-writer
     * maintenance lock like every maintenance form — the lock is a
@@ -941,66 +1067,82 @@ private[graft] object IndexMaintenance {
       val parent = dirPath.getParent
       val stage = new Path(parent, s".rebuild_stage_${dirPath.getName}")
       val oldP = new Path(parent, s".rebuild_old_${dirPath.getName}")
-      // self-heal a crashed swap: live absent + old present ⇒ the crash
-      // hit between the two renames — restore the prior artifact first;
-      // live present + old present ⇒ crash after swap-in, reap the old
-      if (!fs.exists(dirPath) && fs.exists(oldP)) {
-        if (!fs.rename(oldP, dirPath)) throw new IllegalStateException(
-          s"INDEX REBUILD: cannot restore crashed-rebuild artifact " +
-            s"$oldP to $dir — restore it manually, then re-run")
-      } else if (fs.exists(oldP)) fs.delete(oldP, true)
-      if (fs.exists(stage)) fs.delete(stage, true)
-      val (metaRow, kind, _) = storedIndexLayout(spark, dir,
-        "INDEX REBUILD")
-      if (!metaRow.schema.fieldNames.contains("cells")) throw TransformError(
-        s"INDEX REBUILD: artifact at $dir predates cells metadata — " +
-          "rebuild it from source with INDEX … INTO")
-      if (reThreshold.isDefined && kind != "lsh_text") throw TransformError(
-        s"INDEX REBUILD THRESHOLD only applies to lsh_text artifacts " +
-          s"(banding is threshold-shaped; the '$kind' store at $dir is " +
-          "not) — drop THRESHOLD to rebuild geometry only")
-      if ((reTables.isDefined || reBits.isDefined) && kind != "cosine_vec")
-        throw TransformError(
-          s"INDEX REBUILD TABLES/BITS only applies to cosine_vec " +
-            s"artifacts (sign-LSH bucket geometry; the '$kind' store " +
-            s"at $dir has none) — drop TABLES/BITS to rebuild geometry " +
-            "only")
-      val cellsBefore = metaRow.getAs[Int]("cells")
-      val derivedSeq =
-        if (metaRow.schema.fieldNames.contains("derived"))
-          metaRow.getAs[String]("derived").split(",")
-            .filter(_.nonEmpty).toSeq
-        else Seq.empty
-      def reDerive(field: String, old: Int, rule: Long => Int, n: Long)
-          : Int = if (derivedSeq.contains(field)) rule(n) else old
-      // CELLS given ⇒ re-cell at the EXPLICIT count and PIN it (the
-      // field leaves the derived list, exactly as TABLES/BITS pin the
-      // cosine geometry) — the right-size-ahead-of-growth statement
-      // the 65 536-cell-cap warning's remedy names, kind-independent
-      // because every store is cell-partitioned; omitted ⇒ a DERIVED
-      // cell count re-derives for the current size, a pinned one stays
-      def resolveCells(rule: Long => Int, n: Long): Int =
-        reCells.getOrElse(reDerive("cells", cellsBefore, rule, n))
-      val derivedMinusCells =
-        if (reCells.isDefined) derivedSeq.filterNot(_ == "cells")
-        else derivedSeq
-      def requireData(sub: String): Unit = {
-        val p = new Path(s"$dir/$sub")
-        var found = false
-        if (fs.exists(p)) {
-          val it = fs.listFiles(p, true)
-          while (!found && it.hasNext) {
-            val nm = it.next().getPath.getName
-            if (!nm.startsWith("_") && !nm.startsWith(".")) found = true
+      // The WHOLE statement — crash-recovery sweep included — runs
+      // under the single-writer lock (round 15): a second REBUILD
+      // sweeping while the first held the lock mid-swap would see
+      // live-absent/old-present, "restore" the doomed old artifact
+      // between the first's two renames, and make its stage→live
+      // rename fail spuriously. COMPACT already swept under its lock;
+      // REBUILD now matches: a contender errors naming the holder
+      // WITHOUT having touched `.rebuild_old_` (AqlSpec pins this).
+      withMaintLock(spark, dir, "REBUILD") {
+        // self-heal a crashed swap: live absent + old present ⇒ the crash
+        // hit between the two renames — restore the prior artifact first;
+        // live present + old present ⇒ crash after swap-in, reap the old
+        if (!fs.exists(dirPath) && fs.exists(oldP)) {
+          if (!fs.rename(oldP, dirPath)) throw new IllegalStateException(
+            s"INDEX REBUILD: cannot restore crashed-rebuild artifact " +
+              s"$oldP to $dir — restore it manually, then re-run")
+        } else if (fs.exists(oldP)) fs.delete(oldP, true)
+        if (fs.exists(stage)) fs.delete(stage, true)
+        // manifest maintained-when-present (round 15): the swap carries
+        // the old manifest away with the old directory, so a committed
+        // artifact re-publishes FRESH after the swap (full snapshot —
+        // REBUILD is artifact-sized by construction, so the listing
+        // adds nothing asymptotic). Presence checked by version-file
+        // name only: REBUILD replaces every store, so even a tampered
+        // manifest's artifact leaves rebuilt-and-republished
+        val hadManifest = IndexManifest.version(spark, dir).isDefined
+        val (metaRow, kind, _) = storedIndexLayout(spark, dir,
+          "INDEX REBUILD")
+        if (!metaRow.schema.fieldNames.contains("cells")) throw TransformError(
+          s"INDEX REBUILD: artifact at $dir predates cells metadata — " +
+            "rebuild it from source with INDEX … INTO")
+        if (reThreshold.isDefined && kind != "lsh_text") throw TransformError(
+          s"INDEX REBUILD THRESHOLD only applies to lsh_text artifacts " +
+            s"(banding is threshold-shaped; the '$kind' store at $dir is " +
+            "not) — drop THRESHOLD to rebuild geometry only")
+        if ((reTables.isDefined || reBits.isDefined) && kind != "cosine_vec")
+          throw TransformError(
+            s"INDEX REBUILD TABLES/BITS only applies to cosine_vec " +
+              s"artifacts (sign-LSH bucket geometry; the '$kind' store " +
+              s"at $dir has none) — drop TABLES/BITS to rebuild geometry " +
+              "only")
+        val cellsBefore = metaRow.getAs[Int]("cells")
+        val derivedSeq =
+          if (metaRow.schema.fieldNames.contains("derived"))
+            metaRow.getAs[String]("derived").split(",")
+              .filter(_.nonEmpty).toSeq
+          else Seq.empty
+        def reDerive(field: String, old: Int, rule: Long => Int, n: Long)
+            : Int = if (derivedSeq.contains(field)) rule(n) else old
+        // CELLS given ⇒ re-cell at the EXPLICIT count and PIN it (the
+        // field leaves the derived list, exactly as TABLES/BITS pin the
+        // cosine geometry) — the right-size-ahead-of-growth statement
+        // the 65 536-cell-cap warning's remedy names, kind-independent
+        // because every store is cell-partitioned; omitted ⇒ a DERIVED
+        // cell count re-derives for the current size, a pinned one stays
+        def resolveCells(rule: Long => Int, n: Long): Int =
+          reCells.getOrElse(reDerive("cells", cellsBefore, rule, n))
+        val derivedMinusCells =
+          if (reCells.isDefined) derivedSeq.filterNot(_ == "cells")
+          else derivedSeq
+        def requireData(sub: String): Unit = {
+          val p = new Path(s"$dir/$sub")
+          var found = false
+          if (fs.exists(p)) {
+            val it = fs.listFiles(p, true)
+            while (!found && it.hasNext) {
+              val nm = it.next().getPath.getName
+              if (!nm.startsWith("_") && !nm.startsWith(".")) found = true
+            }
           }
+          if (!found) throw TransformError(
+            s"INDEX REBUILD: artifact at $dir has no entries ($sub is " +
+              "empty) — APPEND entries first, or rebuild from source " +
+              "with INDEX … INTO")
         }
-        if (!found) throw TransformError(
-          s"INDEX REBUILD: artifact at $dir has no entries ($sub is " +
-            "empty) — APPEND entries first, or rebuild from source " +
-            "with INDEX … INTO")
-      }
-      val (cellsAfter, entries) =
-        withMaintLock(spark, dir, "REBUILD") {
+        val (cellsAfter, entries) = {
           val res: (Int, Long) = kind match {
             case "lsh_text" =>
               requireData("shingles")
@@ -1156,10 +1298,16 @@ private[graft] object IndexMaintenance {
           fs.delete(oldP, true)
           res
         }
-      import spark.implicits._
-      Seq((dir, kind, cellsBefore, cellsAfter, entries))
-        .toDF("path", "kind", "cells_before", "cells_after",
-          "indexed_rows")
+        // the rebuilt artifact starts manifest-absent (fresh stage);
+        // restore the serving contract the operator had committed to
+        if (hadManifest)
+          IndexManifest.publish(spark, dir,
+            storesFor(kind, "INDEX REBUILD"))
+        import spark.implicits._
+        Seq((dir, kind, cellsBefore, cellsAfter, entries))
+          .toDF("path", "kind", "cells_before", "cells_after",
+            "indexed_rows")
+      }
     }
   }
 
@@ -1222,11 +1370,12 @@ private[graft] object IndexMaintenance {
       var rewrote = false
       var touched = Map.empty[String, Seq[Int]]
       withMaintLock(spark, dir, "COMPACT") {
-        // prior stats read UNDER the lock, before any rewrite
-        // invalidates them — the incremental-refresh input (round 14:
-        // COMPACT's cost contract is ∝ the cells appends dirtied, and
-        // its stats epilogue now matches — the dirty set IS the
-        // touched set)
+        // priors read UNDER the lock, before any rewrite invalidates
+        // them — the incremental-refresh inputs (round 14: COMPACT's
+        // cost contract is ∝ the cells appends dirtied, and its stats
+        // epilogue matches — the dirty set IS the touched set; round
+        // 15: a committed manifest rides the same discipline)
+        val manifestPrior = IndexManifest.readVersioned(spark, dir)
         val prior = Stats.read(spark, dir)
         for ((sub, cellCol) <- stores) {
           val live = new Path(s"$dir/$sub")
@@ -1278,6 +1427,14 @@ private[graft] object IndexMaintenance {
           case Some(p) if rewrote =>
             Stats.mergeTouched(spark, dir, stores, p, touched)
           case _ => Stats.write(spark, dir, stores)
+        }
+        // manifest maintained-when-present (round 15): the rewrite
+        // invalidated it; re-publish incrementally with the dirty set.
+        // An idempotent re-COMPACT (nothing rewritten) left the
+        // committed manifest untouched and exact — no new version
+        if (rewrote) manifestPrior.foreach { case (v, pm) =>
+          IndexManifest.republishTouched(spark, dir, stores, v, pm,
+            touched)
         }
       }
       import spark.implicits._

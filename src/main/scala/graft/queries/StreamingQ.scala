@@ -1111,6 +1111,91 @@ object StreamingQ {
         knn.build(Map.empty, batch)
       }
     },
+
+    // Streaming ingest against a MANIFEST-COMMITTED artifact — the two
+    // round-15 stories composed: q161's exact streamed-append protocol
+    // with an INDEX MANIFEST commit between the build and the stream.
+    // Each of the 4 real microbatches then re-publishes the manifest
+    // as its own last step (bandStoreAppend → Stats.mergeForWriter →
+    // IndexManifest.republishTouched: this batch's routed cells
+    // re-listed, every other cell's file list carried over — the
+    // measured-flat epilogue, SCALING.md round 15), so the artifact
+    // stays manifest-served across the whole streaming window, and
+    // the final probe run resolves its routed cells from a manifest
+    // the STREAM's last microbatch committed. A microbatch
+    // re-publication that dropped a carried file, missed its own
+    // appended files, or mis-parsed a cell id changes the probe's
+    // candidate set and fails hash-exactly against q156/q161/q174's
+    // shared brute-force oracle. With q174 (engine-run append) and
+    // this gate (streamed append), both writer cadences of the
+    // manifest contract are gated end to end.
+    QueryDef(
+      "q175_stream_manifest_append",
+      Dedup.againstKeptOracleSql) { (s, dir) =>
+      import graft.transforms.NearDup
+      val qBase = java.nio.file.Files
+        .createTempDirectory("graft_q175_")
+      Advanced.registerTmpDir(qBase)
+      val idx = s"$qBase/band_index"
+      val out = s"$qBase/kept"
+      // run A: build the base artifact (q156's geometry), then COMMIT
+      // the manifest — the one-time opt-in the writers maintain
+      Aql.run(s,
+        s"""CONNECTION 'Docs' (
+           |  DRIVER = 'file', FILE = '$dir/documents.parquet',
+           |  FORMAT = 'parquet'
+           |)
+           |QUERY 'Corpus' FROM CONNECTION Docs (
+           |  SELECT * FROM Docs WHERE doc_id % 4 = 1
+           |)
+           |TRANSFORM 'Built' FROM BLOCK Corpus (
+           |  INDEX ON text KEY doc_id METHOD LSH THRESHOLD 0.5 CELLS 64
+           |    INTO '$idx'
+           |) INTO CONSOLE""".stripMargin)
+      Aql.run(s,
+        s"""DATA 'One' ([[1]]) WITH (COLUMNS = 'X')
+           |TRANSFORM 'Committed' FROM BLOCK One (
+           |  INDEX MANIFEST '$idx'
+           |) INTO CONSOLE""".stripMargin)
+      // the %4==3 slice arrives as a stream: 4 files ⇒ 4 microbatches,
+      // each re-publishing the manifest it ingests under
+      streamMutate(s, "q175_manifest_append",
+        Tables.load(s, dir, "documents")
+          .where(col("doc_id") % 4 === 3)
+          .select(col("doc_id"), col("text"))) { batch =>
+        val reps = batch
+          .select(xxhash64(col("text")).as("th"), col("text").as("txt"))
+          .distinct()
+        NearDup.bandStoreAppend(idx, NearDup.shingled(reps, "th", "txt"))
+        ()
+      }
+      // run B: the probe resolves from the stream-committed manifest
+      // (version 1 + 4 microbatch re-publications = v5; asserted here
+      // so the gate cannot silently degrade to live-layout resolution)
+      val v = graft.transforms.IndexManifest.version(s, idx)
+      require(v.contains(5L),
+        s"q175: expected manifest v5 after commit + 4 microbatch " +
+          s"re-publications, got $v — the stream did not maintain the " +
+          "manifest")
+      Aql.run(s,
+        s"""CONNECTION 'Docs' (
+           |  DRIVER = 'file', FILE = '$dir/documents.parquet',
+           |  FORMAT = 'parquet'
+           |)
+           |CONNECTION 'Out' (
+           |  DRIVER = 'file', FILE = '$out', FORMAT = 'parquet'
+           |)
+           |QUERY 'Batch' FROM CONNECTION Docs (
+           |  SELECT * FROM Docs WHERE doc_id % 2 = 0
+           |)
+           |TRANSFORM 'Kept' FROM BLOCK Batch (
+           |  NEARDEDUP Batch AGAINST STORED '$idx' ON text KEY doc_id
+           |    THRESHOLD 0.5 METHOD LSH
+           |)
+           |QUERY 'Final' FROM BLOCK Kept (
+           |  SELECT doc_id, lang, source, n_chars FROM Kept
+           |) INTO CONNECTION Out""".stripMargin).outputs("FINAL")
+    },
   )
 
   /** Exact-decimal ZOH fold over sorted points (the reference reducer's

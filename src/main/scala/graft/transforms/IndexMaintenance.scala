@@ -776,9 +776,24 @@ private[graft] object IndexMaintenance {
         spark.sparkContext.hadoopConfiguration, dir)
       // "are probes manifest-served?" — the committed IndexManifest
       // version (0 when none: probes resolve cells from the live
-      // directory layout, today's default)
+      // directory layout, today's default). An artifact that OPTED IN
+      // (the surviving `.committed` marker) but has no current version
+      // is the crashed-writer degradation — a writer died between
+      // invalidation and re-publication — and WARNs naming the restore
+      // statement; writers deliberately do NOT self-heal this (a full
+      // re-publication is an artifact-sized listing, which would break
+      // the batch-shaped mutation contract), so the advisory is the
+      // operator's only signal. An artifact never published, or opted
+      // out by removing manifest/ wholesale, stays silent.
       val manifestVersion =
         IndexManifest.version(spark, dir).getOrElse(0L)
+      if (manifestVersion == 0L && IndexManifest.wasCommitted(spark, dir))
+        Warnings.emit(
+          s"INDEX DESCRIBE '$dir': this artifact's committed manifest " +
+            "is absent (a writer crashed between invalidation and " +
+            "re-publication) — probes are falling back to " +
+            "live-directory resolution; run " +
+            s"INDEX MANIFEST '$dir' to restore manifest-served probes")
       // "has anything probed this artifact below its contract?" — the
       // persisted Warnings.persist events (count + most recent), read
       // from the artifact's SIBLING warnings dir (probes never write
@@ -1090,9 +1105,14 @@ private[graft] object IndexMaintenance {
         // artifact re-publishes FRESH after the swap (full snapshot —
         // REBUILD is artifact-sized by construction, so the listing
         // adds nothing asymptotic). Presence checked by version-file
-        // name only: REBUILD replaces every store, so even a tampered
-        // manifest's artifact leaves rebuilt-and-republished
-        val hadManifest = IndexManifest.version(spark, dir).isDefined
+        // name OR the opt-in marker — so a REBUILD issued on the
+        // crashed-writer state (marker present, versions absent) heals
+        // the manifest along with everything else, instead of silently
+        // dropping the opt-in; and by name only, never content:
+        // REBUILD replaces every store, so even a tampered manifest's
+        // artifact leaves rebuilt-and-republished
+        val hadManifest = IndexManifest.version(spark, dir).isDefined ||
+          IndexManifest.wasCommitted(spark, dir)
         val (metaRow, kind, _) = storedIndexLayout(spark, dir,
           "INDEX REBUILD")
         if (!metaRow.schema.fieldNames.contains("cells")) throw TransformError(

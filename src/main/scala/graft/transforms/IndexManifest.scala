@@ -102,12 +102,38 @@ object IndexManifest {
   /** Drop every committed version — called (via
     * [[IndexMaintenance.Stats.invalidate]]) as the first step of every
     * row-writing mutation, so a manifest can be absent but never stale.
+    * Version files are deleted NEWEST-first, so a lock-free reader
+    * racing the sweep can only land on an older committed version
+    * (still a consistent snapshot of a pre-mutation layout), never a
+    * half-deleted newest one. The `.committed` marker SURVIVES: it
+    * records that an operator opted this artifact into the manifest
+    * contract, which is what lets DESCRIBE tell a crashed writer's
+    * absent-manifest degradation (marker present, no versions — WARN
+    * naming `INDEX MANIFEST` as the restore) apart from an artifact
+    * never published or deliberately opted out by removing the whole
+    * `manifest/` dir (no marker — silent, the opt-in discipline).
     */
   def invalidate(conf: org.apache.hadoop.conf.Configuration,
       base: String): Unit = {
     val d = manifestDir(base)
-    d.getFileSystem(conf).delete(d, true)
+    val fs = d.getFileSystem(conf)
+    if (fs.exists(d))
+      fs.listStatus(d).toSeq
+        .filter(st => st.getPath.getName.startsWith("v") &&
+          st.getPath.getName.endsWith(".txt"))
+        .sortBy(_.getPath.getName).reverse
+        .foreach(st => fs.delete(st.getPath, false))
     ()
+  }
+
+  /** Has this artifact ever committed a manifest (and not deliberately
+    * opted out by removing `manifest/` wholesale)? DESCRIBE's
+    * degradation signal: true + no current version = a writer crashed
+    * between invalidate and re-publication.
+    */
+  def wasCommitted(spark: SparkSession, base: String): Boolean = {
+    val p = new Path(manifestDir(base), ".committed")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** The current (highest-version) manifest file's status, or None —
@@ -308,6 +334,9 @@ object IndexManifest {
       base: String, version: Long, files: Seq[String]): Unit = {
     val d = manifestDir(base)
     fs.mkdirs(d)
+    // the opt-in record [[wasCommitted]] reads; survives invalidation
+    val marker = new Path(d, ".committed")
+    if (!fs.exists(marker)) fs.create(marker, true).close()
     val tmp = new Path(d, s".tmp_${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
     try out.write(

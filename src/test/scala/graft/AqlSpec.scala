@@ -3258,6 +3258,30 @@ class AqlSpec extends AnyFunSuite {
       run(s"INDEX MANIFEST '$idx'")).getMessage
     assert(lm.contains("single-writer") && lm.contains("mfst-holder"), lm)
     java.nio.file.Files.delete(sibling)
+    // crashed-writer degradation advisory: the tampered-version
+    // cleanup above left exactly the state a crash between
+    // invalidation and re-publication leaves — the `.committed`
+    // opt-in marker present, no committed version — and DESCRIBE
+    // WARNs naming the restore statement (writers deliberately do
+    // NOT self-heal: a full re-publication is an artifact-sized
+    // listing, which would break the batch-shaped mutation
+    // contract). The restore statement clears the advisory; the
+    // deliberate opt-out earlier in this test (manifest/ removed
+    // wholesale, marker included) stayed silent — that is the
+    // distinction the marker exists to draw.
+    def mfstWarns() = graft.transforms.IndexMaintenance.Warnings.recent
+      .count(_.contains("committed manifest is absent"))
+    assert(graft.transforms.IndexManifest.wasCommitted(spark, idx))
+    val mw0 = mfstWarns()
+    assert(descVersion() == 0L)
+    assert(mfstWarns() == mw0 + 1, "advisory must fire on the crash state")
+    assert(graft.transforms.IndexMaintenance.Warnings.recent
+      .filter(_.contains("committed manifest is absent"))
+      .last.contains(s"INDEX MANIFEST '$idx'"), "warning names the restore")
+    run(s"INDEX MANIFEST '$idx'")
+    val mw1 = mfstWarns()
+    assert(descVersion() == 1L)
+    assert(mfstWarns() == mw1, "advisory must stop once restored")
   }
 
   test("KNN METHOD JACCARD STORED: top-k text retrieval from the band " +

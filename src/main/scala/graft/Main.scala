@@ -30,6 +30,10 @@ object Main {
       .appName("graft")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      // driver-side listing for explicit-cell-path reads ≤ 1024 dirs —
+      // see Bench.scala's note
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        "1024")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -11,6 +11,16 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Explicit-cell-path reads (stored-index probes, incremental
+      // stats recounts) pass ≤ `cells` directories per read; above this
+      // threshold Spark schedules a distributed listing JOB (~0.2 s of
+      // fixed latency at microbatch scale) where a driver-side listing
+      // is microseconds per directory on local/HDFS namenodes. 1024
+      // covers every artifact geometry the gates build; deployments
+      // with larger cell counts on object stores should lower it (or
+      // commit a manifest, which skips listing entirely).
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        "1024")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

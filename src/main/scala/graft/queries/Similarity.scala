@@ -361,7 +361,9 @@ object Similarity {
     // small files — measured the build bottleneck in graft.AnnScale at
     // 256 cells); with it the file count is ∝ cells and each directory
     // is written by one task
-    assigned.repartition(col("cluster"))
+    assigned.repartition(
+        graft.transforms.IndexMaintenance.cellWriteParts(
+          e.sparkSession, cells), col("cluster"))
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$base/index")
     cents.write.mode("overwrite").parquet(s"$base/centroids")
@@ -387,7 +389,9 @@ object Similarity {
         val cb = pqCodebookOf(subs, pm, pk).localCheckpoint(false)
         pqEncodeFrom(subs, cb)
           .join(assigned.select(col("vec_id"), col("cluster")), "vec_id")
-          .repartition(col("cluster"))
+          .repartition(
+            graft.transforms.IndexMaintenance.cellWriteParts(
+              e.sparkSession, cells), col("cluster"))
           .write.mode("overwrite").partitionBy("cluster")
           .parquet(s"$base/codes")
         cb.coalesce(1).write.mode("overwrite").parquet(s"$base/codebook")
@@ -456,29 +460,36 @@ object Similarity {
       else Seq.empty[Int]
     // the frozen-centroid assignment feeds ≥ 2 consumers (index rows,
     // the touched-cells routing, and code rows under PQ) —
-    // materialize it once
-    val ids = assignToStored(base, e).localCheckpoint(false)
-    e.join(ids.hint("merge"), "vec_id")
-      .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
-      .repartition(col("cluster"))
-      .write.mode("append").partitionBy("cluster").parquet(s"$base/index")
-    if (hasPq) {
-      // encode the batch against the FROZEN codebook — the PQ analogue
-      // of the frozen-centroid assignment (FAISS `add` after `train`):
-      // codebooks are a corpus sample, so re-picking them on append
-      // would re-code the whole artifact; drifted appends degrade
-      // shortlist quality, not correctness (the rerank is exact), and
-      // INDEX REBUILD re-picks codebooks exactly as it re-trains
-      // centroids
-      val pm = meta.getAs[Int]("pq_m")
-      val subDim = meta.getAs[Int]("pq_subdim")
-      val cb = s.read.parquet(s"$base/codebook")
-      pqEncodeFrom(pqSubsOf(e.select(col("vec_id"), col("v")), pm, subDim),
-          cb)
-        .join(ids.hint("merge"), "vec_id")
-        .repartition(col("cluster"))
-        .write.mode("append").partitionBy("cluster").parquet(s"$base/codes")
-    }
+    // materialize it once, EAGERLY: the index and codes writes run
+    // concurrently below (IndexMaintenance.inParallel) and both join it
+    val ids = assignToStored(base, e).localCheckpoint()
+    val cells = meta.getAs[Int]("cells")
+    val parts = graft.transforms.IndexMaintenance
+      .cellWriteParts(s, cells)
+    graft.transforms.IndexMaintenance.inParallel(
+      e.join(ids.hint("merge"), "vec_id")
+        .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
+        .repartition(parts, col("cluster"))
+        .write.mode("append").partitionBy("cluster")
+        .parquet(s"$base/index"),
+      if (hasPq) {
+        // encode the batch against the FROZEN codebook — the PQ analogue
+        // of the frozen-centroid assignment (FAISS `add` after `train`):
+        // codebooks are a corpus sample, so re-picking them on append
+        // would re-code the whole artifact; drifted appends degrade
+        // shortlist quality, not correctness (the rerank is exact), and
+        // INDEX REBUILD re-picks codebooks exactly as it re-trains
+        // centroids
+        val pm = meta.getAs[Int]("pq_m")
+        val subDim = meta.getAs[Int]("pq_subdim")
+        val cb = s.read.parquet(s"$base/codebook")
+        pqEncodeFrom(pqSubsOf(e.select(col("vec_id"), col("v")), pm, subDim),
+            cb)
+          .join(ids.hint("merge"), "vec_id")
+          .repartition(parts, col("cluster"))
+          .write.mode("append").partitionBy("cluster")
+          .parquet(s"$base/codes")
+      })
     // the batch's routed cells (codes mirror the index assignment)
     // plus any crash-swept restored cells — the incremental stats
     // merge recomputes exactly these
@@ -553,21 +564,26 @@ object Similarity {
       "INDEX … DELETE")
     graft.transforms.IndexMaintenance.Stats.mergeForWriter(
         s, base, "ivf_vec") {
-    val ids = assignToStored(base, e).localCheckpoint(false)
+    // serial pre-invalidate + eager checkpoint + concurrent store legs
+    // — NearDup.bandStoreDelete's round-15 pattern
+    graft.transforms.IndexMaintenance.Stats.invalidate(
+      s.sparkContext.hadoopConfiguration, base)
+    val ids = assignToStored(base, e).localCheckpoint()
     val touched = ids.select(col("cluster").cast("int"))
       .distinct().collect().map(_.getInt(0)).sorted
-    val idxRest = graft.transforms.NearDup.deleteFromCellStore(s,
-      s"$base/index", "cluster", touched, "vec_id",
-      ids.select(col("vec_id")))
     // PQ codes mirror the index cells (same assignment routed them), so
     // the SAME touched set and anti-join key delete the codes — a
     // deleted vector can never resurface through an ADC shortlist
     val hasPq = meta.schema.fieldNames.contains("pq_m")
-    val codesRest =
-      if (hasPq)
-        graft.transforms.NearDup.deleteFromCellStore(s, s"$base/codes",
-          "cluster", touched, "vec_id", ids.select(col("vec_id")))
-      else Seq.empty[Int]
+    val (idxRest, codesRest) =
+      graft.transforms.IndexMaintenance.inParallel(
+        graft.transforms.NearDup.deleteFromCellStore(s,
+          s"$base/index", "cluster", touched, "vec_id",
+          ids.select(col("vec_id"))),
+        if (hasPq)
+          graft.transforms.NearDup.deleteFromCellStore(s, s"$base/codes",
+            "cluster", touched, "vec_id", ids.select(col("vec_id")))
+        else Seq.empty[Int])
     if (hasPq) Map("index" -> (touched.toSeq ++ idxRest).distinct,
       "codes" -> (touched.toSeq ++ codesRest).distinct)
     else Map("index" -> (touched.toSeq ++ idxRest).distinct)

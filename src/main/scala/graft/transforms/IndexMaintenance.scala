@@ -18,6 +18,54 @@ import VerbSupport.{intOption, spreadForCpu, CosineDefaults}
   * 100 TB-scale extension documented in SURVEY.md §8.
   */
 private[graft] object IndexMaintenance {
+  /** Shuffle parallelism for a cell-partitioned store write (round-15
+    * optimization). Every store writer repartitions on its cell column
+    * before `partitionBy(cellCol)` so each cell lands WHOLLY in one
+    * task — that keeps file count ∝ cells (1 file per cell per write,
+    * the artifact contract, and any hash partitioning on the cell
+    * column preserves it). But the plain `repartition(col)` form left
+    * the partition COUNT to spark.sql.shuffle.partitions + AQE, and at
+    * microbatch sizes AQE coalesces the tiny exchange to ONE task that
+    * then opens/commits every cell's parquet file SEQUENTIALLY — the
+    * write is per-file-latency-bound, not byte-bound (measured: 0.9–1.1
+    * s per store per streamed append at 64 cells, i.e. ~15 ms/file,
+    * the single largest cost of every maintenance statement; guide
+    * §2.2/§2.6 — idle cores while one task pays serial latency).
+    * Pinning numPartitions spreads the per-file latency: ideally one
+    * cell per task, capped at 4× the cluster's core count so a
+    * 65 536-cell artifact's append doesn't schedule 65 k near-empty
+    * tasks. Scale-adaptive by construction: grows with both the
+    * artifact (cells) and the cluster (defaultParallelism), no
+    * local-mode constant.
+    */
+  private[graft] def cellWriteParts(
+      spark: org.apache.spark.sql.SparkSession, cells: Int): Int =
+    math.max(1, math.min(cells,
+      math.max(64, spark.sparkContext.defaultParallelism * 4)))
+
+  /** Run two INDEPENDENT store pipelines concurrently and return both
+    * results (round-15 optimization, guide §2.6: actions are only
+    * sequential because the driver calls them sequentially). Every
+    * two-store artifact (bands+shingles, variants+strings,
+    * buckets+vectors) writes and routes its stores with NO data
+    * dependency between them once the shared input is checkpointed —
+    * running them on two driver threads lets the second store's jobs
+    * back-fill the executor slots the first one's small tasks leave
+    * idle, halving the statement's critical path. blocking{}: each
+    * thread blocks on Spark job completion, so the marker keeps the
+    * shared global pool from starving under concurrent statements.
+    * Exceptions propagate: a failure in either pipeline fails the
+    * statement after the other side settles (Await re-throws).
+    */
+  private[graft] def inParallel[A, B](a: => A, b: => B): (A, B) = {
+    import scala.concurrent.{Await, Future, blocking}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(blocking(a))
+    val fb = Future(blocking(b))
+    (Await.result(fa, scala.concurrent.duration.Duration.Inf),
+      Await.result(fb, scala.concurrent.duration.Duration.Inf))
+  }
+
   /** DESCRIBE's file-growth advisory threshold: a cell whose file
     * count reaches this makes probes pay that many parquet footer
     * reads for the same rows, and the advisory names `INDEX COMPACT`
@@ -1191,7 +1239,7 @@ private[graft] object IndexMaintenance {
                   NearDup.bandKeysFromStored(sh, scheme, numPerm, b, r)
                     .withColumn("pc", pmod(xxhash64(col("band"),
                       col("bh")), lit(c.toLong)).cast("int"))
-                    .repartition(col("pc"))
+                    .repartition(cellWriteParts(spark, c), col("pc"))
                     .write.partitionBy("pc").parquet(s"$stage/bands")
                   // banding is auto-chosen from the given threshold —
                   // exactly a fresh `INDEX … THRESHOLD t` build's
@@ -1209,7 +1257,7 @@ private[graft] object IndexMaintenance {
                     .select(col("id"), col("band"), col("bh"))
                     .withColumn("pc", pmod(xxhash64(col("band"),
                       col("bh")), lit(c.toLong)).cast("int"))
-                    .repartition(col("pc"))
+                    .repartition(cellWriteParts(spark, c), col("pc"))
                     .write.partitionBy("pc").parquet(s"$stage/bands")
                   val metaBase = spark.read.parquet(s"$dir/meta")
                     .withColumn("cells", lit(c))
@@ -1224,7 +1272,7 @@ private[graft] object IndexMaintenance {
               }
               sh.withColumn("sc",
                   pmod(xxhash64(col("id")), lit(c.toLong)).cast("int"))
-                .repartition(col("sc"))
+                .repartition(cellWriteParts(spark, c), col("sc"))
                 .write.partitionBy("sc").parquet(s"$stage/shingles")
               (c, n)
             case "typo_text" =>

@@ -570,33 +570,51 @@ object NearDup {
       if (append) (sweepOldCells(spark, s"$base/bands", "pc"),
         sweepOldCells(spark, s"$base/shingles", "sc"))
       else (Seq.empty[Int], Seq.empty[Int])
-    val sh = shC.localCheckpoint(false) // feeds band keys AND the shingle store
+    // EAGER checkpoint: feeds band keys AND the shingle store, and both
+    // store pipelines run concurrently below — materializing it up
+    // front (one job) keeps the two pipelines from racing to compute
+    // the same partitions into the block store
+    val sh = shC.localCheckpoint() // feeds band keys AND the shingle store
     val keyed0 = bandKeys(sh, numPerm, numBands, rowsPerBand)
       .withColumn("pc",
         pmod(xxhash64(col("band"), col("bh")), lit(cells.toLong)).cast("int"))
     val keyed = if (append) keyed0.localCheckpoint(false) else keyed0
-    keyed
-      .repartition(col("pc"))
-      .write.mode(mode).partitionBy("pc").parquet(s"$base/bands")
-    val shStore =
-      if (hashShingles)
-        sh.select(col("id"), Text.hashedShingles(col("shs")).as("shs"))
-      else sh
-    shStore.withColumn("sc",
-        pmod(xxhash64(col("id")), lit(cells.toLong)).cast("int"))
-      .repartition(col("sc"))
-      .write.mode(mode).partitionBy("sc").parquet(s"$base/shingles")
+    val parts = IndexMaintenance.cellWriteParts(spark, cells)
+    // the two store pipelines are independent once `sh` is materialized
+    // — run them concurrently (IndexMaintenance.inParallel); each
+    // write repartitions to `parts` tasks so per-cell parquet files
+    // commit in parallel instead of one coalesced task writing every
+    // cell sequentially (see cellWriteParts)
+    val (bandsTouched, shTouched) = IndexMaintenance.inParallel(
+      {
+        keyed
+          .repartition(parts, col("pc"))
+          .write.mode(mode).partitionBy("pc").parquet(s"$base/bands")
+        if (!append) Seq.empty[Int]
+        else keyed.select(col("pc")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+      },
+      {
+        val shStore =
+          if (hashShingles)
+            sh.select(col("id"), Text.hashedShingles(col("shs")).as("shs"))
+          else sh
+        shStore.withColumn("sc",
+            pmod(xxhash64(col("id")), lit(cells.toLong)).cast("int"))
+          .repartition(parts, col("sc"))
+          .write.mode(mode).partitionBy("sc").parquet(s"$base/shingles")
+        if (!append) Seq.empty[Int]
+        // the shingle store routes by id hash alone — no shingle work
+        // needed for its touched set
+        else sh
+          .select(pmod(xxhash64(col("id")), lit(cells.toLong))
+            .cast("int").as("sc"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+      })
     if (!append) Map.empty
     else Map(
-      "bands" -> (keyed.select(col("pc")).distinct()
-        .collect().map(_.getInt(0)).toSeq ++ bandsRest).distinct.sorted,
-      // the shingle store routes by id hash alone — no shingle work
-      // needed for its touched set
-      "shingles" -> (sh
-        .select(pmod(xxhash64(col("id")), lit(cells.toLong))
-          .cast("int").as("sc"))
-        .distinct().collect().map(_.getInt(0)).toSeq ++ shRest)
-        .distinct.sorted)
+      "bands" -> (bandsTouched ++ bandsRest).distinct.sorted,
+      "shingles" -> (shTouched ++ shRest).distinct.sorted)
   }
 
   /** Remove docs from an existing [[bandStoreTo]] artifact — the
@@ -632,21 +650,38 @@ object NearDup {
     requireKind(meta, base, "lsh_text", "INDEX … DELETE")
     IndexMaintenance.Stats.mergeForWriter(s, base, "lsh_text") {
     val cells = meta.getAs[Int]("cells")
-    val sh = shC.localCheckpoint(false) // feeds band routing AND the id set
-    val ids = sh.select(col("id")).distinct().localCheckpoint(false)
-    val bandCells = bandKeys(sh, meta.getAs[Int]("num_perm"),
-        meta.getAs[Int]("num_bands"), meta.getAs[Int]("rows_per_band"))
-      .select(pmod(xxhash64(col("band"), col("bh")), lit(cells.toLong))
-        .cast("int").as("pc"))
-      .distinct().collect().map(_.getInt(0)).sorted
-    val bRest = deleteFromCellStore(s, s"$base/bands", "pc", bandCells,
-      "id", ids)
-    val shCells = ids
-      .select(pmod(xxhash64(col("id")), lit(cells.toLong))
-        .cast("int").as("sc"))
-      .distinct().collect().map(_.getInt(0)).sorted
-    val sRest = deleteFromCellStore(s, s"$base/shingles", "sc", shCells,
-      "id", ids)
+    // invalidate ONCE, serially, before the two concurrent legs — each
+    // leg's rewrite re-invalidates defensively, but those calls then
+    // see an already-absent path (trivially concurrent-safe) instead
+    // of racing a recursive delete of a live tree
+    IndexMaintenance.Stats.invalidate(
+      s.sparkContext.hadoopConfiguration, base)
+    // EAGER checkpoints: both store legs run concurrently below and
+    // both consume these — materialize up front so the legs don't race
+    // to compute the same partitions
+    val sh = shC.localCheckpoint() // feeds band routing AND the id set
+    val ids = sh.select(col("id")).distinct().localCheckpoint()
+    // the two store legs (route → rewrite) are independent given the
+    // checkpointed inputs — run them concurrently
+    // (IndexMaintenance.inParallel, the bandStoreRows pattern)
+    val ((bandCells, bRest), (shCells, sRest)) =
+      IndexMaintenance.inParallel(
+        {
+          val bc = bandKeys(sh, meta.getAs[Int]("num_perm"),
+              meta.getAs[Int]("num_bands"), meta.getAs[Int]("rows_per_band"))
+            .select(pmod(xxhash64(col("band"), col("bh")), lit(cells.toLong))
+              .cast("int").as("pc"))
+            .distinct().collect().map(_.getInt(0)).sorted
+          (bc, deleteFromCellStore(s, s"$base/bands", "pc", bc, "id", ids))
+        },
+        {
+          val sc = ids
+            .select(pmod(xxhash64(col("id")), lit(cells.toLong))
+              .cast("int").as("sc"))
+            .distinct().collect().map(_.getInt(0)).sorted
+          (sc, deleteFromCellStore(s, s"$base/shingles", "sc", sc, "id",
+            ids))
+        })
     // the statement's own routing PLUS any crash-swept restored cells
     // — the incremental stats merge recomputes exactly these
     Map("bands" -> (bandCells.toSeq ++ bRest).distinct,
@@ -789,7 +824,10 @@ object NearDup {
       s".rewrite_stage_${rootPath.getName}")
     if (fs.exists(stage)) fs.delete(stage, true) // stale from a crash
     transform(s.read.option("basePath", root).parquet(paths: _*))
-      .repartition(col(pcol))
+      // parallelism = touched cells (capped — see cellWriteParts): the
+      // staging write is per-file-latency-bound like every cell write
+      .repartition(IndexMaintenance.cellWriteParts(s, touched.size),
+        col(pcol))
       .write.mode("overwrite").partitionBy(pcol).parquet(stage.toString)
     // per-cell swap — stage out, then immediately swap in — so a
     // lock-free probe's window of a cell being absent is TWO renames
@@ -1147,19 +1185,29 @@ object NearDup {
     requireKind(meta, base, "typo_text", "INDEX … DELETE")
     IndexMaintenance.Stats.mergeForWriter(s, base, "typo_text") {
     val cells = meta.getAs[Int]("cells")
-    val r = reps.select(col("id"), col("txt")).localCheckpoint(false)
-    val ids = r.select(col("id")).distinct().localCheckpoint(false)
-    val vCells = delete1Variants(r, "txt")
-      .select(pmod(col("vh"), lit(cells.toLong)).cast("int").as("pc"))
-      .distinct().collect().map(_.getInt(0)).sorted
-    val vRest = deleteFromCellStore(s, s"$base/variants", "pc", vCells,
-      "id", ids)
-    val sCells = ids
-      .select(pmod(xxhash64(col("id")), lit(cells.toLong))
-        .cast("int").as("sc"))
-      .distinct().collect().map(_.getInt(0)).sorted
-    val sRest = deleteFromCellStore(s, s"$base/strings", "sc", sCells,
-      "id", ids)
+    // serial pre-invalidate + eager checkpoints + concurrent store
+    // legs — the bandStoreDelete pattern
+    IndexMaintenance.Stats.invalidate(
+      s.sparkContext.hadoopConfiguration, base)
+    val r = reps.select(col("id"), col("txt")).localCheckpoint()
+    val ids = r.select(col("id")).distinct().localCheckpoint()
+    val ((vCells, vRest), (sCells, sRest)) =
+      IndexMaintenance.inParallel(
+        {
+          val vc = delete1Variants(r, "txt")
+            .select(pmod(col("vh"), lit(cells.toLong)).cast("int").as("pc"))
+            .distinct().collect().map(_.getInt(0)).sorted
+          (vc, deleteFromCellStore(s, s"$base/variants", "pc", vc, "id",
+            ids))
+        },
+        {
+          val sc = ids
+            .select(pmod(xxhash64(col("id")), lit(cells.toLong))
+              .cast("int").as("sc"))
+            .distinct().collect().map(_.getInt(0)).sorted
+          (sc, deleteFromCellStore(s, s"$base/strings", "sc", sc, "id",
+            ids))
+        })
     Map("variants" -> (vCells.toSeq ++ vRest).distinct,
       "strings" -> (sCells.toSeq ++ sRest).distinct)
     }
@@ -1179,27 +1227,38 @@ object NearDup {
       if (append) (sweepOldCells(reps.sparkSession, s"$base/variants", "pc"),
         sweepOldCells(reps.sparkSession, s"$base/strings", "sc"))
       else (Seq.empty[Int], Seq.empty[Int])
-    val r = reps.select(col("id"), col("txt")).localCheckpoint(false)
+    // eager checkpoint + concurrent store pipelines + pinned write
+    // parallelism — the bandStoreRows pattern
+    val r = reps.select(col("id"), col("txt")).localCheckpoint()
     val keyed0 = delete1Variants(r, "txt")
       .select(col("id"), col("vh"))
       .withColumn("pc", pmod(col("vh"), lit(cells.toLong)).cast("int"))
     val keyed = if (append) keyed0.localCheckpoint(false) else keyed0
-    keyed
-      .repartition(col("pc"))
-      .write.mode(mode).partitionBy("pc").parquet(s"$base/variants")
-    r.withColumn("sc",
-        pmod(xxhash64(col("id")), lit(cells.toLong)).cast("int"))
-      .repartition(col("sc"))
-      .write.mode(mode).partitionBy("sc").parquet(s"$base/strings")
+    val parts = IndexMaintenance.cellWriteParts(reps.sparkSession, cells)
+    val (vTouched, sTouched) = IndexMaintenance.inParallel(
+      {
+        keyed
+          .repartition(parts, col("pc"))
+          .write.mode(mode).partitionBy("pc").parquet(s"$base/variants")
+        if (!append) Seq.empty[Int]
+        else keyed.select(col("pc")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+      },
+      {
+        r.withColumn("sc",
+            pmod(xxhash64(col("id")), lit(cells.toLong)).cast("int"))
+          .repartition(parts, col("sc"))
+          .write.mode(mode).partitionBy("sc").parquet(s"$base/strings")
+        if (!append) Seq.empty[Int]
+        else r
+          .select(pmod(xxhash64(col("id")), lit(cells.toLong))
+            .cast("int").as("sc"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+      })
     if (!append) Map.empty
     else Map(
-      "variants" -> (keyed.select(col("pc")).distinct()
-        .collect().map(_.getInt(0)).toSeq ++ vRest).distinct.sorted,
-      "strings" -> (r
-        .select(pmod(xxhash64(col("id")), lit(cells.toLong))
-          .cast("int").as("sc"))
-        .distinct().collect().map(_.getInt(0)).toSeq ++ sRest)
-        .distinct.sorted)
+      "variants" -> (vTouched ++ vRest).distinct.sorted,
+      "strings" -> (sTouched ++ sRest).distinct.sorted)
   }
 
   /** Batch-vs-corpus edit-distance-≤1 matches against a [[typoStoreTo]]

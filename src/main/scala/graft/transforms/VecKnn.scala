@@ -368,27 +368,40 @@ object VecKnn {
         NearDup.sweepOldCells(e.sparkSession, s"$base/buckets", "pc"),
         NearDup.sweepOldCells(e.sparkSession, s"$base/vectors", "sc"))
       else (Seq.empty[Int], Seq.empty[Int])
-    val ee = e.select(col("id"), col("v"), col("nrm")).localCheckpoint(false)
+    // eager checkpoint + concurrent store pipelines + pinned write
+    // parallelism — NearDup.bandStoreRows's round-15 pattern
+    val ee = e.select(col("id"), col("v"), col("nrm")).localCheckpoint()
     val keyed0 = bucketFrame(ee, tables, bits, dims)
       .withColumn("pc",
         pmod(xxhash64(col("t"), col("bucket")), lit(cells.toLong)).cast("int"))
     val keyed = if (append) keyed0.localCheckpoint(false) else keyed0
-    keyed
-      .repartition(col("pc"))
-      .write.mode(mode).partitionBy("pc").parquet(s"$base/buckets")
-    ee.withColumn("sc",
-        pmod(xxhash64(col("id")), lit(cells.toLong)).cast("int"))
-      .repartition(col("sc"))
-      .write.mode(mode).partitionBy("sc").parquet(s"$base/vectors")
+    val parts = graft.transforms.IndexMaintenance
+      .cellWriteParts(e.sparkSession, cells)
+    val (bTouched, vTouched) =
+      graft.transforms.IndexMaintenance.inParallel(
+      {
+        keyed
+          .repartition(parts, col("pc"))
+          .write.mode(mode).partitionBy("pc").parquet(s"$base/buckets")
+        if (!append) Seq.empty[Int]
+        else keyed.select(col("pc")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+      },
+      {
+        ee.withColumn("sc",
+            pmod(xxhash64(col("id")), lit(cells.toLong)).cast("int"))
+          .repartition(parts, col("sc"))
+          .write.mode(mode).partitionBy("sc").parquet(s"$base/vectors")
+        if (!append) Seq.empty[Int]
+        else ee
+          .select(pmod(xxhash64(col("id")), lit(cells.toLong))
+            .cast("int").as("sc"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+      })
     if (!append) Map.empty
     else Map(
-      "buckets" -> (keyed.select(col("pc")).distinct()
-        .collect().map(_.getInt(0)).toSeq ++ bRest).distinct.sorted,
-      "vectors" -> (ee
-        .select(pmod(xxhash64(col("id")), lit(cells.toLong))
-          .cast("int").as("sc"))
-        .distinct().collect().map(_.getInt(0)).toSeq ++ vRest)
-        .distinct.sorted)
+      "buckets" -> (bTouched ++ bRest).distinct.sorted,
+      "vectors" -> (vTouched ++ vRest).distinct.sorted)
   }
 
   /** Remove vectors from an existing [[cosineStoreTo]] artifact —
@@ -421,21 +434,31 @@ object VecKnn {
       graft.transforms.IndexMaintenance.Stats.mergeForWriter(
         s, base, "cosine_vec") {
       val cells = meta.getAs[Int]("cells")
-      val ee = e.select(col("id"), col("v"), col("nrm")).localCheckpoint(false)
-      val ids = ee.select(col("id")).distinct().localCheckpoint(false)
-      val bCells = bucketFrame(ee, meta.getAs[Int]("tables"),
-          meta.getAs[Int]("bits"), dims)
-        .select(pmod(xxhash64(col("t"), col("bucket")), lit(cells.toLong))
-          .cast("int").as("pc"))
-        .distinct().collect().map(_.getInt(0)).sorted
-      val bRest = NearDup.deleteFromCellStore(s, s"$base/buckets", "pc",
-        bCells, "id", ids)
-      val vCells = ids
-        .select(pmod(xxhash64(col("id")), lit(cells.toLong))
-          .cast("int").as("sc"))
-        .distinct().collect().map(_.getInt(0)).sorted
-      val vRest = NearDup.deleteFromCellStore(s, s"$base/vectors", "sc",
-        vCells, "id", ids)
+      // serial pre-invalidate + eager checkpoints + concurrent store
+      // legs — NearDup.bandStoreDelete's round-15 pattern
+      graft.transforms.IndexMaintenance.Stats.invalidate(
+        s.sparkContext.hadoopConfiguration, base)
+      val ee = e.select(col("id"), col("v"), col("nrm")).localCheckpoint()
+      val ids = ee.select(col("id")).distinct().localCheckpoint()
+      val ((bCells, bRest), (vCells, vRest)) =
+        graft.transforms.IndexMaintenance.inParallel(
+          {
+            val bc = bucketFrame(ee, meta.getAs[Int]("tables"),
+                meta.getAs[Int]("bits"), dims)
+              .select(pmod(xxhash64(col("t"), col("bucket")),
+                lit(cells.toLong)).cast("int").as("pc"))
+              .distinct().collect().map(_.getInt(0)).sorted
+            (bc, NearDup.deleteFromCellStore(s, s"$base/buckets", "pc",
+              bc, "id", ids))
+          },
+          {
+            val vc = ids
+              .select(pmod(xxhash64(col("id")), lit(cells.toLong))
+                .cast("int").as("sc"))
+              .distinct().collect().map(_.getInt(0)).sorted
+            (vc, NearDup.deleteFromCellStore(s, s"$base/vectors", "sc",
+              vc, "id", ids))
+          })
       Map("buckets" -> (bCells.toSeq ++ bRest).distinct,
         "vectors" -> (vCells.toSeq ++ vRest).distinct)
       }

@@ -153,6 +153,22 @@ object ProfileR15 {
       } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
     }
 
+    // ---- q172 phase split: 4 delete microbatches against the grown
+    // artifact (idx now holds %4==1 build + %4==3 appends) ------------
+    val delSlice = Tables.load(spark, dir, "documents")
+      .where(col("doc_id") % 4 === 3)
+      .select(col("doc_id"), col("text"))
+      .withColumn("b", pmod(col("doc_id"), lit(16)))
+    for (i <- 0 until 4) {
+      t(s"q172 B: bandStoreDelete microbatch $i") {
+        val batch = delSlice.where(col("b") === (3 + 4 * i)).drop("b")
+        val reps = batch
+          .select(xxhash64(col("text")).as("th"), col("text").as("txt"))
+          .distinct()
+        NearDup.bandStoreDelete(idx, NearDup.shingled(reps, "th", "txt"))
+      }
+    }
+
     // ---- probe phases, finer ---------------------------------------
     t("probe: direct minhashCrossMatchesStored") {
       val meta = spark.read.parquet(s"$idx/meta").head()

@@ -361,13 +361,15 @@ object Similarity {
     // small files — measured the build bottleneck in graft.AnnScale at
     // 256 cells); with it the file count is ∝ cells and each directory
     // is written by one task
-    assigned.repartition(
-        graft.transforms.IndexMaintenance.cellWriteParts(
-          e.sparkSession, cells), col("cluster"))
-      .write.mode("overwrite").partitionBy("cluster")
-      .parquet(s"$base/index")
-    cents.write.mode("overwrite").parquet(s"$base/centroids")
-    supersOpt.foreach(_.write.mode("overwrite").parquet(s"$base/supers"))
+    val parts = graft.transforms.IndexMaintenance.cellWriteParts(
+      e.sparkSession, cells)
+    def writeIndexSide(): Unit = {
+      assigned.repartition(parts, col("cluster"))
+        .write.mode("overwrite").partitionBy("cluster")
+        .parquet(s"$base/index")
+      cents.write.mode("overwrite").parquet(s"$base/centroids")
+      supersOpt.foreach(_.write.mode("overwrite").parquet(s"$base/supers"))
+    }
     val spark = e.sparkSession
     import spark.implicits._
     pq match {
@@ -387,18 +389,26 @@ object Similarity {
         val subs = pqSubsOf(e.select(col("vec_id"), col("v")), pm, subDim)
           .localCheckpoint(false)
         val cb = pqCodebookOf(subs, pm, pk).localCheckpoint(false)
-        pqEncodeFrom(subs, cb)
-          .join(assigned.select(col("vec_id"), col("cluster")), "vec_id")
-          .repartition(
-            graft.transforms.IndexMaintenance.cellWriteParts(
-              e.sparkSession, cells), col("cluster"))
-          .write.mode("overwrite").partitionBy("cluster")
-          .parquet(s"$base/codes")
-        cb.coalesce(1).write.mode("overwrite").parquet(s"$base/codebook")
+        // the index-side writes and the codes-side writes are
+        // independent (the codes join recomputes the assignment plan
+        // either way) — overlap them (round 15, guide §2.6)
+        graft.transforms.IndexMaintenance.inParallel(
+          writeIndexSide(),
+          {
+            pqEncodeFrom(subs, cb)
+              .join(assigned.select(col("vec_id"), col("cluster")),
+                "vec_id")
+              .repartition(parts, col("cluster"))
+              .write.mode("overwrite").partitionBy("cluster")
+              .parquet(s"$base/codes")
+            cb.coalesce(1).write.mode("overwrite")
+              .parquet(s"$base/codebook")
+          })
         Seq(("ivf_vec", cells, derived.mkString(","), pm, subDim, pk))
           .toDF("kind", "cells", "derived", "pq_m", "pq_subdim", "pq_codes")
           .coalesce(1).write.mode("overwrite").parquet(s"$base/meta")
       case None =>
+        writeIndexSide()
         Seq(("ivf_vec", cells, derived.mkString(",")))
           .toDF("kind", "cells", "derived")
           .coalesce(1).write.mode("overwrite").parquet(s"$base/meta")

@@ -1413,6 +1413,37 @@ private[graft] object IndexMaintenance {
     * output is a one-row summary (path, kind, files_before,
     * files_after).
     */
+  /** One store's COMPACT scan (sweep crashed cells → list dirty cells)
+    * — extracted so [[IndexCompactVerb]] can decide up front whether
+    * ANY rewrite is coming (the idempotent no-op contract: a re-COMPACT
+    * with nothing dirty must leave every byte alone, stats included)
+    * and then run the two stores' rewrites concurrently. Returns
+    * (files before, restored cells, dirty cells). Sweeping FIRST
+    * matters: a restored cell participates in this COMPACT's own dirty
+    * listing and joins the touched set so the incremental stats merge
+    * recomputes it.
+    */
+  private def compactScan(spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, dir: String, sub: String,
+      cellCol: String,
+      dataFiles: org.apache.hadoop.fs.Path => Long)
+      : (Long, Seq[Int], Seq[Int]) = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(s"$dir/$sub")
+    if (!fs.exists(live)) return (0L, Seq.empty, Seq.empty)
+    val restored = NearDup.sweepOldCells(spark, live.toString, cellCol)
+    val before = dataFiles(live)
+    // dirty = cells with ≥ 2 data files; one directory listing per
+    // cell dir (cheap metadata ops ∝ cells, no data read)
+    val dirty = fs.listStatus(live).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(s"$cellCol="))
+      .filter(st => dataFiles(st.getPath) > 1)
+      .map(_.getPath.getName.stripPrefix(s"$cellCol=").toInt)
+      .sorted
+    (before, restored, dirty)
+  }
+
   final case class IndexCompactVerb(dir: String) extends Verb {
     def build(sources: Map[String, DataFrame], primary: DataFrame)
         : DataFrame = {
@@ -1445,38 +1476,47 @@ private[graft] object IndexMaintenance {
         // 15: a committed manifest rides the same discipline)
         val manifestPrior = IndexManifest.readVersioned(spark, dir)
         val prior = Stats.read(spark, dir)
-        for ((sub, cellCol) <- stores) {
+        // phase 1, SERIAL per store: sweep crashed cells + list dirty
+        // cells (cheap metadata ops). Serial because the sweep/listing
+        // decides whether anything will be rewritten at all — an
+        // idempotent re-COMPACT must stay a byte-stable no-op, stats
+        // file included, so the invalidate below only happens when a
+        // rewrite is actually coming.
+        val scans = stores.map { case (sub, cellCol) =>
+          (sub, cellCol, compactScan(spark, fs, dir, sub, cellCol,
+            dataFiles))
+        }
+        val anyRewrite = scans.exists { case (_, _, (_, restored, dirty)) =>
+          restored.nonEmpty || dirty.nonEmpty }
+        // invalidate ONCE, serially, before the concurrent rewrites
+        // (each rewrite re-invalidates defensively against an
+        // already-absent path — the bandStoreDelete pattern)
+        if (anyRewrite)
+          Stats.invalidate(spark.sparkContext.hadoopConfiguration, dir)
+        // phase 2, CONCURRENT: the dirty-cell rewrites touch disjoint
+        // store directories (round 15, the same inParallel the writers
+        // ride)
+        def rewriteLeg(sub: String, cellCol: String,
+            dirty: Seq[Int]): Unit =
+          if (dirty.nonEmpty)
+            NearDup.rewriteCellsInPlace(spark, s"$dir/$sub", cellCol,
+              dirty, "INDEX COMPACT",
+              "re-running COMPACT completes the rest (compacting a " +
+                "compacted cell is a no-op)")(identity)
+        inParallel(
+          scans.headOption.foreach { case (sub, cellCol, (_, _, dirty)) =>
+            rewriteLeg(sub, cellCol, dirty) },
+          if (scans.size > 1) {
+            val (sub, cellCol, (_, _, dirty)) = scans(1)
+            rewriteLeg(sub, cellCol, dirty)
+          })
+        for ((sub, _, (b, restored, dirty)) <- scans) {
+          before += b
           val live = new Path(s"$dir/$sub")
-          if (fs.exists(live)) {
-            // sweep crashed `.old_` cells FIRST (round 14 — COMPACT is
-            // the maintenance-cadence statement, so it heals
-            // unconditionally, not only when some cell happens to be
-            // dirty): a restored cell participates in this COMPACT's
-            // own dirty listing below, and joins the touched set so
-            // the incremental stats merge recomputes it
-            val restored = NearDup.sweepOldCells(spark, live.toString,
-              cellCol)
-            if (restored.nonEmpty) rewrote = true
-            before += dataFiles(live)
-            // dirty = cells with ≥ 2 data files; one directory listing
-            // per cell dir (cheap metadata ops ∝ cells, no data read)
-            val dirty = fs.listStatus(live).toSeq
-              .filter(st => st.isDirectory &&
-                st.getPath.getName.startsWith(s"$cellCol="))
-              .filter(st => dataFiles(st.getPath) > 1)
-              .map(_.getPath.getName.stripPrefix(s"$cellCol=").toInt)
-              .sorted
-            if (dirty.nonEmpty) {
-              NearDup.rewriteCellsInPlace(spark, live.toString, cellCol,
-                dirty, "INDEX COMPACT",
-                "re-running COMPACT completes the rest (compacting a " +
-                  "compacted cell is a no-op)")(identity)
-              rewrote = true
-            }
-            val t = (dirty ++ restored).distinct.sorted
-            if (t.nonEmpty) touched += sub -> t
-            after += dataFiles(live)
-          }
+          if (fs.exists(live)) after += dataFiles(live)
+          if (restored.nonEmpty || dirty.nonEmpty) rewrote = true
+          val t = (dirty ++ restored).distinct.sorted
+          if (t.nonEmpty) touched += sub -> t
         }
         // refresh stats LAST (still under the lock): the compacted
         // per-cell file counts are exactly what the next DESCRIBE

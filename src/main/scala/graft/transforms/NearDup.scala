@@ -1021,15 +1021,21 @@ object NearDup {
       if (meta.schema.fieldNames.contains("shingle_scheme"))
         meta.getAs[String]("shingle_scheme")
       else "raw"
+    // checkpoint the batch's shingle frame ONCE: it feeds the band-key
+    // chain below AND the exact-verify join at the end — without this
+    // the verify side re-runs the batch's tokenize+shingle pipeline
+    // from the source scan (round-15 measurement: ~0.3 s per probe at
+    // panel scale, paid by every AGAINST STORED / KNN STORED statement)
+    val shBC = shB.localCheckpoint(false)
     val shBVerify = scheme match {
       case "xxhash64" =>
-        shB.select(col("id"), Text.hashedShingles(col("shs")).as("shs"))
-      case "raw" => shB
+        shBC.select(col("id"), Text.hashedShingles(col("shs")).as("shs"))
+      case "raw" => shBC
       case other => throw new IllegalArgumentException(
         s"stored band index at $base uses unknown shingle scheme '$other'")
     }
     // checkpoint: feeds the routing collect AND the candidate join
-    val bb = bandKeys(shB, numPerm, numBands, rowsPerBand)
+    val bb = bandKeys(shBC, numPerm, numBands, rowsPerBand)
       .toDF("doc_a", "band", "bh")
       .localCheckpoint(false)
     val probeCells = bb

@@ -165,6 +165,18 @@ object Bench {
       java.nio.file.Paths.get("BENCH_LATEST.json"),
       (json + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
+    // Durable PER-RUN full map (round 16): BENCH_LATEST.json is
+    // overwritten by every invocation, so when the driver benches twice
+    // (32-core then low-core scaling run) the second run clobbers the
+    // first's per-query map before any comparator reads it — that is
+    // exactly how PERF_r15's per_query/scaling blocks came up empty.
+    // A core-count-derived sibling name keeps the two runs' maps
+    // side by side; same JSON line, no contract change.
+    val runFile = s"BENCH_LATEST_c$cpus.json"
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(runFile),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     // The full line above has outgrown tail-capture windows (~2 KB):
     // every per-round artifact since the query count passed ~60 records
     // "parsed": null because the window holds only a fragment of it.
@@ -172,7 +184,7 @@ object Bench {
     // split, failure list, and a pointer to the committed full map —
     // so a tail capture always ends with one complete JSON object.
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":$passes,"agg":"min","queries_n":${results.size},"failed":$failedJson,"lifecycle_sec":$lifecycleSec,"lifecycle_n":$lifecycleN,"query_sec":$querySec,"query_n":${results.size - lifecycleN},"full_map":"BENCH_LATEST.json"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":$passes,"agg":"min","queries_n":${results.size},"failed":$failedJson,"lifecycle_sec":$lifecycleSec,"lifecycle_n":$lifecycleN,"query_sec":$querySec,"query_n":${results.size - lifecycleN},"full_map":"BENCH_LATEST.json","full_map_run":"$runFile"}"""
     println(compact)
     spark.stop()
   }

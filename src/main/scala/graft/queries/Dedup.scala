@@ -490,7 +490,13 @@ object Dedup {
          |SELECT bt.doc_id, count(m.dup) AS n_dups, count(m.dup) > 0 AS is_dup
          |FROM bt LEFT JOIN m USING (doc_id)
          |GROUP BY bt.doc_id""".stripMargin) { (s, dir) =>
-      val sh = shingled(s, dir)
+      // round 16: the shingle frame feeds the signature chain, both
+      // exact-verify sides AND the final batch left side (4 consumers —
+      // the before-plan shows 10 corpus scans); the band frame feeds
+      // both candidate-join sides. Materialize each once: sh lazy (the
+      // eager bands checkpoint below runs through it), bands eager so
+      // the join's sibling stages read cached blocks (guide §2.4).
+      val sh = shingled(s, dir).localCheckpoint(false)
       val sig = sh.select(col("doc_id"), Text.hashedShingles(col("shs")).as("hs"))
         .select(col("doc_id"),
           Text.minhashSigFromHashes(col("hs"), numPerm = 128).as("sig"))
@@ -499,6 +505,7 @@ object Dedup {
           explode(Text.lshBands(col("sig"), numBands = 32, rowsPerBand = 4))
             .as("bk"))
         .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+        .localCheckpoint()
       val batchBands = bands.where(col("doc_id") % 2 === 0)
         .toDF("doc_a", "band", "bh")
       val corpusBands = bands.where(col("doc_id") % 2 === 1)
@@ -546,9 +553,14 @@ object Dedup {
       // identical join at sf0.1). The ≥5-shingle floor is applied below
       // on the |pairs|-sized scored frame via the already-joined
       // n_a/n_b — same semantics as the oracle's len(sh) >= 5 per side.
+      // round 16: materialize the postings once — they feed the counts
+      // frame AND both self-join sides (the before-plan shows 4 corpus
+      // scans; guide §2.4). Lazy: the eager counts checkpoint below
+      // materializes it in one job at build time.
       val sh = shingled(s, dir)
         .select(col("doc_id"), size(col("shs")).as("n"),
           explode(Text.hashedShingles(col("shs"))).as("h"))
+        .localCheckpoint(false)
       // localCheckpoint (same rationale as q31): one corpus scan feeds
       // both broadcast sides, and — the 4× cost here — the n_a/n_b ≥ 5
       // floor below can no longer be alias-substituted through the

@@ -54,16 +54,39 @@ private[graft] object IndexMaintenance {
     * idle, halving the statement's critical path. blocking{}: each
     * thread blocks on Spark job completion, so the marker keeps the
     * shared global pool from starving under concurrent statements.
-    * Exceptions propagate: a failure in either pipeline fails the
-    * statement after the other side settles (Await re-throws).
+    * Exceptions propagate AFTER BOTH legs settle (round 16, advisor
+    * finding): rethrowing on the first leg's failure while the second
+    * leg's Spark write is still running would release the caller's
+    * maintenance lock with an orphaned writer mutating the store in the
+    * background — a subsequent writer (e.g. a foreachBatch retry of the
+    * same append) could then acquire the lock and interleave with it,
+    * breaking the mechanically-held single-writer contract. Both legs
+    * are awaited to completion (Try), then the first failure rethrows.
+    *
+    * Each leg also runs under the CALLER's SparkContext local
+    * properties (job group/description/scheduler pool): the global
+    * pool's threads inherit local properties only at thread-creation
+    * time and are reused, so without the explicit copy a leg's jobs
+    * could carry a stale job group — and a future cancelJobGroup or
+    * per-statement pool would silently miss them.
     */
   private[graft] def inParallel[A, B](a: => A, b: => B): (A, B) = {
     import scala.concurrent.{Await, Future, blocking}
     import scala.concurrent.ExecutionContext.Implicits.global
-    val fa = Future(blocking(a))
-    val fb = Future(blocking(b))
-    (Await.result(fa, scala.concurrent.duration.Duration.Inf),
-      Await.result(fb, scala.concurrent.duration.Duration.Inf))
+    import scala.util.Try
+    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+    val propKeys = Seq("spark.jobGroup.id", "spark.job.description",
+      "spark.job.interruptOnCancel", "spark.scheduler.pool")
+    val props = propKeys.map(k => k -> sc.getLocalProperty(k))
+    def withProps[T](body: => T): T = {
+      props.foreach { case (k, v) => sc.setLocalProperty(k, v) }
+      body
+    }
+    val fa = Future(blocking(withProps(a)))
+    val fb = Future(blocking(withProps(b)))
+    val ra = Try(Await.result(fa, scala.concurrent.duration.Duration.Inf))
+    val rb = Try(Await.result(fb, scala.concurrent.duration.Duration.Inf))
+    (ra.get, rb.get)
   }
 
   /** DESCRIBE's file-growth advisory threshold: a cell whose file
@@ -1495,7 +1518,12 @@ private[graft] object IndexMaintenance {
           Stats.invalidate(spark.sparkContext.hadoopConfiguration, dir)
         // phase 2, CONCURRENT: the dirty-cell rewrites touch disjoint
         // store directories (round 15, the same inParallel the writers
-        // ride)
+        // ride). Generic over the store list (round 16, advisor
+        // finding): the old two-leg form silently skipped any third
+        // store a future kind might add — scanned and counted but never
+        // rewritten, with stats refreshed as if compacted. Every kind
+        // today has ≤ 2 stores, so the pairwise fold degenerates to the
+        // same two concurrent legs.
         def rewriteLeg(sub: String, cellCol: String,
             dirty: Seq[Int]): Unit =
           if (dirty.nonEmpty)
@@ -1503,13 +1531,16 @@ private[graft] object IndexMaintenance {
               dirty, "INDEX COMPACT",
               "re-running COMPACT completes the rest (compacting a " +
                 "compacted cell is a no-op)")(identity)
-        inParallel(
-          scans.headOption.foreach { case (sub, cellCol, (_, _, dirty)) =>
-            rewriteLeg(sub, cellCol, dirty) },
-          if (scans.size > 1) {
-            val (sub, cellCol, (_, _, dirty)) = scans(1)
+        scans.grouped(2).foreach {
+          case Seq((sub, cellCol, (_, _, dirty))) =>
             rewriteLeg(sub, cellCol, dirty)
-          })
+          case Seq((subA, colA, (_, _, dirtyA)),
+              (subB, colB, (_, _, dirtyB))) =>
+            inParallel(rewriteLeg(subA, colA, dirtyA),
+              rewriteLeg(subB, colB, dirtyB))
+            ()
+          case _ => ()
+        }
         for ((sub, _, (b, restored, dirty)) <- scans) {
           before += b
           val live = new Path(s"$dir/$sub")

@@ -57,9 +57,17 @@ object NearDup {
     * MEASURED in graft.Scale/SCALING.md, not assumed.
     */
   def pairs(sh: DataFrame, threshold: Double): DataFrame = {
+    // materialize the postings ONCE (round 16): they feed the per-doc
+    // size frame and BOTH sides of the inverted-index self-join — three
+    // consumers, each of which otherwise re-runs the tokenize+shingle+
+    // hash chain from the source scan (guide §2.4's recompute family;
+    // the before-plan shows 4 corpus scans). Lazy: the eager counts
+    // checkpoint below materializes it in one job at build time, so the
+    // self-join's sibling stages read cached blocks instead of racing.
     val posts = sh
       .select(col("id"), size(col("shs")).as("n"),
         explode(Text.hashedShingles(col("shs"))).as("h"))
+      .localCheckpoint(false)
     // localCheckpoint: the per-doc size frame is |docs|-sized and feeds
     // BOTH broadcast probe sides — materializing it once replaces two
     // full tokenize+shingle corpus scans with one, and (critically for
@@ -101,11 +109,16 @@ object NearDup {
     * trusting a cap; [[minhashPairs]] keeps full recall without one.
     */
   def pairsCapped(sh: DataFrame, threshold: Double, maxDf: Long): DataFrame = {
+    // round 16: the shingle frame also feeds BOTH exact-verify sides at
+    // the end — materialize it once (lazy; the eager posts checkpoint
+    // below runs through it at build time, so the verify joins read
+    // cached blocks instead of re-running tokenize+shingle twice more)
+    val shC = sh.localCheckpoint(false)
     // materialize the postings once: they feed the df aggregate and both
     // probe sides of the self-join — without this the tokenize+shingle+
     // hash scan re-runs per consumer (same rationale as pairs' counts
     // checkpoint; at 100 TB the postings ARE the stored index artifact)
-    val posts = sh
+    val posts = shC
       .select(col("id"), explode(Text.hashedShingles(col("shs"))).as("h"))
       .localCheckpoint()
     val cold = posts.groupBy(col("h"))
@@ -118,7 +131,7 @@ object NearDup {
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
-    verifyPairs(cand, sh, threshold)
+    verifyPairs(cand, shC, threshold)
   }
 
   /** MinHash + LSH banded near-dup pairs, exact-verified (the q32
@@ -137,13 +150,23 @@ object NearDup {
   def minhashPairs(sh: DataFrame, threshold: Double,
       numPerm: Int = 128, numBands: Int = 32,
       rowsPerBand: Int = 4): DataFrame = {
-    val bands = bandKeys(sh, numPerm, numBands, rowsPerBand)
+    // round 16: materialize the shingle frame once (it feeds the band-
+    // key chain AND both exact-verify sides) and the band keys once
+    // (both candidate-join sides) — before this the tokenize+shingle
+    // chain ran up to 4x and the signature chain 2x per statement
+    // (guide §2.4; the before-plan shows 8 corpus scans). The EAGER
+    // bands checkpoint materializes shC in the same job at build time;
+    // the join's sibling stages then read cached blocks instead of
+    // racing to recompute the shared frames.
+    val shC = sh.localCheckpoint(false)
+    val bands = bandKeys(shC, numPerm, numBands, rowsPerBand)
+      .localCheckpoint()
     val cand = bands.toDF("doc_a", "band", "bh")
       .join(bands.toDF("doc_b", "band", "bh"), Seq("band", "bh"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
-    verifyPairs(cand, sh, threshold)
+    verifyPairs(cand, shC, threshold)
   }
 
   /** (id, band, bh): LSH band keys for every doc — one row per (doc,
@@ -245,8 +268,12 @@ object NearDup {
   def minhashPairsStar(sh: DataFrame, threshold: Double,
       starAbove: Long, numPerm: Int = 128, numBands: Int = 32,
       rowsPerBand: Int = 4): DataFrame = {
+    // round 16: the shingle frame also feeds both exact-verify sides —
+    // materialize it once (lazy; the eager bands checkpoint just below
+    // runs through it at build time)
+    val shC = sh.localCheckpoint(false)
     // bands feed the size aggregate and both join sides — materialize once
-    val bands = bandKeys(sh, numPerm, numBands, rowsPerBand)
+    val bands = bandKeys(shC, numPerm, numBands, rowsPerBand)
       .localCheckpoint()
     val sizes = bands.groupBy(col("band"), col("bh"))
       .agg(count(lit(1)).as("f"), min(col("id")).as("anchor"))
@@ -266,7 +293,7 @@ object NearDup {
         .select(col("band"), col("bh"), col("anchor")), Seq("band", "bh"))
       .where(col("id") =!= col("anchor"))
       .select(col("anchor").as("doc_a"), col("id").as("doc_b"))
-    verifyPairs(coldPairs.union(hotPairs).distinct(), sh, threshold)
+    verifyPairs(coldPairs.union(hotPairs).distinct(), shC, threshold)
   }
 
   /** Pick (numBands, rowsPerBand) for a banded MinHash signature so that
@@ -377,12 +404,19 @@ object NearDup {
     */
   def crossMatchesExact(shB: DataFrame, shC: DataFrame,
       threshold: Double): DataFrame = {
-    val pb = shB.select(col("id").as("doc_a"),
+    // round 16: each side feeds its postings chain AND the exact-verify
+    // join — materialize both once (EAGER: the candidate join's map
+    // stages and the verify-side stages are siblings in one query and
+    // would otherwise race to recompute the shared tokenize+shingle
+    // chains; guide §2.4)
+    val b = shB.localCheckpoint()
+    val c = shC.localCheckpoint()
+    val pb = b.select(col("id").as("doc_a"),
       explode(Text.hashedShingles(col("shs"))).as("h"))
-    val pc = shC.select(col("id").as("doc_b"),
+    val pc = c.select(col("id").as("doc_b"),
       explode(Text.hashedShingles(col("shs"))).as("h"))
     val cand = pb.join(pc, "h").select("doc_a", "doc_b").distinct()
-    verifyPairsAcross(cand, shB, shC, threshold)
+    verifyPairsAcross(cand, b, c, threshold)
       .select(col("doc_a").as("b_id")).distinct()
   }
 
@@ -396,13 +430,20 @@ object NearDup {
   def minhashCrossMatches(shB: DataFrame, shC: DataFrame,
       threshold: Double, numPerm: Int = 128, numBands: Int = 32,
       rowsPerBand: Int = 4): DataFrame = {
-    val bb = bandKeys(shB, numPerm, numBands, rowsPerBand)
+    // round 16: each side feeds its band-key chain AND the exact-verify
+    // join — materialize both once (EAGER: the candidate join's map
+    // stages and the verify-side stages are siblings in one query and
+    // would otherwise race to recompute the shared tokenize+shingle
+    // chains; guide §2.4 — the before-plan shows each side scanned 2x)
+    val b = shB.localCheckpoint()
+    val c = shC.localCheckpoint()
+    val bb = bandKeys(b, numPerm, numBands, rowsPerBand)
       .toDF("doc_a", "band", "bh")
-    val bc = bandKeys(shC, numPerm, numBands, rowsPerBand)
+    val bc = bandKeys(c, numPerm, numBands, rowsPerBand)
       .toDF("doc_b", "band", "bh")
     val cand = bb.join(bc, Seq("band", "bh"))
       .select("doc_a", "doc_b").distinct()
-    verifyPairsAcross(cand, shB, shC, threshold)
+    verifyPairsAcross(cand, b, c, threshold)
       .select(col("doc_a").as("b_id")).distinct()
   }
 
@@ -963,14 +1004,20 @@ object NearDup {
   def jaccardKnnAcross(shB: DataFrame, shC: DataFrame,
       threshold: Double, k: Int, numPerm: Int, numBands: Int,
       rowsPerBand: Int): DataFrame = {
-    val bb = bandKeys(shB, numPerm, numBands, rowsPerBand)
+    // round 16: same shape as [[minhashCrossMatches]] — each side feeds
+    // banding AND the exact-Jaccard rerank; materialize both once
+    // (EAGER, so sibling stages read cached blocks instead of racing to
+    // re-run the corpus tokenize+shingle chain; guide §2.4)
+    val b = shB.localCheckpoint()
+    val c = shC.localCheckpoint()
+    val bb = bandKeys(b, numPerm, numBands, rowsPerBand)
       .toDF("doc_a", "band", "bh")
-    val bc = bandKeys(shC, numPerm, numBands, rowsPerBand)
+    val bc = bandKeys(c, numPerm, numBands, rowsPerBand)
       .toDF("doc_b", "band", "bh")
     val cand = bb.join(bc, Seq("band", "bh"))
       .select(col("doc_a"), col("doc_b")).distinct()
     topKByJaccard(
-      verifyPairsAcross(cand, shB, shC, threshold)
+      verifyPairsAcross(cand, b, c, threshold)
         .where(col("doc_a") =!= col("doc_b")), k)
   }
 

@@ -939,9 +939,16 @@ object TransformParser {
       * read materialized partitions).
       */
     def typoPairs(reps: DataFrame): DataFrame = {
+      // round 16: the variant fan-out feeds BOTH candidate-join sides —
+      // materialize it once (EAGER: the join's sibling map stages would
+      // otherwise race to recompute the explode+substr+hash chain over
+      // the reps; guide §2.4). Rows are (id, vh) — 16 bytes each, so
+      // the materialization is Σ(len+1) × 16 bytes, far below the
+      // shuffle the join itself pays.
       val v = NearDup.delete1Variants(
           reps.select(col("id"), col("txt")), "txt")
         .select(col("id"), col("vh"))
+        .localCheckpoint()
       val cand = v.toDF("doc_a", "vh")
         .join(v.toDF("doc_b", "vh"), Seq("vh"))
         .where(col("doc_a") < col("doc_b"))

@@ -143,7 +143,12 @@ object VecKnn {
     if (dims == 0) // empty input → empty pair frame, same schema
       return e.select(col("id").as("doc_a"), col("id").as("doc_b"),
         lit(0.0).as("cosine")).limit(0)
-    val buckets = bucketFrame(e, tables, bits, dims)
+    // round 16: the bucket fan-out feeds BOTH candidate-join sides —
+    // materialize it once (EAGER: the join's sibling map stages would
+    // otherwise race to recompute the tables×-way lshBuckets projection
+    // over the rep vectors; guide §2.4). cosinePairsStar already
+    // checkpoints its extended-signature fan-out the same way.
+    val buckets = bucketFrame(e, tables, bits, dims).localCheckpoint()
     val cand = buckets.toDF("doc_a", "t", "bucket")
       .join(buckets.toDF("doc_b", "t", "bucket"), Seq("t", "bucket"))
       .where(col("doc_a") < col("doc_b"))
@@ -703,8 +708,11 @@ object VecKnn {
   /** ONE definition of the sign-LSH bucket fan-out (id, t, bucket) and
     * of the exact-verify predicate, shared by both cosine threshold
     * paths so a fix to either can never apply to one and not the other.
+    * private[graft] (round 16): PlanSpec pins the lsh_buckets derivation
+    * on this subplan directly, because the verb-level pair plan now
+    * reads the fan-out through a checkpoint boundary (LogicalRDD).
     */
-  private def bucketFrame(df: DataFrame, tables: Int, bits: Int,
+  private[graft] def bucketFrame(df: DataFrame, tables: Int, bits: Int,
       dims: Int): DataFrame =
     df.select(col("id"),
       posexplode(lshBuckets(col("v"), tables, bits, dims))

@@ -368,12 +368,19 @@ class PlanSpec extends AnyFunSuite {
           v.pairDf(sh).queryExecution
         case other => fail(s"expected NearDedupVerb, got $other")
       }
-    // the signature expression shows in the analyzed plan (the optimizer
-    // may fold tiny local inputs into a LocalTableScan, pre-evaluating
-    // it); the executed plan must join on the band-key columns
+    // round 16: minhashPairs materializes the band-key frame once for
+    // both candidate-join sides (and the shingle frame for the verify
+    // sides), so the pair plan reads them through checkpoint boundaries
+    // (LogicalRDD) — the signature DERIVATION is pinned on the shared
+    // bandKeys subplan (the one banding chain every consumer rides),
+    // and the verb plan is pinned on the band-key join + the boundary.
+    assert(graft.transforms.NearDup.bandKeys(sh, 128, 32, 4)
+        .queryExecution.analyzed.toString.contains("minhash_sig"),
+      "band keys must derive from minhash signatures")
     val lshQe = pairQe("NEARDEDUP ON txt KEY id THRESHOLD 0.5 METHOD LSH")
-    assert(lshQe.analyzed.toString.contains("minhash_sig"),
-      s"LSH method must build minhash signatures:\n${lshQe.analyzed}")
+    assert(lshQe.analyzed.toString.contains("LogicalRDD"),
+      s"LSH band frame must be materialized once (checkpoint " +
+        s"boundary):\n${lshQe.analyzed}")
     val lsh = lshQe.executedPlan.toString
     assert(lsh.contains("band#") && lsh.contains("bh#"),
       s"LSH candidates must join on band keys:\n$lsh")
@@ -382,10 +389,10 @@ class PlanSpec extends AnyFunSuite {
       !exactQe.executedPlan.toString.contains("bh#"),
       s"exact method must keep the postings join:\n${exactQe.executedPlan}")
     // METHOD omitted resolves to the LSH default (round 7b): the default
-    // plan must band, not run the postings self-join
+    // plan must band (join on band keys), not run the postings self-join
     val defQe = pairQe("NEARDEDUP ON txt KEY id THRESHOLD 0.5")
-    assert(defQe.analyzed.toString.contains("minhash_sig"),
-      s"default method must take the banded path:\n${defQe.analyzed}")
+    assert(defQe.executedPlan.toString.contains("bh#"),
+      s"default method must take the banded path:\n${defQe.executedPlan}")
 
     // the full LSH verb keeps the verb-level plan contracts too
     val df = graft.transforms.TransformParser
@@ -418,10 +425,19 @@ class PlanSpec extends AnyFunSuite {
         col("emb").cast("array<double>").as("v"))
       .where(col("v").isNotNull && size(col("v")) > 0)
       .withColumn("nrm", l2norm(col("v")))
+    // round 16: cosinePairs materializes the bucket fan-out once for
+    // both candidate-join sides, so the pair plan reads it through a
+    // checkpoint boundary (LogicalRDD) — the lsh_buckets DERIVATION is
+    // pinned on the shared bucketFrame subplan, the verb plan on the
+    // bucket-key join + the boundary.
+    assert(graft.transforms.VecKnn.bucketFrame(e, 32, 4, 2)
+        .queryExecution.analyzed.toString.contains("lsh_buckets"),
+      "COSINE method must block on sign-LSH buckets")
     val pairQe = graft.transforms.VecKnn.cosinePairs(e, 0.9)
       .queryExecution
-    assert(pairQe.analyzed.toString.contains("lsh_buckets"),
-      s"COSINE method must block on sign-LSH buckets:\n${pairQe.analyzed}")
+    assert(pairQe.analyzed.toString.contains("LogicalRDD"),
+      s"bucket frame must be materialized once (checkpoint " +
+        s"boundary):\n${pairQe.analyzed}")
     val pp = pairQe.executedPlan.toString
     assert(pp.contains("bucket#"),
       s"candidates must join on bucket keys:\n$pp")
